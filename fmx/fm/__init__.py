@@ -1,0 +1,2 @@
+from fmx.fm.model import FMModel  # noqa: F401
+from fmx.fm.sgd import FMRegressorSGD  # noqa: F401

@@ -1,0 +1,195 @@
+"""Factorization Machines model — parameters-as-DataFrames, predict as a
+relational dataflow.
+
+Reference parity: fm_spark ``FactorizationMachinesModel``
+(FactorizationMachinesModel.scala:43-273).  The model weights ARE
+distributed tables (SURVEY.md §1.1):
+
+- ``strength``: DataFrame ``(featureId bigint, strength double)`` — w_i
+  (reference ``Dataset[Strength]``, Model.scala:281)
+- ``factors``:  DataFrame ``(featureId bigint, vec array<double>)`` — v_i
+  (reference ``Dataset[FactorizedInteraction]``, Model.scala:289)
+- ``global_bias``: python float — w0 (Model.scala:45)
+
+ŷ(x) = w0 + Σ_i w_i·x_i + ½·Σ_f [(Σ_i v_if·x_i)² − Σ_i v_if²·x_i²]
+
+Spark-first design notes (vs the reference's shape):
+
+- The reference computes the per-sample summed vector with a custom
+  ``VectorSum`` UDAF (Model.scala:122) and squares it in a UDF
+  (``sumVx``, Model.scala:260-262).  We never materialize that vector at
+  all: Σ_f(Σ_i v_if·x_i)² is computed as two scalar hash aggregations over
+  the long format — posexplode to (sampleId, f) grain, sum, square, sum.
+  Everything stays in whole-stage codegen; a hot sample spreads across k
+  shuffle keys instead of hitting one UDAF buffer.
+- Inner joins drop unlearned featureIds (Model.scala:103-112 semantics,
+  golden-tested); samples with no active features get no prediction row
+  and fall back to ``global_bias`` via left join + na.fill
+  (Model.scala:78-86).
+- Clamping divergence: the reference declares minLabel/maxLabel defaults
+  of 0.0/1.0 (Model.scala:59-60) yet its own golden test expects
+  unclamped 23.77 (Suite:65).  We resolve the contradiction by making
+  clamping opt-in (None = no clamp); ``FMRegressorSGD`` sets the bounds
+  explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark import keyword_only
+from pyspark.ml import Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.param.shared import HasFeaturesCol, HasLabelCol, HasPredictionCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fmx.core import linalg as L
+
+__all__ = ["FMModel", "FMParamsBase"]
+
+
+class FMParamsBase(HasFeaturesCol, HasPredictionCol, HasLabelCol):
+    """Shared params (reference FactorizationMachinesModelParams,
+    Model.scala:19-33 + FactorizationMachines.scala:14-31)."""
+
+    sampleIdCol = Param(
+        Params._dummy(), "sampleIdCol", "Column name for sample ID",
+        typeConverter=TypeConverters.toString)
+    minLabel = Param(
+        Params._dummy(), "minLabel", "Minimum label value (clamp); None disables",
+        typeConverter=TypeConverters.toFloat)
+    maxLabel = Param(
+        Params._dummy(), "maxLabel", "Maximum label value (clamp); None disables",
+        typeConverter=TypeConverters.toFloat)
+
+    def getSampleIdCol(self) -> str:
+        return self.getOrDefault(self.sampleIdCol)
+
+    def getMinLabel(self):
+        return self.getOrDefault(self.minLabel) if self.isDefined(self.minLabel) else None
+
+    def getMaxLabel(self):
+        return self.getOrDefault(self.maxLabel) if self.isDefined(self.maxLabel) else None
+
+
+class FMModel(Model, FMParamsBase):
+    """Trained FM model; ``transform`` appends a prediction column."""
+
+    @keyword_only
+    def __init__(self, dim_factorization: int = 10, global_bias: float = 0.0,
+                 strength: DataFrame | None = None,
+                 factors: DataFrame | None = None,
+                 hint_broadcast_params: bool = False):
+        super().__init__()
+        self.dim_factorization = int(dim_factorization)
+        self.global_bias = float(global_bias)
+        self.strength = strength
+        self.factors = factors
+        self.hint_broadcast_params = hint_broadcast_params
+        self._setDefault(featuresCol="features", predictionCol="prediction",
+                         labelCol="label", sampleIdCol="sampleId")
+
+    # -- param setters ------------------------------------------------
+    def setFeaturesCol(self, v):
+        return self._set(featuresCol=v)
+
+    def setPredictionCol(self, v):
+        return self._set(predictionCol=v)
+
+    def setSampleIdCol(self, v):
+        return self._set(sampleIdCol=v)
+
+    def setMinLabel(self, v):
+        return self._set(minLabel=float(v))
+
+    def setMaxLabel(self, v):
+        return self._set(maxLabel=float(v))
+
+    def copy(self, extra=None):
+        new = FMModel(
+            dim_factorization=self.dim_factorization,
+            global_bias=self.global_bias,
+            strength=self.strength,
+            factors=self.factors,
+            hint_broadcast_params=self.hint_broadcast_params,
+        )
+        new = self._copyValues(new, extra)
+        new._resetUid(self.uid)
+        return new
+
+    # -- dataflow ------------------------------------------------------
+
+    def _param_tables(self):
+        s, v = self.strength, self.factors
+        if self.hint_broadcast_params:
+            # param tables are usually |features| x (1+k) doubles — tiny
+            # next to the exploded fact side; broadcast kills two shuffles
+            # (J1/J2 hot path, SURVEY.md §2.3). Left to AQE when unset.
+            s, v = F.broadcast(s), F.broadcast(v)
+        return s, v
+
+    def predict_exploded(self, exploded: DataFrame,
+                         sample_id: str = "sampleId") -> DataFrame:
+        """Predict from long format ``(sample_id, featureId, featureValue)``.
+
+        Relational plan (reference Model.scala:90-133, re-shaped):
+        inner-join params → per-row terms → two hash-aggs on
+        (sample, f) and (sample) → scalar combine → clamp.
+        """
+        strength, factors = self._param_tables()
+        rows = (
+            exploded.alias("ex")
+            .join(strength.alias("ds"), "featureId", "inner")
+            .join(factors.alias("fi"), "featureId", "inner")
+            .select(
+                F.col(sample_id),
+                (F.col("strength") * F.col("featureValue")).alias("wixi"),
+                L.vi2xi2("vec", F.col("featureValue")).alias("vi2xi2"),
+                L.vec_scale("vec", F.col("featureValue")).alias("vfxi"),
+            )
+        )
+        per_sample = rows.groupBy(sample_id).agg(
+            F.sum("wixi").alias("wixiSum"),
+            F.sum("vi2xi2").alias("vi2xi2Sum"),
+        )
+        # Σ_f (Σ_i v_if·x_i)² without materializing the summed vector
+        per_sample_f = (
+            rows.select(sample_id, F.posexplode("vfxi").alias("f", "vfx"))
+            .groupBy(sample_id, "f").agg(F.sum("vfx").alias("s"))
+            .groupBy(sample_id).agg(F.sum(F.col("s") * F.col("s")).alias("vfxiSumSq"))
+        )
+        pred = (
+            per_sample.join(per_sample_f, sample_id)
+            .select(
+                F.col(sample_id),
+                (F.lit(self.global_bias) + F.col("wixiSum")
+                 + 0.5 * (F.col("vfxiSumSq") - F.col("vi2xi2Sum"))
+                 ).alias(self.getPredictionCol()),
+            )
+        )
+        return self._clamp(pred)
+
+    def _clamp(self, pred: DataFrame) -> DataFrame:
+        p = self.getPredictionCol()
+        lo, hi = self.getMinLabel(), self.getMaxLabel()
+        c = F.col(p)
+        if lo is not None:
+            c = F.greatest(c, F.lit(float(lo)))
+        if hi is not None:
+            c = F.least(c, F.lit(float(hi)))
+        return pred.withColumn(p, c)
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        sid = self.getSampleIdCol()
+        # cache so the synthetic id is computed once and is consistent
+        # between the predict branch and the join-back (Model.scala:74)
+        indexed = dataset.withColumn(sid, F.monotonically_increasing_id()).cache()
+        exploded = L.explode_vector(indexed, self.getFeaturesCol(), id_cols=[sid])
+        pred = self.predict_exploded(exploded, sample_id=sid)
+        out = (
+            indexed.join(pred, sid, "left")
+            .drop(sid)
+            # empty feature vectors -> no exploded rows -> no prediction
+            # row -> fall back to global bias (Model.scala:86, golden 5.0)
+            .na.fill({self.getPredictionCol(): self.global_bias})
+        )
+        return out

@@ -1,0 +1,59 @@
+"""Table sources over the driver-generated parquet test data (TESTDATA.md).
+
+The reference's only sources are CSV + in-memory fixtures
+(FactorizationMachinesSample.scala:98-102, Suite:34-53); the engine reads
+parquet natively (`spark.read.parquet` — vectorized scan, predicate
+pushdown, column pruning) plus CSV/JSON/libsvm helpers for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True,
+             infer_schema: bool = True) -> DataFrame:
+    """CSV scan with header + schema inference (reference S1,
+    FactorizationMachinesSample.scala:98-102)."""
+    return (spark.read
+            .option("header", str(header).lower())
+            .option("inferSchema", str(infer_schema).lower())
+            .csv(path))
+
+
+def read_libsvm_text(spark: SparkSession, path: str) -> DataFrame:
+    """Parse the reference's 1-indexed ``label idx:val ...`` fixture format
+    (reference data/sample.txt:1-6, S3) into
+    ``(label double, featureId int, featureValue double)`` long format —
+    natively (split + explode), no Python UDF."""
+    raw = spark.read.text(path)
+    toks = raw.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
+    return (
+        toks.select(
+            F.col("t")[0].cast("double").alias("label"),
+            F.explode(F.slice("t", 2, 1_000_000)).alias("pair"))
+        .select(
+            "label",
+            (F.split("pair", ":")[0].cast("int") - 1).alias("featureId"),
+            F.split("pair", ":")[1].cast("double").alias("featureValue"))
+    )

@@ -1,0 +1,94 @@
+"""FMRegressorSGD training tests: convergence, determinism, pipeline
+compatibility (reference SGD loop SGD.scala:88-216; sample app
+Sample.scala:16-73 exercises CrossValidator)."""
+
+import random
+
+import pytest
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.linalg import Vectors
+
+from fmx.fm import FMModel, FMRegressorSGD
+
+
+def synthetic_fm_data(spark, n=400, seed=7):
+    """y = 0.5 + 0.3*x0 - 0.2*x1 + 0.4*x0*x2 + noise, scaled into [0,1]."""
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        x = [rng.uniform(0, 1) for _ in range(4)]
+        y = 0.2 + 0.3 * x[0] - 0.2 * x[1] + 0.4 * x[0] * x[2] \
+            + rng.gauss(0, 0.01)
+        rows.append((Vectors.dense(x), min(max(y, 0.0), 1.0)))
+    return spark.createDataFrame(rows, ["features", "label"])
+
+
+def test_sgd_loss_decreases_and_beats_bias(spark):
+    df = synthetic_fm_data(spark).cache()
+    est = FMRegressorSGD(dimFactorization=4, maxIter=8, miniBatchFraction=0.125,
+                         regParam=0.0, stepSize=0.5, initialSd=0.01, seed=42)
+    model = est.fit(df)
+    losses = est.training_loss_
+    assert len(losses) >= 6
+    assert losses[-1] < losses[0] * 0.9, losses
+
+    pred = model.transform(df)
+    mae = RegressionEvaluator(metricName="mae").evaluate(pred)
+    assert mae < 0.12, mae
+
+
+def test_sgd_deterministic_given_seed(spark):
+    df = synthetic_fm_data(spark, n=120).cache()
+    kw = dict(dimFactorization=3, maxIter=4, miniBatchFraction=0.25,
+              regParam=0.01, stepSize=0.5, seed=99)
+    m1 = FMRegressorSGD(**kw).fit(df)
+    m2 = FMRegressorSGD(**kw).fit(df)
+    w1 = sorted((r.featureId, round(r.strength, 12))
+                for r in m1.strength.collect())
+    w2 = sorted((r.featureId, round(r.strength, 12))
+                for r in m2.strength.collect())
+    assert w1 == w2
+
+
+def test_l1_shrinkage_drives_weights_to_zero(spark):
+    df = synthetic_fm_data(spark, n=100).cache()
+    est = FMRegressorSGD(dimFactorization=3, maxIter=3, miniBatchFraction=0.34,
+                         regParam=50.0, stepSize=1.0, seed=5)
+    model = est.fit(df)
+    rows = model.strength.collect()
+    assert all(r.strength == 0.0 for r in rows)
+    assert all(all(v == 0.0 for v in r.vec) for r in model.factors.collect())
+
+
+def test_cross_validator_compat(spark):
+    """The reference's only end-to-end app runs under CrossValidator +
+    RegressionEvaluator (Sample.scala:41-63, M7)."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    df = synthetic_fm_data(spark, n=160).cache()
+    fm = FMRegressorSGD(dimFactorization=2, maxIter=3, miniBatchFraction=0.34,
+                        stepSize=0.5, seed=3)
+    grid = (ParamGridBuilder()
+            .addGrid(fm.regParam, [1e-6, 0.0])
+            .build())
+    cv = CrossValidator(estimator=fm, estimatorParamMaps=grid,
+                        evaluator=RegressionEvaluator(metricName="mae"),
+                        numFolds=2, seed=11)
+    cv_model = cv.fit(df)
+    out = cv_model.transform(df)
+    assert out.count() == 160
+    assert "prediction" in out.columns
+
+
+def test_model_params_flow_from_estimator(spark):
+    df = synthetic_fm_data(spark, n=60).cache()
+    est = FMRegressorSGD(dimFactorization=2, maxIter=2, miniBatchFraction=0.5,
+                         seed=1, minLabel=0.0, maxLabel=1.0,
+                         predictionCol="p2")
+    model = est.fit(df)
+    assert isinstance(model, FMModel)
+    assert model.getPredictionCol() == "p2"
+    assert model.getMinLabel() == 0.0 and model.getMaxLabel() == 1.0
+    out = model.transform(df)
+    stats = out.selectExpr("min(p2) lo", "max(p2) hi").first()
+    assert stats.lo >= 0.0 and stats.hi <= 1.0
