@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale text corpora.
+
+Everything is a pure DataFrame -> DataFrame function built from shuffles
+that scale: shingle joins key on the shingle (hot-key capped via
+document-frequency filtering), MinHash banding turns O(n²) similarity
+into an equi-join on (band, band-key), and all hashes are md5-derived so
+results are deterministic in any engine (the DuckDB oracles replay the
+identical arithmetic).
+
+Ops: exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash, n-gram Jaccard, embedding-cosine near-dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fmx.core import linalg as L
+
+__all__ = [
+    "exact_dedup", "word_shingles", "hash64", "minhash_signatures",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
+    "embedding_near_dup_pairs",
+]
+
+
+def hash64(col, salt: int | None = None):
+    """Deterministic 60-bit hash: first 15 hex chars of md5 -> BIGINT.
+
+    Engine-portable (DuckDB: ``CAST(concat('0x', substring(md5(x),1,15))
+    AS BIGINT)``) unlike xxhash64/murmur which differ across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        c = F.concat(F.lit(f"{salt}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate removal: group on content hash, keep min id.
+
+    Returns (content_hash, keep_id, dup_count).  Hash-groupBy with
+    map-side combine; the only wide exchange keys on md5 — uniform, no
+    skew at any scale.
+    """
+    return (df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).cast("bigint").alias("keep_id"),
+                 F.count("*").alias("dup_count")))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  max_df: int | None = None) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    — the standard hot-key guard that keeps the downstream shingle
+    self-join skew-free at corpus scale (a shingle shared by 1M docs
+    would otherwise produce 10¹² join rows).
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    # NB: guard size(t) >= n — Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], not empty, so an unguarded transform would fabricate shingles
+    sh = (toks
+          .select(id_col,
+                  F.explode(F.expr(
+                      f"CASE WHEN size(t) >= {n} THEN"
+                      f" transform(sequence(1, size(t) - {n - 1}),"
+                      f"  i -> concat_ws(' ', slice(t, i, {n})))"
+                      f" ELSE CAST(array() AS array<string>) END"))
+                  .alias("shingle"))
+          .distinct())
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = (sh.withColumn("_df", F.count("*").over(w))
+              .filter(F.col("_df") <= max_df).drop("_df"))
+    return sh
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Distributed as: shingle equi-join (keys on shingle) -> pair count ->
+    join to per-doc sizes.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n, max_df=max_df)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    (F.col("inter")
+                     / (F.col("na") + F.col("nb") - F.col("inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures in long format: (id, j, minhash) for j in
+    [0, num_hashes).  One groupBy over the shingle relation computes all
+    hash slots (num_hashes min-aggregates, map-side combinable)."""
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    aggs = [F.min(hash64("shingle", salt=j)).alias(f"_h{j}")
+            for j in range(num_hashes)]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    slots = F.array(*[
+        F.struct(F.lit(j).alias("j"), F.col(f"_h{j}").alias("minhash"))
+        for j in range(num_hashes)])
+    return (wide.select(id_col, F.explode(slots).alias("s"))
+            .select(F.col(id_col),
+                    F.col("s.j").alias("j"),
+                    F.col("s.minhash").alias("minhash")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 8, bands: int = 4,
+                      shingle_n: int = 3,
+                      verify_threshold: float | None = None) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of their MinHash
+    signature.  O(n²) similarity becomes an equi-join on (band,
+    band_key); optionally verified with exact Jaccard >= threshold.
+
+    Returns (id_a, id_b[, jaccard]).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                        lambda s: s["minhash"].cast("string")), ",")
+            .alias("band_key")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select(F.col("id_a").cast("bigint").alias("id_a"),
+                     F.col("id_b").cast("bigint").alias("id_b"))
+             .distinct())
+    if verify_threshold is None:
+        return pairs
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n=shingle_n,
+                                threshold=verify_threshold)
+    return pairs.join(exact, ["id_a", "id_b"])
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 16) -> DataFrame:
+    """Term-frequency-weighted SimHash fingerprint: (id, simhash).
+
+    Each token votes ±1 per bit of its 60-bit hash; the fingerprint sets
+    bit b where the vote sum is positive.  One hash-agg (bits
+    conditional sums), fully map-side combinable.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    th = toks.withColumn("h", hash64("tok"))
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+              .otherwise(-1)).alias(f"_b{b}")
+        for b in range(bits)]
+    wide = th.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return wide.select(F.col(id_col).cast("bigint").alias(id_col),
+                       fp.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs >= threshold.
+
+    Long-format dot products: explode to (id, pos, val), equi-join on
+    pos, two hash-aggs — the same shape DuckDB replays.  At corpus scale
+    swap the all-pairs join for the LSH bucketing in
+    fmx.operators.similarity (this exact variant is the verifier).
+    """
+    ex = df.select(F.col(id_col),
+                   F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("pos", "x"))
+    norms = ex.groupBy(id_col).agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    a = ex.select(F.col(id_col).alias("id_a"), "pos", F.col("x").alias("xa"))
+    b = ex.select(F.col(id_col).alias("id_b"), "pos", F.col("x").alias("xb"))
+    dots = (a.join(b, "pos")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

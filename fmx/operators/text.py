@@ -1,0 +1,116 @@
+"""Text analysis operators for training-data pipelines: token statistics,
+quality scoring, language ID, token counting, fingerprinting.
+
+All formulas are pure column expressions (no UDFs) chosen to be
+replayable in ANSI SQL so every operator carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_stats", "quality_score", "language_id", "token_counts",
+    "fingerprint", "STOPWORDS",
+]
+
+# small stopword lists per language for the n-gram/stopword heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "es": ["el", "la", "de", "y", "los", "que", "un"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+_PUNCT_RE = "[^a-zA-Z0-9 ]"
+_DIGIT_RE = "[0-9]"
+
+
+def _toks(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: n_chars, n_tokens, avg_token_len,
+    stopword_ratio (en), punct_ratio, digit_ratio."""
+    t = _toks(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), sw))
+    # token-level stopword hits (with multiplicity), fully native:
+    n_stop_tf = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round((n_chars - (n_tok - 1)) / n_tok, 6).alias("avg_token_len"),
+        F.round(n_stop_tf / n_tok, 6).alias("stopword_ratio"),
+        F.round(F.regexp_count(F.col(text_col), F.lit(_PUNCT_RE)) / n_chars, 6)
+         .alias("punct_ratio"),
+        F.round(F.regexp_count(F.col(text_col), F.lit(_DIGIT_RE)) / n_chars, 6)
+         .alias("digit_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality in [0,1]: rewards length (log tokens) and
+    stopword presence, penalizes punctuation/digit density — the
+    C4/Gopher-style rule-based filter family, as one expression."""
+    stats = token_stats(df, id_col, text_col)
+    raw = (0.2 * F.log(F.col("n_tokens") + 1)
+           + 2.0 * F.col("stopword_ratio")
+           - 3.0 * F.col("punct_ratio")
+           - 2.0 * F.col("digit_ratio"))
+    return stats.select(
+        id_col,
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), raw)), 6)
+         .alias("quality"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language ID: score_lang = fraction of tokens in
+    that language's stopword list; prediction = argmax with a fixed
+    priority order (en, de, es, fr) on ties."""
+    t = _toks(text_col)
+    n_tok = F.size(t)
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / n_tok
+    pred = (F.when((scores["en"] >= scores["de"])
+                   & (scores["en"] >= scores["es"])
+                   & (scores["en"] >= scores["fr"]), "en")
+            .when((scores["de"] >= scores["es"])
+                  & (scores["de"] >= scores["fr"]), "de")
+            .when(scores["es"] >= scores["fr"], "es")
+            .otherwise("fr"))
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}")
+          for lang in sorted(STOPWORDS)],
+        pred.alias("pred_lang"))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-token count (letter runs,
+    digit runs, single symbols) — the 'how many tokens will the
+    tokenizer see' estimator."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.size(_toks(text_col)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).cast("bigint")
+         .alias("bpe_tokens"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed, trimmed text — the canonical key for
+    fuzzy-exact dedup across formatting variants."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col).cast("bigint").alias(id_col),
+                     F.md5(norm).alias("fingerprint"))

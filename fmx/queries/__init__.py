@@ -1,0 +1,81 @@
+"""Query registry: every declared operator/query from SURVEY.md §2 plus
+engine-capability and LLM-pipeline queries, each paired (where
+SQL-expressible) with a DuckDB oracle statement over the same parquet
+tables.
+
+Conventions that make the driver's hash-compare deterministic:
+
+- every aggregate/computed column is aliased identically in the Spark
+  plan and the oracle SQL;
+- integer outputs are cast to BIGINT and floats to DOUBLE **on both
+  sides** (DuckDB's sum(int)->HUGEINT, length()->BIGINT etc. would
+  otherwise mismatch Spark's types);
+- doubles are rounded (2 for money sums, 4-6 elsewhere) in both engines;
+- timestamps/dates are emitted as formatted strings (session tz = UTC);
+- LIMIT queries carry a total ORDER BY (unique key suffix).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = [
+    "fmx.queries.relational",
+    "fmx.queries.fm_queries",
+    "fmx.queries.dedup_queries",
+    "fmx.queries.similarity_queries",
+    "fmx.queries.text_queries",
+    "fmx.queries.window_queries",
+]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    headline: bool = False          # included in bench.py
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, headline: bool = False,
+          tags: tuple[str, ...] = ()):
+    """Register a (spark, sf_dir) -> DataFrame query, optionally with its
+    DuckDB oracle SQL."""
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, headline,
+                                    (fn.__doc__ or "").strip(), tuple(tags))
+        return fn
+    return deco
+
+
+def _load() -> None:
+    for m in _MODULES:
+        importlib.import_module(m)
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in all_queries().items() if s.oracle}
+
+
+def headline_queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in all_queries().items() if s.headline}

@@ -1,0 +1,164 @@
+"""Dedup queries over the documents/embeddings tables, each with a DuckDB
+oracle replaying the identical md5-derived hash arithmetic — MinHash and
+SimHash are fully deterministic across engines (no engine-private hash
+functions in the dataflow).
+"""
+
+from __future__ import annotations
+
+from fmx.operators import dedup as D
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+NUM_HASHES = 8
+BANDS = 4
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+# shared SQL fragments ------------------------------------------------------
+
+_SHINGLES = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {SHINGLE_N - 1})) AS i) g
+       WHERE len(t) >= {SHINGLE_N})
+"""
+
+_HASH64 = "CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+_SIG = f"""
+js AS (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS j),
+sig AS (SELECT doc_id, j,
+               min({_HASH64.format(expr="concat(j, ':', shingle)")}) AS minhash
+        FROM sh CROSS JOIN js GROUP BY doc_id, j)
+"""
+
+_JACCARD_PAIRS = f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+jac AS (SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               i * 1.0 / (s1.n_sh + s2.n_sh - i) AS jaccard
+        FROM inter JOIN sizes s1 ON id_a = s1.doc_id
+                   JOIN sizes s2 ON id_b = s2.doc_id)
+"""
+
+
+@query(
+    "dedup_exact",
+    headline=True,
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """)
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy keeping min doc_id."""
+    return D.exact_dedup(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES}, {_SIG}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS j, minhash
+    FROM sig
+    """)
+def dedup_minhash_signatures(spark, sf):
+    """MinHash signatures (8 md5-derived hash slots over 3-gram word
+    shingles), long format."""
+    sig = D.minhash_signatures(T(spark, sf, "documents"), "doc_id", "text",
+                               num_hashes=NUM_HASHES, shingle_n=SHINGLE_N)
+    from pyspark.sql import functions as F
+    return sig.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("j").cast("bigint").alias("j"), "minhash")
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    headline=True,
+    oracle=f"""
+    WITH {_SHINGLES}, {_SIG},
+    banded AS (SELECT doc_id, j // {NUM_HASHES // BANDS} AS band,
+                      array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY j), ',')
+                          AS band_key
+               FROM sig GROUP BY doc_id, j // {NUM_HASHES // BANDS})
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                    CAST(b.doc_id AS BIGINT) AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """)
+def dedup_minhash_lsh_pairs(spark, sf):
+    """MinHash-LSH candidate pairs: 4 bands x 2 rows; the O(n²) problem
+    becomes an equi-join on (band, band_key)."""
+    return D.minhash_lsh_pairs(T(spark, sf, "documents"), "doc_id", "text",
+                               num_hashes=NUM_HASHES, bands=BANDS,
+                               shingle_n=SHINGLE_N)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES}, {_JACCARD_PAIRS}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM jac WHERE jaccard >= 0.2
+    """)
+def dedup_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    from pyspark.sql import functions as F
+    out = D.ngram_jaccard_pairs(T(spark, sf, "documents"), "doc_id", "text",
+                                n=SHINGLE_N, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    vote = ", ".join(
+        f"sum(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS))
+    combine = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS))
+    h = _HASH64.format(expr="tok")
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    votes AS (SELECT doc_id, {vote} FROM hashed GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({combine} AS BIGINT) AS simhash
+    FROM votes
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf):
+    """16-bit term-frequency-weighted SimHash fingerprints."""
+    return D.simhash(T(spark, sf, "documents"), "doc_id", "text",
+                     bits=SIMHASH_BITS)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+             FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+             GROUP BY a.vec_id, b.vec_id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+    FROM dots JOIN norms n1 ON id_a = n1.vec_id
+              JOIN norms n2 ON id_b = n2.vec_id
+    WHERE dot / (n1.nrm * n2.nrm) >= 0.35
+    """)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-duplicate pairs (threshold 0.35) — the exact
+    verifier behind ANN bucketing."""
+    from pyspark.sql import functions as F
+    out = D.embedding_near_dup_pairs(T(spark, sf, "embeddings"),
+                                     "vec_id", "embedding", threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

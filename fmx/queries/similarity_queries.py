@@ -1,0 +1,137 @@
+"""Similarity-search queries over the embeddings table.
+
+The exact brute-force top-k and the sign-LSH bucketing both carry full
+DuckDB oracles (the hyperplanes are md5-derived, so DuckDB replays
+them bit-for-bit).  The IVF variant is the one deliberately non-SQL
+entry (centroid argmax assignment): the driver records the weaker
+rows-only check for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fmx.operators import similarity as S
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+K = 5
+N_QUERIES = 5          # vec_id < 5 are the query vectors
+N_PLANES = 6
+
+_EX = """
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id)
+"""
+
+_PLANE = ("(CAST(concat('0x', substring(md5(concat('plane:', p, ':', pos)), 1, 15))"
+          " AS BIGINT) / 576460752303423488.0 - 1.0)")
+
+_BUCKET_SQL = f"""
+planes AS (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p),
+proj AS (SELECT vec_id, p, sum(x * {_PLANE}) AS d
+         FROM ex CROSS JOIN planes GROUP BY vec_id, p),
+buckets AS (SELECT vec_id,
+                   string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                              ORDER BY p) AS bucket
+            FROM proj GROUP BY vec_id)
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    headline=True,
+    oracle=f"""
+    WITH {_EX},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id AS vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= {K}
+    """)
+def ann_cosine_topk(spark, sf):
+    """Exact cosine top-k: broadcast query set x corpus, JVM dot
+    products, ranking window (ties broken on id after rounding)."""
+    emb = T(spark, sf, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                        "vec_id", "embedding", k=K)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH {_EX}, {_BUCKET_SQL}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, bucket FROM buckets
+    """)
+def ann_lsh_buckets(spark, sf):
+    """Sign-LSH bucket assignment (md5-derived hyperplanes) — the
+    bucketing half of the scale path."""
+    return S.random_projection_lsh(T(spark, sf, "embeddings"),
+                                   "vec_id", "embedding",
+                                   num_planes=N_PLANES)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_EX}, {_BUCKET_SQL},
+    q AS (SELECT b.vec_id AS query_id, b.bucket FROM buckets b
+          WHERE b.vec_id < {N_QUERIES}),
+    cand AS (SELECT q.query_id, b.vec_id
+             FROM q JOIN buckets b ON q.bucket = b.bucket
+             WHERE b.vec_id <> q.query_id),
+    dots AS (SELECT cand.query_id, cand.vec_id, sum(eq.x * ec.x) AS dot
+             FROM cand JOIN ex eq ON eq.vec_id = cand.query_id
+                       JOIN ex ec ON ec.vec_id = cand.vec_id
+                                 AND ec.pos = eq.pos
+             GROUP BY cand.query_id, cand.vec_id),
+    sims AS (SELECT query_id, dots.vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= {K}
+    """)
+def ann_lsh_topk(spark, sf):
+    """ANN top-k via sign-LSH candidate buckets + exact rerank — the
+    corpus side is an equi-join on bucket, never a cross join."""
+    emb = T(spark, sf, "embeddings")
+    out = S.lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                     "vec_id", "embedding", k=K, num_planes=N_PLANES)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+@query("ann_ivf_topk")  # non-SQL-expressible entry: rows-only check
+def ann_ivf_topk(spark, sf):
+    """IVF-flat ANN: nearest-of-8-centroids cell assignment, probe one
+    cell (argmax assignment loop is the non-SQL part)."""
+    emb = T(spark, sf, "embeddings")
+    out = S.ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                     "vec_id", "embedding", k=K, num_cells=8)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))

@@ -1,0 +1,152 @@
+"""Text-analysis queries over documents, with DuckDB oracles mirroring
+the exact arithmetic (ratios are integer divisions -> bit-identical)."""
+
+from __future__ import annotations
+
+from fmx.operators import multimodal as M
+from fmx.operators import text as X
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+_EN = "['" + "', '".join(X.STOPWORDS["en"]) + "']"
+_SW = {lang: "['" + "', '".join(ws) + "']" for lang, ws in X.STOPWORDS.items()}
+
+
+@query(
+    "text_stats",
+    headline=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t,
+             length(text) AS nc FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(nc AS BIGINT) AS n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round((nc - (len(t) - 1)) * 1.0 / len(t), 6) AS avg_token_len,
+           round(len(list_filter(t, x -> list_contains({_EN}, x))) * 1.0
+                 / len(t), 6) AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / nc, 6)
+               AS punct_ratio,
+           round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nc, 6)
+               AS digit_ratio
+    FROM base
+    """)
+def text_stats(spark, sf):
+    """Per-document token statistics (length/punct/stopword ratios)."""
+    return X.token_stats(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t,
+             length(text) AS nc FROM documents),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             round(len(list_filter(t, x -> list_contains({_EN}, x))) * 1.0
+                   / len(t), 6) AS stopword_ratio,
+             round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / nc, 6)
+                 AS punct_ratio,
+             round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nc, 6)
+                 AS digit_ratio
+      FROM base)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           round(least(1.0, greatest(0.0,
+               0.2 * ln(n_tokens + 1) + 2.0 * stopword_ratio
+               - 3.0 * punct_ratio - 2.0 * digit_ratio)), 6) AS quality
+    FROM stats
+    """)
+def text_quality(spark, sf):
+    """Rule-based quality score in [0,1] (C4/Gopher-filter family)."""
+    return X.quality_score(T(spark, sf, "documents"), "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    score = {lang: f"len(list_filter(t, x -> list_contains({_SW[lang]}, x))) * 1.0 / len(t)"
+             for lang in X.STOPWORDS}
+    rounded = ", ".join(
+        f"round({score[lang]}, 6) AS score_{lang}" for lang in sorted(X.STOPWORDS))
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {rounded},
+           CASE WHEN {score['en']} >= {score['de']}
+                 AND {score['en']} >= {score['es']}
+                 AND {score['en']} >= {score['fr']} THEN 'en'
+                WHEN {score['de']} >= {score['es']}
+                 AND {score['de']} >= {score['fr']} THEN 'de'
+                WHEN {score['es']} >= {score['fr']} THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM base
+    """
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark, sf):
+    """Stopword-overlap language ID with fixed tie priority."""
+    return X.language_id(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{X.BPE_RE}')) AS BIGINT)
+               AS bpe_tokens
+    FROM documents
+    """)
+def text_token_counts(spark, sf):
+    """Whitespace + BPE-ish pre-token counts."""
+    return X.token_counts(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+    """)
+def text_fingerprint(spark, sf):
+    """Normalized-content md5 fingerprint."""
+    return X.fingerprint(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'blob' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """)
+def multimodal_payload_stats(spark, sf):
+    """Multimodal metadata scan: binary payload column + typed meta;
+    the payload bytes are hashed, never parsed."""
+    from pyspark.sql import functions as F
+
+    mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")
+    return mm.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"))
+
+
+@query("multimodal_features")  # mapInPandas path: rows-only check
+def multimodal_features(spark, sf):
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas; deterministic byte-histogram stand-in featurizer)."""
+    from pyspark.sql import functions as F
+
+    mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")
+    out = M.extract_features(mm, "doc_id", dim=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "byte_len",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))

@@ -1,0 +1,206 @@
+"""Window functions (SURVEY §2.5) and time-window analytics over events.
+
+W1/W2 are the reference's only window shapes (unbounded partition sums,
+Model.scala:191,211-212); ranking, frames, lag, tumbling/sliding/session
+windows are engine capabilities the new engine adds.  The session-window
+query is the batch twin of the Structured Streaming operator in
+``fmx.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+BIG = "bigint"
+
+
+@query(
+    "w1_partition_sum",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 2) AS order_qty
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """)
+def w1_partition_sum(spark, sf):
+    """Unbounded partition sum broadcast back onto detail rows
+    (ref W1, Model.scala:211-212)."""
+    w = Window.partitionBy("l_orderkey")
+    return (T(spark, sf, "lineitem")
+            .select(F.col("l_orderkey").cast(BIG).alias("l_orderkey"),
+                    F.col("l_linenumber").cast(BIG).alias("l_linenumber"),
+                    F.round(F.sum("l_quantity").over(w), 2).alias("order_qty"))
+            .orderBy("l_orderkey", "l_linenumber").limit(200))
+
+
+@query(
+    "w2_vector_sum_by_label",
+    headline=True,
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(pos AS BIGINT) AS pos,
+           round(sum(v), 4) AS s
+    FROM (SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings)
+    GROUP BY label, pos
+    """)
+def w2_vector_sum_by_label(spark, sf):
+    """Element-wise vector sum per group — the VectorSum-UDAF-over-window
+    (ref W2, Model.scala:191) rewritten as posexplode + two-key hash agg:
+    scales because a hot group spreads across k shuffle keys."""
+    emb = T(spark, sf, "embeddings").select(
+        F.col("label").cast(BIG).alias("label"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    return (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", F.col("pos").cast(BIG).alias("pos"))
+            .agg(F.round(F.sum("v"), 4).alias("s")))
+
+
+@query(
+    "w3_row_number_topk",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """)
+def w3_row_number_topk(spark, sf):
+    """Ranking window + top-k per group (engine capability; deterministic
+    tiebreak on o_orderkey). Spark pushes rn<=3 into the sort via
+    WindowGroupLimit — no full materialization per group."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (T(spark, sf, "orders")
+            .select(F.col("o_custkey").cast(BIG).alias("o_custkey"),
+                    F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                    F.row_number().over(w).cast(BIG).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@query(
+    "w4_moving_sum",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS mov_sum
+    FROM events
+    """)
+def w4_moving_sum(spark, sf):
+    """rowsBetween(-2, 0) moving sum (engine capability)."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, Window.currentRow))
+    return (T(spark, sf, "events")
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("event_id").cast(BIG).alias("event_id"),
+                    F.round(F.sum("value").over(w), 4).alias("mov_sum")))
+
+
+@query(
+    "w5_lag_delta",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id), 4)
+               AS delta
+    FROM events
+    """)
+def w5_lag_delta(spark, sf):
+    """lag()-based delta (engine capability)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (T(spark, sf, "events")
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("event_id").cast(BIG).alias("event_id"),
+                    F.round(F.col("value")
+                            - F.lag("value", 1, 0.0).over(w), 4).alias("delta")))
+
+
+@query(
+    "win_tumbling_hour",
+    headline=True,
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """)
+def win_tumbling_hour(spark, sf):
+    """Tumbling 1-hour event-time window (F.window) — the batch twin of
+    the streaming aggregation in fmx.streaming (SURVEY §2.9)."""
+    return (T(spark, sf, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                    "event_type", "cnt", "total"))
+
+
+@query(
+    "win_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - to_minutes(30 * k) AS ws
+          FROM events, (SELECT unnest([0, 1]) AS k))
+    GROUP BY ws
+    """)
+def win_sliding(spark, sf):
+    """Sliding window (1h size / 30m slide): each event lands in 2 windows
+    (engine capability)."""
+    return (T(spark, sf, "events")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"), "cnt"))
+
+
+@query(
+    "win_session_30m",
+    headline=True,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total
+    FROM sessions GROUP BY user_id, session_id
+    """)
+def win_session_30m(spark, sf):
+    """Sessionization with a 30-minute inactivity gap via
+    ``F.session_window`` — native gap-session operator; the oracle proves
+    equivalence to the classic gaps-and-islands SQL.  Streaming twin in
+    fmx.streaming."""
+    return (T(spark, sf, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    "n_events", "total"))

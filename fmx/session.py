@@ -31,6 +31,9 @@ _DEFAULTS = {
     # keep partition file splits sized for executor memory.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # the events table stores TIMESTAMP(NANOS) which Spark rejects by
+    # default; read as long and normalize in fmx.sources.load_table
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }

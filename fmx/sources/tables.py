@@ -18,6 +18,17 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) (all SFs), which Spark 4
+        # rejects unless read as long; normalize to a microsecond
+        # timestamp (lossless here: the generator emits us-resolution).
+        # Set defensively — the driver's session may lack the conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

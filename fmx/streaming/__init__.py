@@ -1,0 +1,6 @@
+from fmx.streaming.ops import (  # noqa: F401
+    read_events_stream,
+    sessionize_stream,
+    stream_tumbling_agg,
+    user_running_totals,
+)

@@ -1,0 +1,127 @@
+"""Structured Streaming operators (SURVEY §2.9: the reference has no
+streaming surface; these are the engine-capability layer).
+
+Each operator is the streaming twin of a batch query in
+``fmx.queries.window_queries`` — same transformation applied to a
+``readStream`` DataFrame, with watermarks bounding state.  Tests drive
+them with ``trigger(availableNow=True)`` over the parquet test data and
+assert equality with the batch twin.
+
+Scale notes: watermark + windowed aggregation keeps state per (window,
+key) only until the watermark passes; ``applyInPandasWithState`` holds
+one state row per user — both bounded, both partitioned by key across
+executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (schema locked from a
+    batch peek — streaming sources need explicit schemas, and a
+    *directory* path, so the single file is exposed via a symlink dir).
+
+    ts normalization mirrors fmx.sources.load_table (nanos -> micros).
+    """
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = os.path.join(tempfile.gettempdir(),
+                              "fmx_stream_" + src.replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files)
+              .parquet(stream_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return stream
+
+
+def stream_tumbling_agg(events: DataFrame,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts/sums per event_type with watermarked state
+    (batch twin: queries.window_queries.win_tumbling_hour)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                    "event_type", "cnt", "total"))
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user with an inactivity gap (batch twin:
+    win_session_30m).  State = one open session per user, closed by the
+    watermark."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    "n_events", "total"))
+
+
+RUNNING_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def _update_user_totals(key: tuple[Any, ...],
+                        pdfs: Iterator[pd.DataFrame],
+                        state: GroupState) -> Iterator[pd.DataFrame]:
+    # custom stateful operator: running (count, sum) per user —
+    # the applyInPandasWithState template for arbitrary per-key state
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count and value sum, emitted on every
+    micro-batch (Update mode)."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_user_totals,
+                outputStructType=RUNNING_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

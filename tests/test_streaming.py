@@ -1,0 +1,75 @@
+"""Structured Streaming tests: each streaming operator is driven with
+trigger(availableNow=True) over the parquet events table and compared
+against its batch twin."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fmx.sources import load_table
+from fmx.streaming import ops as S
+
+
+def _run_to_memory(stream_df, name, output_mode):
+    q = (stream_df.writeStream.format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_tumbling_agg(events), "tumbling", "append")
+    got = {(r.win_start, r.event_type): (r.cnt, r.total)
+           for r in spark.sql("SELECT * FROM tumbling").collect()}
+
+    from fmx.queries.window_queries import win_tumbling_hour
+    want = {(r.win_start, r.event_type): (r.cnt, r.total)
+            for r in win_tumbling_hour(spark, sf_dir).collect()}
+    # append mode only emits windows closed by the watermark; every
+    # emitted window must match its batch twin, and most windows close
+    assert got, "stream produced no output"
+    assert len(got) >= 0.8 * len(want)
+    for k, v in got.items():
+        assert want[k] == v, k
+    q.stop()
+
+
+def test_stream_session_matches_batch(spark, sf_dir):
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.sessionize_stream(events), "sessions", "append")
+    got = {(r.user_id, r.session_start): (r.n_events, r.total)
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+
+    from fmx.queries.window_queries import win_session_30m
+    want = {(r.user_id, r.session_start): (r.n_events, r.total)
+            for r in win_session_30m(spark, sf_dir).collect()}
+    assert got, "stream produced no sessions"
+    assert len(got) >= 0.8 * len(want)
+    for k, v in got.items():
+        assert want[k] == v, k
+    q.stop()
+
+
+def test_stream_custom_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState custom operator: final per-user running
+    totals equal the batch groupBy."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.user_running_totals(events), "running", "update")
+    # update mode: last emit per user is the final state
+    got = {r.user_id: (r.n_events, round(r.total_value, 4))
+           for r in spark.sql("SELECT * FROM running").collect()}
+
+    want = {r.user_id: (r.n, round(r.s, 4))
+            for r in (load_table(spark, sf_dir, "events")
+                      .groupBy("user_id")
+                      .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                      .collect())}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
+    q.stop()
