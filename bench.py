@@ -31,8 +31,11 @@ def main() -> None:
     spark = fmx.get_spark(app_name="fmx-bench", master=f"local[{cpus}]",
                           shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup so the first measured query isn't paying JIT cost
+    # JVM/codegen/parquet-reader warmup so the first measured query isn't
+    # paying one-time class-loading + JIT cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .selectExpr("sum(l_quantity)").collect()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(headline_queries().items()):

@@ -104,13 +104,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# fixed affine permutation coefficients (a_j, b_j); a_j < 2^31 keeps
+# a_j * (h % P) < 2^62 — no BIGINT overflow in Spark or DuckDB
+MINHASH_COEFFS = [(40503 * (j + 1) + 17, 69621 * (j + 1) + 3) for j in range(64)]
+
+
+def minhash_slot(h, j: int):
+    """j-th MinHash permutation of a base hash column: (a_j*h + b_j) % P.
+    One md5 per shingle total — the permutations are integer affine maps
+    (Broder's scheme), 8x cheaper than salted re-hashing."""
+    a, b = MINHASH_COEFFS[j]
+    return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
     """MinHash signatures in long format: (id, j, minhash) for j in
     [0, num_hashes).  One groupBy over the shingle relation computes all
     hash slots (num_hashes min-aggregates, map-side combinable)."""
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
-    aggs = [F.min(hash64("shingle", salt=j)).alias(f"_h{j}")
+    sh = sh.withColumn("_h", hash64("shingle"))
+    aggs = [F.min(minhash_slot(F.col("_h"), j)).alias(f"_h{j}")
             for j in range(num_hashes)]
     wide = sh.groupBy(id_col).agg(*aggs)
     slots = F.array(*[

@@ -26,12 +26,24 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS s
 
 _HASH64 = "CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
 
-_SIG = f"""
-js AS (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS j),
-sig AS (SELECT doc_id, j,
-               min({_HASH64.format(expr="concat(j, ':', shingle)")}) AS minhash
-        FROM sh CROSS JOIN js GROUP BY doc_id, j)
+def _sig_sql() -> str:
+    """MinHash CTE mirroring fmx.operators.dedup.minhash_slot: base md5
+    hash once per shingle, then affine permutations (a_j*h + b_j) % P."""
+    from fmx.operators.dedup import MINHASH_COEFFS, MINHASH_P
+
+    base = _HASH64.format(expr="shingle")
+    slots = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS j, "
+        f"min(({MINHASH_COEFFS[j][0]} * (h % {MINHASH_P}) + {MINHASH_COEFFS[j][1]})"
+        f" % {MINHASH_P}) AS minhash FROM hashed GROUP BY doc_id"
+        for j in range(NUM_HASHES))
+    return f"""
+hashed AS (SELECT doc_id, {base} AS h FROM sh),
+sig AS ({slots})
 """
+
+
+_SIG = _sig_sql()
 
 _JACCARD_PAIRS = f"""
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

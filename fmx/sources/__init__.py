@@ -1,1 +1,8 @@
-from fmx.sources.tables import TABLES, load_table, load_tables, register_views  # noqa: F401
+from fmx.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+    read_csv,
+    read_libsvm_text,
+    register_views,
+)

@@ -1,0 +1,114 @@
+"""Behavioral tests for the LLM-pipeline operators (beyond the oracle
+equivalence already covered in test_oracle_harness)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fmx.operators import dedup as D
+from fmx.operators import multimodal as M
+from fmx.operators import similarity as S
+from fmx.sources import load_table, read_libsvm_text
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    """Every high-Jaccard pair (>= 0.6) must be recalled by LSH banding
+    (4 bands x 2 rows -> P(recall | j=0.6) = 1-(1-0.36)^4 ~ 0.83 per
+    band-pair; planted dups here are ~0.9+ so recall should be total)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b)
+             for r in D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                            threshold=0.6).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in D.minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert exact, "test data should contain planted near-duplicates"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_verified_pairs_are_exact_subset(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    verified = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                   verify_threshold=0.5)
+    rows = verified.collect()
+    for r in rows:
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, sf_dir):
+    """Near-duplicate texts should agree on most SimHash bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    sh = D.simhash(docs, "doc_id", "text")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b").select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+    rows = joined.collect()
+    assert rows
+    assert all(r.hamming <= 6 for r in rows), [r.hamming for r in rows]
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Sign-LSH ANN should recover a decent fraction of the true top-5
+    (6 planes on near-orthogonal random vectors is a coarse filter —
+    this asserts the plumbing works and recall is non-trivial)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id)
+             for r in S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in S.lsh_topk(emb, q, "vec_id", "embedding", k=5,
+                                  num_planes=6).collect()}
+    assert len(approx & exact) >= 1
+    # every ANN result must be a genuine corpus neighbor of that query
+    for qid, vid in approx:
+        assert qid < 5 and vid != qid
+
+
+def test_ivf_topk_shapes_and_selfconsistency(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.ivf_topk(emb, q, "vec_id", "embedding", k=4, num_cells=4)
+    rows = out.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sims = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_feature_extraction_batches(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mm = M.attach_payload(docs, "doc_id", "text")
+    assert dict(mm.dtypes)["payload"] == "binary"
+    feats = M.extract_features(mm, "doc_id", dim=8).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:10]:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5   # L1-normalized
+        assert r.byte_len > 0
+
+
+def test_multimodal_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG fake")
+
+
+def test_frame_sampling_plan(spark):
+    df = spark.createDataFrame([(1, 3.5), (2, 0.2)], "vid int, dur double")
+    rows = {r.vid: r.frame_ts
+            for r in M.sample_frame_offsets(df, "vid", "dur", fps=2.0).collect()}
+    assert rows[1] == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
+    assert rows[2] == [0.0]
+
+
+def test_read_libsvm_text(spark, tmp_path):
+    p = tmp_path / "sample.txt"
+    p.write_text("1.0 1:0.5 3:1.5\n0.0 2:2.0\n")
+    rows = read_libsvm_text(spark, str(p)).collect()
+    got = {(r.label, r.featureId, r.featureValue) for r in rows}
+    assert got == {(1.0, 0, 0.5), (1.0, 2, 1.5), (0.0, 1, 2.0)}
