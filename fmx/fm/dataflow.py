@@ -1,0 +1,116 @@
+"""Shared FM forward/gradient dataflow in long format.
+
+One implementation backs both ``FMModel.calc_loss_grad`` (reference
+parity API, FactorizationMachinesModel.scala:135-234) and the
+``FMRegressorSGD`` training loop.
+
+Grain conventions:
+- ``rows``:   (sample_id, label?, featureId, x, w, v)   — joined params
+- ``sf``:     (sample_id, f, s)   with s = Σ_i v_if·x_i — per-factor sums
+- ``pred``:   (sample_id, label?, pred, err)            — sample grain
+- gradients:  (featureId, dw) and (featureId, f, dv) -> array per feature
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fmx.core import linalg as L
+
+
+def join_params(exploded: DataFrame, strength: DataFrame, factors: DataFrame,
+                *, how: str = "left", k: int, sd: float, seed: int,
+                sample_id: str = "sampleId") -> DataFrame:
+    """Attach (w, v) to exploded rows.  With how='left', unseen features
+    get seeded N(0, sd²) forward values (reference J2 semantics,
+    Model.scala:154-171 — but deterministic under any partitioning)."""
+    rows = (exploded
+            .join(strength, "featureId", how)
+            .join(factors, "featureId", how))
+    if how == "left":
+        rows = rows.withColumn(
+            "strength",
+            F.coalesce("strength",
+                       L.hash_normal("featureId", seed=seed, salt=3, sd=sd))
+        ).withColumn(
+            "vec",
+            F.coalesce("vec", L.hash_normal_vec(k, "featureId", seed=seed, sd=sd)))
+    return rows.select(
+        *[c for c in exploded.columns if c not in ("featureId", "featureValue")],
+        "featureId",
+        F.col("featureValue").alias("x"),
+        F.col("strength").alias("w"),
+        F.col("vec").alias("v"))
+
+
+def factor_sums(rows: DataFrame, sample_id: str = "sampleId") -> DataFrame:
+    """(sample, f) grain: s = Σ_i v_if·x_i — the summed-vector relation
+    that replaces the reference's VectorSum-over-window (W2)."""
+    return (rows.select(sample_id,
+                        F.posexplode(L.vec_scale("v", F.col("x")))
+                        .alias("f", "vfx"))
+            .groupBy(sample_id, "f").agg(F.sum("vfx").alias("s")))
+
+
+def forward(rows: DataFrame, sf: DataFrame, w0: float,
+            label_col: str | None = None,
+            sample_id: str = "sampleId") -> DataFrame:
+    """Sample-grain predictions: ŷ = w0 + Σw_i·x_i + ½(Σ_f s_f² − Σv²x²).
+    Two scalar hash-aggs + one join, all on the sample_id key."""
+    aggs = [F.sum(F.col("w") * F.col("x")).alias("wixiSum"),
+            F.sum(L.vi2xi2("v", F.col("x"))).alias("vi2xi2Sum")]
+    if label_col:
+        aggs.insert(0, F.first(label_col).alias(label_col))
+    per_sample = rows.groupBy(sample_id).agg(*aggs)
+    sq = sf.groupBy(sample_id).agg(
+        F.sum(F.col("s") * F.col("s")).alias("vfxiSumSq"))
+    out = (per_sample.join(sq, sample_id)
+           .withColumn("pred",
+                       F.lit(w0) + F.col("wixiSum")
+                       + 0.5 * (F.col("vfxiSumSq") - F.col("vi2xi2Sum"))))
+    cols = [sample_id, "pred"]
+    if label_col:
+        cols.insert(1, label_col)
+        out = out.withColumn("err", F.col("pred") - F.col(label_col))
+        cols.append("err")
+    return out.select(*cols)
+
+
+def per_row_gradients(rows: DataFrame, sf: DataFrame, pred: DataFrame,
+                      label_col: str, sample_id: str = "sampleId",
+                      loss: bool = False) -> DataFrame:
+    """(sample, feature, f) grain gradient terms scaled by (ŷ − y):
+      dw contribution = x·err           (reference SGD.scala:145, with the
+                                         operator-precedence bug fixed)
+      dv_f contribution = (x·s_f − v_f·x²)·err   (Model.scala:201-204)
+    """
+    err = pred.select(sample_id, "err",
+                      *( [F.col("pred"), F.col(label_col)] if loss else []))
+    rows_f = rows.select(sample_id, label_col, "featureId", "x",
+                         F.posexplode("v").alias("f", "vf"))
+    out = (rows_f
+           .join(sf, [sample_id, "f"])
+           .join(err.select(sample_id, "err"), sample_id)
+           .select(sample_id, "featureId", "f", "x",
+                   (F.col("x") * F.col("err")).alias("gw"),
+                   ((F.col("x") * F.col("s")
+                     - F.col("vf") * F.col("x") * F.col("x"))
+                    * F.col("err")).alias("gv")))
+    return out
+
+
+def aggregate_gradients(grads: DataFrame, n: int, lr: float,
+                        k: int) -> tuple[DataFrame, DataFrame]:
+    """Mini-batch-averaged, lr-scaled gradient tables:
+    (featureId, dw) and (featureId, dvec array<double>)."""
+    gw = (grads.filter(F.col("f") == 0)  # gw replicated k times per row
+          .groupBy("featureId")
+          .agg((F.sum("gw") / n * lr).alias("dw")))
+    gv = (grads.groupBy("featureId", "f")
+          .agg((F.sum("gv") / n * lr).alias("dv")))
+    gv_arr = (gv.groupBy("featureId")
+              .agg(F.array_sort(F.collect_list(F.struct("f", "dv"))).alias("a"))
+              .select("featureId",
+                      F.transform("a", lambda st: st["dv"]).alias("dvec")))
+    return gw, gv_arr

@@ -178,6 +178,97 @@ class FMModel(Model, FMParamsBase):
             c = F.least(c, F.lit(float(hi)))
         return pred.withColumn(p, c)
 
+    def calc_loss_grad(self, dataset: DataFrame, initial_sd: float = 0.01,
+                       seed: int = 1234) -> DataFrame:
+        """Per-(sample, feature) loss/gradient relation — reference parity
+        API (FactorizationMachinesModel.calcLossGrad, Model.scala:135-234).
+
+        Returns (label, sampleId, featureId, prediction, loss, deltaWi,
+        deltaVi) at the reference's grain: deltaWi = x_i and deltaVi =
+        x_i·(Σ_j v_jf·x_j) − v_if·x_i² are *unscaled* by the error (the
+        SGD loop applies (ŷ−y)).  Unseen features get seeded N(0, sd²)
+        forward values; predictions are unclamped (training semantics).
+        """
+        if initial_sd <= 0.0:
+            raise ValueError("initial_sd must be > 0.0")
+        from fmx.fm import dataflow as DF
+
+        sid, label = self.getSampleIdCol(), self.getLabelCol()
+        indexed = dataset.withColumn(sid, F.monotonically_increasing_id())
+        ex = L.explode_vector(indexed, self.getFeaturesCol(),
+                              id_cols=[sid, label])
+        strength = self.strength.select(
+            "featureId", F.col("strength"))
+        factors = self.factors.select("featureId", F.col("vec"))
+        rows = DF.join_params(ex, strength, factors, how="left",
+                              k=self.dim_factorization, sd=float(initial_sd),
+                              seed=seed, sample_id=sid)
+        sf = DF.factor_sums(rows, sample_id=sid)
+        pred = DF.forward(rows, sf, self.global_bias, label_col=label,
+                          sample_id=sid)
+        rows_f = rows.select(sid, label, "featureId", "x",
+                             F.posexplode("v").alias("f", "vf"))
+        delta_vi = (
+            rows_f.join(sf, [sid, "f"])
+            .select(sid, "featureId",
+                    F.struct("f",
+                             (F.col("x") * F.col("s")
+                              - F.col("vf") * F.col("x") * F.col("x"))
+                             .alias("dv")).alias("fd"))
+            .groupBy(sid, "featureId")
+            .agg(F.transform(F.array_sort(F.collect_list("fd")),
+                             lambda st: st["dv"]).alias("deltaVi")))
+        return (rows.select(sid, label, "featureId",
+                            F.col("x").alias("deltaWi"))
+                .join(delta_vi, [sid, "featureId"])
+                .join(pred.select(
+                    sid, F.col("pred").alias(self.getPredictionCol()),
+                    (F.col("err") * F.col("err")).alias("loss")), sid)
+                .select(label, sid, "featureId",
+                        self.getPredictionCol(), "loss",
+                        "deltaWi", "deltaVi"))
+
+    # -- persistence (reference M6 surface: DefaultParamsWritable) ------
+
+    def save(self, path: str) -> None:
+        """Persist param tables as parquet + scalar metadata as JSON."""
+        self.strength.write.mode("overwrite").parquet(f"{path}/strength")
+        self.factors.write.mode("overwrite").parquet(f"{path}/factors")
+        spark = self.strength.sparkSession
+        meta = {
+            "dim_factorization": self.dim_factorization,
+            "global_bias": self.global_bias,
+            "featuresCol": self.getFeaturesCol(),
+            "predictionCol": self.getPredictionCol(),
+            "labelCol": self.getLabelCol(),
+            "sampleIdCol": self.getSampleIdCol(),
+            "minLabel": self.getMinLabel(),
+            "maxLabel": self.getMaxLabel(),
+        }
+        import json
+
+        (spark.createDataFrame([(json.dumps(meta),)], "meta string")
+         .coalesce(1).write.mode("overwrite").text(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "FMModel":
+        import json
+
+        meta = json.loads(spark.read.text(f"{path}/meta").first().value)
+        model = cls(dim_factorization=int(meta["dim_factorization"]),
+                    global_bias=float(meta["global_bias"]),
+                    strength=spark.read.parquet(f"{path}/strength"),
+                    factors=spark.read.parquet(f"{path}/factors"))
+        model._set(featuresCol=meta["featuresCol"],
+                   predictionCol=meta["predictionCol"],
+                   labelCol=meta["labelCol"],
+                   sampleIdCol=meta["sampleIdCol"])
+        if meta.get("minLabel") is not None:
+            model.setMinLabel(meta["minLabel"])
+        if meta.get("maxLabel") is not None:
+            model.setMaxLabel(meta["maxLabel"])
+        return model
+
     def _transform(self, dataset: DataFrame) -> DataFrame:
         sid = self.getSampleIdCol()
         # cache so the synthetic id is computed once and is consistent

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fmx.core import linalg as L
+from fmx.fm import dataflow as DF
 from fmx.fm.model import FMModel, FMParamsBase
 
 __all__ = ["FMRegressorSGD"]
@@ -187,78 +188,18 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
             ex = L.explode_vector(batch, "__features__", id_cols=[sid, label])
             # left joins + seeded init for features unseen by the params
             # (reference calcLossGrad J2, Model.scala:154-171)
-            rows = (
-                ex.join(strength, "featureId", "left")
-                .join(factors, "featureId", "left")
-                .select(
-                    sid, label, "featureId",
-                    F.col("featureValue").alias("x"),
-                    F.coalesce(
-                        "strength",
-                        L.hash_normal("featureId", seed=seed + it, salt=3, sd=sd)
-                    ).alias("w"),
-                    F.coalesce(
-                        "vec",
-                        L.hash_normal_vec(k, "featureId", seed=seed + it, sd=sd)
-                    ).alias("v"),
-                )
-                .cache()
-            )
-
-            per_sample = rows.groupBy(sid).agg(
-                F.first(label).alias(label),
-                F.sum(F.col("w") * F.col("x")).alias("wixiSum"),
-                F.sum(L.vi2xi2("v", F.col("x"))).alias("vi2xi2Sum"),
-            )
-            # (sample, f) grain: s_sf = Σ_i v_if·x_i — needed both for the
-            # forward pass (squared) and for the v-gradient
-            sf = (
-                rows.select(sid, F.col("x"),
-                            F.posexplode(L.vec_scale("v", F.col("x")))
-                            .alias("f", "vfx"))
-                .groupBy(sid, "f").agg(F.sum("vfx").alias("s"))
-            )
-            pred = (
-                per_sample.join(
-                    sf.groupBy(sid).agg(
-                        F.sum(F.col("s") * F.col("s")).alias("vfxiSumSq")),
-                    sid)
-                .select(
-                    sid, label,
-                    (F.lit(w0) + F.col("wixiSum")
-                     + 0.5 * (F.col("vfxiSumSq") - F.col("vi2xi2Sum"))
-                     ).alias("pred"))
-                .withColumn("err", F.col("pred") - F.col(label))
-                .cache()
-            )
+            rows = DF.join_params(ex, strength, factors, how="left", k=k,
+                                  sd=sd, seed=seed + it, sample_id=sid).cache()
+            sf_rel = DF.factor_sums(rows, sample_id=sid)
+            pred = DF.forward(rows, sf_rel, w0, label_col=label,
+                              sample_id=sid).cache()
             loss = pred.agg(
                 F.sum(F.col("err") * F.col("err")).alias("loss")).first().loss
             self.training_loss_.append(float(loss))
 
-            err = pred.select(sid, "err")
-            grad_w = (
-                rows.join(err, sid)
-                .groupBy("featureId")
-                .agg((F.sum(F.col("x") * F.col("err")) / n * lr).alias("dw"))
-            )
-            rows_f = rows.select(
-                sid, "featureId", "x", F.posexplode("v").alias("f", "vf"))
-            grad_v = (
-                rows_f.join(sf, [sid, "f"]).join(err, sid)
-                .select(
-                    "featureId", "f",
-                    ((F.col("x") * F.col("s")
-                      - F.col("vf") * F.col("x") * F.col("x"))
-                     * F.col("err")).alias("g"))
-                .groupBy("featureId", "f")
-                .agg((F.sum("g") / n * lr).alias("dv"))
-            )
-            grad_v_arr = (
-                grad_v.groupBy("featureId")
-                .agg(F.array_sort(F.collect_list(F.struct("f", "dv"))).alias("a"))
-                .select("featureId",
-                        F.transform("a", lambda st: st["dv"]).alias("dvec"))
-            )
+            grads = DF.per_row_gradients(rows, sf_rel, pred, label,
+                                         sample_id=sid)
+            grad_w, grad_v_arr = DF.aggregate_gradients(grads, n, lr, k)
 
             # upsert: params ∪ gradients, missing side = 0 / zero-vector,
             # then L1 soft-threshold (SGD.scala:168-181)

@@ -1,0 +1,250 @@
+"""Second batch of engine-capability queries: pivot, percentiles,
+statistical aggregates, grouping sets, ranking functions, array/map SQL,
+interval arithmetic, correlated subqueries, union-by-name."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+BIG = "bigint"
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """)
+def pivot_status(spark, sf):
+    """Pivot (engine capability): explicit value list so no extra
+    distinct-scan job is needed."""
+    return (T(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1))))
+
+
+@query(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4) AS med,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def percentiles(spark, sf):
+    """Exact continuous percentiles (engine capability)."""
+    return (T(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.median("l_extendedprice"), 4).alias("med"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4)
+                 .alias("p25"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4)
+                 .alias("p75")))
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def stats_agg(spark, sf):
+    """Moment-based statistical aggregates (engine capability)."""
+    return (T(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+                 F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("corr_qp"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+                 .alias("cov_qd")))
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, '-') AS rf,
+           coalesce(l_linestatus, '-') AS ls,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+def grouping_sets(spark, sf):
+    """GROUP BY GROUPING SETS via Spark SQL (engine capability)."""
+    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, '-') AS rf,
+               coalesce(l_linestatus, '-') AS ls,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
+    "rank_functions",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey LIMIT 200
+    """)
+def rank_functions(spark, sf):
+    """dense_rank / percent_rank / ntile (engine capability)."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (T(spark, sf, "orders")
+            .select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                    F.dense_rank().over(w).cast(BIG).alias("drank"),
+                    F.round(F.percent_rank().over(w), 6).alias("prank"),
+                    F.ntile(4).over(w).cast(BIG).alias("quartile"))
+            .orderBy("o_orderkey").limit(200))
+
+
+@query(
+    "array_sql_funcs",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+               AS vsum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax
+    FROM embeddings ORDER BY vec_id LIMIT 200
+    """)
+def array_sql_funcs(spark, sf):
+    """Higher-order array functions (aggregate/filter/array_max)."""
+    emb = T(spark, sf, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>"))
+    return (emb.select(
+        F.col("vec_id").cast(BIG).alias("vec_id"),
+        F.round(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x), 4)
+         .alias("vsum"),
+        F.size(F.filter("emb", lambda x: x > 0)).cast(BIG).alias("n_pos"),
+        F.round(F.array_max("emb"), 6).alias("vmax"))
+        .orderBy("vec_id").limit(200))
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, k,
+           round(v, 4) AS v
+    FROM (SELECT l_orderkey, 'qty' AS k, l_quantity AS v FROM lineitem
+          WHERE l_linenumber = 1
+          UNION ALL
+          SELECT l_orderkey, 'disc' AS k, l_discount AS v FROM lineitem
+          WHERE l_linenumber = 1)
+    ORDER BY l_orderkey, k LIMIT 200
+    """)
+def map_funcs(spark, sf):
+    """map construction + explode to long format (engine capability)."""
+    li = T(spark, sf, "lineitem").filter("l_linenumber = 1")
+    m = F.create_map(F.lit("qty"), F.col("l_quantity"),
+                     F.lit("disc"), F.col("l_discount"))
+    return (li.select(F.col("l_orderkey").cast(BIG).alias("l_orderkey"),
+                      F.explode(m).alias("k", "v"))
+            .withColumn("v", F.round("v", 4))
+            .orderBy("l_orderkey", "k").limit(200))
+
+
+@query(
+    "interval_arith",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS later,
+           CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)
+                AS BIGINT) AS mins_since_epoch0
+    FROM events ORDER BY event_id LIMIT 200
+    """)
+def interval_arith(spark, sf):
+    """Timestamp interval arithmetic + date_diff (engine capability)."""
+    return (T(spark, sf, "events")
+            .select(F.col("event_id").cast(BIG).alias("event_id"),
+                    F.date_format(
+                        F.col("ts") + F.expr("INTERVAL 90 MINUTES"),
+                        "yyyy-MM-dd HH:mm:ss").alias("later"),
+                    F.floor(
+                        (F.unix_timestamp("ts")
+                         - F.unix_timestamp(
+                             F.lit("2024-01-01 00:00:00").cast("timestamp")))
+                        / 60).cast(BIG).alias("mins_since_epoch0"))
+            .orderBy("event_id").limit(200))
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 90000)
+    """)
+def exists_subquery(spark, sf):
+    """Correlated EXISTS subquery (planned as a semi-join)."""
+    T(spark, sf, "customer").createOrReplaceTempView("customer")
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 90000)
+    """)
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6)
+               AS price_ratio
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """)
+def scalar_subquery(spark, sf):
+    """Scalar subquery (broadcast of a 1-row aggregate)."""
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6)
+                   AS price_ratio
+        FROM orders ORDER BY o_orderkey LIMIT 100
+    """)
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT CAST(k AS BIGINT) AS k, src, round(bal, 2) AS bal FROM (
+      SELECT c_custkey AS k, 'cust' AS src, c_acctbal AS bal FROM customer
+      UNION ALL BY NAME
+      SELECT s_acctbal AS bal, 'supp' AS src, s_suppkey AS k FROM supplier)
+    ORDER BY src, k LIMIT 200
+    """)
+def union_by_name(spark, sf):
+    """unionByName: position-independent union (engine capability)."""
+    c = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.lit("cust").alias("src"),
+        F.col("c_acctbal").alias("bal"))
+    s = T(spark, sf, "supplier").select(
+        F.col("s_acctbal").alias("bal"), F.lit("supp").alias("src"),
+        F.col("s_suppkey").alias("k"))
+    return (c.unionByName(s)
+            .select(F.col("k").cast(BIG).alias("k"), "src",
+                    F.round("bal", 2).alias("bal"))
+            .orderBy("src", "k").limit(200))

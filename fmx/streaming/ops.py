@@ -84,6 +84,16 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "total"))
 
 
+def stream_dedup(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
+    only inside the watermark horizon — the streaming twin of
+    fmx.operators.dedup.exact_dedup, with bounded state."""
+    keys = keys or ["event_id"]
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 RUNNING_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),

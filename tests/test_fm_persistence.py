@@ -1,0 +1,82 @@
+"""FMModel save/load round-trip and calc_loss_grad parity surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fmx.fm import FMModel
+from tests.test_fm_model import GOLDEN, build_golden_model
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from pyspark.ml.linalg import Vectors
+
+    model = build_golden_model(spark).setMinLabel(-100.0).setMaxLabel(100.0)
+    path = str(tmp_path / "fm_model")
+    model.save(path)
+    loaded = FMModel.load(spark, path)
+    assert loaded.dim_factorization == 3
+    assert loaded.global_bias == 5.0
+    assert loaded.getMinLabel() == -100.0
+
+    df = spark.createDataFrame(
+        [(100, Vectors.dense(1.0, 2.0, 1.5, -1.0)),
+         (103, Vectors.sparse(4, []))], ["rowId", "features"])
+    got = {r.rowId: r.prediction for r in loaded.transform(df).collect()}
+    assert got[100] == pytest.approx(23.77, abs=1e-8)
+    assert got[103] == pytest.approx(5.0, abs=1e-8)
+
+
+def test_calc_loss_grad_reference_grain(spark):
+    """calcLossGrad parity (Model.scala:135-234): per-(sample, feature)
+    rows carrying unclamped prediction, squared loss, deltaWi = x, and
+    the k-length deltaVi vector."""
+    from pyspark.ml.linalg import Vectors
+
+    model = build_golden_model(spark)
+    df = spark.createDataFrame(
+        [(Vectors.dense(1.0, 2.0, 1.5, -1.0), 20.0),
+         (Vectors.sparse(4, [(0, 0.5), (2, -1.5)]), 5.0)],
+        ["features", "label"])
+    out = model.calc_loss_grad(df, initial_sd=0.01, seed=7)
+    rows = out.collect()
+    assert {c for c in out.columns} == {
+        "label", "sampleId", "featureId", "prediction", "loss",
+        "deltaWi", "deltaVi"}
+    # 4 features + 2 features = 6 rows
+    assert len(rows) == 6
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    dense = by_label[20.0]
+    # unclamped prediction matches the golden forward value 23.77
+    assert dense[0].prediction == pytest.approx(23.77, abs=1e-8)
+    assert dense[0].loss == pytest.approx((23.77 - 20.0) ** 2, abs=1e-6)
+    # deltaWi is the raw feature value
+    got_dw = {r.featureId: r.deltaWi for r in dense}
+    assert got_dw == {0: 1.0, 1: 2.0, 2: 1.5, 3: -1.0}
+    # deltaVi for feature 0 of the dense row:
+    # x*sf - v0*x^2 with sf = [7.35, 5.55, 4.7], v0 = [1,2,3], x = 1
+    assert dense and len(dense[0].deltaVi) == 3
+    dv0 = {r.featureId: r.deltaVi for r in dense}[0]
+    assert dv0 == pytest.approx([6.35, 3.55, 1.7], abs=1e-8)
+
+
+def test_calc_loss_grad_unseen_feature_seeded(spark):
+    """Features absent from the param tables get deterministic seeded
+    forward values (reference used unseeded randn — divergence fixed)."""
+    from pyspark.ml.linalg import Vectors
+
+    model = build_golden_model(spark)
+    df = spark.createDataFrame(
+        [(Vectors.sparse(10, [(9, 1.0)]), 1.0)], ["features", "label"])
+    a = model.calc_loss_grad(df, seed=7).first()
+    b = model.calc_loss_grad(df, seed=7).first()
+    c = model.calc_loss_grad(df, seed=8).first()
+    assert a.prediction == b.prediction
+    assert a.prediction != c.prediction
+
+
+def test_calc_loss_grad_rejects_bad_sd(spark):
+    model = build_golden_model(spark)
+    with pytest.raises(ValueError):
+        model.calc_loss_grad(spark.range(1), initial_sd=0.0)

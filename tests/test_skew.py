@@ -1,0 +1,46 @@
+"""Salted join / salted aggregation equivalence tests."""
+
+from pyspark.sql import functions as F
+
+from fmx.core import skew
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from fmx.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    plain = (li.join(part, li.l_partkey == part.p_partkey)
+             .groupBy("p_brand").agg(F.count("*").alias("cnt")))
+    salted = (skew.salted_join(li.withColumnRenamed("l_partkey", "p_partkey"),
+                               part, on="p_partkey", num_salts=8)
+              .groupBy("p_brand").agg(F.count("*").alias("cnt")))
+    a = {(r.p_brand, r.cnt) for r in plain.collect()}
+    b = {(r.p_brand, r.cnt) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    from fmx.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"), F.count("*").alias("cnt"),
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+    salted = skew.salted_agg(
+        li, ["l_returnflag"],
+        {"qty": "sum(l_quantity)", "cnt": "count(*)",
+         "lo": "min(l_extendedprice)", "hi": "max(l_extendedprice)"},
+        num_salts=8)
+    a = {(r.l_returnflag, round(r.qty, 6), r.cnt, r.lo, r.hi)
+         for r in plain.collect()}
+    b = {(r.l_returnflag, round(r.qty, 6), r.cnt, r.lo, r.hi)
+         for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        skew.salted_agg(spark.range(10), ["id"], {"m": "median(id)"})

@@ -55,6 +55,18 @@ def test_stream_session_matches_batch(spark, sf_dir):
     q.stop()
 
 
+def test_stream_dedup(spark, sf_dir):
+    """Streaming dedup on a duplicated input stream yields exactly the
+    distinct event ids."""
+    events = S.read_events_stream(spark, sf_dir)
+    doubled = events.union(events)
+    q = _run_to_memory(S.stream_dedup(doubled), "deduped", "append")
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) t FROM deduped").first()
+    want = load_table(spark, sf_dir, "events").count()
+    assert n.t == n.c == want
+    q.stop()
+
+
 def test_stream_custom_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState custom operator: final per-user running
     totals equal the batch groupBy."""
