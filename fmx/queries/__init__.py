@@ -28,6 +28,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     "fmx.queries.relational",
     "fmx.queries.relational2",
+    "fmx.queries.tpch",
     "fmx.queries.fm_queries",
     "fmx.queries.dedup_queries",
     "fmx.queries.similarity_queries",

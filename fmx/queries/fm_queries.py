@@ -68,17 +68,24 @@ def _formula_params(spark, n_features: int = 64):
 @query("fm_predict", oracle=FM_PREDICT_ORACLE, headline=True)
 def fm_predict(spark, sf):
     """Flagship: FM batch inference over embeddings — the reference's
-    transform lifecycle (Model.scala:69-133) as one relational plan."""
+    transform lifecycle (Model.scala:69-133) as one relational plan.
+
+    Uses ``predict_exploded`` with vec_id as the sample key directly:
+    when the input already carries a unique key there is no
+    monotonically_increasing_id, no input cache, and no join-back —
+    three fewer stages than the generic ``transform`` path."""
+    from fmx.core import linalg as L
+
     strength, factors = _formula_params(spark)
     model = FMModel(dim_factorization=K, global_bias=W0,
                     strength=strength, factors=factors,
                     hint_broadcast_params=True)
     emb = T(spark, sf, "embeddings").select(
-        F.col("vec_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("features"))
-    out = model.transform(emb)
-    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
-                      F.round("prediction", 6).alias("prediction"))
+    exploded = L.explode_vector(emb, "features", id_cols=["vec_id"])
+    out = model.predict_exploded(exploded, sample_id="vec_id")
+    return out.select("vec_id", F.round("prediction", 6).alias("prediction"))
 
 
 @query(

@@ -1,0 +1,127 @@
+"""TPC-H-family benchmark queries adapted to the driver's star schema
+(no p_container/o_shippriority etc. in the synthetic tables — the join
+and aggregation shapes are the point).  All headline benchmarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+BIG = "bigint"
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    headline=True,
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """)
+def tpch_q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective dim filter -> two fact joins -> agg ->
+    top-10.  Filters push to all three scans; customer side broadcasts."""
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(F.col("l_orderkey").cast(BIG).alias("l_orderkey"),
+                     "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@query(
+    "tpch_q5_local_supplier",
+    headline=True,
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """)
+def tpch_q5_local_supplier(spark, sf):
+    """TPC-H Q5 shape: 6-way join with a region filter; nation/region/
+    supplier broadcast, the two fact tables shuffle on the order key."""
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    s = F.broadcast(T(spark, sf, "supplier"))
+    n = F.broadcast(T(spark, sf, "nation"))
+    r = F.broadcast(T(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    headline=True,
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """)
+def tpch_q6_forecast_revenue(spark, sf):
+    """TPC-H Q6: pure scan-filter-agg — every predicate reaches the
+    parquet reader (PushedFilters), zero joins, one partial+final agg."""
+    li = T(spark, sf, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue")))
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """)
+def having_filter(spark, sf):
+    """Aggregate + HAVING (post-aggregation filter)."""
+    return (T(spark, sf, "orders")
+            .groupBy(F.col("o_custkey").cast(BIG).alias("o_custkey"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("spend"))
+            .filter(F.col("n_orders") >= 15))

@@ -1,0 +1,43 @@
+"""Sink tests: partitioned writes round-trip and prune at the scan."""
+
+from pyspark.sql import functions as F
+
+from fmx.sources import load_table
+from fmx.sources.sinks import read_partitioned, write_partitioned, write_single_csv
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, path, ["o_orderstatus"],
+                      files_per_partition=2, sort_within=["o_orderkey"])
+
+    back = read_partitioned(spark, path)
+    assert back.count() == orders.count()
+
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # partition filter must not appear as a data filter (directory-level
+    # pruning, zero file IO for other statuses)
+    want = orders.filter("o_orderstatus = 'F'").count()
+    assert pruned.count() == want
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    from fmx.sources import read_csv
+
+    nation = load_table(spark, sf_dir, "nation")
+    csv_path = str(tmp_path / "nation_csv")
+    write_single_csv(nation, csv_path)
+    back = read_csv(spark, csv_path)
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert back.count() == nation.count()
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    json_path = str(tmp_path / "nation_json")
+    nation.write.mode("overwrite").json(json_path)
+    jback = spark.read.json(json_path)
+    assert jback.count() == nation.count()
