@@ -38,14 +38,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     per-query top-k (a k-row heap per partition via window + filter).
     Rank is deterministic: ties broken on corpus id after rounding.
     """
+    # norms are hoisted out of the pair loop: query norms computed once
+    # in the broadcast side, corpus norms once per corpus row — the
+    # per-pair work is a single dot-product fold
     q = F.broadcast(
         queries.select(F.col(id_col).alias(query_id),
-                       F.col(vec_col).alias("_qv")))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+                       F.col(vec_col).alias("_qv"),
+                       L.vec_norm(vec_col).alias("_qn")))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                      L.vec_norm(vec_col).alias("_cn"))
     sim = (c.crossJoin(q)
            .filter(F.col(id_col) != F.col(query_id))
            .select(query_id, id_col,
-                   F.round(L.cosine_similarity("_qv", "_cv"), 6).alias("cosine")))
+                   F.round(
+                       F.when((F.col("_qn") > 0) & (F.col("_cn") > 0),
+                              L.vec_dot("_qv", "_cv")
+                              / (F.col("_qn") * F.col("_cn")))
+                       .otherwise(F.lit(0.0)), 6).alias("cosine")))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))

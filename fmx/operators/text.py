@@ -50,10 +50,11 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_tok.cast("bigint").alias("n_tokens"),
         F.round((n_chars - (n_tok - 1)) / n_tok, 6).alias("avg_token_len"),
         F.round(n_stop_tf / n_tok, 6).alias("stopword_ratio"),
-        F.round(F.regexp_count(F.col(text_col), F.lit(_PUNCT_RE)) / n_chars, 6)
-         .alias("punct_ratio"),
-        F.round(F.regexp_count(F.col(text_col), F.lit(_DIGIT_RE)) / n_chars, 6)
-         .alias("digit_ratio"),
+        # nullif guards ANSI divide-by-zero on empty documents
+        F.round(F.regexp_count(F.col(text_col), F.lit(_PUNCT_RE))
+                / F.nullif(n_chars, F.lit(0)), 6).alias("punct_ratio"),
+        F.round(F.regexp_count(F.col(text_col), F.lit(_DIGIT_RE))
+                / F.nullif(n_chars, F.lit(0)), 6).alias("digit_ratio"),
     )
 
 

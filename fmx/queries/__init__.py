@@ -29,6 +29,7 @@ _MODULES = [
     "fmx.queries.relational",
     "fmx.queries.relational2",
     "fmx.queries.tpch",
+    "fmx.queries.sources_queries",
     "fmx.queries.fm_queries",
     "fmx.queries.dedup_queries",
     "fmx.queries.similarity_queries",

@@ -25,9 +25,9 @@ _SW = {lang: "['" + "', '".join(ws) + "']" for lang, ws in X.STOPWORDS.items()}
            round((nc - (len(t) - 1)) * 1.0 / len(t), 6) AS avg_token_len,
            round(len(list_filter(t, x -> list_contains({_EN}, x))) * 1.0
                  / len(t), 6) AS stopword_ratio,
-           round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / nc, 6)
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / nullif(nc, 0), 6)
                AS punct_ratio,
-           round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nc, 6)
+           round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nullif(nc, 0), 6)
                AS digit_ratio
     FROM base
     """)
@@ -47,9 +47,9 @@ def text_stats(spark, sf):
              CAST(len(t) AS BIGINT) AS n_tokens,
              round(len(list_filter(t, x -> list_contains({_EN}, x))) * 1.0
                    / len(t), 6) AS stopword_ratio,
-             round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / nc, 6)
+             round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / nullif(nc, 0), 6)
                  AS punct_ratio,
-             round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nc, 6)
+             round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / nullif(nc, 0), 6)
                  AS digit_ratio
       FROM base)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

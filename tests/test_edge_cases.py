@@ -1,0 +1,85 @@
+"""Edge-case robustness: nulls, empty/short texts, unicode, and the A9
+randomSplit mini-batch invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fmx.operators import dedup as D
+from fmx.operators import text as X
+
+
+@pytest.fixture()
+def messy_docs(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the mat"),          # exact dup of 1
+         (3, ""),                                 # empty
+         (4, "ab"),                               # shorter than shingle n
+         (5, "naïve café déjà-vu ünïcode 日本語"),  # unicode
+         (6, "a b")],                             # 2 tokens < 3-shingle
+        "doc_id bigint, text string")
+
+
+def test_exact_dedup_handles_empty_and_unicode(spark, messy_docs):
+    out = {r.keep_id: r.dup_count
+           for r in D.exact_dedup(messy_docs, "doc_id", "text").collect()}
+    assert out[1] == 2            # 1 and 2 collapse
+    assert out[3] == 1 and out[5] == 1
+    assert sum(out.values()) == 6
+
+
+def test_shingles_skip_short_docs(spark, messy_docs):
+    sh = D.word_shingles(messy_docs, "doc_id", "text", n=3)
+    by_doc = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert 3 not in by_doc and 4 not in by_doc and 6 not in by_doc
+    assert 1 in by_doc and 5 in by_doc
+
+
+def test_minhash_collapses_exact_dups_only(spark, messy_docs):
+    pairs = {(r.id_a, r.id_b)
+             for r in D.minhash_lsh_pairs(messy_docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_simhash_empty_token_stability(spark, messy_docs):
+    out = D.simhash(messy_docs, "doc_id", "text")
+    rows = {r.doc_id: r.simhash for r in out.collect()}
+    assert rows[1] == rows[2]
+    assert 0 <= rows[5] < (1 << 16)
+
+
+def test_text_stats_degenerate_docs(spark, messy_docs):
+    stats = {r.doc_id: r for r in
+             X.token_stats(messy_docs, "doc_id", "text").collect()}
+    # empty text: split(' ') yields [''] -> 1 token, 0 chars
+    assert stats[3].n_tokens == 1 and stats[3].n_chars == 0
+    assert stats[6].n_tokens == 2
+    # ratios never null/negative
+    for r in stats.values():
+        for v in (r.stopword_ratio, r.punct_ratio, r.digit_ratio):
+            assert v is None or v >= 0.0
+
+
+def test_null_text_rows_survive(spark):
+    df = spark.createDataFrame([(1, None), (2, "ok text here")],
+                               "doc_id bigint, text string")
+    assert D.exact_dedup(df, "doc_id", "text").count() == 2  # null group kept
+    fp = {r.doc_id: r.fingerprint
+          for r in X.fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] is None and fp[2] is not None
+
+
+def test_randomsplit_batches_disjoint_and_complete(spark):
+    """A9 (SGD.scala:111-112): one randomSplit produces disjoint batches
+    covering the dataset, stable under a fixed seed."""
+    df = spark.range(1000)
+    frac = [0.25] * 4
+    batches = df.randomSplit(frac, seed=1234)
+    ids = [set(r.id for r in b.collect()) for b in batches]
+    union = set().union(*ids)
+    assert union == set(range(1000))
+    total = sum(len(s) for s in ids)
+    assert total == 1000                      # disjoint (no overlaps)
+    again = df.randomSplit(frac, seed=1234)
+    assert [set(r.id for r in b.collect()) for b in again] == ids
