@@ -42,7 +42,9 @@ import math
 from pyspark import keyword_only
 from pyspark.ml import Estimator
 from pyspark.ml.param import Param, Params, TypeConverters
-from pyspark.ml.param.shared import HasMaxIter, HasRegParam, HasSeed, HasStepSize
+from pyspark.ml.param.shared import (
+    HasFitIntercept, HasMaxIter, HasRegParam, HasSeed, HasStepSize,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,7 +56,7 @@ __all__ = ["FMRegressorSGD"]
 
 
 class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
-                     HasStepSize, HasSeed):
+                     HasStepSize, HasSeed, HasFitIntercept):
     """Second-order FM regressor trained by distributed mini-batch SGD."""
 
     dimFactorization = Param(
@@ -77,15 +79,19 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
                  minLabel: float = 0.0, maxLabel: float = 1.0,
                  featuresCol: str = "features", labelCol: str = "label",
                  predictionCol: str = "prediction",
-                 sampleIdCol: str = "sampleId", seed: int = 1234):
+                 sampleIdCol: str = "sampleId", seed: int = 1234,
+                 fitIntercept: bool = False):
         super().__init__()
-        # defaults mirror the reference (SGD.scala:61-74)
+        # defaults mirror the reference (SGD.scala:61-74); fitIntercept
+        # defaults False for parity — the reference mixes in the trait
+        # (FactorizationMachines.scala:14-20) but never updates w0, so
+        # the functional intercept update here is opt-in
         self._setDefault(dimFactorization=10, maxIter=10,
                          miniBatchFraction=0.1, regParam=0.1, stepSize=1.0,
                          initialSd=0.01, minLabel=0.0, maxLabel=1.0,
                          featuresCol="features", labelCol="label",
                          predictionCol="prediction", sampleIdCol="sampleId",
-                         seed=1234)
+                         seed=1234, fitIntercept=False)
         kwargs = self._input_kwargs
         self._set(**{k: v for k, v in kwargs.items() if v is not None})
 
@@ -125,6 +131,9 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
 
     def setSeed(self, v):
         return self._set(seed=v)
+
+    def setFitIntercept(self, v):
+        return self._set(fitIntercept=v)
 
     def getDimFactorization(self):
         return self.getOrDefault(self.dimFactorization)
@@ -193,9 +202,14 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
             sf_rel = DF.factor_sums(rows, sample_id=sid)
             pred = DF.forward(rows, sf_rel, w0, label_col=label,
                               sample_id=sid).cache()
-            loss = pred.agg(
-                F.sum(F.col("err") * F.col("err")).alias("loss")).first().loss
-            self.training_loss_.append(float(loss))
+            stats = pred.agg(
+                F.sum(F.col("err") * F.col("err")).alias("loss"),
+                F.avg("err").alias("mean_err")).first()
+            self.training_loss_.append(float(stats.loss))
+            if self.getOrDefault(self.fitIntercept):
+                # dŷ/dw0 = 1 -> w0 step is the mean error (scalar,
+                # driver-side; piggybacks on the loss action)
+                w0 -= lr * float(stats.mean_err)
 
             grads = DF.per_row_gradients(rows, sf_rel, pred, label,
                                          sample_id=sid)

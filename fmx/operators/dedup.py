@@ -50,13 +50,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-                  max_df: int | None = None) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+                  max_df: int | None = None,
+                  distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle), distinct by
+    default (set semantics for Jaccard).
 
-    ``max_df`` drops shingles appearing in more than that many documents
-    — the standard hot-key guard that keeps the downstream shingle
-    self-join skew-free at corpus scale (a shingle shared by 1M docs
-    would otherwise produce 10¹² join rows).
+    ``distinct=False`` skips the dedup shuffle for consumers that are
+    duplicate-insensitive (MinHash: min over a multiset equals min over
+    its set).  ``max_df`` drops shingles appearing in more than that
+    many documents — the standard hot-key guard that keeps the
+    downstream shingle self-join skew-free at corpus scale (a shingle
+    shared by 1M docs would otherwise produce 10¹² join rows).
     """
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     # NB: guard size(t) >= n — Spark's sequence(1, 0) yields a DESCENDING
@@ -68,8 +72,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       f" transform(sequence(1, size(t) - {n - 1}),"
                       f"  i -> concat_ws(' ', slice(t, i, {n})))"
                       f" ELSE CAST(array() AS array<string>) END"))
-                  .alias("shingle"))
-          .distinct())
+                  .alias("shingle")))
+    if distinct:
+        sh = sh.distinct()
     if max_df is not None:
         w = Window.partitionBy("shingle")
         sh = (sh.withColumn("_df", F.count("*").over(w))
@@ -118,16 +123,23 @@ def minhash_slot(h, j: int):
     return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """MinHash signatures in long format: (id, j, minhash) for j in
-    [0, num_hashes).  One groupBy over the shingle relation computes all
-    hash slots (num_hashes min-aggregates, map-side combinable)."""
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+def _minhash_wide(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int, shingle_n: int) -> DataFrame:
+    """(id, _h0.._h{n-1}) in ONE shuffle: num_hashes min-aggregates over
+    the shingle relation, all map-side combinable.  distinct=False —
+    min() is duplicate-insensitive, so the dedup shuffle is pure cost."""
+    sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     sh = sh.withColumn("_h", hash64("shingle"))
     aggs = [F.min(minhash_slot(F.col("_h"), j)).alias(f"_h{j}")
             for j in range(num_hashes)]
-    wide = sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures in long format: (id, j, minhash) for j in
+    [0, num_hashes)."""
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
     slots = F.array(*[
         F.struct(F.lit(j).alias("j"), F.col(f"_h{j}").alias("minhash"))
         for j in range(num_hashes)])
@@ -148,14 +160,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Returns (id_a, id_b[, jaccard]).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = (
-        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                        lambda s: s["minhash"].cast("string")), ",")
-            .alias("band_key")))
+    # band keys are computed directly from the wide signature row — a
+    # narrow projection, so banding adds ZERO shuffles on top of the
+    # one signature aggregation
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(f"_h{j}").cast("string")
+                               for j in range(b * rows_per_band,
+                                              (b + 1) * rows_per_band)])
+            .alias("band_key"))
+        for b in range(bands)])
+    banded = (wide.select(id_col, F.explode(band_structs).alias("bs"))
+              .select(id_col, F.col("bs.band").alias("band"),
+                      F.col("bs.band_key").alias("band_key")))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     pairs = (a.join(b, ["band", "band_key"])
@@ -193,6 +212,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         fp = term if fp is None else fp + term
     return wide.select(F.col(id_col).cast("bigint").alias(id_col),
                        fp.cast("bigint").alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
+                         max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (id, cluster_id) where
+    cluster_id is the min id reachable through the pair graph — the
+    step that turns pairwise similarity into keep/drop decisions.
+
+    Iterative min-label propagation over the (undirected) edge list:
+    each round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds (near-dup clusters are
+    tiny, so 2-3 in practice).  Each round is one shuffle;
+    ``localCheckpoint`` truncates lineage (same medicine as the SGD
+    loop).  This is a deliberately non-SQL iterative dataflow.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        updated = (labels.join(neighbor_min,
+                               labels.node == neighbor_min.src, "left")
+                   .select("node",
+                           F.least("label", F.coalesce("nmin", "label"))
+                           .alias("label")))
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "node")
+                   .filter(F.col("u.label") != F.col("l.label")).count())
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("node").cast("bigint").alias(id_col),
+                         F.col("label").cast("bigint").alias("cluster_id"))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str) -> DataFrame:
+    """End-to-end near-dup removal: cluster the pair graph, keep the min
+    id per cluster.  Returns the surviving rows of ``df``."""
+    comps = connected_components(pairs, df.select(id_col), id_col)
+    keep = (comps.groupBy("cluster_id")
+            .agg(F.min(id_col).alias("_keep"))
+            .select(F.col("_keep").alias(id_col)))
+    return df.join(keep, id_col, "left_semi")
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,

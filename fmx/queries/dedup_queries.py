@@ -151,6 +151,16 @@ def dedup_simhash(spark, sf):
                      bits=SIMHASH_BITS)
 
 
+@query("dedup_clusters")  # iterative (non-SQL): rows-only check
+def dedup_clusters(spark, sf):
+    """Near-dup cluster resolution: LSH pairs -> connected components ->
+    (doc_id, cluster_id).  Iterative min-label propagation (the
+    deliberately non-SQL dataflow; lineage-truncated per round)."""
+    docs = T(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    return D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""

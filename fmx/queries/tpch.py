@@ -110,6 +110,58 @@ def tpch_q6_forecast_revenue(spark, sf):
 
 
 @query(
+    "tpch_q12_priority_counts",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """)
+def tpch_q12_priority_counts(spark, sf):
+    """TPC-H Q12 shape: join + conditional-sum aggregation."""
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(is_high, 1).otherwise(0)).cast(BIG)
+                 .alias("high_line_count"),
+                 F.sum(F.when(~is_high, 1).otherwise(0)).cast(BIG)
+                 .alias("low_line_count")))
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """)
+def tpch_q14_promo_share(spark, sf):
+    """TPC-H Q14 shape: broadcast dim join + conditional revenue ratio."""
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    p = F.broadcast(T(spark, sf, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+                 .alias("promo_pct")))
+
+
+@query(
     "having_filter",
     oracle="""
     SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -70,6 +70,22 @@ def test_null_text_rows_survive(spark):
     assert fp[1] is None and fp[2] is not None
 
 
+def test_connected_components_chains_and_singletons(spark):
+    """A-B, B-C chain collapses to one cluster; isolated nodes keep
+    their own id; canonical keep = min id per cluster."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint")
+    comps = {r.doc_id: r.cluster_id
+             for r in D.connected_components(pairs, ids, "doc_id").collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+    df = ids.withColumn("text", F.concat(F.lit("doc "), "doc_id"))
+    kept = {r.doc_id
+            for r in D.dedup_keep_canonical(df, pairs, "doc_id").collect()}
+    assert kept == {1, 4, 5}
+
+
 def test_randomsplit_batches_disjoint_and_complete(spark):
     """A9 (SGD.scala:111-112): one randomSplit produces disjoint batches
     covering the dataset, stable under a fixed seed."""

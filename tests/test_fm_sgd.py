@@ -80,6 +80,26 @@ def test_cross_validator_compat(spark):
     assert "prediction" in out.columns
 
 
+def test_fit_intercept_learns_bias(spark):
+    """fitIntercept=True (our opt-in extension: the reference mixes in
+    HasFitIntercept but never updates w0) must learn a constant shift
+    the weights alone struggle with."""
+    import random
+    rng = random.Random(3)
+    rows = [(Vectors.dense([rng.uniform(0, 0.1) for _ in range(3)]),
+             0.7 + rng.gauss(0, 0.01)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["features", "label"]).cache()
+    kw = dict(dimFactorization=2, maxIter=5, miniBatchFraction=0.2,
+              regParam=0.0, stepSize=1.0, seed=4, minLabel=0.0, maxLabel=1.0)
+    with_b = FMRegressorSGD(**kw, fitIntercept=True)
+    model_b = with_b.fit(df)
+    without = FMRegressorSGD(**kw)
+    model_0 = without.fit(df)
+    assert model_0.global_bias == 0.0
+    assert 0.3 < model_b.global_bias <= 0.9
+    assert with_b.training_loss_[-1] < without.training_loss_[-1] * 0.5
+
+
 def test_model_params_flow_from_estimator(spark):
     df = synthetic_fm_data(spark, n=60).cache()
     est = FMRegressorSGD(dimFactorization=2, maxIter=2, miniBatchFraction=0.5,

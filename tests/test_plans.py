@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruning, broadcast, top-k, codegen purity) must survive
+refactors — a correctness-preserving change that breaks one of these is
+a performance regression at 100 TB even when every oracle stays green."""
+
+import pytest
+
+import fmx.queries as Q
+
+ALL = Q.all_queries()
+
+
+def _plan(spark, sf_dir, name):
+    return (ALL[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p6_filter_group")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]" in plan
+
+
+def test_column_pruning_tpch_q1(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a1_tpch_q1")
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    # 7 of 11 lineitem columns read; keys must not include l_orderkey
+    assert "l_returnflag" in scan and "l_orderkey" not in scan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ["j1_inner_join_agg", "j7_broadcast_two_dims",
+                 "tpch_q5_local_supplier", "tpch_q14_promo_share",
+                 "fm_predict"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ranked_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "w3_row_number_topk")
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_udfs_in_declared_queries(spark, sf_dir):
+    """Every registry query except the deliberate mapInPandas featurizer
+    must stay fully JVM-side."""
+    allowed_python = {"multimodal_features"}
+    for name in sorted(ALL):
+        if name in allowed_python:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "j5_semi_join")
+    assert "LeftAnti" in _plan(spark, sf_dir, "j6_anti_join")
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    # hash agg appears twice: partial (map-side) + final
+    plan = _plan(spark, sf_dir, "a1_tpch_q1")
+    assert plan.count("HashAggregate") >= 2
