@@ -1,2 +1,3 @@
+from fmx.fm.classifier import FMClassifierModel, FMClassifierSGD  # noqa: F401
 from fmx.fm.model import FMModel  # noqa: F401
 from fmx.fm.sgd import FMRegressorSGD  # noqa: F401

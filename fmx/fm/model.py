@@ -269,7 +269,26 @@ class FMModel(Model, FMParamsBase):
             model.setMaxLabel(meta["maxLabel"])
         return model
 
+    def _validate_schema(self, dataset: DataFrame) -> None:
+        """Schema validation (reference validateAndTransformSchema /
+        transformSchema, FactorizationMachines.scala:33-37,
+        Model.scala:237-240) with actionable errors."""
+        fcol = self.getFeaturesCol()
+        dtype = dict(dataset.dtypes).get(fcol)
+        if dtype is None:
+            raise ValueError(
+                f"features column '{fcol}' not found; dataset has "
+                f"{dataset.columns}. Set featuresCol to the right name.")
+        if dtype not in ("vector", "array<double>", "array<float>"):
+            raise TypeError(
+                f"features column '{fcol}' must be a ml.linalg Vector or "
+                f"array<double>/array<float>, got {dtype}")
+        if self.getPredictionCol() in dataset.columns:
+            raise ValueError(
+                f"output column '{self.getPredictionCol()}' already exists")
+
     def _transform(self, dataset: DataFrame) -> DataFrame:
+        self._validate_schema(dataset)
         sid = self.getSampleIdCol()
         # cache so the synthetic id is computed once and is consistent
         # between the predict branch and the join-back (Model.scala:74)

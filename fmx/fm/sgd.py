@@ -48,8 +48,8 @@ from pyspark.ml.param.shared import (
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import fmx.fm.dataflow as DF
 from fmx.core import linalg as L
-from fmx.fm import dataflow as DF
 from fmx.fm.model import FMModel, FMParamsBase
 
 __all__ = ["FMRegressorSGD"]
@@ -146,6 +146,16 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
 
     # (Params.copy provides defaultCopy semantics — reference SGD.scala:254)
 
+    # -- loss-model hook ------------------------------------------------
+
+    def _error_and_loss(self, pred: DataFrame, label: str) -> DataFrame:
+        """Attach the per-sample error driving the gradients and the
+        per-sample loss term.  Squared loss here (reference semantics:
+        err = ŷ − y, loss = err² — Model.scala:230); FMClassifierSGD
+        overrides with the logistic link."""
+        return pred.withColumn(
+            "loss_term", F.col("err") * F.col("err"))
+
     # -- training ------------------------------------------------------
 
     def _initial_params(self, exploded: DataFrame, k: int, sd: float,
@@ -200,10 +210,12 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
             rows = DF.join_params(ex, strength, factors, how="left", k=k,
                                   sd=sd, seed=seed + it, sample_id=sid).cache()
             sf_rel = DF.factor_sums(rows, sample_id=sid)
-            pred = DF.forward(rows, sf_rel, w0, label_col=label,
-                              sample_id=sid).cache()
+            pred = self._error_and_loss(
+                DF.forward(rows, sf_rel, w0, label_col=label,
+                           sample_id=sid),
+                label).cache()
             stats = pred.agg(
-                F.sum(F.col("err") * F.col("err")).alias("loss"),
+                F.sum("loss_term").alias("loss"),
                 F.avg("err").alias("mean_err")).first()
             self.training_loss_.append(float(stats.loss))
             if self.getOrDefault(self.fitIntercept):

@@ -84,6 +84,31 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "total"))
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich a stream with a dimension table.
+    The static side is broadcast per micro-batch — no stream state at
+    all, the canonical dimension-enrichment shape."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def write_foreach_batch_parquet(stream: DataFrame, path: str,
+                                checkpoint: str) -> "object":
+    """foreachBatch parquet sink: per-batch idempotent append keyed by
+    batch_id (the checkpoint replays a failed batch with the same id, so
+    the partition overwrite makes redelivery exactly-once)."""
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(path))
+
+    return (stream.writeStream.foreachBatch(_write)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_dedup(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state

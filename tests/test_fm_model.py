@@ -75,6 +75,21 @@ def test_transform_array_features(spark):
     assert got.prediction == pytest.approx(23.77, abs=1e-8)
 
 
+def test_schema_validation_errors(spark):
+    """M5 transformSchema parity: missing/ill-typed features column and
+    pre-existing output column raise actionable errors."""
+    model = build_golden_model(spark)
+    with pytest.raises(ValueError, match="features column 'features' not found"):
+        model.transform(spark.range(3))
+    bad = spark.createDataFrame([(1, "not a vector")], "rowId int, features string")
+    with pytest.raises(TypeError, match="must be a ml.linalg Vector"):
+        model.transform(bad)
+    clash = spark.createDataFrame([(1, [1.0], 0.0)],
+                                  "rowId int, features array<double>, prediction double")
+    with pytest.raises(ValueError, match="already exists"):
+        model.transform(clash)
+
+
 def test_no_python_udf_in_array_path(spark):
     """The array<double> predict path must stay fully JVM-side."""
     model = build_golden_model(spark)

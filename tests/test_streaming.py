@@ -67,6 +67,32 @@ def test_stream_dedup(spark, sf_dir):
     q.stop()
 
 
+def test_stream_static_enrichment(spark, sf_dir):
+    """Stream-static broadcast join against a derived dimension."""
+    events = S.read_events_stream(spark, sf_dir)
+    dim = (load_table(spark, sf_dir, "events")
+           .groupBy("user_id").agg(F.count("*").alias("lifetime_events")))
+    q = _run_to_memory(S.enrich_stream(events, dim), "enriched", "append")
+    row = spark.sql(
+        "SELECT count(*) n, sum(CASE WHEN lifetime_events IS NULL THEN 1 ELSE 0 END) nulls "
+        "FROM enriched").first()
+    assert row.n == load_table(spark, sf_dir, "events").count()
+    assert row.nulls == 0
+    q.stop()
+
+
+def test_stream_foreach_batch_sink(spark, sf_dir, tmp_path):
+    events = S.read_events_stream(spark, sf_dir)
+    out = str(tmp_path / "sink")
+    q = S.write_foreach_batch_parquet(
+        events, out, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == load_table(spark, sf_dir, "events").count()
+    assert "_batch_id" in back.columns
+    q.stop()
+
+
 def test_stream_custom_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState custom operator: final per-user running
     totals equal the batch groupBy."""
