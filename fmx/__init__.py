@@ -26,4 +26,4 @@ seeded determinism throughout.
 
 __version__ = "0.1.0"
 
-from fmx.session import get_spark  # noqa: F401
+from fmx.session import get_spark, sql  # noqa: F401

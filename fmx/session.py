@@ -39,6 +39,15 @@ _DEFAULTS = {
 }
 
 
+def sql(spark: SparkSession, sf_dir: str, statement: str):
+    """Run a SQL statement with every test table registered as a view —
+    the spark.sql twin of the DataFrame query layer."""
+    from fmx.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(statement)
+
+
 def get_spark(
     app_name: str = "fmx",
     master: str | None = None,
