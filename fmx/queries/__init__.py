@@ -30,6 +30,7 @@ _MODULES = [
     "fmx.queries.relational2",
     "fmx.queries.tpch",
     "fmx.queries.sources_queries",
+    "fmx.queries.analytics",
     "fmx.queries.fm_queries",
     "fmx.queries.dedup_queries",
     "fmx.queries.similarity_queries",

@@ -1,0 +1,117 @@
+"""Event-analytics capability queries: funnels, cohort retention, and
+edit-distance near-dup — common product/ML-ops shapes over the events
+and documents tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+BIG = "bigint"
+
+
+@query(
+    "funnel_view_click_purchase",
+    headline=True,
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_buy > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM stages
+    """)
+def funnel_view_click_purchase(spark, sf):
+    """Ordered-funnel analysis (view -> click -> purchase): one
+    conditional-min aggregation per stage, then counting stage-ordered
+    users — no self-joins, scales as a single groupBy."""
+    ev = T(spark, sf, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"))
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).cast(BIG).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast(BIG)
+        .alias("clicked_after_view"),
+        F.sum(F.when(bought, 1).otherwise(0)).cast(BIG).alias("full_funnel"))
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_n
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size,
+           CAST(count(DISTINCT CASE WHEN day_n = 1 THEN user_id END) AS BIGINT)
+               AS d1,
+           CAST(count(DISTINCT CASE WHEN day_n = 7 THEN user_id END) AS BIGINT)
+               AS d7
+    FROM activity GROUP BY cohort_day
+    """)
+def cohort_retention(spark, sf):
+    """Daily cohort retention (D1/D7): first-activity cohort join +
+    day-offset distinct counts."""
+    ev = T(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (ev.join(firsts, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff(F.date_trunc("day", "ts"), "cohort_day")
+                        .alias("day_n"))
+                .distinct())
+    return (activity.groupBy("cohort_day")
+            .agg(F.countDistinct("user_id").alias("cohort_size"),
+                 F.countDistinct(F.when(F.col("day_n") == 1,
+                                        F.col("user_id"))).alias("d1"),
+                 F.countDistinct(F.when(F.col("day_n") == 7,
+                                        F.col("user_id"))).alias("d7"))
+            .select(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+                    "cohort_size", "d1", "d7"))
+
+
+@query(
+    "dedup_levenshtein_prefix",
+    oracle="""
+    WITH p AS (SELECT doc_id, substring(text, 1, 30) AS pre FROM documents)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= 5
+    """)
+def dedup_levenshtein_prefix(spark, sf):
+    """Edit-distance near-dup on 30-char prefixes (threshold 5).
+    All-pairs here (500 docs); at corpus scale run it as the verifier
+    behind an LSH/fingerprint prefilter, same as exact Jaccard."""
+    p = (T(spark, sf, "documents")
+         .select("doc_id", F.substring("text", 1, 30).alias("pre")))
+    a = p.select(F.col("doc_id").alias("id_a"), F.col("pre").alias("pa"))
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("pre").alias("pb"))
+    return (a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(F.col("id_a").cast(BIG).alias("id_a"),
+                    F.col("id_b").cast(BIG).alias("id_b"),
+                    F.levenshtein("pa", "pb").cast(BIG).alias("dist"))
+            .filter(F.col("dist") <= 5))
