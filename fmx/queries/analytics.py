@@ -92,6 +92,33 @@ def cohort_retention(spark, sf):
 
 
 @query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           event_type,
+           round(value, 4) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """)
+def latest_event_per_user(spark, sf):
+    """CDC-style dedup: keep the latest record per key (ranking window,
+    WindowGroupLimit pushes the limit into the sort)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (T(spark, sf, "events")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("event_id").cast(BIG).alias("event_id"),
+                    "event_type",
+                    F.round("value", 4).alias("value")))
+
+
+@query(
     "dedup_levenshtein_prefix",
     oracle="""
     WITH p AS (SELECT doc_id, substring(text, 1, 30) AS pre FROM documents)

@@ -88,6 +88,25 @@ def fm_predict(spark, sf):
     return out.select("vec_id", F.round("prediction", 6).alias("prediction"))
 
 
+@query("fm_predict_served", oracle=FM_PREDICT_ORACLE)
+def fm_predict_served(spark, sf):
+    """The same FM inference through the zero-shuffle serving path
+    (fm_score_expr column compilation) — must hash-match the relational
+    plan's oracle exactly."""
+    from fmx.fm.serving import fm_score_expr
+
+    strength, factors = _formula_params(spark)
+    model = FMModel(dim_factorization=K, global_bias=W0,
+                    strength=strength, factors=factors)
+    emb = T(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("features"))
+    return emb.select(
+        "vec_id",
+        F.round(fm_score_expr(model, "features", n_features=64), 6)
+        .alias("prediction"))
+
+
 @query(
     "fm_loss",
     oracle=f"""

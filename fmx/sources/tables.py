@@ -18,6 +18,10 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensive: the caller's session may not carry fmx defaults (the
+    # driver harness builds its own SparkSession); timestamp formatting
+    # in the oracle-checked queries assumes UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) (all SFs), which Spark 4
         # rejects unless read as long; normalize to a microsecond

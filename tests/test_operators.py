@@ -106,6 +106,15 @@ def test_frame_sampling_plan(spark):
     assert rows[2] == [0.0]
 
 
+def test_fmx_sql_and_views(spark, sf_dir):
+    import fmx
+
+    row = fmx.sql(spark, sf_dir,
+                  "SELECT count(*) AS c FROM lineitem "
+                  "JOIN orders ON l_orderkey = o_orderkey").first()
+    assert row.c > 0
+
+
 def test_read_libsvm_text(spark, tmp_path):
     p = tmp_path / "sample.txt"
     p.write_text("1.0 1:0.5 3:1.5\n0.0 2:2.0\n")
