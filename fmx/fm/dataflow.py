@@ -78,26 +78,26 @@ def forward(rows: DataFrame, sf: DataFrame, w0: float,
 
 
 def per_row_gradients(rows: DataFrame, sf: DataFrame, pred: DataFrame,
-                      label_col: str, sample_id: str = "sampleId",
-                      loss: bool = False) -> DataFrame:
-    """(sample, feature, f) grain gradient terms scaled by (ŷ − y):
+                      label_col: str,
+                      sample_id: str = "sampleId") -> DataFrame:
+    """(sample, feature, f) grain gradient terms scaled by the error:
       dw contribution = x·err           (reference SGD.scala:145, with the
                                          operator-precedence bug fixed)
       dv_f contribution = (x·s_f − v_f·x²)·err   (Model.scala:201-204)
+    ``err`` comes from the estimator's loss model (ŷ−y for squared loss,
+    σ(ŷ)−y for logistic).
     """
-    err = pred.select(sample_id, "err",
-                      *( [F.col("pred"), F.col(label_col)] if loss else []))
+    err = pred.select(sample_id, "err")
     rows_f = rows.select(sample_id, label_col, "featureId", "x",
                          F.posexplode("v").alias("f", "vf"))
-    out = (rows_f
-           .join(sf, [sample_id, "f"])
-           .join(err.select(sample_id, "err"), sample_id)
-           .select(sample_id, "featureId", "f", "x",
-                   (F.col("x") * F.col("err")).alias("gw"),
-                   ((F.col("x") * F.col("s")
-                     - F.col("vf") * F.col("x") * F.col("x"))
-                    * F.col("err")).alias("gv")))
-    return out
+    return (rows_f
+            .join(sf, [sample_id, "f"])
+            .join(err, sample_id)
+            .select(sample_id, "featureId", "f", "x",
+                    (F.col("x") * F.col("err")).alias("gw"),
+                    ((F.col("x") * F.col("s")
+                      - F.col("vf") * F.col("x") * F.col("x"))
+                     * F.col("err")).alias("gv")))
 
 
 def aggregate_gradients(grads: DataFrame, n: int, lr: float,

@@ -81,6 +81,10 @@ def test_vector_sum_golden(spark):
     out2 = df.groupBy("id").agg(L.vec_sum_agg_expr("vec", 3).alias("s")).first()
     assert out2.s == pytest.approx([111.11, 222.22, 333.33], abs=1e-8)
 
+    out3 = (df.groupBy("id")
+            .agg(L.vec_sum_agg_pandas(3)("vec").alias("s")).first())
+    assert out3.s == pytest.approx([111.11, 222.22, 333.33], abs=1e-8)
+
 
 def test_explode_vector_dense_and_sparse(spark):
     """U1 semantics: dense vectors emit zeros; sparse emit only stored
