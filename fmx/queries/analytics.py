@@ -92,6 +92,42 @@ def cohort_retention(spark, sf):
 
 
 @query(
+    "attribution_interval_join",
+    oracle="""
+    SELECT CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(c.user_id AS BIGINT) AS user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_sec
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """)
+def attribution_interval_join(spark, sf):
+    """Click->purchase attribution: interval self-join (purchase within
+    1h of a click, same user).  The equi-key (user_id) carries the
+    shuffle; the time range is a post-join filter — the batch twin of
+    the stream-stream join in fmx.streaming."""
+    ev = T(spark, sf, "events")
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id"), F.col("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id"), F.col("ts").alias("p_ts")))
+    return (c.join(p, "user_id")
+            .filter((F.col("p_ts") > F.col("c_ts"))
+                    & (F.col("p_ts") <= F.col("c_ts")
+                       + F.expr("INTERVAL 1 HOUR")))
+            .select(F.col("click_id").cast(BIG).alias("click_id"),
+                    F.col("purchase_id").cast(BIG).alias("purchase_id"),
+                    F.col("user_id").cast(BIG).alias("user_id"),
+                    F.floor((F.unix_timestamp("p_ts")
+                             - F.unix_timestamp("c_ts"))).cast(BIG)
+                    .alias("lag_sec")))
+
+
+@query(
     "latest_event_per_user",
     oracle="""
     SELECT CAST(user_id AS BIGINT) AS user_id,

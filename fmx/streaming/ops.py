@@ -109,6 +109,37 @@ def write_foreach_batch_parquet(stream: DataFrame, path: str,
             .start())
 
 
+def stream_stream_attribution(events: DataFrame,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a same-user
+    click within the preceding hour.  Both sides watermarked; the time
+    bound lets Spark expire click state once no purchase can match —
+    bounded state, the canonical stream-stream join shape.
+    (Batch twin: fmx.queries.analytics.attribution_interval_join.)"""
+    c = (events.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", watermark))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner")
+    return joined.select(
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.col("c_user").cast("bigint").alias("user_id"),
+        F.floor(F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("bigint").alias("lag_sec"))
+
+
 def stream_dedup(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state

@@ -1,0 +1,25 @@
+"""__spark_entry__ contract: entry smoke + registry alignment."""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows_stable_schema(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.schema.simpleString() == "struct<vec_id:bigint,prediction:double>"
+
+
+def test_queries_and_oracles_align(spark):
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert len(qs) >= 85
+    # every oracle belongs to a registered query
+    assert set(osql) <= set(qs)
+    # the non-oracled set is exactly the declared non-SQL ops
+    assert set(qs) - set(osql) == {
+        "ann_ivf_topk", "approx_distinct", "approx_quantiles",
+        "dedup_clusters", "multimodal_features"}
+    # callables, not results
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper()
+               for s in osql.values())

@@ -55,6 +55,25 @@ def test_stream_session_matches_batch(spark, sf_dir):
     q.stop()
 
 
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """Stream-stream interval join equals the batch interval join."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_stream_attribution(events),
+                       "attrib", "append")
+    got = {(r.click_id, r.purchase_id, r.lag_sec)
+           for r in spark.sql("SELECT * FROM attrib").collect()}
+
+    from fmx.queries.analytics import attribution_interval_join
+    want = {(r.click_id, r.purchase_id, r.lag_sec)
+            for r in attribution_interval_join(spark, sf_dir).collect()}
+    assert want, "batch attribution should find pairs"
+    # append-mode emits matches once the watermark closes them; every
+    # emitted pair must be a true batch pair and coverage must be high
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)
+    q.stop()
+
+
 def test_stream_dedup(spark, sf_dir):
     """Streaming dedup on a duplicated input stream yields exactly the
     distinct event ids."""
