@@ -290,16 +290,21 @@ class FMModel(Model, FMParamsBase):
     def _transform(self, dataset: DataFrame) -> DataFrame:
         self._validate_schema(dataset)
         sid = self.getSampleIdCol()
-        # cache so the synthetic id is computed once and is consistent
-        # between the predict branch and the join-back (Model.scala:74)
-        indexed = dataset.withColumn(sid, F.monotonically_increasing_id()).cache()
+        if sid in dataset.columns:
+            # user-supplied stable key: no synthetic id, no cache needed
+            # (and the user's column is preserved in the output)
+            indexed, synthetic = dataset, False
+        else:
+            # cache so the synthetic id is computed once and is consistent
+            # between the predict branch and the join-back (Model.scala:74)
+            indexed = dataset.withColumn(
+                sid, F.monotonically_increasing_id()).cache()
+            synthetic = True
         exploded = L.explode_vector(indexed, self.getFeaturesCol(), id_cols=[sid])
         pred = self.predict_exploded(exploded, sample_id=sid)
-        out = (
-            indexed.join(pred, sid, "left")
-            .drop(sid)
-            # empty feature vectors -> no exploded rows -> no prediction
-            # row -> fall back to global bias (Model.scala:86, golden 5.0)
-            .na.fill({self.getPredictionCol(): self.global_bias})
-        )
-        return out
+        out = indexed.join(pred, sid, "left")
+        if synthetic:
+            out = out.drop(sid)
+        # empty feature vectors -> no exploded rows -> no prediction
+        # row -> fall back to global bias (Model.scala:86, golden 5.0)
+        return out.na.fill({self.getPredictionCol(): self.global_bias})

@@ -75,6 +75,24 @@ def test_transform_array_features(spark):
     assert got.prediction == pytest.approx(23.77, abs=1e-8)
 
 
+def test_user_supplied_sample_id_preserved(spark):
+    """A pre-existing sampleId column is used as the join key (no
+    synthetic id, no overwrite) and survives into the output."""
+    model = build_golden_model(spark)
+    df = spark.createDataFrame(
+        [(7001, [1.0, 2.0, 1.5, -1.0]), (7002, [0.0, 0.0, 0.0, 0.0])],
+        "sampleId bigint, features array<double>")
+    out = model.transform(df)
+    assert "sampleId" in out.columns
+    got = {r.sampleId: r.prediction for r in out.collect()}
+    assert got[7001] == pytest.approx(23.77, abs=1e-8)
+    # all-zero dense vector explodes to zero-valued rows (not empty) ->
+    # prediction = bias + 0 contributions = 5.0
+    assert got[7002] == pytest.approx(5.0, abs=1e-8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+
+
 def test_schema_validation_errors(spark):
     """M5 transformSchema parity: missing/ill-typed features column and
     pre-existing output column raise actionable errors."""
