@@ -80,6 +80,35 @@ def test_cross_validator_compat(spark):
     assert "prediction" in out.columns
 
 
+def test_cross_check_builtin_fmregressor(spark):
+    """SURVEY §5 plan item (3): sanity-check our SGD against Spark's
+    built-in pyspark.ml.regression.FMRegressor on the same synthetic FM
+    data — different optimizers (AdamW vs decayed SGD), so the contract
+    is 'both clearly beat the constant-mean baseline', not equality."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import FMRegressor
+    from pyspark.sql import functions as F
+
+    df = synthetic_fm_data(spark, n=300, seed=13).cache()
+    mean_label = df.agg(F.avg("label")).first()[0]
+    baseline_mae = df.agg(
+        F.avg(F.abs(F.col("label") - F.lit(mean_label)))).first()[0]
+    ev = RegressionEvaluator(metricName="mae")
+
+    builtin = FMRegressor(factorSize=4, maxIter=50, stepSize=0.1, seed=1)
+    mae_builtin = ev.evaluate(builtin.fit(df).transform(df))
+
+    ours = FMRegressorSGD(dimFactorization=4, maxIter=8,
+                          miniBatchFraction=0.125, regParam=0.0,
+                          stepSize=0.5, seed=42, fitIntercept=True)
+    mae_ours = ev.evaluate(ours.fit(df).transform(df))
+
+    assert mae_builtin < baseline_mae * 0.8
+    assert mae_ours < baseline_mae * 0.8, (mae_ours, baseline_mae)
+    # and within a loose band of the heavily-iterated builtin
+    assert mae_ours < max(3 * mae_builtin, 0.15), (mae_ours, mae_builtin)
+
+
 def test_fit_intercept_learns_bias(spark):
     """fitIntercept=True (our opt-in extension: the reference mixes in
     HasFitIntercept but never updates w0) must learn a constant shift
