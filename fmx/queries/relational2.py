@@ -117,6 +117,38 @@ def rank_functions(spark, sf):
 
 
 @query(
+    "window_value_funcs",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(first_value(l_quantity) OVER w, 2) AS first_qty,
+           round(last_value(l_quantity) OVER
+                 (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS last_qty,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """)
+def window_value_funcs(spark, sf):
+    """first_value / last_value (explicit full frame) / cume_dist."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w_full = (Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    return (T(spark, sf, "lineitem")
+            .select(F.col("l_orderkey").cast(BIG).alias("l_orderkey"),
+                    F.col("l_linenumber").cast(BIG).alias("l_linenumber"),
+                    F.round(F.first("l_quantity").over(w), 2)
+                    .alias("first_qty"),
+                    F.round(F.last("l_quantity").over(w_full), 2)
+                    .alias("last_qty"),
+                    F.round(F.cume_dist().over(w), 6).alias("cd"))
+            .orderBy("l_orderkey", "l_linenumber").limit(200))
+
+
+@query(
     "array_sql_funcs",
     oracle="""
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
