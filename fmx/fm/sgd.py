@@ -172,7 +172,44 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
             L.hash_normal_vec(k, "featureId", seed=seed, sd=sd).alias("vec"))
         return strength, factors
 
+    def fit_long(self, exploded: DataFrame) -> FMModel:
+        """Train directly from long format ``(sampleIdCol, labelCol,
+        featureId, featureValue)`` — the scale-native path: feature
+        vectors are NEVER materialized, so feature dimensionality is
+        unbounded (the reference's 2^31 ceiling disappears).
+
+        Mini-batches are assigned per *sample* by seeded hash (the
+        long-format analogue of randomSplit: every row of a sample
+        lands in the same batch, deterministically).
+        """
+        sid, label = self.getSampleIdCol(), self.getLabelCol()
+        seed = self.getOrDefault(self.seed)
+        max_iter = self.getOrDefault(self.maxIter)
+        data = exploded.select(
+            F.col(sid), F.col(label).cast("double").alias(label),
+            F.col("featureId"), F.col("featureValue")).cache()
+        batch_of = F.floor(
+            L.hash_uniform(sid, seed=seed, salt=777) * max_iter).cast("int")
+        batches = [data.filter(batch_of == i) for i in range(max_iter)]
+        return self._run_sgd(data, batches, explode=False)
+
     def _fit(self, dataset: DataFrame) -> FMModel:
+        sid = self.getSampleIdCol()
+        label = self.getLabelCol()
+        seed = self.getOrDefault(self.seed)
+
+        data = (dataset
+                .select(F.col(label).cast("double").alias(label),
+                        F.col(self.getFeaturesCol()).alias("__features__"))
+                .withColumn(sid, F.monotonically_increasing_id())
+                .cache())
+        frac = float(self.getMiniBatchFraction())
+        max_iter = self.getOrDefault(self.maxIter)
+        batches = data.randomSplit([frac] * max_iter, seed=seed)
+        return self._run_sgd(data, batches, explode=True)
+
+    def _run_sgd(self, data: DataFrame, batches: list[DataFrame],
+                 explode: bool) -> FMModel:
         k = self.getDimFactorization()
         sd = float(self.getInitialSd())
         seed = self.getOrDefault(self.seed)
@@ -180,21 +217,12 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         label = self.getLabelCol()
         w0 = 0.0  # reference inits globalBias to 0 and never updates it
 
-        data = (dataset
-                .select(F.col(label).cast("double").alias(label),
-                        F.col(self.getFeaturesCol()).alias("__features__"))
-                .withColumn(sid, F.monotonically_increasing_id())
-                .cache())
-
-        exploded_all = L.explode_vector(
-            data, "__features__", id_cols=[sid, label])
+        exploded_all = (
+            L.explode_vector(data, "__features__", id_cols=[sid, label])
+            if explode else data)
         strength, factors = self._initial_params(exploded_all, k, sd, seed)
         strength = strength.localCheckpoint(eager=True)
         factors = factors.localCheckpoint(eager=True)
-
-        frac = float(self.getMiniBatchFraction())
-        max_iter = self.getOrDefault(self.maxIter)
-        batches = data.randomSplit([frac] * max_iter, seed=seed)
 
         self.training_loss_ = []
         for it, batch in enumerate(batches, start=1):
@@ -204,7 +232,9 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
             if n == 0:
                 continue
 
-            ex = L.explode_vector(batch, "__features__", id_cols=[sid, label])
+            ex = (L.explode_vector(batch, "__features__",
+                                   id_cols=[sid, label])
+                  if explode else batch)
             # left joins + seeded init for features unseen by the params
             # (reference calcLossGrad J2, Model.scala:154-171)
             rows = DF.join_params(ex, strength, factors, how="left", k=k,

@@ -80,6 +80,36 @@ def test_cross_validator_compat(spark):
     assert "prediction" in out.columns
 
 
+def test_fit_long_format(spark):
+    """Long-format training: no feature vectors anywhere; converges and
+    is deterministic under the seed."""
+    from pyspark.sql import functions as F
+
+    df = synthetic_fm_data(spark, n=200, seed=21)
+    from fmx.core.linalg import explode_vector
+    long_df = explode_vector(
+        df.withColumn("sampleId", F.monotonically_increasing_id()),
+        "features", id_cols=["sampleId", "label"]).cache()
+    long_df.count()
+
+    est = FMRegressorSGD(dimFactorization=3, maxIter=4,
+                         regParam=0.0, stepSize=0.5, seed=77,
+                         fitIntercept=True)
+    m1 = est.fit_long(long_df)
+    losses1 = list(est.training_loss_)
+    assert losses1[-1] < losses1[0], losses1
+
+    est2 = FMRegressorSGD(dimFactorization=3, maxIter=4,
+                          regParam=0.0, stepSize=0.5, seed=77,
+                          fitIntercept=True)
+    est2.fit_long(long_df)
+    assert [round(x, 9) for x in est2.training_loss_] == \
+           [round(x, 9) for x in losses1]
+
+    out = m1.transform(df)
+    assert out.count() == df.count()
+
+
 def test_cross_check_builtin_fmregressor(spark):
     """SURVEY §5 plan item (3): sanity-check our SGD against Spark's
     built-in pyspark.ml.regression.FMRegressor on the same synthetic FM

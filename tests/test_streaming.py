@@ -74,6 +74,35 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     q.stop()
 
 
+def test_stream_big_model_scoring_foreach_batch(spark, sf_dir):
+    """Big-model streaming inference: when params don't fit the serving
+    expression, score each micro-batch with the relational
+    FMModel.transform inside foreachBatch."""
+    from tests.test_fm_model import build_golden_model
+
+    model = build_golden_model(spark)
+    stream = S.read_events_stream(spark, sf_dir)
+    feats = stream.select(
+        F.col("event_id").alias("sampleId"),
+        F.array(F.col("value"), F.lit(1.0), F.lit(0.5), F.lit(0.0))
+        .alias("features"))
+
+    results = []
+
+    def score(batch_df, batch_id):
+        out = model.transform(batch_df)
+        results.extend(out.select("sampleId", "prediction").collect())
+
+    q = (feats.writeStream.foreachBatch(score)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert results
+    want = load_table(spark, sf_dir, "events").count()
+    assert len(results) == want
+    assert all(r.prediction is not None for r in results)
+    q.stop()
+
+
 def test_stream_dedup(spark, sf_dir):
     """Streaming dedup on a duplicated input stream yields exactly the
     distinct event ids."""
