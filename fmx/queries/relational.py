@@ -28,17 +28,18 @@ BIG = "bigint"
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
            CAST(l_linenumber AS BIGINT) AS l_linenumber,
            round(l_extendedprice * (1 - l_discount), 2) AS rev
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    FROM lineitem ORDER BY l_orderkey, l_linenumber, rev LIMIT 100
     """)
 def p1_projection(spark, sf):
     """Multi-column projection pipeline (ref Model.scala:148-233 P1).
-    Column pruning reaches the parquet scan: only 4 of 11 cols read."""
+    Column pruning reaches the parquet scan: only 4 of 11 cols read.
+    rev joins the ORDER BY: (orderkey, linenumber) is not unique."""
     return (T(spark, sf, "lineitem")
             .select(F.col("l_orderkey").cast(BIG).alias("l_orderkey"),
                     F.col("l_linenumber").cast(BIG).alias("l_linenumber"),
                     F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
                      .alias("rev"))
-            .orderBy("l_orderkey", "l_linenumber")
+            .orderBy("l_orderkey", "l_linenumber", "rev")
             .limit(100))
 
 

@@ -123,29 +123,35 @@ def rank_functions(spark, sf):
            CAST(l_linenumber AS BIGINT) AS l_linenumber,
            round(first_value(l_quantity) OVER w, 2) AS first_qty,
            round(last_value(l_quantity) OVER
-                 (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
                AS last_qty,
            round(cume_dist() OVER w, 6) AS cd
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
-    ORDER BY l_orderkey, l_linenumber LIMIT 200
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
+    ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 200
     """)
 def window_value_funcs(spark, sf):
-    """first_value / last_value (explicit full frame) / cume_dist."""
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
-    w_full = (Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    """first_value / last_value (explicit full frame) / cume_dist.
+    The window order includes l_quantity: (orderkey, linenumber) is NOT
+    unique in the data, and first/last over a non-total order are
+    tie-ambiguous across engines."""
+    order = [F.col("l_linenumber"), F.col("l_quantity")]
+    w = Window.partitionBy("l_orderkey").orderBy(*order)
+    w_full = (Window.partitionBy("l_orderkey").orderBy(*order)
               .rowsBetween(Window.unboundedPreceding,
                            Window.unboundedFollowing))
     return (T(spark, sf, "lineitem")
             .select(F.col("l_orderkey").cast(BIG).alias("l_orderkey"),
                     F.col("l_linenumber").cast(BIG).alias("l_linenumber"),
+                    F.col("l_quantity"),
                     F.round(F.first("l_quantity").over(w), 2)
                     .alias("first_qty"),
                     F.round(F.last("l_quantity").over(w_full), 2)
                     .alias("last_qty"),
                     F.round(F.cume_dist().over(w), 6).alias("cd"))
-            .orderBy("l_orderkey", "l_linenumber").limit(200))
+            .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+            .limit(200).drop("l_quantity"))
 
 
 @query(
@@ -181,7 +187,7 @@ def array_sql_funcs(spark, sf):
           UNION ALL
           SELECT l_orderkey, 'disc' AS k, l_discount AS v FROM lineitem
           WHERE l_linenumber = 1)
-    ORDER BY l_orderkey, k LIMIT 200
+    ORDER BY l_orderkey, k, v LIMIT 200
     """)
 def map_funcs(spark, sf):
     """map construction + explode to long format (engine capability)."""
@@ -191,7 +197,7 @@ def map_funcs(spark, sf):
     return (li.select(F.col("l_orderkey").cast(BIG).alias("l_orderkey"),
                       F.explode(m).alias("k", "v"))
             .withColumn("v", F.round("v", 4))
-            .orderBy("l_orderkey", "k").limit(200))
+            .orderBy("l_orderkey", "k", "v").limit(200))
 
 
 @query(
@@ -257,6 +263,47 @@ def scalar_subquery(spark, sf):
                    AS price_ratio
         FROM orders ORDER BY o_orderkey LIMIT 100
     """)
+
+
+@query(
+    "string_manipulation",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           lpad(p_brand, 12, '_') AS padded,
+           replace(p_type, ' ', '/') AS replaced,
+           reverse(p_brand) AS rev,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+    FROM part ORDER BY p_partkey LIMIT 200
+    """)
+def string_manipulation(spark, sf):
+    """lpad / replace / reverse / position (engine capability)."""
+    return (T(spark, sf, "part")
+            .select(F.col("p_partkey").cast(BIG).alias("p_partkey"),
+                    F.lpad("p_brand", 12, "_").alias("padded"),
+                    F.replace("p_type", F.lit(" "), F.lit("/")).alias("replaced"),
+                    F.reverse("p_brand").alias("rev"),
+                    F.instr("p_name", "a").cast(BIG).alias("first_a"))
+            .orderBy("p_partkey").limit(200))
+
+
+@query(
+    "bool_bitwise_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS band,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bor
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def bool_bitwise_aggs(spark, sf):
+    """bool_and/bool_or and bitwise aggregates (engine capability)."""
+    return (T(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+                 F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+                 F.bit_and(F.col("l_linenumber").cast(BIG)).alias("band"),
+                 F.bit_or(F.col("l_linenumber").cast(BIG)).alias("bor")))
 
 
 @query(
