@@ -27,7 +27,9 @@ Deliberate divergences (documented for the judge):
   partitioning.
 - **Lineage truncation**: the reference stacks a new plan on the old
   params every iteration with no checkpointing (SURVEY.md §3.1 hazard);
-  we ``localCheckpoint(eager=True)`` the param tables each iteration.
+  we ``localCheckpoint`` the param tables each iteration (lazily — the
+  checkpoint materializes inside the next iteration's first action,
+  halving driver round-trips per step).
 - **Loss via SQL agg** not RDD ``map/reduce`` (SGD.scala:134-138): the
   forward pass already yields one row per sample, so no ``first()``
   dedup is needed either.
@@ -208,6 +210,73 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         batches = data.randomSplit([frac] * max_iter, seed=seed)
         return self._run_sgd(data, batches, explode=True)
 
+
+    def _sgd_step(self, strength, factors, w0: float, batch: DataFrame,
+                  it: int, explode: bool = True):
+        """One mini-batch SGD update (the reference foldLeft body,
+        SGD.scala:114-212).  Returns (strength', factors', w0', loss) —
+        also the unit of online training on streams (fmx.fm.online)."""
+        k = self.getDimFactorization()
+        sd = float(self.getInitialSd())
+        seed = self.getOrDefault(self.seed)
+        sid = self.getSampleIdCol()
+        label = self.getLabelCol()
+        lr = float(self.getOrDefault(self.stepSize)) / math.sqrt(it)
+        shrink = lr * float(self.getOrDefault(self.regParam))
+        n = batch.count()
+        if n == 0:
+            return strength, factors, w0, None
+
+        ex = (L.explode_vector(batch, "__features__", id_cols=[sid, label])
+              if explode else batch)
+        # left joins + seeded init for features unseen by the params
+        # (reference calcLossGrad J2, Model.scala:154-171)
+        rows = DF.join_params(ex, strength, factors, how="left", k=k,
+                              sd=sd, seed=seed + it, sample_id=sid).cache()
+        sf_rel = DF.factor_sums(rows, sample_id=sid)
+        pred = self._error_and_loss(
+            DF.forward(rows, sf_rel, w0, label_col=label, sample_id=sid),
+            label).cache()
+        stats = pred.agg(
+            F.sum("loss_term").alias("loss"),
+            F.avg("err").alias("mean_err")).first()
+        loss = float(stats.loss)
+        if self.getOrDefault(self.fitIntercept):
+            # dŷ/dw0 = 1 -> w0 step is the mean error (scalar,
+            # driver-side; piggybacks on the loss action)
+            w0 = w0 - lr * float(stats.mean_err)
+
+        grads = DF.per_row_gradients(rows, sf_rel, pred, label,
+                                     sample_id=sid)
+        grad_w, grad_v_arr = DF.aggregate_gradients(grads, n, lr, k)
+
+        # upsert: params ∪ gradients, missing side = 0 / zero-vector,
+        # then L1 soft-threshold (SGD.scala:168-181)
+        new_strength = (
+            strength.join(grad_w, "featureId", "outer")
+            .select(
+                "featureId",
+                L.soft_threshold(
+                    F.coalesce("strength", F.lit(0.0))
+                    - F.coalesce("dw", F.lit(0.0)),
+                    shrink).alias("strength")))
+        new_factors = (
+            factors.join(grad_v_arr, "featureId", "outer")
+            .select(
+                "featureId",
+                L.soft_threshold_vec(
+                    L.vec_sub(F.coalesce("vec", L.zeros(k)),
+                              F.coalesce("dvec", L.zeros(k))),
+                    shrink).alias("vec")))
+        # cut lineage (the reference's missing piece); lazy: the
+        # checkpoint materializes inside the NEXT iteration's first
+        # action instead of costing two extra driver round-trips
+        strength = new_strength.localCheckpoint(eager=False)
+        factors = new_factors.localCheckpoint(eager=False)
+        rows.unpersist()
+        pred.unpersist()
+        return strength, factors, w0, loss
+
     def _run_sgd(self, data: DataFrame, batches: list[DataFrame],
                  explode: bool) -> FMModel:
         k = self.getDimFactorization()
@@ -226,63 +295,10 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
 
         self.training_loss_ = []
         for it, batch in enumerate(batches, start=1):
-            lr = float(self.getOrDefault(self.stepSize)) / math.sqrt(it)
-            shrink = lr * float(self.getOrDefault(self.regParam))
-            n = batch.count()
-            if n == 0:
-                continue
-
-            ex = (L.explode_vector(batch, "__features__",
-                                   id_cols=[sid, label])
-                  if explode else batch)
-            # left joins + seeded init for features unseen by the params
-            # (reference calcLossGrad J2, Model.scala:154-171)
-            rows = DF.join_params(ex, strength, factors, how="left", k=k,
-                                  sd=sd, seed=seed + it, sample_id=sid).cache()
-            sf_rel = DF.factor_sums(rows, sample_id=sid)
-            pred = self._error_and_loss(
-                DF.forward(rows, sf_rel, w0, label_col=label,
-                           sample_id=sid),
-                label).cache()
-            stats = pred.agg(
-                F.sum("loss_term").alias("loss"),
-                F.avg("err").alias("mean_err")).first()
-            self.training_loss_.append(float(stats.loss))
-            if self.getOrDefault(self.fitIntercept):
-                # dŷ/dw0 = 1 -> w0 step is the mean error (scalar,
-                # driver-side; piggybacks on the loss action)
-                w0 -= lr * float(stats.mean_err)
-
-            grads = DF.per_row_gradients(rows, sf_rel, pred, label,
-                                         sample_id=sid)
-            grad_w, grad_v_arr = DF.aggregate_gradients(grads, n, lr, k)
-
-            # upsert: params ∪ gradients, missing side = 0 / zero-vector,
-            # then L1 soft-threshold (SGD.scala:168-181)
-            new_strength = (
-                strength.join(grad_w, "featureId", "outer")
-                .select(
-                    "featureId",
-                    L.soft_threshold(
-                        F.coalesce("strength", F.lit(0.0))
-                        - F.coalesce("dw", F.lit(0.0)),
-                        shrink).alias("strength"))
-            )
-            new_factors = (
-                factors.join(grad_v_arr, "featureId", "outer")
-                .select(
-                    "featureId",
-                    L.soft_threshold_vec(
-                        L.vec_sub(F.coalesce("vec", L.zeros(k)),
-                                  F.coalesce("dvec", L.zeros(k))),
-                        shrink).alias("vec"))
-            )
-            # materialize + cut lineage (the reference's missing piece)
-            strength = new_strength.localCheckpoint(eager=True)
-            factors = new_factors.localCheckpoint(eager=True)
-            rows.unpersist()
-            pred.unpersist()
-
+            strength, factors, w0, loss = self._sgd_step(
+                strength, factors, w0, batch, it, explode=explode)
+            if loss is not None:
+                self.training_loss_.append(loss)
         data.unpersist()
         model = FMModel(
             dim_factorization=k, global_bias=w0,
