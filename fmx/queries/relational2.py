@@ -307,6 +307,56 @@ def bool_bitwise_aggs(spark, sf):
 
 
 @query(
+    "unpivot_melt",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, metric, round(v, 2) AS v
+    FROM (SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS v
+          FROM part
+          UNION ALL
+          SELECT p_partkey, 'price' AS metric, p_retailprice AS v FROM part)
+    ORDER BY p_partkey, metric LIMIT 200
+    """)
+def unpivot_melt(spark, sf):
+    """unpivot/melt: wide -> long (engine capability)."""
+    return (T(spark, sf, "part")
+            .select(F.col("p_partkey").cast(BIG).alias("p_partkey"),
+                    F.col("p_size").cast("double").alias("size"),
+                    F.col("p_retailprice").alias("price"))
+            .unpivot("p_partkey", ["size", "price"], "metric", "v")
+            .withColumn("v", F.round("v", 2))
+            .orderBy("p_partkey", "metric").limit(200))
+
+
+@query(
+    "null_safe_equality",
+    oracle="""
+    WITH o2 AS (SELECT o_orderkey,
+                       CASE WHEN o_orderstatus = 'P' THEN NULL
+                            ELSE o_orderstatus END AS st
+                FROM orders)
+    SELECT coalesce(a.st, '<null>') AS st,
+           CAST(count(*) AS BIGINT) AS pairs
+    FROM o2 a JOIN o2 b
+      ON a.st IS NOT DISTINCT FROM b.st
+     AND a.o_orderkey = b.o_orderkey
+    GROUP BY a.st
+    """)
+def null_safe_equality(spark, sf):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing (engine capability)."""
+    o2 = (T(spark, sf, "orders")
+          .select("o_orderkey",
+                  F.when(F.col("o_orderstatus") == "P", None)
+                  .otherwise(F.col("o_orderstatus")).alias("st")))
+    a = o2.select(F.col("o_orderkey").alias("ka"), F.col("st").alias("sa"))
+    b = o2.select(F.col("o_orderkey").alias("kb"), F.col("st").alias("sb"))
+    return (a.join(b, (F.col("sa").eqNullSafe(F.col("sb")))
+                   & (F.col("ka") == F.col("kb")))
+            .groupBy(F.coalesce("sa", F.lit("<null>")).alias("st"))
+            .agg(F.count("*").alias("pairs")))
+
+
+@query(
     "union_by_name",
     oracle="""
     SELECT CAST(k AS BIGINT) AS k, src, round(bal, 2) AS bal FROM (
