@@ -194,7 +194,17 @@ class FMModel(Model, FMParamsBase):
         from fmx.fm import dataflow as DF
 
         sid, label = self.getSampleIdCol(), self.getLabelCol()
-        indexed = dataset.withColumn(sid, F.monotonically_increasing_id())
+        if sid in dataset.columns:
+            # user-supplied stable key: reuse it (don't overwrite)
+            indexed = dataset
+        else:
+            # cache: the plan fans into four branches (rows, factor sums,
+            # forward, deltaVi) re-joined on this id —
+            # monotonically_increasing_id is partition-layout-dependent, so
+            # without a cache the branches could disagree under AQE /
+            # re-listing (reference caches dfSampleIndexed, Model.scala:74)
+            indexed = dataset.withColumn(
+                sid, F.monotonically_increasing_id()).cache()
         ex = L.explode_vector(indexed, self.getFeaturesCol(),
                               id_cols=[sid, label])
         strength = self.strength.select(

@@ -56,9 +56,13 @@ class OnlineFMTrainer:
                 exploded, est.getDimFactorization(),
                 float(est.getInitialSd()), est.getOrDefault(est.seed))
         self.step_count += 1
+        # eager=True: the param checkpoints must materialize before this
+        # micro-batch's cache is dropped — a lazy checkpoint would defer
+        # the work into the NEXT micro-batch, which would need to re-read
+        # this batch's source (breaks on non-replayable streams)
         self.strength, self.factors, self.w0, loss = est._sgd_step(
             self.strength, self.factors, self.w0, prepped,
-            self.step_count, explode=True)
+            self.step_count, explode=True, eager=True)
         if loss is not None:
             self.losses.append(loss)
         prepped.unpersist()

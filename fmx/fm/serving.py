@@ -43,16 +43,24 @@ def fm_score_expr(model: FMModel, features: Column | str,
     v = [[rows.get(i, (0.0, [0.0] * k))[1][f] for i in range(dim)]
          for f in range(k)]
 
+    # zip_with pads the shorter side with NULLs when the feature array
+    # length differs from the compiled dim (easy with sparse-trained
+    # models where dim = max(featureId)+1 undershoots); coalesce each
+    # product to 0.0 so a mismatch contributes nothing instead of
+    # nulling the whole score.  Pass n_features for sparse-trained models.
+    def _dot(arr, lit_arr, term):
+        return F.aggregate(
+            F.zip_with(arr, lit_arr,
+                       lambda x, c: F.coalesce(term(x, c), F.lit(0.0))),
+            F.lit(0.0), lambda a, x: a + x)
+
     w_lit = F.array(*[F.lit(x) for x in w])
-    lin = F.aggregate(F.zip_with(feat, w_lit, lambda x, wi: x * wi),
-                      F.lit(0.0), lambda a, x: a + x)
+    lin = _dot(feat, w_lit, lambda x, wi: x * wi)
     pred = F.lit(model.global_bias) + lin
     for f in range(k):
         vf = F.array(*[F.lit(x) for x in v[f]])
-        s = F.aggregate(F.zip_with(feat, vf, lambda x, vi: x * vi),
-                        F.lit(0.0), lambda a, x: a + x)
-        q = F.aggregate(F.zip_with(feat, vf, lambda x, vi: x * x * vi * vi),
-                        F.lit(0.0), lambda a, x: a + x)
+        s = _dot(feat, vf, lambda x, vi: x * vi)
+        q = _dot(feat, vf, lambda x, vi: x * x * vi * vi)
         pred = pred + 0.5 * (s * s - q)
 
     lo, hi = model.getMinLabel(), model.getMaxLabel()

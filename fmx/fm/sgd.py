@@ -212,10 +212,19 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
 
 
     def _sgd_step(self, strength, factors, w0: float, batch: DataFrame,
-                  it: int, explode: bool = True):
+                  it: int, explode: bool = True, eager: bool = False,
+                  carry: list | None = None):
         """One mini-batch SGD update (the reference foldLeft body,
         SGD.scala:114-212).  Returns (strength', factors', w0', loss) —
-        also the unit of online training on streams (fmx.fm.online)."""
+        also the unit of online training on streams (fmx.fm.online).
+
+        Cache lifecycle: the new param tables are lazy localCheckpoints
+        that materialize inside the NEXT step's first action, so this
+        step's rows/pred caches must outlive the step — they are handed
+        to ``carry`` and released at the start of the next step, after
+        that action.  ``eager=True`` (online/streaming path) materializes
+        the checkpoints immediately instead, so the micro-batch source
+        never needs to be re-read (non-replayable sources)."""
         k = self.getDimFactorization()
         sd = float(self.getInitialSd())
         seed = self.getOrDefault(self.seed)
@@ -240,6 +249,12 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         stats = pred.agg(
             F.sum("loss_term").alias("loss"),
             F.avg("err").alias("mean_err")).first()
+        # that action materialized the previous step's lazy checkpoints;
+        # its rows/pred caches can now be released
+        if carry:
+            for df in carry:
+                df.unpersist()
+            carry.clear()
         loss = float(stats.loss)
         if self.getOrDefault(self.fitIntercept):
             # dŷ/dw0 = 1 -> w0 step is the mean error (scalar,
@@ -268,13 +283,19 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
                     L.vec_sub(F.coalesce("vec", L.zeros(k)),
                               F.coalesce("dvec", L.zeros(k))),
                     shrink).alias("vec")))
-        # cut lineage (the reference's missing piece); lazy: the
-        # checkpoint materializes inside the NEXT iteration's first
+        # cut lineage (the reference's missing piece); lazy by default:
+        # the checkpoint materializes inside the NEXT iteration's first
         # action instead of costing two extra driver round-trips
-        strength = new_strength.localCheckpoint(eager=False)
-        factors = new_factors.localCheckpoint(eager=False)
-        rows.unpersist()
-        pred.unpersist()
+        strength = new_strength.localCheckpoint(eager=eager)
+        factors = new_factors.localCheckpoint(eager=eager)
+        if carry is not None and not eager:
+            # keep this step's caches alive until the lazy checkpoints
+            # materialize (next step / _finalize) — releasing them now
+            # would force a full forward+gradient recompute there
+            carry.extend([rows, pred])
+        else:
+            rows.unpersist()
+            pred.unpersist()
         return strength, factors, w0, loss
 
     def _run_sgd(self, data: DataFrame, batches: list[DataFrame],
@@ -294,11 +315,21 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         factors = factors.localCheckpoint(eager=True)
 
         self.training_loss_ = []
+        carry: list = []
         for it, batch in enumerate(batches, start=1):
             strength, factors, w0, loss = self._sgd_step(
-                strength, factors, w0, batch, it, explode=explode)
+                strength, factors, w0, batch, it, explode=explode,
+                carry=carry)
             if loss is not None:
                 self.training_loss_.append(loss)
+        if carry:
+            # materialize the final lazy checkpoints (one action each,
+            # once per fit — not per iteration) before dropping the last
+            # step's caches and the source cache
+            strength.count()
+            factors.count()
+            for df in carry:
+                df.unpersist()
         data.unpersist()
         model = FMModel(
             dim_factorization=k, global_bias=w0,

@@ -116,30 +116,65 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, num_cells: int = 8,
+             nprobe: int = 2, lloyd_iters: int = 1,
              query_id: str = "query_id") -> DataFrame:
     """IVF-flat ANN: coarse cells seeded from the first ``num_cells``
-    corpus vectors (deterministic, training-free); every vector is
-    assigned to its max-cosine cell; queries probe one cell.
+    corpus vectors (by id), refined by ``lloyd_iters`` rounds of Lloyd's
+    algorithm (assign → elementwise mean); every vector is assigned to
+    its max-cosine cell; queries probe their ``nprobe`` nearest cells.
 
-    Cell assignment broadcasts the centroids; probing is an equi-join on
-    cell — corpus is never cross-joined.
+    The centroid table lives on the DRIVER as literals (num_cells × dim
+    doubles — the standard IVF training budget, same as FAISS coarse
+    quantizers): the corpus-assignment and query-assignment branches
+    share the *identical* literal table, so cell ids cannot diverge
+    between independently-evaluated branches (the previous
+    monotonically_increasing_id derivation was partition-layout-
+    dependent).  Probing stays an equi-join on cell; corpus rows belong
+    to exactly one cell, so (query, candidate) pairs are unique and the
+    corpus is never cross-joined.
     """
-    cents = F.broadcast(
-        corpus.orderBy(id_col).limit(num_cells)
-        .select(F.monotonically_increasing_id().alias("_cell"),
-                F.col(vec_col).alias("_centroid")))
+    spark = corpus.sparkSession
+    corpus = _as_double(corpus, vec_col)
+    queries = _as_double(queries, vec_col)
 
-    def assign(df: DataFrame, out: str) -> DataFrame:
+    seed_rows = (corpus.orderBy(id_col).limit(num_cells)
+                 .select(vec_col).collect())
+    cents_local = [(i, [float(x) for x in r[vec_col]])
+                   for i, r in enumerate(seed_rows)]
+
+    def cents_df(local):
+        return F.broadcast(spark.createDataFrame(
+            local, "_cell int, _centroid array<double>"))
+
+    def assign(df: DataFrame, cents, out: str, n: int = 1) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy(
             F.col("_sim").desc(), F.col("_cell"))
         return (df.crossJoin(cents)
                 .withColumn("_sim", L.cosine_similarity(vec_col, "_centroid"))
                 .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
+                .filter(F.col("_rn") <= n)
                 .select(df["*"], F.col("_cell").alias(out)))
 
-    c = assign(corpus, "cell")
-    q = (assign(queries, "cell")
+    for _ in range(max(0, lloyd_iters)):
+        assigned = assign(corpus, cents_df(cents_local), "cell", 1)
+        # elementwise mean per cell in long format (one hash-agg), then
+        # the num_cells × dim result comes back to the driver
+        means = (assigned
+                 .select("cell", F.posexplode(vec_col).alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("cell",
+                         F.transform("pm", lambda s: s["m"]).alias("v"))
+                 .collect())
+        if means:  # empty cells drop out; ids of surviving cells keep
+            cents_local = [(int(r["cell"]), [float(x) for x in r["v"]])
+                           for r in means]
+
+    cents = cents_df(cents_local)
+    c = assign(corpus, cents, "cell", 1)
+    q = (assign(queries, cents, "cell", max(1, nprobe))
          .select(F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv"),
                  "cell"))
     sim = (c.join(F.broadcast(q), "cell")

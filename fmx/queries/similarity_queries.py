@@ -126,8 +126,9 @@ def ann_lsh_topk(spark, sf):
 
 @query("ann_ivf_topk")  # non-SQL-expressible entry: rows-only check
 def ann_ivf_topk(spark, sf):
-    """IVF-flat ANN: nearest-of-8-centroids cell assignment, probe one
-    cell (argmax assignment loop is the non-SQL part)."""
+    """IVF-flat ANN: 8 Lloyd-refined centroids (driver-side literals, so
+    cell ids are branch-consistent), nprobe=2 cell probing (the
+    iterative centroid training is the non-SQL part)."""
     emb = T(spark, sf, "embeddings")
     out = S.ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
                      "vec_id", "embedding", k=K, num_cells=8)

@@ -49,8 +49,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
               .option("maxFilesPerTrigger", max_files)
               .parquet(stream_dir))
     if dict(stream.dtypes).get("ts") == "bigint":
+        # integer division (see fmx.sources.tables.load_table): double
+        # division loses 1us on ns values above 2^53
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 

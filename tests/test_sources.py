@@ -1,0 +1,43 @@
+"""Source-layer regressions."""
+
+from pyspark.sql import functions as F
+
+
+def test_nanos_to_micros_is_exact_beyond_double_precision(spark):
+    """ns→us conversion must use integer division: `(ts/1000).cast(long)`
+    promotes to double, and ns values ~1.7e18 exceed 2^53, so ~1.6% of
+    us-aligned timestamps came out 1us low (ADVICE r01).  This value is
+    us-aligned but not representable in double."""
+    # 2025-08-01-ish; float(ns)/1000 truncates to ...015 instead of ...016
+    ns = 1_754_000_000_000_016_000
+    assert float(ns) != ns  # precondition: not double-representable
+    df = spark.createDataFrame([(ns,)], "ts bigint")
+    # the exact expression load_table uses for bigint ts columns
+    got = df.select(
+        F.unix_micros(F.timestamp_micros(F.expr("ts div 1000"))).alias("us")
+    ).first()
+    assert got.us == ns // 1000
+    # the old double path really is lossy on this input (guards against
+    # the fixture accidentally being double-representable)
+    bad = df.select(
+        F.unix_micros(
+            F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("us")
+    ).first()
+    assert bad.us != ns // 1000
+
+
+def test_events_ts_microsecond_exactness(spark, sf_dir):
+    """The loaded events.ts must match the raw bigint ns column exactly
+    (integer us) for every row."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":
+        return  # generator emitted real timestamps; nothing to convert
+    from fmx.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(r.us for r in
+                 ev.select(F.unix_micros("ts").alias("us")).collect())
+    want = sorted(r.w for r in
+                  raw.select(F.expr("ts div 1000").alias("w")).collect())
+    assert got == want
