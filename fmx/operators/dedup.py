@@ -21,7 +21,7 @@ from fmx.core import linalg as L
 __all__ = [
     "exact_dedup", "word_shingles", "hash64", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
-    "embedding_near_dup_pairs",
+    "embedding_lsh_buckets", "embedding_near_dup_pairs",
 ]
 
 
@@ -76,20 +76,33 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     if distinct:
         sh = sh.distinct()
     if max_df is not None:
-        w = Window.partitionBy("shingle")
-        sh = (sh.withColumn("_df", F.count("*").over(w))
-              .filter(F.col("_df") <= max_df).drop("_df"))
+        # document frequency via groupBy + broadcast-friendly semi-join,
+        # NOT count(*) OVER (PARTITION BY shingle): the window would
+        # materialize every hot-shingle partition in one task — exactly
+        # the skew this guard exists to prevent
+        keep = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
     return sh
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.2,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Distributed as: shingle equi-join (keys on shingle) -> pair count ->
     join to per-doc sizes.  Returns (id_a, id_b, jaccard) with
     id_a < id_b.
+
+    ``max_df`` (default 1000) drops shingles shared by more than that
+    many documents BEFORE the self-join — the quadratic guard is ON by
+    default: one stop-shingle in 1M docs would otherwise emit 10¹² join
+    rows.  Per-doc sizes are computed on the filtered shingle sets, so
+    Jaccard stays internally consistent.  ``max_df=None`` disables
+    (exact semantics, test-only).
     """
     sh = word_shingles(df, id_col, text_col, n=n, max_df=max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -261,29 +274,88 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     return df.join(keep, id_col, "left_semi")
 
 
-def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                             threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs >= threshold.
+def embedding_lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
+                          num_planes: int = 4,
+                          num_tables: int = 4) -> DataFrame:
+    """Multi-table sign-LSH buckets: (id, table, bucket) — ``num_tables``
+    independent md5-derived plane sets (higher table count = higher
+    recall: P(candidate) = 1-(1-p^planes)^tables for per-plane agreement
+    p = 1-θ/π).  One hash-agg computes every projection; bucketing is a
+    narrow projection on the wide row."""
+    from fmx.operators.similarity import _plane_component
 
-    Long-format dot products: explode to (id, pos, val), equi-join on
-    pos, two hash-aggs — the same shape DuckDB replays.  At corpus scale
-    swap the all-pairs join for the LSH bucketing in
-    fmx.operators.similarity (this exact variant is the verifier).
-    """
     ex = df.select(F.col(id_col),
                    F.posexplode(F.col(vec_col).cast("array<double>"))
                    .alias("pos", "x"))
-    norms = ex.groupBy(id_col).agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
-    a = ex.select(F.col(id_col).alias("id_a"), "pos", F.col("x").alias("xa"))
-    b = ex.select(F.col(id_col).alias("id_b"), "pos", F.col("x").alias("xb"))
-    dots = (a.join(b, "pos")
+    projs = [
+        F.sum(F.col("x") * _plane_component(p, F.col("pos"), table=t))
+        .alias(f"_d{t}_{p}")
+        for t in range(num_tables) for p in range(num_planes)]
+    wide = ex.groupBy(id_col).agg(*projs)
+    tbl_structs = F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            F.concat(*[F.when(F.col(f"_d{t}_{p}") >= 0, F.lit("1"))
+                       .otherwise(F.lit("0")) for p in range(num_planes)])
+            .alias("bucket"))
+        for t in range(num_tables)])
+    return (wide.select(id_col, F.explode(tbl_structs).alias("tb"))
+            .select(F.col(id_col), F.col("tb.table").alias("table"),
+                    F.col("tb.bucket").alias("bucket")))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.35,
+                             num_planes: int = 4, num_tables: int = 4,
+                             all_pairs: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs >= threshold.
+
+    Default path (the scale path): multi-table sign-LSH bucketing →
+    candidate pairs via equi-join on (table, bucket) → exact cosine
+    verify per candidate (one JVM ``zip_with`` fold per pair).  The
+    corpus is never all-paired; the price is LSH recall
+    (1-(1-p^planes)^tables — ≈0.95 at cosine 0.9 with 4×4, lower near
+    the threshold).  All hashes are md5-derived, so the DuckDB oracle
+    replays the identical candidate set.
+
+    ``all_pairs=True`` is the exact small-n verifier: long-format dot
+    products via pos equi-join — O(n²) pair rows, test-only.
+    """
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                     .alias("_v"))
+    if all_pairs:
+        ex = vecs.select(F.col(id_col), F.posexplode("_v").alias("pos", "x"))
+        norms = ex.groupBy(id_col).agg(
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        a = ex.select(F.col(id_col).alias("id_a"), "pos", F.col("x").alias("xa"))
+        b = ex.select(F.col(id_col).alias("id_b"), "pos", F.col("x").alias("xb"))
+        dots = (a.join(b, "pos")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot")))
+        na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+        nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+        return (dots.join(na, "id_a").join(nb, "id_b")
+                .select(F.col("id_a").cast("bigint").alias("id_a"),
+                        F.col("id_b").cast("bigint").alias("id_b"),
+                        (F.col("dot") / (F.col("na") * F.col("nb")))
+                        .alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+
+    buckets = embedding_lsh_buckets(df, id_col, vec_col,
+                                    num_planes=num_planes,
+                                    num_tables=num_tables)
+    ba = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    bb = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (ba.join(bb, ["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot")))
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
-    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b").distinct())
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
             .select(F.col("id_a").cast("bigint").alias("id_a"),
                     F.col("id_b").cast("bigint").alias("id_b"),
-                    (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+                    (L.vec_dot("_va", "_vb")
+                     / (L.vec_norm("_va") * L.vec_norm("_vb")))
+                    .alias("cosine"))
             .filter(F.col("cosine") >= threshold))

@@ -61,10 +61,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rank") <= k))
 
 
-def _plane_component(p: int, i) -> F.Column:
+def _plane_component(p: int, i, table: int | None = None) -> F.Column:
     """Deterministic hyperplane component in [-1, 1): md5-derived so any
-    engine can replay it (DuckDB oracle does)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"plane:{p}:"),
+    engine can replay it (DuckDB oracle does).  ``table`` salts the
+    plane set, giving independent hash tables for multi-probe LSH."""
+    tag = f"plane:{p}:" if table is None else f"plane:{table}:{p}:"
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(tag),
                                           i.cast("string"))), 1, 15),
                16, 10).cast("double")
     return h / F.lit(float(2 ** 59)) - F.lit(1.0)

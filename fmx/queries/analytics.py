@@ -154,27 +154,52 @@ def latest_event_per_user(spark, sf):
                     F.round("value", 4).alias("value")))
 
 
+LEV_SEG = 5       # segment length; 6 segments cover the 30-char prefix
+LEV_NSEG = 6
+LEV_MAX = 5       # edit-distance threshold
+
+
 @query(
     "dedup_levenshtein_prefix",
-    oracle="""
-    WITH p AS (SELECT doc_id, substring(text, 1, 30) AS pre FROM documents)
-    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
-           CAST(b.doc_id AS BIGINT) AS id_b,
-           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
-    FROM p a JOIN p b ON a.doc_id < b.doc_id
-    WHERE levenshtein(a.pre, b.pre) <= 5
+    oracle=f"""
+    WITH p AS (SELECT doc_id, substring(text, 1, 30) AS pre FROM documents),
+    segs AS (SELECT doc_id, pre, i AS seg_i,
+                    substring(pre, 1 + {LEV_SEG} * (i - 1), {LEV_SEG}) AS seg
+             FROM p, LATERAL (SELECT unnest(generate_series(1, {LEV_NSEG}))
+                              AS i) g),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.pre AS pa, b.pre AS pb
+             FROM segs a JOIN segs b
+               ON a.seg_i = b.seg_i AND a.seg = b.seg
+              AND a.doc_id < b.doc_id
+             WHERE a.seg <> '')
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(pa, pb) <= {LEV_MAX}
     """)
 def dedup_levenshtein_prefix(spark, sf):
-    """Edit-distance near-dup on 30-char prefixes (threshold 5).
-    All-pairs here (500 docs); at corpus scale run it as the verifier
-    behind an LSH/fingerprint prefilter, same as exact Jaccard."""
+    """Edit-distance near-dup on 30-char prefixes (threshold 5),
+    band-then-verify: the prefix is split into 6 fixed 5-char segments;
+    candidates are pairs sharing any segment at the same position (an
+    equi-join on (seg_i, seg) — the pigeonhole cover for <=5
+    substitutions, high-recall for general edits), Levenshtein-verified
+    within blocks.  No cartesian product anywhere in the plan."""
     p = (T(spark, sf, "documents")
          .select("doc_id", F.substring("text", 1, 30).alias("pre")))
-    a = p.select(F.col("doc_id").alias("id_a"), F.col("pre").alias("pa"))
-    b = p.select(F.col("doc_id").alias("id_b"), F.col("pre").alias("pb"))
-    return (a.crossJoin(b)
-            .filter(F.col("id_a") < F.col("id_b"))
+    segs = p.select(
+        "doc_id", "pre",
+        F.posexplode(F.array(*[
+            F.substring("pre", 1 + LEV_SEG * i, LEV_SEG)
+            for i in range(LEV_NSEG)])).alias("seg_i", "seg"))
+    a = segs.select(F.col("doc_id").alias("id_a"), F.col("pre").alias("pa"),
+                    "seg_i", "seg")
+    b = segs.select(F.col("doc_id").alias("id_b"), F.col("pre").alias("pb"),
+                    "seg_i", "seg")
+    cand = (a.join(b, ["seg_i", "seg"])
+            .filter((F.col("id_a") < F.col("id_b")) & (F.col("seg") != ""))
+            .select("id_a", "id_b", "pa", "pb").distinct())
+    return (cand
             .select(F.col("id_a").cast(BIG).alias("id_a"),
                     F.col("id_b").cast(BIG).alias("id_b"),
                     F.levenshtein("pa", "pb").cast(BIG).alias("dist"))
-            .filter(F.col("dist") <= 5))
+            .filter(F.col("dist") <= LEV_MAX))

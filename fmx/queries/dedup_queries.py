@@ -45,10 +45,14 @@ sig AS ({slots})
 
 _SIG = _sig_sql()
 
+MAX_DF = 1000  # mirrors ngram_jaccard_pairs' default quadratic guard
+
 _JACCARD_PAIRS = f"""
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
 jac AS (SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
                i * 1.0 / (s1.n_sh + s2.n_sh - i) AS jaccard
@@ -151,26 +155,68 @@ def dedup_simhash(spark, sf):
                      bits=SIMHASH_BITS)
 
 
-@query("dedup_clusters")  # iterative (non-SQL): rows-only check
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES}, {_SIG},
+    banded AS (SELECT doc_id, j // {NUM_HASHES // BANDS} AS band,
+                      array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY j), ',')
+                          AS band_key
+               FROM sig GROUP BY doc_id, j // {NUM_HASHES // BANDS}),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """)
 def dedup_clusters(spark, sf):
     """Near-dup cluster resolution: LSH pairs -> connected components ->
-    (doc_id, cluster_id).  Iterative min-label propagation (the
-    deliberately non-SQL dataflow; lineage-truncated per round)."""
+    (doc_id, cluster_id).  Spark side is iterative min-label propagation
+    (one shuffle per round, lineage-truncated); the oracle reaches the
+    same fixpoint via a DuckDB recursive transitive closure + min."""
     docs = T(spark, sf, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
     return D.connected_components(pairs, docs.select("doc_id"), "doc_id")
 
 
+EMB_PLANES = 4
+EMB_TABLES = 4
+_EMB_PLANE = ("(CAST(concat('0x', substring(md5(concat('plane:', t, ':', p,"
+              " ':', pos)), 1, 15)) AS BIGINT)"
+              " / 576460752303423488.0 - 1.0)")
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+    oracle=f"""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                        CAST(unnest(embedding) AS DOUBLE) AS x
                 FROM embeddings),
+    tp AS (SELECT t.t, p.p
+           FROM (SELECT unnest(generate_series(0, {EMB_TABLES - 1})) AS t) t,
+                (SELECT unnest(generate_series(0, {EMB_PLANES - 1})) AS p) p),
+    proj AS (SELECT vec_id, t, p, sum(x * {_EMB_PLANE}) AS d
+             FROM ex CROSS JOIN tp GROUP BY vec_id, t, p),
+    buckets AS (SELECT vec_id, t,
+                       string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY p) AS bucket
+                FROM proj GROUP BY vec_id, t),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM buckets a JOIN buckets b
+               ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-             FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
-             GROUP BY a.vec_id, b.vec_id)
+    dots AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dot
+             FROM cand c JOIN ex ea ON ea.vec_id = c.id_a
+                         JOIN ex eb ON eb.vec_id = c.id_b AND eb.pos = ea.pos
+             GROUP BY c.id_a, c.id_b)
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            round(dot / (n1.nrm * n2.nrm), 6) AS cosine
     FROM dots JOIN norms n1 ON id_a = n1.vec_id
@@ -178,9 +224,13 @@ def dedup_clusters(spark, sf):
     WHERE dot / (n1.nrm * n2.nrm) >= 0.35
     """)
 def dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-duplicate pairs (threshold 0.35) — the exact
-    verifier behind ANN bucketing."""
+    """Embedding-cosine near-dup pairs (threshold 0.35) via the BOUNDED
+    default path: 4-table × 4-plane sign-LSH candidate buckets, exact
+    cosine verify per candidate — never all-pairs.  The oracle replays
+    the identical md5-derived buckets."""
     from pyspark.sql import functions as F
     out = D.embedding_near_dup_pairs(T(spark, sf, "embeddings"),
-                                     "vec_id", "embedding", threshold=0.35)
+                                     "vec_id", "embedding", threshold=0.35,
+                                     num_planes=EMB_PLANES,
+                                     num_tables=EMB_TABLES)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -57,6 +57,17 @@ def test_no_python_udfs_in_declared_queries(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_no_cartesian_in_pair_generators(spark, sf_dir):
+    """Near-dup pair generation must stay an equi-join on a blocking key
+    (segment / LSH bucket / shingle) — a cartesian or nested-loop pair
+    join is a scale-killer regardless of correctness (VERDICT r01)."""
+    for name in ["dedup_levenshtein_prefix", "dedup_embedding_cosine",
+                 "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_semi_anti_join_strategies(spark, sf_dir):
     assert "LeftSemi" in _plan(spark, sf_dir, "j5_semi_join")
     assert "LeftAnti" in _plan(spark, sf_dir, "j6_anti_join")
