@@ -48,6 +48,29 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # training benchmark — training is the reference's core workload, so
+    # the headline line carries a 3-iteration mini-batch SGD fit (fixed
+    # at sf0.01: 3 full passes of forward+gradient+upsert, ~40 jobs)
+    train_dir = os.environ.get("SPARK_GRAFT_TRAIN_SF_DIR",
+                               "/root/testdata/sf0.01")
+    from pyspark.sql import functions as F
+
+    from fmx.fm import FMRegressorSGD
+    from fmx.sources import load_table
+
+    emb = load_table(spark, train_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("features"))
+    train = emb.withColumn(
+        "label", F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
+    est = FMRegressorSGD(dimFactorization=8, maxIter=3,
+                         miniBatchFraction=0.34, stepSize=0.1, seed=1234)
+    t0 = time.perf_counter()
+    model = est.fit(train)
+    # force the final lazy param tables so the measured time includes
+    # every training job
+    model.strength.count(), model.factors.count()
+    timings["fm_train_sgd_3iter"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

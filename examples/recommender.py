@@ -30,22 +30,18 @@ from fmx.fm import FMRegressorSGD
 from fmx.sources import load_table
 
 
-def build_features(spark, sf_dir: str):
-    """lineitem -> (features as (featureId, featureValue) pairs, label)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey"), F.col("l_partkey"), F.col("l_quantity"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey")
-    ratings = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-               .select(F.col("o_custkey").alias("user"),
-                       F.col("l_partkey").alias("item"),
-                       (F.col("l_quantity") / 50.0).alias("label"))
-               .groupBy("user", "item").agg(F.max("label").alias("label")))
+def ratings_to_features(ratings, max_user: int, max_item: int):
+    """(user, item, label) -> (user, item, label, fmap) with the exact
+    reference sparse layout (udfCrateFeatureVec, Sample.scala:76-95):
 
-    bounds = ratings.agg(F.max("user").alias("mu"),
-                         F.max("item").alias("mi")).first()
-    max_user, max_item = int(bounds.mu) + 1, int(bounds.mi) + 1
+      index user                            -> 1.0   (one-hot user)
+      index max_user + item                 -> 1.0   (one-hot item)
+      index max_user + max_item + other     -> 1/(n-1) per *other* rated
+                                               item (empty when n < 2)
 
+    over dimension max_user + 2*max_item.  The Scala UDF becomes native
+    array expressions — no Python in the feature build.
+    """
     # per-user rated-item set (Sample.scala:109-112 collect_set), exploded
     # back to one row per rating (Sample.scala:113-117)
     per_user = ratings.groupBy("user").agg(
@@ -65,12 +61,31 @@ def build_features(spark, sf_dir: str):
                    (it + max_user + max_item).cast("int").alias("i"),
                    other_weight.cast("double").alias("x"))))
         .otherwise(F.array()))
-    return (joined.select(F.col("label").cast("double"),
+    return (joined.select("user", "item",
+                          F.col("label").cast("double").alias("label"),
                           F.transform(pairs, lambda p: p["x"]).alias("_xs"),
                           F.transform(pairs, lambda p: p["i"]).alias("_is"))
-            .select("label",
-                    F.map_from_arrays("_is", "_xs").alias("fmap")),
-            max_user + 2 * max_item)
+            .select("user", "item", "label",
+                    F.map_from_arrays("_is", "_xs").alias("fmap")))
+
+
+def build_features(spark, sf_dir: str):
+    """lineitem -> (features as (featureId, featureValue) pairs, label)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_partkey"), F.col("l_quantity"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    ratings = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .select(F.col("o_custkey").alias("user"),
+                       F.col("l_partkey").alias("item"),
+                       (F.col("l_quantity") / 50.0).alias("label"))
+               .groupBy("user", "item").agg(F.max("label").alias("label")))
+
+    bounds = ratings.agg(F.max("user").alias("mu"),
+                         F.max("item").alias("mi")).first()
+    max_user, max_item = int(bounds.mu) + 1, int(bounds.mi) + 1
+    feats = ratings_to_features(ratings, max_user, max_item)
+    return feats.select("label", "fmap"), max_user + 2 * max_item
 
 
 def main() -> None:

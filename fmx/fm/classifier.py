@@ -48,6 +48,12 @@ class FMClassifierModel(FMModel):
         super().__init__(**kw)
         self.threshold = float(threshold)
 
+    def _extra_metadata(self) -> dict:
+        return {"threshold": self.threshold}
+
+    def _restore_extra_metadata(self, extra: dict) -> None:
+        self.threshold = float(extra.get("threshold", 0.5))
+
     def _transform(self, dataset: DataFrame) -> DataFrame:
         raw = super()._transform(dataset)
         p = self.getPredictionCol()

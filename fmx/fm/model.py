@@ -39,12 +39,56 @@ from pyspark import keyword_only
 from pyspark.ml import Model
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.param.shared import HasFeaturesCol, HasLabelCol, HasPredictionCol
-from pyspark.sql import DataFrame
+from pyspark.ml.util import (
+    DefaultParamsReader, DefaultParamsWriter, MLReadable, MLReader,
+    MLWritable, MLWriter,
+)
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fmx.core import linalg as L
 
 __all__ = ["FMModel", "FMParamsBase"]
+
+
+class FMModelWriter(MLWriter):
+    """pyspark.ml-native writer: params via DefaultParamsWriter metadata
+    (so Pipeline/CrossValidatorModel persistence recognizes the stage),
+    the distributed param tables as parquet subdirs."""
+
+    def __init__(self, instance: "FMModel"):
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        m = self.instance
+        extra = {"dim_factorization": m.dim_factorization,
+                 "global_bias": m.global_bias,
+                 **m._extra_metadata()}
+        DefaultParamsWriter.saveMetadata(m, path, self.sc,
+                                         extraMetadata=extra)
+        m.strength.write.mode("overwrite").parquet(f"{path}/strength")
+        m.factors.write.mode("overwrite").parquet(f"{path}/factors")
+
+
+class FMModelReader(MLReader):
+    def __init__(self, cls):
+        super().__init__()
+        self._cls = cls
+
+    def load(self, path: str) -> "FMModel":
+        metadata = DefaultParamsReader.loadMetadata(path, self.sc)
+        spark = SparkSession.builder.getOrCreate()
+        extra = metadata  # extraMetadata merges into the top level
+        model = self._cls(
+            dim_factorization=int(extra["dim_factorization"]),
+            global_bias=float(extra["global_bias"]),
+            strength=spark.read.parquet(f"{path}/strength"),
+            factors=spark.read.parquet(f"{path}/factors"))
+        model._restore_extra_metadata(extra)
+        DefaultParamsReader.getAndSetParams(model, metadata)
+        model._resetUid(metadata["uid"])
+        return model
 
 
 class FMParamsBase(HasFeaturesCol, HasPredictionCol, HasLabelCol):
@@ -71,7 +115,7 @@ class FMParamsBase(HasFeaturesCol, HasPredictionCol, HasLabelCol):
         return self.getOrDefault(self.maxLabel) if self.isDefined(self.maxLabel) else None
 
 
-class FMModel(Model, FMParamsBase):
+class FMModel(Model, FMParamsBase, MLWritable, MLReadable):
     """Trained FM model; ``transform`` appends a prediction column."""
 
     @keyword_only
@@ -238,46 +282,37 @@ class FMModel(Model, FMParamsBase):
                         self.getPredictionCol(), "loss",
                         "deltaWi", "deltaVi"))
 
-    # -- persistence (reference M6 surface: DefaultParamsWritable) ------
+    # -- persistence (reference M6/M7 surface: pyspark.ml-native, so
+    # Pipeline([...]).save and CrossValidatorModel.save round-trip a
+    # pipeline containing this model —
+    # FactorizationMachinesSample.scala:50-63) ------------------------
 
-    def save(self, path: str) -> None:
-        """Persist param tables as parquet + scalar metadata as JSON."""
-        self.strength.write.mode("overwrite").parquet(f"{path}/strength")
-        self.factors.write.mode("overwrite").parquet(f"{path}/factors")
-        spark = self.strength.sparkSession
-        meta = {
-            "dim_factorization": self.dim_factorization,
-            "global_bias": self.global_bias,
-            "featuresCol": self.getFeaturesCol(),
-            "predictionCol": self.getPredictionCol(),
-            "labelCol": self.getLabelCol(),
-            "sampleIdCol": self.getSampleIdCol(),
-            "minLabel": self.getMinLabel(),
-            "maxLabel": self.getMaxLabel(),
-        }
-        import json
+    def _extra_metadata(self) -> dict:
+        """Subclass hook: extra scalar metadata persisted beside the
+        params (FMClassifierModel adds its threshold)."""
+        return {}
 
-        (spark.createDataFrame([(json.dumps(meta),)], "meta string")
-         .coalesce(1).write.mode("overwrite").text(f"{path}/meta"))
+    def _restore_extra_metadata(self, extra: dict) -> None:
+        pass
+
+    def write(self) -> FMModelWriter:
+        return FMModelWriter(self)
 
     @classmethod
-    def load(cls, spark, path: str) -> "FMModel":
-        import json
+    def read(cls) -> FMModelReader:
+        return FMModelReader(cls)
 
-        meta = json.loads(spark.read.text(f"{path}/meta").first().value)
-        model = cls(dim_factorization=int(meta["dim_factorization"]),
-                    global_bias=float(meta["global_bias"]),
-                    strength=spark.read.parquet(f"{path}/strength"),
-                    factors=spark.read.parquet(f"{path}/factors"))
-        model._set(featuresCol=meta["featuresCol"],
-                   predictionCol=meta["predictionCol"],
-                   labelCol=meta["labelCol"],
-                   sampleIdCol=meta["sampleIdCol"])
-        if meta.get("minLabel") is not None:
-            model.setMinLabel(meta["minLabel"])
-        if meta.get("maxLabel") is not None:
-            model.setMaxLabel(meta["maxLabel"])
-        return model
+    def save(self, path: str) -> None:
+        """Persist param tables as parquet + params as pyspark.ml
+        metadata (overwrite semantics, matching the round-1 API)."""
+        self.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, *args) -> "FMModel":
+        """``load(path)`` (MLReadable contract) or ``load(spark, path)``
+        (round-1 API; the session arg is accepted for compatibility)."""
+        path = args[-1]
+        return cls.read().load(path)
 
     def _validate_schema(self, dataset: DataFrame) -> None:
         """Schema validation (reference validateAndTransformSchema /

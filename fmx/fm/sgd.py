@@ -47,6 +47,7 @@ from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.param.shared import (
     HasFitIntercept, HasMaxIter, HasRegParam, HasSeed, HasStepSize,
 )
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,8 +59,12 @@ __all__ = ["FMRegressorSGD"]
 
 
 class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
-                     HasStepSize, HasSeed, HasFitIntercept):
-    """Second-order FM regressor trained by distributed mini-batch SGD."""
+                     HasStepSize, HasSeed, HasFitIntercept,
+                     DefaultParamsWritable, DefaultParamsReadable):
+    """Second-order FM regressor trained by distributed mini-batch SGD.
+
+    Params-only persistence (DefaultParamsWritable), so a Pipeline or
+    CrossValidator containing this estimator saves/loads natively."""
 
     dimFactorization = Param(
         Params._dummy(), "dimFactorization",

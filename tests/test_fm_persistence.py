@@ -26,6 +26,99 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert got[103] == pytest.approx(5.0, abs=1e-8)
 
 
+def test_mlwritable_pipeline_roundtrip(spark, tmp_path):
+    """PipelineModel.save/load with an FMModel stage — the reference's
+    M6/M7 contract (FactorizationMachinesSample.scala:50-63) requires
+    pyspark.ml-native persistence, not a custom scheme."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.linalg import Vectors
+
+    from fmx.fm import FMRegressorSGD
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([1.0, 0.0, 1.0]), 1.0),
+         (Vectors.dense([0.0, 1.0, 0.5]), 0.0),
+         (Vectors.dense([1.0, 1.0, 0.0]), 1.0)] * 4,
+        ["features", "label"])
+    est = FMRegressorSGD(dimFactorization=2, maxIter=2,
+                         miniBatchFraction=0.5, seed=7)
+    pm = Pipeline(stages=[est]).fit(df)
+    path = str(tmp_path / "pipe")
+    pm.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    want = {tuple(r.features): r.prediction
+            for r in pm.transform(df).collect()}
+    got = {tuple(r.features): r.prediction
+           for r in loaded.transform(df).collect()}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert loaded.stages[0].getOrDefault(
+        loaded.stages[0].sampleIdCol) == "sampleId"
+
+
+def test_mlwritable_crossvalidator_roundtrip(spark, tmp_path):
+    """CrossValidatorModel.save/load with the FM estimator+model —
+    'be able to run cross validation' (reference README.md:10) including
+    the persistence half."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.linalg import Vectors
+    from pyspark.ml.tuning import (
+        CrossValidator, CrossValidatorModel, ParamGridBuilder,
+    )
+
+    from fmx.fm import FMRegressorSGD
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([1.0, 0.0]), 2.0),
+         (Vectors.dense([0.0, 1.0]), 1.0),
+         (Vectors.dense([1.0, 1.0]), 3.0)] * 6,
+        ["features", "label"])
+    est = FMRegressorSGD(dimFactorization=2, maxIter=2,
+                         miniBatchFraction=0.5, seed=7,
+                         minLabel=0.0, maxLabel=5.0)
+    grid = (ParamGridBuilder()
+            .addGrid(est.regParam, [0.01, 0.1]).build())
+    cv = CrossValidator(estimator=est,
+                        estimatorParamMaps=grid,
+                        evaluator=RegressionEvaluator(),
+                        numFolds=2, seed=7)
+    cvm = cv.fit(df)
+    path = str(tmp_path / "cv")
+    cvm.write().overwrite().save(path)
+    loaded = CrossValidatorModel.load(path)
+    want = {tuple(r.features): r.prediction
+            for r in cvm.transform(df).collect()}
+    got = {tuple(r.features): r.prediction
+           for r in loaded.transform(df).collect()}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_classifier_model_roundtrip_keeps_threshold(spark, tmp_path):
+    from pyspark.ml.linalg import Vectors
+
+    from fmx.fm.classifier import FMClassifierModel, FMClassifierSGD
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([1.0, 0.0]), 1.0),
+         (Vectors.dense([0.0, 1.0]), 0.0)] * 6,
+        ["features", "label"])
+    m = FMClassifierSGD(dimFactorization=2, maxIter=2,
+                        miniBatchFraction=0.5, seed=7,
+                        threshold=0.25).fit(df)
+    path = str(tmp_path / "clf")
+    m.write().overwrite().save(path)
+    loaded = FMClassifierModel.load(path)
+    assert isinstance(loaded, FMClassifierModel)
+    assert loaded.threshold == 0.25
+    want = {tuple(r.features): (r.rawScore, r.probability, r.prediction)
+            for r in m.transform(df).collect()}
+    got = {tuple(r.features): (r.rawScore, r.probability, r.prediction)
+           for r in loaded.transform(df).collect()}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
 def test_calc_loss_grad_reference_grain(spark):
     """calcLossGrad parity (Model.scala:135-234): per-(sample, feature)
     rows carrying unclamped prediction, squared loss, deltaWi = x, and
