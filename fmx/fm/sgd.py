@@ -218,7 +218,7 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
 
     def _sgd_step(self, strength, factors, w0: float, batch: DataFrame,
                   it: int, explode: bool = True, eager: bool = False,
-                  carry: list | None = None):
+                  carry: list | None = None, batch_n: int | None = None):
         """One mini-batch SGD update (the reference foldLeft body,
         SGD.scala:114-212).  Returns (strength', factors', w0', loss) —
         also the unit of online training on streams (fmx.fm.online).
@@ -237,7 +237,10 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         label = self.getLabelCol()
         lr = float(self.getOrDefault(self.stepSize)) / math.sqrt(it)
         shrink = lr * float(self.getOrDefault(self.regParam))
-        n = batch.count()
+        # batch size for gradient averaging: precomputed by _run_sgd in
+        # one upfront action for all batches; standalone/online callers
+        # fall back to counting here
+        n = batch.count() if batch_n is None else batch_n
         if n == 0:
             return strength, factors, w0, None
 
@@ -319,12 +322,24 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         strength = strength.localCheckpoint(eager=True)
         factors = factors.localCheckpoint(eager=True)
 
+        # all mini-batch sizes in ONE driver action (the per-step count
+        # was half the reference's 2-actions-per-iteration contract;
+        # the cached source makes the union scan cheap) -> training is
+        # now ~1 action per iteration
+        from functools import reduce
+
+        tagged = [b.select(F.lit(i).alias("_b")) for i, b in enumerate(batches)]
+        counts = {int(r["_b"]): int(r["n"]) for r in
+                  reduce(DataFrame.unionAll, tagged)
+                  .groupBy("_b").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+
         self.training_loss_ = []
         carry: list = []
         for it, batch in enumerate(batches, start=1):
             strength, factors, w0, loss = self._sgd_step(
                 strength, factors, w0, batch, it, explode=explode,
-                carry=carry)
+                carry=carry, batch_n=counts.get(it - 1, 0))
             if loss is not None:
                 self.training_loss_.append(loss)
         if carry:
