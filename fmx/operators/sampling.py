@@ -1,0 +1,120 @@
+"""Training-data sampling & packing operators.
+
+The ops a 100 TB pretraining pipeline runs between dedup and tokenize:
+deterministic train/val/test splits, per-stratum downsampling, and
+sequence packing.  Everything derives randomness from md5 (engine-
+portable like fmx.operators.dedup.hash64 — DuckDB oracles replay the
+identical arithmetic), so results are reproducible under any
+partitioning and any engine.
+
+Scale notes:
+
+- splits/sampling are pure column expressions — scan-bound, zero
+  shuffles, no ``rand()`` (whose per-task seeding makes resampling
+  layout-dependent).
+- packing partitions the corpus into hash buckets FIRST and packs within
+  buckets: the prefix-sum window runs per bucket in parallel instead of
+  one global ORDER BY (a single-reducer bottleneck at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_uniform01", "hash_split", "stratified_sample",
+           "pack_sequences"]
+
+_TWO60 = float(2 ** 60)
+
+
+def hash_uniform01(col, tag: str, seed: int) -> F.Column:
+    """Deterministic uniform [0, 1) from (tag, seed, value): first 15 hex
+    chars of md5 -> 60-bit int / 2^60.  DuckDB replay:
+    ``CAST(concat('0x', substring(md5(...), 1, 15)) AS BIGINT) /
+    1152921504606846976.0``."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{tag}:{seed}:"), c.cast("string"))), 1, 15),
+        16, 10).cast("double")
+    return h / F.lit(_TWO60)
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float] | None = None,
+               seed: int = 42, out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by stable id hash.
+
+    Unlike ``randomSplit`` the assignment is a pure function of
+    (id, seed): re-running on re-partitioned / appended data never
+    reshuffles existing rows across splits — the property that keeps
+    eval sets honest when the corpus grows.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    u = hash_uniform01(id_col, "split", seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(
+        F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float],
+                      id_col: str, seed: int = 42,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff
+    u(id) < fraction[stratum].  The per-class rebalancing step of a
+    training-data mix (e.g. downweight boilerplate-heavy sources).
+
+    No shuffle: the fraction lookup is a CASE expression, the coin is a
+    hash of the id — sampling a 100 TB corpus is one scan.
+    """
+    u = hash_uniform01(id_col, "strat", seed)
+    frac = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == k
+        frac = F.when(cond, F.lit(float(v))) if frac is None else \
+            frac.when(cond, F.lit(float(v)))
+    frac = F.lit(float(default_fraction)) if frac is None else \
+        frac.otherwise(F.lit(float(default_fraction)))
+    return df.filter(u < frac)
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col,
+                   budget: int = 512, num_buckets: int = 32) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    (id, tokens, bucket, bin) where each (bucket, bin) is one packed
+    sequence.
+
+    Contiguous greedy packing per hash bucket: docs are ordered by id
+    within their bucket, bin = floor(exclusive-prefix-sum / budget) — a
+    bin overruns the budget by at most its last document (standard
+    streaming packing; no doc is split).  Bucketing first keeps the
+    prefix-sum window parallel (one partition per bucket) instead of a
+    global single-reducer ORDER BY; at 1000 executors set num_buckets to
+    a small multiple of total cores.
+    """
+    toks = tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+    base = df.select(
+        F.col(id_col),
+        toks.cast("bigint").alias("tokens"),
+        F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.lit("bucket:"),
+                           F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("bigint"), F.lit(num_buckets)).alias("bucket"))
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (base
+            .withColumn("_cum", F.coalesce(F.sum("tokens").over(w),
+                                           F.lit(0)))
+            .select(id_col, "tokens", "bucket",
+                    F.floor(F.col("_cum") / budget).cast("bigint")
+                    .alias("bin")))

