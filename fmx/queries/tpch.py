@@ -66,30 +66,64 @@ def tpch_q3_shipping_priority(spark, sf):
     """)
 def tpch_q5_local_supplier(spark, sf):
     """TPC-H Q5 shape: 6-way join with a region filter; nation/region/
-    supplier broadcast, the two fact tables shuffle on the order key.
+    supplier broadcast, the fact tables shuffle on the order key.
 
-    Plan-shape note (measured): pushing the ASIA filter through
-    customer->orders before the lineitem join (so li joins a ~5x-reduced
-    o) is the right order at cluster scale, but at sf0.1 the extra
-    broadcast-construction jobs cost more than the 600k-row shuffle they
-    avoid (1.4s vs 1.0s) — so the bench keeps the simple shape and AQE;
-    at 100 TB, pre-reduce orders (see SCALE.md)."""
+    Size-adaptive plan (measured both ways at sf0.1): below
+    ``Q5_PREREDUCE_BYTES`` of lineitem the simple left-deep shape wins
+    (the extra pre-reduction jobs cost more than the small shuffle they
+    avoid, 1.4s vs 1.0s); above it the ASIA filter is pushed through
+    customer→orders FIRST, so every downstream shuffle carries ~1/5 of
+    the orders/customer rows — the shape you want at 100 TB."""
+    shape = "prereduced" if _table_bytes(sf, "lineitem") >= Q5_PREREDUCE_BYTES \
+        else "simple"
+    return tpch_q5_shape(spark, sf, shape)
+
+
+Q5_PREREDUCE_BYTES = 1 << 30  # 1 GiB of lineitem parquet
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(p):
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(p) for f in fs)
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
+def tpch_q5_shape(spark, sf, shape: str):
+    """Q5 with an explicit plan shape ('simple' | 'prereduced') — both
+    produce identical results (asserted in tests); tpch_q5_local_supplier
+    picks by input size."""
     li = T(spark, sf, "lineitem")
     o = T(spark, sf, "orders")
     c = T(spark, sf, "customer")
     s = F.broadcast(T(spark, sf, "supplier"))
     n = F.broadcast(T(spark, sf, "nation"))
     r = F.broadcast(T(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(c, o.o_custkey == c.c_custkey)
-            .join(s, (li.l_suppkey == s.s_suppkey)
-                  & (c.c_nationkey == s.s_nationkey))
-            .join(n, s.s_nationkey == n.n_nationkey)
-            .join(r, n.n_regionkey == r.r_regionkey)
-            .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
+    agg = lambda joined: (  # noqa: E731
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue")))
+    if shape == "simple":
+        return agg(li.join(o, li.l_orderkey == o.o_orderkey)
+                   .join(c, o.o_custkey == c.c_custkey)
+                   .join(s, (li.l_suppkey == s.s_suppkey)
+                         & (c.c_nationkey == s.s_nationkey))
+                   .join(n, s.s_nationkey == n.n_nationkey)
+                   .join(r, n.n_regionkey == r.r_regionkey))
+    # prereduced: ASIA nations (broadcast, tiny) restrict customers via
+    # an equi-join BEFORE the fact joins — orders and every later
+    # shuffle carry only ASIA customers' rows (~1/5)
+    n_asia = n.join(r, n.n_regionkey == r.r_regionkey)
+    c_asia = c.join(F.broadcast(n_asia),
+                    c.c_nationkey == n_asia.n_nationkey)
+    o_red = o.join(c_asia, o.o_custkey == c_asia.c_custkey)
+    return agg(li.join(o_red, li.l_orderkey == o_red.o_orderkey)
+               .join(s, (li.l_suppkey == s.s_suppkey)
+                     & (F.col("c_nationkey") == s.s_nationkey)))
 
 
 @query(

@@ -73,6 +73,23 @@ def test_semi_anti_join_strategies(spark, sf_dir):
     assert "LeftAnti" in _plan(spark, sf_dir, "j6_anti_join")
 
 
+def test_q5_shapes_agree_and_prereduced_broadcasts(spark, sf_dir):
+    """The size-adaptive Q5 must give identical answers in both shapes;
+    the cluster-scale shape keeps the dims broadcast and introduces no
+    extra exchange on lineitem."""
+    from fmx.queries.tpch import tpch_q5_shape
+
+    simple = {(r.n_name, r.revenue) for r in
+              tpch_q5_shape(spark, sf_dir, "simple").collect()}
+    prered = {(r.n_name, r.revenue) for r in
+              tpch_q5_shape(spark, sf_dir, "prereduced").collect()}
+    assert simple == prered and simple
+    plan = (tpch_q5_shape(spark, sf_dir, "prereduced")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partial_aggregation_present(spark, sf_dir):
     # hash agg appears twice: partial (map-side) + final
     plan = _plan(spark, sf_dir, "a1_tpch_q1")
