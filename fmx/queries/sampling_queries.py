@@ -94,3 +94,48 @@ def sample_pack_sequences(spark, sf):
                       "tokens",
                       F.col("bucket").cast("bigint").alias("bucket"),
                       "bin")
+
+
+@query(
+    "pipeline_dataprep",
+    headline=True,
+    oracle=f"""
+    WITH q AS (SELECT doc_id, text, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents
+               WHERE len(string_split(text, ' ')) >= 5 AND n_chars >= 20),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+    s AS (SELECT kept.*,
+                 CASE WHEN {_U.format(tag='split', seed=SEED, col='doc_id')}
+                          < 0.9 THEN 'train'
+                      WHEN {_U.format(tag='split', seed=SEED, col='doc_id')}
+                          < 0.95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM kept)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang
+    """)
+def pipeline_dataprep(spark, sf):
+    """End-to-end training-data prep, composing three operator families
+    in one plan: quality gate (token/char thresholds, pure column
+    expressions on the scan) -> exact dedup (md5 groupBy keeping min id,
+    left-semi back) -> deterministic hash split -> per-(split, lang)
+    corpus stats.  The whole pipeline is one DAG: scan -> hash-agg ->
+    semi-join -> hash-agg, nothing iterative, nothing collected."""
+    from fmx.operators import dedup as D
+
+    docs = T(spark, sf, "documents")
+    q = (docs
+         .withColumn("n_tokens",
+                     F.size(F.split(F.col("text"), " ")).cast("bigint"))
+         .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20)))
+    keep = (D.exact_dedup(q, "doc_id", "text")
+            .select(F.col("keep_id").alias("doc_id")))
+    kept = q.join(keep, "doc_id", "left_semi")
+    s = SMP.hash_split(kept, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05}, seed=SEED)
+    return (s.groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
