@@ -7,12 +7,12 @@ replayable in ANSI SQL so every operator carries a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "token_stats", "quality_score", "language_id", "token_counts",
-    "fingerprint", "STOPWORDS",
+    "fingerprint", "vocab_topk", "ngram_contamination", "STOPWORDS",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -115,3 +115,60 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col).cast("bigint").alias(id_col),
                      F.md5(norm).alias("fingerprint"))
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100,
+               min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: top-k whitespace tokens by frequency —
+    (token, cnt, rank), rank ties broken on the token string so the
+    result is deterministic.
+
+    One explode + hash-agg (map-side combinable; token frequency is
+    Zipfian but a count agg only ships one partial row per (partition,
+    token), so the hot head is safe), then a global top-k which Spark
+    executes as TakeOrderedAndProject — k rows to the driver, never a
+    full sort."""
+    toks = df.select(F.explode(_toks(text_col)).alias("token"))
+    counts = (toks.filter(F.col("token") != "")
+              .groupBy("token").agg(F.count("*").alias("cnt"))
+              .filter(F.col("cnt") >= min_count))
+    topk = counts.orderBy(F.col("cnt").desc(), "token").limit(k)
+    # rank over the k surviving rows only (single tiny partition)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return topk.select("token", "cnt",
+                       F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def ngram_contamination(corpus: DataFrame, eval_set: DataFrame,
+                        id_col: str, text_col: str, n: int = 8,
+                        max_df: int | None = 1000) -> DataFrame:
+    """Benchmark decontamination: for every (corpus doc, eval doc) pair
+    sharing at least one word n-gram, report the number of shared
+    n-grams and the fraction of the eval doc's n-grams covered —
+    (corpus_id, eval_id, n_shared, eval_coverage).
+
+    The standard pretraining hygiene step (strip training docs that
+    leak eval data).  Distributed as a shingle equi-join keyed on the
+    n-gram — never corpus × eval — with the same ``max_df`` hot-shingle
+    guard as the dedup family; n=8 keeps shingles near-unique, so the
+    join fan-out is tiny.
+    """
+    from fmx.operators.dedup import word_shingles
+
+    c_sh = word_shingles(corpus, id_col, text_col, n=n, max_df=max_df)
+    e_sh = word_shingles(eval_set, id_col, text_col, n=n, max_df=max_df)
+    e_sizes = e_sh.groupBy(id_col).agg(F.count("*").alias("_n_ev"))
+    c = c_sh.select(F.col(id_col).alias("corpus_id"), "shingle")
+    e = e_sh.select(F.col(id_col).alias("eval_id"), "shingle")
+    shared = (c.join(e, "shingle")
+              .filter(F.col("corpus_id") != F.col("eval_id"))
+              .groupBy("corpus_id", "eval_id")
+              .agg(F.count("*").alias("n_shared")))
+    ev = e_sizes.select(F.col(id_col).alias("eval_id"),
+                        F.col("_n_ev"))
+    return (shared.join(ev, "eval_id")
+            .select(F.col("corpus_id").cast("bigint").alias("corpus_id"),
+                    F.col("eval_id").cast("bigint").alias("eval_id"),
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    F.round(F.col("n_shared") / F.col("_n_ev"), 6)
+                    .alias("eval_coverage")))

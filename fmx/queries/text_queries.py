@@ -150,3 +150,64 @@ def multimodal_features(spark, sf):
         F.col("id").alias("doc_id"), "byte_len",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks WHERE token <> '' GROUP BY token),
+    topk AS (SELECT token, cnt FROM counts
+             ORDER BY cnt DESC, token LIMIT 50)
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+               AS rank
+    FROM topk
+    """)
+def text_vocab_topk(spark, sf):
+    """Corpus vocabulary: top-50 tokens by frequency (vocab building);
+    one explode + hash-agg then TakeOrderedAndProject — k rows to the
+    driver, never a full sort."""
+    return X.vocab_topk(T(spark, sf, "documents"), "text", k=50)
+
+
+@query(
+    "text_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   array_to_string(t[i:i+7], ' ') AS shingle
+            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))
+                                AS i) g
+            WHERE len(t) >= 8),
+    -- replay the operator's max_df=1000 hot-shingle guard on each side
+    ck AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= 1000),
+    sh AS (SELECT sh0.* FROM sh0 JOIN ck USING (shingle)),
+    ev0 AS (SELECT * FROM sh0 WHERE doc_id < 20),
+    ek AS (SELECT shingle FROM ev0 GROUP BY shingle
+           HAVING count(*) <= 1000),
+    ev AS (SELECT ev0.* FROM ev0 JOIN ek USING (shingle)),
+    ev_sizes AS (SELECT doc_id, count(*) AS n_ev FROM ev GROUP BY doc_id),
+    shared AS (SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+                      CAST(count(*) AS BIGINT) AS n_shared
+               FROM sh c JOIN ev e ON c.shingle = e.shingle
+                                  AND c.doc_id <> e.doc_id
+               GROUP BY c.doc_id, e.doc_id)
+    SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(eval_id AS BIGINT) AS eval_id, n_shared,
+           round(n_shared * 1.0 / n_ev, 6) AS eval_coverage
+    FROM shared JOIN ev_sizes ON eval_id = ev_sizes.doc_id
+    """)
+def text_contamination(spark, sf):
+    """Benchmark decontamination: 8-gram overlap between the corpus and
+    an eval set (doc_id < 20 as the stand-in benchmark) — shingle
+    equi-join, never corpus x eval."""
+    from pyspark.sql import functions as F
+
+    docs = T(spark, sf, "documents")
+    return X.ngram_contamination(
+        docs, docs.filter(F.col("doc_id") < 20), "doc_id", "text", n=8)

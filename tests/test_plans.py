@@ -38,6 +38,9 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 def test_global_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sort_limit_topk")
     assert "TakeOrderedAndProject" in plan
+    # vocab building must also top-k via per-partition heaps, not a
+    # full sort of the token counts
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "text_vocab_topk")
 
 
 def test_ranked_topk_uses_window_group_limit(spark, sf_dir):
