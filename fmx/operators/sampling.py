@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
-           "pack_sequences"]
+           "pack_sequences", "temperature_mixture", "per_group_cap"]
 
 _TWO60 = float(2 ** 60)
 
@@ -118,3 +118,43 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col,
             .select(id_col, "tokens", "bucket",
                     F.floor(F.col("_cum") / budget).cast("bigint")
                     .alias("bin")))
+
+
+def temperature_mixture(df: DataFrame, source_col: str, id_col: str,
+                        alpha: float = 0.5, largest_frac: float = 0.5,
+                        seed: int = 42) -> DataFrame:
+    """Temperature-flattened source mixture: keep probability per source
+    p_s = min(1, largest_frac * (max_n / n_s)^(1-alpha)) — alpha=1 keeps
+    natural proportions scaled by largest_frac, alpha→0 flattens toward
+    uniform source sizes (the multilingual-pretraining resampling rule).
+
+    Fully relational: per-source counts and the global max come from one
+    hash-agg joined back (broadcast — #sources rows), the keep-coin is
+    the usual md5 hash of the id.  One scan + one tiny join; no driver
+    scalars, so the same plan runs on 10⁵ sources.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    counts = counts.withColumn(
+        "_p",
+        F.least(F.lit(1.0),
+                F.lit(float(largest_frac))
+                * F.pow(F.max("_n").over(Window.partitionBy())
+                        / F.col("_n"), F.lit(1.0 - float(alpha)))))
+    u = hash_uniform01(id_col, "mix", seed)
+    return (df.join(F.broadcast(counts.select(source_col, "_p")),
+                    source_col)
+            .filter(u < F.col("_p"))
+            .drop("_p"))
+
+
+def per_group_cap(df: DataFrame, group_col: str, id_col: str,
+                  cap: int, seed: int = 42) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    hash order (the per-domain cap that stops one crawl domain from
+    dominating a corpus).  Ranking window partitioned by group —
+    executes as WindowGroupLimit (per-partition top-k heaps), never a
+    full per-group sort spill."""
+    u = hash_uniform01(id_col, "cap", seed)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))

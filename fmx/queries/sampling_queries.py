@@ -139,3 +139,47 @@ def pipeline_dataprep(spark, sf):
     return (s.groupBy("split", "lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents
+                    GROUP BY source),
+    p AS (SELECT source,
+                 least(1.0, 0.5 * pow((SELECT max(n) FROM counts) * 1.0 / n,
+                                      0.5)) AS p
+          FROM counts)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+    FROM documents d JOIN p USING (source)
+    WHERE {_U.format(tag='mix', seed=SEED, col='d.doc_id')} < p.p
+    """)
+def sample_temperature_mixture(spark, sf):
+    """Temperature-flattened source mixture (alpha=0.5, largest source
+    kept at 50%): per-source keep probabilities from one broadcast-
+    joined hash-agg, md5 keep-coins — no driver scalars."""
+    out = SMP.temperature_mixture(T(spark, sf, "documents"), "source",
+                                  "doc_id", alpha=0.5, largest_frac=0.5,
+                                  seed=SEED)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "source")
+
+
+@query(
+    "sample_per_source_cap",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, source,
+                      {_U.format(tag='cap', seed=SEED, col='doc_id')} AS u
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 20
+    """)
+def sample_per_source_cap(spark, sf):
+    """Per-domain cap: at most 20 docs per source, chosen by
+    deterministic hash order — WindowGroupLimit plan (per-partition
+    heaps), the anti-domination guard for crawl-heavy corpora."""
+    out = SMP.per_group_cap(T(spark, sf, "documents"), "source",
+                            "doc_id", cap=20, seed=SEED)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "source")

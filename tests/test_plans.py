@@ -46,6 +46,9 @@ def test_global_topk_uses_take_ordered(spark, sf_dir):
 def test_ranked_topk_uses_window_group_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "w3_row_number_topk")
     assert "WindowGroupLimit" in plan
+    # the per-source cap sampler must take the same per-partition-heap
+    # path, not a full per-group sort
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "sample_per_source_cap")
 
 
 def test_no_python_udfs_in_declared_queries(spark, sf_dir):
