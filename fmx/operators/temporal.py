@@ -1,0 +1,122 @@
+"""Temporal join operators: as-of join and banded range join.
+
+Neither exists as a Spark built-in (reference scope: the reference has
+only single-key equi-joins, SURVEY.md §2.3); both are staples of
+time-series / feature-store workloads, so they are implemented here as
+compositions of DataFrame ops with scale-correct plan shapes:
+
+- ``asof_join`` — the classic "latest right row at or before each left
+  row" lookup.  The naive formulation is an inequality join (``r.ts <=
+  l.ts``) which Spark can only execute as a broadcast-nested-loop or
+  sort-merge-with-range — both blow up on skewed keys.  Instead both
+  sides are union-tagged and a single ``last(ignorenulls)`` window
+  carries right-side values forward onto left rows: ONE shuffle on the
+  key, zero joins, linear in rows.  (Same plan shape Flink/QuestDB use
+  for ASOF; DuckDB ships it natively as ``ASOF JOIN``.)
+- ``range_join`` — point-in-interval join.  Naively a cross join with a
+  between-filter (a ``BroadcastNestedLoopJoin`` — quadratic).  Banding
+  makes it an equi-join: each interval explodes into the fixed-width
+  buckets it covers, each point lands in exactly one bucket, the join
+  key is the bucket id, and the exact bound check runs post-join.  Join
+  fan-out is ``len(interval)/bucket_width`` rows per interval — bounded
+  and tunable.  (The standard trick behind Databricks' range-join hint
+  and interval trees in genomics engines.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None,
+              right_tiebreak: str | None = None,
+              tolerance_sec: int | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: attach to every left row the most recent
+    right row with ``right_ts <= left_ts`` on the same key(s).
+
+    Ties on ``right_ts`` are broken by ``right_tiebreak`` (largest
+    wins), making the result a pure function of the data regardless of
+    partitioning.  ``tolerance_sec`` nulls out matches older than the
+    window (pandas ``merge_asof(tolerance=...)`` semantics).  Unmatched
+    left rows are kept with nulls — left-outer semantics.
+
+    Plan shape: unionByName -> one Exchange (hashpartitioning on key)
+    -> running ``last(ignorenulls=True)`` -> filter.  No join operator
+    at all, so there is nothing to skew: each key's rows sort once.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts]
+    out_names = [f"{c}{suffix}" for c in right_cols]
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(n) for c, n in zip(right_cols, out_names)],
+        *([F.col(right_tiebreak).alias("_tie")] if right_tiebreak else []),
+    )
+    l = (left
+         .withColumn("_ts", F.col(left_ts))
+         .withColumn("_side", F.lit(1)))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if right_tiebreak:
+        order.append(F.col("_tie").asc_nulls_last())
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    carried = {n: F.last(F.col(n), ignorenulls=True).over(w)
+               for n in out_names}
+    carried["_match_ts"] = F.last(F.col("_rts"), ignorenulls=True).over(w)
+    u = u.withColumns(carried)
+
+    if tolerance_sec is not None:
+        in_tol = (F.unix_timestamp("_ts") - F.unix_timestamp("_match_ts")
+                  <= F.lit(int(tolerance_sec)))
+        u = u.withColumns(
+            {n: F.when(in_tol, F.col(n)) for n in out_names}
+        ).withColumn("_match_ts", F.when(in_tol, F.col("_match_ts")))
+
+    drop = ["_ts", "_side", "_rts"] + (["_tie"] if right_tiebreak else [])
+    return (u.filter(F.col("_side") == 1)
+            .withColumnRenamed("_match_ts", f"{right_ts}{suffix}")
+            .drop(*drop))
+
+
+def range_join(points: DataFrame, point_col: str,
+               intervals: DataFrame, lo_col: str, hi_col: str,
+               bucket_width: float,
+               how: str = "inner") -> DataFrame:
+    """Point-in-interval join: pair every point row with every interval
+    row where ``lo <= point < hi``.  Intervals may overlap (a point can
+    match many) and the two sides need no shared key.
+
+    Banded equi-join: interval -> explode(sequence(floor(lo/w),
+    floor(hi/w))) bucket rows; point -> floor(point/w); join on bucket;
+    exact bound verify.  A (point, interval) pair can meet in at most
+    one bucket (the point's), so no dedup is needed.  Pick
+    ``bucket_width`` near the median interval length: fan-out stays
+    O(1) per interval and the post-join verify discards only edge
+    buckets.
+    """
+    b = F.lit(float(bucket_width))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / b).cast("long"),
+            F.floor(F.col(hi_col) / b).cast("long"))))
+    pt = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / b).cast("long"))
+    return (pt.join(iv, "_bucket", how)
+            .filter((F.col(point_col) >= F.col(lo_col))
+                    & (F.col(point_col) < F.col(hi_col)))
+            .drop("_bucket"))

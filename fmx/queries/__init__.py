@@ -40,6 +40,7 @@ _MODULES = [
     "fmx.queries.window_queries",
     "fmx.queries.sources_queries",
     "fmx.queries.analytics",
+    "fmx.queries.temporal_queries",
     "fmx.queries.sampling_queries",
     "fmx.queries.relational",
     "fmx.queries.relational2",

@@ -1,0 +1,123 @@
+"""Temporal-join capability queries: as-of join, banded range join, and
+a hypertable-style multi-resolution time rollup over the events table.
+
+Engine extensions beyond the reference (whose only joins are single-key
+equi-joins — SURVEY.md §2.3); the operators live in
+fmx.operators.temporal with scale notes there."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fmx.operators.temporal import asof_join, range_join
+from fmx.queries import query
+from fmx.sources import load_table as T
+
+BIG = "bigint"
+
+ASOF_TOL = 7200          # 2h attribution window
+N_BANDS = 130            # price bands: [900+10i, 925+10i) — overlapping
+
+
+@query(
+    "asof_purchase_last_click",
+    headline=True,
+    oracle=f"""
+    WITH c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+             c.event_id AS click_id, c.ts AS c_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(CASE WHEN date_diff('second', c_ts, p_ts) <= {ASOF_TOL}
+                     THEN click_id END AS BIGINT) AS click_id,
+           CAST(CASE WHEN date_diff('second', c_ts, p_ts) <= {ASOF_TOL}
+                     THEN date_diff('second', c_ts, p_ts) END AS BIGINT)
+               AS lag_sec
+    FROM m WHERE rn = 1
+    """)
+def asof_purchase_last_click(spark, sf):
+    """As-of join: for every purchase, the user's most recent click at
+    or before it (ties -> largest event_id), nulled beyond a 2 h
+    tolerance.  Runs as union + carry-forward window — one shuffle on
+    user_id, no join operator, unlike the O(clicks x purchases)
+    inequality join the oracle spells out."""
+    ev = T(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts"))
+    j = asof_join(purchases, clicks, on="user_id",
+                  right_cols=["event_id"], right_tiebreak="event_id",
+                  tolerance_sec=ASOF_TOL)
+    return j.select(
+        F.col("purchase_id").cast(BIG).alias("purchase_id"),
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.col("event_id_asof").cast(BIG).alias("click_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_asof"))
+        .cast(BIG).alias("lag_sec"))
+
+
+@query(
+    "range_join_price_bands",
+    oracle=f"""
+    WITH bands AS (
+      SELECT i AS band_id, 900.0 + 10 * i AS lo, 925.0 + 10 * i AS hi
+      FROM (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS i))
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY band_id
+    """)
+def range_join_price_bands(spark, sf):
+    """Banded range join: parts priced into overlapping width-25 bands
+    (each part matches up to 3).  The oracle's inequality join becomes
+    a bucket equi-join (width 10) + exact bound verify — no
+    nested-loop, fan-out <= 4 bucket rows per interval."""
+    bands = spark.range(N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (900.0 + 10 * F.col("id")).alias("lo"),
+        (925.0 + 10 * F.col("id")).alias("hi"))
+    parts = T(spark, sf, "part").select("p_partkey", "p_retailprice")
+    joined = range_join(parts, "p_retailprice", bands, "lo", "hi",
+                        bucket_width=10.0)
+    return (joined.groupBy("band_id")
+            .agg(F.count("*").cast(BIG).alias("n_parts"),
+                 F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+            .select(F.col("band_id").cast(BIG).alias("band_id"),
+                    "n_parts", "avg_price"))
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """)
+def hypertable_rollup(spark, sf):
+    """Hypertable-style continuous aggregate: one pass producing the
+    hour grain, its day rollup, and the grand total (ROLLUP grouping
+    sets) — the materialization step of a multi-resolution time-series
+    store.  Partial aggregation keeps the shuffle at grain cardinality,
+    not row count."""
+    ev = T(spark, sf, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+        .alias("hour"),
+        "value")
+    return (ev.rollup("day", "hour")
+            .agg(F.count("*").cast(BIG).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))

@@ -139,3 +139,61 @@ def test_read_libsvm_text(spark, tmp_path):
     rows = read_libsvm_text(spark, str(p)).collect()
     got = {(r.label, r.featureId, r.featureValue) for r in rows}
     assert got == {(1.0, 0, 0.5), (1.0, 2, 1.5), (0.0, 1, 2.0)}
+
+
+# ---------------------------------------------------------------- temporal
+
+def test_asof_join_semantics(spark):
+    from fmx.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3")],
+        "k int, ts bigint, pid string")
+    right = spark.createDataFrame(
+        [(1, 100, 10), (1, 100, 11), (1, 200, 12), (1, 300, 13),
+         (3, 10, 14)],
+        "k int, ts bigint, rid int")
+    # cast bigint ts to timestamp seconds for tolerance arithmetic
+    from pyspark.sql import functions as F
+    to_ts = lambda df: df.withColumn("ts", F.timestamp_seconds("ts"))
+    out = {r.pid: (r.rid_asof,
+                   None if r.ts_asof is None else int(r.ts_asof.timestamp()))
+           for r in asof_join(to_ts(left), to_ts(right), on="k",
+                              right_cols=["rid"], right_tiebreak="rid",
+                              tolerance_sec=100).collect()}
+    # equal-ts rows match (>=); tie at ts=100 -> larger rid wins
+    assert out["p1"] == (11, 100)
+    # latest at-or-before 205 is ts=200, within 100s tolerance
+    assert out["p2"] == (12, 200)
+    # no right rows for k=2 at all -> left kept with nulls
+    assert out["p3"] == (None, None)
+
+
+def test_asof_join_tolerance_excludes_stale(spark):
+    from pyspark.sql import functions as F
+    from fmx.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 500, "p")], "k int, ts bigint, pid string")
+    right = spark.createDataFrame([(1, 100, 7)], "k int, ts bigint, rid int")
+    to_ts = lambda df: df.withColumn("ts", F.timestamp_seconds("ts"))
+    row = asof_join(to_ts(left), to_ts(right), on="k", right_cols=["rid"],
+                    tolerance_sec=399).collect()[0]
+    assert row.rid_asof is None and row.ts_asof is None
+    row = asof_join(to_ts(left), to_ts(right), on="k", right_cols=["rid"],
+                    tolerance_sec=400).collect()[0]
+    assert row.rid_asof == 7
+
+
+def test_range_join_overlapping_intervals(spark):
+    from fmx.operators.temporal import range_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 27.0)],
+                                "pid int, x double")
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (101, 5.0, 15.0), (102, 9.9, 10.1)],
+        "iid int, lo double, hi double")
+    got = {(r.pid, r.iid)
+           for r in range_join(pts, "x", iv, "lo", "hi", 3.0).collect()}
+    # x=5 in [0,10) and [5,15); x=10 in [5,15) and [9.9,10.1) but NOT
+    # [0,10) (hi exclusive); x=27 in nothing
+    assert got == {(1, 100), (1, 101), (2, 101), (2, 102)}

@@ -96,6 +96,24 @@ def test_q5_shapes_agree_and_prereduced_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_has_no_join_operator(spark, sf_dir):
+    """The as-of join must run as union + carry-forward window — a plan
+    with any join node means it regressed to the O(n*m) inequality
+    join."""
+    plan = _plan(spark, sf_dir, "asof_purchase_last_click")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir):
+    """The range join must execute as a (broadcast) hash join on the
+    bucket key, never a nested-loop over the between-predicate."""
+    plan = _plan(spark, sf_dir, "range_join_price_bands")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partial_aggregation_present(spark, sf_dir):
     # hash agg appears twice: partial (map-side) + final
     plan = _plan(spark, sf_dir, "a1_tpch_q1")
