@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_stats", "quality_score", "language_id", "token_counts",
-    "fingerprint", "vocab_topk", "ngram_contamination", "STOPWORDS",
+    "fingerprint", "vocab_topk", "ngram_contamination",
+    "repetition_stats", "STOPWORDS",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -137,6 +138,45 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100,
     w = Window.orderBy(F.col("cnt").desc(), "token")
     return topk.select("token", "cnt",
                        F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters per document: top_word_frac (most
+    frequent token's share of all tokens), dup_word_frac (fraction of
+    tokens that are repeats of an earlier token), top_bigram_frac (most
+    frequent word bigram's share — null for single-token docs).  High
+    values flag boilerplate / degenerate machine text.
+
+    Relational, not per-row quadratic: unigram and bigram counting are
+    explode -> two-level hash aggs (map-side combinable), so a 100 GB
+    document costs its token count, never tokens².  Empty tokens are
+    dropped before counting on both engines."""
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        .alias("_t"))
+    uni = (toks.select(id_col, F.explode("_t").alias("tok"))
+           .groupBy(id_col, "tok").agg(F.count("*").alias("_c")))
+    u = uni.groupBy(id_col).agg(
+        F.max("_c").alias("_top_c"),
+        F.sum("_c").alias("_n_tok"),
+        F.count("*").alias("_n_distinct"))
+    bigrams = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN zip_with(slice(_t, 1, size(_t) - 1), "
+        "slice(_t, 2, size(_t) - 1), (a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END")
+    big = (toks.select(id_col, F.explode(bigrams).alias("w"))
+           .groupBy(id_col, "w").agg(F.count("*").alias("_c")))
+    b = big.groupBy(id_col).agg(F.max("_c").alias("_top_b"),
+                                F.sum("_c").alias("_n_big"))
+    return (u.join(b, id_col, "left")
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    F.round(F.col("_top_c") / F.col("_n_tok"), 6)
+                    .alias("top_word_frac"),
+                    F.round((F.col("_n_tok") - F.col("_n_distinct"))
+                            / F.col("_n_tok"), 6).alias("dup_word_frac"),
+                    F.round(F.col("_top_b") / F.col("_n_big"), 6)
+                    .alias("top_bigram_frac")))
 
 
 def ngram_contamination(corpus: DataFrame, eval_set: DataFrame,

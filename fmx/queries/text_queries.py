@@ -211,3 +211,35 @@ def text_contamination(spark, sf):
     docs = T(spark, sf, "documents")
     return X.ngram_contamination(
         docs, docs.filter(F.col("doc_id") < 20), "doc_id", "text", n=8)
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    uni AS (SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY doc_id, tok),
+    u AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok,
+                 count(*) AS n_distinct
+          FROM uni GROUP BY doc_id),
+    big AS (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS w
+                  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+                                      greatest(len(t) - 1, 0))) AS i) g)
+            GROUP BY doc_id, w),
+    b AS (SELECT doc_id, max(c) AS top_b, sum(c) AS n_big
+          FROM big GROUP BY doc_id)
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
+           round(top_c / n_tok, 6) AS top_word_frac,
+           round((n_tok - n_distinct) / n_tok, 6) AS dup_word_frac,
+           round(top_b / n_big, 6) AS top_bigram_frac
+    FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+    """)
+def text_repetition(spark, sf):
+    """Gopher-style repetition quality filters: top-word, duplicate-word
+    and top-bigram fractions per document — explode + hash-aggs, linear
+    in corpus tokens."""
+    return X.repetition_stats(T(spark, sf, "documents"), "doc_id", "text")
