@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_stats", "quality_score", "language_id", "token_counts",
     "fingerprint", "vocab_topk", "ngram_contamination",
-    "repetition_stats", "STOPWORDS",
+    "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -212,3 +212,66 @@ def ngram_contamination(corpus: DataFrame, eval_set: DataFrame,
                     F.col("n_shared").cast("bigint").alias("n_shared"),
                     F.round(F.col("n_shared") / F.col("_n_ev"), 6)
                     .alias("eval_coverage")))
+
+
+# context-window chunking -------------------------------------------------
+
+def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
+                 chunk_size: int = 16, stride: int = 12) -> DataFrame:
+    """Split each document into overlapping token windows (the
+    tokenize-and-chunk step before sequence packing): one output row per
+    (doc, chunk) with chunk_id, n_tokens, chunk_text.  The final chunk
+    may be short; empty documents produce no chunks.
+
+    One explode of a per-row integer sequence — linear in total tokens,
+    no shuffle at all: chunking a 100 TB corpus is a map-only stage."""
+    toks = (df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        .alias("_t"))
+        .filter(F.size("_t") > 0))
+    starts = F.explode(F.sequence(
+        F.lit(0), F.size("_t") - 1, F.lit(int(stride)))).alias("_s")
+    return (toks.select(id_col, "_t", starts)
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    (F.col("_s") / stride).cast("bigint").alias("chunk_id"),
+                    F.slice("_t", F.col("_s") + 1, chunk_size).alias("_c"))
+            .select(id_col, "chunk_id",
+                    F.size("_c").cast("bigint").alias("n_tokens"),
+                    F.array_join("_c", " ").alias("chunk_text")))
+
+
+# PII / boilerplate redaction --------------------------------------------
+
+# RE2-and-Java-compatible patterns so DuckDB oracles replay them exactly
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^ ]+"
+LONGNUM_RE = "[0-9]{9,}"
+
+
+def redact_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scrub emails, URLs, and long digit runs (phone/SSN-ish) from
+    text, emitting the redacted text plus per-category match counts —
+    the pre-training PII pass.  Pure regexp column expressions;
+    patterns are RE2-compatible so the DuckDB oracle replays them.
+
+    URLs are redacted before long-number runs so digits inside a URL
+    don't double-count."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_url = F.regexp_count(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                           F.lit(URL_RE))
+    red = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                         URL_RE, "<URL>"),
+        LONGNUM_RE, "<NUM>")
+    n_num = F.regexp_count(
+        F.regexp_replace(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                         URL_RE, "<URL>"),
+        F.lit(LONGNUM_RE))
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        red.alias("redacted"),
+        n_email.cast("bigint").alias("n_emails"),
+        n_url.cast("bigint").alias("n_urls"),
+        n_num.cast("bigint").alias("n_longnums"))

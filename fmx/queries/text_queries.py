@@ -243,3 +243,70 @@ def text_repetition(spark, sf):
     and top-bigram fractions per document — explode + hash-aggs, linear
     in corpus tokens."""
     return X.repetition_stats(T(spark, sf, "documents"), "doc_id", "text")
+
+
+CHUNK, STRIDE = 16, 12
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(s // {STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, s + 1, least(s + {CHUNK}, len(t))))
+                AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(t, s + 1, least(s + {CHUNK}, len(t))),
+                           ' ') AS chunk_text
+    FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1,
+                                      {STRIDE})) AS s) g
+    WHERE len(t) > 0
+    """)
+def text_chunking(spark, sf):
+    """Context-window chunking: overlapping 16-token windows with stride
+    12 per document — map-only explode of a per-row sequence, zero
+    shuffles at any corpus size."""
+    return X.chunk_tokens(T(spark, sf, "documents"), "doc_id", "text",
+                          chunk_size=CHUNK, stride=STRIDE)
+
+
+REDACT_ROWS = [
+    (1, "contact me at john.doe@example.com or visit "
+        "https://example.com/page?id=123456789 today"),
+    (2, "call 1234567890 or 123456789012 now"),
+    (3, "no pii here just words"),
+    (4, "mixed bob@test.org and http://x.io/a and 999999999"),
+]
+
+_REDACT_VALUES = ", ".join(
+    "(%d, '%s')" % (i, s) for i, s in REDACT_ROWS)
+
+@query(
+    "text_redaction",
+    oracle=("""
+    WITH fixture(doc_id, text) AS (VALUES """ + _REDACT_VALUES + """),
+    step1 AS (SELECT doc_id,
+                     regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS t1,
+                     CAST(len(regexp_extract_all(text, '@EMAIL@')) AS BIGINT)
+                         AS n_emails
+              FROM fixture),
+    step2 AS (SELECT doc_id, n_emails,
+                     regexp_replace(t1, '@URL@', '<URL>', 'g') AS t2,
+                     CAST(len(regexp_extract_all(t1, '@URL@')) AS BIGINT)
+                         AS n_urls
+              FROM step1)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(t2, '@NUM@', '<NUM>', 'g') AS redacted,
+           n_emails, n_urls,
+           CAST(len(regexp_extract_all(t2, '@NUM@')) AS BIGINT) AS n_longnums
+    FROM step2
+    """).replace("@EMAIL@", X.EMAIL_RE).replace("@URL@", X.URL_RE)
+        .replace("@NUM@", X.LONGNUM_RE))
+def text_redaction(spark, sf):
+    """PII redaction pass (emails / URLs / long digit runs) over a fixed
+    inline fixture — regexp column expressions, RE2-compatible so the
+    oracle replays them; order (email -> url -> num) prevents
+    double-counting digits inside URLs."""
+    df = spark.createDataFrame(REDACT_ROWS, "doc_id long, text string")
+    return X.redact_text(df, "doc_id", "text")
