@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from fmx.core import linalg as L
 
-__all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk"]
+__all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
+           "normalize_embeddings", "quantize_embeddings"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -188,3 +189,40 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def normalize_embeddings(df: DataFrame, id_col: str,
+                         vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize an embedding column (the prep step that turns
+    cosine top-k into a plain dot-product top-k): unit vector + the
+    original norm.  Zero vectors normalize to null (no direction).
+
+    Pure higher-order-function expression — map-only, codegen,
+    replayable in DuckDB list functions."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.round(norm, 6).alias("l2_norm"),
+        F.when(norm > 0,
+               F.transform(v, lambda x: F.round(x / norm, 6)))
+        .alias("unit"))
+
+
+def quantize_embeddings(df: DataFrame, id_col: str,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max(|x|)/127,
+    q_i = round(x_i/scale) in [-127, 127] — 4x memory cut for the ANN
+    corpus side at a known recall cost.  Zero vectors emit scale 0 and
+    a null code array.  Map-only column expressions."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda a, x: F.greatest(a, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.when(amax > 0,
+               F.transform(v, lambda x: F.round(x / scale)
+                           .cast("int")))
+        .alias("codes"))

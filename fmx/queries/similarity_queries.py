@@ -136,3 +136,57 @@ def ann_ivf_topk(spark, sf):
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "cosine",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "emb_normalize",
+    oracle="""
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                      sqrt(list_aggregate(list_transform(
+                          CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+                          AS norm
+               FROM embeddings)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(norm, 6) AS l2_norm,
+           CAST(i - 1 AS BIGINT) AS pos,
+           round(e[i] / norm, 6) AS u
+    FROM n, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+    WHERE norm > 0
+    """)
+def emb_normalize(spark, sf):
+    """L2 normalization of the embedding column (unit vectors + norms,
+    map-only higher-order expressions — turns cosine ANN into dot
+    products), emitted in long (vec_id, pos, u) format for the
+    engine-portable hash compare."""
+    out = S.normalize_embeddings(T(spark, sf, "embeddings"),
+                                 "vec_id", "embedding")
+    return out.select("vec_id", "l2_norm",
+                      F.posexplode("unit").alias("pos", "u")) \
+              .select("vec_id", "l2_norm",
+                      F.col("pos").cast("bigint").alias("pos"), "u")
+
+
+@query(
+    "emb_quantize",
+    oracle="""
+    WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                      list_aggregate(list_transform(
+                          CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')
+                          AS amax
+               FROM embeddings)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(amax / 127.0, 9) AS scale,
+           CAST(i - 1 AS BIGINT) AS pos,
+           CAST(round(e[i] / (amax / 127.0)) AS INTEGER) AS code
+    FROM m, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+    WHERE amax > 0
+    """)
+def emb_quantize(spark, sf):
+    """Symmetric int8 quantization of embeddings (scale = max|x|/127 —
+    the 4x corpus-memory cut for ANN serving), long-format output."""
+    out = S.quantize_embeddings(T(spark, sf, "embeddings"),
+                                "vec_id", "embedding")
+    return out.select("vec_id", "scale",
+                      F.posexplode("codes").alias("pos", "code")) \
+              .select("vec_id", "scale",
+                      F.col("pos").cast("bigint").alias("pos"), "code")

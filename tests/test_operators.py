@@ -197,3 +197,20 @@ def test_range_join_overlapping_intervals(spark):
     # x=5 in [0,10) and [5,15); x=10 in [5,15) and [9.9,10.1) but NOT
     # [0,10) (hi exclusive); x=27 in nothing
     assert got == {(1, 100), (1, 101), (2, 101), (2, 102)}
+
+
+def test_embedding_normalize_quantize_zero_vector(spark):
+    from fmx.operators.similarity import (normalize_embeddings,
+                                          quantize_embeddings)
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    n = {r.vec_id: (r.l2_norm, r.unit)
+         for r in normalize_embeddings(df, "vec_id").collect()}
+    assert n[1] == (5.0, [0.6, 0.8])
+    assert n[2] == (0.0, None)          # zero vector: no direction
+    q = {r.vec_id: (r.scale, r.codes)
+         for r in quantize_embeddings(df, "vec_id").collect()}
+    assert q[1][1] == [95, 127]         # round(3/ (4/127)) = 95
+    assert q[2] == (0.0, None)
