@@ -204,3 +204,58 @@ def win_session_30m(spark, sf):
                     F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
                     .alias("session_start"),
                     "n_events", "total"))
+
+
+@query(
+    "w6_ntile_cume",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey)
+    """)
+def w6_ntile_cume(spark, sf):
+    """Distribution-analytic window functions: ntile quartiles,
+    percent_rank, cume_dist per customer (unique-key ORDER BY suffix
+    keeps every engine's ranking identical)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return (T(spark, sf, "orders")
+            .filter(F.col("o_custkey") < 50)
+            .select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                    F.ntile(4).over(w).cast(BIG).alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume")))
+
+
+@query(
+    "stats_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS price_qty_corr,
+           round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """)
+def stats_corr_regr(spark, sf):
+    """Bivariate statistics per group: correlation, sample covariance,
+    and least-squares slope/intercept — single-pass partial-aggregable
+    moments (no second scan, no driver math)."""
+    li = T(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("price_qty_corr"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+                 .alias("qty_disc_covar"),
+                 F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+                 .alias("slope"),
+                 F.round(F.regr_intercept("l_extendedprice", "l_quantity"),
+                         4).alias("intercept")))
