@@ -218,3 +218,118 @@ def having_filter(spark, sf):
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("spend"))
             .filter(F.col("n_orders") >= 15))
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """)
+def tpch_q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: quarter of returned lineitems -> customer
+    revenue ranking.  Date + returnflag predicates push to the scans,
+    nation broadcasts, top-20 runs as TakeOrderedAndProject."""
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = T(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = T(spark, sf, "customer")
+    n = F.broadcast(T(spark, sf, "nation"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("c_custkey").cast(BIG).alias("c_custkey"),
+                     "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+Q18_QTY = 250
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(l_quantity) > {Q18_QTY})
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey LIMIT 100
+    """)
+def tpch_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: agg-derived semi-join (orders whose total
+    quantity exceeds a threshold) -> enrich with customer -> re-agg.
+    The HAVING subquery becomes a leftsemi join on the grouped fact —
+    one extra shuffle on l_orderkey, reused by the outer agg."""
+    li = T(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .filter(F.col("q") > Q18_QTY)
+           .select("l_orderkey"))
+    o = T(spark, sf, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey", "leftsemi")
+    c = T(spark, sf, "customer")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_custkey").cast(BIG).alias("c_custkey"),
+                     "c_name",
+                     F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                     "o_orderdate", "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "total_qty")
+            .orderBy(F.col("totalprice").desc(), "o_orderkey").limit(100))
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """)
+def tpch_q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: disjunctive mixed-table predicates over a
+    broadcast dim join — Catalyst extracts the common l_quantity/p_size
+    bounds as scan-level filters, the OR evaluates post-join in
+    codegen."""
+    li = T(spark, sf, "lineitem")
+    p = F.broadcast(T(spark, sf, "part"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (((b == "Brand#12") & q.between(1, 11) & s.between(1, 5))
+            | ((b == "Brand#23") & q.between(10, 20) & s.between(1, 10))
+            | ((b == "Brand#34") & q.between(20, 30) & s.between(1, 15)))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
