@@ -22,6 +22,7 @@ __all__ = [
     "exact_dedup", "word_shingles", "hash64", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
+    "incremental_dedup",
 ]
 
 
@@ -359,3 +360,27 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                      / (L.vec_norm("_va") * L.vec_norm("_vb")))
                     .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
+                      id_col: str, text_col: str,
+                      hash_col: str = "content_hash") -> DataFrame:
+    """Incremental exact dedup for a recurring ingest: drop new
+    documents whose (normalized) content hash already exists in the
+    accumulated fingerprint store, AND dedup the new batch internally
+    (keep min id per hash).  Returns the surviving new rows with their
+    hash — append it to the store for the next batch.
+
+    The store side is hash-only (one narrow column at any corpus size);
+    both the anti-join and the in-batch groupBy key on md5 — uniform,
+    skew-free.  This is the steady-state form of exact_dedup: a daily
+    crawl joins against years of fingerprints without rescanning old
+    text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    hashed = new_docs.withColumn(hash_col, F.md5(norm))
+    fresh = hashed.join(seen_hashes.select(hash_col), hash_col, "left_anti")
+    keep = (fresh.groupBy(hash_col)
+            .agg(F.min(id_col).alias("_keep")))
+    return (fresh.join(keep, hash_col)
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_keep"))

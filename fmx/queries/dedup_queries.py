@@ -234,3 +234,42 @@ def dedup_embedding_cosine(spark, sf):
                                      num_planes=EMB_PLANES,
                                      num_tables=EMB_TABLES)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+DEDUP_SPLIT = 250   # store = docs < 250, new batch = docs >= 250
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g'))) AS content_hash
+               FROM documents),
+    store AS (SELECT DISTINCT content_hash FROM h
+              WHERE doc_id < {DEDUP_SPLIT}),
+    newb AS (SELECT * FROM h WHERE doc_id >= {DEDUP_SPLIT}),
+    fresh AS (SELECT * FROM newb
+              WHERE content_hash NOT IN (SELECT content_hash FROM store))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, content_hash
+    FROM fresh
+    QUALIFY row_number() OVER (PARTITION BY content_hash
+                               ORDER BY doc_id) = 1
+    """)
+def dedup_incremental(spark, sf):
+    """Incremental exact dedup: the second half of the corpus arrives as
+    a new crawl batch and is anti-joined against the first half's
+    fingerprint store, then deduped internally (keep min doc_id).  The
+    store side is one md5 column — a daily batch joins years of
+    fingerprints without touching stored text."""
+    from pyspark.sql import functions as F
+
+    docs = T(spark, sf, "documents")
+    store_docs = docs.filter(F.col("doc_id") < DEDUP_SPLIT)
+    store = (store_docs.select(
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+        .alias("content_hash")).distinct())
+    new_batch = docs.filter(F.col("doc_id") >= DEDUP_SPLIT)
+    out = D.incremental_dedup(new_batch, store, "doc_id", "text")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "content_hash")
