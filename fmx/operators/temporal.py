@@ -36,20 +36,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               right_cols: list[str] | None = None,
               right_tiebreak: str | None = None,
               tolerance_sec: int | None = None,
+              direction: str = "backward",
               suffix: str = "_asof") -> DataFrame:
-    """Backward as-of join: attach to every left row the most recent
-    right row with ``right_ts <= left_ts`` on the same key(s).
+    """As-of join: attach to every left row the nearest right row on the
+    same key(s) — ``direction='backward'`` (default) takes the most
+    recent right row with ``right_ts <= left_ts``; ``'forward'`` takes
+    the earliest with ``right_ts >= left_ts``.
 
-    Ties on ``right_ts`` are broken by ``right_tiebreak`` (largest
-    wins), making the result a pure function of the data regardless of
-    partitioning.  ``tolerance_sec`` nulls out matches older than the
-    window (pandas ``merge_asof(tolerance=...)`` semantics).  Unmatched
-    left rows are kept with nulls — left-outer semantics.
+    Ties on ``right_ts`` are broken by ``right_tiebreak`` (largest wins
+    backward, smallest forward), making the result a pure function of
+    the data regardless of partitioning.  ``tolerance_sec`` nulls out
+    matches farther than the window (pandas ``merge_asof`` semantics).
+    Unmatched left rows are kept with nulls — left-outer semantics.
 
     Plan shape: unionByName -> one Exchange (hashpartitioning on key)
     -> running ``last(ignorenulls=True)`` -> filter.  No join operator
     at all, so there is nothing to skew: each key's rows sort once.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    fwd = direction == "forward"
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts]
@@ -68,9 +74,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
          .withColumn("_side", F.lit(1)))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    order = [F.col("_ts").desc() if fwd else F.col("_ts").asc(),
+             F.col("_side").asc()]
     if right_tiebreak:
-        order.append(F.col("_tie").asc_nulls_last())
+        order.append(F.col("_tie").desc_nulls_last() if fwd
+                     else F.col("_tie").asc_nulls_last())
     w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
@@ -80,8 +88,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     u = u.withColumns(carried)
 
     if tolerance_sec is not None:
-        in_tol = (F.unix_timestamp("_ts") - F.unix_timestamp("_match_ts")
-                  <= F.lit(int(tolerance_sec)))
+        gap = (F.unix_timestamp("_match_ts") - F.unix_timestamp("_ts")
+               if fwd else
+               F.unix_timestamp("_ts") - F.unix_timestamp("_match_ts"))
+        in_tol = gap <= F.lit(int(tolerance_sec))
         u = u.withColumns(
             {n: F.when(in_tol, F.col(n)) for n in out_names}
         ).withColumn("_match_ts", F.when(in_tol, F.col("_match_ts")))

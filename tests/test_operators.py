@@ -214,3 +214,23 @@ def test_embedding_normalize_quantize_zero_vector(spark):
          for r in quantize_embeddings(df, "vec_id").collect()}
     assert q[1][1] == [95, 127]         # round(3/ (4/127)) = 95
     assert q[2] == (0.0, None)
+
+
+def test_asof_join_forward_direction(spark):
+    from pyspark.sql import functions as F
+    from fmx.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, "p")], "k int, ts bigint, pid string")
+    right = spark.createDataFrame(
+        [(1, 90, 1), (1, 150, 2), (1, 150, 3), (1, 400, 4)],
+        "k int, ts bigint, rid int")
+    to_ts = lambda df: df.withColumn("ts", F.timestamp_seconds("ts"))
+    # earliest right at-or-after 100 is ts=150; smallest rid wins the tie
+    row = asof_join(to_ts(left), to_ts(right), on="k", right_cols=["rid"],
+                    right_tiebreak="rid", direction="forward").collect()[0]
+    assert row.rid_asof == 2
+    # forward tolerance measured as match_ts - left_ts
+    row = asof_join(to_ts(left), to_ts(right), on="k", right_cols=["rid"],
+                    right_tiebreak="rid", direction="forward",
+                    tolerance_sec=40).collect()[0]
+    assert row.rid_asof is None
