@@ -96,18 +96,34 @@ def random_projection_lsh(df: DataFrame, id_col: str, vec_col: str,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, num_planes: int = 6,
+             multiprobe: bool = False,
              query_id: str = "query_id") -> DataFrame:
     """ANN top-k: candidates = same sign-LSH bucket; exact cosine rerank
     within the bucket.  The corpus-side work is an equi-join on bucket —
-    at 10⁹ vectors this is the difference between feasible and not."""
+    at 10⁹ vectors this is the difference between feasible and not.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (flip each plane bit): recall
+    rises steeply for (num_planes+1)x the probe volume, and the probe
+    expansion happens on the QUERY side only — the corpus is still
+    touched through the same equi-join, so the 100 TB side never
+    fans out."""
     cb = random_projection_lsh(corpus, id_col, vec_col, num_planes)
     qb = random_projection_lsh(queries, id_col, vec_col, num_planes)
     c = corpus.join(cb, id_col)
     q = (queries.join(qb, id_col)
          .select(F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv"),
                  "bucket"))
+    if multiprobe:
+        probes = F.array(F.col("bucket"),
+                         *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                           for p in range(num_planes)])
+        q = q.withColumn("bucket", F.explode(probes))
     cand = (c.join(F.broadcast(q), "bucket")
             .filter(F.col(id_col) != F.col(query_id)))
+    if multiprobe:
+        # a (query, corpus) pair can meet in several probed buckets
+        cand = cand.dropDuplicates([query_id, id_col])
     sim = cand.select(
         query_id, id_col,
         F.round(L.cosine_similarity("_qv", F.col(vec_col)), 6).alias("cosine"))
