@@ -333,3 +333,114 @@ def tpch_q19_disjunctive(spark, sf):
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+@query(
+    "tpch_q4_late_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """)
+def tpch_q4_late_orders(spark, sf):
+    """TPC-H Q4 shape (adapted: ship-lag > 60 days replaces the absent
+    commit/receipt dates): EXISTS decorrelates to a left-semi join on
+    the order key; the quarter filter pushes to the orders scan."""
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp")))
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(li, (li.l_orderkey == o.o_orderkey)
+                  & (li.l_shipdate > F.col("o_orderdate")
+                     + F.expr("INTERVAL 60 DAYS")), "leftsemi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").cast(BIG).alias("order_count")))
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """)
+def tpch_q13_custdist(spark, sf):
+    """TPC-H Q13 shape: outer join with a join-side predicate, then a
+    distribution-of-counts double aggregation (customers keyed first,
+    then histogram — the second agg input is only |customers| rows)."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy(F.col("c_count").cast(BIG).alias("c_count"))
+            .agg(F.count("*").cast(BIG).alias("custdist")))
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """)
+def tpch_q17_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape: per-part correlated average decorrelated into an
+    aggregate + broadcast join.  The per-part avg is computed ONLY over
+    the brand's parts (semi-join pushdown before the agg) — at 100 TB
+    the unpushed variant aggregates the whole fact table for a 1/25
+    brand slice."""
+    li = T(spark, sf, "lineitem")
+    p = F.broadcast(T(spark, sf, "part")
+                    .filter(F.col("p_brand") == "Brand#23")
+                    .select("p_partkey"))
+    li_brand = li.join(p, li.l_partkey == p.p_partkey)
+    avg_q = (li_brand.groupBy("l_partkey")
+             .agg((0.2 * F.avg("l_quantity")).alias("_lim")))
+    return (li_brand.join(F.broadcast(avg_q), "l_partkey")
+            .filter(F.col("l_quantity") < F.col("_lim"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS v FROM customer
+                     WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """)
+def tpch_q22_idle_rich_customers(spark, sf):
+    """TPC-H Q22 shape (adapted: mktsegment replaces the absent phone
+    prefix; 'no urgent orders' keeps the anti-join selective): global
+    scalar average (one tiny broadcast) + anti join + aggregation."""
+    c = T(spark, sf, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("_avg")))
+    urgent = (T(spark, sf, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_avg"))
+            .join(urgent, "c_custkey", "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast(BIG).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
