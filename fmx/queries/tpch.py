@@ -444,3 +444,196 @@ def tpch_q22_idle_rich_customers(spark, sf):
             .groupBy("c_mktsegment")
             .agg(F.count("*").cast(BIG).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """)
+def tpch_q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape: the same dimension (nation) joined in two roles
+    (supplier side / customer side) with a disjunctive cross-role
+    predicate.  Both nation copies broadcast; the disjunction evaluates
+    after both roles attach — Catalyst can't split it, which is the
+    point of the shape."""
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    s = F.broadcast(T(spark, sf, "supplier"))
+    n1 = F.broadcast(T(spark, sf, "nation")
+                     .select(F.col("n_nationkey").alias("_n1k"),
+                             F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(T(spark, sf, "nation")
+                     .select(F.col("n_nationkey").alias("_n2k"),
+                             F.col("n_name").alias("cust_nation")))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n1, F.col("s_nationkey") == F.col("_n1k"))
+            .join(n2, F.col("c_nationkey") == F.col("_n2k"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast(BIG).alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN nation n1 ON c_nationkey = n1.n_nationkey
+               JOIN region ON n1.n_regionkey = r_regionkey
+               JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    GROUP BY o_year
+    """)
+def tpch_q8_market_share(spark, sf):
+    """TPC-H Q8 shape: national market share inside a customer region —
+    a 7-way star with nation in two roles and a conditional-revenue
+    ratio.  Region/nation/part/supplier broadcast; facts shuffle once
+    on the order key."""
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    s = F.broadcast(T(spark, sf, "supplier"))
+    p = F.broadcast(T(spark, sf, "part")
+                    .filter(F.col("p_type") == "PROMO")
+                    .select("p_partkey"))
+    n1 = F.broadcast(T(spark, sf, "nation")
+                     .select(F.col("n_nationkey").alias("_n1k"),
+                             F.col("n_regionkey").alias("_n1r")))
+    r = F.broadcast(T(spark, sf, "region")
+                    .filter(F.col("r_name") == "ASIA"))
+    n2 = F.broadcast(T(spark, sf, "nation")
+                     .select(F.col("n_nationkey").alias("_n2k"),
+                             F.col("n_name").alias("supp_nation")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_share = F.when(F.col("supp_nation") == "NATION_3", vol) \
+                  .otherwise(0.0)
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n1, F.col("c_nationkey") == F.col("_n1k"))
+            .join(r, F.col("_n1r") == F.col("r_regionkey"))
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n2, F.col("s_nationkey") == F.col("_n2k"))
+            .groupBy(F.year("o_orderdate").cast(BIG).alias("o_year"))
+            .agg(F.round(F.sum(asia_share) / F.sum(vol), 6)
+                 .alias("mkt_share")))
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           round(sum(amount), 2) AS sum_profit
+    FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.5 * p_retailprice * l_quantity AS amount
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%5%')
+    GROUP BY nation, o_year
+    """)
+def tpch_q9_product_profit(spark, sf):
+    """TPC-H Q9 shape (adapted: cost = 0.5 x retailprice x quantity —
+    the synthetic schema has no partsupp): profit by supplier nation and
+    order year for a part-name slice.  Part/supplier/nation broadcast,
+    one fact shuffle on the order key."""
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    s = F.broadcast(T(spark, sf, "supplier"))
+    n = F.broadcast(T(spark, sf, "nation"))
+    p = F.broadcast(T(spark, sf, "part")
+                    .filter(F.col("p_name").like("%5%"))
+                    .select("p_partkey", "p_retailprice"))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast(BIG).alias("o_year"))
+            .agg(F.round(F.sum(amount), 2).alias("sum_profit")))
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+                 AS n_late_supp
+      FROM late GROUP BY l_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late JOIN per_order USING (l_orderkey)
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late = 1 AND n_supp > 1 AND n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """)
+def tpch_q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape (adapted lateness = shipped >60 days after
+    order): suppliers solely responsible for a multi-supplier order
+    shipping late.  The reference formulation is EXISTS + NOT EXISTS
+    self-joins; here both decorrelate into ONE per-order aggregate
+    (distinct suppliers / distinct late suppliers) joined back — two
+    shuffles on l_orderkey total, no correlated re-scans."""
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = T(spark, sf, "lineitem")
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("l_orderkey", "l_suppkey",
+                    F.when(F.col("l_shipdate") > F.col("o_orderdate")
+                           + F.expr("INTERVAL 60 DAYS"), 1)
+                    .otherwise(0).alias("is_late")))
+    per_order = (late.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("is_late") == 1,
+                                             F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    s = F.broadcast(T(spark, sf, "supplier"))
+    return (late.join(per_order, "l_orderkey")
+            .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
+                    & (F.col("n_late_supp") == 1))
+            .join(s, late.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast(BIG).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(20))
