@@ -614,9 +614,11 @@ def tpch_q21_waiting_supplier(spark, sf):
     """TPC-H Q21 shape (adapted lateness = shipped >60 days after
     order): suppliers solely responsible for a multi-supplier order
     shipping late.  The reference formulation is EXISTS + NOT EXISTS
-    self-joins; here both decorrelate into ONE per-order aggregate
-    (distinct suppliers / distinct late suppliers) joined back — two
-    shuffles on l_orderkey total, no correlated re-scans."""
+    self-joins (three lineitem scans); here both decorrelate into one
+    (order, supplier) aggregate + a window over the order key — ONE
+    lineitem scan, no correlated re-scans, no join-back."""
+    from pyspark.sql import Window
+
     o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     li = T(spark, sf, "lineitem")
     late = (li.join(o, li.l_orderkey == o.o_orderkey)
@@ -624,16 +626,17 @@ def tpch_q21_waiting_supplier(spark, sf):
                     F.when(F.col("l_shipdate") > F.col("o_orderdate")
                            + F.expr("INTERVAL 60 DAYS"), 1)
                     .otherwise(0).alias("is_late")))
-    per_order = (late.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(F.when(F.col("is_late") == 1,
-                                             F.col("l_suppkey")))
-                      .alias("n_late_supp")))
+    per_supp = (late.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("is_late").alias("supp_late"),
+                     F.sum("is_late").alias("n_late_rows")))
+    w = Window.partitionBy("l_orderkey")
+    x = (per_supp
+         .withColumn("n_supp", F.count("*").over(w))
+         .withColumn("n_late_supp", F.sum("supp_late").over(w)))
     s = F.broadcast(T(spark, sf, "supplier"))
-    return (late.join(per_order, "l_orderkey")
-            .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
-                    & (F.col("n_late_supp") == 1))
-            .join(s, late.l_suppkey == s.s_suppkey)
+    return (x.filter((F.col("supp_late") == 1) & (F.col("n_supp") > 1)
+                     & (F.col("n_late_supp") == 1))
+            .join(s, x.l_suppkey == s.s_suppkey)
             .groupBy("s_name")
-            .agg(F.count("*").cast(BIG).alias("numwait"))
+            .agg(F.sum("n_late_rows").cast(BIG).alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name").limit(20))

@@ -30,7 +30,8 @@ def test_column_pruning_tpch_q1(spark, sf_dir):
 def test_dimension_joins_broadcast(spark, sf_dir):
     for name in ["j1_inner_join_agg", "j7_broadcast_two_dims",
                  "tpch_q5_local_supplier", "tpch_q14_promo_share",
-                 "fm_predict"]:
+                 "tpch_q7_nation_volume", "tpch_q8_market_share",
+                 "tpch_q9_product_profit", "fm_predict"]:
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
 
@@ -112,6 +113,16 @@ def test_range_join_is_banded_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must stay decorrelated into the
+    (order, supplier) aggregate + order-key window — a correlated
+    rewrite shows up as extra lineitem scans or a nested-loop join."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") <= 3  # lineitem, orders, supplier
 
 
 def test_partial_aggregation_present(spark, sf_dir):
