@@ -377,3 +377,29 @@ def union_by_name(spark, sf):
             .select(F.col("k").cast(BIG).alias("k"), "src",
                     F.round("bal", 2).alias("bal"))
             .orderBy("src", "k").limit(200))
+
+
+@query(
+    "histogram_width_bucket",
+    oracle="""
+    -- width_bucket(x, 0, 600000, 24) spelled out (DuckDB lacks it)
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 25
+                     ELSE floor(o_totalprice / 25000.0) + 1 END AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """)
+def histogram_width_bucket(spark, sf):
+    """Equi-width histogram via width_bucket — the one-pass profiling
+    shape for numeric columns (bucket id is a pure expression, the agg
+    carries only bucket cardinality)."""
+    return (T(spark, sf, "orders")
+            .groupBy(F.width_bucket("o_totalprice", F.lit(0.0),
+                                    F.lit(600000.0), F.lit(24))
+                     .cast(BIG).alias("bucket"))
+            .agg(F.count("*").cast(BIG).alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
