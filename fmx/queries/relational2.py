@@ -403,3 +403,50 @@ def histogram_width_bucket(spark, sf):
             .agg(F.count("*").cast(BIG).alias("n"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@query(
+    "j8_salted_join_agg",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """)
+def j8_salted_join_agg(spark, sf):
+    """Salted equi-join (fmx.core.skew.salted_join): the fact side gets
+    a uniform salt, the dimension replicates once per salt, the join key
+    becomes (key, salt) — a power-law hot key lands on num_salts
+    reducers instead of one.  Result-identical to the plain join the
+    oracle runs (salt only changes row placement)."""
+    from fmx.core.skew import salted_join
+
+    li = T(spark, sf, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = (T(spark, sf, "supplier")
+         .select(F.col("s_suppkey").alias("l_suppkey"), "s_name"))
+    return (salted_join(li, s, "l_suppkey", num_salts=8)
+            .groupBy("s_name")
+            .agg(F.count("*").cast(BIG).alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total")))
+
+
+@query(
+    "a10_salted_hot_agg",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """)
+def a10_salted_hot_agg(spark, sf):
+    """Two-phase salted aggregation (fmx.core.skew.salted_agg) on a
+    5-value hot key: partial agg on (key, salt) spreads each hot group
+    over 16 reducers, the final agg merges 16 rows per key.  Identical
+    answer to the direct group-by the oracle runs."""
+    from fmx.core.skew import salted_agg
+
+    ev = T(spark, sf, "events")
+    return (salted_agg(ev, ["event_type"],
+                       {"n": "count(*)", "_t": "sum(value)"},
+                       num_salts=16)
+            .select("event_type", F.col("n").cast(BIG).alias("n"),
+                    F.round("_t", 2).alias("total_value")))
