@@ -22,7 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType, TimestampType)
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files: int = 1) -> DataFrame:
@@ -192,4 +193,74 @@ def user_running_totals(events: DataFrame) -> DataFrame:
                 outputStructType=RUNNING_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+ASOF_SCHEMA = StructType([
+    StructField("purchase_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("click_id", LongType()),
+    StructField("click_ts", TimestampType()),
+])
+
+# latest click per user carried across micro-batches (micros to keep the
+# state schema primitive)
+_ASOF_STATE = StructType([
+    StructField("click_id", LongType()),
+    StructField("click_us", LongType()),
+])
+
+
+def _enrich_purchases_with_click(key, pdfs, state):
+    """Per-user state machine: replay the batch in event-time order,
+    remembering the latest click (ties -> largest event_id, the batch
+    asof_join rule) and emitting every purchase with it attached."""
+    import pandas as pd
+
+    if state.exists:
+        last_id, last_us = state.get
+    else:
+        last_id, last_us = -1, -1
+    rows = pd.concat(list(pdfs))
+    # clicks sort before purchases at equal ts so an equal-ts click is
+    # visible to the purchase (right_ts <= left_ts semantics)
+    rows = rows.sort_values(
+        ["ts", "event_type", "event_id"],
+        key=lambda s: s.map({"click": 0, "purchase": 1})
+        if s.name == "event_type" else s)
+    out = {"purchase_id": [], "user_id": [], "ts": [],
+           "click_id": [], "click_ts": []}
+    for r in rows.itertuples():
+        if r.event_type == "click":
+            last_id, last_us = int(r.event_id), int(r.ts.value // 1000)
+        elif r.event_type == "purchase":
+            out["purchase_id"].append(int(r.event_id))
+            out["user_id"].append(int(key[0]))
+            out["ts"].append(r.ts)
+            out["click_id"].append(None if last_id < 0 else last_id)
+            out["click_ts"].append(
+                None if last_us < 0
+                else pd.Timestamp(last_us * 1000))
+    state.update((last_id, last_us))
+    yield pd.DataFrame(out)
+
+
+def stream_asof_enrich(events: DataFrame) -> DataFrame:
+    """Streaming as-of enrichment: attach the user's most recent click
+    to every purchase as it streams through — the stateful twin of
+    fmx.operators.temporal.asof_join (which proves the same semantics
+    in one batch plan).  State is O(1) per user (one click id +
+    timestamp); correctness across micro-batches relies on per-user
+    event-time ordering of arrivals, the availableNow/replay case —
+    for out-of-order production streams, front it with a watermarked
+    sort buffer or fall back to the batch operator."""
+    return (events
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _enrich_purchases_with_click,
+                outputStructType=ASOF_SCHEMA,
+                stateStructType=_ASOF_STATE,
+                outputMode="Append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -159,3 +159,60 @@ def test_stream_custom_stateful_running_totals(spark, sf_dir):
     for k in want:
         assert got[k] == want[k], k
     q.stop()
+
+
+def test_stream_asof_enrich_matches_batch(spark, sf_dir):
+    """The stateful streaming as-of enrichment must agree row-for-row
+    with the batch asof_join on a replayed stream."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_asof_enrich(events), "asof_stream",
+                       "append")
+    got = {r.purchase_id: (r.click_id,
+                           None if r.click_ts is None else str(r.click_ts))
+           for r in spark.sql("SELECT * FROM asof_stream").collect()}
+
+    from fmx.operators.temporal import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts"))
+    want = {r.purchase_id: (r.event_id_asof,
+                            None if r.ts_asof is None else str(r.ts_asof))
+            for r in asof_join(purchases, clicks, on="user_id",
+                               right_cols=["event_id"],
+                               right_tiebreak="event_id").collect()}
+    assert got == want and got
+    q.stop()
+
+
+def test_stream_asof_state_carries_across_batches(spark, tmp_path):
+    """A click ingested in micro-batch 1 must enrich a purchase arriving
+    in micro-batch 2 (per-user state survives batches)."""
+    import os
+    import time as _t
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cols = "event_id long, ts string, user_id long, event_type string"
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click")], cols
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    _t.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(2, "2024-01-01 10:30:00", 7, "purchase")], cols
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    q = _run_to_memory(S.stream_asof_enrich(stream), "asof_carry",
+                       "append")
+    rows = spark.sql("SELECT * FROM asof_carry").collect()
+    assert len(rows) == 1
+    assert rows[0].purchase_id == 2 and rows[0].click_id == 1
+    assert str(rows[0].click_ts) == "2024-01-01 10:00:00"
+    q.stop()
