@@ -450,3 +450,39 @@ def a10_salted_hot_agg(spark, sf):
                        num_salts=16)
             .select("event_type", F.col("n").cast(BIG).alias("n"),
                     F.round("_t", 2).alias("total_value")))
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n,
+                      sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                               THEN 0 ELSE 1 END) AS v_qty,
+                      sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                               THEN 0 ELSE 1 END) AS v_disc,
+                      sum(CASE WHEN l_extendedprice > 0
+                               THEN 0 ELSE 1 END) AS v_price,
+                      sum(CASE WHEN l_shipdate IS NOT NULL
+                               THEN 0 ELSE 1 END) AS v_ship
+               FROM lineitem)
+    SELECT rule, CAST(n AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations,
+           round(1.0 - v / n, 6) AS pass_rate
+    FROM t, LATERAL (VALUES ('discount_range', v_disc),
+                            ('price_positive', v_price),
+                            ('qty_range', v_qty),
+                            ('shipdate_present', v_ship)) AS r(rule, v)
+    """)
+def dq_expectations(spark, sf):
+    """Data-quality gate: 4 named expectations over lineitem validated
+    in ONE aggregation pass (each rule is a conditional count — 50
+    rules on 100 TB is still a single scan)."""
+    from fmx.operators.dq import check_expectations
+
+    li = T(spark, sf, "lineitem")
+    return check_expectations(li, {
+        "qty_range": F.col("l_quantity").between(1, 50),
+        "discount_range": F.col("l_discount").between(0, 0.1),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+    })

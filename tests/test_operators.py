@@ -234,3 +234,20 @@ def test_asof_join_forward_direction(spark):
                     right_tiebreak="rid", direction="forward",
                     tolerance_sec=40).collect()[0]
     assert row.rid_asof is None
+
+
+def test_dq_failing_rows_bounded(spark):
+    from pyspark.sql import functions as F
+    from fmx.operators.dq import check_expectations, failing_rows
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 60.0)],
+        "id int, v double")
+    rules = {"v_pos": F.col("v") > 0, "v_max": F.col("v") <= 50}
+    stats = {r.rule: (r.n_rows, r.n_violations)
+             for r in check_expectations(df, rules).collect()}
+    # null v counts as a violation of both rules
+    assert stats == {"v_pos": (4, 2), "v_max": (4, 2)}
+    rows = failing_rows(df, rules, limit_per_rule=1).collect()
+    assert len(rows) == 2            # capped at 1 per rule
+    assert {r._rule for r in rows} == {"v_pos", "v_max"}
