@@ -376,11 +376,13 @@ def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
     skew-free.  This is the steady-state form of exact_dedup: a daily
     crawl joins against years of fingerprints without rescanning old
     text."""
+    from pyspark.sql import Window
+
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     hashed = new_docs.withColumn(hash_col, F.md5(norm))
     fresh = hashed.join(seen_hashes.select(hash_col), hash_col, "left_anti")
-    keep = (fresh.groupBy(hash_col)
-            .agg(F.min(id_col).alias("_keep")))
-    return (fresh.join(keep, hash_col)
-            .filter(F.col(id_col) == F.col("_keep"))
-            .drop("_keep"))
+    # keep-min via ranking window: one shuffle on the hash (executes as
+    # WindowGroupLimit per-partition heaps), not groupBy + join-back
+    w = Window.partitionBy(hash_col).orderBy(id_col)
+    return (fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

@@ -50,6 +50,8 @@ def test_ranked_topk_uses_window_group_limit(spark, sf_dir):
     # the per-source cap sampler must take the same per-partition-heap
     # path, not a full per-group sort
     assert "WindowGroupLimit" in _plan(spark, sf_dir, "sample_per_source_cap")
+    # incremental dedup's keep-min rides the same rank-1 limit
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "dedup_incremental")
 
 
 def test_no_python_udfs_in_declared_queries(spark, sf_dir):
