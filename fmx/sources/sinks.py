@@ -40,3 +40,39 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
     sizes only; never for fact tables)."""
     (df.coalesce(1).write.mode("overwrite")
      .option("header", str(header).lower()).csv(path))
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip",
+                num_files: int | None = None) -> None:
+    """JSON-lines sink (the interchange format most LLM-data tooling
+    speaks).  Compressed and file-count-controlled; JSONL is 3-5x
+    parquet's size, so it's an EXPORT format — keep the lake in
+    parquet."""
+    out = df.repartition(num_files) if num_files else df
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL scan; pass an explicit schema in pipelines (inference reads
+    the data twice and is sample-dependent at scale)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_cols: list[str] | None = None) -> None:
+    """ORC sink — same columnar/predicate-pushdown class as parquet for
+    engines that prefer ORC readers."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

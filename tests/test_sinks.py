@@ -41,3 +41,31 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     nation.write.mode("overwrite").json(json_path)
     jback = spark.read.json(json_path)
     assert jback.count() == nation.count()
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    from fmx.sources import load_table
+    from fmx.sources.sinks import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p, num_files=2)
+    back = read_jsonl(spark, p, schema=docs.schema)
+    assert back.count() == docs.count()
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from fmx.sources import load_table
+    from fmx.sources.sinks import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_orc")
+    write_orc(orders, p)
+    back = read_orc(spark, p).filter("o_totalprice > 100000")
+    want = orders.filter("o_totalprice > 100000").count()
+    assert back.count() == want
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
