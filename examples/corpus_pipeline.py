@@ -1,9 +1,11 @@
 """End-to-end training-data curation pipeline over the documents table —
 the LLM-data workflow the extension operators exist for:
 
-  load -> quality score -> language filter -> exact dedup ->
-  near-dup dedup (MinHash LSH + connected components, keep canonical) ->
-  token accounting -> partitioned parquet out
+  load -> quality + repetition filters -> language annotate ->
+  exact dedup -> near-dup dedup (MinHash LSH + connected components,
+  keep canonical) -> token accounting -> chunk to context windows ->
+  pack into fixed-budget sequences -> deterministic train/val split ->
+  partitioned parquet out
 
 Every stage is a pure DataFrame -> DataFrame function; the whole
 pipeline is one lazy plan until the final write.
@@ -59,19 +61,44 @@ def main() -> None:
                                      "doc_id")
     n3 = deduped.count()
 
+    # 3b. drop boilerplate/degenerate docs (Gopher repetition filters)
+    rep = X.repetition_stats(deduped, "doc_id", "text")
+    deduped = (deduped.join(rep, "doc_id")
+               .filter((F.col("top_word_frac") < 0.5)
+                       & (F.col("dup_word_frac") < 0.9))
+               .drop("top_word_frac", "dup_word_frac", "top_bigram_frac"))
+    n4 = deduped.count()
+
     # 4. token accounting for the surviving corpus
     counts = X.token_counts(deduped, "doc_id", "text")
     total = counts.agg(F.sum("ws_tokens").alias("ws"),
                        F.sum("bpe_tokens").alias("bpe")).first()
 
-    # 5. partitioned write (hive layout by predicted language)
-    write_partitioned(deduped.select("doc_id", "text", "pred_lang", "quality"),
-                      out_dir, ["pred_lang"], files_per_partition=2)
+    # 5. chunk to 64-token context windows, pack into 512-token
+    #    sequences, split train/val deterministically by doc hash
+    from fmx.operators.sampling import hash_split, pack_sequences
+
+    chunks = X.chunk_tokens(deduped, "doc_id", "text",
+                            chunk_size=64, stride=64)
+    chunk_ids = chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("chunk_key"),
+        "n_tokens")
+    packed = pack_sequences(chunk_ids, "chunk_key", "n_tokens", budget=512)
+    n_seqs = packed.select("bucket", "bin").distinct().count()
+    split = hash_split(deduped, "doc_id",
+                       {"train": 0.95, "val": 0.05}, seed=7)
+
+    # 6. partitioned write (hive layout by split then language)
+    write_partitioned(split.select("doc_id", "text", "pred_lang",
+                                   "quality", "split"),
+                      out_dir, ["split", "pred_lang"],
+                      files_per_partition=2)
 
     print(f"loaded {n0} -> quality-filtered {n1} -> exact-deduped {n2} "
-          f"-> near-dup-deduped {n3}")
-    print(f"surviving tokens: ws={total.ws} bpe={total.bpe}")
-    print(f"wrote {out_dir} (partitioned by pred_lang)")
+          f"-> near-dup-deduped {n3} -> repetition-filtered {n4}")
+    print(f"surviving tokens: ws={total.ws} bpe={total.bpe}; "
+          f"packed into {n_seqs} 512-token sequences")
+    print(f"wrote {out_dir} (partitioned by split, pred_lang)")
     spark.stop()
 
 
