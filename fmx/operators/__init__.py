@@ -1,1 +1,2 @@
-from fmx.operators import dedup, multimodal, similarity, text  # noqa: F401
+from fmx.operators import (dedup, dq, multimodal, sampling,  # noqa: F401
+                           similarity, temporal, text)

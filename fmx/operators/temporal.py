@@ -60,6 +60,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts]
     out_names = [f"{c}{suffix}" for c in right_cols]
+    clash = ({*out_names, f"{right_ts}{suffix}", "_ts", "_side", "_rts",
+              "_tie"} & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output would collide with left columns {clash}; "
+            f"rename them or pass a different suffix")
 
     r = right.select(
         *keys,

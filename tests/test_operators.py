@@ -251,3 +251,14 @@ def test_dq_failing_rows_bounded(spark):
     rows = failing_rows(df, rules, limit_per_rule=1).collect()
     assert len(rows) == 2            # capped at 1 per rule
     assert {r._rule for r in rows} == {"v_pos", "v_max"}
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    from pyspark.sql import functions as F
+    from fmx.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, 5)], "k int, ts bigint, rid_asof int")
+    right = spark.createDataFrame([(1, 90, 1)], "k int, ts bigint, rid int")
+    to_ts = lambda df: df.withColumn("ts", F.timestamp_seconds("ts"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(to_ts(left), to_ts(right), on="k", right_cols=["rid"])
