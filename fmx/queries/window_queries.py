@@ -259,3 +259,66 @@ def stats_corr_regr(spark, sf):
                  .alias("slope"),
                  F.round(F.regr_intercept("l_extendedprice", "l_quantity"),
                          4).alias("intercept")))
+
+
+@query(
+    "w7_time_range_sum",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING
+                                        AND CURRENT ROW), 4)
+               AS rolling_1h
+    FROM events
+    """)
+def w7_time_range_sum(spark, sf):
+    """Time-based RANGE window frame: per-user rolling 1-hour value sum
+    (frame bounds in event-time seconds, not row counts — the frame a
+    row-count window gets wrong on irregular arrivals)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-3600, 0))
+    return (T(spark, sf, "events")
+            .select(F.col("event_id").cast(BIG).alias("event_id"),
+                    F.col("user_id").cast(BIG).alias("user_id"),
+                    F.round(F.sum("value").over(w), 4).alias("rolling_1h")))
+
+
+@query(
+    "scd2_user_status",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+               AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """)
+def scd2_user_status(spark, sf):
+    """SCD-type-2 history build: each event opens a validity interval
+    closed by the user's next event (lead window; open intervals get the
+    9999 sentinel + is_current flag) — the dimension-table temporal
+    modeling pattern, one shuffle on the key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (T(spark, sf, "events")
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("event_type").alias("status"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("valid_from"),
+                    F.coalesce(F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+                               F.lit("9999-12-31 00:00:00"))
+                    .alias("valid_to"),
+                    F.when(nxt.isNull(), 1).otherwise(0)
+                    .cast("int").alias("is_current")))
