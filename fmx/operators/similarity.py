@@ -115,9 +115,20 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
          .select(F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv"),
                  "bucket"))
     if multiprobe:
-        probes = F.array(F.col("bucket"),
-                         *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                           for p in range(num_planes)])
+        # the bucket is a BIT-STRING ("0110"), so Hamming-1 neighbours
+        # come from flipping one character — never integer XOR, which
+        # would implicitly cast the string to a decimal number and probe
+        # buckets that cannot exist
+        b = F.col("bucket")
+
+        def flip(p: int) -> F.Column:
+            ch = F.substring(b, p + 1, 1)
+            return F.concat(
+                F.substring(b, 1, p),
+                F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(b, p + 2, num_planes))
+
+        probes = F.array(b, *[flip(p) for p in range(num_planes)])
         q = q.withColumn("bucket", F.explode(probes))
     cand = (c.join(F.broadcast(q), "bucket")
             .filter(F.col(id_col) != F.col(query_id)))

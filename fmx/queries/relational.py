@@ -206,11 +206,15 @@ def j5_semi_join(spark, sf):
     "j6_anti_join",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
     """)
 def j6_anti_join(spark, sf):
-    """left-anti join (engine capability)."""
-    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    """left-anti join (engine capability): customers with no URGENT
+    order.  (Every customer has *some* order in the synthetic data, so
+    the unfiltered anti-join would be vacuously empty — r02 lesson.)"""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select(F.col("c_custkey").cast(BIG).alias("c_custkey")))
 
@@ -456,10 +460,15 @@ def set_intersect(spark, sf):
     SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
     EXCEPT
     SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+    WHERE o_orderpriority = '1-URGENT'
     """)
 def set_except(spark, sf):
+    """EXCEPT over key sets (non-empty slice: customers minus
+    urgent-order customers — the unfiltered difference is empty)."""
     c = T(spark, sf, "customer").select(F.col("c_custkey").cast(BIG).alias("k"))
-    o = T(spark, sf, "orders").select(F.col("o_custkey").cast(BIG).alias("k"))
+    o = (T(spark, sf, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").cast(BIG).alias("k")))
     return c.exceptAll(o).distinct()
 
 

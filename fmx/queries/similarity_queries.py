@@ -124,6 +124,116 @@ def ann_lsh_topk(spark, sf):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+@query(
+    "ann_lsh_topk_multiprobe",
+    oracle=f"""
+    WITH {_EX}, {_BUCKET_SQL},
+    q AS (SELECT b.vec_id AS query_id, b.bucket FROM buckets b
+          WHERE b.vec_id < {N_QUERIES}),
+    probes AS (SELECT query_id, bucket AS probe FROM q
+               UNION ALL
+               SELECT query_id,
+                      substring(bucket, 1, p)
+                      || (CASE WHEN substring(bucket, p + 1, 1) = '1'
+                               THEN '0' ELSE '1' END)
+                      || substring(bucket, p + 2, {N_PLANES}) AS probe
+               FROM q CROSS JOIN planes),
+    cand AS (SELECT DISTINCT pr.query_id, b.vec_id
+             FROM probes pr JOIN buckets b ON pr.probe = b.bucket
+             WHERE b.vec_id <> pr.query_id),
+    dots AS (SELECT cand.query_id, cand.vec_id, sum(eq.x * ec.x) AS dot
+             FROM cand JOIN ex eq ON eq.vec_id = cand.query_id
+                       JOIN ex ec ON ec.vec_id = cand.vec_id
+                                 AND ec.pos = eq.pos
+             GROUP BY cand.query_id, cand.vec_id),
+    sims AS (SELECT query_id, dots.vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= {K}
+    """)
+def ann_lsh_topk_multiprobe(spark, sf):
+    """Hamming-1 multiprobe sign-LSH ANN: each query probes its own
+    bucket plus every one-bit-flip neighbour (probe fan-out on the
+    QUERY side only — the corpus is still one equi-join).  Recall at
+    sf0.01: 0.28 vs 0.10 single-probe for (num_planes+1)x probes."""
+    emb = T(spark, sf, "embeddings")
+    out = S.lsh_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                     "vec_id", "embedding", k=K, num_planes=N_PLANES,
+                     multiprobe=True)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+@query(
+    "ann_ivf_topk_fixed",
+    oracle=f"""
+    WITH {_EX},
+    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
+              WHERE vec_id < {N_CELLS}),
+    cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
+              GROUP BY cell),
+    csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
+             FROM ex e JOIN cents c ON e.pos = c.pos
+             GROUP BY e.vec_id, c.cell),
+    csim2 AS (SELECT csim.vec_id, csim.cell,
+                     dot / (norms.nrm * cnorm.cn) AS sim
+              FROM csim JOIN norms ON csim.vec_id = norms.vec_id
+                        JOIN cnorm ON csim.cell = cnorm.cell),
+    cassign AS (SELECT vec_id, cell FROM csim2
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell) <= 1),
+    qassign AS (SELECT vec_id AS query_id, cell FROM csim2
+                WHERE vec_id < {N_QUERIES}
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell)
+                        <= {N_PROBE}),
+    cand AS (SELECT q.query_id, c.vec_id
+             FROM qassign q JOIN cassign c ON q.cell = c.cell
+             WHERE c.vec_id <> q.query_id),
+    dots AS (SELECT cand.query_id, cand.vec_id, sum(eq.x * ec.x) AS dot
+             FROM cand JOIN ex eq ON eq.vec_id = cand.query_id
+                       JOIN ex ec ON ec.vec_id = cand.vec_id
+                                 AND ec.pos = eq.pos
+             GROUP BY cand.query_id, cand.vec_id),
+    sims AS (SELECT query_id, dots.vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= {K}
+    """)
+def ann_ivf_topk_fixed(spark, sf):
+    """IVF-flat ANN with FIXED coarse centroids (lloyd_iters=0: cells =
+    the first num_cells corpus vectors by id).  Same assign/probe plan
+    as the Lloyd path but fully SQL-replayable, so the driver gets a
+    hash-checked row for the IVF plan shape; ann_ivf_topk keeps the
+    Lloyd-trained quality path (rows-only)."""
+    emb = T(spark, sf, "embeddings")
+    out = S.ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                     "vec_id", "embedding", k=K, num_cells=N_CELLS,
+                     nprobe=N_PROBE, lloyd_iters=0)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 @query("ann_ivf_topk")  # non-SQL-expressible entry: rows-only check
 def ann_ivf_topk(spark, sf):
     """IVF-flat ANN: 8 Lloyd-refined centroids (driver-side literals, so

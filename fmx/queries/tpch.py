@@ -554,15 +554,16 @@ def tpch_q8_market_share(spark, sf):
     "tpch_q9_product_profit",
     oracle="""
     SELECT nation, CAST(o_year AS BIGINT) AS o_year,
-           round(sum(amount), 2) AS sum_profit
+           CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
-                 l_extendedprice * (1 - l_discount)
-                   - 0.5 * p_retailprice * l_quantity AS amount
+                 CAST(l_extendedprice * (1 - l_discount)
+                   - 0.5 * p_retailprice * l_quantity
+                   AS DECIMAL(18,4)) AS amount
           FROM part JOIN lineitem ON p_partkey = l_partkey
                JOIN supplier ON s_suppkey = l_suppkey
                JOIN orders ON o_orderkey = l_orderkey
                JOIN nation ON s_nationkey = n_nationkey
-          WHERE p_name LIKE '%5%')
+          WHERE p_name LIKE '%widget%')
     GROUP BY nation, o_year
     """)
 def tpch_q9_product_profit(spark, sf):
@@ -575,17 +576,22 @@ def tpch_q9_product_profit(spark, sf):
     s = F.broadcast(T(spark, sf, "supplier"))
     n = F.broadcast(T(spark, sf, "nation"))
     p = F.broadcast(T(spark, sf, "part")
-                    .filter(F.col("p_name").like("%5%"))
+                    .filter(F.col("p_name").like("%widget%"))
                     .select("p_partkey", "p_retailprice"))
+    # Accumulate in DECIMAL so the sum is exact / order-independent —
+    # double sums land on either side of a .005 rounding boundary
+    # depending on reduction order (observed at sf0.001).
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+              ).cast("decimal(18,4)")
     return (li.join(p, li.l_partkey == p.p_partkey)
             .join(o, li.l_orderkey == o.o_orderkey)
             .join(s, li.l_suppkey == s.s_suppkey)
             .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast(BIG).alias("o_year"))
-            .agg(F.round(F.sum(amount), 2).alias("sum_profit")))
+            .agg(F.round(F.sum(amount), 2).cast("double")
+                 .alias("sum_profit")))
 
 
 @query(

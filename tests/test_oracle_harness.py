@@ -43,10 +43,24 @@ def _normalize(df):
 ALL = Q.all_queries()
 
 
+# Queries that legitimately may return few/zero rows at sf0.001 (scalar
+# aggregates always return 1 row and are fine; these are the selective
+# filters audited as allowed-to-be-small).  Everything else must return
+# at least one row — a 0-row Spark result hash-matching a 0-row oracle
+# proves only the schema (the round-2 tpch_q9 vacuous-pass lesson).
+_MAY_BE_EMPTY = {
+    "text_redaction",          # PII slice: 0 planted docs at sf0.001
+    "tpch_q7_nation_volume",   # nation-pair slice: empty at sf0.001 only
+                               # (14 rows at sf0.01 — driver-green r02)
+}
+
+
 @pytest.mark.parametrize("name", sorted(ALL))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     spec = ALL[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
+    if name not in _MAY_BE_EMPTY:
+        assert len(sdf) > 0, f"{name}: vacuous result (0 rows)"
     if spec.oracle is None:
         assert len(sdf) >= 0  # rows-only smoke for non-SQL ops
         return
