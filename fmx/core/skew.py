@@ -59,7 +59,11 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, str],
         fn = fn.strip().lower()
         if fn not in _MERGE:
             raise ValueError(f"non-decomposable aggregate: {fn}")
-        partial = F.count("*") if fn == "count" else getattr(F, fn)(col)
+        if fn == "count":
+            # count(col) must skip NULLs; only count(*) counts rows
+            partial = F.count("*") if col in ("*", "") else F.count(col)
+        else:
+            partial = getattr(F, fn)(col)
         partial_exprs.append(partial.alias(f"_p_{out}"))
         final_exprs.append(_MERGE[fn](f"_p_{out}").alias(out))
     salted = with_salt(df, num_salts)

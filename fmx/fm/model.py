@@ -238,17 +238,12 @@ class FMModel(Model, FMParamsBase, MLWritable, MLReadable):
         from fmx.fm import dataflow as DF
 
         sid, label = self.getSampleIdCol(), self.getLabelCol()
-        if sid in dataset.columns:
-            # user-supplied stable key: reuse it (don't overwrite)
-            indexed = dataset
-        else:
-            # cache: the plan fans into four branches (rows, factor sums,
-            # forward, deltaVi) re-joined on this id —
-            # monotonically_increasing_id is partition-layout-dependent, so
-            # without a cache the branches could disagree under AQE /
-            # re-listing (reference caches dfSampleIndexed, Model.scala:74)
-            indexed = dataset.withColumn(
-                sid, F.monotonically_increasing_id()).cache()
+        # cache: the plan fans into four branches (rows, factor sums,
+        # forward, deltaVi) re-joined on this id —
+        # monotonically_increasing_id is partition-layout-dependent, so
+        # without a cache the branches could disagree under AQE /
+        # re-listing (reference caches dfSampleIndexed, Model.scala:74)
+        indexed, _ = self._index_dataset(dataset)
         ex = L.explode_vector(indexed, self.getFeaturesCol(),
                               id_cols=[sid, label])
         strength = self.strength.select(
@@ -332,19 +327,32 @@ class FMModel(Model, FMParamsBase, MLWritable, MLReadable):
             raise ValueError(
                 f"output column '{self.getPredictionCol()}' already exists")
 
-    def _transform(self, dataset: DataFrame) -> DataFrame:
-        self._validate_schema(dataset)
+    def _index_dataset(self, dataset: DataFrame) -> tuple[DataFrame, bool]:
+        """Attach the synthetic sample id (cached so every plan branch
+        sees the same partition-layout-dependent ids), releasing the
+        PREVIOUS call's cache: repeated scoring on datasets without a
+        stable sampleIdCol holds at most one cached DataFrame per model
+        instead of leaking one per transform() (r02 ADVICE #5).  The
+        returned plan still references the new cache, so it cannot be
+        unpersisted any earlier than the next call; callers that score
+        in a tight loop should supply a stable sampleIdCol."""
         sid = self.getSampleIdCol()
         if sid in dataset.columns:
             # user-supplied stable key: no synthetic id, no cache needed
             # (and the user's column is preserved in the output)
-            indexed, synthetic = dataset, False
-        else:
-            # cache so the synthetic id is computed once and is consistent
-            # between the predict branch and the join-back (Model.scala:74)
-            indexed = dataset.withColumn(
-                sid, F.monotonically_increasing_id()).cache()
-            synthetic = True
+            return dataset, False
+        indexed = dataset.withColumn(
+            sid, F.monotonically_increasing_id()).cache()
+        prev = getattr(self, "_cached_indexed", None)
+        if prev is not None:
+            prev.unpersist()
+        self._cached_indexed = indexed
+        return indexed, True
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        self._validate_schema(dataset)
+        sid = self.getSampleIdCol()
+        indexed, synthetic = self._index_dataset(dataset)
         exploded = L.explode_vector(indexed, self.getFeaturesCol(), id_cols=[sid])
         pred = self.predict_exploded(exploded, sample_id=sid)
         out = indexed.join(pred, sid, "left")

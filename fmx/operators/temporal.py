@@ -117,22 +117,32 @@ def range_join(points: DataFrame, point_col: str,
     match many) and the two sides need no shared key.
 
     Banded equi-join: interval -> explode(sequence(floor(lo/w),
-    floor(hi/w))) bucket rows; point -> floor(point/w); join on bucket;
-    exact bound verify.  A (point, interval) pair can meet in at most
-    one bucket (the point's), so no dedup is needed.  Pick
-    ``bucket_width`` near the median interval length: fan-out stays
-    O(1) per interval and the post-join verify discards only edge
-    buckets.
+    floor(hi/w))) bucket rows; point -> floor(point/w); equi-join on
+    bucket with the exact bound check as a join RESIDUAL condition (not
+    a post-join filter — a post-join filter silently drops unmatched
+    left rows under ``how='left'``, because their NULL bounds fail the
+    predicate).  A (point, interval) pair can meet in at most one
+    bucket (the point's), so no dedup is needed.  Pick ``bucket_width``
+    near the median interval length: fan-out stays O(1) per interval
+    and the residual check discards only edge buckets.
+
+    ``how`` is restricted to ``inner``/``left``: right/full-outer are
+    incompatible with banding (an unmatched interval would surface once
+    per bucket row).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r} "
+            "(right/full would duplicate unmatched intervals per bucket)")
     b = F.lit(float(bucket_width))
     iv = intervals.withColumn(
-        "_bucket",
+        "_ibucket",
         F.explode(F.sequence(
             F.floor(F.col(lo_col) / b).cast("long"),
             F.floor(F.col(hi_col) / b).cast("long"))))
     pt = points.withColumn(
-        "_bucket", F.floor(F.col(point_col) / b).cast("long"))
-    return (pt.join(iv, "_bucket", how)
-            .filter((F.col(point_col) >= F.col(lo_col))
-                    & (F.col(point_col) < F.col(hi_col)))
-            .drop("_bucket"))
+        "_pbucket", F.floor(F.col(point_col) / b).cast("long"))
+    cond = ((F.col("_pbucket") == F.col("_ibucket"))
+            & (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col)))
+    return pt.join(iv, cond, how).drop("_pbucket", "_ibucket")

@@ -138,10 +138,39 @@ def multimodal_payload_stats(spark, sf):
         F.md5("payload").alias("payload_md5"))
 
 
-@query("multimodal_features")  # mapInPandas path: rows-only check
+@query(
+    "multimodal_features",
+    # The byte-histogram featurizer is deterministic, so the mapInPandas
+    # path IS oracle-checkable: the docs are ASCII (verified: encode()
+    # length == char length at every SF), so per-character ascii() % 8
+    # replays the byte histogram; the REAL cast replicates numpy's
+    # float32 division before the shared round(_, 6).
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, ascii(substring(text, i, 1)) % 8 AS b
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g
+    ),
+    hist AS (
+      SELECT doc_id,
+             sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS h0,
+             sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS h1,
+             count(*) AS total
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(total AS BIGINT) AS byte_len,
+           round(CAST(CAST(CAST(h0 AS DOUBLE) / total AS REAL) AS DOUBLE),
+                 6) AS f0,
+           round(CAST(CAST(CAST(h1 AS DOUBLE) / total AS REAL) AS DOUBLE),
+                 6) AS f1
+    FROM hist
+    """)
 def multimodal_features(spark, sf):
     """Arrow-batched feature extraction over binary payloads
-    (mapInPandas; deterministic byte-histogram stand-in featurizer)."""
+    (mapInPandas; deterministic byte-histogram stand-in featurizer —
+    deterministic enough that DuckDB replays it, converting the former
+    rows-only driver row to hash-checked)."""
     from pyspark.sql import functions as F
 
     mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")

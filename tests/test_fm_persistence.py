@@ -119,6 +119,22 @@ def test_classifier_model_roundtrip_keeps_threshold(spark, tmp_path):
         assert got[k] == pytest.approx(want[k], abs=1e-9)
 
 
+def test_repeated_transform_bounds_cached_dataframes(spark):
+    """Scoring a dataset without a stable sampleIdCol caches the
+    synthetic-id DataFrame; repeated transform() calls must release the
+    previous cache (r02 ADVICE #5: one leaked cache per call)."""
+    from pyspark.ml.linalg import Vectors
+
+    model = build_golden_model(spark)
+    df = spark.createDataFrame(
+        [(Vectors.dense(1.0, 2.0, 1.5, -1.0),)], ["features"])
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(4):
+        model.transform(df).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1
+
+
 def test_calc_loss_grad_reference_grain(spark):
     """calcLossGrad parity (Model.scala:135-234): per-(sample, feature)
     rows carrying unclamped prediction, squared loss, deltaWi = x, and

@@ -220,6 +220,29 @@ def test_range_join_overlapping_intervals(spark):
     assert got == {(1, 100), (1, 101), (2, 101), (2, 102)}
 
 
+def test_range_join_left_keeps_unmatched_points(spark):
+    """how='left' must retain points outside every interval with NULL
+    interval columns (VERDICT r02 #4: the old post-join bound filter
+    silently degenerated left to inner), and must raise for the
+    banding-incompatible right/full joins."""
+    from fmx.operators.temporal import range_join
+
+    pts = spark.createDataFrame([(1, 5.0), (3, 27.0)], "pid int, x double")
+    iv = spark.createDataFrame([(100, 0.0, 10.0)],
+                               "iid int, lo double, hi double")
+    rows = {r.pid: r
+            for r in range_join(pts, "x", iv, "lo", "hi", 3.0,
+                                how="left").collect()}
+    assert rows[1].iid == 100
+    assert rows[3].iid is None and rows[3].lo is None  # retained, null-padded
+    # inner drops it
+    inner = {r.pid for r in
+             range_join(pts, "x", iv, "lo", "hi", 3.0).collect()}
+    assert inner == {1}
+    with pytest.raises(ValueError, match="inner.*left"):
+        range_join(pts, "x", iv, "lo", "hi", 3.0, how="full")
+
+
 def test_embedding_normalize_quantize_zero_vector(spark):
     from fmx.operators.similarity import (normalize_embeddings,
                                           quantize_embeddings)

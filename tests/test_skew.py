@@ -39,6 +39,19 @@ def test_salted_agg_matches_plain_agg(spark, sf_dir):
     assert a == b
 
 
+def test_salted_agg_count_col_skips_nulls(spark):
+    """count(col) must skip NULLs while count(*) counts rows — the old
+    partial mapped both to count(*) (VERDICT r02 minor #4)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("b", None)], "k string, v int")
+    out = {r.k: (r.n_rows, r.n_v)
+           for r in skew.salted_agg(df, ["k"],
+                                    {"n_rows": "count(*)",
+                                     "n_v": "count(v)"},
+                                    num_salts=4).collect()}
+    assert out == {"a": (3, 2), "b": (1, 0)}
+
+
 def test_salted_agg_rejects_non_decomposable(spark):
     import pytest
 
