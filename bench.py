@@ -40,12 +40,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in sorted(headline_queries().items()):
         # best-of-2: the first execution pays per-query plan compilation
-        # + codegen JIT; the second is the engine's steady-state number
+        # + codegen JIT; the second is the engine's steady-state number.
+        # Sub-second queries get a third run — at that scale scheduler
+        # jitter is a large relative error (r02 flagged a +56% "regression"
+        # on a 0.25 s query that no code change touched).
         best = float("inf")
-        for _ in range(2):
+        runs = 0
+        while runs < 2 or (best < 1.0 and runs < 3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+            runs += 1
         timings[name] = round(best, 3)
 
     # training benchmark — training is the reference's core workload, so
