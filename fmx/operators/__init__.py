@@ -1,2 +1,2 @@
-from fmx.operators import (dedup, dq, multimodal, sampling,  # noqa: F401
-                           similarity, temporal, text)
+from fmx.operators import (dedup, dq, layout, multimodal,  # noqa: F401
+                           sampling, similarity, temporal, text)

@@ -22,7 +22,7 @@ __all__ = [
     "exact_dedup", "word_shingles", "hash64", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
-    "incremental_dedup",
+    "incremental_dedup", "duplicate_spans",
 ]
 
 
@@ -87,6 +87,39 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                 .select("shingle"))
         sh = sh.join(keep, "shingle", "left_semi")
     return sh
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 8) -> DataFrame:
+    """Span-level (substring) duplication profile per document:
+    (id, n_spans, dup_spans, dup_span_ratio).
+
+    Doc-level dedup misses boilerplate REPEATED INSIDE otherwise-unique
+    documents (headers, license blocks, templated paragraphs) — the
+    single largest contamination source in web-scale training corpora
+    (the "deduplicating training data" result).  This op counts, for
+    every document, how many of its word n-gram windows (all
+    occurrences, not the distinct set) also appear in at least one
+    OTHER document; ``dup_span_ratio`` is the filterable signal.
+
+    Distributed shape: one explode -> (id, span) pre-aggregation
+    (map-side combine collapses within-doc repeats) -> per-span
+    document frequency as a second hash-agg -> equi-join back (AQE
+    skew-split handles stop-span keys) -> per-doc conditional sum.
+    Never a self-join of spans; output is one row per document.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n, distinct=False)
+    occ = sh.groupBy(id_col, "shingle").agg(F.count("*").alias("cnt"))
+    dfreq = occ.groupBy("shingle").agg(F.count("*").alias("ndocs"))
+    dup = F.when(F.col("ndocs") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    return (occ.join(dfreq, "shingle")
+            .groupBy(id_col)
+            .agg(F.sum("cnt").cast("bigint").alias("n_spans"),
+                 F.sum(dup).cast("bigint").alias("dup_spans"))
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    "n_spans", "dup_spans",
+                    F.round(F.col("dup_spans") / F.col("n_spans"), 6)
+                    .alias("dup_span_ratio")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -93,6 +93,10 @@ _PRIORITY = [
     # -- new round-3 queries --
     "ann_lsh_topk_multiprobe",
     "ann_ivf_topk_fixed",
+    "ann_pq_codes",
+    "ann_pq_topk",
+    "dedup_span_profile",
+    "zorder_layout_key",
 ]
 
 

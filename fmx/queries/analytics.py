@@ -203,3 +203,45 @@ def dedup_levenshtein_prefix(spark, sf):
                     F.col("id_b").cast(BIG).alias("id_b"),
                     F.levenshtein("pa", "pb").cast(BIG).alias("dist"))
             .filter(F.col("dist") <= LEV_MAX))
+
+
+@query(
+    "zorder_layout_key",
+    oracle="""
+    WITH b AS (SELECT o_orderkey,
+                      o_custkey % 256 AS xb,
+                      date_diff('day', DATE '1995-01-01',
+                                CAST(o_orderdate AS DATE)) % 256 AS yb
+               FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
+           __ZVAL__ AS zval
+    FROM b
+    """)
+def zorder_layout_key(spark, sf):
+    """Z-order (Morton) clustering key over orders: interleave the low
+    8 bits of the customer bucket and the order-date day bucket.
+    Sorting/range-partitioning the write on this single key gives every
+    output file a tight min/max box in BOTH dimensions, so scans
+    filtering either column prune files (`fmx.operators.layout` —
+    the OPTIMIZE ZORDER BY layout path, as pure bit arithmetic)."""
+    from fmx.operators.layout import z_value
+
+    o = T(spark, sf, "orders")
+    xb = (F.col("o_custkey") % 256).cast("int")
+    yb = (F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1995-01-01").cast("date")) % 256).cast("int")
+    return (o.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                     xb.alias("xb"), yb.alias("yb"))
+            .select("o_orderkey",
+                    F.col("xb").cast(BIG).alias("xb"),
+                    F.col("yb").cast(BIG).alias("yb"),
+                    z_value(F.col("xb"), F.col("yb"), bits=8).alias("zval")))
+
+
+# the oracle needs the same unrolled interleave expression; splice it in
+from fmx.operators.layout import z_value_sql as _zsql          # noqa: E402
+from fmx.queries import _REGISTRY as _R                        # noqa: E402
+
+_R["zorder_layout_key"].oracle = _R["zorder_layout_key"].oracle.replace(
+    "__ZVAL__", _zsql("xb", "yb", bits=8))

@@ -273,3 +273,38 @@ def dedup_incremental(spark, sf):
     out = D.incremental_dedup(new_batch, store, "doc_id", "text")
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       "content_hash")
+
+
+SPAN_N = 8
+
+
+@query(
+    "dedup_span_profile",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    spans AS (SELECT doc_id,
+                     array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS shingle
+              FROM toks, LATERAL (SELECT unnest(generate_series(
+                                      1, len(t) - {SPAN_N - 1})) AS i) g
+              WHERE len(t) >= {SPAN_N}),
+    occ AS (SELECT doc_id, shingle, count(*) AS cnt
+            FROM spans GROUP BY doc_id, shingle),
+    dfq AS (SELECT shingle, count(*) AS ndocs FROM occ GROUP BY shingle)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           round(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) * 1.0
+                 / sum(cnt), 6) AS dup_span_ratio
+    FROM occ JOIN dfq USING (shingle)
+    GROUP BY doc_id
+    """)
+def dedup_span_profile(spark, sf):
+    """Span-level (substring) duplication per document: the fraction of
+    each doc's 8-gram windows that also occur in another document —
+    catches boilerplate repeated INSIDE otherwise-unique docs, which
+    doc-level dedup misses entirely.  Two hash-aggs + one equi-join;
+    output is one row per doc (never a span self-join)."""
+    return D.duplicate_spans(T(spark, sf, "documents"), "doc_id", "text",
+                             n=SPAN_N)

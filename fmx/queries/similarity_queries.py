@@ -248,6 +248,86 @@ def ann_ivf_topk(spark, sf):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+DIM = 64                # embeddings.embedding is a fixed 64-dim array
+PQ_M = 4                # subspaces
+PQ_CODES = 16           # centroids per subspace (first 16 corpus vectors)
+
+_PQ_SQL = f"""
+sx AS (SELECT vec_id, CAST(pos // {DIM // PQ_M} AS BIGINT) AS sub,
+              pos % {DIM // PQ_M} AS spos, x
+       FROM ex),
+cb AS (SELECT sub, vec_id AS code, spos, x AS cx
+       FROM sx WHERE vec_id < {PQ_CODES}),
+pqd AS (SELECT s.vec_id, s.sub, c.code,
+               sum((s.x - c.cx) * (s.x - c.cx)) AS d2
+        FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+        GROUP BY s.vec_id, s.sub, c.code),
+codes AS (SELECT vec_id, sub, CAST(code AS BIGINT) AS code,
+                 round(d2, 6) AS d2
+          FROM pqd
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, code) = 1)
+"""
+
+
+@query(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, sub, code, d2 FROM codes
+    """)
+def ann_pq_codes(spark, sf):
+    """Product-quantization encoding: every corpus vector compressed to
+    m=4 subspace codes (nearest of 16 deterministic per-subspace
+    centroids) — 64 doubles -> 4 small ints, the 100 TB ANN-index
+    memory path.  One posexplode + broadcast codebook join + hash-agg
+    + per-(id, sub) argmin window; the corpus is never collected."""
+    emb = T(spark, sf, "embeddings")
+    out = S.pq_encode(emb, "vec_id", "embedding", m=PQ_M,
+                      num_codes=PQ_CODES, dim=DIM)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("sub").cast("bigint").alias("sub"),
+                      F.col("code").cast("bigint").alias("code"),
+                      "d2")
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL},
+    dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
+                        AS code,
+                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+             FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+             WHERE s.vec_id < {N_QUERIES}
+             GROUP BY s.vec_id, s.sub, c.code),
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, vec_id) AS BIGINT)
+               AS rank
+    FROM adist QUALIFY rank <= {K}
+    """)
+def ann_pq_topk(spark, sf):
+    """PQ ANN via asymmetric distance computation: queries stay exact,
+    each precomputing a broadcast m x 16 distance table; a candidate's
+    approximate squared-L2 is the sum of m table lookups over its PQ
+    codes — the scan side reads 4 ints per vector instead of 64
+    doubles.  codes ⋈ dtable equi-join + one (query, id) hash-agg."""
+    emb = T(spark, sf, "embeddings")
+    out = S.pq_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                    "vec_id", "embedding", k=K, m=PQ_M,
+                    num_codes=PQ_CODES, dim=DIM)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "adist",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 @query(
     "emb_normalize",
     oracle="""

@@ -16,10 +16,10 @@ def test_queries_and_oracles_align(spark):
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs)
     # the non-oracled set is exactly the declared non-SQL ops
-    # (dedup_clusters gained a recursive-CTE oracle in round 2)
+    # (dedup_clusters gained a recursive-CTE oracle in round 2;
+    # multimodal_features gained a byte-histogram oracle in round 3)
     assert set(qs) - set(osql) == {
-        "ann_ivf_topk", "approx_distinct", "approx_quantiles",
-        "multimodal_features"}
+        "ann_ivf_topk", "approx_distinct", "approx_quantiles"}
     # callables, not results
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()

@@ -306,3 +306,102 @@ def test_asof_join_rejects_column_collisions(spark):
     to_ts = lambda df: df.withColumn("ts", F.timestamp_seconds("ts"))
     with pytest.raises(ValueError, match="collide"):
         asof_join(to_ts(left), to_ts(right), on="k", right_cols=["rid"])
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """A vector that IS a codebook centroid must encode, in every
+    subspace, to its own code with distance 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, "vec_id", "embedding", m=4, num_codes=16,
+                        dim=64)
+    own = codes.filter(F.col("vec_id") < 16).collect()
+    assert len(own) == 16 * 4
+    for r in own:
+        assert r.code == r.vec_id and r.d2 == 0.0, r
+
+
+def test_pq_topk_recall_vs_exact_l2(spark, sf_dir):
+    """ADC over 4x16 codes is approximate; on the synthetic embeddings
+    it must still land a usable fraction of the true L2 top-5."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = S.pq_topk(emb, qs, "vec_id", "embedding", k=5, m=4,
+                       num_codes=16, dim=64)
+    # exact squared-L2 top-5 via the same relational shape
+    from pyspark.sql import Window
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("p", "x"))
+    qx = (ex.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "p",
+                  F.col("x").alias("qx")))
+    d2 = (ex.join(qx, "p")
+          .filter(F.col("vec_id") != F.col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(F.sum((F.col("x") - F.col("qx")) ** 2).alias("d2")))
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (d2.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5))
+    etop = {(r.query_id, r.vec_id) for r in exact.collect()}
+    atop = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(etop & atop) / len(etop)
+    assert recall >= 0.3, f"PQ ADC recall collapsed: {recall}"
+
+
+def test_duplicate_spans_flags_planted_boilerplate(spark):
+    """A span repeated across two docs counts as duplicated in both;
+    unique docs score 0."""
+    boiler = "a b c d e f g h"          # 8 tokens = exactly one 8-gram
+    rows = [(0, boiler + " unique tail zero"),
+            (1, boiler + " other words entirely here"),
+            (2, "completely fresh text with no shared windows at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.duplicate_spans(df, "doc_id", "text", n=8).collect()}
+    assert out[0].dup_spans >= 1 and out[0].dup_span_ratio > 0
+    assert out[1].dup_spans >= 1
+    assert out[2].dup_spans == 0 and out[2].dup_span_ratio == 0.0
+    # within-doc repetition alone is NOT cross-doc duplication
+    solo = spark.createDataFrame(
+        [(9, boiler + " x " + boiler)], "doc_id long, text string")
+    r9 = D.duplicate_spans(solo, "doc_id", "text", n=8).collect()[0]
+    assert r9.dup_spans == 0
+
+
+def test_z_value_matches_python_morton(spark):
+    from fmx.operators.layout import z_value
+
+    def morton(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 7, 128, 255) for y in (0, 3, 64, 255)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {(r.x, r.y): r.z
+           for r in df.select("x", "y",
+                              z_value(F.col("x"), F.col("y")).alias("z"))
+                      .collect()}
+    for x, y in pts:
+        assert got[(x, y)] == morton(x, y), (x, y)
+
+
+def test_write_zordered_files_are_disjoint_z_ranges(spark, tmp_path):
+    """Each output file must hold one compact Z-interval (that is the
+    whole point: per-file min/max boxes prune both dimensions)."""
+    from fmx.operators.layout import write_zordered, z_value
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"))
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, F.col("x"), F.col("y"), num_files=4)
+    back = (spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"),
+                    z_value(F.col("x"), F.col("y")).alias("z"))
+            .groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+            .collect())
+    assert len(back) >= 2
+    ivals = sorted((r.lo, r.hi) for r in back)
+    for (alo, ahi), (blo, bhi) in zip(ivals, ivals[1:]):
+        assert ahi <= blo, f"overlapping z-ranges: {(alo, ahi)} {(blo, bhi)}"
