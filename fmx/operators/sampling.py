@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
-           "pack_sequences", "temperature_mixture", "per_group_cap"]
+           "pack_sequences", "temperature_mixture", "per_group_cap",
+           "weighted_sample_per_group", "negative_sample"]
 
 _TWO60 = float(2 ** 60)
 
@@ -145,6 +146,77 @@ def temperature_mixture(df: DataFrame, source_col: str, id_col: str,
                     source_col)
             .filter(u < F.col("_p"))
             .drop("_p"))
+
+
+def weighted_sample_per_group(df: DataFrame, group_col: str, id_col: str,
+                              weight_col: str, k: int,
+                              seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group
+    (Efraimidis-Spirakis A-ES): keep the k rows with the largest
+    u^(1/w) — equivalently the largest ln(u)/w, which is what we rank on
+    (one ln instead of a pow, and better float spread near 1).
+
+    Inclusion probability is proportional to weight within each group —
+    the principled way to oversample long/high-quality documents
+    without replacement.  Rows with weight <= 0 are excluded (zero mass).
+
+    Distributed shape: the sampling key is a pure column expression
+    (md5-derived u, engine-replayable); selection is a ranking window
+    per group that executes as WindowGroupLimit (per-partition top-k
+    heaps) — one scan + one shuffle on the group key, no global sort.
+    The key is rounded to 12 decimals on BOTH engines before ranking so
+    cross-engine float jitter cannot flip ranks (ties then break on id).
+    """
+    u = hash_uniform01(id_col, "wsample", seed)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    w = Window.partitionBy(group_col).orderBy(F.col("_key").desc(),
+                                              F.col(id_col))
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("_key", key)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .withColumnRenamed("_rn", "sample_rank")
+            .drop("_key"))
+
+
+def negative_sample(positives: DataFrame, user_col: str, item_col: str,
+                    num_items, k: int = 4, seed: int = 42) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    for every (user, item) positive, draw ``k`` pseudo-random candidate
+    item ids uniformly from [0, num_items), then anti-join the
+    positives so no sampled "negative" is actually a positive.
+
+    ``num_items`` may be an int or a 1-row/1-col DataFrame (e.g.
+    ``items.agg(count(*))``) — the latter keeps the plan free of driver
+    scalars (broadcast 1-row cross join, same trick as TPC-H Q22's
+    avg-balance).  Output: (user, item=negative, slot) — ~k rows per
+    positive minus collisions; the standard corrector is to draw with
+    k' > k and cap, which callers get via per_group_cap.
+
+    md5-derived draws keyed on (user, positive item, slot, seed):
+    reproducible under any partitioning, replayable in the oracle.
+    The anti-join keys on (user, item) — uniform, broadcast-friendly
+    when positives-per-user is bounded.
+    """
+    cand = positives.select(
+        F.col(user_col), F.col(item_col).alias("_pos"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"))
+    draw_src = F.concat(F.lit(f"neg:{seed}:"),
+                        F.col(user_col).cast("string"), F.lit(":"),
+                        F.col("_pos").cast("string"), F.lit(":"),
+                        F.col("slot").cast("string"))
+    h = F.conv(F.substring(F.md5(draw_src), 1, 15), 16, 10).cast("bigint")
+    if isinstance(num_items, int):
+        item = F.pmod(h, F.lit(num_items))
+        cand = cand.select(user_col, "slot", item.alias(item_col))
+    else:
+        n_col = num_items.columns[0]
+        cand = (cand.crossJoin(F.broadcast(num_items))
+                .select(user_col, "slot",
+                        F.pmod(h, F.col(n_col)).alias(item_col)))
+    return (cand.join(positives.select(user_col, item_col).distinct(),
+                      [user_col, item_col], "left_anti")
+            .select(user_col, item_col, "slot"))
 
 
 def per_group_cap(df: DataFrame, group_col: str, id_col: str,

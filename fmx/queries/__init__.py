@@ -97,6 +97,8 @@ _PRIORITY = [
     "ann_pq_topk",
     "dedup_span_profile",
     "zorder_layout_key",
+    "sample_weighted_topk",
+    "sample_negatives",
 ]
 
 

@@ -183,3 +183,79 @@ def sample_per_source_cap(spark, sf):
                             "doc_id", cap=20, seed=SEED)
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       "source")
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (SELECT source, doc_id, n_chars,
+                          round(ln({_U.format(tag='wsample', seed=SEED,
+                                              col='doc_id')})
+                                / CAST(n_chars AS DOUBLE), 12) AS key
+                   FROM documents WHERE n_chars > 0)
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY key DESC, doc_id) AS BIGINT)
+               AS sample_rank
+    FROM keyed
+    QUALIFY sample_rank <= 10
+    """)
+def sample_weighted_topk(spark, sf):
+    """Weighted sampling without replacement, 10 docs per source with
+    inclusion probability ~ n_chars (Efraimidis-Spirakis exponential
+    keys on md5-derived uniforms) — principled length-weighted
+    oversampling; executes as WindowGroupLimit per source."""
+    out = SMP.weighted_sample_per_group(
+        T(spark, sf, "documents"), "source", "doc_id", "n_chars",
+        k=10, seed=SEED)
+    return out.select("source",
+                      F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("n_chars").cast("bigint").alias("n_chars"),
+                      F.col("sample_rank").cast("bigint")
+                      .alias("sample_rank"))
+
+
+@query(
+    "sample_negatives",
+    oracle=f"""
+    WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id,
+                        l.l_partkey AS item_id
+                 FROM orders o JOIN lineitem l
+                   ON o.o_orderkey = l.l_orderkey),
+    n AS (SELECT count(*) AS n_items FROM part),
+    cand AS (SELECT user_id, item_id AS pos_item, g.slot
+             FROM pos, LATERAL (SELECT unnest(generate_series(0, 3))
+                                AS slot) g),
+    drawn AS (SELECT user_id, slot,
+                     CAST(concat('0x', substring(md5(concat(
+                         'neg:{SEED}:', CAST(user_id AS VARCHAR), ':',
+                         CAST(pos_item AS VARCHAR), ':',
+                         CAST(slot AS VARCHAR))), 1, 15)) AS BIGINT)
+                     % (SELECT n_items FROM n) AS item_id
+              FROM cand)
+    SELECT CAST(d.user_id AS BIGINT) AS user_id,
+           CAST(d.item_id AS BIGINT) AS item_id,
+           CAST(d.slot AS BIGINT) AS slot
+    FROM drawn d LEFT JOIN pos p
+      ON d.user_id = p.user_id AND d.item_id = p.item_id
+    WHERE p.user_id IS NULL
+    """)
+def sample_negatives(spark, sf):
+    """Deterministic negative sampling over the purchase graph: 4
+    md5-derived candidate items per (customer, purchased part),
+    anti-joined against the positives — implicit-feedback training
+    pairs, reproducible under any partitioning.  The item-count scalar
+    enters as a broadcast 1-row join, never a driver collect."""
+    orders = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    pos = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("user_id"),
+                   F.col("l_partkey").alias("item_id"))
+           .distinct())
+    n_items = T(spark, sf, "part").agg(F.count("*").alias("n_items"))
+    out = SMP.negative_sample(pos, "user_id", "item_id", n_items,
+                              k=4, seed=SEED)
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      F.col("item_id").cast("bigint").alias("item_id"),
+                      F.col("slot").cast("bigint").alias("slot"))

@@ -71,3 +71,41 @@ def test_pack_sequences_bins_are_contiguous_and_bounded(spark, sf_dir):
             assert total + min(r.tokens for r in next_bin) >= 0  # shape
     # every doc in exactly one bin, buckets stable
     assert len({r.doc_id for r in out}) == len(out)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With weights 1000 vs 1, the heavy half must dominate the sample
+    across many groups (inclusion probability ~ weight)."""
+    from fmx.operators.sampling import weighted_sample_per_group
+
+    rows = [(g, g * 100 + i, 1000 if i < 10 else 1)
+            for g in range(20) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp int, id long, w int")
+    out = weighted_sample_per_group(df, "grp", "id", "w", k=5).collect()
+    assert len(out) == 20 * 5
+    heavy = sum(1 for r in out if r.w == 1000)
+    assert heavy / len(out) > 0.9, f"heavy fraction {heavy / len(out)}"
+    # zero/negative weights are excluded outright
+    z = spark.createDataFrame([(0, 1, 0), (0, 2, -3), (0, 3, 5)],
+                              "grp int, id long, w int")
+    kept = weighted_sample_per_group(z, "grp", "id", "w", k=5).collect()
+    assert [r.id for r in kept] == [3]
+
+
+def test_negative_sample_never_emits_positives(spark):
+    from fmx.operators.sampling import negative_sample
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(50) for i in range(u % 5 + 1)],
+        "user_id long, item_id long")
+    out = negative_sample(pos, "user_id", "item_id", 100, k=4).collect()
+    assert out, "expected some negatives"
+    positives = {(r.user_id, r.item_id) for r in pos.collect()}
+    for r in out:
+        assert (r.user_id, r.item_id) not in positives
+        assert 0 <= r.item_id < 100
+    # determinism: same seed -> same draws
+    again = {(r.user_id, r.item_id, r.slot)
+             for r in negative_sample(pos, "user_id", "item_id", 100,
+                                      k=4).collect()}
+    assert again == {(r.user_id, r.item_id, r.slot) for r in out}
