@@ -69,6 +69,16 @@ def main() -> None:
                .drop("top_word_frac", "dup_word_frac", "top_bigram_frac"))
     n4 = deduped.count()
 
+    # 3c. span-level hygiene: drop docs that are mostly cross-doc
+    #     boilerplate even though no whole-document duplicate exists
+    spans = D.duplicate_spans(deduped, "doc_id", "text", n=8)
+    deduped = (deduped.join(spans.select("doc_id", "dup_span_ratio"),
+                            "doc_id", "left")
+               .filter(F.coalesce(F.col("dup_span_ratio"), F.lit(0.0))
+                       < 0.8)
+               .drop("dup_span_ratio"))
+    n4b = deduped.count()
+
     # 4. token accounting for the surviving corpus
     counts = X.token_counts(deduped, "doc_id", "text")
     total = counts.agg(F.sum("ws_tokens").alias("ws"),
@@ -95,7 +105,8 @@ def main() -> None:
                       files_per_partition=2)
 
     print(f"loaded {n0} -> quality-filtered {n1} -> exact-deduped {n2} "
-          f"-> near-dup-deduped {n3} -> repetition-filtered {n4}")
+          f"-> near-dup-deduped {n3} -> repetition-filtered {n4} "
+          f"-> span-hygiene {n4b}")
     print(f"surviving tokens: ws={total.ws} bpe={total.bpe}; "
           f"packed into {n_seqs} 512-token sequences")
     print(f"wrote {out_dir} (partitioned by split, pred_lang)")

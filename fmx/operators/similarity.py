@@ -248,6 +248,8 @@ def pq_codebook(corpus: DataFrame, id_col: str, vec_col: str,
     broadcastable, regardless of corpus size."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub = dim // m
     cents = _subspace_explode(
         corpus.filter(F.col(id_col) < num_codes), id_col, vec_col,
@@ -269,6 +271,8 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     window — no cross join, corpus side never collected."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub = dim // m
     if codebook is None:
         codebook = pq_codebook(corpus, id_col, vec_col, m, num_codes, dim)
@@ -299,6 +303,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     rerank the top-k' with ``cosine_topk`` when recall matters."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub = dim // m
     codebook = pq_codebook(corpus, id_col, vec_col, m, num_codes, dim)
     codes = pq_encode(corpus, id_col, vec_col, m, num_codes, dim, codebook)

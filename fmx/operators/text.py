@@ -14,6 +14,7 @@ __all__ = [
     "token_stats", "quality_score", "language_id", "token_counts",
     "fingerprint", "vocab_topk", "ngram_contamination",
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
+    "tfidf_top_terms",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -138,6 +139,40 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100,
     w = Window.orderBy(F.col("cnt").desc(), "token")
     return topk.select("token", "cnt",
                        F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    (id, token, tf, tfidf, term_rank).
+
+    idf = ln(N / df_t) with the corpus size N entering as a broadcast
+    1-row join (no driver scalar — the same plan runs at any corpus
+    size).  Shapes: one explode + (doc, token) hash-agg for tf, one
+    token hash-agg for document frequency, an equi-join on token
+    (Zipfian head keys, but post-aggregation rows are one per
+    (doc, token) — AQE skew-split absorbs stop-words), then a
+    per-doc WindowGroupLimit for the top-k.  The ranking key is
+    rounded to 9 decimals so engines replaying ln() cannot flip ranks.
+    """
+    toks = (df.select(F.col(id_col), F.explode(_toks(text_col))
+                      .alias("token"))
+            .filter(F.col("token") != ""))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    n = df.agg(F.count("*").alias("_n"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n))
+              .withColumn("_tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("_n") / F.col("_df")), 9)))
+    w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), "token")
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= k)
+            .select(F.col(id_col).cast("bigint").alias(id_col), "token",
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.round("_tfidf", 6).alias("tfidf"),
+                    F.col("term_rank").cast("bigint").alias("term_rank")))
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

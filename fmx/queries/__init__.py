@@ -99,6 +99,7 @@ _PRIORITY = [
     "zorder_layout_key",
     "sample_weighted_topk",
     "sample_negatives",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -280,6 +280,7 @@ SPAN_N = 8
 
 @query(
     "dedup_span_profile",
+    headline=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents),

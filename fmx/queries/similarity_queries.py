@@ -293,6 +293,7 @@ def ann_pq_codes(spark, sf):
 
 @query(
     "ann_pq_topk",
+    headline=True,
     oracle=f"""
     WITH {_EX}, {_PQ_SQL},
     dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)

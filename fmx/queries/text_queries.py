@@ -339,3 +339,33 @@ def text_redaction(spark, sf):
     double-counting digits inside URLs."""
     df = spark.createDataFrame(REDACT_ROWS, "doc_id long, text string")
     return X.redact_text(df, "doc_id", "text")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS dfq FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, token, tf,
+                      round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                                    / dfq), 9) AS s
+               FROM tf JOIN dfreq USING (token))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+           CAST(tf AS BIGINT) AS tf, round(s, 6) AS tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, token) AS BIGINT)
+               AS term_rank
+    FROM scored
+    QUALIFY term_rank <= 3
+    """)
+def text_tfidf_top_terms(spark, sf):
+    """Top-3 characteristic terms per document by tf-idf — the
+    keyword-extraction / topic-signal primitive.  Two hash-aggs + one
+    token equi-join + per-doc WindowGroupLimit; corpus size N enters
+    as a broadcast 1-row join, never a driver scalar."""
+    return X.tfidf_top_terms(T(spark, sf, "documents"), "doc_id", "text",
+                             k=3)

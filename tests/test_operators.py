@@ -405,3 +405,9 @@ def test_write_zordered_files_are_disjoint_z_ranges(spark, tmp_path):
     ivals = sorted((r.lo, r.hi) for r in back)
     for (alo, ahi), (blo, bhi) in zip(ivals, ivals[1:]):
         assert ahi <= blo, f"overlapping z-ranges: {(alo, ahi)} {(blo, bhi)}"
+
+
+def test_pq_rejects_indivisible_dim(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_encode(emb, "vec_id", "embedding", m=5, num_codes=16, dim=64)

@@ -131,3 +131,49 @@ def test_partial_aggregation_present(spark, sf_dir):
     # hash agg appears twice: partial (map-side) + final
     plan = _plan(spark, sf_dir, "a1_tpch_q1")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pq_plans_broadcast_codebook_no_cartesian(spark, sf_dir):
+    """PQ encode/search must stay equi-joins against the broadcast
+    codebook / distance table — the corpus side never cross-joins and
+    the per-(id, sub) argmin rides WindowGroupLimit heaps."""
+    for name in ["ann_pq_codes", "ann_pq_topk"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "ann_pq_codes")
+
+
+def test_span_profile_no_span_self_join(spark, sf_dir):
+    """The span-duplication profile is two hash-aggs + one equi-join —
+    a span self-join (quadratic in duplicated docs) must never appear:
+    exactly one join node, keyed on the shingle."""
+    plan = _plan(spark, sf_dir, "dedup_span_profile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [l for l in plan.splitlines()
+             if "Join" in l and "WholeStageCodegen" not in l]
+    assert len(joins) <= 1, joins
+
+
+def test_zorder_key_is_pure_projection(spark, sf_dir):
+    """The Morton key is bit arithmetic over the scan — no join, no
+    exchange, no python."""
+    plan = _plan(spark, sf_dir, "zorder_layout_key")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "sample_weighted_topk")
+
+
+def test_negative_sample_anti_join_no_driver_scalar(spark, sf_dir):
+    """The item-count scalar must enter as a broadcast join (plan shows
+    the anti join + a broadcast exchange), not a collected literal."""
+    plan = _plan(spark, sf_dir, "sample_negatives")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
