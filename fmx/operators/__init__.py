@@ -1,2 +1,3 @@
-from fmx.operators import (dedup, dq, layout, multimodal,  # noqa: F401
-                           sampling, similarity, temporal, text)
+from fmx.operators import (dedup, dq, graph, layout,  # noqa: F401
+                           multimodal, sampling, similarity, sketches,
+                           temporal, text)

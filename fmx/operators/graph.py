@@ -1,0 +1,68 @@
+"""Graph analytics as relational plans.
+
+Connected components already lives in the dedup stack
+(`fmx.operators.dedup.dedup_keep_canonical` — min-label propagation);
+this module adds PageRank, the other graph primitive a training-data
+platform needs (authority weighting of crawl sources, user/item
+importance in interaction graphs).
+
+PageRank here is the power iteration written as joins + aggregations:
+
+    r_{t+1}(v) = (1-d)/N  +  d * Σ_{(u→v) ∈ E} r_t(u) / deg(u)
+
+Per iteration: one shuffle keyed on edge source (join ranks), one
+hash-agg keyed on destination, one left join back to the node list —
+all equi-joins on uniform-ish keys (celebrity in-degree skew lands in
+the dst agg, which is map-side combinable; AQE splits what remains).
+The node count enters as a broadcast 1-row join, never a driver
+scalar.  For deep iteration counts callers should localCheckpoint
+every few rounds (same lineage discipline as the SGD loop); the
+fixed-iteration variants used in queries stay pure so any engine can
+replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = 0.85,
+             checkpoint_every: int | None = None) -> DataFrame:
+    """PageRank over a directed edge list: (node, rank).
+
+    Every node must have out-degree >= 1 (undirected graphs encoded as
+    both-direction edge pairs satisfy this; for genuinely dangling
+    nodes add self-loops upstream) — this keeps the iteration free of
+    the dangling-mass redistribution term and each round a pure
+    join+agg.
+    """
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    n = F.broadcast(nodes.agg(F.count("*").alias("_nn")))
+    ranks = (nodes.crossJoin(n)
+             .select("node", (F.lit(1.0) / F.col("_nn")).alias("rank")))
+    for it in range(iters):
+        inflow = (edges
+                  .join(ranks.withColumnRenamed("node", src), src)
+                  .join(deg, src)
+                  .groupBy(dst)
+                  .agg(F.sum(F.col("rank") / F.col("_deg"))
+                       .alias("_inflow")))
+        ranks = (nodes
+                 .join(inflow.withColumnRenamed(dst, "node"), "node",
+                       "left")
+                 .crossJoin(n)
+                 .select("node",
+                         ((1.0 - damping) / F.col("_nn")
+                          + damping * F.coalesce(F.col("_inflow"),
+                                                 F.lit(0.0)))
+                         .alias("rank")))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

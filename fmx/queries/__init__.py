@@ -100,6 +100,8 @@ _PRIORITY = [
     "sample_weighted_topk",
     "sample_negatives",
     "text_tfidf_top_terms",
+    "approx_distinct_hll",
+    "graph_pagerank_3iter",
 ]
 
 

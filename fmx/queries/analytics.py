@@ -245,3 +245,58 @@ from fmx.queries import _REGISTRY as _R                        # noqa: E402
 
 _R["zorder_layout_key"].oracle = _R["zorder_layout_key"].oracle.replace(
     "__ZVAL__", _zsql("xb", "yb", bits=8))
+
+
+def _pr_round(prev: str, out: str) -> str:
+    """One unrolled PageRank round as an oracle CTE pair."""
+    return f"""
+    s{out} AS (SELECT e.dst AS node, sum({prev}.rank / deg.deg) AS inflow
+               FROM edges e JOIN {prev} ON e.src = {prev}.node
+                            JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+    {out} AS (SELECT nodes.node,
+                     0.15 / (SELECT nn FROM n)
+                     + 0.85 * coalesce(s{out}.inflow, 0) AS rank
+              FROM nodes LEFT JOIN s{out} ON nodes.node = s{out}.node)"""
+
+
+@query(
+    "graph_pagerank_3iter",
+    oracle=f"""
+    WITH pos AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                 FROM orders o JOIN lineitem l
+                   ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT concat('c:', CAST(c AS VARCHAR)) AS src,
+                     concat('p:', CAST(p AS VARCHAR)) AS dst FROM pos
+              UNION ALL
+              SELECT concat('p:', CAST(p AS VARCHAR)),
+                     concat('c:', CAST(c AS VARCHAR)) FROM pos),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS nn FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM n) AS rank FROM nodes),
+    {_pr_round('r0', 'r1')},
+    {_pr_round('r1', 'r2')},
+    {_pr_round('r2', 'r3')}
+    SELECT node, round(rank, 9) AS rank FROM r3
+    """)
+def graph_pagerank_3iter(spark, sf):
+    """3-iteration PageRank over the bidirectional customer-part
+    purchase graph (authority weighting of an interaction graph as
+    pure joins + aggs; each round is one src-keyed shuffle + one
+    map-side-combinable dst agg — `fmx.operators.graph.pagerank`)."""
+    from fmx.operators.graph import pagerank
+
+    orders = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    pos = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("c"),
+                   F.col("l_partkey").alias("p"))
+           .distinct())
+    c = F.concat(F.lit("c:"), F.col("c").cast("string"))
+    p = F.concat(F.lit("p:"), F.col("p").cast("string"))
+    edges = (pos.select(c.alias("src"), p.alias("dst"))
+             .union(pos.select(p.alias("src"), c.alias("dst"))))
+    out = pagerank(edges, iters=3, damping=0.85)
+    return out.select("node", F.round("rank", 9).alias("rank"))

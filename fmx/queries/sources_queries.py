@@ -70,3 +70,22 @@ def approx_quantiles(spark, sf):
             .groupBy("l_returnflag")
             .agg(F.percentile_approx("l_extendedprice", F.lit(0.5), 1000)
                  .alias("approx_median")))
+
+
+def _hll_oracle() -> str:
+    from fmx.operators.sketches import hll_sql
+    return ("WITH src AS (SELECT event_type, user_id FROM events),\n"
+            + hll_sql("event_type", "user_id", "src", tag="hll"))
+
+
+@query("approx_distinct_hll", oracle=_hll_oracle())
+def approx_distinct_hll(spark, sf):
+    """Engine-portable HyperLogLog distinct users per event type: the
+    md5-derived register construction and textbook estimator run
+    identically on any engine, so unlike approx_count_distinct's
+    HLL++ this sketch IS hash-verified cross-engine.  One (group,
+    register) hash-agg with map-side combine + a 64-row-per-group
+    fold; register state merges by max across partitions/batches."""
+    from fmx.operators.sketches import hll_distinct
+
+    return hll_distinct(T(spark, sf, "events"), "event_type", "user_id")

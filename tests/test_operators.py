@@ -411,3 +411,41 @@ def test_pq_rejects_indivisible_dim(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_encode(emb, "vec_id", "embedding", m=5, num_codes=16, dim=64)
+
+
+def test_hll_distinct_accuracy_across_cardinalities(spark):
+    """Portable HLL must track exact distinct counts within the m=64
+    error envelope (~13% typical, allow 30%) across 2 orders of
+    magnitude, and be invariant to duplication."""
+    from fmx.operators.sketches import hll_distinct
+
+    rows = []
+    for g, n in [("small", 30), ("mid", 300), ("big", 3000)]:
+        rows += [(g, v % n) for v in range(3 * n)]   # 3x duplicated
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r.grp: r.approx_distinct
+           for r in hll_distinct(df, "grp", "v").collect()}
+    for g, n in [("small", 30), ("mid", 300), ("big", 3000)]:
+        assert abs(got[g] - n) / n < 0.30, (g, got[g], n)
+    # duplication-invariance: the estimate depends only on the value SET
+    once = spark.createDataFrame([("big", v) for v in range(3000)],
+                                 "grp string, v long")
+    got1 = hll_distinct(once, "grp", "v").collect()[0].approx_distinct
+    assert got1 == got["big"]
+
+
+def test_pagerank_mass_and_hub_ordering(spark):
+    """Rank mass stays ~1 per iteration (no dangling leakage with
+    bidirectional edges) and the hub of a star out-ranks its leaves."""
+    from fmx.operators.graph import pagerank
+
+    leaves = [f"l{i}" for i in range(10)]
+    edges = ([("hub", l) for l in leaves] + [(l, "hub") for l in leaves])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = {row.node: row.rank
+         for row in pagerank(df, iters=5, damping=0.85).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    for l in leaves:
+        assert r["hub"] > r[l]
+    # leaves are symmetric -> identical ranks
+    assert len({round(r[l], 12) for l in leaves}) == 1
