@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct", "HLL_B", "HLL_M", "HLL_ALPHA"]
+__all__ = ["hll_distinct", "hll_registers", "hll_fold",
+           "HLL_B", "HLL_M", "HLL_ALPHA"]
 
 HLL_B = 6                 # register index bits
 HLL_M = 1 << HLL_B        # 64 registers
@@ -30,17 +31,13 @@ HLL_ALPHA = 0.709         # alpha_64 (Flajolet et al. for m=64)
 _WBITS = 60 - HLL_B       # rank domain: remaining hash bits
 
 
-def hll_distinct(df: DataFrame, group_col: str, value_col: str,
-                 tag: str = "hll") -> DataFrame:
-    """Per-group approximate distinct count: (group, approx_distinct).
-
-    Pipeline: md5-derived 60-bit hash -> low ``HLL_B`` bits pick the
-    register, the remaining 54 bits' leading-zero rank is the register
-    value -> per-(group, register) max (one hash-agg, map-side
-    combinable) -> per-group harmonic fold with the small-range
-    (linear-counting) correction.  Deterministic: same input, same
-    estimate, on any engine and any partitioning.
-    """
+def hll_registers(df: DataFrame, group_col: str, value_col: str,
+                  tag: str = "hll") -> DataFrame:
+    """HLL register state per group: (group, _j, m) — the low ``HLL_B``
+    hash bits pick register ``_j``, ``m`` is the max leading-zero rank
+    seen.  One hash-agg with map-side combine; this is the MERGEABLE
+    state (union two register tables by group-wise max) that batch,
+    incremental, and streaming cardinality all share."""
     h = F.conv(F.substring(
         F.md5(F.concat(F.lit(f"{tag}:"),
                        F.col(value_col).cast("string"))), 1, 15),
@@ -52,8 +49,15 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     # w == 0 folds into rank _WBITS via the same expression both engines
     # use — no float log2 whose 1-ulp differences could flip a register
     rank = F.lit(_WBITS + 1) - F.length(F.conv(w, 10, 2))
-    regs = (df.select(F.col(group_col), j.alias("_j"), rank.alias("_r"))
+    return (df.select(F.col(group_col), j.alias("_j"), rank.alias("_r"))
             .groupBy(group_col, "_j").agg(F.max("_r").alias("m")))
+
+
+def hll_fold(regs: DataFrame, group_col: str) -> DataFrame:
+    """Fold register state into the cardinality estimate:
+    (group, approx_distinct) — harmonic mean over registers with the
+    small-range linear-counting correction.  64 rows per group in, one
+    row out; stateless given the registers."""
     per = (regs.groupBy(group_col)
            .agg(F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s"),
                 F.count("*").alias("_n")))
@@ -64,6 +68,18 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
            .otherwise(raw)
     return per.select(F.col(group_col),
                       F.round(est).cast("bigint").alias("approx_distinct"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 tag: str = "hll") -> DataFrame:
+    """Per-group approximate distinct count: (group, approx_distinct).
+
+    ``hll_registers`` then ``hll_fold`` — see those for the state/merge
+    story.  Deterministic: same input, same estimate, on any engine and
+    any partitioning.
+    """
+    return hll_fold(hll_registers(df, group_col, value_col, tag),
+                    group_col)
 
 
 def hll_sql(group_col: str, value_col: str, table: str,

@@ -264,3 +264,19 @@ def stream_asof_enrich(events: DataFrame) -> DataFrame:
                 stateStructType=_ASOF_STATE,
                 outputMode="Append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_hll_registers(events: DataFrame, group_col: str,
+                         value_col: str) -> DataFrame:
+    """Streaming cardinality state: the HLL register table maintained
+    incrementally — state is EXACTLY groups x 64 max-rank registers
+    (bounded forever, no watermark needed), because HLL registers merge
+    by max.  Emit in update/complete mode and fold with
+    ``fmx.operators.sketches.hll_fold`` wherever the estimate is
+    consumed (the fold is 64 rows/group, stateless).  This is the
+    mergeable-sketch pattern: the same register state unions across
+    batches, streams, and days."""
+    from fmx.operators.sketches import hll_registers
+
+    # hll_registers is one groupBy-max — directly streamable
+    return hll_registers(events, group_col, value_col)

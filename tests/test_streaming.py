@@ -216,3 +216,23 @@ def test_stream_asof_state_carries_across_batches(spark, tmp_path):
     assert rows[0].purchase_id == 2 and rows[0].click_id == 1
     assert str(rows[0].click_ts) == "2024-01-01 10:00:00"
     q.stop()
+
+
+def test_stream_hll_registers_fold_matches_batch(spark, sf_dir):
+    """The streaming register state folded after the fact must equal
+    the batch HLL exactly (registers merge by max, so incremental
+    maintenance is lossless)."""
+    from fmx.operators.sketches import hll_distinct, hll_fold
+
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(
+        S.stream_hll_registers(events, "event_type", "user_id"),
+        "hll_regs", "complete")
+    folded = {r.event_type: r.approx_distinct
+              for r in hll_fold(spark.table("hll_regs"),
+                                "event_type").collect()}
+    batch = {r.event_type: r.approx_distinct
+             for r in hll_distinct(load_table(spark, sf_dir, "events"),
+                                   "event_type", "user_id").collect()}
+    assert folded == batch and folded
+    q.stop()
