@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_distinct", "hll_registers", "hll_fold",
-           "HLL_B", "HLL_M", "HLL_ALPHA"]
+           "HLL_B", "HLL_M", "HLL_ALPHA",
+           "cms_state", "cms_estimate", "CMS_D", "CMS_W",
+           "bloom_bits", "bloom_probe", "BLOOM_M", "BLOOM_K"]
 
 HLL_B = 6                 # register index bits
 HLL_M = 1 << HLL_B        # 64 registers
@@ -80,6 +82,139 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     """
     return hll_fold(hll_registers(df, group_col, value_col, tag),
                     group_col)
+
+
+CMS_D = 4                 # depth: independent hash rows
+CMS_W = 256               # width: counters per row
+
+def _md5_long(expr, salt: str):
+    """The repo-standard 60-bit non-negative integer hash (15 hex chars
+    of md5) — identical arithmetic on Spark (`conv`) and DuckDB
+    (`CAST(concat('0x',...) AS BIGINT)`)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), expr.cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+
+
+def cms_state(df: DataFrame, value_col: str, tag: str = "cms",
+              d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-min sketch state: (_d, _col, c) — ``d`` independent
+    md5-salted hash rows of ``w`` counters, built in ONE hash-agg.
+
+    The posexplode fans each input row out to ``d`` cells *before* the
+    shuffle, but the aggregation key space is at most ``d*w`` cells, so
+    map-side combine collapses each task's contribution to <= d*w rows
+    regardless of input size — this is the fixed-memory frequency state
+    for 100 TB streams.  Two state tables MERGE by per-cell sum, the
+    property the incremental/streaming twins rely on.
+    """
+    cells = F.array(*[F.pmod(_md5_long(F.col(value_col), f"{tag}{i}:"),
+                             F.lit(w)) for i in range(d)])
+    return (df.select(F.posexplode(cells).alias("_d", "_col"))
+            .groupBy("_d", "_col").agg(F.count("*").alias("c")))
+
+
+def cms_estimate(state: DataFrame, probes: DataFrame, value_col: str,
+                 tag: str = "cms", d: int = CMS_D,
+                 w: int = CMS_W) -> DataFrame:
+    """Point-frequency estimates for the probe keys:
+    (value_col, est_count) with ``est = min over rows of cell count``
+    (classic CM upper bound; cells never probed stay 0 via the left
+    join).  The state is <= d*w rows — always broadcast, so probing is
+    a map-side join however large the probe set is."""
+    pcells = probes.select(
+        F.col(value_col),
+        F.posexplode(F.array(*[
+            F.pmod(_md5_long(F.col(value_col), f"{tag}{i}:"), F.lit(w))
+            for i in range(d)])).alias("_d", "_col"))
+    joined = pcells.join(F.broadcast(state), ["_d", "_col"], "left") \
+                   .na.fill({"c": 0})
+    return joined.groupBy(value_col).agg(F.min("c").alias("est_count"))
+
+
+def cms_sql(value_col: str, src: str, probes: str, tag: str = "cms",
+            d: int = CMS_D, w: int = CMS_W) -> str:
+    """The identical count-min sketch as DuckDB CTEs (oracle side).
+    ``src``/``probes`` are CTE names providing ``value_col``."""
+    return f"""
+    cms_cells AS (
+        SELECT g.i AS d,
+               CAST(concat('0x', substring(md5(concat('{tag}', g.i, ':',
+                   CAST({value_col} AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % {w} AS col
+        FROM {src}, generate_series(0, {d - 1}) AS g(i)),
+    cms_state AS (SELECT d, col, count(*) AS c
+                  FROM cms_cells GROUP BY d, col),
+    cms_pcells AS (
+        SELECT {value_col}, g.i AS d,
+               CAST(concat('0x', substring(md5(concat('{tag}', g.i, ':',
+                   CAST({value_col} AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % {w} AS col
+        FROM {probes}, generate_series(0, {d - 1}) AS g(i)),
+    cms_est AS (
+        SELECT p.{value_col}, min(coalesce(s.c, 0)) AS est_count
+        FROM cms_pcells p LEFT JOIN cms_state s
+          ON p.d = s.d AND p.col = s.col
+        GROUP BY p.{value_col})
+    """
+
+
+BLOOM_M = 8192            # bit positions
+BLOOM_K = 5               # hashes per key
+
+
+def bloom_bits(df: DataFrame, value_col: str, tag: str = "bloom",
+               m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Bloom filter as a relation: the DISTINCT set bit positions
+    (pos).  At most ``m`` rows whatever the build side's size — the
+    broadcastable membership state.  Two filters union by
+    ``UNION DISTINCT``; build is one explode + distinct-agg."""
+    pos = F.array(*[F.pmod(_md5_long(F.col(value_col), f"{tag}{i}:"),
+                           F.lit(m)) for i in range(k)])
+    return df.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_probe(df: DataFrame, bits: DataFrame, value_col: str,
+                tag: str = "bloom", m: int = BLOOM_M,
+                k: int = BLOOM_K) -> DataFrame:
+    """Membership probe: input columns + ``maybe_present`` (true iff
+    all ``k`` positions are set — no false negatives, tunable false
+    positives).  The bits table (<= m rows) is broadcast, so the probe
+    adds no shuffle to the probed stream.  Rows of ``df`` are treated
+    with set semantics (the hit-count regroup keys on all columns);
+    probe relations should carry a unique key."""
+    pcells = df.withColumn(
+        "_pos", F.explode(F.array(*[
+            F.pmod(_md5_long(F.col(value_col), f"{tag}{i}:"), F.lit(m))
+            for i in range(k)])))
+    hit = F.broadcast(bits.withColumnRenamed("pos", "_pos")
+                      .withColumn("_hit", F.lit(1)))
+    return (pcells.join(hit, "_pos", "left")
+            .groupBy(*df.columns)
+            .agg((F.count("_hit") == k).alias("maybe_present")))
+
+
+def bloom_sql(value_col: str, build: str, probe: str, key_cols: str,
+              tag: str = "bloom", m: int = BLOOM_M,
+              k: int = BLOOM_K) -> str:
+    """The identical Bloom build+probe as DuckDB CTEs (oracle side).
+    ``build``/``probe`` are CTE names; ``key_cols`` is the probe's
+    comma-separated output key list.  Exposes ``bloom_flags`` with
+    (key_cols, maybe_present)."""
+    def cells(src: str) -> str:
+        return (f"SELECT *, CAST(concat('0x', substring(md5(concat("
+                f"'{tag}', g.i, ':', CAST({value_col} AS VARCHAR))), "
+                f"1, 15)) AS BIGINT) % {m} AS pos\n"
+                f"        FROM {src}, generate_series(0, {k - 1}) AS g(i)")
+    return f"""
+    bloom_bits AS (SELECT DISTINCT pos FROM ({cells(build)})),
+    bloom_pcells AS ({cells(probe)}),
+    bloom_flags AS (
+        SELECT {key_cols},
+               count(b.pos) = {k} AS maybe_present
+        FROM bloom_pcells p LEFT JOIN bloom_bits b ON p.pos = b.pos
+        GROUP BY {key_cols})
+    """
 
 
 def hll_sql(group_col: str, value_col: str, table: str,

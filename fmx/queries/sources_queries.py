@@ -78,6 +78,72 @@ def _hll_oracle() -> str:
             + hll_sql("event_type", "user_id", "src", tag="hll"))
 
 
+def _cms_oracle() -> str:
+    from fmx.operators.sketches import cms_sql
+    return ("WITH src AS (SELECT user_id FROM events),\n"
+            "probes AS (SELECT DISTINCT user_id FROM events),\n"
+            + cms_sql("user_id", "src", "probes") + """
+    SELECT user_id, CAST(est_count AS BIGINT) AS est_count
+    FROM cms_est ORDER BY est_count DESC, user_id LIMIT 15
+    """)
+
+
+@query("approx_topk_cms", oracle=_cms_oracle())
+def approx_topk_cms(spark, sf):
+    """Heavy hitters by count-min sketch: most-active users of the
+    events stream, counted through a fixed d=4 x w=256 counter state
+    instead of a per-key exact count.  Engine-portable (md5-salted row
+    hashes, plain integer arithmetic) so the CM upper-bound estimates
+    hash-verify cross-engine.  At 100 TB the state is the constant-
+    memory path: one hash-agg whose map-side combine bounds every
+    task's output at d*w cells, and estimates are a broadcast probe —
+    the probe side never shuffles."""
+    from fmx.operators.sketches import cms_estimate, cms_state
+
+    ev = T(spark, sf, "events")
+    state = cms_state(ev, "user_id")
+    probes = ev.select("user_id").distinct()
+    est = cms_estimate(state, probes, "user_id")
+    return (est.select("user_id",
+                       F.col("est_count").cast("bigint").alias("est_count"))
+            .orderBy(F.desc("est_count"), "user_id").limit(15))
+
+
+def _bloom_oracle() -> str:
+    from fmx.operators.sketches import bloom_sql
+    return ("WITH bench AS (SELECT text FROM documents "
+            "WHERE doc_id % 7 = 0),\n"
+            "docs AS (SELECT doc_id, source, text FROM documents),\n"
+            + bloom_sql("text", "bench", "docs", "p.doc_id, p.source") + """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM bloom_flags GROUP BY source ORDER BY source
+    """)
+
+
+@query("bloom_contamination", oracle=_bloom_oracle())
+def bloom_contamination(spark, sf):
+    """Benchmark-contamination screen via an engine-portable Bloom
+    filter: the held-out set's texts (every 7th doc) set k=5 md5-salted
+    bits of an m=8192 filter; every corpus doc probes all 5 positions
+    (no false negatives).  The filter is a <= m-row relation that
+    broadcasts, so screening a 100 TB corpus is map-side — contrast
+    with `text_contamination`'s exact n-gram join, which shuffles the
+    corpus.  Per-source flag counts are the pipeline's report shape."""
+    from fmx.operators.sketches import bloom_bits, bloom_probe
+
+    docs = T(spark, sf, "documents")
+    bits = bloom_bits(docs.filter(F.col("doc_id") % 7 == 0), "text")
+    flags = bloom_probe(docs.select("doc_id", "source", "text"),
+                        bits, "text")
+    return (flags.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.col("maybe_present").cast("int")).cast("bigint")
+                 .alias("n_flagged"))
+            .orderBy("source"))
+
+
 @query("approx_distinct_hll", oracle=_hll_oracle())
 def approx_distinct_hll(spark, sf):
     """Engine-portable HyperLogLog distinct users per event type: the
