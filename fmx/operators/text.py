@@ -14,7 +14,7 @@ __all__ = [
     "token_stats", "quality_score", "language_id", "token_counts",
     "fingerprint", "vocab_topk", "ngram_contamination",
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "bigram_perplexity",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -173,6 +173,52 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                     F.col("tf").cast("bigint").alias("tf"),
                     F.round("_tfidf", 6).alias("tfidf"),
                     F.col("term_rank").cast("bigint").alias("term_rank")))
+
+
+def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
+                      k_smooth: float = 0.5) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM trained
+    on the corpus itself: (id, n_bigrams, avg_logp, ppl).
+
+    The standard quality filter for LLM training data ("drop documents
+    the corpus LM finds surprising"), expressed entirely in relational
+    ops:
+
+    - bigram extraction is array slice+zip INSIDE each row — zero
+      shuffle, no self-join on token position;
+    - the model is two corpus-level hash-aggs (bigram counts, context
+      counts) whose output is vocabulary-bounded, not corpus-bounded —
+      at 100 TB the count tables are million-row, the corpus is
+      trillion-row, so the scoring joins are broadcast-or-AQE cheap;
+    - p(w2|w1) = (c(w1,w2)+k) / (c(w1)+k*V), V entering as a broadcast
+      1-row join (no driver scalar);
+    - ppl = exp(-mean ln p) per document.
+
+    Documents with fewer than two tokens have no bigrams and are
+    dropped (they carry no LM evidence).  Mirrors the reference's
+    quality-scoring role (fm_spark has no LM scorer; extension scope).
+    """
+    t = _toks(text_col)
+    pairs = F.arrays_zip(F.slice(t, 1, F.size(t) - 1),
+                         F.slice(t, 2, F.size(t) - 1)).alias("_p")
+    bigr = (df.select(F.col(id_col), F.explode(pairs).alias("_p"))
+            .select(id_col, F.col("_p.0").alias("_w1"),
+                    F.col("_p.1").alias("_w2")))
+    big_c = bigr.groupBy("_w1", "_w2").agg(F.count("*").alias("_cb"))
+    ctx_c = bigr.groupBy("_w1").agg(F.count("*").alias("_cc"))
+    vocab = (df.select(F.explode(t).alias("_tok"))
+             .agg(F.countDistinct("_tok").alias("_v")))
+    logp = F.log((F.col("_cb") + F.lit(k_smooth))
+                 / (F.col("_cc") + F.lit(k_smooth) * F.col("_v")))
+    return (bigr.join(big_c, ["_w1", "_w2"]).join(ctx_c, "_w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("_n"), F.sum(logp).alias("_s"))
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    F.col("_n").cast("bigint").alias("n_bigrams"),
+                    F.round(F.col("_s") / F.col("_n"), 6).alias("avg_logp"),
+                    F.round(F.exp(-F.col("_s") / F.col("_n")), 4)
+                    .alias("ppl")))
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

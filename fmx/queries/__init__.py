@@ -102,6 +102,8 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "approx_distinct_hll",
     "graph_pagerank_3iter",
+    "approx_topk_cms",
+    "bloom_contamination",
 ]
 
 

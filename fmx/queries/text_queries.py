@@ -203,6 +203,40 @@ def text_vocab_topk(spark, sf):
 
 
 @query(
+    "text_perplexity",
+    oracle="""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    zipped AS (SELECT doc_id,
+                      unnest(list_zip(t[:len(t) - 1], t[2:])) AS z
+               FROM base),
+    bigr AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM zipped),
+    big_c AS (SELECT w1, w2, count(*) AS cb FROM bigr GROUP BY w1, w2),
+    ctx_c AS (SELECT w1, count(*) AS cc FROM bigr GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM base)),
+    scored AS (SELECT b.doc_id,
+                      ln((cb + 0.5) / (cc + 0.5 * v)) AS lp
+               FROM bigr b
+               JOIN big_c USING (w1, w2)
+               JOIN ctx_c USING (w1)
+               CROSS JOIN vocab)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp) / count(*), 6) AS avg_logp,
+           round(exp(-sum(lp) / count(*)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """)
+def text_perplexity(spark, sf):
+    """Corpus-LM quality scoring: per-document perplexity under an
+    add-0.5-smoothed bigram model trained on the corpus itself.  The
+    model is vocabulary-bounded state (two hash-aggs), bigram
+    extraction is in-row array slice+zip (no positional self-join), so
+    the plan scales to a trillion-row corpus."""
+    return X.bigram_perplexity(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
     "text_contamination",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
