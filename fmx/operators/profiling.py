@@ -1,0 +1,81 @@
+"""Distribution profiling operators — the diagnostics a pipeline runs
+BEFORE committing to a join/aggregation strategy at scale.
+
+``key_skew_profile`` answers "will this key melt a shuffle?" (hot-key
+share, uniformity ratio) so the caller can pick salting
+(`fmx.core.skew`) or AQE skew-join ahead of time instead of discovering
+a straggler task at hour three.  ``zscore_outliers`` is the classic
+per-group anomaly gate over a numeric column.
+
+Both are pure column expressions replayable in ANSI SQL, so they carry
+DuckDB oracles like every other operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["key_skew_profile", "zscore_outliers"]
+
+
+def key_skew_profile(df: DataFrame, key_col: str,
+                     topk: int = 10) -> DataFrame:
+    """Top-k hottest keys with global skew context:
+    (key, cnt, share, rank, n_keys, skew_ratio).
+
+    ``share`` = key's fraction of all rows; ``skew_ratio`` =
+    max_cnt * n_keys / total_rows (1.0 for a perfectly uniform key,
+    >>1 for a melt-the-shuffle key).  Shapes: ONE hash-agg over the
+    key (map-side combine bounds task output at the distinct-key
+    count), a 1-row global roll-up of that agg's output, then a
+    broadcast of the 1-row summary and TakeOrderedAndProject for the
+    top-k — no full sort, nothing driver-side.  Profiling a 100 TB
+    fact costs one scan + one key-sized shuffle.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")) \
+               .agg(F.count("*").alias("cnt"))
+    summary = counts.agg(F.sum("cnt").alias("_total"),
+                         F.count("*").alias("_nk"),
+                         F.max("cnt").alias("_mx"))
+    ranked = (counts.crossJoin(F.broadcast(summary))
+              .select(F.col("key").cast("string").alias("key"),
+                      F.col("cnt").cast("bigint").alias("cnt"),
+                      F.round(F.col("cnt") / F.col("_total"), 6)
+                      .alias("share"),
+                      F.col("_nk").cast("bigint").alias("n_keys"),
+                      F.round(F.col("_mx") * F.col("_nk") / F.col("_total"),
+                              4).alias("skew_ratio")))
+    # rank is computed over the k survivors only — the global window
+    # touches topk rows, never the full key space
+    return (ranked.orderBy(F.desc("cnt"), "key").limit(topk)
+            .select("key", "cnt", "share",
+                    F.row_number()
+                    .over(Window.orderBy(F.desc("cnt"), "key"))
+                    .cast("bigint").alias("rank"),
+                    "n_keys", "skew_ratio"))
+
+
+def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
+                    z_threshold: float = 2.5) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``z_threshold``
+    population standard deviations from their group's mean: all input
+    columns + (group_mean, group_std, z).
+
+    Two-pass shape that stays two passes at any scale: one hash-agg
+    for per-group (mean, stddev_pop) — output is group-count-bounded,
+    hence broadcastable — then a broadcast join + filter over the
+    fact, so the outlier scan itself never shuffles.  Degenerate
+    groups (std = 0) produce no outliers by definition.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"))
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
+    return (df.join(F.broadcast(stats), group_col)
+            .filter((F.col("_sd") > 0)
+                    & (F.abs(z) > F.lit(z_threshold)))
+            .select(*[df[c] for c in df.columns],
+                    F.round("_mu", 4).alias("group_mean"),
+                    F.round("_sd", 4).alias("group_std"),
+                    F.round(z, 4).alias("z")))

@@ -104,6 +104,8 @@ _PRIORITY = [
     "graph_pagerank_3iter",
     "approx_topk_cms",
     "bloom_contamination",
+    "profile_key_skew",
+    "profile_zscore_outliers",
 ]
 
 

@@ -300,3 +300,59 @@ def graph_pagerank_3iter(spark, sf):
              .union(pos.select(p.alias("src"), c.alias("dst"))))
     out = pagerank(edges, iters=3, damping=0.85)
     return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH counts AS (SELECT event_type AS key, count(*) AS cnt
+                    FROM events GROUP BY event_type),
+    s AS (SELECT sum(cnt) AS _total, count(*) AS _nk, max(cnt) AS _mx
+          FROM counts)
+    SELECT CAST(key AS VARCHAR) AS key,
+           CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / _total, 6) AS share,
+           CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+               AS rank,
+           CAST(_nk AS BIGINT) AS n_keys,
+           round(_mx * _nk / _total, 4) AS skew_ratio
+    FROM counts, s
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """)
+def profile_key_skew(spark, sf):
+    """Pre-shuffle key-skew diagnostic over events.event_type: top-10
+    hottest keys with hot-key share and uniformity ratio (one key-sized
+    hash-agg + a broadcast 1-row summary —
+    `fmx.operators.profiling.key_skew_profile`)."""
+    from fmx.operators.profiling import key_skew_profile
+
+    return key_skew_profile(T(spark, sf, "events"), "event_type", topk=10)
+
+
+@query(
+    "profile_zscore_outliers",
+    oracle="""
+    WITH stats AS (SELECT o_orderstatus,
+                          avg(o_totalprice) AS _mu,
+                          stddev_pop(o_totalprice) AS _sd
+                   FROM orders GROUP BY o_orderstatus)
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+           round(_mu, 4) AS group_mean,
+           round(_sd, 4) AS group_std,
+           round((o.o_totalprice - _mu) / _sd, 4) AS z
+    FROM orders o JOIN stats s USING (o_orderstatus)
+    WHERE _sd > 0 AND abs((o.o_totalprice - _mu) / _sd) > 2.5
+    ORDER BY o.o_orderkey
+    """)
+def profile_zscore_outliers(spark, sf):
+    """Per-group z-score anomaly gate: orders whose total price sits
+    >2.5 population std-devs from their order-status group mean (one
+    group-sized agg broadcast back over the fact — no fact shuffle;
+    `fmx.operators.profiling.zscore_outliers`)."""
+    from fmx.operators.profiling import zscore_outliers
+
+    orders = T(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    return zscore_outliers(orders, "o_orderstatus", "o_totalprice",
+                           z_threshold=2.5)
