@@ -22,7 +22,7 @@ __all__ = [
     "exact_dedup", "word_shingles", "hash64", "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
-    "incremental_dedup", "duplicate_spans",
+    "incremental_dedup", "duplicate_spans", "semantic_dedup",
 ]
 
 
@@ -419,3 +419,55 @@ def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
     w = Window.partitionBy(hash_col).orderBy(id_col)
     return (fresh.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   num_cells: int = 8,
+                   threshold: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means-like clustering of the embedding space, then within-cluster
+    near-duplicate marking — a vector is a duplicate if its cosine to
+    any LOWER-id cell-mate reaches ``threshold`` (greedy keep-first,
+    deterministic).  Returns (id, cell, nn_lower_sim, is_dup).
+
+    Cells come from FIXED centroids (the first ``num_cells`` vectors by
+    id — same engine-portable convention as the IVF coarse quantizer in
+    fmx.operators.similarity), so any engine replays the identical
+    clustering; a trained k-means codebook slots in by replacing the
+    centroid table without touching the plan.
+
+    Scale shape: the centroid table is always broadcast; assignment is
+    map-only; the quadratic pairwise work is confined WITHIN cells
+    (sum n_c^2 << n^2 — at 100 TB num_cells grows ~sqrt(n) to keep
+    cells bounded), and each pair costs one JVM zip_with fold.  The
+    corpus is never globally all-paired.
+    """
+    spark = df.sparkSession
+    vecs = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    seed = (vecs.orderBy(id_col).limit(num_cells).select("_v").collect())
+    cents = F.broadcast(spark.createDataFrame(
+        [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seed)],
+        "_cell int, _centroid array<double>"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(),
+                                           F.col("_cell"))
+    assigned = (vecs.crossJoin(cents)
+                .withColumn("_sim", L.cosine_similarity("_v", "_centroid"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(F.col(id_col), F.col("_cell").alias("cell"), "_v"))
+    hi = assigned.select(F.col(id_col).alias("_id"), "cell",
+                         F.col("_v").alias("_vh"))
+    lo = assigned.select(F.col(id_col).alias("_lo"), "cell",
+                         F.col("_v").alias("_vl"))
+    nn = (hi.join(lo, "cell")
+          .filter(F.col("_lo") < F.col("_id"))
+          .groupBy("_id")
+          .agg(F.max(F.round(L.cosine_similarity("_vh", "_vl"), 6))
+               .alias("nn_lower_sim")))
+    return (assigned.join(nn, assigned[id_col] == nn["_id"], "left")
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    F.col("cell").cast("bigint").alias("cell"),
+                    "nn_lower_sim",
+                    F.coalesce(F.col("nn_lower_sim") >= threshold,
+                               F.lit(False)).alias("is_dup")))

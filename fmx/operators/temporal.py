@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "gap_fill"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -146,3 +146,43 @@ def range_join(points: DataFrame, point_col: str,
             & (F.col(point_col) >= F.col(lo_col))
             & (F.col(point_col) < F.col(hi_col)))
     return pt.join(iv, cond, how).drop("_pbucket", "_ibucket")
+
+
+def gap_fill(df: DataFrame, key_cols: list[str], bucket_col: str,
+             value_cols: list[str], step: int,
+             count_col: str | None = None) -> DataFrame:
+    """Time-series gap fill: densify a sparse per-key bucketed series to
+    a regular grid and carry values forward (the resample + ffill step
+    of every monitoring / feature pipeline).
+
+    ``df`` holds one row per (key, bucket) that HAS data; ``bucket_col``
+    is numeric (e.g. epoch seconds already floored to the grid).  Each
+    key's grid spans its own [min, max] bucket in ``step`` increments.
+    Missing buckets appear with ``was_gap = true``, ``value_cols``
+    forward-filled via a running ``last(ignorenulls)`` window, and
+    ``count_col`` (if given) zero-filled.
+
+    Plan shape: per-key bounds is one hash-agg; the grid is
+    ``explode(sequence(...))`` — generated, never materialized on the
+    driver; the fill is ONE window pass per key.  Grid rows per key =
+    span/step, independent of input row count, so the densified side
+    scales with (keys x time range), not data volume.  Keys partition
+    the window — no global sort.
+    """
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx"))
+    grid = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"),
+                             F.lit(int(step)))).alias(bucket_col))
+    dense = grid.join(df, [*key_cols, bucket_col], "left")
+    w = (Window.partitionBy(*key_cols).orderBy(bucket_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    probe = value_cols[0] if count_col is None else count_col
+    out = dense.withColumn("was_gap", F.col(probe).isNull())
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    if count_col is not None:
+        out = out.withColumn(count_col,
+                             F.coalesce(F.col(count_col), F.lit(0)))
+    return out

@@ -309,3 +309,61 @@ def dedup_span_profile(spark, sf):
     output is one row per doc (never a span self-join)."""
     return D.duplicate_spans(T(spark, sf, "documents"), "doc_id", "text",
                              n=SPAN_N)
+
+
+SEM_CELLS = 8
+SEM_TAU = 0.40     # the synthetic embeddings are near-orthogonal (max
+                   # pairwise cosine ~0.48); real corpora use ~0.9+
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex
+              GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
+              WHERE vec_id < {SEM_CELLS}),
+    cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
+              GROUP BY cell),
+    csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
+             FROM ex e JOIN cents c ON e.pos = c.pos
+             GROUP BY e.vec_id, c.cell),
+    assign AS (SELECT csim.vec_id, csim.cell
+               FROM csim JOIN norms ON csim.vec_id = norms.vec_id
+                         JOIN cnorm ON csim.cell = cnorm.cell
+               QUALIFY row_number() OVER (
+                   PARTITION BY csim.vec_id
+                   ORDER BY dot / (norms.nrm * cnorm.cn) DESC, csim.cell)
+                   = 1),
+    pairs AS (SELECT hi.vec_id AS id_hi, lo.vec_id AS id_lo
+              FROM assign hi JOIN assign lo ON hi.cell = lo.cell
+                                           AND lo.vec_id < hi.vec_id),
+    dots AS (SELECT p.id_hi, p.id_lo, sum(a.x * b.x) AS dot
+             FROM pairs p JOIN ex a ON a.vec_id = p.id_hi
+                          JOIN ex b ON b.vec_id = p.id_lo
+                                   AND b.pos = a.pos
+             GROUP BY p.id_hi, p.id_lo),
+    nn AS (SELECT id_hi,
+                  max(round(dot / (na.nrm * nb.nrm), 6)) AS nn_lower_sim
+           FROM dots JOIN norms na ON id_hi = na.vec_id
+                     JOIN norms nb ON id_lo = nb.vec_id
+           GROUP BY id_hi)
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cell AS BIGINT) AS cell,
+           nn.nn_lower_sim,
+           coalesce(nn.nn_lower_sim >= {SEM_TAU}, false) AS is_dup
+    FROM assign a LEFT JOIN nn ON a.vec_id = nn.id_hi
+    """)
+def dedup_semantic(spark, sf):
+    """SemDeDup-style semantic dedup: fixed-centroid coarse clustering
+    of the embedding space, then greedy keep-first duplicate marking
+    within each cell (cosine >= tau to any lower-id cell-mate).  The
+    quadratic verify is confined within cells — the 100 TB-safe shape
+    of embedding-level dedup."""
+    out = D.semantic_dedup(T(spark, sf, "embeddings"), "vec_id",
+                           "embedding", num_cells=SEM_CELLS,
+                           threshold=SEM_TAU)
+    return out

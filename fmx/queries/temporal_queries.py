@@ -7,6 +7,7 @@ fmx.operators.temporal with scale notes there."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fmx.operators.temporal import asof_join, range_join
@@ -121,3 +122,102 @@ def hypertable_rollup(spark, sf):
     return (ev.rollup("day", "hour")
             .agg(F.count("*").cast(BIG).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("total_value")))
+
+
+GF_STEP = 900            # 15-minute resample grid
+
+
+@query(
+    "ts_gap_fill",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {GF_STEP}) * {GF_STEP} AS BIGINT)
+                 AS bucket_s,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(bucket_s) AS mn, max(bucket_s) AS mx
+               FROM agg GROUP BY event_type),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(mn, mx, {GF_STEP})) AS bucket_s
+             FROM bounds),
+    dense AS (SELECT g.event_type, g.bucket_s, a.n_events, a.avg_value
+              FROM grid g LEFT JOIN agg a USING (event_type, bucket_s))
+    SELECT event_type, CAST(bucket_s AS BIGINT) AS bucket_s,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS avg_value,
+           (n_events IS NULL) AS was_gap
+    FROM dense
+    """)
+def ts_gap_fill(spark, sf):
+    """Resample + forward-fill: events bucketed to a 15-minute grid per
+    event_type, missing buckets densified (was_gap) with the last
+    observed average carried forward.  Grid rows are generated via
+    explode(sequence(...)) — sized by (keys x span), not data volume —
+    and the fill is one window pass per key."""
+    from fmx.operators.temporal import gap_fill
+    ev = T(spark, sf, "events")
+    agg = (ev.groupBy(
+               "event_type",
+               (F.floor(F.unix_timestamp("ts") / GF_STEP) * GF_STEP)
+               .cast(BIG).alias("bucket_s"))
+           .agg(F.count("*").cast(BIG).alias("n_events"),
+                F.round(F.avg("value"), 6).alias("avg_value")))
+    out = gap_fill(agg, ["event_type"], "bucket_s", ["avg_value"],
+                   GF_STEP, count_col="n_events")
+    return out.select("event_type", F.col("bucket_s").cast(BIG),
+                      F.col("n_events").cast(BIG), "avg_value", "was_gap")
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_s,
+             ts, event_id, value
+      FROM events),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour_s
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, hour_s
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM base)
+    SELECT event_type, hour_s,
+           round(max(CASE WHEN rf = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rl = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS volume
+    FROM rn GROUP BY 1, 2
+    """)
+def ts_resample_ohlc(spark, sf):
+    """OHLC bar resample: per (event_type, hour) the opening / high /
+    low / closing value plus volume — the downsample step of a metrics
+    store.  First/last are deterministic (ties broken on event_id) via
+    two ranking windows over the same one shuffle; the bar agg itself
+    is partial-aggregated at grain cardinality."""
+    ev = T(spark, sf, "events").select(
+        "event_type", "ts", "event_id", "value",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast(BIG).alias("hour_s"))
+    wf = Window.partitionBy("event_type", "hour_s").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "hour_s").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rf", F.row_number().over(wf))
+            .withColumn("rl", F.row_number().over(wl))
+            .groupBy("event_type", "hour_s")
+            .agg(F.round(F.max(F.when(F.col("rf") == 1, F.col("value"))), 6)
+                 .alias("open"),
+                 F.round(F.max("value"), 6).alias("high"),
+                 F.round(F.min("value"), 6).alias("low"),
+                 F.round(F.max(F.when(F.col("rl") == 1, F.col("value"))), 6)
+                 .alias("close"),
+                 F.count("*").cast(BIG).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("volume")))
