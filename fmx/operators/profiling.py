@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_profile", "zscore_outliers"]
+__all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -79,3 +79,37 @@ def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
                     F.round("_mu", 4).alias("group_mean"),
                     F.round("_sd", 4).alias("group_std"),
                     F.round(z, 4).alias("z")))
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 3.0) -> DataFrame:
+    """Robust outlier profile per group via median absolute deviation:
+    med = median(x), mad = median(|x - med|), outlier when
+    |x - med| > k * 1.4826 * mad (1.4826 scales MAD to sigma under
+    normality — the robust twin of zscore_outliers, immune to the
+    outliers it hunts).
+
+    Two aggregation passes (median is holistic, so the group medians
+    join back broadcast — group cardinality is tiny by construction),
+    then one conditional-count agg.  Exact percentile keeps the result
+    engine-portable; at extreme group counts swap in approx_percentile
+    without touching the plan shape."""
+    med = (df.groupBy(group_col)
+           .agg(F.percentile(value_col, F.lit(0.5)).alias("_med")))
+    dev = (df.join(F.broadcast(med), group_col)
+           .withColumn("_adev", F.abs(F.col(value_col) - F.col("_med"))))
+    mad = (dev.groupBy(group_col)
+           .agg(F.first("_med").alias("_med"),
+                F.percentile("_adev", F.lit(0.5)).alias("_mad")))
+    flagged = (dev.drop("_med")
+               .join(F.broadcast(mad), group_col)
+               .withColumn("_out",
+                           F.col("_adev") > F.lit(k * 1.4826) * F.col("_mad")))
+    return (flagged.groupBy(group_col)
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.first("_med"), 6).alias("median"),
+                 F.round(F.first("_mad"), 6).alias("mad"),
+                 F.sum(F.col("_out").cast("int")).cast("bigint")
+                 .alias("n_outliers"))
+            .withColumn("outlier_ratio",
+                        F.round(F.col("n_outliers") / F.col("n"), 6)))

@@ -14,7 +14,8 @@ __all__ = [
     "token_stats", "quality_score", "language_id", "token_counts",
     "fingerprint", "vocab_topk", "ngram_contamination",
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
-    "tfidf_top_terms", "bigram_perplexity",
+    "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
+    "inverted_index",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -356,3 +357,65 @@ def redact_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_email.cast("bigint").alias("n_emails"),
         n_url.cast("bigint").alias("n_urls"),
         n_num.cast("bigint").alias("n_longnums"))
+
+
+def hashed_linear_score(df: DataFrame, id_col: str, text_col: str,
+                        bias: float = 0.0,
+                        len_coef: float = 0.1) -> DataFrame:
+    """Fasttext-style hashed linear text classifier (inference): each
+    token hashes to a weight (md5-derived uniform in [-1, 1) — the
+    hashing trick with a weight table that is a pure FUNCTION of the
+    token, so no weight table is shipped and any engine replays it; a
+    trained table drops in as a broadcast join on the same hash key),
+    margin = mean token weight * sqrt(n) + len_coef * ln(n) - bias,
+    prob = sigmoid(margin).
+
+    One explode + one hash-agg per document — all codegen, no UDF; at
+    100 TB this is the shape of every quality-classifier sweep: linear
+    scan, partial aggregation, output one row per doc."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    w = (F.conv(F.substring(F.md5(F.concat(F.lit("qw:"), F.col("tok"))),
+                            1, 15), 16, 10).cast("double")
+         / F.lit(float(2 ** 59)) - F.lit(1.0))
+    agg = (toks.groupBy(id_col)
+           .agg(F.sum(w).alias("_sw"), F.count("*").alias("n_tokens")))
+    margin = (F.col("_sw") / F.sqrt(F.col("n_tokens"))
+              + F.lit(len_coef) * F.log(F.col("n_tokens").cast("double"))
+              - F.lit(bias))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return agg.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(margin, 6).alias("margin"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= 0.5).alias("keep"))
+
+
+def inverted_index(df: DataFrame, id_col: str, text_col: str,
+                   min_df: int = 2, max_postings: int = 20) -> DataFrame:
+    """Inverted index build: token -> (document frequency, posting list
+    of the first ``max_postings`` doc ids).  Postings are CAPPED before
+    collection via a ranking window (WindowGroupLimit per-partition
+    heaps), so no token — however hot — ever materializes an unbounded
+    list in aggregation state; the full df count rides the same shuffle.
+    Singletons (df < min_df) are dropped as noise.
+
+    Postings are emitted as a comma-joined STRING of sorted doc ids
+    (engine-portable; the array form is one split away).  Plan: explode
+    -> distinct (doc, token) -> per-token ranking window -> one
+    hash-agg."""
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .distinct())
+    w = Window.partitionBy("tok").orderBy(F.col(id_col))
+    ranked = toks.withColumn("_rn", F.row_number().over(w))
+    return (ranked.groupBy("tok")
+            .agg(F.count("*").alias("df"),
+                 F.array_join(F.sort_array(F.collect_list(
+                     F.when(F.col("_rn") <= max_postings,
+                            F.col(id_col).cast("bigint")))), ",")
+                 .alias("postings"))
+            .filter(F.col("df") >= min_df)
+            .select(F.col("tok").alias("token"),
+                    F.col("df").cast("bigint").alias("df"), "postings"))

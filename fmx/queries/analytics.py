@@ -4,6 +4,7 @@ and documents tables."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fmx.queries import query
@@ -332,27 +333,122 @@ def profile_key_skew(spark, sf):
 
 @query(
     "profile_zscore_outliers",
+    # events.value is the one heavy-tailed column in the test schema
+    # (o_totalprice is uniform-ish: max |z| ~1.74 at every SF, so a 2.5
+    # threshold over orders NEVER fires — the r03 driver row was a
+    # vacuous 0-row hash-match, the tpch_q9 lesson again)
     oracle="""
-    WITH stats AS (SELECT o_orderstatus,
-                          avg(o_totalprice) AS _mu,
-                          stddev_pop(o_totalprice) AS _sd
-                   FROM orders GROUP BY o_orderstatus)
-    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+    WITH stats AS (SELECT event_type,
+                          avg(value) AS _mu,
+                          stddev_pop(value) AS _sd
+                   FROM events GROUP BY event_type)
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
            round(_mu, 4) AS group_mean,
            round(_sd, 4) AS group_std,
-           round((o.o_totalprice - _mu) / _sd, 4) AS z
-    FROM orders o JOIN stats s USING (o_orderstatus)
-    WHERE _sd > 0 AND abs((o.o_totalprice - _mu) / _sd) > 2.5
-    ORDER BY o.o_orderkey
+           round((e.value - _mu) / _sd, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE _sd > 0 AND abs((e.value - _mu) / _sd) > 2.5
+    ORDER BY e.event_id
     """)
 def profile_zscore_outliers(spark, sf):
-    """Per-group z-score anomaly gate: orders whose total price sits
-    >2.5 population std-devs from their order-status group mean (one
+    """Per-group z-score anomaly gate: events whose value sits >2.5
+    population std-devs from their event-type group mean (one
     group-sized agg broadcast back over the fact — no fact shuffle;
     `fmx.operators.profiling.zscore_outliers`)."""
     from fmx.operators.profiling import zscore_outliers
 
-    orders = T(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    return zscore_outliers(orders, "o_orderstatus", "o_totalprice",
-                           z_threshold=2.5)
+    ev = T(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    return zscore_outliers(ev, "event_type", "value", z_threshold=2.5)
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH ba AS (SELECT c_custkey AS key, c_acctbal AS value,
+                       CAST(NULL AS TIMESTAMP) AS ts,
+                       CAST(-1 AS BIGINT) AS event_id, 0 AS side, 'U' AS op
+                FROM customer),
+    ch AS (SELECT user_id AS key, value, ts, event_id, 1 AS side,
+                  CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM events),
+    u AS (SELECT * FROM ba UNION ALL SELECT * FROM ch),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY side DESC, ts DESC NULLS LAST,
+                                             event_id DESC) AS rn,
+                 sum(side) OVER (PARTITION BY key) AS n_changes
+          FROM u)
+    SELECT CAST(key AS BIGINT) AS key, round(value, 2) AS value,
+           CASE WHEN side = 1 THEN 'change' ELSE 'base' END AS src,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM r WHERE rn = 1 AND op = 'U'
+    """)
+def cdc_apply_changes(spark, sf):
+    """CDC MERGE compaction: apply a keyed change stream (events as
+    upserts, every 17th event a delete) onto a base snapshot
+    (customers), latest-wins per key.  The scale shape is union +
+    ONE ranking window per key — no join, nothing to skew, identical
+    to the steady-state compaction a lakehouse MERGE INTO performs.
+    Deleted keys vanish; unseen keys pass through; inserts surface."""
+    ba = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("value"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(-1).cast(BIG).alias("event_id"),
+        F.lit(0).alias("side"), F.lit("U").alias("op"))
+    ch = T(spark, sf, "events").select(
+        F.col("user_id").alias("key"), "value", "ts", "event_id",
+        F.lit(1).alias("side"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"))
+    u = ba.unionByName(ch)
+    wr = Window.partitionBy("key").orderBy(
+        F.col("side").desc(), F.col("ts").desc_nulls_last(),
+        F.col("event_id").desc())
+    wa = Window.partitionBy("key")
+    return (u.withColumn("rn", F.row_number().over(wr))
+            .withColumn("n_changes", F.sum("side").over(wa))
+            .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+            .select(F.col("key").cast(BIG).alias("key"),
+                    F.round("value", 2).alias("value"),
+                    F.when(F.col("side") == 1, F.lit("change"))
+                    .otherwise(F.lit("base")).alias("src"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("last_ts"),
+                    F.col("n_changes").cast(BIG).alias("n_changes")))
+
+
+@query(
+    "profile_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type,
+                        quantile_cont(value, 0.5) AS _med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.value, m._med,
+                   abs(e.value - m._med) AS _adev
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(_adev, 0.5) AS _mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(d._med), 6) AS median,
+           round(min(m._mad), 6) AS mad,
+           CAST(sum(CASE WHEN d._adev > 3.0 * 1.4826 * m._mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN d._adev > 3.0 * 1.4826 * m._mad
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS outlier_ratio
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """)
+def profile_mad_outliers(spark, sf):
+    """Robust (median/MAD) outlier profile per event_type — the
+    heavy-tail-safe twin of the z-score gate: the median and MAD are
+    unmoved by the very outliers being hunted.  Exact percentiles in
+    two group-sized aggs, broadcast back over the fact
+    (`fmx.operators.profiling.mad_outliers`)."""
+    from fmx.operators.profiling import mad_outliers
+
+    ev = T(spark, sf, "events").select("event_type", "value")
+    return mad_outliers(ev, "event_type", "value", k=3.0)

@@ -403,3 +403,101 @@ def text_tfidf_top_terms(spark, sf):
     as a broadcast 1-row join, never a driver scalar."""
     return X.tfidf_top_terms(T(spark, sf, "documents"), "doc_id", "text",
                              k=3)
+
+
+_QW = ("(CAST(concat('0x', substring(md5(concat('qw:', tok)), 1, 15)) "
+       "AS BIGINT) / 576460752303423488.0 - 1.0)")
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    agg AS (SELECT doc_id, sum({_QW}) AS sw,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY doc_id),
+    sc AS (SELECT doc_id, n_tokens,
+                  sw / sqrt(n_tokens) + 0.1 * ln(n_tokens) AS margin
+           FROM agg)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+           round(margin, 6) AS margin,
+           round(1.0 / (1.0 + exp(-margin)), 6) AS prob,
+           (1.0 / (1.0 + exp(-margin)) >= 0.5) AS keep
+    FROM sc
+    """)
+def text_quality_classifier(spark, sf):
+    """Hashed linear quality classifier (fasttext-shape inference):
+    md5-derived per-token weights (the hashing trick as a pure function
+    — a trained weight table drops in as a broadcast join), sigmoid
+    margin, keep/drop verdict.  One explode + one hash-agg, all
+    codegen."""
+    return X.hashed_linear_score(T(spark, sf, "documents"),
+                                 "doc_id", "text")
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    ranked AS (SELECT tok, doc_id,
+                      row_number() OVER (PARTITION BY tok
+                                         ORDER BY doc_id) AS rn
+               FROM toks),
+    idx AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list_sort(list(CAST(doc_id AS BIGINT))
+                                             FILTER (rn <= 20)), ',')
+                       AS postings
+            FROM ranked GROUP BY tok)
+    SELECT token, df, postings FROM idx WHERE df >= 2
+    """)
+def text_inverted_index(spark, sf):
+    """Inverted-index build: token -> (df, posting list capped to the
+    first 20 doc ids via a ranking window — bounded aggregation state
+    however hot the token) — the retrieval-side artifact of a corpus
+    store.  Explode + distinct + window + one hash-agg."""
+    return X.inverted_index(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "multimodal_frame_sample",
+    # duration is derived from payload byte length (100 bytes/s stand-in
+    # for container metadata); frame timestamps are pure arithmetic, so
+    # the sampling PLAN is fully oracle-checked — only the per-frame
+    # decode is the stubbed step (fmx.operators.multimodal.decode_image)
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id, octet_length(encode(text)) / 100.0 AS duration_s
+      FROM documents),
+    n AS (SELECT doc_id, duration_s,
+                 greatest(CAST(floor(duration_s * 0.5) AS BIGINT) - 1, 0)
+                     AS max_i
+          FROM assets)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           round(i / 0.5, 6) AS frame_ts,
+           CAST(max_i + 1 AS BIGINT) AS n_frames
+    FROM n, LATERAL (SELECT unnest(generate_series(0, max_i)) AS i) g
+    """)
+def multimodal_frame_sample(spark, sf):
+    """Video frame-sampling plumbing: payload metadata -> per-asset
+    uniform frame timestamps at 0.5 fps, exploded long-format (one row
+    per frame to decode).  The timestamp plan is generated arithmetic
+    (sequence/transform — sized by duration, not data volume); the
+    decode of each sampled frame is the one honestly-stubbed step."""
+    from pyspark.sql import functions as F
+
+    mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")
+    assets = mm.select(
+        "doc_id", (F.col("meta.byte_len") / 100.0).alias("duration_s"))
+    offs = M.sample_frame_offsets(assets, "doc_id", "duration_s", fps=0.5)
+    return (offs
+            .select("doc_id", F.posexplode("frame_ts")
+                    .alias("frame_idx", "ts"),
+                    F.size("frame_ts").alias("n_frames"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                    F.round("ts", 6).alias("frame_ts"),
+                    F.col("n_frames").cast("bigint").alias("n_frames")))

@@ -177,3 +177,30 @@ def test_negative_sample_anti_join_no_driver_scalar(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_confined_to_cells(spark, sf_dir):
+    """SemDeDup's quadratic verify must be an equi-join on the cell key
+    (the broadcast centroid cross-join is the only nested-loop — a
+    bounded num_cells x dim literal table)."""
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    # every nested-loop is the bounded broadcast centroid table (one per
+    # assignment subtree); the PAIR join itself must be an equi-join on
+    # the cell key
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line
+    assert any(("Join" in ln and "cell" in ln and
+                "BroadcastNestedLoopJoin" not in ln)
+               for ln in plan.splitlines())
+
+
+def test_gap_fill_grid_is_generated(spark, sf_dir):
+    """The densified grid comes from explode(sequence(...)) over per-key
+    bounds — generated, not materialized; the fill is a window, and no
+    shuffle exceeds (keys x buckets) cardinality."""
+    plan = _plan(spark, sf_dir, "ts_gap_fill")
+    assert "Generate" in plan           # explode(sequence)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
