@@ -53,59 +53,72 @@ _MODULES = [
 # Names listed here are emitted FIRST by all_queries()/queries() (in this
 # order); everything else follows in registration order.  Keep this list
 # at <= 50 names so the whole driver window is deliberate.
+#
+# Round-4 window: the driver union r01..r03 covered every registry entry
+# except text_perplexity, so the front of the window is (a) that one
+# gap, (b) the 8 new round-4 queries, (c) profile_zscore_outliers whose
+# r03 row was a vacuous 0-row hash-match (threshold could never fire on
+# uniform o_totalprice — repointed at heavy-tailed events.value), then
+# (d) 40 re-checks of the entries whose most recent driver row is r01
+# (oldest evidence first; the 8 r01-era rows left outside the window —
+# a7_min_max, a8_count, f4_math, f6_split_cast, p2_drop_column,
+# p4_distinct, set_intersect, union_by_name — are trivial shapes that
+# remain r01-green and harness-checked).
 _PRIORITY = [
-    # -- the 30 queries with no driver CORRECTNESS row in r01/r02 --
-    "w5_lag_delta",
-    "win_tumbling_hour",
-    "win_sliding",
-    "win_session_30m",
-    "w6_ntile_cume",
-    "stats_corr_regr",
-    "w7_time_range_sum",
-    "scd2_user_status",
-    "s2_inline_relation",
-    "s3_libsvm_parse",
-    "approx_distinct",
-    "approx_quantiles",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "attribution_interval_join",
-    "latest_event_per_user",
-    "dedup_levenshtein_prefix",
-    "asof_purchase_last_click",
-    "range_join_price_bands",
-    "hypertable_rollup",
-    "sample_hash_split",
-    "sample_stratified",
-    "sample_pack_sequences",
-    "pipeline_dataprep",
-    "sample_temperature_mixture",
-    "sample_per_source_cap",
-    "histogram_width_bucket",
-    "j8_salted_join_agg",
-    "a10_salted_hot_agg",
-    "dq_expectations",
-    # -- re-checks: vacuous / rows-only verdicts fixed this round --
-    "tpch_q9_product_profit",
-    "multimodal_features",
-    "j6_anti_join",            # was vacuously empty; predicate now real
-    "set_except",              # was vacuously empty; predicate now real
-    # -- new round-3 queries --
-    "ann_lsh_topk_multiprobe",
-    "ann_ivf_topk_fixed",
-    "ann_pq_codes",
-    "ann_pq_topk",
-    "dedup_span_profile",
-    "zorder_layout_key",
-    "sample_weighted_topk",
-    "sample_negatives",
-    "text_tfidf_top_terms",
-    "approx_distinct_hll",
-    "graph_pagerank_3iter",
-    "approx_topk_cms",
-    "bloom_contamination",
-    "profile_key_skew",
+    # -- never driver-checked --
+    "text_perplexity",
+    # -- new round-4 queries --
+    "dedup_semantic",
+    "ts_gap_fill",
+    "ts_resample_ohlc",
+    "cdc_apply_changes",
+    "profile_mad_outliers",
+    "text_quality_classifier",
+    "text_inverted_index",
+    "multimodal_frame_sample",
+    # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
+    # -- re-checks: most recent driver row is r01 --
+    "p1_projection",
+    "p3_nullif_coalesce",
+    "p6_filter_group",
+    "j1_inner_join_agg",
+    "j2_left_join_coalesce",
+    "j3_left_join_fill",
+    "j4_full_outer_upsert",
+    "j5_semi_join",
+    "j7_broadcast_two_dims",
+    "a1_tpch_q1",
+    "a2_group_avg",
+    "a3_group_min_date",
+    "a5_collect_set_sorted",
+    "a6_global_sum",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "sort_limit_topk",
+    "set_union_distinct",
+    "f1_explode_tokens",
+    "f3_clamp",
+    "json_extract",
+    "date_trunc_month",
+    "string_funcs",
+    "regexp_funcs",
+    "pivot_status",
+    "percentiles",
+    "stats_agg",
+    "grouping_sets",
+    "rank_functions",
+    "window_value_funcs",
+    "array_sql_funcs",
+    "map_funcs",
+    "interval_arith",
+    "exists_subquery",
+    "scalar_subquery",
+    "string_manipulation",
+    "bool_bitwise_aggs",
+    "unpivot_melt",
+    "null_safe_equality",
 ]
 
 
