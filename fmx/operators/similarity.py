@@ -23,7 +23,7 @@ from fmx.core import linalg as L
 
 __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
-           "pq_codebook", "pq_encode", "pq_topk"]
+           "pq_codebook", "pq_encode", "pq_topk", "pq_rerank_topk"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -356,3 +356,32 @@ def quantize_embeddings(df: DataFrame, id_col: str,
                F.transform(v, lambda x: F.round(x / scale)
                            .cast("int")))
         .alias("codes"))
+
+
+def pq_rerank_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, k: int = 5, k_cand: int = 25,
+                   m: int = 4, num_codes: int = 16,
+                   dim: int | None = None,
+                   query_id: str = "query_id") -> DataFrame:
+    """Two-stage retrieval: PQ ADC shortlist (``k_cand`` candidates per
+    query from compressed codes) -> exact cosine rerank -> top ``k``.
+    The production ANN pattern: the scan side touches only 4-int codes;
+    full vectors are fetched for k_cand rows per query — a
+    candidate-sized equi-join, never a corpus-wide one — so recall is
+    set by the shortlist and precision by the exact rerank."""
+    cand = pq_topk(corpus, queries, id_col, vec_col, k=k_cand, m=m,
+                   num_codes=num_codes, dim=dim, query_id=query_id)
+    cvec = _as_double(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_cv"))
+    qvec = _as_double(queries, vec_col).select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv"))
+    sim = (cand.select(query_id, id_col)
+           .join(cvec, id_col)
+           .join(F.broadcast(qvec), query_id)
+           .select(query_id, id_col,
+                   F.round(L.cosine_similarity("_qv", "_cv"), 6)
+                   .alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(id_col))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -452,3 +452,174 @@ def profile_mad_outliers(spark, sf):
 
     ev = T(spark, sf, "events").select("event_type", "value")
     return mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+@query(
+    "copurchase_topk",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     count(*) AS n_orders
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey),
+    sym AS (SELECT pa AS item, pb AS rec, n_orders FROM pairs
+            UNION ALL
+            SELECT pb AS item, pa AS rec, n_orders FROM pairs)
+    SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(row_number() OVER (PARTITION BY item
+                                   ORDER BY n_orders DESC, rec) AS BIGINT)
+               AS rank
+    FROM sym
+    QUALIFY rank <= 5
+    """)
+def copurchase_topk(spark, sf):
+    """Item-item co-occurrence recommender prep: top-5 co-purchased
+    parts per part.  The pair explosion is confined WITHIN orders (a
+    self-equi-join on l_orderkey — fan-out is items-per-order squared,
+    a small constant; never a corpus-wide pair join), then one pair
+    hash-agg and a ranking-window top-k (WindowGroupLimit heaps)."""
+    li = (T(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb").agg(F.count("*").alias("n_orders")))
+    sym = (pairs.select(F.col("pa").alias("item"), F.col("pb").alias("rec"),
+                        "n_orders")
+           .unionByName(
+               pairs.select(F.col("pb").alias("item"),
+                            F.col("pa").alias("rec"), "n_orders")))
+    w = Window.partitionBy("item").orderBy(F.col("n_orders").desc(),
+                                           F.col("rec"))
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(F.col("item").cast(BIG).alias("item"),
+                    F.col("rec").cast(BIG).alias("rec"),
+                    F.col("n_orders").cast(BIG).alias("n_orders"),
+                    F.col("rank").cast(BIG).alias("rank")))
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (SELECT prev_type, event_type AS next_type,
+                     count(*) AS n
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type),
+    tot AS (SELECT prev_type, sum(n) AS t FROM trans GROUP BY prev_type)
+    SELECT trans.prev_type, next_type,
+           CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / t, 6) AS p
+    FROM trans JOIN tot USING (prev_type)
+    """)
+def event_transition_matrix(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current).  One lag window per user
+    (a single shuffle on user_id), then a transition-grain hash-agg —
+    the sequence-mining shape that stays linear however long the
+    history."""
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count("*").alias("n")))
+    wt = Window.partitionBy("prev_type")
+    return (trans.withColumn("t", F.sum("n").over(wt))
+            .select("prev_type", "next_type",
+                    F.col("n").cast(BIG).alias("n"),
+                    F.round(F.col("n") / F.col("t"), 6).alias("p")))
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH b AS (SELECT min(floor(epoch(ts))) AS t0, max(floor(epoch(ts))) AS t1,
+                      min(value) AS vmin, max(value) AS vmax
+               FROM events),
+    evb AS (SELECT event_type,
+                   CASE WHEN floor(epoch(ts)) * 2 <= t0 + t1
+                        THEN 'a' ELSE 'b' END AS period,
+                   CAST(least(9, floor((value - vmin)
+                                       / (vmax - vmin) * 10)) AS BIGINT)
+                       AS bucket
+            FROM events, b),
+    cnt AS (SELECT event_type, bucket,
+                   sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+            FROM evb GROUP BY event_type, bucket),
+    grid AS (SELECT t.event_type, g.bucket
+             FROM (SELECT DISTINCT event_type FROM events) t,
+                  (SELECT unnest(generate_series(0, 9)) AS bucket) g),
+    dense AS (SELECT g.event_type, g.bucket,
+                     coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
+              FROM grid g LEFT JOIN cnt c
+                ON g.event_type = c.event_type AND g.bucket = c.bucket),
+    tot AS (SELECT event_type, bucket, na, nb,
+                   sum(na) OVER (PARTITION BY event_type) AS ta,
+                   sum(nb) OVER (PARTITION BY event_type) AS tb
+            FROM dense),
+    shares AS (SELECT event_type, na, nb, ta, tb,
+                      (na + 0.5) / (ta + 5.0) AS sa,
+                      (nb + 0.5) / (tb + 5.0) AS sb
+               FROM tot)
+    SELECT event_type,
+           CAST(sum(na) AS BIGINT) AS n_a,
+           CAST(sum(nb) AS BIGINT) AS n_b,
+           round(sum((sa - sb) * ln(sa / sb)), 6) AS psi
+    FROM shares GROUP BY event_type
+    """)
+def dq_psi_drift(spark, sf):
+    """Distribution-drift gate: population stability index of
+    events.value between the first and second half of the time range,
+    per event_type (10 equal-width buckets, +0.5 smoothing; PSI > 0.2
+    is the classic retrain/alert trigger).  One 1-row bounds agg
+    broadcast over the fact, one (type, bucket) hash-agg, a generated
+    dense bucket grid — drift monitoring with no second fact scan."""
+    ev = T(spark, sf, "events").select("event_type", "ts", "value")
+    b = ev.agg(F.min(F.unix_timestamp("ts")).alias("t0"),
+               F.max(F.unix_timestamp("ts")).alias("t1"),
+               F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    evb = (ev.crossJoin(F.broadcast(b))
+           .select("event_type",
+                   F.when(F.unix_timestamp("ts") * 2 <= F.col("t0")
+                          + F.col("t1"), F.lit("a")).otherwise(F.lit("b"))
+                   .alias("period"),
+                   F.least(F.lit(9),
+                           F.floor((F.col("value") - F.col("vmin"))
+                                   / (F.col("vmax") - F.col("vmin")) * 10))
+                   .cast(BIG).alias("bucket")))
+    cnt = (evb.groupBy("event_type", "bucket")
+           .agg(F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+                .alias("na"),
+                F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+                .alias("nb")))
+    grid = (ev.select("event_type").distinct()
+            .select("event_type",
+                    F.explode(F.sequence(F.lit(0), F.lit(9)))
+                    .alias("bucket"))
+            .withColumn("bucket", F.col("bucket").cast(BIG)))
+    dense = (grid.join(cnt, ["event_type", "bucket"], "left")
+             .select("event_type", "bucket",
+                     F.coalesce("na", F.lit(0)).alias("na"),
+                     F.coalesce("nb", F.lit(0)).alias("nb")))
+    wt = Window.partitionBy("event_type")
+    shares = (dense
+              .withColumn("ta", F.sum("na").over(wt))
+              .withColumn("tb", F.sum("nb").over(wt))
+              .withColumn("sa", (F.col("na") + 0.5) / (F.col("ta") + 5.0))
+              .withColumn("sb", (F.col("nb") + 0.5) / (F.col("tb") + 5.0)))
+    return (shares.groupBy("event_type")
+            .agg(F.sum("na").cast(BIG).alias("n_a"),
+                 F.sum("nb").cast(BIG).alias("n_b"),
+                 F.round(F.sum((F.col("sa") - F.col("sb"))
+                               * F.log(F.col("sa") / F.col("sb"))), 6)
+                 .alias("psi")))

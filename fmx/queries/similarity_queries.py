@@ -381,3 +381,55 @@ def emb_quantize(spark, sf):
                       F.posexplode("codes").alias("pos", "code")) \
               .select("vec_id", "scale",
                       F.col("pos").cast("bigint").alias("pos"), "code")
+
+
+K_CAND = 25             # PQ shortlist size before exact rerank
+
+
+@query(
+    "ann_pq_rerank",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL},
+    dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
+                        AS code,
+                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+             FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+             WHERE s.vec_id < {N_QUERIES}
+             GROUP BY s.vec_id, s.sub, c.code),
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id),
+    cand AS (SELECT query_id, vec_id FROM adist
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adist, vec_id)
+                     <= {K_CAND}),
+    dots AS (SELECT c.query_id, c.vec_id, sum(eq.x * ec.x) AS dot
+             FROM cand c JOIN ex eq ON eq.vec_id = c.query_id
+                         JOIN ex ec ON ec.vec_id = c.vec_id
+                                   AND ec.pos = eq.pos
+             GROUP BY c.query_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= {K}
+    """)
+def ann_pq_rerank(spark, sf):
+    """Two-stage ANN: PQ ADC shortlist (k_cand=25 from 4-int codes) ->
+    exact cosine rerank -> top-5.  The production retrieval pattern:
+    compressed scan for recall, candidate-sized exact pass for
+    precision."""
+    emb = T(spark, sf, "embeddings")
+    out = S.pq_rerank_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                           "vec_id", "embedding", k=K, k_cand=K_CAND,
+                           m=PQ_M, num_codes=PQ_CODES, dim=DIM)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))

@@ -22,8 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (DoubleType, LongType, StructField,
-                               StructType, TimestampType)
+from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                               StringType, StructField, StructType,
+                               TimestampType)
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files: int = 1) -> DataFrame:
@@ -280,3 +281,59 @@ def stream_hll_registers(events: DataFrame, group_col: str,
 
     # hll_registers is one groupBy-max — directly streamable
     return hll_registers(events, group_col, value_col)
+
+
+CDC_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("op", StringType()),
+])
+
+# latest applied change per key (micros for a primitive state schema)
+_CDC_STATE = StructType([
+    StructField("ts_us", LongType()),
+    StructField("event_id", LongType()),
+    StructField("value", DoubleType()),
+    StructField("is_del", BooleanType()),
+])
+
+
+def _cdc_apply(key, pdfs, state):
+    # latest-wins CDC apply: order by (ts, event_id); every 17th
+    # event_id is a delete — mirrors the batch cdc_apply_changes
+    if state.exists:
+        ts_us, eid, val, dele = state.get
+    else:
+        ts_us, eid, val, dele = -1, -1, float("nan"), False
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            r_us = int(r.ts.value // 1_000)
+            if (r_us, r.event_id) > (ts_us, eid):
+                ts_us, eid = r_us, int(r.event_id)
+                val = float(r.value)
+                dele = (int(r.event_id) % 17) == 0
+    state.update((ts_us, eid, val, dele))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "event_id": [eid],
+        "ts": [pd.Timestamp(ts_us, unit="us")],
+        "value": [val], "op": ["D" if dele else "U"]})
+
+
+def stream_cdc_latest(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: per-key latest-wins state maintained
+    across micro-batches via ``applyInPandasWithState`` — the streaming
+    twin of the batch ``cdc_apply_changes`` merge (Update mode emits
+    the current compacted row, tombstones flagged op='D').  State per
+    key is one fixed-width tuple — bounded by key cardinality, not
+    stream length."""
+    return (events
+            .select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _cdc_apply,
+                outputStructType=CDC_SCHEMA,
+                stateStructType=_CDC_STATE,
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -236,3 +236,27 @@ def test_stream_hll_registers_fold_matches_batch(spark, sf_dir):
                                    "event_type", "user_id").collect()}
     assert folded == batch and folded
     q.stop()
+
+
+def test_stream_cdc_latest_matches_batch(spark, sf_dir):
+    """The stateful streaming CDC compaction must converge to the batch
+    latest-wins change per key (deletes flagged as tombstones)."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_cdc_latest(events), "cdc_stream", "update")
+    # update mode: last emit per key is the compacted state
+    got = {r.user_id: (r.event_id, str(r.ts), round(r.value, 6), r.op)
+           for r in spark.sql("SELECT * FROM cdc_stream").collect()}
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    want = {r.user_id: (r.event_id, str(r.ts), round(r.value, 6), r.op)
+            for r in (load_table(spark, sf_dir, "events")
+                      .select("user_id", "event_id", "ts", "value",
+                              F.when(F.col("event_id") % 17 == 0, "D")
+                              .otherwise("U").alias("op"))
+                      .withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1)
+                      .collect())}
+    assert got == want
+    q.stop()
