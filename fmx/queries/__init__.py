@@ -76,6 +76,10 @@ _PRIORITY = [
     "text_quality_classifier",
     "text_inverted_index",
     "multimodal_frame_sample",
+    "ann_pq_rerank",
+    "copurchase_topk",
+    "event_transition_matrix",
+    "dq_psi_drift",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -115,10 +119,6 @@ _PRIORITY = [
     "interval_arith",
     "exists_subquery",
     "scalar_subquery",
-    "string_manipulation",
-    "bool_bitwise_aggs",
-    "unpivot_melt",
-    "null_safe_equality",
 ]
 
 
