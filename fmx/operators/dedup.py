@@ -430,7 +430,7 @@ def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
-                   num_cells: int = 8,
+                   num_cells: int = 8, cells_per_n: int | None = 250,
                    threshold: float = 0.9) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
     k-means-like clustering of the embedding space, then within-cluster
@@ -445,14 +445,24 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     centroid table without touching the plan.
 
     Scale shape: the centroid table is always broadcast; assignment is
-    map-only; the quadratic pairwise work is confined WITHIN cells
-    (sum n_c^2 << n^2 — at 100 TB num_cells grows ~sqrt(n) to keep
-    cells bounded), and each pair costs one JVM zip_with fold.  The
-    corpus is never globally all-paired.
+    map-only; the quadratic pairwise work is confined WITHIN cells, and
+    each pair costs one JVM zip_with fold.  ``cells_per_n`` grows the
+    cell count with the corpus (num_cells = max(num_cells,
+    n // cells_per_n)) so mean cell size stays ~cells_per_n and the
+    pair volume stays LINEAR in n (sum n_c^2 ~ n * cells_per_n) — with
+    a fixed cell count the cells themselves grow linearly and the
+    verify re-quadratizes.  The corpus is never globally all-paired.
+    (At billions of vectors the flat n x cells assignment scan itself
+    needs a coarse-within-coarse hierarchy — same table convention,
+    one more level.)
     """
     spark = df.sparkSession
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("_v"))
+    if cells_per_n is not None:
+        # one count action: num_cells tracks corpus size (the oracle
+        # derives the same number from count(*))
+        num_cells = max(num_cells, vecs.count() // cells_per_n)
     seed = (vecs.orderBy(id_col).limit(num_cells).select("_v").collect())
     cents = F.broadcast(spark.createDataFrame(
         [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seed)],

@@ -19,10 +19,11 @@ the same property the streaming and incremental layers rely on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct", "hll_registers", "hll_fold",
+__all__ = ["hist_quantiles", "hist_quantiles_sql",
+           "hll_distinct", "hll_registers", "hll_fold",
            "HLL_B", "HLL_M", "HLL_ALPHA",
            "cms_state", "cms_estimate", "CMS_D", "CMS_W",
            "bloom_bits", "bloom_probe", "BLOOM_M", "BLOOM_K"]
@@ -242,4 +243,86 @@ def hll_sql(group_col: str, value_col: str, table: str,
                             / (s + ({HLL_M} - n)) END) AS BIGINT)
                AS approx_distinct
     FROM folded
+    """
+
+
+def hist_quantiles(df: DataFrame, group_col: str, value_col: str,
+                   qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                   buckets: int = 100) -> DataFrame:
+    """Engine-portable approximate quantiles from a fixed equal-width
+    histogram: bucket counts are a plain hash-agg (mergeable — the sum
+    of per-partition histograms IS the histogram, the property sketches
+    need and exact percentile lacks), and each quantile is read off the
+    cumulative counts with linear interpolation inside its bucket.
+    Error is bounded by bucket width (range/buckets) — the classic
+    histogram-sketch trade (vs GK/KLL's rank guarantee) but 100%
+    deterministic and replayable in any engine.
+
+    One pass for per-group [min, max] (group-sized, broadcast back),
+    one (group, bucket) hash-agg, one small window over
+    groups x buckets.  Output: (group, q, est)."""
+    b = (df.groupBy(group_col)
+         .agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"),
+              F.count("*").alias("_n")))
+    binned = (df.join(F.broadcast(b), group_col)
+              .select(group_col, "_lo", "_hi", "_n",
+                      F.least(F.lit(buckets - 1),
+                              F.floor((F.col(value_col) - F.col("_lo"))
+                                      / (F.col("_hi") - F.col("_lo"))
+                                      * buckets)).cast("int").alias("_b")))
+    hist = (binned.groupBy(group_col, "_b")
+            .agg(F.min("_lo").alias("_lo"), F.min("_hi").alias("_hi"),
+                 F.min("_n").alias("_n"), F.count("*").alias("_c")))
+    w = (Window.partitionBy(group_col).orderBy("_b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    width = (F.col("_hi") - F.col("_lo")) / buckets
+    out = None
+    for q in qs:
+        # target rank; the quantile lives in the first bucket whose
+        # cumulative count reaches it
+        target = F.col("_n") * F.lit(q)
+        hit = (cum.filter(F.col("_cum") >= target)
+               .withColumn("_rn", F.row_number().over(
+                   Window.partitionBy(group_col).orderBy("_b")))
+               .filter(F.col("_rn") == 1)
+               .select(group_col, F.lit(q).alias("q"),
+                       F.round(F.col("_lo") + width
+                               * (F.col("_b")
+                                  + (target - (F.col("_cum") - F.col("_c")))
+                                  / F.col("_c")), 6).alias("est")))
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def hist_quantiles_sql(group_col: str, value_col: str, src: str,
+                       qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                       buckets: int = 100) -> str:
+    """DuckDB replay of hist_quantiles over CTE ``src``."""
+    q_rows = ", ".join(f"({q})" for q in qs)
+    return f"""
+    b AS (SELECT {group_col}, min({value_col}) AS lo,
+                 max({value_col}) AS hi, count(*) AS n
+          FROM {src} GROUP BY {group_col}),
+    binned AS (SELECT s.{group_col}, b.lo, b.hi, b.n,
+                      CAST(least({buckets - 1},
+                                 floor((s.{value_col} - b.lo)
+                                       / (b.hi - b.lo) * {buckets}))
+                           AS INT) AS bk
+               FROM {src} s JOIN b USING ({group_col})),
+    hist AS (SELECT {group_col}, bk, min(lo) AS lo, min(hi) AS hi,
+                    min(n) AS n, count(*) AS c
+             FROM binned GROUP BY {group_col}, bk),
+    cum AS (SELECT *, sum(c) OVER (PARTITION BY {group_col} ORDER BY bk
+                                   ROWS UNBOUNDED PRECEDING) AS cm
+            FROM hist),
+    qs(q) AS (VALUES {q_rows}),
+    hit AS (SELECT {group_col}, q, bk, lo, hi, n, c, cm,
+                   row_number() OVER (PARTITION BY {group_col}, q
+                                      ORDER BY bk) AS rn
+            FROM cum, qs WHERE cm >= n * q)
+    SELECT {group_col}, q,
+           round(lo + (hi - lo) / {buckets}
+                 * (bk + (n * q - (cm - c)) * 1.0 / c), 6) AS est
+    FROM hit WHERE rn = 1
     """

@@ -80,6 +80,7 @@ _PRIORITY = [
     "copurchase_topk",
     "event_transition_matrix",
     "dq_psi_drift",
+    "approx_quantiles_hist",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -118,7 +119,6 @@ _PRIORITY = [
     "map_funcs",
     "interval_arith",
     "exists_subquery",
-    "scalar_subquery",
 ]
 
 

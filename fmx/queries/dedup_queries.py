@@ -318,14 +318,19 @@ SEM_TAU = 0.40     # the synthetic embeddings are near-orthogonal (max
 
 @query(
     "dedup_semantic",
+    headline=True,
     oracle=f"""
     WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                        CAST(unnest(embedding) AS DOUBLE) AS x
                 FROM embeddings),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex
               GROUP BY vec_id),
-    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
-              WHERE vec_id < {SEM_CELLS}),
+    -- cell count tracks corpus size exactly as the operator's
+    -- cells_per_n=250 default (8 at every current SF)
+    nc AS (SELECT greatest({SEM_CELLS}, count(*) // 250) AS n_cells
+           FROM embeddings),
+    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex, nc
+              WHERE vec_id < nc.n_cells),
     cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
               GROUP BY cell),
     csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot

@@ -388,6 +388,7 @@ K_CAND = 25             # PQ shortlist size before exact rerank
 
 @query(
     "ann_pq_rerank",
+    headline=True,
     oracle=f"""
     WITH {_EX}, {_PQ_SQL},
     dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)

@@ -155,3 +155,24 @@ def approx_distinct_hll(spark, sf):
     from fmx.operators.sketches import hll_distinct
 
     return hll_distinct(T(spark, sf, "events"), "event_type", "user_id")
+
+
+def _hist_quantile_oracle() -> str:
+    from fmx.operators.sketches import hist_quantiles_sql
+    return ("WITH src AS (SELECT l_returnflag, l_extendedprice "
+            "FROM lineitem),\n"
+            + hist_quantiles_sql("l_returnflag", "l_extendedprice", "src"))
+
+
+@query("approx_quantiles_hist", oracle=_hist_quantile_oracle())
+def approx_quantiles_hist(spark, sf):
+    """Engine-portable approximate quantiles (p25/p50/p75 of
+    l_extendedprice per return flag) from a 100-bucket equal-width
+    histogram sketch — mergeable (per-partition histograms sum) and
+    deterministic, so unlike percentile_approx's GK sketch the estimate
+    hash-verifies cross-engine (`fmx.operators.sketches.
+    hist_quantiles`).  The exact twin is the `percentiles` query."""
+    from fmx.operators.sketches import hist_quantiles
+
+    li = T(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    return hist_quantiles(li, "l_returnflag", "l_extendedprice")

@@ -34,6 +34,12 @@ _DEFAULTS = {
     # the events table stores TIMESTAMP(NANOS) which Spark rejects by
     # default; read as long and normalize in fmx.sources.load_table
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # parquet timestamps with isAdjustedToUTC=false would otherwise read
+    # as TIMESTAMP_NTZ (Spark 3.4+ inference), which watermarks reject
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — read them as session-tz
+    # TIMESTAMP; with the UTC session zone the wall times match the
+    # DuckDB oracle either way
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
