@@ -41,3 +41,20 @@ def test_events_ts_microsecond_exactness(spark, sf_dir):
     want = sorted(r.w for r in
                   raw.select(F.expr("ts div 1000").alias("w")).collect())
     assert got == want
+
+
+def test_events_ts_reads_as_session_tz_timestamp(spark, sf_dir):
+    """The events.ts column must surface as TIMESTAMP (session-tz), not
+    TIMESTAMP_NTZ: watermarked streaming rejects NTZ event time, and the
+    driver-regenerated parquet stores isAdjustedToUTC=false timestamps
+    that Spark 3.4+ would otherwise infer as NTZ
+    (spark.sql.parquet.inferTimestampNTZ.enabled=false in fmx.session)."""
+    from pyspark.sql.types import TimestampType
+
+    from fmx.sources import load_table
+
+    ts_type = dict(load_table(spark, sf_dir, "events").dtypes)["ts"]
+    assert ts_type == "timestamp", ts_type
+    f = [f for f in load_table(spark, sf_dir, "events").schema.fields
+         if f.name == "ts"][0]
+    assert isinstance(f.dataType, TimestampType)
