@@ -469,19 +469,27 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         "_cell int, _centroid array<double>"))
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(),
                                            F.col("_cell"))
+    # unit-normalize at assignment: the within-cell verify then costs
+    # ONE dot-product fold per pair instead of dot + two norm folds
+    # (norms would otherwise be recomputed once per PAIR, not per row)
+    nrm = L.vec_norm("_v")
     assigned = (vecs.crossJoin(cents)
                 .withColumn("_sim", L.cosine_similarity("_v", "_centroid"))
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
-                .select(F.col(id_col), F.col("_cell").alias("cell"), "_v"))
+                .select(F.col(id_col), F.col("_cell").alias("cell"),
+                        F.when(nrm > 0, L.vec_scale("_v", 1.0 / nrm))
+                        .otherwise(F.col("_v")).alias("_u")))
     hi = assigned.select(F.col(id_col).alias("_id"), "cell",
-                         F.col("_v").alias("_vh"))
+                         F.col("_u").alias("_uh"))
     lo = assigned.select(F.col(id_col).alias("_lo"), "cell",
-                         F.col("_v").alias("_vl"))
-    nn = (hi.join(lo, "cell")
+                         F.col("_u").alias("_ul"))
+    # shuffle-hash join on the cell key: co-partitions both sides like
+    # the scale plan, without sort-merge's sort of wide vector rows
+    nn = (hi.join(lo.hint("shuffle_hash"), "cell")
           .filter(F.col("_lo") < F.col("_id"))
           .groupBy("_id")
-          .agg(F.max(F.round(L.cosine_similarity("_vh", "_vl"), 6))
+          .agg(F.max(F.round(L.vec_dot("_uh", "_ul"), 6))
                .alias("nn_lower_sim")))
     return (assigned.join(nn, assigned[id_col] == nn["_id"], "left")
             .select(F.col(id_col).cast("bigint").alias(id_col),
