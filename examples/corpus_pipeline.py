@@ -79,6 +79,14 @@ def main() -> None:
                .drop("dup_span_ratio"))
     n4b = deduped.count()
 
+    # 3d. model-based quality gate: hashed linear classifier score
+    #     (fasttext-shape inference — md5 weights stand in for a
+    #     trained table, which would drop in as a broadcast join)
+    scored = X.hashed_linear_score(deduped, "doc_id", "text")
+    deduped = (deduped.join(scored.select("doc_id", "keep"), "doc_id")
+               .filter(F.col("keep")).drop("keep"))
+    n5b = deduped.count()
+
     # 4. token accounting for the surviving corpus
     counts = X.token_counts(deduped, "doc_id", "text")
     total = counts.agg(F.sum("ws_tokens").alias("ws"),
@@ -106,7 +114,7 @@ def main() -> None:
 
     print(f"loaded {n0} -> quality-filtered {n1} -> exact-deduped {n2} "
           f"-> near-dup-deduped {n3} -> repetition-filtered {n4} "
-          f"-> span-hygiene {n4b}")
+          f"-> span-hygiene {n4b} -> classifier-gated {n5b}")
     print(f"surviving tokens: ws={total.ws} bpe={total.bpe}; "
           f"packed into {n_seqs} 512-token sequences")
     print(f"wrote {out_dir} (partitioned by split, pred_lang)")

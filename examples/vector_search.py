@@ -81,6 +81,19 @@ def main() -> None:
           f"{hits / total:.3f} (4x16 codebook, scan side reads 4 ints "
           f"per vector)")
 
+    # Two-stage retrieval: PQ shortlist (k_cand=25 from codes) -> exact
+    # cosine rerank of just the shortlist.  Recall comes from the cheap
+    # compressed scan, precision from an exact pass that touches only
+    # k_cand full vectors per query.
+    rr = S.pq_rerank_topk(emb, queries, "vec_id", "embedding", k=K,
+                          k_cand=25, m=4, num_codes=16, dim=64)
+    exact_cos = S.cosine_topk(emb, queries, "vec_id", "embedding", k=K)
+    rr_hits = (exact_cos.select("query_id", "vec_id")
+               .join(rr.select("query_id", "vec_id"),
+                     ["query_id", "vec_id"]).count())
+    print(f"PQ->exact rerank recall@{K} vs exact cosine: "
+          f"{rr_hits}/{total} = {rr_hits / total:.3f}")
+
     spark.stop()
 
 
