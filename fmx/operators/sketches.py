@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hist_quantiles", "hist_quantiles_sql",
+           "hist_fixed_registers", "hist_fixed_fold",
            "hll_distinct", "hll_registers", "hll_fold",
            "HLL_B", "HLL_M", "HLL_ALPHA",
            "cms_state", "cms_estimate", "CMS_D", "CMS_W",
@@ -326,3 +327,51 @@ def hist_quantiles_sql(group_col: str, value_col: str, src: str,
                  * (bk + (n * q - (cm - c)) * 1.0 / c), 6) AS est
     FROM hit WHERE rn = 1
     """
+
+
+def hist_fixed_registers(df: DataFrame, group_col: str, value_col: str,
+                         lo: float, hi: float,
+                         buckets: int = 100) -> DataFrame:
+    """Fixed-edge histogram registers: (group, bucket, c).  Bucket
+    edges are given a priori (unlike hist_quantiles' data-dependent
+    range), so the register table is additive — per-partition, per-
+    batch, per-day histograms merge by plain sum, which makes this the
+    STREAMABLE quantile sketch (one streaming groupBy-count, state =
+    groups x buckets rows, bounded forever).  Out-of-range values clamp
+    into the edge buckets."""
+    width = (hi - lo) / buckets
+    b = F.least(F.lit(buckets - 1),
+                F.greatest(F.lit(0),
+                           F.floor((F.col(value_col) - F.lit(lo))
+                                   / F.lit(width)))).cast("int")
+    return (df.groupBy(F.col(group_col), b.alias("bucket"))
+            .agg(F.count("*").alias("c")))
+
+
+def hist_fixed_fold(regs: DataFrame, group_col: str, lo: float, hi: float,
+                    buckets: int = 100,
+                    qs: tuple[float, ...] = (0.5,)) -> DataFrame:
+    """Fold fixed-edge histogram registers into quantile estimates:
+    (group, q, est) — cumulative counts + linear interpolation inside
+    the hit bucket.  Stateless and tiny (groups x buckets rows): run it
+    wherever the registers are consumed."""
+    w = (Window.partitionBy(group_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy(group_col)
+    cum = (regs.withColumn("_cum", F.sum("c").over(w))
+           .withColumn("_n", F.sum("c").over(wn)))
+    width = (hi - lo) / buckets
+    out = None
+    for q in qs:
+        target = F.col("_n") * F.lit(q)
+        hit = (cum.filter(F.col("_cum") >= target)
+               .withColumn("_rn", F.row_number().over(
+                   Window.partitionBy(group_col).orderBy("bucket")))
+               .filter(F.col("_rn") == 1)
+               .select(F.col(group_col), F.lit(q).alias("q"),
+                       F.round(F.lit(lo) + F.lit(width)
+                               * (F.col("bucket")
+                                  + (target - (F.col("_cum") - F.col("c")))
+                                  / F.col("c")), 6).alias("est")))
+        out = hit if out is None else out.unionByName(hit)
+    return out

