@@ -81,6 +81,7 @@ _PRIORITY = [
     "event_transition_matrix",
     "dq_psi_drift",
     "approx_quantiles_hist",
+    "corpus_source_report",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -118,7 +119,6 @@ _PRIORITY = [
     "array_sql_funcs",
     "map_funcs",
     "interval_arith",
-    "exists_subquery",
 ]
 
 

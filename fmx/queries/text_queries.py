@@ -3,6 +3,9 @@ the exact arithmetic (ratios are integer divisions -> bit-identical)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from fmx.operators import multimodal as M
 from fmx.operators import text as X
 from fmx.queries import query
@@ -501,3 +504,51 @@ def multimodal_frame_sample(spark, sf):
                     F.col("frame_idx").cast("bigint").alias("frame_idx"),
                     F.round("ts", 6).alias("frame_ts"),
                     F.col("n_frames").cast("bigint").alias("n_frames")))
+
+
+@query(
+    "corpus_source_report",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    fpc AS (SELECT *, count(*) OVER (PARTITION BY fp) AS fp_df FROM base)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN fp_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+           round(sum(CASE WHEN fp_df >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_ratio
+    FROM fpc GROUP BY source
+    """)
+def corpus_source_report(spark, sf):
+    """Per-source corpus report card: document/token volume, language
+    spread, and exact-duplicate rate — the mixture table every
+    pretraining run is steered by.  One scan, one fingerprint window,
+    one source-grain agg; every stat is partial-aggregated, so the
+    report costs one pass at any corpus size."""
+    d = T(spark, sf, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                       r"\s+", " ")))
+    base = d.select(
+        "source", "lang", "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        fp.alias("fp"))
+    fpc = base.withColumn(
+        "fp_df", F.count("*").over(Window.partitionBy("fp")))
+    return (fpc.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.sum(F.when(F.col("fp_df") >= 2, 1).otherwise(0))
+                 .cast("bigint").alias("dup_docs"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("dup_docs") / F.col("n_docs"), 6)))
