@@ -82,6 +82,7 @@ _PRIORITY = [
     "dq_psi_drift",
     "approx_quantiles_hist",
     "corpus_source_report",
+    "seq_next_event_dataset",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -118,7 +119,6 @@ _PRIORITY = [
     "window_value_funcs",
     "array_sql_funcs",
     "map_funcs",
-    "interval_arith",
 ]
 
 

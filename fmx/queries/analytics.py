@@ -635,3 +635,39 @@ def dq_psi_drift(spark, sf):
                  F.round(F.sum((F.col("sa") - F.col("sb"))
                                * F.log(F.col("sa") / F.col("sb"))), 6)
                  .alias("psi")))
+
+
+@query(
+    "seq_next_event_dataset",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type, 4) OVER w AS c1,
+             lag(event_type, 3) OVER w AS c2,
+             lag(event_type, 2) OVER w AS c3,
+             lag(event_type, 1) OVER w AS c4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS example_id,
+           concat_ws(',', c1, c2, c3, c4) AS context,
+           event_type AS label
+    FROM seq WHERE c1 IS NOT NULL
+    """)
+def seq_next_event_dataset(spark, sf):
+    """Next-event-prediction dataset generation: every event with >= 4
+    predecessors becomes a training example (4-event context window ->
+    label).  One lag window per user — the sliding examples come from
+    the SAME single shuffle, no self-join per offset; example volume
+    equals event volume at any scale."""
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("event_type", i).over(w).alias(f"c{5 - i}")
+            for i in range(4, 0, -1)]
+    seq = ev.select("user_id", "event_id", "event_type", *lags)
+    return (seq.filter(F.col("c1").isNotNull())
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("event_id").cast(BIG).alias("example_id"),
+                    F.concat_ws(",", "c1", "c2", "c3", "c4")
+                    .alias("context"),
+                    F.col("event_type").alias("label")))

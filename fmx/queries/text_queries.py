@@ -532,7 +532,11 @@ def corpus_source_report(spark, sf):
     spread, and exact-duplicate rate — the mixture table every
     pretraining run is steered by.  One scan, one fingerprint window,
     one source-grain agg; every stat is partial-aggregated, so the
-    report costs one pass at any corpus size."""
+    report costs one pass at any corpus size.  (The fingerprint
+    window holds one row per copy of a duplicated doc: corpora with
+    mega-clusters of identical content — empty pages, parked domains —
+    should pre-aggregate on fp first, trading a second scan for
+    skew-immunity, as in duplicate_spans' max_df note.)"""
     d = T(spark, sf, "documents")
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
                                        r"\s+", " ")))
