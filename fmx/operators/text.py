@@ -403,19 +403,23 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str,
 
     Postings are emitted as a comma-joined STRING of sorted doc ids
     (engine-portable; the array form is one split away).  Plan: explode
-    -> distinct (doc, token) -> per-token ranking window -> one
-    hash-agg."""
+    -> distinct (doc, token) -> two token-grain branches joined at
+    token cardinality: the df count (partial-agg, sort-free,
+    skew-immune) and the capped postings, whose ``rn <= k`` row filter
+    right after row_number lets WindowGroupLimit truncate every map
+    partition to k rows per token BEFORE the sort-shuffle — a hot
+    token never sorts its full posting set anywhere."""
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
             .distinct())
+    dfreq = (toks.groupBy("tok").agg(F.count("*").alias("df"))
+             .filter(F.col("df") >= min_df))
     w = Window.partitionBy("tok").orderBy(F.col(id_col))
-    ranked = toks.withColumn("_rn", F.row_number().over(w))
-    return (ranked.groupBy("tok")
-            .agg(F.count("*").alias("df"),
-                 F.array_join(F.sort_array(F.collect_list(
-                     F.when(F.col("_rn") <= max_postings,
-                            F.col(id_col).cast("bigint")))), ",")
-                 .alias("postings"))
-            .filter(F.col("df") >= min_df)
+    capped = (toks.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_postings)
+              .groupBy("tok")
+              .agg(F.array_join(F.sort_array(F.collect_list(
+                  F.col(id_col).cast("bigint"))), ",").alias("postings")))
+    return (dfreq.join(capped, "tok")
             .select(F.col("tok").alias("token"),
                     F.col("df").cast("bigint").alias("df"), "postings"))

@@ -204,3 +204,11 @@ def test_gap_fill_grid_is_generated(spark, sf_dir):
     assert "Generate" in plan           # explode(sequence)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_postings_cap_uses_window_group_limit(spark, sf_dir):
+    """The postings cap must run as WindowGroupLimit (per-map truncation
+    to k rows per token before the sort-shuffle) — a hot token never
+    sorts its full posting set; the df branch stays sort-free."""
+    plan = _plan(spark, sf_dir, "text_inverted_index")
+    assert "WindowGroupLimit" in plan
