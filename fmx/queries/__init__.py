@@ -83,6 +83,7 @@ _PRIORITY = [
     "approx_quantiles_hist",
     "corpus_source_report",
     "seq_next_event_dataset",
+    "agg_incremental_merge",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -118,7 +119,6 @@ _PRIORITY = [
     "rank_functions",
     "window_value_funcs",
     "array_sql_funcs",
-    "map_funcs",
 ]
 
 

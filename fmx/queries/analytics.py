@@ -671,3 +671,56 @@ def seq_next_event_dataset(spark, sf):
                     F.concat_ws(",", "c1", "c2", "c3", "c4")
                     .alias("context"),
                     F.col("event_type").alias("label")))
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    WITH b AS (SELECT min(floor(epoch(ts))) AS t0, max(floor(epoch(ts))) AS t1
+               FROM events),
+    tagged AS (SELECT event_type,
+                      CASE WHEN floor(epoch(ts)) * 2 <= t0 + t1
+                           THEN 'state' ELSE 'delta' END AS part,
+                      value
+               FROM events, b),
+    partial AS (SELECT event_type, part,
+                       count(*) AS n, sum(value) AS s,
+                       min(value) AS mn, max(value) AS mx
+                FROM tagged GROUP BY event_type, part)
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(s), 2) AS total,
+           round(sum(s) / sum(n), 6) AS mean,
+           round(min(mn), 6) AS vmin,
+           round(max(mx), 6) AS vmax,
+           CAST(max(CASE WHEN part = 'delta' THEN n ELSE 0 END) AS BIGINT)
+               AS delta_rows
+    FROM partial GROUP BY event_type
+    """)
+def agg_incremental_merge(spark, sf):
+    """Incremental materialized-view maintenance: yesterday's aggregate
+    state merges with today's delta by RE-AGGREGATING the partials
+    (count/sum/min/max are mergeable — the algebraic-aggregate property
+    that makes incremental MVs, streaming state, and partial
+    aggregation one and the same mechanism).  The merged view equals
+    the full recompute without rescanning the state's raw rows."""
+    ev = T(spark, sf, "events").select("event_type", "ts", "value")
+    b = ev.agg(F.min(F.unix_timestamp("ts")).alias("t0"),
+               F.max(F.unix_timestamp("ts")).alias("t1"))
+    tagged = (ev.crossJoin(F.broadcast(b))
+              .select("event_type",
+                      F.when(F.unix_timestamp("ts") * 2
+                             <= F.col("t0") + F.col("t1"),
+                             F.lit("state")).otherwise(F.lit("delta"))
+                      .alias("part"), "value"))
+    partial = (tagged.groupBy("event_type", "part")
+               .agg(F.count("*").alias("n"), F.sum("value").alias("s"),
+                    F.min("value").alias("mn"), F.max("value").alias("mx")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("n").cast(BIG).alias("n"),
+                 F.round(F.sum("s"), 2).alias("total"),
+                 F.round(F.sum("s") / F.sum("n"), 6).alias("mean"),
+                 F.round(F.min("mn"), 6).alias("vmin"),
+                 F.round(F.max("mx"), 6).alias("vmax"),
+                 F.max(F.when(F.col("part") == "delta", F.col("n"))
+                       .otherwise(F.lit(0))).cast(BIG).alias("delta_rows")))
