@@ -49,13 +49,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def read_csv(spark: SparkSession, path: str, header: bool = True,
-             infer_schema: bool = True) -> DataFrame:
+             infer_schema: bool = True, schema=None,
+             mode: str = "PERMISSIVE",
+             corrupt_col: str | None = None) -> DataFrame:
     """CSV scan with header + schema inference (reference S1,
-    FactorizationMachinesSample.scala:98-102)."""
-    return (spark.read
-            .option("header", str(header).lower())
-            .option("inferSchema", str(infer_schema).lower())
-            .csv(path))
+    FactorizationMachinesSample.scala:98-102).
+
+    Dirty-data controls for real ingestion: pass an explicit ``schema``
+    plus ``corrupt_col`` to capture unparseable lines in a side column
+    (PERMISSIVE quarantine — route them to a dead-letter sink instead
+    of failing a 100 TB load), ``mode='DROPMALFORMED'`` to drop them,
+    or ``mode='FAILFAST'`` to abort on the first bad record."""
+    reader = (spark.read
+              .option("header", str(header).lower())
+              .option("mode", mode))
+    if schema is not None:
+        if corrupt_col is not None:
+            from pyspark.sql.types import StringType, StructField, StructType
+            schema = StructType(list(schema.fields)
+                                + [StructField(corrupt_col, StringType())])
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return reader.csv(path)
 
 
 def read_libsvm_text(spark: SparkSession, path: str) -> DataFrame:

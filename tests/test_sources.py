@@ -58,3 +58,35 @@ def test_events_ts_reads_as_session_tz_timestamp(spark, sf_dir):
     f = [f for f in load_table(spark, sf_dir, "events").schema.fields
          if f.name == "ts"][0]
     assert isinstance(f.dataType, TimestampType)
+
+
+def test_read_csv_malformed_record_handling(spark, tmp_path):
+    """Dirty-CSV ingestion: PERMISSIVE+corrupt_col quarantines bad lines
+    in a side column (dead-letter routing), DROPMALFORMED drops them —
+    a 100 TB load never dies on one bad row unless FAILFAST is asked
+    for."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from fmx.sources import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,name,score\n1,alpha,0.5\nnot_a_number,beta\n"
+                 "3,gamma,2.5\n")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType()),
+                         StructField("score", DoubleType())])
+
+    perm = read_csv(spark, str(p), schema=schema,
+                    corrupt_col="_bad").cache()
+    good = perm.filter("_bad IS NULL")
+    bad = perm.filter("_bad IS NOT NULL")
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]["_bad"]
+
+    dropped = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    # count() would prune every column, parse nothing, and report 3 —
+    # malformed rows only drop when some column is actually materialized
+    assert len(dropped.collect()) == 2
+    perm.unpersist()
