@@ -84,6 +84,7 @@ _PRIORITY = [
     "corpus_source_report",
     "seq_next_event_dataset",
     "agg_incremental_merge",
+    "bloom_prefilter_join",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -118,7 +119,6 @@ _PRIORITY = [
     "grouping_sets",
     "rank_functions",
     "window_value_funcs",
-    "array_sql_funcs",
 ]
 
 

@@ -176,3 +176,45 @@ def approx_quantiles_hist(spark, sf):
 
     li = T(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
     return hist_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
+@query(
+    "bloom_prefilter_join",
+    # the oracle is the PLAIN join: bloom pre-filtering must be
+    # invisible in the result (no false negatives; false positives die
+    # in the exact join) — result equality is the correctness proof
+    oracle="""
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 3
+    GROUP BY c.c_custkey
+    """)
+def bloom_prefilter_join(spark, sf):
+    """Runtime-filter join: a bloom filter built from the filtered dim
+    keys (<= m rows, broadcast) pre-filters the fact scan BEFORE the
+    exact join — the hand-rolled form of Spark's runtime row-group
+    pruning, worth ~a full fact shuffle when the dim filter is
+    selective.  Bloom semantics guarantee the result equals the plain
+    join: no false negatives, and false positives are eliminated by
+    the exact join that follows."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.sketches import bloom_bits, bloom_probe
+
+    dim = (T(spark, sf, "customer")
+           .filter(F.col("c_nationkey") == 3)
+           .select("c_custkey"))
+    bits = bloom_bits(dim, "c_custkey", tag="pfj")
+    fact = T(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                         "o_totalprice")
+    probed = bloom_probe(fact, bits, "o_custkey", tag="pfj")
+    pre = probed.filter(F.col("maybe_present")).drop("maybe_present")
+    return (pre.join(dim.withColumnRenamed("c_custkey", "o_custkey"),
+                     "o_custkey")
+            .groupBy("o_custkey")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.col("o_custkey").cast("bigint").alias("c_custkey"),
+                    "n_orders", "revenue"))

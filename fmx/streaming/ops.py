@@ -353,3 +353,23 @@ def stream_hist_registers(events: DataFrame, group_col: str,
 
     return hist_fixed_registers(events, group_col, value_col, lo, hi,
                                 buckets)
+
+
+def stream_dq_counts(events: DataFrame, rules=None) -> DataFrame:
+    """Streaming data-quality gate: the same one-pass conditional-count
+    expectation aggregation as fmx.operators.dq.check_expectations,
+    running as a streaming global agg (complete mode) — violation
+    counts are sums, hence mergeable across micro-batches with state =
+    one row per rule.  Alert when a pass_rate dips; no second stream
+    pass, no per-rule jobs."""
+    from fmx.operators.dq import check_expectations
+
+    if rules is None:
+        rules = {
+            "value_not_null": F.col("value").isNotNull(),
+            "value_in_range": F.col("value").between(-1e6, 1e6),
+            "known_event_type": F.col("event_type").isin(
+                "view", "click", "purchase", "search", "signup"),
+            "user_id_nonneg": F.col("user_id") >= 0,
+        }
+    return check_expectations(events, rules)

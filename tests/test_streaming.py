@@ -283,3 +283,18 @@ def test_stream_hist_quantiles_fold_matches_batch(spark, sf_dir):
                 "event_type", LO, HI, qs=(0.25, 0.5, 0.75)).collect()}
     assert got == want and len(got) > 0
     q.stop()
+
+
+def test_stream_dq_counts_matches_batch(spark, sf_dir):
+    """The streaming DQ gate's final counts equal the batch
+    check_expectations over the same data (conditional counts are
+    mergeable streaming state)."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_dq_counts(events), "dq_stream", "complete")
+    got = {r.rule: (r.n_rows, r.n_violations, r.pass_rate)
+           for r in spark.sql("SELECT * FROM dq_stream").collect()}
+    want = {r.rule: (r.n_rows, r.n_violations, r.pass_rate)
+            for r in S.stream_dq_counts(
+                load_table(spark, sf_dir, "events")).collect()}
+    assert got == want and len(got) == 4
+    q.stop()
