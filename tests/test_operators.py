@@ -449,3 +449,87 @@ def test_pagerank_mass_and_hub_ordering(spark):
         assert r["hub"] > r[l]
     # leaves are symmetric -> identical ranks
     assert len({round(r[l], 12) for l in leaves}) == 1
+
+
+def test_gap_fill_invariants(spark, sf_dir):
+    """Densified series: per-key buckets are exactly the arithmetic
+    grid (no holes, no extras), gap rows are zero-count and carry the
+    last observed value forward."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.temporal import gap_fill
+    from fmx.sources import load_table
+
+    step = 1800
+    ev = load_table(spark, sf_dir, "events")
+    agg = (ev.groupBy("event_type",
+                      (F.floor(F.unix_timestamp("ts") / step) * step)
+                      .cast("bigint").alias("b"))
+           .agg(F.count("*").alias("n"), F.avg("value").alias("v")))
+    out = gap_fill(agg, ["event_type"], "b", ["v"], step,
+                   count_col="n").collect()
+    bykey = {}
+    for r in out:
+        bykey.setdefault(r.event_type, []).append(r)
+    for key, rows in bykey.items():
+        rows.sort(key=lambda r: r.b)
+        bs = [r.b for r in rows]
+        assert bs == list(range(bs[0], bs[-1] + step, step)), key
+        last_v = None
+        for r in rows:
+            if r.was_gap:
+                assert r.n == 0 and r.v == last_v
+            else:
+                assert r.n > 0
+                last_v = r.v
+
+
+def test_hist_quantiles_error_bound(spark, sf_dir):
+    """The histogram quantile estimate must sit within one bucket width
+    of the exact percentile (the sketch's error contract)."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.sketches import hist_quantiles
+    from fmx.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    est = {(r.l_returnflag, r.q): r.est
+           for r in hist_quantiles(li, "l_returnflag",
+                                   "l_extendedprice").collect()}
+    exact = {}
+    bw = {}
+    for r in (li.groupBy("l_returnflag")
+              .agg(F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+                   F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+                   F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+                   ((F.max("l_extendedprice") - F.min("l_extendedprice"))
+                    / 100).alias("w")).collect()):
+        exact[(r.l_returnflag, 0.25)] = r.p25
+        exact[(r.l_returnflag, 0.5)] = r.p50
+        exact[(r.l_returnflag, 0.75)] = r.p75
+        bw[r.l_returnflag] = r.w
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= bw[k[0]] + 1e-9, (k, e, exact[k])
+
+
+def test_semantic_dedup_greedy_keep_first(spark, sf_dir):
+    """Every cell keeps its minimum id (never marked dup); dup flags
+    respect the threshold against nn_lower_sim exactly."""
+    from fmx.operators.dedup import semantic_dedup
+    from fmx.sources import load_table
+
+    out = semantic_dedup(load_table(spark, sf_dir, "embeddings"),
+                         "vec_id", "embedding", num_cells=4,
+                         cells_per_n=None, threshold=0.3).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rows in by_cell.items():
+        keeper = min(rows, key=lambda r: r.vec_id)
+        assert keeper.nn_lower_sim is None and not keeper.is_dup
+        for r in rows:
+            if r.vec_id != keeper.vec_id:
+                assert r.nn_lower_sim is not None
+                assert r.is_dup == (r.nn_lower_sim >= 0.3)
