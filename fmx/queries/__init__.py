@@ -85,6 +85,11 @@ _PRIORITY = [
     "seq_next_event_dataset",
     "agg_incremental_merge",
     "bloom_prefilter_join",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_stock",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -113,12 +118,7 @@ _PRIORITY = [
     "date_trunc_month",
     "string_funcs",
     "regexp_funcs",
-    "pivot_status",
     "percentiles",
-    "stats_agg",
-    "grouping_sets",
-    "rank_functions",
-    "window_value_funcs",
 ]
 
 

@@ -646,3 +646,258 @@ def tpch_q21_waiting_supplier(spark, sf):
             .groupBy("s_name")
             .agg(F.sum("n_late_rows").cast(BIG).alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+# --- Q2/Q11/Q16/Q20: the partsupp-dependent shapes -----------------------
+# The driver schema ships no partsupp table, so one is SYNTHESIZED
+# deterministically from part x 4 suppliers with pure integer arithmetic
+# (identical in Spark and DuckDB — engine-portable like the md5-derived
+# hashes elsewhere).  The point of these queries is the JOIN/AGG SHAPE
+# (decorrelated min-cost window, fraction-of-total having, distinct
+# supplier counting, excess-stock semi-join), not TPC-H-kit data.
+
+_PS_SQL = """
+ns AS (SELECT count(*) AS _n FROM supplier),
+g AS (SELECT unnest(generate_series(0, 3)) AS i),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 7 + i * 13 + 1) % _n AS ps_suppkey,
+         CAST((p_partkey * 37 + i * 71) % 9999 + 1 AS BIGINT)
+             AS ps_availqty,
+         round(100.0 + ((p_partkey * 31 + i * 17) % 80000) / 100.0, 2)
+             AS ps_supplycost
+  FROM part, ns, g)
+"""
+
+
+def synthetic_partsupp(spark, sf):
+    """Deterministic partsupp: every part links to 4 suppliers with
+    arithmetic-derived keys, availqty, and supplycost.  Generated, not
+    stored — the build is a broadcast 1-row count + explode, so it
+    costs one narrow map stage at any scale."""
+    part = T(spark, sf, "part").select("p_partkey")
+    ns = F.broadcast(T(spark, sf, "supplier").agg(F.count("*").alias("_n")))
+    p, i = F.col("p_partkey"), F.col("i")
+    return (part.crossJoin(ns)
+            .select("p_partkey", "_n",
+                    F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+            .select(p.alias("ps_partkey"),
+                    ((p * 7 + i * 13 + 1) % F.col("_n")).alias("ps_suppkey"),
+                    ((p * 37 + i * 71) % 9999 + 1).cast(BIG)
+                    .alias("ps_availqty"),
+                    F.round(100.0 + ((p * 31 + i * 17) % 80000) / 100.0, 2)
+                    .alias("ps_supplycost")))
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_SQL},
+    rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_regionkey = 1),
+    costs AS (SELECT ps_partkey, ps_suppkey, ps_supplycost,
+                     min(ps_supplycost) OVER (PARTITION BY ps_partkey)
+                         AS min_cost
+              FROM partsupp JOIN rs ON ps_suppkey = rs.s_suppkey
+              WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_size = 24))
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           CAST(ps_partkey AS BIGINT) AS p_partkey, ps_supplycost
+    FROM costs JOIN rs ON ps_suppkey = rs.s_suppkey
+    WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 50
+    """)
+def tpch_q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region —
+    the correlated min subquery DECORRELATED into a per-part window
+    min over the region-filtered partsupp (one pass, no re-scan per
+    part); region suppliers broadcast."""
+    ps = synthetic_partsupp(spark, sf)
+    nat = T(spark, sf, "nation").filter(F.col("n_regionkey") == 1)
+    rs = (T(spark, sf, "supplier")
+          .join(F.broadcast(nat),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    target = (T(spark, sf, "part").filter(F.col("p_size") == 24)
+              .select("p_partkey"))
+    costs = (ps.join(F.broadcast(rs.select("s_suppkey")),
+                     ps["ps_suppkey"] == F.col("s_suppkey"))
+             .join(F.broadcast(target),
+                   ps["ps_partkey"] == F.col("p_partkey"))
+             .select("ps_partkey", "ps_suppkey", "ps_supplycost"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("ps_partkey")
+    best = (costs.withColumn("min_cost", F.min("ps_supplycost").over(w))
+            .filter(F.col("ps_supplycost") == F.col("min_cost")))
+    return (best.join(F.broadcast(rs),
+                      best["ps_suppkey"] == rs["s_suppkey"])
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                    "s_name", "n_name",
+                    F.col("ps_partkey").cast(BIG).alias("p_partkey"),
+                    "ps_supplycost")
+            .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+            .limit(50))
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PS_SQL},
+    natsup AS (SELECT s_suppkey FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_regionkey = 3),
+    val AS (SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS v
+            FROM partsupp JOIN natsup ON ps_suppkey = s_suppkey
+            GROUP BY ps_partkey),
+    tot AS (SELECT sum(v) AS t, count(*) AS np FROM val)
+    SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
+           round(v, 2) AS stock_value
+    FROM val, tot WHERE v > t * 1.5 / np
+    ORDER BY stock_value DESC, ps_partkey
+    """)
+def tpch_q11_important_stock(spark, sf):
+    """TPC-H Q11 shape: per-part stock value for one region's
+    suppliers, keeping parts above 1.5x the average share.  The
+    threshold scales with part count (the kit's fixed fraction goes
+    vacuous as parts grow); the total enters as a broadcast 1-row
+    cross join, not a collected literal."""
+    ps = synthetic_partsupp(spark, sf)
+    nat3 = T(spark, sf, "nation").filter(F.col("n_regionkey") == 3)
+    natsup = (T(spark, sf, "supplier")
+              .join(F.broadcast(nat3),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey"))
+    val = (ps.join(F.broadcast(natsup),
+                   ps["ps_suppkey"] == F.col("s_suppkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
+                .alias("v")))
+    tot = val.agg(F.sum("v").alias("t"), F.count("*").alias("np"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("v") > F.col("t") * 1.5 / F.col("np"))
+            .select(F.col("ps_partkey").cast(BIG).alias("ps_partkey"),
+                    F.round("v", 2).alias("stock_value"))
+            .orderBy(F.col("stock_value").desc(), "ps_partkey"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount))
+                 AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey),
+    mx AS (SELECT max(total_rev) AS m FROM rev)
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           round(total_rev, 2) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey, mx
+    WHERE total_rev = m
+    ORDER BY s_suppkey
+    """)
+def tpch_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: the revenue view (3-month shipped revenue per
+    supplier) joined back against its own max — the max enters as a
+    broadcast scalar, so the view is computed once and never
+    re-scanned per row."""
+    li = (T(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1998-01-01")
+                  & (F.col("l_shipdate") < "1998-04-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("m"))
+            .join(T(spark, sf, "supplier"),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast(BIG).alias("s_suppkey"),
+                    "s_name", F.round("total_rev", 2).alias("total_rev"))
+            .orderBy("s_suppkey"))
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle=f"""
+    WITH {_PS_SQL},
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_size IN (9, 10, 24)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)
+def tpch_q16_supplier_cnt(spark, sf):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size) slice, excluding flagged suppliers via an ANTI join (the
+    NOT IN that stays null-safe and never nested-loops)."""
+    ps = synthetic_partsupp(spark, sf)
+    part = (T(spark, sf, "part")
+            .filter((F.col("p_brand") != "Brand#13")
+                    & F.col("p_size").isin(9, 10, 24))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    excl = (T(spark, sf, "supplier")
+            .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (ps.join(F.broadcast(part),
+                    ps["ps_partkey"] == F.col("p_partkey"))
+            .join(F.broadcast(excl),
+                  ps["ps_suppkey"] == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("ps_suppkey").cast(BIG)
+                 .alias("supplier_cnt"))
+            .select("p_brand", "p_type",
+                    F.col("p_size").cast(BIG).alias("p_size"),
+                    "supplier_cnt")
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+@query(
+    "tpch_q20_excess_stock",
+    oracle=f"""
+    WITH {_PS_SQL},
+    shipped AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l_partkey, l_suppkey),
+    excess AS (SELECT DISTINCT ps_suppkey
+               FROM partsupp JOIN shipped
+                 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+               WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%widget%')
+                 AND ps_availqty > 0.5 * q)
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+    ORDER BY s_suppkey
+    """)
+def tpch_q20_excess_stock(spark, sf):
+    """TPC-H Q20 shape: suppliers holding more than half their shipped
+    quantity of forecast ('widget') parts — shipped quantities
+    pre-aggregated at (part, supplier) grain so the partsupp
+    comparison is an equi-join, then a semi join up to suppliers."""
+    ps = synthetic_partsupp(spark, sf)
+    shipped = (T(spark, sf, "lineitem")
+               .filter(F.col("l_shipdate") >= "1998-01-01")
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum("l_quantity").alias("q")))
+    widgets = (T(spark, sf, "part")
+               .filter(F.col("p_name").like("%widget%"))
+               .select("p_partkey"))
+    excess = (ps.join(F.broadcast(widgets),
+                      ps["ps_partkey"] == F.col("p_partkey"))
+              .join(shipped,
+                    (ps["ps_partkey"] == F.col("l_partkey"))
+                    & (ps["ps_suppkey"] == F.col("l_suppkey")))
+              .filter(F.col("ps_availqty") > 0.5 * F.col("q"))
+              .select("ps_suppkey").distinct())
+    return (T(spark, sf, "supplier")
+            .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"),
+                  "left_semi")
+            .select(F.col("s_suppkey").cast(BIG).alias("s_suppkey"),
+                    "s_name")
+            .orderBy("s_suppkey"))
