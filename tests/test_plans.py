@@ -212,3 +212,17 @@ def test_inverted_index_postings_cap_uses_window_group_limit(spark, sf_dir):
     sorts its full posting set; the df branch stays sort-free."""
     plan = _plan(spark, sf_dir, "text_inverted_index")
     assert "WindowGroupLimit" in plan
+
+
+def test_partsupp_tpch_shapes_no_cartesian(spark, sf_dir):
+    """The synthesized-partsupp TPC-H shapes must stay broadcast/equi
+    joins: the only nested-loop allowed is the 1-row count / scalar
+    broadcast (BuildRight), never a data-sized cross."""
+    for name in ["tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+                 "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+                 "tpch_q20_excess_stock"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "BuildRight" in line, (name, line)
