@@ -90,6 +90,7 @@ _PRIORITY = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_stock",
+    "sample_length_buckets",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -109,7 +110,6 @@ _PRIORITY = [
     "a6_global_sum",
     "agg_count_distinct",
     "agg_rollup",
-    "agg_cube",
     "sort_limit_topk",
     "set_union_distinct",
     "f1_explode_tokens",

@@ -259,3 +259,44 @@ def sample_negatives(spark, sf):
     return out.select(F.col("user_id").cast("bigint").alias("user_id"),
                       F.col("item_id").cast("bigint").alias("item_id"),
                       F.col("slot").cast("bigint").alias("slot"))
+
+
+LB_EDGES = [64, 128, 256, 512]
+
+
+@query(
+    "sample_length_buckets",
+    oracle=f"""
+    WITH lens AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                  FROM documents),
+    tagged AS (SELECT doc_id, n_tok,
+                      CASE WHEN n_tok <= 64 THEN 0
+                           WHEN n_tok <= 128 THEN 1
+                           WHEN n_tok <= 256 THEN 2
+                           WHEN n_tok <= 512 THEN 3
+                           ELSE 4 END AS bucket
+               FROM lens)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS total_len,
+           CAST(max(n_tok) AS BIGINT) AS max_len,
+           round(sum(n_tok) * 1.0 / (count(*) * max(n_tok)), 6)
+               AS pad_efficiency
+    FROM tagged GROUP BY bucket
+    """)
+def sample_length_buckets(spark, sf):
+    """Length-bucketed batching report: documents assigned to token-
+    length buckets (64/128/256/512/overflow) with per-bucket padding
+    efficiency — the batch-shaping step that keeps padded-token waste
+    bounded at inference/training time.  Bucket id is a literal CASE
+    (codegen); the report is one grain-sized agg."""
+    from fmx.operators.sampling import length_buckets
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint")
+        .alias("n_tok"))
+    out = length_buckets(d, "doc_id", "n_tok", LB_EDGES)
+    return out.select("bucket", "n_rows", "total_len", "max_len",
+                      "pad_efficiency")
