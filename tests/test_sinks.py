@@ -69,3 +69,27 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert back.count() == want
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, sf_dir,
+                                                      tmp_path):
+    """Compaction: a fragmented write (64 tiny files) rewrites into the
+    byte-derived target count with identical row content."""
+    import glob
+
+    from fmx.sources import load_table
+    from fmx.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "frag")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(64).write.parquet(path)
+    before = len(glob.glob(path + "/part-*"))
+    assert before == 64
+    n_rows = li.count()
+
+    written = compact_dataset(spark, path, target_mb=128,
+                              sort_within=["l_orderkey"])
+    after = glob.glob(path + "/part-*")
+    assert len(after) == written == 1  # sf test data << 128 MB
+    assert spark.read.parquet(path).count() == n_rows
