@@ -91,6 +91,7 @@ _PRIORITY = [
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_stock",
     "sample_length_buckets",
+    "rfm_segmentation",
     # -- re-check: r03 row was vacuous (0 rows), query repointed --
     "profile_zscore_outliers",
     # -- re-checks: most recent driver row is r01 --
@@ -111,7 +112,6 @@ _PRIORITY = [
     "agg_count_distinct",
     "agg_rollup",
     "sort_limit_topk",
-    "set_union_distinct",
     "f1_explode_tokens",
     "f3_clamp",
     "json_extract",

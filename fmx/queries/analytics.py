@@ -724,3 +724,62 @@ def agg_incremental_merge(spark, sf):
                  F.round(F.max("mx"), 6).alias("vmax"),
                  F.max(F.when(F.col("part") == "delta", F.col("n"))
                        .otherwise(F.lit(0))).cast(BIG).alias("delta_rows")))
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS now FROM orders),
+    rfm AS (SELECT o_custkey,
+                   CAST(date_diff('day', max(o_orderdate), now) AS BIGINT)
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders, mx GROUP BY o_custkey, now),
+    scored AS (SELECT *,
+                      CAST(ntile(5) OVER (ORDER BY recency_days DESC,
+                                          o_custkey) AS BIGINT) AS r,
+                      CAST(ntile(5) OVER (ORDER BY frequency,
+                                          o_custkey) AS BIGINT) AS f,
+                      CAST(ntile(5) OVER (ORDER BY monetary,
+                                          o_custkey) AS BIGINT) AS m
+               FROM rfm)
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey, recency_days,
+           frequency, monetary, r, f, m,
+           CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+                WHEN r >= 4 THEN 'recent'
+                WHEN f >= 4 THEN 'loyal_lapsing'
+                ELSE 'other' END AS segment
+    FROM scored
+    """)
+def rfm_segmentation(spark, sf):
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary stats scored into quintiles (deterministic ntile with key
+    tie-breaks) and bucketed into actionable segments.  The stats are
+    one hash-agg; the three quintile windows share one global sort
+    pipeline over customer-grain rows (cardinality = customers, not
+    orders) — at extreme customer counts swap ntile for
+    hist_fixed_registers cut-points to avoid the single-partition
+    sort."""
+    ords = T(spark, sf, "orders")
+    mx = ords.agg(F.max("o_orderdate").alias("now"))
+    rfm = (ords.crossJoin(F.broadcast(mx))
+           .groupBy("o_custkey", "now")
+           .agg(F.datediff(F.first("now"), F.max("o_orderdate"))
+                .cast(BIG).alias("recency_days"),
+                F.count("*").cast(BIG).alias("frequency"),
+                F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+           .drop("now"))
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary", "o_custkey")
+    scored = (rfm.withColumn("r", F.ntile(5).over(wr).cast(BIG))
+              .withColumn("f", F.ntile(5).over(wf).cast(BIG))
+              .withColumn("m", F.ntile(5).over(wm).cast(BIG)))
+    seg = (F.when((F.col("r") >= 4) & (F.col("f") >= 4), "champion")
+           .when(F.col("r") >= 4, "recent")
+           .when(F.col("f") >= 4, "loyal_lapsing")
+           .otherwise("other"))
+    return (scored.select(F.col("o_custkey").cast(BIG).alias("o_custkey"),
+                          "recency_days", "frequency", "monetary",
+                          "r", "f", "m", seg.alias("segment")))
