@@ -564,3 +564,29 @@ def test_psi_from_registers(spark, sf_dir):
           for r in psi_from_registers(rb, ra, "event_type", B).collect()}
     assert ab == ba            # PSI is symmetric
     assert all(v >= 0 for v in ab.values()) and len(ab) > 0
+
+
+def test_pq_rerank_recall_not_below_pq_only(spark, sf_dir):
+    """Two-stage retrieval: the exact-cosine rerank of a 25-candidate
+    PQ shortlist must recall at least as many exact-cosine top-5
+    neighbours as the raw PQ top-5 (the shortlist can only add
+    candidates the ADC metric misordered)."""
+    from fmx.operators import similarity as S
+    from fmx.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.vec_id)
+             for r in S.cosine_topk(emb, queries, "vec_id", "embedding",
+                                    k=5).collect()}
+    pq = {(r.query_id, r.vec_id)
+          for r in S.pq_topk(emb, queries, "vec_id", "embedding", k=5,
+                             m=4, num_codes=16, dim=64).collect()}
+    rr = {(r.query_id, r.vec_id)
+          for r in S.pq_rerank_topk(emb, queries, "vec_id", "embedding",
+                                    k=5, k_cand=25, m=4, num_codes=16,
+                                    dim=64).collect()}
+    # PQ ADC approximates L2, exact is cosine — compare both to the
+    # exact-cosine ground truth
+    assert len(rr & exact) >= len(pq & exact)
+    assert len(rr) == len(exact) == 25
