@@ -65,8 +65,17 @@ def main() -> None:
         sessions, out, checkpoint=os.path.join(out + "_ckpt"))
     q.awaitTermination(300)
 
+    # a parallel DQ gate on the same source: one-pass conditional
+    # counts, mergeable across micro-batches (complete mode)
+    dq = (S.stream_dq_counts(S.read_events_stream(spark, sf_dir))
+          .writeStream.format("memory").queryName("dq_gate")
+          .outputMode("complete").trigger(availableNow=True).start())
+    dq.awaitTermination(120)
+
     result = spark.read.parquet(out)
     print(f"sessions written: {result.count()}")
+    print("DQ gate:")
+    spark.sql("SELECT * FROM dq_gate ORDER BY rule").show(truncate=False)
     result.orderBy(F.col("session_score").desc()).show(5, truncate=False)
     spark.stop()
 

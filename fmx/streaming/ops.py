@@ -369,7 +369,8 @@ def stream_dq_counts(events: DataFrame, rules=None) -> DataFrame:
             "value_not_null": F.col("value").isNotNull(),
             "value_in_range": F.col("value").between(-1e6, 1e6),
             "known_event_type": F.col("event_type").isin(
-                "view", "click", "purchase", "search", "signup"),
+                "view", "click", "purchase", "error", "signup"),
+            "no_error_events": F.col("event_type") != "error",
             "user_id_nonneg": F.col("user_id") >= 0,
         }
     return check_expectations(events, rules)

@@ -296,5 +296,5 @@ def test_stream_dq_counts_matches_batch(spark, sf_dir):
     want = {r.rule: (r.n_rows, r.n_violations, r.pass_rate)
             for r in S.stream_dq_counts(
                 load_table(spark, sf_dir, "events")).collect()}
-    assert got == want and len(got) == 4
+    assert got == want and len(got) == 5
     q.stop()
