@@ -90,7 +90,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                    n: int = 8) -> DataFrame:
+                    n: int = 8, max_df: int | None = None) -> DataFrame:
     """Span-level (substring) duplication profile per document:
     (id, n_spans, dup_spans, dup_span_ratio).
 
@@ -113,12 +113,26 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     per document.  Skew bound: a window partition holds one row per
     document containing that shingle, so pathological boilerplate
     (one span in most of the corpus) degrades to a straggler — gate
-    such corpora with a max_df pre-filter as in ngram_jaccard_pairs.
+    such corpora with ``max_df``: spans appearing in more than that
+    many documents are excluded from the profile entirely (numerator
+    AND denominator, the same filtered-set convention as
+    ngram_jaccard_pairs).  With max_df set the frequency comes from a
+    skew-free hash-agg joined back on keys that are ≤ max_df docs BY
+    CONSTRUCTION — the hot window partition never forms.  A document
+    whose every span is excluded emits no row.
     """
     sh = word_shingles(df, id_col, text_col, n=n, distinct=False)
     occ = sh.groupBy(id_col, "shingle").agg(F.count("*").alias("cnt"))
-    occ = occ.withColumn(
-        "ndocs", F.count("*").over(Window.partitionBy("shingle")))
+    if max_df is not None:
+        dfc = (occ.groupBy("shingle")
+               .agg(F.count("*").alias("ndocs"))
+               .filter(F.col("ndocs") <= max_df))
+        # inner join both drops hot shingles and attaches ndocs; every
+        # surviving key joins to <= max_df rows, so no straggler task
+        occ = occ.join(dfc, "shingle")
+    else:
+        occ = occ.withColumn(
+            "ndocs", F.count("*").over(Window.partitionBy("shingle")))
     dup = F.when(F.col("ndocs") >= 2, F.col("cnt")).otherwise(F.lit(0))
     return (occ
             .groupBy(id_col)
@@ -429,57 +443,111 @@ def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def _argmax_cell(df: DataFrame, id_col: str, sim_col: str, cell_col: str,
+                 carry: list[str]) -> DataFrame:
+    """Deterministic per-id argmax over candidate cells as ONE hash
+    aggregation: max over struct(sim, -cell, carry...) picks the highest
+    similarity, ties broken toward the LOWEST cell id.  The (sim, -cell)
+    prefix is unique per group (cell ids are distinct), so the carried
+    fields never participate in the comparison.
+
+    This shape matters at scale: the candidate expansion (n x l1 rows)
+    collapses back to n rows MAP-SIDE via partial aggregation before the
+    shuffle — a ranking-window formulation would shuffle the full
+    expanded relation instead."""
+    m = F.max(F.struct(
+        F.col(sim_col).alias("s"),
+        (-F.col(cell_col)).alias("nc"),
+        *[F.col(c).alias(c) for c in carry])).alias("_m")
+    return (df.groupBy(id_col).agg(m)
+            .select(F.col(id_col), (-F.col("_m.nc")).alias(cell_col),
+                    *[F.col(f"_m.{c}").alias(c) for c in carry]))
+
+
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    num_cells: int = 8, cells_per_n: int | None = 250,
-                   threshold: float = 0.9) -> DataFrame:
+                   threshold: float = 0.9,
+                   l1_cells: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
-    k-means-like clustering of the embedding space, then within-cluster
-    near-duplicate marking — a vector is a duplicate if its cosine to
-    any LOWER-id cell-mate reaches ``threshold`` (greedy keep-first,
-    deterministic).  Returns (id, cell, nn_lower_sim, is_dup).
+    clustering of the embedding space, then within-cluster near-duplicate
+    marking — a vector is a duplicate if its cosine to any LOWER-id
+    cell-mate reaches ``threshold`` (greedy keep-first, deterministic).
+    Returns (id, cell, nn_lower_sim, is_dup).
 
-    Cells come from FIXED centroids (the first ``num_cells`` vectors by
-    id — same engine-portable convention as the IVF coarse quantizer in
+    Cells come from FIXED centroids (the vectors with id < num_cells —
+    dense-id convention shared with the IVF coarse quantizer in
     fmx.operators.similarity), so any engine replays the identical
     clustering; a trained k-means codebook slots in by replacing the
-    centroid table without touching the plan.
+    centroid relations without touching the plan.
 
-    Scale shape: the centroid table is always broadcast; assignment is
-    map-only; the quadratic pairwise work is confined WITHIN cells, and
-    each pair costs one JVM zip_with fold.  ``cells_per_n`` grows the
-    cell count with the corpus (num_cells = max(num_cells,
-    n // cells_per_n)) so mean cell size stays ~cells_per_n and the
-    pair volume stays LINEAR in n (sum n_c^2 ~ n * cells_per_n) — with
-    a fixed cell count the cells themselves grow linearly and the
-    verify re-quadratizes.  The corpus is never globally all-paired.
-    (At billions of vectors the flat n x cells assignment scan itself
-    needs a coarse-within-coarse hierarchy — same table convention,
-    one more level.)
+    Assignment is HIERARCHICAL (two-level coarse quantization, the
+    IVF-within-IVF standard): ``l1_cells`` level-1 centroids (default
+    floor(sqrt(num_cells)); the first l1 centroids double as their own
+    level-1 cells) are a genuinely small broadcast table; the full
+    level-2 centroid relation stays EXECUTOR-SIDE, reached through an
+    equi-join on the level-1 cell key.  Per vector the scan cost is
+    l1 + num_cells/l1 ~ 2*sqrt(C) dot products instead of the flat C,
+    and — critically — no centroid ever passes through the driver: at
+    1B vectors the flat path would collect n/250 = 4M centroids to the
+    driver and rescan all of them per row; here the only driver action
+    is the corpus count.  ``l1_cells=1`` degenerates to the exact flat
+    assignment (one level-1 group holding every centroid).
+
+    Zero-norm embeddings have no direction, hence no defined cosine:
+    they are routed to sentinel cell -1 with NULL nn_lower_sim and
+    excluded from pair generation (never compared via raw dot products).
+
+    Scale shape: the quadratic pairwise work is confined WITHIN cells,
+    each pair one JVM zip_with fold over unit vectors.  ``cells_per_n``
+    grows the cell count with the corpus (num_cells = max(num_cells,
+    n // cells_per_n)) so mean cell size stays ~cells_per_n and pair
+    volume stays LINEAR in n (sum n_c^2 ~ n * cells_per_n).  The corpus
+    is never globally all-paired, and argmax assignment at both levels
+    is a map-side-combinable hash agg (see _argmax_cell).
     """
-    spark = df.sparkSession
+    import math
+
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("_v"))
     if cells_per_n is not None:
         # one count action: num_cells tracks corpus size (the oracle
         # derives the same number from count(*))
         num_cells = max(num_cells, vecs.count() // cells_per_n)
-    seed = (vecs.orderBy(id_col).limit(num_cells).select("_v").collect())
-    cents = F.broadcast(spark.createDataFrame(
-        [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(seed)],
-        "_cell int, _centroid array<double>"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(),
-                                           F.col("_cell"))
-    # unit-normalize at assignment: the within-cell verify then costs
-    # ONE dot-product fold per pair instead of dot + two norm folds
-    # (norms would otherwise be recomputed once per PAIR, not per row)
+    l1 = l1_cells if l1_cells is not None \
+        else max(1, math.floor(math.sqrt(num_cells)))
+    # unit-normalize ONCE: every downstream similarity is then a single
+    # dot fold; x * (1.0/nrm) — not x/nrm — so the oracle can replay the
+    # identical two-rounding arithmetic.  Zero-norm -> NULL unit.
     nrm = L.vec_norm("_v")
-    assigned = (vecs.crossJoin(cents)
-                .withColumn("_sim", L.cosine_similarity("_v", "_centroid"))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(F.col(id_col), F.col("_cell").alias("cell"),
-                        F.when(nrm > 0, L.vec_scale("_v", 1.0 / nrm))
-                        .otherwise(F.col("_v")).alias("_u")))
+    unit = vecs.select(
+        F.col(id_col),
+        F.when(nrm > 0, L.vec_scale("_v", F.lit(1.0) / nrm)).alias("_u"))
+    live = unit.filter(F.col("_u").isNotNull())
+    l1c = F.broadcast(
+        live.filter(F.col(id_col) < l1)
+        .select(F.col(id_col).cast("int").alias("_l1"),
+                F.col("_u").alias("_c1")))
+    l2c = (live.filter(F.col(id_col) < num_cells)
+           .select(F.col(id_col).cast("int").alias("_cell"),
+                   F.col("_u").alias("_c2")))
+    # route each level-2 centroid to its nearest level-1 cell (tiny x
+    # tiny cross; centroid j < l1 maps to itself at cosine 1, so every
+    # level-1 group is non-empty).  Stays a distributed relation.
+    l2map = _argmax_cell(
+        l2c.crossJoin(l1c).withColumn("_s", L.vec_dot("_c2", "_c1")),
+        "_cell", "_s", "_l1", carry=["_c2"])
+    # level 1: n x l1 broadcast scan, collapsed map-side to n rows
+    v1 = _argmax_cell(
+        live.crossJoin(l1c).withColumn("_s", L.vec_dot("_u", "_c1")),
+        id_col, "_s", "_l1", carry=["_u"])
+    # level 2: equi-join on the level-1 key reaches only that group's
+    # centroids — the num_cells x dim relation never broadcasts and
+    # never visits the driver
+    assigned = (_argmax_cell(
+        v1.join(l2map, "_l1")
+        .withColumn("_s", L.vec_dot("_u", "_c2")),
+        id_col, "_s", "_cell", carry=["_u"])
+        .withColumnRenamed("_cell", "cell"))
     hi = assigned.select(F.col(id_col).alias("_id"), "cell",
                          F.col("_u").alias("_uh"))
     lo = assigned.select(F.col(id_col).alias("_lo"), "cell",
@@ -491,9 +559,15 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
           .groupBy("_id")
           .agg(F.max(F.round(L.vec_dot("_uh", "_ul"), 6))
                .alias("nn_lower_sim")))
-    return (assigned.join(nn, assigned[id_col] == nn["_id"], "left")
-            .select(F.col(id_col).cast("bigint").alias(id_col),
-                    F.col("cell").cast("bigint").alias("cell"),
-                    "nn_lower_sim",
-                    F.coalesce(F.col("nn_lower_sim") >= threshold,
-                               F.lit(False)).alias("is_dup")))
+    out = (assigned.join(nn, assigned[id_col] == nn["_id"], "left")
+           .select(F.col(id_col).cast("bigint").alias(id_col),
+                   F.col("cell").cast("bigint").alias("cell"),
+                   "nn_lower_sim",
+                   F.coalesce(F.col("nn_lower_sim") >= threshold,
+                              F.lit(False)).alias("is_dup")))
+    zeros = (unit.filter(F.col("_u").isNull())
+             .select(F.col(id_col).cast("bigint").alias(id_col),
+                     F.lit(-1).cast("bigint").alias("cell"),
+                     F.lit(None).cast("double").alias("nn_lower_sim"),
+                     F.lit(False).alias("is_dup")))
+    return out.unionByName(zeros)

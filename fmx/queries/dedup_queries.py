@@ -326,47 +326,73 @@ SEM_TAU = 0.40     # the synthetic embeddings are near-orthogonal (max
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex
               GROUP BY vec_id),
     -- cell count tracks corpus size exactly as the operator's
-    -- cells_per_n=250 default (8 at every current SF)
-    nc AS (SELECT greatest({SEM_CELLS}, count(*) // 250) AS n_cells
+    -- cells_per_n=250 default (8 at every current SF); level-1 cell
+    -- count = floor(sqrt(n_cells)) (2 at every current SF)
+    nc AS (SELECT greatest({SEM_CELLS}, count(*) // 250) AS n_cells,
+                  greatest(1, CAST(floor(sqrt(
+                      greatest({SEM_CELLS}, count(*) // 250))) AS BIGINT))
+                      AS n_l1
            FROM embeddings),
-    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex, nc
-              WHERE vec_id < nc.n_cells),
-    cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
-              GROUP BY cell),
-    csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
-             FROM ex e JOIN cents c ON e.pos = c.pos
-             GROUP BY e.vec_id, c.cell),
-    assign AS (SELECT csim.vec_id, csim.cell
-               FROM csim JOIN norms ON csim.vec_id = norms.vec_id
-                         JOIN cnorm ON csim.cell = cnorm.cell
+    -- unit components as x * (1/nrm): the operator's exact two-rounding
+    -- arithmetic (vec_scale by a precomputed reciprocal)
+    u AS (SELECT e.vec_id, e.pos, e.x * (1.0 / n.nrm) AS ux
+          FROM ex e JOIN norms n ON e.vec_id = n.vec_id
+          WHERE n.nrm > 0),
+    l1c AS (SELECT vec_id AS l1, pos, ux AS c1 FROM u, nc
+            WHERE vec_id < nc.n_l1),
+    l2c AS (SELECT vec_id AS cell, pos, ux AS c2 FROM u, nc
+            WHERE vec_id < nc.n_cells),
+    -- level-2 centroid -> nearest level-1 cell
+    l2map AS (SELECT cell, l1 FROM (
+                  SELECT a.cell, b.l1, sum(a.c2 * b.c1) AS s
+                  FROM l2c a JOIN l1c b ON a.pos = b.pos
+                  GROUP BY a.cell, b.l1)
+              QUALIFY row_number() OVER (
+                  PARTITION BY cell ORDER BY s DESC, l1) = 1),
+    -- vector -> nearest level-1 cell
+    v1 AS (SELECT vec_id, l1 FROM (
+               SELECT u.vec_id, b.l1, sum(u.ux * b.c1) AS s
+               FROM u JOIN l1c b ON u.pos = b.pos
+               GROUP BY u.vec_id, b.l1)
+           QUALIFY row_number() OVER (
+               PARTITION BY vec_id ORDER BY s DESC, l1) = 1),
+    -- vector -> nearest level-2 centroid WITHIN its level-1 cell
+    assign AS (SELECT vec_id, cell FROM (
+                   SELECT u.vec_id, m.cell, sum(u.ux * c.c2) AS s
+                   FROM v1 JOIN l2map m ON v1.l1 = m.l1
+                          JOIN u ON u.vec_id = v1.vec_id
+                          JOIN l2c c ON c.cell = m.cell AND c.pos = u.pos
+                   GROUP BY u.vec_id, m.cell)
                QUALIFY row_number() OVER (
-                   PARTITION BY csim.vec_id
-                   ORDER BY dot / (norms.nrm * cnorm.cn) DESC, csim.cell)
-                   = 1),
+                   PARTITION BY vec_id ORDER BY s DESC, cell) = 1),
     pairs AS (SELECT hi.vec_id AS id_hi, lo.vec_id AS id_lo
               FROM assign hi JOIN assign lo ON hi.cell = lo.cell
                                            AND lo.vec_id < hi.vec_id),
-    dots AS (SELECT p.id_hi, p.id_lo, sum(a.x * b.x) AS dot
-             FROM pairs p JOIN ex a ON a.vec_id = p.id_hi
-                          JOIN ex b ON b.vec_id = p.id_lo
+    dots AS (SELECT p.id_hi, p.id_lo, sum(a.ux * b.ux) AS dot
+             FROM pairs p JOIN u a ON a.vec_id = p.id_hi
+                          JOIN u b ON b.vec_id = p.id_lo
                                    AND b.pos = a.pos
              GROUP BY p.id_hi, p.id_lo),
-    nn AS (SELECT id_hi,
-                  max(round(dot / (na.nrm * nb.nrm), 6)) AS nn_lower_sim
-           FROM dots JOIN norms na ON id_hi = na.vec_id
-                     JOIN norms nb ON id_lo = nb.vec_id
-           GROUP BY id_hi)
+    nn AS (SELECT id_hi, max(round(dot, 6)) AS nn_lower_sim
+           FROM dots GROUP BY id_hi)
     SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
            CAST(a.cell AS BIGINT) AS cell,
            nn.nn_lower_sim,
            coalesce(nn.nn_lower_sim >= {SEM_TAU}, false) AS is_dup
     FROM assign a LEFT JOIN nn ON a.vec_id = nn.id_hi
+    UNION ALL
+    -- zero-norm embeddings: no direction, no defined cosine
+    SELECT CAST(vec_id AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(NULL AS DOUBLE), false
+    FROM norms WHERE nrm <= 0
     """)
 def dedup_semantic(spark, sf):
     """SemDeDup-style semantic dedup: fixed-centroid coarse clustering
-    of the embedding space, then greedy keep-first duplicate marking
-    within each cell (cosine >= tau to any lower-id cell-mate).  The
-    quadratic verify is confined within cells — the 100 TB-safe shape
+    of the embedding space (hierarchical two-level assignment — level-1
+    cells broadcast, level-2 centroids executor-side), then greedy
+    keep-first duplicate marking within each cell (cosine >= tau to any
+    lower-id cell-mate).  The quadratic verify is confined within cells
+    and no centroid passes through the driver — the 100 TB-safe shape
     of embedding-level dedup."""
     out = D.semantic_dedup(T(spark, sf, "embeddings"), "vec_id",
                            "embedding", num_cells=SEM_CELLS,

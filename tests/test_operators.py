@@ -535,6 +535,91 @@ def test_semantic_dedup_greedy_keep_first(spark, sf_dir):
                 assert r.is_dup == (r.nn_lower_sim >= 0.3)
 
 
+def test_duplicate_spans_max_df_excludes_boilerplate(spark, sf_dir):
+    """A boilerplate span present in (nearly) every document must be
+    excluded when max_df is set — numerator AND denominator — so one
+    hot shingle can neither dominate dup ratios nor form a straggler
+    window partition."""
+    from fmx.operators.dedup import duplicate_spans
+
+    boiler = "w x y z"  # the shared 4-gram
+    rows = [(i, f"{boiler} unique{i} token{i} tail{i} end{i}")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # unguarded: the boilerplate span is a dup in every doc
+    base = {r.doc_id: r for r in
+            duplicate_spans(df, "doc_id", "text", n=4).collect()}
+    assert all(r.dup_spans >= 1 for r in base.values())
+    # guarded: df(boiler)=8 > max_df=4 -> excluded entirely; remaining
+    # spans are unique per doc, so nothing is duplicated
+    capped = {r.doc_id: r for r in
+              duplicate_spans(df, "doc_id", "text", n=4,
+                              max_df=4).collect()}
+    assert len(capped) == 8
+    for r in capped.values():
+        assert r.dup_spans == 0
+        assert r.n_spans == base[r.doc_id].n_spans - 1
+
+
+def test_semantic_dedup_zero_norm_sentinel(spark, sf_dir):
+    """Zero-norm embeddings have no defined cosine: they land in
+    sentinel cell -1 with NULL nn_lower_sim, never marked dup, and never
+    enter pair generation as raw (unbounded) dot products."""
+    from fmx.operators.dedup import semantic_dedup
+
+    dim = 6
+    rows = [(i, [float(i == j) for j in range(dim)]) for i in range(6)]
+    rows.append((6, [0.0] * dim))
+    rows.append((7, [0.0] * dim))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, "vec_id", "embedding", num_cells=4,
+                          cells_per_n=None, threshold=0.5).collect()}
+    assert len(out) == 8
+    for zid in (6, 7):
+        assert out[zid].cell == -1
+        assert out[zid].nn_lower_sim is None
+        assert not out[zid].is_dup
+    for vid in range(6):
+        assert out[vid].cell >= 0
+
+
+def test_semantic_dedup_hierarchy_matches_flat(spark, sf_dir):
+    """l1_cells=1 degenerates to the flat assignment (one level-1 group
+    holding every centroid); on well-separated clusters the default
+    hierarchical assignment must agree with the flat one — verified
+    against a numpy argmax oracle."""
+    import numpy as np
+
+    from fmx.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    # 4 well-separated cluster directions, 10 members each; ids chosen
+    # so the first 4 vectors (the centroids) hit 4 distinct clusters
+    base = rng.randn(4, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = []
+    for i in range(40):
+        c = i % 4
+        v = base[c] + 0.05 * rng.randn(16)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    flat = {r.vec_id: r.cell for r in
+            semantic_dedup(df, "vec_id", "embedding", num_cells=4,
+                           cells_per_n=None, threshold=0.9,
+                           l1_cells=1).collect()}
+    hier = {r.vec_id: r.cell for r in
+            semantic_dedup(df, "vec_id", "embedding", num_cells=4,
+                           cells_per_n=None, threshold=0.9).collect()}
+    mat = np.array([v for _, v in vecs])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = unit[:4]
+    expected = (unit @ cents.T).argmax(axis=1)
+    for i in range(40):
+        assert flat[i] == expected[i], i
+        assert hier[i] == expected[i], i
+
+
 def test_psi_from_registers(spark, sf_dir):
     """Register-level PSI: zero against itself, symmetric, and positive
     between the two time halves of events (the streamed-drift

@@ -181,11 +181,12 @@ def test_negative_sample_anti_join_no_driver_scalar(spark, sf_dir):
 
 def test_semantic_dedup_pairs_confined_to_cells(spark, sf_dir):
     """SemDeDup's quadratic verify must be an equi-join on the cell key
-    (the broadcast centroid cross-join is the only nested-loop — a
-    bounded num_cells x dim literal table)."""
+    (the broadcast LEVEL-1 centroid cross-join is the only nested-loop —
+    a bounded l1 x dim relation; level-2 centroids are reached through
+    an equi-join on the level-1 key)."""
     plan = _plan(spark, sf_dir, "dedup_semantic")
     assert "CartesianProduct" not in plan
-    # every nested-loop is the bounded broadcast centroid table (one per
+    # every nested-loop is the bounded broadcast level-1 table (one per
     # assignment subtree); the PAIR join itself must be an equi-join on
     # the cell key
     for line in plan.splitlines():
@@ -194,6 +195,12 @@ def test_semantic_dedup_pairs_confined_to_cells(spark, sf_dir):
     assert any(("Join" in ln and "cell" in ln and
                 "BroadcastNestedLoopJoin" not in ln)
                for ln in plan.splitlines())
+    # no centroid relation may pass through the driver: a collected-and-
+    # re-parallelized centroid table would appear as a LocalTableScan /
+    # parallelized RDD scan (the flat-path shape this test forbids) —
+    # at 1B vectors that's a multi-GB driver materialization
+    assert "LocalTableScan" not in plan
+    assert "Scan ExistingRDD" not in plan
 
 
 def test_gap_fill_grid_is_generated(spark, sf_dir):
