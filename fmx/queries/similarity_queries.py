@@ -434,3 +434,24 @@ def ann_pq_rerank(spark, sf):
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "cosine",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+@query("ann_pq_trained")  # non-SQL-expressible: Lloyd-trained codebook
+def ann_pq_trained(spark, sf):
+    """Two-stage ANN over a Lloyd-TRAINED PQ codebook: k-means-refined
+    per-subspace centroids (floating means — engine-private, hence
+    rows-only; the fixed-codebook twin `ann_pq_topk` carries the full
+    oracle), ADC shortlist, exact cosine rerank.  Training cuts mean
+    quantization error ~30% on these embeddings (asserted in
+    tests/test_operators.py)."""
+    emb = T(spark, sf, "embeddings")
+    cb = S.pq_codebook_trained(emb, "vec_id", "embedding", m=PQ_M,
+                               num_codes=PQ_CODES, dim=DIM, lloyd_iters=2)
+    out = S.pq_rerank_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                           "vec_id", "embedding", k=K, k_cand=K_CAND,
+                           m=PQ_M, num_codes=PQ_CODES, dim=DIM,
+                           codebook=cb)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))

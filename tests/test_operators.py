@@ -86,6 +86,31 @@ def test_lsh_multiprobe_recall_strictly_beats_single_probe(spark):
         f"single-probe {len(single & exact)}/{len(exact)}")
 
 
+def test_ann_recall_floors_every_path(spark):
+    """Quantified recall floors for EVERY ANN path at sf0.01 (fixed
+    md5-derived hashing + fixed data -> deterministic numbers; floors
+    sit below measured values with margin so a recall regression in any
+    path fails CI, not just the IVF one).  Measured: lsh multiprobe
+    0.28, pq adc 0.34, pq shortlist@25 0.48, rerank 0.48."""
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.vec_id)
+             for r in S.cosine_topk(emb, q, "vec_id", "embedding",
+                                    k=5).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    assert recall(S.lsh_topk(emb, q, "vec_id", "embedding", k=5,
+                             num_planes=6, multiprobe=True)) >= 0.2
+    assert recall(S.pq_topk(emb, q, "vec_id", "embedding", k=5)) >= 0.25
+    assert recall(S.pq_topk(emb, q, "vec_id", "embedding", k=25)) >= 0.4
+    assert recall(S.pq_rerank_topk(emb, q, "vec_id", "embedding", k=5,
+                                   k_cand=25)) >= 0.4
+
+
 def test_ivf_topk_shapes_and_selfconsistency(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
@@ -118,6 +143,57 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
                                   lloyd_iters=1).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"IVF recall@5 {recall:.2f} < 0.8"
+
+
+def test_pq_trained_codebook_reduces_quantization_error(spark, sf_dir):
+    """Lloyd refinement must measurably cut the k-means objective (mean
+    squared quantization error) vs the fixed seed codebook — the
+    guaranteed monotone property of the training loop.  Measured ratio
+    0.71 on the test embeddings at 2 iterations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fixed = S.pq_codebook(emb, "vec_id", "embedding")
+    trained = S.pq_codebook_trained(emb, "vec_id", "embedding",
+                                    lloyd_iters=2)
+    ef = (S.pq_encode(emb, "vec_id", "embedding", codebook=fixed)
+          .agg(F.avg("d2")).collect()[0][0])
+    et = (S.pq_encode(emb, "vec_id", "embedding", codebook=trained)
+          .agg(F.avg("d2")).collect()[0][0])
+    assert et < 0.85 * ef, f"trained err {et:.4f} vs fixed {ef:.4f}"
+
+
+def test_pq_trained_rerank_recall(spark):
+    """On clustered data whose first vectors (the fixed codebook seeds)
+    cover only 2 of 8 clusters, the trained codebook's two-stage rerank
+    recall must dominate the fixed codebook's and be near-perfect —
+    training exists exactly to fix bad seed coverage.  (Plain ADC top-k
+    can legitimately DROP under training: well-quantized same-cluster
+    members share codes and tie — within-cluster resolution is the
+    rerank stage's job, hence the production two-stage assertion.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 16) * 3.0
+    vecs = []
+    for i in range(200):
+        c = (i % 2) if i < 16 else (i % 8)
+        v = centers[c] + 0.3 * rng.randn(16)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.vec_id)
+             for r in S.cosine_topk(df, q, "vec_id", "embedding",
+                                    k=5).collect()}
+    cb = S.pq_codebook_trained(df, "vec_id", "embedding", m=4,
+                               num_codes=16, lloyd_iters=3)
+    rec = {}
+    for name, kw in [("fixed", {}), ("trained", {"codebook": cb})]:
+        rr = {(r.query_id, r.vec_id)
+              for r in S.pq_rerank_topk(df, q, "vec_id", "embedding",
+                                        k=5, k_cand=25, m=4,
+                                        num_codes=16, **kw).collect()}
+        rec[name] = len(rr & exact) / len(exact)
+    assert rec["trained"] >= rec["fixed"], rec
+    assert rec["trained"] >= 0.95, rec
 
 
 def test_multimodal_feature_extraction_batches(spark, sf_dir):
