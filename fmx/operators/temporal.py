@@ -175,11 +175,15 @@ def gap_fill(df: DataFrame, key_cols: list[str], bucket_col: str,
         *key_cols,
         F.explode(F.sequence(F.col("_mn"), F.col("_mx"),
                              F.lit(int(step)))).alias(bucket_col))
-    dense = grid.join(df, [*key_cols, bucket_col], "left")
+    # tag real rows with a non-null marker BEFORE the join: probing a
+    # value column for gap-ness would misflag a present row whose value
+    # is legitimately NULL (and forward-fill past it)
+    dense = grid.join(df.withColumn("_present", F.lit(True)),
+                      [*key_cols, bucket_col], "left")
     w = (Window.partitionBy(*key_cols).orderBy(bucket_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    probe = value_cols[0] if count_col is None else count_col
-    out = dense.withColumn("was_gap", F.col(probe).isNull())
+    out = (dense.withColumn("was_gap", F.col("_present").isNull())
+           .drop("_present"))
     for c in value_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     if count_col is not None:

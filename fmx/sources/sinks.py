@@ -87,36 +87,78 @@ def compact_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
     per-task writers leave thousands of KB-sized files whose open/seek
     overhead dominates scans long before data volume does).
 
-    File count = ceil(current_bytes / target_mb), measured from the
-    existing files; partitioned datasets keep their layout
-    (``files_per_partition`` math applies per partition);
+    Unpartitioned: file count = ceil(current_bytes / target_mb),
+    measured from the existing files.  Partitioned: file counts are
+    computed PER HIVE PARTITION (ceil(partition_rows * avg_row_bytes /
+    target_mb) — avg row width from the dataset totals, so heavily
+    skewed per-partition row widths are approximated) and rows are
+    salted within each partition, so a large or skewed partition gets
+    multiple target-sized files instead of collapsing to one.
     ``sort_within`` restores row-group-stat pruning in the rewritten
     files.  Returns the file count written.  Rewrite is
     read-side-pruned and one shuffle (repartition) wide.
+
+    Swap is crash-safe for readers-after-crash: the old directory is
+    renamed aside first, the rewrite renamed into place, THEN the old
+    copy deleted — a crash between steps leaves either the old or the
+    new dataset at the published path (plus a recoverable
+    ``._compact_old``).  Concurrent readers mid-swap can still catch a
+    brief window with no directory at ``path``; the utility assumes
+    exclusive write access.
     """
     import math
     import os
+    import shutil
+
+    from pyspark.sql import functions as F
 
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
-    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    target_bytes = target_mb * 1024 * 1024
     df = spark.read.format(fmt).load(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     if partition_cols:
-        write_partitioned(df, tmp, partition_cols, fmt=fmt,
-                          files_per_partition=n_files,
-                          sort_within=sort_within)
+        # per-partition file math: rows per hive partition (one small
+        # agg — bounded by the partition count, not data volume) times
+        # the dataset-wide mean row width
+        counts = df.groupBy(*partition_cols).count()
+        n_rows = (counts.agg(F.sum("count")).collect()[0][0]) or 1
+        row_bytes = total / n_rows
+        k = (counts.withColumn(
+            "_k", F.greatest(
+                F.lit(1),
+                F.ceil(F.col("count") * F.lit(row_bytes)
+                       / F.lit(target_bytes)).cast("int")))
+            .drop("count"))
+        n_files = k.agg(F.sum("_k")).collect()[0][0]
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        # deterministic within-partition salt in [0, k_p): spreads a fat
+        # partition over k_p shuffle keys; the writer's partitionBy still
+        # routes rows to their hive directory
+        salted = (df.join(F.broadcast(k), partition_cols)
+                  .withColumn("_salt",
+                              F.pmod(F.xxhash64(*data_cols), F.col("_k")))
+                  .drop("_k"))
+        out = salted.repartition(int(n_files), *partition_cols, "_salt")
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        (out.drop("_salt").write.mode("overwrite").format(fmt)
+         .partitionBy(*partition_cols).save(tmp))
     else:
+        n_files = max(1, math.ceil(total / target_bytes))
         out = df.repartition(n_files)
         if sort_within:
             out = out.sortWithinPartitions(*sort_within)
         out.write.mode("overwrite").format(fmt).save(tmp)
-    # atomic-ish swap (same filesystem): old data replaced only after
-    # the rewrite fully succeeded
-    import shutil
-    shutil.rmtree(path)
+    # crash-safe swap (same filesystem): old aside -> new in place ->
+    # old deleted; a stale .old from a prior crash is cleared first
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
-    return n_files
+    shutil.rmtree(old)
+    return int(n_files)

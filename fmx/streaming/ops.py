@@ -301,8 +301,10 @@ _CDC_STATE = StructType([
 
 
 def _cdc_apply(key, pdfs, state):
-    # latest-wins CDC apply: order by (ts, event_id); every 17th
-    # event_id is a delete — mirrors the batch cdc_apply_changes
+    # latest-wins CDC apply: order by (ts, event_id); the delete
+    # indicator comes from the input 'op' column (CDC_SCHEMA declares
+    # it) — never derived inside the operator, so arbitrary change
+    # streams are applied as the producer tagged them
     if state.exists:
         ts_us, eid, val, dele = state.get
     else:
@@ -313,7 +315,7 @@ def _cdc_apply(key, pdfs, state):
             if (r_us, r.event_id) > (ts_us, eid):
                 ts_us, eid = r_us, int(r.event_id)
                 val = float(r.value)
-                dele = (int(r.event_id) % 17) == 0
+                dele = (r.op == "D")
     state.update((ts_us, eid, val, dele))
     yield pd.DataFrame({
         "user_id": [key[0]], "event_id": [eid],
@@ -327,9 +329,14 @@ def stream_cdc_latest(events: DataFrame) -> DataFrame:
     twin of the batch ``cdc_apply_changes`` merge (Update mode emits
     the current compacted row, tombstones flagged op='D').  State per
     key is one fixed-width tuple — bounded by key cardinality, not
-    stream length."""
+    stream length.
+
+    The input must carry an ``op`` column ('D' = delete, anything else
+    = upsert) — the delete rule belongs to the PRODUCER of the change
+    stream, not this operator (deriving it here would silently
+    tombstone arbitrary keys on real streams)."""
     return (events
-            .select("user_id", "event_id", "ts", "value")
+            .select("user_id", "event_id", "ts", "value", "op")
             .groupBy("user_id")
             .applyInPandasWithState(
                 _cdc_apply,

@@ -527,6 +527,25 @@ def test_pagerank_mass_and_hub_ordering(spark):
     assert len({round(r[l], 12) for l in leaves}) == 1
 
 
+def test_gap_fill_null_value_is_not_a_gap(spark):
+    """A PRESENT input row whose value column is legitimately NULL must
+    not be flagged was_gap (gap-ness comes from a join marker, not
+    value nullness); its NULL still forward-fills like any other."""
+    from fmx.operators.temporal import gap_fill
+
+    rows = [("k", 0, 1.0), ("k", 10, None), ("k", 30, 4.0)]
+    df = spark.createDataFrame(rows, "key string, b long, v double")
+    out = {r.b: r for r in
+           gap_fill(df, ["key"], "b", ["v"], 10).collect()}
+    assert sorted(out) == [0, 10, 20, 30]
+    assert not out[0].was_gap and not out[10].was_gap \
+        and not out[30].was_gap
+    assert out[20].was_gap
+    assert out[10].v == 1.0      # NULL value forward-filled
+    assert out[20].v == 1.0
+    assert out[30].v == 4.0
+
+
 def test_gap_fill_invariants(spark, sf_dir):
     """Densified series: per-key buckets are exactly the arithmetic
     grid (no holes, no extras), gap rows are zero-count and carry the

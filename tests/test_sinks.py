@@ -93,3 +93,60 @@ def test_compact_dataset_reduces_files_preserves_rows(spark, sf_dir,
     after = glob.glob(path + "/part-*")
     assert len(after) == written == 1  # sf test data << 128 MB
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_compact_dataset_partitioned_per_partition_counts(spark, sf_dir,
+                                                          tmp_path):
+    """Partitioned compaction must honor target_mb PER hive partition:
+    a fat partition splits into multiple files (via the within-partition
+    salt) while a small one compacts to a single file — the global
+    byte math may not collapse every partition to one file."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from fmx.sources.sinks import compact_dataset
+
+    # ~4 MB fat partition vs a tiny one, fragmented into many files
+    fat = spark.range(400_000).select(
+        F.lit("a").alias("part"), F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("payload"))
+    small = spark.range(100).select(
+        F.lit("b").alias("part"), F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("payload"))
+    path = str(tmp_path / "pds")
+    (fat.unionAll(small).repartition(16)
+     .write.partitionBy("part").parquet(path))
+    n_rows = spark.read.parquet(path).count()
+
+    written = compact_dataset(spark, path, target_mb=1,
+                              partition_cols=["part"])
+    fat_files = glob.glob(path + "/part=a/part-*")
+    small_files = glob.glob(path + "/part=b/part-*")
+    assert len(fat_files) >= 2, "fat partition collapsed to one file"
+    assert len(small_files) == 1
+    assert written >= 3
+    assert spark.read.parquet(path).count() == n_rows
+
+
+def test_compact_dataset_crash_leaves_recoverable_state(spark, sf_dir,
+                                                        tmp_path):
+    """The swap renames the old dataset aside BEFORE publishing the new
+    one: at no point between the rewrite finishing and the swap
+    completing is the data unrecoverable (old survives at ._compact_old
+    until the new copy is in place)."""
+    import os
+
+    from fmx.sources import load_table
+    from fmx.sources.sinks import compact_dataset
+
+    path = str(tmp_path / "ds")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    li.repartition(4).write.parquet(path)
+    n = li.count()
+    # a stale .old from a previously crashed run must not break the swap
+    os.makedirs(path + "._compact_old/junk")
+    compact_dataset(spark, path, target_mb=128)
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+    assert spark.read.parquet(path).count() == n

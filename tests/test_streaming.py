@@ -240,8 +240,11 @@ def test_stream_hll_registers_fold_matches_batch(spark, sf_dir):
 
 def test_stream_cdc_latest_matches_batch(spark, sf_dir):
     """The stateful streaming CDC compaction must converge to the batch
-    latest-wins change per key (deletes flagged as tombstones)."""
-    events = S.read_events_stream(spark, sf_dir)
+    latest-wins change per key (deletes flagged as tombstones).  The
+    delete rule (here: every 17th event_id) is applied by the PRODUCER
+    as the op column — the operator just honors it."""
+    events = S.read_events_stream(spark, sf_dir).withColumn(
+        "op", F.when(F.col("event_id") % 17 == 0, "D").otherwise("U"))
     q = _run_to_memory(S.stream_cdc_latest(events), "cdc_stream", "update")
     # update mode: last emit per key is the compacted state
     got = {r.user_id: (r.event_id, str(r.ts), round(r.value, 6), r.op)
