@@ -192,13 +192,18 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         sid, label = self.getSampleIdCol(), self.getLabelCol()
         seed = self.getOrDefault(self.seed)
         max_iter = self.getOrDefault(self.maxIter)
-        data = exploded.select(
-            F.col(sid), F.col(label).cast("double").alias(label),
-            F.col("featureId"), F.col("featureValue")).cache()
         batch_of = F.floor(
             L.hash_uniform(sid, seed=seed, salt=777) * max_iter).cast("int")
-        batches = [data.filter(batch_of == i) for i in range(max_iter)]
-        return self._run_sgd(data, batches, explode=False)
+        # the batch tag is materialized INTO the cache once: each
+        # iteration's filter prunes on a stored int column instead of
+        # re-evaluating the hash over every cached row per batch scan
+        data = exploded.select(
+            F.col(sid), F.col(label).cast("double").alias(label),
+            F.col("featureId"), F.col("featureValue"),
+            batch_of.alias("_b")).cache()
+        batches = [data.filter(F.col("_b") == i).drop("_b")
+                   for i in range(max_iter)]
+        return self._run_sgd(data.drop("_b"), batches, explode=False)
 
     def _fit(self, dataset: DataFrame) -> FMModel:
         sid = self.getSampleIdCol()

@@ -292,10 +292,19 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
     Iterative min-label propagation over the (undirected) edge list:
     each round every node adopts the smallest label among itself and its
     neighbors; converges in O(diameter) rounds (near-dup clusters are
-    tiny, so 2-3 in practice).  Each round is one shuffle;
-    ``localCheckpoint`` truncates lineage (same medicine as the SGD
-    loop).  This is a deliberately non-SQL iterative dataflow.
+    tiny, so 2-3 in practice).  Each round is EXACTLY ONE action: the
+    eager ``localCheckpoint`` (which also truncates lineage — same
+    medicine as the SGD loop) carries an ``observe`` metric counting
+    changed labels, so convergence detection rides the same job instead
+    of a second count() that would recompute the round's join.  (The
+    old shape paid the join twice per round: once for count, once for
+    the checkpoint.)  Large-/small-star rewiring would cut rounds on
+    long chains, but near-dup clusters are shallow — O(diameter) of a
+    boilerplate clique is 1.  This is a deliberately non-SQL iterative
+    dataflow.
     """
+    from pyspark.sql import Observation
+
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))
@@ -304,16 +313,17 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_label = F.least("label", F.coalesce("nmin", "label"))
+        obs = Observation()
         updated = (labels.join(neighbor_min,
                                labels.node == neighbor_min.src, "left")
-                   .select("node",
-                           F.least("label", F.coalesce("nmin", "label"))
-                           .alias("label")))
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "node")
-                   .filter(F.col("u.label") != F.col("l.label")).count())
+                   .select("node", new_label.alias("label"),
+                           (new_label != F.col("label")).cast("long")
+                           .alias("_chg"))
+                   .observe(obs, F.sum("_chg").alias("changed"))
+                   .select("node", "label"))
         labels = updated.localCheckpoint(eager=True)
-        if changed == 0:
+        if not (obs.get["changed"] or 0):
             break
     return labels.select(F.col("node").cast("bigint").alias(id_col),
                          F.col("label").cast("bigint").alias("cluster_id"))
