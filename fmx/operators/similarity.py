@@ -179,11 +179,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             local, "_cell int, _centroid array<double>"))
 
     def assign(df: DataFrame, cents, out: str, n: int = 1) -> DataFrame:
+        sims = (df.crossJoin(cents)
+                .withColumn("_sim",
+                            L.cosine_similarity(vec_col, "_centroid")))
+        if n == 1:
+            # corpus path: argmax as ONE hash agg (max over struct,
+            # ties to the lowest cell — identical ordering to the
+            # window/oracle) so the num_cells-wide expansion collapses
+            # back to one row per vector MAP-SIDE before any shuffle;
+            # the window formulation shuffled the full expanded relation
+            carry = [c for c in df.columns if c != id_col]
+            m = F.max(F.struct(
+                F.col("_sim").alias("s"), (-F.col("_cell")).alias("nc"),
+                *[F.col(c).alias(c) for c in carry])).alias("_m")
+            return (sims.groupBy(id_col).agg(m)
+                    .select(F.col(id_col),
+                            *[F.col(f"_m.{c}").alias(c) for c in carry],
+                            (-F.col("_m.nc")).cast("int").alias(out)))
+        # query path (top-nprobe cells): tiny side, ranking window fine
         w = Window.partitionBy(id_col).orderBy(
             F.col("_sim").desc(), F.col("_cell"))
-        return (df.crossJoin(cents)
-                .withColumn("_sim", L.cosine_similarity(vec_col, "_centroid"))
-                .withColumn("_rn", F.row_number().over(w))
+        return (sims.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= n)
                 .select(df["*"], F.col("_cell").alias(out)))
 

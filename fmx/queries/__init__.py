@@ -54,71 +54,72 @@ _MODULES = [
 # order); everything else follows in registration order.  Keep this list
 # at <= 50 names so the whole driver window is deliberate.
 #
-# Round-4 window: the driver union r01..r03 covered every registry entry
-# except text_perplexity, so the front of the window is (a) that one
-# gap, (b) the 8 new round-4 queries, (c) profile_zscore_outliers whose
-# r03 row was a vacuous 0-row hash-match (threshold could never fire on
-# uniform o_totalprice — repointed at heavy-tailed events.value), then
-# (d) 40 re-checks of the entries whose most recent driver row is r01
-# (oldest evidence first; the 8 r01-era rows left outside the window —
-# a7_min_max, a8_count, f4_math, f6_split_cast, p2_drop_column,
-# p4_distinct, set_intersect, union_by_name — are trivial shapes that
-# remain r01-green and harness-checked).
+# Round-5 window: (a) the one never-checked entry (ann_pq_trained, new
+# this round, rows-only by design), (b) re-verification of the queries
+# whose implementation or oracle CHANGED this round (dedup_semantic's
+# hierarchical assignment rewrote both sides; ts_gap_fill's was_gap
+# marker; dedup_clusters rides the reworked connected_components), then
+# (c) ALL 24 entries whose most recent driver row is still r01 —
+# including the 8 trivial shapes deliberately left out of the r4 window
+# — and (d) 22 of the oldest r02-era rows (ANN, dedup, embedding, text,
+# serving paths first).  After this round every entry's most recent
+# driver evidence is r02+, and the r02 tail (mostly TPC-H shapes
+# re-verified r04 via the harness) rotates in next.
 _PRIORITY = [
-    # -- never driver-checked --
-    "text_perplexity",
-    # -- new round-4 queries --
+    # -- never driver-checked (new this round; rows-only) --
+    "ann_pq_trained",
+    # -- changed this round: re-verify --
     "dedup_semantic",
     "ts_gap_fill",
-    "ts_resample_ohlc",
-    "cdc_apply_changes",
-    "profile_mad_outliers",
-    "text_quality_classifier",
-    "text_inverted_index",
-    "multimodal_frame_sample",
-    "ann_pq_rerank",
-    "copurchase_topk",
-    "event_transition_matrix",
-    "dq_psi_drift",
-    "approx_quantiles_hist",
-    "corpus_source_report",
-    "seq_next_event_dataset",
-    "agg_incremental_merge",
-    "bloom_prefilter_join",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_stock",
-    "sample_length_buckets",
-    "rfm_segmentation",
-    # -- re-check: r03 row was vacuous (0 rows), query repointed --
-    "profile_zscore_outliers",
+    "dedup_clusters",
     # -- re-checks: most recent driver row is r01 --
-    "p1_projection",
-    "p3_nullif_coalesce",
-    "p6_filter_group",
-    "j1_inner_join_agg",
-    "j2_left_join_coalesce",
-    "j3_left_join_fill",
-    "j4_full_outer_upsert",
-    "j5_semi_join",
-    "j7_broadcast_two_dims",
-    "a1_tpch_q1",
-    "a2_group_avg",
-    "a3_group_min_date",
-    "a5_collect_set_sorted",
-    "a6_global_sum",
-    "agg_count_distinct",
-    "agg_rollup",
-    "sort_limit_topk",
-    "f1_explode_tokens",
-    "f3_clamp",
-    "json_extract",
-    "date_trunc_month",
-    "string_funcs",
-    "regexp_funcs",
-    "percentiles",
+    "a7_min_max",
+    "a8_count",
+    "agg_cube",
+    "array_sql_funcs",
+    "bool_bitwise_aggs",
+    "exists_subquery",
+    "f4_math",
+    "f6_split_cast",
+    "grouping_sets",
+    "interval_arith",
+    "map_funcs",
+    "null_safe_equality",
+    "p2_drop_column",
+    "p4_distinct",
+    "pivot_status",
+    "rank_functions",
+    "scalar_subquery",
+    "set_intersect",
+    "set_union_distinct",
+    "stats_agg",
+    "string_manipulation",
+    "union_by_name",
+    "unpivot_melt",
+    "window_value_funcs",
+    # -- re-checks: most recent driver row is r02 (oldest evidence) --
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_normalize",
+    "emb_quantize",
+    "fm_loss",
+    "fm_predict_served",
+    "multimodal_payload_stats",
+    "text_stats",
+    "text_language_id",
+    "text_quality",
+    "text_redaction",
+    "text_fingerprint",
+    "having_filter",
 ]
 
 

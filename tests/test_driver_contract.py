@@ -19,7 +19,8 @@ def test_queries_and_oracles_align(spark):
     # (dedup_clusters gained a recursive-CTE oracle in round 2;
     # multimodal_features gained a byte-histogram oracle in round 3)
     assert set(qs) - set(osql) == {
-        "ann_ivf_topk", "approx_distinct", "approx_quantiles"}
+        "ann_ivf_topk", "approx_distinct", "approx_quantiles",
+        "ann_pq_trained"}
     # callables, not results
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
