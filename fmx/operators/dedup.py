@@ -23,6 +23,7 @@ __all__ = [
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
+    "minhash_cross_pairs",
 ]
 
 
@@ -581,3 +582,46 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                      F.lit(None).cast("double").alias("nn_lower_sim"),
                      F.lit(False).alias("is_dup")))
     return out.unionByName(zeros)
+
+
+def minhash_cross_pairs(batch: DataFrame, base: DataFrame,
+                        id_col: str, text_col: str,
+                        num_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """Cross-corpus near-dup: (batch_id, base_id) pairs where a NEW
+    batch document shares any LSH band with an EXISTING corpus document
+    — the fuzzy twin of ``incremental_dedup`` (which is exact-hash
+    only), and the decontamination shape "which new crawl docs
+    near-duplicate the held-out eval set".
+
+    Scale shape: signatures are per-document (one min-agg shuffle per
+    side, map-side combinable); banding is a narrow projection; the
+    only cross-corpus work is an equi-join on (band, band_key) where
+    the batch side is typically a day's crawl against years of base —
+    the base corpus is never self-joined and never re-shuffled beyond
+    its signature aggregate, which an ingest pipeline would persist
+    (store ``_minhash_wide``'s output, not re-derive it).
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(f"_h{j}").cast("string")
+                                   for j in range(b * rows_per_band,
+                                                  (b + 1) * rows_per_band)])
+                .alias("band_key"))
+            for b in range(bands)])
+        return (wide.select(id_col, F.explode(band_structs).alias("bs"))
+                .select(F.col(id_col).alias(out_id),
+                        F.col("bs.band").alias("band"),
+                        F.col("bs.band_key").alias("band_key")))
+
+    a = banded(batch, "batch_id")
+    b = banded(base, "base_id")
+    return (a.join(b, ["band", "band_key"])
+            .select(F.col("batch_id").cast("bigint").alias("batch_id"),
+                    F.col("base_id").cast("bigint").alias("base_id"))
+            .distinct())

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "gap_fill"]
+__all__ = ["asof_join", "range_join", "gap_fill", "sessionize"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -190,3 +190,37 @@ def gap_fill(df: DataFrame, key_cols: list[str], bucket_col: str,
         out = out.withColumn(count_col,
                              F.coalesce(F.col(count_col), F.lit(0)))
     return out
+
+
+def sessionize(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+               gap_seconds: int = 1800,
+               tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Gap-based sessionization: assign each event a per-key
+    ``session_n`` (0-based) that increments whenever the gap to the
+    previous event exceeds ``gap_seconds`` — the batch twin of
+    Structured Streaming's session window (fmx.streaming.ops), and the
+    first step of every clickstream / user-journey pipeline.
+
+    Plan shape: ONE shuffle on the key and ONE window pass — the
+    session boundary is ``lag`` + a running ``sum`` over the same
+    (partitionBy key, orderBy ts) window spec, so Spark plans a single
+    Window operator with two frames, no join and no second sort.  The
+    window partitions by user key — no global ordering — so it scales
+    with the largest single key's history, not data volume (hot keys:
+    cap or split upstream; a single user with 10⁸ events is a data
+    bug, not a plan bug).
+
+    ``tiebreak_cols`` breaks equal-timestamp ordering deterministically
+    (required for a replayable oracle).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1) \
+                .otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_n",
+                         (F.sum(new_sess).over(wrun) - F.lit(1))
+                         .cast("bigint"))

@@ -15,7 +15,7 @@ __all__ = [
     "fingerprint", "vocab_topk", "ngram_contamination",
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
-    "inverted_index",
+    "inverted_index", "char_entropy",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -423,3 +423,28 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str,
     return (dfreq.join(capped, "tok")
             .select(F.col("tok").alias("token"),
                     F.col("df").cast("bigint").alias("df"), "postings"))
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) plus
+    distinct-char count — the cheap gibberish/binary-spill detector
+    (low entropy = repeated filler, high = random bytes/base64; both
+    tails are cut in C4/Gopher-style quality filters).
+
+    Distributed shape: explode chars -> (id, char) count -> entropy
+    fold.  The (id, char) aggregate is map-side combinable, so the
+    shuffle carries at most |alphabet| rows per document per map task
+    — NOT |text| rows; the second (id) aggregate is a rollup of that.
+    No Python, no driver state, linear in corpus bytes.
+    """
+    cc = (df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), "")).alias("_ch"))
+          .groupBy(id_col, "_ch").agg(F.count("*").alias("_c")))
+    n = F.sum("_c")
+    # H = log2(n) - sum(c*log2(c))/n  — single-pass form, avoids a
+    # second join for per-doc totals
+    h = F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n
+    return cc.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        F.round(h, 6).alias("char_entropy"))

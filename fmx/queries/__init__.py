@@ -48,6 +48,7 @@ _MODULES = [
     "fmx.queries.sampling_queries",
     "fmx.queries.relational",
     "fmx.queries.relational2",
+    "fmx.queries.web_queries",
 ]
 
 # Names listed here are emitted FIRST by all_queries()/queries() (in this

@@ -783,3 +783,46 @@ def rfm_segmentation(spark, sf):
     return (scored.select(F.col("o_custkey").cast(BIG).alias("o_custkey"),
                           "recency_days", "frequency", "monetary",
                           "r", "f", "m", seg.alias("segment")))
+
+
+@query(
+    "event_sessionization",
+    headline=True,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_n
+      FROM flagged)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_n AS BIGINT) AS session_n,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 4) AS duration_sec
+    FROM sess GROUP BY user_id, session_n
+    """)
+def event_sessionization(spark, sf):
+    """Gap-based sessionization (30-min inactivity) + per-session
+    rollup: one shuffle on user_id serves BOTH the session-boundary
+    window and the (user, session) aggregate — the agg keys are a
+    superset of the window partition key, so AQE plans no second
+    Exchange."""
+    from fmx.operators.temporal import sessionize
+
+    ev = T(spark, sf, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   tiebreak_cols=["event_id"])
+    return (s.groupBy("user_id", "session_n").agg(
+                F.count("*").cast(BIG).alias("n_events"),
+                F.round(F.max(F.col("ts").cast("double"))
+                        - F.min(F.col("ts").cast("double")), 4)
+                 .alias("duration_sec"))
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("session_n").cast(BIG).alias("session_n"),
+                    "n_events", "duration_sec"))

@@ -398,3 +398,43 @@ def dedup_semantic(spark, sf):
                            "embedding", num_cells=SEM_CELLS,
                            threshold=SEM_TAU)
     return out
+
+
+# cross-corpus: 'new batch' = src0/src1, 'base corpus' = the rest.
+# Signatures are per-document, so the oracle computes one signature CTE
+# over ALL documents and applies the corpus split at pair time —
+# identical arithmetic to the Spark side, which signs each side
+# separately (same per-doc results either way).
+_BATCH_SRCS = "('src0', 'src1')"
+
+
+@query(
+    "dedup_cross_corpus",
+    oracle=f"""
+    WITH {_SHINGLES}, {_SIG},
+    banded AS (SELECT doc_id, j // {NUM_HASHES // BANDS} AS band,
+                      array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY j), ',')
+                          AS band_key
+               FROM sig GROUP BY doc_id, j // {NUM_HASHES // BANDS}),
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS batch_id,
+                    CAST(b.doc_id AS BIGINT) AS base_id
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+    JOIN srcs sa ON a.doc_id = sa.doc_id
+    JOIN srcs sb ON b.doc_id = sb.doc_id
+    WHERE sa.source IN {_BATCH_SRCS}
+      AND sb.source NOT IN {_BATCH_SRCS}
+    """)
+def dedup_cross_corpus(spark, sf):
+    """Cross-corpus near-dup (decontamination shape): which new-batch
+    docs (src0/src1) share an LSH band with the existing corpus — an
+    equi-join between independently-signed corpora, no self-join on
+    either side."""
+    from pyspark.sql import functions as F
+    docs = T(spark, sf, "documents")
+    batch = docs.filter(F.col("source").isin("src0", "src1"))
+    base = docs.filter(~F.col("source").isin("src0", "src1"))
+    return D.minhash_cross_pairs(batch, base, "doc_id", "text",
+                                 num_hashes=NUM_HASHES, bands=BANDS,
+                                 shingle_n=SHINGLE_N)

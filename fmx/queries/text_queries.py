@@ -556,3 +556,24 @@ def corpus_source_report(spark, sf):
                  .cast("bigint").alias("dup_docs"))
             .withColumn("dup_ratio",
                         F.round(F.col("dup_docs") / F.col("n_docs"), 6)))
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+               AS char_entropy
+    FROM cc GROUP BY doc_id
+    """)
+def text_char_entropy(spark, sf):
+    """Character-level Shannon entropy per document (gibberish /
+    binary-spill detector): map-side-combinable (doc, char) counts +
+    a single-pass entropy fold — shuffle volume is |alphabet| rows per
+    doc, not |text|."""
+    return X.char_entropy(T(spark, sf, "documents"), "doc_id", "text")

@@ -770,3 +770,88 @@ def test_pq_rerank_recall_not_below_pq_only(spark, sf_dir):
     # exact-cosine ground truth
     assert len(rr & exact) >= len(pq & exact)
     assert len(rr) == len(exact) == 25
+
+
+# ---- round-5 additions: sessionize / char_entropy / url / cross-corpus ----
+
+def test_sessionize_gap_boundaries(spark):
+    """Sessions split exactly when the gap EXCEEDS gap_seconds; equal-gap
+    events stay in-session; sessions are 0-based per key."""
+    from fmx.operators.temporal import sessionize
+
+    rows = [  # (user, t)
+        (1, 0.0), (1, 100.0), (1, 1900.0),   # gap 1800 exactly -> same
+        (1, 3701.0),                          # gap 1801 -> new session
+        (2, 50.0),                            # separate key restarts at 0
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r.user_id, r.ts): r.session_n
+           for r in sessionize(df, "user_id", "ts", 1800).collect()}
+    assert out[(1, 0.0)] == 0 and out[(1, 100.0)] == 0
+    assert out[(1, 1900.0)] == 0          # gap == threshold: same session
+    assert out[(1, 3701.0)] == 1
+    assert out[(2, 50.0)] == 0
+
+
+def test_char_entropy_known_values(spark):
+    """H('aaaa')=0; H('ab')=1 bit; uniform 4-char string = 2 bits."""
+    from fmx.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")], ["id", "t"])
+    got = {r.id: (r.char_entropy, r.n_chars, r.n_distinct_chars)
+           for r in char_entropy(df, "id", "t").collect()}
+    assert got[1] == (0.0, 4, 1)
+    assert got[2] == (1.0, 2, 2)
+    assert got[3] == (2.0, 4, 4)
+
+
+def test_url_normalize_cases(spark):
+    """Case-folds scheme/host only, strips www/fragment/tracking params/
+    trailing slash, sorts surviving params, path case preserved."""
+    from fmx.operators.web import url_normalize
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Ex.COM/A/B/?z=2&utm_source=x&a=1#frag"),
+         (2, "http://ex.com/A/B?a=1&z=2"),
+         (3, "https://ex.com"),                       # no path, no query
+         (4, "https://sub.ex.com/p?utm_a=1&fbclid=2&ref=3")],
+        ["id", "url"])
+    got = {r.id: (r.url_norm, r.domain)
+           for r in url_normalize(df, "url").collect()}
+    assert got[1] == ("https://ex.com/A/B?a=1&z=2", "ex.com")
+    assert got[2] == ("http://ex.com/A/B?a=1&z=2", "ex.com")   # same page
+    assert got[3] == ("https://ex.com", "ex.com")
+    assert got[4] == ("https://sub.ex.com/p", "sub.ex.com")    # all tracked
+
+
+def test_per_domain_cap(spark):
+    from fmx.operators.web import per_domain_cap
+    from pyspark.sql import functions as F
+
+    rows = [("a.com", i, 100 - i) for i in range(5)] + [("b.com", 99, 7)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id", "quality"])
+    out = per_domain_cap(df, "domain", cap=2,
+                         order_cols=[F.col("quality").desc(), "doc_id"])
+    got = sorted((r.domain, r.doc_id, r.domain_rank) for r in out.collect())
+    # a.com keeps its two highest-quality docs (ids 0,1); b.com keeps its one
+    assert got == [("a.com", 0, 1), ("a.com", 1, 2), ("b.com", 99, 1)]
+
+
+def test_minhash_cross_pairs_finds_planted_dup(spark):
+    """A batch doc identical to a base doc must share all bands; an
+    unrelated doc must not pair.  No within-side pairs are emitted."""
+    from fmx.operators.dedup import minhash_cross_pairs
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark shuffles and joins"
+    base = spark.createDataFrame(
+        [(10, dup), (11, other)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, dup), (2, "unrelated words nothing shared here at all today")],
+        ["doc_id", "text"])
+    pairs = {(r.batch_id, r.base_id)
+             for r in minhash_cross_pairs(batch, base, "doc_id", "text")
+             .collect()}
+    assert (1, 10) in pairs
+    assert all(b == 1 for b, _ in pairs), pairs  # doc 2 pairs with nothing
