@@ -67,6 +67,13 @@ _MODULES = [
 # driver evidence is r02+, and the r02 tail (mostly TPC-H shapes
 # re-verified r04 via the harness) rotates in next.
 _PRIORITY = [
+    # -- never driver-checked (new this round) --
+    "event_sessionization",
+    "text_char_entropy",
+    "dedup_cross_corpus",
+    "web_url_normalize",
+    "web_domain_stats",
+    "web_domain_cap",
     # -- never driver-checked (new this round; rows-only) --
     "ann_pq_trained",
     # -- changed this round: re-verify --
@@ -115,12 +122,10 @@ _PRIORITY = [
     "fm_loss",
     "fm_predict_served",
     "multimodal_payload_stats",
-    "text_stats",
-    "text_language_id",
-    "text_quality",
-    "text_redaction",
-    "text_fingerprint",
-    "having_filter",
+    # (text_stats/text_language_id/text_quality/text_redaction/
+    # text_fingerprint/having_filter rotated out to make room for the
+    # six round-5 additions above; they re-enter the next window with
+    # the r02 TPC-H tail)
 ]
 
 
