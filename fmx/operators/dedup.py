@@ -559,23 +559,36 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         .withColumn("_s", L.vec_dot("_u", "_c2")),
         id_col, "_s", "_cell", carry=["_u"])
         .withColumnRenamed("_cell", "cell"))
-    hi = assigned.select(F.col(id_col).alias("_id"), "cell",
-                         F.col("_u").alias("_uh"))
-    lo = assigned.select(F.col(id_col).alias("_lo"), "cell",
-                         F.col("_u").alias("_ul"))
-    # shuffle-hash join on the cell key: co-partitions both sides like
-    # the scale plan, without sort-merge's sort of wide vector rows
-    nn = (hi.join(lo.hint("shuffle_hash"), "cell")
-          .filter(F.col("_lo") < F.col("_id"))
-          .groupBy("_id")
-          .agg(F.max(F.round(L.vec_dot("_uh", "_ul"), 6))
+    # materialize the assignment EXECUTOR-SIDE: it feeds both sides of
+    # the pair self-join, and exchange reuse cannot deduplicate them
+    # (the outer join infers an IsNotNull only on its build side, so
+    # the two subtrees never canonicalize equal) — unpersisted, the
+    # whole two-level quantizer runs twice (measured 2x at sf0.1).
+    # The cache is n narrow rows (id, cell, unit vector) spread across
+    # executors' memory/disk — nothing passes through the driver, the
+    # same contract as the rest of the operator.  This is the artifact
+    # an ingest pipeline would persist anyway (cluster assignment is
+    # reused by mixture balancing and ANN indexing downstream).
+    from pyspark import StorageLevel
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    # LEFT self-join with the lower-id check as a RESIDUAL condition
+    # keeps every assigned row in the pair relation itself (no third
+    # join-back consumer).  shuffle_hash co-partitions both sides like
+    # the scale plan without sort-merge's sort of wide vector rows.
+    pr = assigned.select(F.col(id_col).alias("_id"), "cell", "_u")
+    a, b = pr.alias("a"), pr.alias("b")
+    nn = (a.join(b.hint("shuffle_hash"),
+                 (F.col("a.cell") == F.col("b.cell"))
+                 & (F.col("b._id") < F.col("a._id")), "left")
+          .groupBy(F.col("a._id").alias("_id"),
+                   F.col("a.cell").alias("cell"))
+          .agg(F.max(F.round(L.vec_dot(F.col("a._u"), F.col("b._u")), 6))
                .alias("nn_lower_sim")))
-    out = (assigned.join(nn, assigned[id_col] == nn["_id"], "left")
-           .select(F.col(id_col).cast("bigint").alias(id_col),
-                   F.col("cell").cast("bigint").alias("cell"),
-                   "nn_lower_sim",
-                   F.coalesce(F.col("nn_lower_sim") >= threshold,
-                              F.lit(False)).alias("is_dup")))
+    out = (nn.select(F.col("_id").cast("bigint").alias(id_col),
+                     F.col("cell").cast("bigint").alias("cell"),
+                     "nn_lower_sim",
+                     F.coalesce(F.col("nn_lower_sim") >= threshold,
+                                F.lit(False)).alias("is_dup")))
     zeros = (unit.filter(F.col("_u").isNull())
              .select(F.col(id_col).cast("bigint").alias(id_col),
                      F.lit(-1).cast("bigint").alias("cell"),
