@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers"]
+__all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers",
+           "robust_scale", "chi2_independence"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -113,3 +114,61 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
                  .alias("n_outliers"))
             .withColumn("outlier_ratio",
                         F.round(F.col("n_outliers") / F.col("n"), 6)))
+
+
+def robust_scale(df: DataFrame, group_col: str, value_col: str,
+                 out_col: str = "robust_z") -> DataFrame:
+    """Median/IQR feature scaling per group: (x - median) / (q3 - q1)
+    — the outlier-immune standardizer (sklearn's RobustScaler), the
+    right normalization for heavy-tailed telemetry before model
+    features or drift thresholds.
+
+    Same two-pass shape as mad_outliers: one holistic-percentile agg
+    whose output is group-count-bounded (broadcast join back), so the
+    scaling scan itself never shuffles.  Exact linear-interpolation
+    percentiles keep it engine-portable.  Zero-IQR groups (constant
+    bulk) yield NULL — no defined scale.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med"),
+        F.percentile(value_col, F.lit(0.25)).alias("_q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("_q3"))
+    iqr = F.col("_q3") - F.col("_q1")
+    z = (F.col(value_col) - F.col("_med")) / F.nullif(iqr, F.lit(0.0))
+    return (df.join(F.broadcast(stats), group_col)
+            .select(*[df[c] for c in df.columns],
+                    F.round("_med", 4).alias("group_median"),
+                    F.round(iqr, 4).alias("group_iqr"),
+                    F.round(z, 4).alias(out_col)))
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row (chi2, dof, n) — the "is the label mix skewed by
+    source" gate of corpus audits.
+
+    One (a, b) hash-agg builds the contingency table; everything after
+    runs on aggregates of that |a|x|b|-row relation (marginal
+    cross-join, broadcast total), so the corpus is scanned once and
+    nothing wide shuffles twice.  The marginal cross-join DENSIFIES
+    the table — unobserved (a, b) cells contribute their full expected
+    count to the statistic, which a groupBy alone would silently drop
+    (underestimating chi2 exactly when association is strongest).
+    """
+    cc = df.groupBy(a_col, b_col).agg(F.count("*").alias("_c"))
+    da = cc.groupBy(a_col).agg(F.sum("_c").alias("_ma"))
+    db = cc.groupBy(b_col).agg(F.sum("_c").alias("_mb"))
+    tot = da.agg(F.sum("_ma").alias("_n"))
+    dense = (da.crossJoin(db)
+             .join(cc, [a_col, b_col], "left")
+             .na.fill({"_c": 0})
+             .crossJoin(F.broadcast(tot)))
+    e = (F.col("_ma") * F.col("_mb")) / F.col("_n")
+    per = dense.select(a_col, b_col,
+                       ((F.col("_c") - e) ** 2 / e).alias("_x"),
+                       F.col("_n"))
+    return per.groupBy().agg(
+        F.round(F.sum("_x"), 4).alias("chi2"),
+        ((F.count_distinct(a_col) - 1)
+         * (F.count_distinct(b_col) - 1)).cast("bigint").alias("dof"),
+        F.first("_n").cast("bigint").alias("n"))

@@ -74,6 +74,9 @@ _PRIORITY = [
     "web_url_normalize",
     "web_domain_stats",
     "web_domain_cap",
+    "web_domain_mixture",
+    "profile_robust_scale",
+    "profile_chi2_lang_source",
     # -- never driver-checked (new this round; rows-only) --
     "ann_pq_trained",
     # -- changed this round: re-verify --
@@ -108,7 +111,6 @@ _PRIORITY = [
     # -- re-checks: most recent driver row is r02 (oldest evidence) --
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_buckets",
     "ann_lsh_topk",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -117,8 +119,6 @@ _PRIORITY = [
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "emb_normalize",
-    "emb_quantize",
     "fm_loss",
     "fm_predict_served",
     "multimodal_payload_stats",

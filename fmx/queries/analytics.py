@@ -826,3 +826,64 @@ def event_sessionization(spark, sf):
             .select(F.col("user_id").cast(BIG).alias("user_id"),
                     F.col("session_n").cast(BIG).alias("session_n"),
                     "n_events", "duration_sec"))
+
+
+@query(
+    "profile_robust_scale",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type,
+           round(e.value, 4) AS value,
+           round(s.med, 4) AS group_median,
+           round(s.q3 - s.q1, 4) AS group_iqr,
+           round((e.value - s.med) / nullif(s.q3 - s.q1, 0.0), 4)
+               AS robust_z
+    FROM events e JOIN stats s USING (event_type)
+    """)
+def profile_robust_scale(spark, sf):
+    """Median/IQR robust scaling of event values per event_type
+    (outlier-immune standardizer): one holistic-percentile agg
+    broadcast-joined back — the fact scan never shuffles."""
+    from fmx.operators.profiling import robust_scale
+
+    ev = T(spark, sf, "events").select("event_id", "event_type", "value")
+    out = robust_scale(ev, "event_type", "value")
+    return out.select(F.col("event_id").cast(BIG).alias("event_id"),
+                      "event_type",
+                      F.round("value", 4).alias("value"),
+                      "group_median", "group_iqr", "robust_z")
+
+
+@query(
+    "profile_chi2_lang_source",
+    oracle="""
+    WITH cc AS (SELECT lang, source, count(*) AS c
+                FROM documents GROUP BY lang, source),
+    da AS (SELECT lang, sum(c) AS ma FROM cc GROUP BY lang),
+    db AS (SELECT source, sum(c) AS mb FROM cc GROUP BY source),
+    tot AS (SELECT sum(ma) AS n FROM da),
+    dense AS (
+      SELECT da.lang, db.source, coalesce(cc.c, 0) AS c, ma, mb, n
+      FROM da CROSS JOIN db
+      LEFT JOIN cc ON cc.lang = da.lang AND cc.source = db.source
+      CROSS JOIN tot)
+    SELECT round(sum((c - ma * mb / n) ^ 2 / (ma * mb / n)), 4) AS chi2,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           CAST(first(n) AS BIGINT) AS n
+    FROM dense
+    """)
+def profile_chi2_lang_source(spark, sf):
+    """Chi-square independence of document language vs source (the
+    'is the label mix skewed by provenance' corpus audit): one corpus
+    scan into a contingency hash-agg, densified by a marginal
+    cross-join so unobserved cells still contribute their expected
+    count — never a second corpus pass."""
+    from fmx.operators.profiling import chi2_independence
+
+    return chi2_independence(T(spark, sf, "documents"), "lang", "source")

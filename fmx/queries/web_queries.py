@@ -134,3 +134,36 @@ def web_domain_cap(spark, sf):
     return capped.select(F.col("doc_id").cast(BIG).alias("doc_id"),
                          "domain",
                          F.col("domain_rank").cast(BIG).alias("domain_rank"))
+
+
+@query(
+    "web_domain_mixture",
+    oracle=f"""
+    WITH {_NORM_SQL},
+    counts AS (SELECT domain, count(*) AS n FROM canon GROUP BY domain)
+    SELECT domain, CAST(n AS BIGINT) AS n_docs,
+           round(least(1.0, 0.5 * ((max(n) OVER ()) * 1.0 / n) ^ 0.5), 6)
+               AS keep_p,
+           CAST(round(n * least(1.0, 0.5 * ((max(n) OVER ()) * 1.0 / n) ^ 0.5), 0)
+                AS BIGINT) AS expected_keep
+    FROM counts
+    """)
+def web_domain_mixture(spark, sf):
+    """Temperature-flattened per-domain sampling plan (alpha=0.5,
+    largest_frac=0.5 — the multilingual-resampling rule applied to
+    crawl domains): keep_p = min(1, 0.5*(max_n/n)^0.5) and the
+    expected post-sampling count, from one domain hash-agg + a window
+    max over the domain-count relation."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf, "documents").withColumn("url", _messy_url_col())
+    norm = W.url_normalize(docs, "url")
+    counts = norm.groupBy("domain").agg(F.count("*").alias("n"))
+    keep_p = F.least(
+        F.lit(1.0),
+        F.lit(0.5) * F.pow(F.max("n").over(Window.partitionBy())
+                           / F.col("n"), F.lit(0.5)))
+    return counts.select(
+        "domain", F.col("n").cast(BIG).alias("n_docs"),
+        F.round(keep_p, 6).alias("keep_p"),
+        F.round(F.col("n") * keep_p, 0).cast(BIG).alias("expected_keep"))

@@ -855,3 +855,36 @@ def test_minhash_cross_pairs_finds_planted_dup(spark):
              .collect()}
     assert (1, 10) in pairs
     assert all(b == 1 for b, _ in pairs), pairs  # doc 2 pairs with nothing
+
+
+def test_robust_scale_known_values(spark):
+    """Median/IQR scaling on a known group; zero-IQR group yields NULL
+    (no defined scale), never a divide-by-zero."""
+    from fmx.operators.profiling import robust_scale
+
+    rows = ([("a", float(v)) for v in [1, 2, 3, 4, 5]]
+            + [("b", 7.0), ("b", 7.0), ("b", 7.0)])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {(r.g, r.v): (r.group_median, r.group_iqr, r.robust_z)
+           for r in robust_scale(df, "g", "v").collect()}
+    # group a: med 3, q1 2, q3 4 -> iqr 2; x=5 -> (5-3)/2 = 1.0
+    assert got[("a", 5.0)] == (3.0, 2.0, 1.0)
+    assert got[("a", 1.0)] == (3.0, 2.0, -1.0)
+    assert got[("b", 7.0)][2] is None          # constant group
+
+
+def test_chi2_independence(spark):
+    """Perfectly independent 2x2 table -> chi2 = 0; a diagonal-heavy
+    table -> chi2 > 0; dof = (na-1)(nb-1)."""
+    from fmx.operators.profiling import chi2_independence
+
+    indep = spark.createDataFrame(
+        [("x", "u")] * 4 + [("x", "w")] * 4 + [("y", "u")] * 4
+        + [("y", "w")] * 4, ["a", "b"])
+    r = chi2_independence(indep, "a", "b").collect()[0]
+    assert (r.chi2, r.dof, r.n) == (0.0, 1, 16)
+
+    dep = spark.createDataFrame(
+        [("x", "u")] * 8 + [("y", "w")] * 8, ["a", "b"])
+    r2 = chi2_independence(dep, "a", "b").collect()[0]
+    assert r2.chi2 == 16.0 and r2.dof == 1    # perfect association = n
