@@ -233,3 +233,53 @@ def test_partsupp_tpch_shapes_no_cartesian(spark, sf_dir):
         for line in plan.splitlines():
             if "BroadcastNestedLoopJoin" in line:
                 assert "BuildRight" in line, (name, line)
+
+
+def test_sessionization_single_exchange(spark, sf_dir):
+    """The session-boundary window and the per-session rollup share one
+    user_id shuffle — the rollup keys are a superset of the window
+    partition key, so exactly ONE Exchange appears in the whole plan."""
+    plan = _plan(spark, sf_dir, "event_sessionization")
+    n_ex = sum(1 for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln
+               and "Reused" not in ln)
+    assert n_ex == 1, plan
+
+
+def test_url_normalize_is_map_only(spark, sf_dir):
+    """URL canonicalization is pure projection: no Exchange, no Join,
+    no aggregation — whole-stage codegen end to end."""
+    plan = _plan(spark, sf_dir, "web_url_normalize")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # codegen marker: "*(n)" stage prefix in the compact tree string
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """The per-domain cap must run as WindowGroupLimit per-partition
+    heaps — a mega-domain never fully sorts."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "web_domain_cap")
+
+
+def test_char_entropy_two_aggs_no_join(spark, sf_dir):
+    """Entropy = two chained hash-aggs over (doc, char) then (doc);
+    the single-pass fold needs no join back for per-doc totals."""
+    plan = _plan(spark, sf_dir, "text_char_entropy")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cross_corpus_no_cartesian(spark, sf_dir):
+    """Cross-corpus LSH pairing is an equi-join on (band, band_key);
+    neither corpus self-joins and nothing goes nested-loop."""
+    plan = _plan(spark, sf_dir, "dedup_cross_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_robust_scale_broadcasts_stats(spark, sf_dir):
+    """The percentile stats join back broadcast — the fact scan itself
+    never shuffles."""
+    plan = _plan(spark, sf_dir, "profile_robust_scale")
+    assert "BroadcastHashJoin" in plan
