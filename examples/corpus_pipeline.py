@@ -1,10 +1,12 @@
 """End-to-end training-data curation pipeline over the documents table —
 the LLM-data workflow the extension operators exist for:
 
-  load -> quality + repetition filters -> language annotate ->
-  exact dedup -> near-dup dedup (MinHash LSH + connected components,
-  keep canonical) -> token accounting -> chunk to context windows ->
-  pack into fixed-budget sequences -> deterministic train/val split ->
+  load -> URL provenance (canonicalize, per-domain cap, temperature
+  mixture) -> quality + entropy + repetition filters -> language
+  annotate -> exact dedup -> near-dup dedup (MinHash LSH + connected
+  components, keep canonical) -> benchmark decontamination ->
+  token accounting -> chunk to context windows -> pack into
+  fixed-budget sequences -> deterministic train/val split ->
   partitioned parquet out
 
 Every stage is a pure DataFrame -> DataFrame function; the whole
@@ -40,11 +42,39 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. quality + language annotation (single-pass column expressions)
+    # 0. URL provenance: canonicalize a (synthesized) crawl URL, cap
+    #    docs per domain, then temperature-flatten the domain mixture —
+    #    crawls are power-law over hosts, so both steps run BEFORE any
+    #    expensive per-document work
+    from fmx.operators.sampling import temperature_mixture
+    from fmx.operators.web import per_domain_cap, url_normalize
+
+    with_url = docs.withColumn(
+        "url", F.concat(F.lit("https://www."), F.col("source"),
+                        F.lit(".example.com/docs/"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("?utm_source=crawl")))
+    capped = per_domain_cap(url_normalize(with_url, "url"), "domain",
+                            cap=1000,
+                            order_cols=[F.col("n_chars").desc(),
+                                        F.col("doc_id")])
+    mixed = temperature_mixture(capped, "domain", "doc_id",
+                                alpha=0.7, largest_frac=0.9)
+    n0b = mixed.count()
+    docs = mixed.drop("url", "url_norm", "domain_rank")
+
+    # 1. quality + entropy + language annotation (single-pass column
+    #    expressions; entropy cuts both tails — repeated filler AND
+    #    base64/binary spill)
     quality = X.quality_score(docs, "doc_id", "text")
+    ent = X.char_entropy(docs, "doc_id", "text").select(
+        "doc_id", "char_entropy")
     lang = X.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
-    annotated = docs.join(quality, "doc_id").join(lang, "doc_id")
-    kept = annotated.filter(F.col("quality") >= 0.3)
+    annotated = (docs.join(quality, "doc_id").join(ent, "doc_id")
+                 .join(lang, "doc_id"))
+    kept = annotated.filter(
+        (F.col("quality") >= 0.3)
+        & F.col("char_entropy").between(1.5, 6.5))
     n1 = kept.count()
 
     # 2. exact dedup (md5 groupBy, keep min doc_id)
@@ -87,6 +117,19 @@ def main() -> None:
                .filter(F.col("keep")).drop("keep"))
     n5b = deduped.count()
 
+    # 3e. benchmark decontamination: drop any doc that shares an LSH
+    #     band with the held-out "benchmark" slice (here: src19, the
+    #     same cross-corpus shape as a real eval-set sweep) — the
+    #     benchmark is never self-joined, and at production scale its
+    #     signature table is a persisted artifact
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src19")
+    contaminated = D.minhash_cross_pairs(
+        deduped, bench, "doc_id", "text").select(
+        F.col("batch_id").alias("doc_id")).distinct()
+    deduped = deduped.join(contaminated, "doc_id", "left_anti")
+    n5c = deduped.count()
+
     # 4. token accounting for the surviving corpus
     counts = X.token_counts(deduped, "doc_id", "text")
     total = counts.agg(F.sum("ws_tokens").alias("ws"),
@@ -112,9 +155,11 @@ def main() -> None:
                       out_dir, ["split", "pred_lang"],
                       files_per_partition=2)
 
-    print(f"loaded {n0} -> quality-filtered {n1} -> exact-deduped {n2} "
+    print(f"loaded {n0} -> domain-capped+mixed {n0b} "
+          f"-> quality+entropy-filtered {n1} -> exact-deduped {n2} "
           f"-> near-dup-deduped {n3} -> repetition-filtered {n4} "
-          f"-> span-hygiene {n4b} -> classifier-gated {n5b}")
+          f"-> span-hygiene {n4b} -> classifier-gated {n5b} "
+          f"-> decontaminated {n5c}")
     print(f"surviving tokens: ws={total.ws} bpe={total.bpe}; "
           f"packed into {n_seqs} 512-token sequences")
     print(f"wrote {out_dir} (partitioned by split, pred_lang)")
