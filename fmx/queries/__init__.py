@@ -55,17 +55,17 @@ _MODULES = [
 # order); everything else follows in registration order.  Keep this list
 # at <= 50 names so the whole driver window is deliberate.
 #
-# Round-5 window: (a) the one never-checked entry (ann_pq_trained, new
-# this round, rows-only by design), (b) re-verification of the queries
-# whose implementation or oracle CHANGED this round (dedup_semantic's
-# hierarchical assignment rewrote both sides; ts_gap_fill's was_gap
-# marker; dedup_clusters rides the reworked connected_components), then
-# (c) ALL 24 entries whose most recent driver row is still r01 —
-# including the 8 trivial shapes deliberately left out of the r4 window
-# — and (d) 22 of the oldest r02-era rows (ANN, dedup, embedding, text,
-# serving paths first).  After this round every entry's most recent
-# driver evidence is r02+, and the r02 tail (mostly TPC-H shapes
-# re-verified r04 via the harness) rotates in next.
+# Round-5 window: (a) the 11 fully-oracled round-5 additions plus
+# ann_pq_trained (new, rows-only by design), (b) re-verification of the
+# queries whose implementation or oracle CHANGED this round
+# (dedup_semantic's hierarchical assignment + persisted pair join;
+# ts_gap_fill's was_gap marker; dedup_clusters rides the reworked
+# connected_components), then (c) ALL 24 entries whose most recent
+# driver row is still r01 — including the 8 trivial shapes deliberately
+# left out of the r4 window — and (d) 11 of the oldest r02-era rows
+# (ANN, dedup, fm-serving paths first).  The remaining r02 tail
+# (text_* shapes, map-only embedding preps, bench headliners exercised
+# every round anyway) rotates in next.
 _PRIORITY = [
     # -- never driver-checked (new this round) --
     "event_sessionization",
@@ -77,6 +77,8 @@ _PRIORITY = [
     "web_domain_mixture",
     "profile_robust_scale",
     "profile_chi2_lang_source",
+    "anomaly_hourly_event_rate",
+    "event_trigram_paths",
     # -- never driver-checked (new this round; rows-only) --
     "ann_pq_trained",
     # -- changed this round: re-verify --
@@ -109,11 +111,9 @@ _PRIORITY = [
     "unpivot_melt",
     "window_value_funcs",
     # -- re-checks: most recent driver row is r02 (oldest evidence) --
-    "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "dedup_embedding_cosine",
-    "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_signatures",
@@ -122,10 +122,13 @@ _PRIORITY = [
     "fm_loss",
     "fm_predict_served",
     "multimodal_payload_stats",
-    # (text_stats/text_language_id/text_quality/text_redaction/
-    # text_fingerprint/having_filter rotated out to make room for the
-    # six round-5 additions above; they re-enter the next window with
-    # the r02 TPC-H tail)
+    # (rotated out to make room for the round-5 additions above —
+    # text_stats/text_language_id/text_quality/text_redaction/
+    # text_fingerprint/having_filter/ann_lsh_buckets/emb_normalize/
+    # emb_quantize/ann_cosine_topk/dedup_exact; all r02-green,
+    # harness-checked at both SFs every round, and the last two run in
+    # every bench; they re-enter the next window with the r02 TPC-H
+    # tail)
 ]
 
 

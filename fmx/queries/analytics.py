@@ -887,3 +887,70 @@ def profile_chi2_lang_source(spark, sf):
     from fmx.operators.profiling import chi2_independence
 
     return chi2_independence(T(spark, sf, "documents"), "lang", "source")
+
+
+@query(
+    "anomaly_hourly_event_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    stats AS (
+      SELECT event_type,
+             quantile_cont(n, 0.5) AS med,
+             quantile_cont(n, 0.75) - quantile_cont(n, 0.25) AS iqr
+      FROM hourly GROUP BY event_type)
+    SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(h.n AS BIGINT) AS n,
+           round((h.n - s.med) / nullif(s.iqr, 0.0), 4) AS robust_z
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE abs((h.n - s.med) / nullif(s.iqr, 0.0)) > 2.0
+    """)
+def anomaly_hourly_event_rate(spark, sf):
+    """Hourly event-rate anomalies per type (robust z on bucket counts
+    beyond 2 IQRs): ONE shuffle on (type, hour) builds the rate series
+    — data-volume-independent from there — then the same broadcast
+    median/IQR shape as profile_robust_scale.  The ops-dashboard
+    'traffic spike/drop' gate."""
+    from fmx.operators.profiling import robust_scale
+
+    hourly = (T(spark, sf, "events")
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("_h"))
+              .agg(F.count("*").alias("n")))
+    scaled = robust_scale(hourly, "event_type", "n")
+    return (scaled.filter(F.abs(F.col("robust_z")) > 2.0)
+            .select("event_type",
+                    F.date_format("_h", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour"),
+                    F.col("n").cast(BIG).alias("n"), "robust_z"))
+
+
+@query(
+    "event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """)
+def event_trigram_paths(spark, sf):
+    """Top-20 three-step user journeys: lead() windows build the
+    trigram relation in the SAME per-user shuffle (one Exchange, one
+    sort), the count is a map-side-combinable hash-agg over at most
+    |event_type|^3 keys, and the top-k runs as TakeOrderedAndProject —
+    never a full sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (T(spark, sf, "events")
+           .select("user_id", F.col("event_type").alias("e1"),
+                   F.lead("event_type", 1).over(w).alias("e2"),
+                   F.lead("event_type", 2).over(w).alias("e3")))
+    return (seq.filter(F.col("e3").isNotNull())
+            .groupBy("e1", "e2", "e3")
+            .agg(F.count("*").cast(BIG).alias("n"))
+            .orderBy(F.desc("n"), "e1", "e2", "e3").limit(20))

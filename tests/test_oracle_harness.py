@@ -52,6 +52,8 @@ _MAY_BE_EMPTY = {
     "text_redaction",          # PII slice: 0 planted docs at sf0.001
     "tpch_q7_nation_volume",   # nation-pair slice: empty at sf0.001 only
                                # (14 rows at sf0.01 — driver-green r02)
+    "anomaly_hourly_event_rate",  # 2-IQR rate spikes: none in the 1k-event
+                                  # sf0.001 slice (26 rows at sf0.01)
 }
 
 
