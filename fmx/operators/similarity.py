@@ -335,7 +335,10 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     vector (64 doubles -> 4 bytes at m=4/K=16: a 128x cut for the
     resident ANN index).  The plan is one posexplode + broadcast
     codebook join + (id, sub, code) hash-agg + per-(id, sub) argmin
-    window — no cross join, corpus side never collected."""
+    as a min-over-struct hash-agg (map-side combinable — collapses to
+    one row per (id, sub) BEFORE the shuffle, where a ranking window
+    would shuffle all K candidate rows and sort) — no cross join,
+    corpus side never collected."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
@@ -347,10 +350,13 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     d2 = (ex.join(F.broadcast(codebook), ["sub", "spos"])
           .groupBy(id_col, "sub", "code")
           .agg(F.sum((F.col("x") - F.col("cx")) ** 2).alias("d2")))
-    w = Window.partitionBy(id_col, "sub").orderBy(F.col("d2"), F.col("code"))
-    return (d2.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "sub", "code", F.round("d2", 6).alias("d2")))
+    # lexicographic min over (d2, code) == the (d2 asc, code asc) rank-1
+    # row: identical tie-breaking to a ranking window, one shuffle less
+    # sorting
+    best = (d2.groupBy(id_col, "sub")
+            .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m")))
+    return best.select(id_col, "sub", F.col("_m.code").alias("code"),
+                       F.round(F.col("_m.d2"), 6).alias("d2"))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,

@@ -136,13 +136,14 @@ def test_partial_aggregation_present(spark, sf_dir):
 def test_pq_plans_broadcast_codebook_no_cartesian(spark, sf_dir):
     """PQ encode/search must stay equi-joins against the broadcast
     codebook / distance table — the corpus side never cross-joins and
-    the per-(id, sub) argmin rides WindowGroupLimit heaps."""
+    the per-(id, sub) argmin is a min-over-struct hash-agg (map-side
+    combinable), not a ranking window: encode needs NO sort at all."""
     for name in ["ann_pq_codes", "ann_pq_topk"]:
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    assert "WindowGroupLimit" in _plan(spark, sf_dir, "ann_pq_codes")
+    assert "Window" not in _plan(spark, sf_dir, "ann_pq_codes")
 
 
 def test_span_profile_no_span_self_join(spark, sf_dir):
