@@ -197,7 +197,17 @@ def _minhash_wide(df: DataFrame, id_col: str, text_col: str,
                   num_hashes: int, shingle_n: int) -> DataFrame:
     """(id, _h0.._h{n-1}) in ONE shuffle: num_hashes min-aggregates over
     the shingle relation, all map-side combinable.  distinct=False —
-    min() is duplicate-insensitive, so the dedup shuffle is pure cost."""
+    min() is duplicate-insensitive, so the dedup shuffle is pure cost.
+
+    (A zero-shuffle higher-order-function formulation — per-row
+    transform + array_min — replays the same arithmetic but measured
+    24x SLOWER at sf0.1: lambda expressions evaluate interpreted
+    per-element outside whole-stage codegen, and each min slot
+    re-evaluates the md5 base array since subexpression elimination
+    does not reach into separate lambda trees.  The explode + groupBy
+    shape keeps every md5 inside codegen and hashes each shingle
+    exactly once; map-side combine already bounds the shuffle at one
+    partial row per (task, id).)"""
     sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     sh = sh.withColumn("_h", hash64("shingle"))
     aggs = [F.min(minhash_slot(F.col("_h"), j)).alias(f"_h{j}")
