@@ -218,3 +218,55 @@ def bloom_prefilter_join(spark, sf):
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
             .select(F.col("o_custkey").cast("bigint").alias("c_custkey"),
                     "n_orders", "revenue"))
+
+
+def _hll_overlap_oracle() -> str:
+    from fmx.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
+    wb = 60 - HLL_B + 1
+    def est(s, n):
+        return (f"CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / ({s} + ({HLL_M} - {n}))"
+                f" <= {2.5 * HLL_M} AND {HLL_M} - {n} > 0"
+                f" THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - {n}))"
+                f" ELSE {HLL_ALPHA * HLL_M * HLL_M} / ({s} + ({HLL_M} - {n})) END")
+    def regs(name, etype):
+        return (f"{name} AS (SELECT h % {HLL_M} AS j, "
+                f"max({wb} - length(bin(h >> {HLL_B}))) AS m "
+                f"FROM (SELECT CAST(concat('0x', substring(md5(concat('hll:', "
+                f"CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h "
+                f"FROM events WHERE event_type = '{etype}') GROUP BY j)")
+    ea, eb, eu = est("sa", "na"), est("sb", "nb"), est("su", "nu")
+    return f"""
+    WITH {regs('ra', 'view')}, {regs('rb', 'purchase')},
+    u AS (SELECT ra.m AS ma, rb.m AS mb,
+                 greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) AS mu
+          FROM ra FULL OUTER JOIN rb ON ra.j = rb.j),
+    agg AS (SELECT sum(power(2.0, -ma)) AS sa, count(ma) AS na,
+                   sum(power(2.0, -mb)) AS sb, count(mb) AS nb,
+                   sum(power(2.0, -mu)) AS su, count(*) AS nu
+            FROM u)
+    SELECT CAST(round({ea}) AS BIGINT) AS n_a,
+           CAST(round({eb}) AS BIGINT) AS n_b,
+           CAST(round({eu}) AS BIGINT) AS n_union,
+           CAST(round(greatest(0.0, {ea} + {eb} - {eu})) AS BIGINT)
+               AS n_intersect,
+           round(round(greatest(0.0, {ea} + {eb} - {eu}))
+                 / round({eu}), 6) AS jaccard
+    FROM agg
+    """
+
+
+@query("approx_user_overlap", oracle=_hll_overlap_oracle())
+def approx_user_overlap(spark, sf):
+    """Audience overlap (view-users vs purchase-users) from HLL
+    registers: union = register-wise max, intersection =
+    inclusion-exclusion over three deterministic md5 estimates — the
+    raw user sets never co-shuffle, and the register tables are the
+    persistable artifact a cross-day retention pipeline merges."""
+    from fmx.operators.sketches import hll_overlap, hll_registers
+
+    ev = T(spark, sf, "events").withColumn("_g", F.lit(0))
+    ra = hll_registers(ev.filter(F.col("event_type") == "view"),
+                       "_g", "user_id").drop("_g")
+    rb = hll_registers(ev.filter(F.col("event_type") == "purchase"),
+                       "_g", "user_id").drop("_g")
+    return hll_overlap(ra, rb)

@@ -888,3 +888,27 @@ def test_chi2_independence(spark):
         [("x", "u")] * 8 + [("y", "w")] * 8, ["a", "b"])
     r2 = chi2_independence(dep, "a", "b").collect()[0]
     assert r2.chi2 == 16.0 and r2.dof == 1    # perfect association = n
+
+
+def test_hll_overlap_disjoint_and_identical(spark):
+    """Identical register tables -> intersection == each set, jaccard 1;
+    disjoint value ranges -> near-zero intersection (within HLL noise)."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.sketches import hll_overlap, hll_registers
+
+    base = spark.range(0, 500).select(
+        F.lit(0).alias("_g"), F.col("id").alias("v"))
+    other = spark.range(10_000, 10_500).select(
+        F.lit(0).alias("_g"), F.col("id").alias("v"))
+    ra = hll_registers(base, "_g", "v").drop("_g")
+    rb = hll_registers(other, "_g", "v").drop("_g")
+
+    same = hll_overlap(ra, ra).collect()[0]
+    assert same.n_a == same.n_b == same.n_union == same.n_intersect
+    assert same.jaccard == 1.0
+
+    dis = hll_overlap(ra, rb).collect()[0]
+    # union of two ~500-sets should read ~1000; overlap should be small
+    assert dis.n_union > max(dis.n_a, dis.n_b)
+    assert dis.n_intersect < 0.3 * dis.n_union
