@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -66,3 +66,26 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph, one row
+    (triangles) — the clustering-coefficient numerator (community
+    density of interaction/co-occurrence graphs).
+
+    ``edges`` must be oriented (src < dst per undirected edge); the
+    count uses the compact-forward shape: wedges a<b<c from an
+    edge-edge equi-join on the middle vertex, closed by a second
+    equi-join on (a, c).  Each triangle is counted exactly once
+    because only its ordered orientation survives.  Both joins key on
+    vertices; a celebrity vertex of degree d contributes d^2 wedge
+    rows — bound it upstream (degree cap / core decomposition) the
+    same way copurchase_topk caps baskets.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    mid = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e.join(mid, "b").select("a", "b", "c")
+    closing = e.select(F.col("a"), F.col("b").alias("c"))
+    return (wedges.join(closing, ["a", "c"])
+            .agg(F.count("*").cast("bigint").alias("triangles")))

@@ -954,3 +954,37 @@ def event_trigram_paths(spark, sf):
             .groupBy("e1", "e2", "e3")
             .agg(F.count("*").cast(BIG).alias("n"))
             .orderBy(F.desc("n"), "e1", "e2", "e3").limit(20))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """)
+def graph_triangle_count(spark, sf):
+    """Triangles in the co-purchase graph (parts bought together in an
+    order, 32-item basket cap): compact-forward a<b<c wedge join closed
+    by an (a, c) equi-join — each triangle counted once via its ordered
+    orientation, no cartesian anywhere."""
+    from fmx.operators.graph import triangle_count
+
+    li = (T(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li = (li.withColumn("_rn", F.row_number().over(wcap))
+          .filter(F.col("_rn") <= 32).drop("_rn"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "l_orderkey")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    return triangle_count(edges)

@@ -912,3 +912,18 @@ def test_hll_overlap_disjoint_and_identical(spark):
     # union of two ~500-sets should read ~1000; overlap should be small
     assert dis.n_union > max(dis.n_a, dis.n_b)
     assert dis.n_intersect < 0.3 * dis.n_union
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a 4-cycle has none; orientation dedup means
+    each triangle counts exactly once."""
+    from fmx.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        ["src", "dst"])
+    assert triangle_count(k4).collect()[0].triangles == 4
+
+    cycle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], ["src", "dst"])
+    assert triangle_count(cycle).collect()[0].triangles == 0
