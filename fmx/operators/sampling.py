@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
            "pack_sequences", "temperature_mixture", "per_group_cap",
            "weighted_sample_per_group", "negative_sample",
-           "length_buckets"]
+           "length_buckets", "pack_manifest"]
 
 _TWO60 = float(2 ** 60)
 
@@ -259,3 +259,40 @@ def length_buckets(df: DataFrame, id_col: str, len_col,
                         F.round(F.col("total_len")
                                 / (F.col("n_rows") * F.col("max_len")), 6))
             .withColumn("bucket", F.col("bucket").cast("bigint")))
+
+
+def pack_manifest(df: DataFrame, id_col: str, tokens_col,
+                  budget: int = 512, num_buckets: int = 32) -> DataFrame:
+    """One row PER PACKED SEQUENCE from ``pack_sequences``' assignment:
+    (bucket, bin, n_docs, fill_tokens, fill_ratio, segments) — the
+    loader-side manifest that says which documents compose each
+    training sequence and at which token offset each begins (what an
+    attention-mask/boundary-aware dataloader consumes).
+
+    ``segments`` is a ';'-joined list of 'id:offset:len' entries
+    (offset = cumulative tokens of earlier docs in the same bin,
+    deterministically sorted).  Shapes: pack_sequences' bucketed
+    prefix-sum window, one more window min per (bucket, bin) for the
+    bin base, then a single hash-agg per sequence — no joins, and the
+    manifest relation has one row per ~budget tokens, a
+    corpus-size/budget reduction.
+    """
+    packed = pack_sequences(df, id_col, tokens_col, budget=budget,
+                            num_buckets=num_buckets)
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = packed.withColumn(
+        "_cum", F.coalesce(F.sum("tokens").over(w), F.lit(0)))
+    base = F.min("_cum").over(Window.partitionBy("bucket", "bin"))
+    seg = cum.withColumn("_off", F.col("_cum") - base)
+    entry = F.concat_ws(":", F.col(id_col).cast("string"),
+                        F.col("_off").cast("string"),
+                        F.col("tokens").cast("string"))
+    return (seg.groupBy("bucket", "bin")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("tokens").cast("bigint").alias("fill_tokens"),
+                 F.collect_list(entry).alias("_e"))
+            .select("bucket", "bin", "n_docs", "fill_tokens",
+                    F.round(F.col("fill_tokens") / budget, 4)
+                    .alias("fill_ratio"),
+                    F.array_join(F.array_sort("_e"), ";").alias("segments")))

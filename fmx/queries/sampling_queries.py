@@ -300,3 +300,45 @@ def sample_length_buckets(spark, sf):
     out = length_buckets(d, "doc_id", "n_tok", LB_EDGES)
     return out.select("bucket", "n_rows", "total_len", "max_len",
                       "pad_efficiency")
+
+
+@query(
+    "sample_pack_manifest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             CAST(concat('0x', substring(md5(concat('bucket:',
+                 CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS bucket
+      FROM documents),
+    cum AS (
+      SELECT doc_id, tokens, bucket,
+             coalesce(sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM base),
+    seg AS (
+      SELECT doc_id, tokens, bucket, c // 512 AS bin,
+             c - min(c) OVER (PARTITION BY bucket, c // 512) AS off
+      FROM cum)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS fill_tokens,
+           round(sum(tokens) * 1.0 / 512, 4) AS fill_ratio,
+           array_to_string(list(e ORDER BY e), ';') AS segments
+    FROM (SELECT bucket, bin, tokens,
+                 doc_id || ':' || off || ':' || tokens AS e
+          FROM seg)
+    GROUP BY bucket, bin
+    """)
+def sample_pack_manifest(spark, sf):
+    """Packed-sequence manifests (512-token budget, 8 hash buckets):
+    one row per training sequence with its 'id:offset:len' document
+    segments — what a boundary-aware dataloader consumes.  Bucketed
+    prefix-sum windows + one hash-agg; the output relation shrinks the
+    corpus by ~budget x."""
+    from fmx.operators.sampling import pack_manifest
+
+    docs = T(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return pack_manifest(docs.select("doc_id", toks.alias("ws_tokens")),
+                         "doc_id", "ws_tokens", budget=512, num_buckets=8)

@@ -109,3 +109,34 @@ def test_negative_sample_never_emits_positives(spark):
              for r in negative_sample(pos, "user_id", "item_id", 100,
                                       k=4).collect()}
     assert again == {(r.user_id, r.item_id, r.slot) for r in out}
+
+
+def test_pack_manifest_invariants(spark, sf_dir):
+    """Every document appears in exactly one manifest segment; each
+    sequence's segments start at offset 0 and tile contiguously up to
+    fill_tokens; fill stays within budget + last-doc overrun."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.sampling import pack_manifest
+    from fmx.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    man = pack_manifest(docs.select("doc_id", toks.alias("t")),
+                        "doc_id", "t", budget=512, num_buckets=8).collect()
+
+    seen = []
+    for r in man:
+        segs = sorted((int(o), int(i), int(n)) for i, o, n in
+                      (e.split(":") for e in r.segments.split(";")))
+        assert segs[0][0] == 0                       # starts at 0
+        pos = 0
+        for off, _i, n in segs:
+            assert off == pos                        # contiguous tiling
+            pos += n
+        assert pos == r.fill_tokens
+        assert r.n_docs == len(segs)
+        # budget overrun bounded by the last doc
+        assert r.fill_tokens - segs[-1][2] < 512
+        seen.extend(i for _o, i, _n in segs)
+    assert len(seen) == len(set(seen)) == docs.count()
