@@ -24,7 +24,7 @@ from fmx.core import linalg as L
 __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
-           "pq_rerank_topk"]
+           "pq_rerank_topk", "rank_eval"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -462,3 +462,34 @@ def pq_rerank_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def rank_eval(pred: DataFrame, truth: DataFrame,
+              query_col: str = "query_id", id_col: str = "vec_id",
+              k: int = 5, rank_col: str = "rank") -> DataFrame:
+    """Retrieval metrics of a candidate ranking against an exact
+    baseline: one row (n_queries, recall_at_k, mrr) — the evaluation
+    loop every ANN deployment runs before trading recall for speed,
+    as a relational plan instead of a driver-side script.
+
+    recall@k = |pred∩truth| / |truth| per query, averaged; MRR uses the
+    best predicted rank among true items (0 when none hit).  Shapes:
+    one (query, id) equi-join of two k-row-per-query relations + two
+    tiny aggs — evaluating 10^6 queries is one shuffle of 2*k*|Q| rows,
+    never a corpus scan.
+    """
+    t = truth.filter(F.col(rank_col) <= k).select(query_col, id_col)
+    p = pred.filter(F.col(rank_col) <= k).select(query_col, id_col,
+                                                 rank_col)
+    tn = t.groupBy(query_col).agg(F.count("*").alias("_tn"))
+    hits = (p.join(t, [query_col, id_col])
+            .groupBy(query_col)
+            .agg(F.count("*").alias("_h"), F.min(rank_col).alias("_fr")))
+    per = (tn.join(hits, query_col, "left")
+           .select((F.coalesce(F.col("_h"), F.lit(0)) / F.col("_tn"))
+                   .alias("_recall"),
+                   F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0))
+                   .alias("_rr")))
+    return per.agg(F.count("*").cast("bigint").alias("n_queries"),
+                   F.round(F.avg("_recall"), 6).alias("recall_at_k"),
+                   F.round(F.avg("_rr"), 6).alias("mrr"))

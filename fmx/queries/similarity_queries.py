@@ -455,3 +455,61 @@ def ann_pq_trained(spark, sf):
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "cosine",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "ann_eval_pq_vs_exact",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id AS vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id),
+    truth AS (SELECT query_id, vec_id FROM sims
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id)
+                      <= {K}),
+    dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
+                        AS code,
+                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+             FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+             WHERE s.vec_id < {N_QUERIES}
+             GROUP BY s.vec_id, s.sub, c.code),
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id),
+    pred AS (SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, vec_id) AS rank
+             FROM adist
+             QUALIFY rank <= {K}),
+    tn AS (SELECT query_id, count(*) AS t_n FROM truth GROUP BY query_id),
+    hits AS (SELECT p.query_id, count(*) AS h, min(p.rank) AS fr
+             FROM pred p JOIN truth t
+               ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+             GROUP BY p.query_id),
+    per AS (SELECT coalesce(h, 0) * 1.0 / t_n AS recall,
+                   coalesce(1.0 / fr, 0.0) AS rr
+            FROM tn LEFT JOIN hits USING (query_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(recall), 6) AS recall_at_k,
+           round(avg(rr), 6) AS mrr
+    FROM per
+    """)
+def ann_eval_pq_vs_exact(spark, sf):
+    """Retrieval-quality report of the PQ path against exact cosine
+    (recall@5 + MRR): the ANN evaluation loop as one relational plan —
+    a (query, id) equi-join of two k-row-per-query relations, never a
+    corpus rescan beyond the two searches themselves."""
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = S.cosine_topk(emb, q, "vec_id", "embedding", k=K)
+    pred = S.pq_topk(emb, q, "vec_id", "embedding", k=K, m=PQ_M,
+                     num_codes=PQ_CODES, dim=DIM)
+    return S.rank_eval(pred, truth, k=K)

@@ -927,3 +927,23 @@ def test_triangle_count_known_graphs(spark):
     cycle = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (0, 3)], ["src", "dst"])
     assert triangle_count(cycle).collect()[0].triangles == 0
+
+
+def test_rank_eval_known_values(spark):
+    """Hand-computed metrics: q1 hits 1 of 2 truths at pred rank 2
+    (recall .5, rr .5); q2 hits both at ranks 1,2 (recall 1, rr 1);
+    q3 hits none (0, 0)."""
+    from fmx.operators.similarity import rank_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2),
+         (3, 30, 1), (3, 31, 2)],
+        ["query_id", "vec_id", "rank"])
+    pred = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2), (2, 20, 1), (2, 21, 2),
+         (3, 98, 1), (3, 97, 2)],
+        ["query_id", "vec_id", "rank"])
+    r = rank_eval(pred, truth, k=2).collect()[0]
+    assert r.n_queries == 3
+    assert r.recall_at_k == 0.5            # (0.5 + 1 + 0) / 3
+    assert r.mrr == 0.5                    # (0.5 + 1 + 0) / 3
