@@ -60,6 +60,7 @@ def vec_scale(v: ColumnOrName, s) -> Column:
 
 
 def vec_add(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """a + b elementwise (U4)."""
     return F.zip_with(_c(a), _c(b), lambda x, y: x + y)
 
 
@@ -69,6 +70,7 @@ def vec_sub(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 
 def vec_mul(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """a * b elementwise (Hadamard, U6)."""
     return F.zip_with(_c(a), _c(b), lambda x, y: x * y)
 
 
@@ -87,10 +89,12 @@ def vec_sq_norm(v: ColumnOrName) -> Column:
 
 
 def vec_norm(v: ColumnOrName) -> Column:
+    """L2 norm sqrt(Σ v_f²) (U7)."""
     return F.sqrt(vec_sq_norm(v))
 
 
 def vec_sum_elems(v: ColumnOrName) -> Column:
+    """Σ_f v_f — scalar sum of the components (U8)."""
     return F.aggregate(_c(v), F.lit(0.0), lambda acc, x: acc + x)
 
 

@@ -75,6 +75,7 @@ def write_orc(df: DataFrame, path: str,
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (predicate pushdown + column pruning, like parquet)."""
     return spark.read.orc(path)
 
 

@@ -18,6 +18,8 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table (parquet) from ``sf_dir``, with
+    ns-timestamp columns normalized to Spark-friendly microseconds."""
     # defensive: the caller's session may not carry fmx defaults (the
     # driver harness builds its own SparkSession); timestamp formatting
     # in the oracle-checked queries assumes UTC
@@ -39,6 +41,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All test tables as a name -> DataFrame dict."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
