@@ -439,6 +439,10 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     cc = (df.select(F.col(id_col),
                     F.explode(F.split(F.col(text_col), "")).alias("_ch"))
+          # split('') yields [''] for the empty string (both engines):
+          # drop it so an empty document has no chars and no row,
+          # instead of a phantom 1-char/0-entropy reading
+          .filter(F.col("_ch") != "")
           .groupBy(id_col, "_ch").agg(F.count("*").alias("_c")))
     n = F.sum("_c")
     # H = log2(n) - sum(c*log2(c))/n  — single-pass form, avoids a

@@ -47,6 +47,10 @@ def url_normalize(df: DataFrame, url_col: str,
     Map-only (zero shuffles): regexp extraction plus one
     filter+sort+join over the split query-param array — all native
     expressions inside whole-stage codegen, linear in corpus bytes.
+
+    Inputs are expected to be ABSOLUTE URLs (scheme://...), which is
+    what crawlers record; a scheme-less value passes through with
+    empty scheme/host rather than being guessed at.
     """
     u = F.col(url_col)
     base = F.regexp_replace(u, "#.*$", "")               # fragment off

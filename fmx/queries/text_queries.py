@@ -563,7 +563,8 @@ def corpus_source_report(spark, sf):
     oracle="""
     WITH chars AS (
       SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-    cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+    cc AS (SELECT doc_id, ch, count(*) AS c FROM chars
+           WHERE ch <> '' GROUP BY doc_id, ch)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(sum(c) AS BIGINT) AS n_chars,
            CAST(count(*) AS BIGINT) AS n_distinct_chars,

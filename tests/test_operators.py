@@ -794,16 +794,19 @@ def test_sessionize_gap_boundaries(spark):
 
 
 def test_char_entropy_known_values(spark):
-    """H('aaaa')=0; H('ab')=1 bit; uniform 4-char string = 2 bits."""
+    """H('aaaa')=0; H('ab')=1 bit; uniform 4-char string = 2 bits;
+    an empty document emits NO row (split('') yields [''], which must
+    not read as a phantom character)."""
     from fmx.operators.text import char_entropy
 
     df = spark.createDataFrame(
-        [(1, "aaaa"), (2, "ab"), (3, "abcd")], ["id", "t"])
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")], ["id", "t"])
     got = {r.id: (r.char_entropy, r.n_chars, r.n_distinct_chars)
            for r in char_entropy(df, "id", "t").collect()}
     assert got[1] == (0.0, 4, 1)
     assert got[2] == (1.0, 2, 2)
     assert got[3] == (2.0, 4, 4)
+    assert 4 not in got
 
 
 def test_url_normalize_cases(spark):
