@@ -19,15 +19,26 @@ from pyspark.sql import functions as F
 from fmx.core import linalg as L
 
 
-def join_params(exploded: DataFrame, strength: DataFrame, factors: DataFrame,
+def join_params(exploded: DataFrame, strength: DataFrame,
+                factors: DataFrame | None = None,
                 *, how: str = "left", k: int, sd: float, seed: int,
                 sample_id: str = "sampleId") -> DataFrame:
     """Attach (w, v) to exploded rows.  With how='left', unseen features
     get seeded N(0, sd²) forward values (reference J2 semantics,
-    Model.scala:154-171 — but deterministic under any partitioning)."""
-    rows = (exploded
-            .join(strength, "featureId", how)
-            .join(factors, "featureId", how))
+    Model.scala:154-171 — but deterministic under any partitioning).
+
+    ``factors=None`` means ``strength`` is the MERGED param table
+    (featureId, strength, vec) — the training loop's layout, which
+    attaches both params in ONE equi-join instead of two (the two
+    tables are key-aligned by construction: initialized from the same
+    feature set and upserted by the same gradients).  The split-table
+    mode remains for FMModel's persisted two-table format."""
+    if factors is None:
+        rows = exploded.join(strength, "featureId", how)
+    else:
+        rows = (exploded
+                .join(strength, "featureId", how)
+                .join(factors, "featureId", how))
     if how == "left":
         rows = rows.withColumn(
             "strength",
@@ -114,3 +125,21 @@ def aggregate_gradients(grads: DataFrame, n: int, lr: float,
               .select("featureId",
                       F.transform("a", lambda st: st["dv"]).alias("dvec")))
     return gw, gv_arr
+
+
+def aggregate_gradients_merged(grads: DataFrame, n: int, lr: float,
+                               k: int) -> DataFrame:
+    """Mini-batch-averaged, lr-scaled gradients as ONE table
+    (featureId, dw, dvec): the (featureId, f) partial carries both the
+    dv term and (on the f=0 slice, where gw isn't replicated) the dw
+    term, so the whole gradient needs two chained hash-aggs and the
+    upsert downstream needs a single outer join instead of two."""
+    g1 = (grads.groupBy("featureId", "f")
+          .agg((F.sum("gv") / n * lr).alias("dv"),
+               (F.sum(F.when(F.col("f") == 0, F.col("gw"))) / n * lr)
+               .alias("_dw")))
+    return (g1.groupBy("featureId")
+            .agg(F.max("_dw").alias("dw"),   # non-null only on the f=0 row
+                 F.array_sort(F.collect_list(F.struct("f", "dv"))).alias("a"))
+            .select("featureId", "dw",
+                    F.transform("a", lambda st: st["dv"]).alias("dvec")))

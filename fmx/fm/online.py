@@ -28,8 +28,7 @@ class OnlineFMTrainer:
     decays with the global step count)."""
 
     estimator: FMRegressorSGD
-    strength: DataFrame | None = None
-    factors: DataFrame | None = None
+    params: DataFrame | None = None      # merged (featureId, strength, vec)
     w0: float = 0.0
     step_count: int = 0
     losses: list[float] = field(default_factory=list)
@@ -49,10 +48,10 @@ class OnlineFMTrainer:
                            F.col(est.getFeaturesCol()).alias("__features__"))
                    .withColumn(sid, F.monotonically_increasing_id())
                    .cache())
-        if self.strength is None:
+        if self.params is None:
             exploded = L.explode_vector(prepped, "__features__",
                                         id_cols=[sid, est.getLabelCol()])
-            self.strength, self.factors = est._initial_params(
+            self.params = est._initial_params(
                 exploded, est.getDimFactorization(),
                 float(est.getInitialSd()), est.getOrDefault(est.seed))
         self.step_count += 1
@@ -60,8 +59,8 @@ class OnlineFMTrainer:
         # micro-batch's cache is dropped — a lazy checkpoint would defer
         # the work into the NEXT micro-batch, which would need to re-read
         # this batch's source (breaks on non-replayable streams)
-        self.strength, self.factors, self.w0, loss = est._sgd_step(
-            self.strength, self.factors, self.w0, prepped,
+        self.params, self.w0, loss = est._sgd_step(
+            self.params, self.w0, prepped,
             self.step_count, explode=True, eager=True)
         if loss is not None:
             self.losses.append(loss)
@@ -78,11 +77,12 @@ class OnlineFMTrainer:
         return writer.start()
 
     def model(self) -> FMModel:
-        if self.strength is None:
+        if self.params is None:
             raise RuntimeError("no data processed yet")
         est = self.estimator
         m = FMModel(dim_factorization=est.getDimFactorization(),
                     global_bias=self.w0,
-                    strength=self.strength, factors=self.factors)
+                    strength=self.params.select("featureId", "strength"),
+                    factors=self.params.select("featureId", "vec"))
         est._copyValues(m)
         return m

@@ -166,18 +166,18 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
     # -- training ------------------------------------------------------
 
     def _initial_params(self, exploded: DataFrame, k: int, sd: float,
-                        seed: int) -> tuple[DataFrame, DataFrame]:
-        """Seeded N(0, sd²) init for every distinct featureId
-        (reference createInitialModel, SGD.scala:218-252 — but
-        deterministic: weights are a pure function of (featureId, seed))."""
+                        seed: int) -> DataFrame:
+        """Seeded N(0, sd²) init for every distinct featureId, as the
+        MERGED param table (featureId, strength, vec) — one relation,
+        one checkpoint, one join per training touch (reference
+        createInitialModel, SGD.scala:218-252 — but deterministic:
+        weights are a pure function of (featureId, seed))."""
         feats = exploded.select("featureId").distinct()
-        strength = feats.select(
+        return feats.select(
             "featureId",
-            L.hash_normal("featureId", seed=seed, salt=1, sd=sd).alias("strength"))
-        factors = feats.select(
-            "featureId",
+            L.hash_normal("featureId", seed=seed, salt=1, sd=sd)
+            .alias("strength"),
             L.hash_normal_vec(k, "featureId", seed=seed, sd=sd).alias("vec"))
-        return strength, factors
 
     def fit_long(self, exploded: DataFrame) -> FMModel:
         """Train directly from long format ``(sampleIdCol, labelCol,
@@ -221,12 +221,13 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         return self._run_sgd(data, batches, explode=True)
 
 
-    def _sgd_step(self, strength, factors, w0: float, batch: DataFrame,
+    def _sgd_step(self, params, w0: float, batch: DataFrame,
                   it: int, explode: bool = True, eager: bool = False,
                   carry: list | None = None, batch_n: int | None = None):
         """One mini-batch SGD update (the reference foldLeft body,
-        SGD.scala:114-212).  Returns (strength', factors', w0', loss) —
-        also the unit of online training on streams (fmx.fm.online).
+        SGD.scala:114-212).  ``params`` is the merged
+        (featureId, strength, vec) table; returns (params', w0', loss)
+        — also the unit of online training on streams (fmx.fm.online).
 
         Cache lifecycle: the new param tables are lazy localCheckpoints
         that materialize inside the NEXT step's first action, so this
@@ -247,13 +248,14 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         # fall back to counting here
         n = batch.count() if batch_n is None else batch_n
         if n == 0:
-            return strength, factors, w0, None
+            return params, w0, None
 
         ex = (L.explode_vector(batch, "__features__", id_cols=[sid, label])
               if explode else batch)
-        # left joins + seeded init for features unseen by the params
-        # (reference calcLossGrad J2, Model.scala:154-171)
-        rows = DF.join_params(ex, strength, factors, how="left", k=k,
+        # ONE left join attaches both params + seeded init for features
+        # unseen by the table (reference calcLossGrad J2,
+        # Model.scala:154-171)
+        rows = DF.join_params(ex, params, how="left", k=k,
                               sd=sd, seed=seed + it, sample_id=sid).cache()
         sf_rel = DF.factor_sums(rows, sample_id=sid)
         pred = self._error_and_loss(
@@ -276,22 +278,20 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
 
         grads = DF.per_row_gradients(rows, sf_rel, pred, label,
                                      sample_id=sid)
-        grad_w, grad_v_arr = DF.aggregate_gradients(grads, n, lr, k)
+        grad = DF.aggregate_gradients_merged(grads, n, lr, k)
 
-        # upsert: params ∪ gradients, missing side = 0 / zero-vector,
-        # then L1 soft-threshold (SGD.scala:168-181)
-        new_strength = (
-            strength.join(grad_w, "featureId", "outer")
+        # upsert: params ∪ gradients in ONE outer join (the tables are
+        # key-aligned, so the merged layout halves the join + checkpoint
+        # count per iteration), missing side = 0 / zero-vector, then L1
+        # soft-threshold (SGD.scala:168-181)
+        new_params = (
+            params.join(grad, "featureId", "outer")
             .select(
                 "featureId",
                 L.soft_threshold(
                     F.coalesce("strength", F.lit(0.0))
                     - F.coalesce("dw", F.lit(0.0)),
-                    shrink).alias("strength")))
-        new_factors = (
-            factors.join(grad_v_arr, "featureId", "outer")
-            .select(
-                "featureId",
+                    shrink).alias("strength"),
                 L.soft_threshold_vec(
                     L.vec_sub(F.coalesce("vec", L.zeros(k)),
                               F.coalesce("dvec", L.zeros(k))),
@@ -299,8 +299,7 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         # cut lineage (the reference's missing piece); lazy by default:
         # the checkpoint materializes inside the NEXT iteration's first
         # action instead of costing two extra driver round-trips
-        strength = new_strength.localCheckpoint(eager=eager)
-        factors = new_factors.localCheckpoint(eager=eager)
+        params = new_params.localCheckpoint(eager=eager)
         if carry is not None and not eager:
             # keep this step's caches alive until the lazy checkpoints
             # materialize (next step / _finalize) — releasing them now
@@ -309,7 +308,7 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         else:
             rows.unpersist()
             pred.unpersist()
-        return strength, factors, w0, loss
+        return params, w0, loss
 
     def _run_sgd(self, data: DataFrame, batches: list[DataFrame],
                  explode: bool) -> FMModel:
@@ -323,9 +322,8 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         exploded_all = (
             L.explode_vector(data, "__features__", id_cols=[sid, label])
             if explode else data)
-        strength, factors = self._initial_params(exploded_all, k, sd, seed)
-        strength = strength.localCheckpoint(eager=True)
-        factors = factors.localCheckpoint(eager=True)
+        params = self._initial_params(exploded_all, k, sd, seed)
+        params = params.localCheckpoint(eager=True)
 
         # all mini-batch sizes in ONE driver action (the per-step count
         # was half the reference's 2-actions-per-iteration contract;
@@ -342,23 +340,23 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         self.training_loss_ = []
         carry: list = []
         for it, batch in enumerate(batches, start=1):
-            strength, factors, w0, loss = self._sgd_step(
-                strength, factors, w0, batch, it, explode=explode,
+            params, w0, loss = self._sgd_step(
+                params, w0, batch, it, explode=explode,
                 carry=carry, batch_n=counts.get(it - 1, 0))
             if loss is not None:
                 self.training_loss_.append(loss)
         if carry:
-            # materialize the final lazy checkpoints (one action each,
-            # once per fit — not per iteration) before dropping the last
+            # materialize the final lazy checkpoint (ONE action, once
+            # per fit — not per iteration) before dropping the last
             # step's caches and the source cache
-            strength.count()
-            factors.count()
+            params.count()
             for df in carry:
                 df.unpersist()
         data.unpersist()
         model = FMModel(
             dim_factorization=k, global_bias=w0,
-            strength=strength, factors=factors)
+            strength=params.select("featureId", "strength"),
+            factors=params.select("featureId", "vec"))
         model._resetUid(self.uid)
         model = self._copyValues(model)
         if self.isDefined(self.minLabel):
