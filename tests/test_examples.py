@@ -1,0 +1,42 @@
+"""Smoke the end-to-end example pipelines at sf0.001: they are the
+composition showcase (and the only place some operator SEQUENCES run
+together), so they get executed in CI, not just read.  Each runs as a
+subprocess — the examples own their SparkSession lifecycle."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = os.environ.get("FMX_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _run(script: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), SF, *args],
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_corpus_pipeline_runs_end_to_end(tmp_path):
+    stdout = _run("corpus_pipeline.py", str(tmp_path / "out"))
+    # every stage reports, the funnel only ever shrinks, and the final
+    # write happened
+    assert "decontaminated" in stdout
+    assert "wrote" in stdout
+    nums = [int(tok) for tok in stdout.replace("->", " ").split()
+            if tok.isdigit()]
+    stages = nums[:9]
+    assert all(a >= b for a, b in zip(stages, stages[1:])), stages
+
+
+def test_incremental_ingest_runs_end_to_end():
+    stdout = _run("incremental_ingest.py")
+    assert stdout.count("day ") == 3
+    assert "compacted store" in stdout
+    # day 0 seeds the store; later days must drop SOME near-dups on
+    # this synthetic corpus (cross-day templates repeat)
+    assert "near-dup-clean" in stdout
