@@ -40,3 +40,13 @@ def test_incremental_ingest_runs_end_to_end():
     # day 0 seeds the store; later days must drop SOME near-dups on
     # this synthetic corpus (cross-day templates repeat)
     assert "near-dup-clean" in stdout
+
+
+def test_vector_search_example_runs(tmp_path):
+    stdout = _run("vector_search.py")
+    assert "recall" in stdout.lower()
+
+
+def test_streaming_pipeline_example_runs(tmp_path):
+    stdout = _run("streaming_pipeline.py", str(tmp_path / "out"))
+    assert stdout.strip()  # completed without error and reported
