@@ -31,7 +31,8 @@ from pyspark.sql.types import (
 
 __all__ = [
     "attach_payload", "payload_stats", "extract_features",
-    "decode_image", "sample_frame_offsets", "FEATURE_SCHEMA",
+    "decode_image", "sample_frame_offsets", "patch_payload",
+    "FEATURE_SCHEMA",
 ]
 
 
@@ -128,3 +129,34 @@ def sample_frame_offsets(df: DataFrame, id_col: str,
         F.col(id_col),
         F.transform(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
                     lambda i: i / F.lit(float(fps))).alias("frame_ts"))
+
+
+def patch_payload(df: DataFrame, id_col: str,
+                  patch_bytes: int = 64) -> DataFrame:
+    """Split each binary payload into fixed-size byte patches:
+    (id, patch_idx, patch_len, patch_md5) — the chunking step of every
+    multimodal tokenizer (ViT-style patches, audio frames, shard-level
+    content hashes), done Spark-side on raw bytes so the decode step
+    downstream receives bounded units.
+
+    Native expressions only: explode(sequence) generates patch indices
+    from the metadata length (never materialized driver-side), and each
+    patch is a ``substring`` slice of the binary column — the payload
+    bytes are read once per patch inside codegen, no Python.  Output
+    carries the md5 (and length) rather than the bytes, so the patch
+    relation is narrow; slice the bytes themselves with the same
+    substring when feeding a decoder.
+    """
+    n_patches = F.ceil(F.col("meta.byte_len") / F.lit(patch_bytes))
+    idx = F.explode(F.sequence(F.lit(0), (n_patches - 1).cast("int")))
+    patch = F.substring(
+        F.col("payload"),
+        (F.col("patch_idx") * patch_bytes + 1).cast("int"),
+        patch_bytes)
+    return (df.filter(F.col("meta.byte_len") > 0)
+            .select(F.col(id_col), "payload", "meta",
+                    idx.alias("patch_idx"))
+            .select(F.col(id_col).cast("bigint").alias(id_col),
+                    F.col("patch_idx").cast("bigint").alias("patch_idx"),
+                    F.octet_length(patch).cast("bigint").alias("patch_len"),
+                    F.md5(patch).alias("patch_md5")))

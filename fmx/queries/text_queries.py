@@ -578,3 +578,30 @@ def text_char_entropy(spark, sf):
     a single-pass entropy fold — shuffle volume is |alphabet| rows per
     doc, not |text|."""
     return X.char_entropy(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "multimodal_patches",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, text, length(text) AS n,
+             unnest(generate_series(0,
+                 CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS patch_idx
+      FROM documents WHERE length(text) > 0)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(patch_idx AS BIGINT) AS patch_idx,
+           CAST(length(substring(text, CAST(patch_idx * 64 + 1 AS INT), 64))
+                AS BIGINT) AS patch_len,
+           md5(substring(text, CAST(patch_idx * 64 + 1 AS INT), 64))
+               AS patch_md5
+    FROM ids
+    """)
+def multimodal_patches(spark, sf):
+    """Fixed-64-byte patching of binary payloads (the ViT-patch /
+    audio-frame chunking shape): explode(sequence) over the metadata
+    length + substring slices of the binary column, all codegen — no
+    Python touches the bytes.  The oracle slices the identical ASCII
+    content as text (byte slicing == char slicing for ASCII)."""
+    docs = T(spark, sf, "documents")
+    payloads = M.attach_payload(docs, "doc_id", "text", kind="text")
+    return M.patch_payload(payloads, "doc_id", patch_bytes=64)

@@ -950,3 +950,20 @@ def test_rank_eval_known_values(spark):
     assert r.n_queries == 3
     assert r.recall_at_k == 0.5            # (0.5 + 1 + 0) / 3
     assert r.mrr == 0.5                    # (0.5 + 1 + 0) / 3
+
+
+def test_patch_payload_tiling(spark):
+    """Patches tile the payload exactly: patch sizes sum to byte_len,
+    the last patch is the only short one, empty payloads emit nothing."""
+    from fmx.operators.multimodal import attach_payload, patch_payload
+
+    df = spark.createDataFrame(
+        [(1, "x" * 150), (2, "y" * 64), (3, "")], ["id", "t"])
+    out = patch_payload(attach_payload(df, "id", "t"), "id",
+                        patch_bytes=64).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append((r.patch_idx, r.patch_len))
+    assert sorted(by_id[1]) == [(0, 64), (1, 64), (2, 22)]
+    assert sorted(by_id[2]) == [(0, 64)]
+    assert 3 not in by_id
