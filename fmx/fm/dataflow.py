@@ -111,22 +111,6 @@ def per_row_gradients(rows: DataFrame, sf: DataFrame, pred: DataFrame,
                      * F.col("err")).alias("gv")))
 
 
-def aggregate_gradients(grads: DataFrame, n: int, lr: float,
-                        k: int) -> tuple[DataFrame, DataFrame]:
-    """Mini-batch-averaged, lr-scaled gradient tables:
-    (featureId, dw) and (featureId, dvec array<double>)."""
-    gw = (grads.filter(F.col("f") == 0)  # gw replicated k times per row
-          .groupBy("featureId")
-          .agg((F.sum("gw") / n * lr).alias("dw")))
-    gv = (grads.groupBy("featureId", "f")
-          .agg((F.sum("gv") / n * lr).alias("dv")))
-    gv_arr = (gv.groupBy("featureId")
-              .agg(F.array_sort(F.collect_list(F.struct("f", "dv"))).alias("a"))
-              .select("featureId",
-                      F.transform("a", lambda st: st["dv"]).alias("dvec")))
-    return gw, gv_arr
-
-
 def aggregate_gradients_merged(grads: DataFrame, n: int, lr: float,
                                k: int) -> DataFrame:
     """Mini-batch-averaged, lr-scaled gradients as ONE table

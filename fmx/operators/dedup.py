@@ -229,6 +229,38 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                     F.col("s.minhash").alias("minhash")))
 
 
+def _banded_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int, bands: int,
+                      shingle_n: int) -> DataFrame:
+    """(id, band, band_key) LSH banding of the wide MinHash signature —
+    a narrow projection, so banding adds ZERO shuffles on top of the
+    one signature aggregation.  Shared by the self-join
+    (minhash_lsh_pairs) and cross-corpus (minhash_cross_pairs) paths.
+
+    ``bands`` must divide ``num_hashes``: a non-divisor would silently
+    truncate rows_per_band — and bands > num_hashes would make EVERY
+    band_key the empty string, degenerating the banding equi-join into
+    a full cross-product.
+    """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of "
+            f"num_hashes={num_hashes} (rows_per_band = num_hashes/bands)")
+    rows_per_band = num_hashes // bands
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(f"_h{j}").cast("string")
+                               for j in range(b * rows_per_band,
+                                              (b + 1) * rows_per_band)])
+            .alias("band_key"))
+        for b in range(bands)])
+    return (wide.select(id_col, F.explode(band_structs).alias("bs"))
+            .select(id_col, F.col("bs.band").alias("band"),
+                    F.col("bs.band_key").alias("band_key")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 8, bands: int = 4,
                       shingle_n: int = 3,
@@ -239,22 +271,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Returns (id_a, id_b[, jaccard]).
     """
-    rows_per_band = num_hashes // bands
-    # band keys are computed directly from the wide signature row — a
-    # narrow projection, so banding adds ZERO shuffles on top of the
-    # one signature aggregation
-    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[F.col(f"_h{j}").cast("string")
-                               for j in range(b * rows_per_band,
-                                              (b + 1) * rows_per_band)])
-            .alias("band_key"))
-        for b in range(bands)])
-    banded = (wide.select(id_col, F.explode(band_structs).alias("bs"))
-              .select(id_col, F.col("bs.band").alias("band"),
-                      F.col("bs.band_key").alias("band_key")))
+    banded = _banded_signature(df, id_col, text_col, num_hashes, bands,
+                               shingle_n)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     pairs = (a.join(b, ["band", "band_key"])
@@ -464,6 +482,12 @@ def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+# bounded persist registry for semantic_dedup: the newest assignment
+# cache evicts the previous one (see the persist comment in
+# semantic_dedup)
+_SEM_CACHE: list = []
+
+
 def _argmax_cell(df: DataFrame, id_col: str, sim_col: str, cell_col: str,
                  carry: list[str]) -> DataFrame:
     """Deterministic per-id argmax over candidate cells as ONE hash
@@ -579,8 +603,14 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     # same contract as the rest of the operator.  This is the artifact
     # an ingest pipeline would persist anyway (cluster assignment is
     # reused by mixture balancing and ANN indexing downstream).
+    # Leak bound: each call releases the PREVIOUS call's cache (at most
+    # one assignment stays resident per session; a still-referenced old
+    # result silently recomputes instead of breaking).
     from pyspark import StorageLevel
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    if _SEM_CACHE and _SEM_CACHE[0] is not None:
+        _SEM_CACHE[0].unpersist()
+    _SEM_CACHE[:] = [assigned]
     # LEFT self-join with the lower-id check as a RESIDUAL condition
     # keeps every assigned row in the pair relation itself (no third
     # join-back consumer).  shuffle_hash co-partitions both sides like
@@ -625,25 +655,12 @@ def minhash_cross_pairs(batch: DataFrame, base: DataFrame,
     its signature aggregate, which an ingest pipeline would persist
     (store ``_minhash_wide``'s output, not re-derive it).
     """
-    rows_per_band = num_hashes // bands
-
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
-        band_structs = F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[F.col(f"_h{j}").cast("string")
-                                   for j in range(b * rows_per_band,
-                                                  (b + 1) * rows_per_band)])
-                .alias("band_key"))
-            for b in range(bands)])
-        return (wide.select(id_col, F.explode(band_structs).alias("bs"))
-                .select(F.col(id_col).alias(out_id),
-                        F.col("bs.band").alias("band"),
-                        F.col("bs.band_key").alias("band_key")))
-
-    a = banded(batch, "batch_id")
-    b = banded(base, "base_id")
+    a = (_banded_signature(batch, id_col, text_col, num_hashes, bands,
+                           shingle_n)
+         .withColumnRenamed(id_col, "batch_id"))
+    b = (_banded_signature(base, id_col, text_col, num_hashes, bands,
+                           shingle_n)
+         .withColumnRenamed(id_col, "base_id"))
     return (a.join(b, ["band", "band_key"])
             .select(F.col("batch_id").cast("bigint").alias("batch_id"),
                     F.col("base_id").cast("bigint").alias("base_id"))

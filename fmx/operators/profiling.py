@@ -154,7 +154,14 @@ def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     the table — unobserved (a, b) cells contribute their full expected
     count to the statistic, which a groupBy alone would silently drop
     (underestimating chi2 exactly when association is strongest).
+
+    Rows with a NULL in either column are EXCLUDED up front (the
+    standard complete-case convention): a NULL category would survive
+    the groupBy but fall out of the non-null-safe densifying join,
+    counting its observations as pure misses while inflating the
+    marginals — corrupting both chi2 and dof.
     """
+    df = df.na.drop(subset=[a_col, b_col])
     cc = df.groupBy(a_col, b_col).agg(F.count("*").alias("_c"))
     da = cc.groupBy(a_col).agg(F.sum("_c").alias("_ma"))
     db = cc.groupBy(b_col).agg(F.sum("_c").alias("_mb"))

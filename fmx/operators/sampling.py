@@ -104,6 +104,15 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col,
     global single-reducer ORDER BY; at 1000 executors set num_buckets to
     a small multiple of total cores.
     """
+    return _packed_with_cum(df, id_col, tokens_col, budget,
+                            num_buckets).drop("_cum")
+
+
+def _packed_with_cum(df: DataFrame, id_col: str, tokens_col,
+                     budget: int, num_buckets: int) -> DataFrame:
+    """pack_sequences plus its internal exclusive prefix sum ``_cum`` —
+    the ONE definition of the packing order, shared by pack_manifest so
+    offsets can never silently desync from bin assignment."""
     toks = tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
     base = df.select(
         F.col(id_col),
@@ -119,7 +128,8 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col,
                                            F.lit(0)))
             .select(id_col, "tokens", "bucket",
                     F.floor(F.col("_cum") / budget).cast("bigint")
-                    .alias("bin")))
+                    .alias("bin"),
+                    "_cum"))
 
 
 def temperature_mixture(df: DataFrame, source_col: str, id_col: str,
@@ -277,12 +287,8 @@ def pack_manifest(df: DataFrame, id_col: str, tokens_col,
     manifest relation has one row per ~budget tokens, a
     corpus-size/budget reduction.
     """
-    packed = pack_sequences(df, id_col, tokens_col, budget=budget,
-                            num_buckets=num_buckets)
-    w = (Window.partitionBy("bucket").orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    cum = packed.withColumn(
-        "_cum", F.coalesce(F.sum("tokens").over(w), F.lit(0)))
+    cum = _packed_with_cum(df, id_col, tokens_col, budget=budget,
+                           num_buckets=num_buckets)
     base = F.min("_cum").over(Window.partitionBy("bucket", "bin"))
     seg = cum.withColumn("_off", F.col("_cum") - base)
     entry = F.concat_ws(":", F.col(id_col).cast("string"),

@@ -448,12 +448,19 @@ def hll_overlap(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
          .select("_ma", "_mb",
                  F.greatest(F.coalesce(F.col("_ma"), F.lit(0)),
                             F.coalesce(F.col("_mb"), F.lit(0))).alias("_mu")))
+    # coalesce the sums: with an EMPTY side (e.g. zero purchase events
+    # in a slice) sum() over no rows is NULL, which would propagate
+    # NULL through every estimate instead of the correct n=0 /
+    # union=other-side reading (linear counting handles s=0, n=0)
     agg = u.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("_ma"))).alias("_sa"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("_ma"))),
+                   F.lit(0.0)).alias("_sa"),
         F.count("_ma").alias("_na"),
-        F.sum(F.pow(F.lit(2.0), -F.col("_mb"))).alias("_sb"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("_mb"))),
+                   F.lit(0.0)).alias("_sb"),
         F.count("_mb").alias("_nb"),
-        F.sum(F.pow(F.lit(2.0), -F.col("_mu"))).alias("_su"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("_mu"))),
+                   F.lit(0.0)).alias("_su"),
         F.count("*").alias("_nu"))
     ea = _hll_est(F.col("_sa"), F.col("_na"))
     eb = _hll_est(F.col("_sb"), F.col("_nb"))

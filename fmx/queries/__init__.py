@@ -55,14 +55,14 @@ _MODULES = [
 # order); everything else follows in registration order.  Keep this list
 # at <= 50 names so the whole driver window is deliberate.
 #
-# Round-5 window: (a) the 15 fully-oracled round-5 additions plus
+# Round-5 window: (a) the 16 fully-oracled round-5 additions plus
 # ann_pq_trained (new, rows-only by design), (b) re-verification of the
 # queries whose implementation or oracle CHANGED this round
 # (dedup_semantic's hierarchical assignment + persisted pair join;
 # ts_gap_fill's was_gap marker; dedup_clusters rides the reworked
 # connected_components), then (c) ALL 24 entries whose most recent
 # driver row is still r01 — including the 8 trivial shapes deliberately
-# left out of the r4 window — and (d) 7 of the oldest r02-era rows
+# left out of the r4 window — and (d) 6 of the oldest r02-era rows
 # (ANN, dedup, fm-serving paths first).  The remaining r02 tail
 # (text_* shapes, map-only embedding preps, bench headliners exercised
 # every round anyway) rotates in next.
@@ -83,6 +83,7 @@ _PRIORITY = [
     "sample_pack_manifest",
     "graph_triangle_count",
     "ann_eval_pq_vs_exact",
+    "multimodal_patches",
     # -- never driver-checked (new this round; rows-only) --
     "ann_pq_trained",
     # -- changed this round: re-verify --
@@ -120,14 +121,13 @@ _PRIORITY = [
     "dedup_incremental",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
-    "fm_loss",
     "fm_predict_served",
     # (rotated out to make room for the round-5 additions above —
     # text_stats/text_language_id/text_quality/text_redaction/
     # text_fingerprint/having_filter/ann_lsh_buckets/emb_normalize/
     # emb_quantize/ann_cosine_topk/dedup_exact/ann_ivf_topk/
     # dedup_minhash_signatures/dedup_ngram_jaccard/
-    # multimodal_payload_stats; all r02-green, harness-checked at both
+    # multimodal_payload_stats/fm_loss; all r02-green, harness-checked at both
     # SFs every round; the bench headliners among them additionally run
     # every round; signatures/jaccard arithmetic is transitively
     # re-verified by the lsh-pairs/clusters/cross-corpus rows that

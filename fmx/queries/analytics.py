@@ -863,7 +863,9 @@ def profile_robust_scale(spark, sf):
     "profile_chi2_lang_source",
     oracle="""
     WITH cc AS (SELECT lang, source, count(*) AS c
-                FROM documents GROUP BY lang, source),
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source),
     da AS (SELECT lang, sum(c) AS ma FROM cc GROUP BY lang),
     db AS (SELECT source, sum(c) AS mb FROM cc GROUP BY source),
     tot AS (SELECT sum(ma) AS n FROM da),
@@ -904,7 +906,10 @@ def profile_chi2_lang_source(spark, sf):
            CAST(h.n AS BIGINT) AS n,
            round((h.n - s.med) / nullif(s.iqr, 0.0), 4) AS robust_z
     FROM hourly h JOIN stats s USING (event_type)
-    WHERE abs((h.n - s.med) / nullif(s.iqr, 0.0)) > 2.0
+    -- threshold the ROUNDED z exactly like the Spark side (which
+    -- filters on robust_scale's 4-decimal output): an unrounded
+    -- filter would keep/drop boundary buckets differently per engine
+    WHERE abs(round((h.n - s.med) / nullif(s.iqr, 0.0), 4)) > 2.0
     """)
 def anomaly_hourly_event_rate(spark, sf):
     """Hourly event-rate anomalies per type (robust z on bucket counts

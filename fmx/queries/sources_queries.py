@@ -240,9 +240,9 @@ def _hll_overlap_oracle() -> str:
     u AS (SELECT ra.m AS ma, rb.m AS mb,
                  greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) AS mu
           FROM ra FULL OUTER JOIN rb ON ra.j = rb.j),
-    agg AS (SELECT sum(power(2.0, -ma)) AS sa, count(ma) AS na,
-                   sum(power(2.0, -mb)) AS sb, count(mb) AS nb,
-                   sum(power(2.0, -mu)) AS su, count(*) AS nu
+    agg AS (SELECT coalesce(sum(power(2.0, -ma)), 0.0) AS sa, count(ma) AS na,
+                   coalesce(sum(power(2.0, -mb)), 0.0) AS sb, count(mb) AS nb,
+                   coalesce(sum(power(2.0, -mu)), 0.0) AS su, count(*) AS nu
             FROM u)
     SELECT CAST(round({ea}) AS BIGINT) AS n_a,
            CAST(round({eb}) AS BIGINT) AS n_b,
