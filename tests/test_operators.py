@@ -967,3 +967,18 @@ def test_patch_payload_tiling(spark):
     assert sorted(by_id[1]) == [(0, 64), (1, 64), (2, 22)]
     assert sorted(by_id[2]) == [(0, 64)]
     assert 3 not in by_id
+
+
+def test_chi2_ignores_null_categories(spark):
+    """NULL-category rows are excluded (complete-case): the statistic
+    over the non-null slice is unchanged by adding NULL-keyed rows,
+    which previously counted as pure misses while inflating marginals."""
+    from fmx.operators.profiling import chi2_independence
+
+    clean = spark.createDataFrame(
+        [("x", "u")] * 4 + [("y", "w")] * 4, ["a", "b"])
+    noisy = clean.unionByName(spark.createDataFrame(
+        [(None, "u"), ("x", None), (None, None)], ["a", "b"]))
+    r1 = chi2_independence(clean, "a", "b").collect()[0]
+    r2 = chi2_independence(noisy, "a", "b").collect()[0]
+    assert (r1.chi2, r1.dof, r1.n) == (r2.chi2, r2.dof, r2.n)
