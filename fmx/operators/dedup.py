@@ -605,11 +605,22 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     # reused by mixture balancing and ANN indexing downstream).
     # Leak bound: each call releases the PREVIOUS call's cache (at most
     # one assignment stays resident per session; a still-referenced old
-    # result silently recomputes instead of breaking).
+    # result silently recomputes instead of breaking).  Same-plan calls
+    # are exempt: Spark's CacheManager dedupes persist() by canonical
+    # plan, so unpersisting an identical previous plan would drop the
+    # very cache this call just ensured (measured: re-running the same
+    # query went 2.2s -> 5.3s when this check was missing).
     from pyspark import StorageLevel
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     if _SEM_CACHE and _SEM_CACHE[0] is not None:
-        _SEM_CACHE[0].unpersist()
+        prev = _SEM_CACHE[0]
+        try:
+            same = prev._jdf.queryExecution().analyzed().sameResult(
+                assigned._jdf.queryExecution().analyzed())
+        except Exception:
+            same = False
+        if not same:
+            prev.unpersist()
     _SEM_CACHE[:] = [assigned]
     # LEFT self-join with the lower-id check as a RESIDUAL condition
     # keeps every assigned row in the pair relation itself (no third
