@@ -221,3 +221,85 @@ def ts_resample_ohlc(spark, sf):
                  .alias("close"),
                  F.count("*").cast(BIG).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("volume")))
+
+
+@query(
+    "ts_moving_avg",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n, round(sum(value), 4) AS amount
+      FROM events GROUP BY event_type, date_trunc('hour', ts))
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n AS BIGINT) AS n,
+           round(avg(n) OVER w, 4) AS ma7_n,
+           round(avg(amount) OVER w, 4) AS ma7_amount
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """)
+def ts_moving_avg(spark, sf):
+    """Trailing 7-hour moving average of event rate and amount per
+    type: ONE shuffle on (type, hour) builds the series, then a
+    bounded-frame window over the aggregate — frame cost is O(7) per
+    row and the windowed relation is data-volume-independent (hours x
+    types), so the same plan holds at any event volume."""
+    hourly = (T(spark, sf, "events")
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("_h"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 4).alias("amount")))
+    w = (Window.partitionBy("event_type").orderBy("_h")
+         .rowsBetween(-6, Window.currentRow))
+    return (hourly.select(
+        "event_type",
+        F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").cast(BIG).alias("n"),
+        F.round(F.avg("n").over(w), 4).alias("ma7_n"),
+        F.round(F.avg("amount").over(w), 4).alias("ma7_amount")))
+
+
+@query(
+    "ts_trailing_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    scored AS (
+      SELECT event_type, h, n,
+             avg(n) OVER w AS mu,
+             stddev_pop(n) OVER w AS sd,
+             count(*) OVER w AS m
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n AS BIGINT) AS n,
+           round((n - mu) / sd, 4) AS trailing_z
+    FROM scored
+    WHERE m >= 12 AND sd > 0
+      AND abs(round((n - mu) / sd, 4)) > 3.0
+    """)
+def ts_trailing_anomaly(spark, sf):
+    """Streaming-style anomaly gate: each hour's event count scored
+    against the TRAILING 24 hours only (exclusive frame — no lookahead
+    leakage, the form an online monitor can actually compute), flagged
+    beyond 3 sigma once 12 history hours exist.  Same single-shuffle
+    series + bounded-frame window shape as ts_moving_avg; the rounded
+    z is thresholded identically in both engines."""
+    hourly = (T(spark, sf, "events")
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("_h"))
+              .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("_h")
+         .rowsBetween(-24, -1))
+    scored = hourly.select(
+        "event_type", "_h", "n",
+        F.avg("n").over(w).alias("_mu"),
+        F.stddev_pop("n").over(w).alias("_sd"),
+        F.count("*").over(w).alias("_m"))
+    z = F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 4)
+    return (scored.filter((F.col("_m") >= 12) & (F.col("_sd") > 0)
+                          & (F.abs(z) > 3.0))
+            .select("event_type",
+                    F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                    F.col("n").cast(BIG).alias("n"),
+                    z.alias("trailing_z")))
