@@ -381,3 +381,71 @@ def stream_dq_counts(events: DataFrame, rules=None) -> DataFrame:
             "user_id_nonneg": F.col("user_id") >= 0,
         }
     return check_expectations(events, rules)
+
+
+SESSION_ID_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("session_n", LongType()),
+])
+
+_SESSION_ID_STATE = StructType([
+    StructField("last_us", LongType()),   # last event time seen (µs)
+    StructField("cur", LongType()),       # current 0-based session index
+])
+
+_SESSION_GAP_US = 1800 * 1_000_000       # 30-minute gap, matching the
+                                         # batch twin's default
+
+
+def _assign_session_ids(key, pdfs, state):
+    # per-event session-id assignment (the streaming twin of
+    # fmx.operators.temporal.sessionize): state = (last event time,
+    # current session index).  Events are sorted within the micro-batch
+    # by (ts, event_id); ACROSS batches the operator assumes
+    # time-ordered arrival (the at-ingest-order contract every
+    # per-event sessionizer has — a late event would need the session
+    #-window aggregate form instead).
+    if state.exists:
+        last_us, cur = state.get
+    else:
+        last_us, cur = -1, -1
+    batch = pd.concat(list(pdfs))
+    batch = batch.sort_values(["ts", "event_id"])
+    out_n = []
+    for r in batch.itertuples(index=False):
+        r_us = int(r.ts.value // 1_000)
+        if last_us < 0 or (r_us - last_us) > _SESSION_GAP_US:
+            cur += 1
+        out_n.append(cur)
+        last_us = r_us
+    state.update((last_us, cur))
+    yield pd.DataFrame({
+        "user_id": [key[0]] * len(batch),
+        "event_id": batch["event_id"].astype("int64"),
+        "ts": batch["ts"],
+        "session_n": pd.Series(out_n, dtype="int64", index=batch.index),
+    })
+
+
+def stream_sessionize_ids(events: DataFrame) -> DataFrame:
+    """Per-EVENT session-id assignment on a stream (30-minute gap):
+    unlike ``sessionize_stream`` (which emits session AGGREGATES via
+    the native session window), this tags every event with its 0-based
+    per-user ``session_n`` as it flows — the online-feature form
+    (current-session counters, in-session personalization).
+
+    State per user = 16 bytes (last event time + session index),
+    carried across micro-batches by ``applyInPandasWithState``; output
+    equals the batch twin ``fmx.operators.temporal.sessionize`` under
+    in-order arrival (asserted in tests, including cross-batch)."""
+    return (events
+            .select("user_id", "event_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _assign_session_ids,
+                outputStructType=SESSION_ID_SCHEMA,
+                stateStructType=_SESSION_ID_STATE,
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -404,3 +404,54 @@ def test_stream_asof_live_trigger_click_from_earlier_batch(spark):
             "no purchase attached a click from an earlier micro-batch")
     finally:
         q.stop()
+
+
+def test_stream_sessionize_ids_matches_batch(spark, sf_dir):
+    """Per-event streaming session ids equal the batch sessionize
+    assignment on the same data (single availableNow batch)."""
+    from fmx.operators.temporal import sessionize
+    from fmx.sources import load_table
+
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_sessionize_ids(events), "sess_ids",
+                       "update")
+    got = {(r.user_id, r.event_id): r.session_n
+           for r in spark.sql("SELECT * FROM sess_ids").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {(r.user_id, r.event_id): r.session_n
+            for r in sessionize(ev, "user_id", "ts", 1800,
+                                tiebreak_cols=["event_id"]).collect()}
+    assert got == want
+    q.stop()
+
+
+def test_stream_sessionize_ids_state_carries_across_batches(spark,
+                                                            tmp_path):
+    """An event in micro-batch 2 within the gap of batch 1's last event
+    continues the SAME session; one beyond the gap opens a new one."""
+    import os
+    import time as _t
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cols = "event_id long, ts string, user_id long"
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:10:00", 7)],
+        cols).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    _t.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 10:20:00", 7),     # 10 min later: same session
+         (4, "2024-01-01 11:30:00", 7)],    # 70 min gap: new session
+        cols).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    q = _run_to_memory(S.stream_sessionize_ids(stream), "sess_carry",
+                       "update")
+    got = {r.event_id: r.session_n
+           for r in spark.sql("SELECT * FROM sess_carry").collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1}
+    q.stop()
