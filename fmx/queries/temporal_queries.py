@@ -303,3 +303,40 @@ def ts_trailing_anomaly(spark, sf):
                     F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
                     F.col("n").cast(BIG).alias("n"),
                     z.alias("trailing_z")))
+
+
+@query(
+    "ts_dod_growth",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    cmp AS (
+      SELECT event_type, h, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      FROM hourly)
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n AS BIGINT) AS n, CAST(prev AS BIGINT) AS n_prev_day,
+           round((n - prev) * 100.0 / prev, 4) AS growth_pct
+    FROM cmp WHERE prev IS NOT NULL
+    """)
+def ts_dod_growth(spark, sf):
+    """Day-over-day growth of the hourly event rate per type (lag 24
+    ROWS on the observed series — exactly 24 hours when every hour has
+    events, as here; densify with gap_fill first if hours can be
+    missing): the same single-shuffle series as ts_moving_avg with one
+    lag window — the daily-seasonality-aware 'is today normal'
+    comparison (contrast ts_trailing_anomaly's trailing-mean form,
+    which a daily cycle would constantly trip)."""
+    hourly = (T(spark, sf, "events")
+              .groupBy("event_type", F.date_trunc("hour", "ts").alias("_h"))
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("_h")
+    out = hourly.withColumn("_prev", F.lag("n", 24).over(w))
+    return (out.filter(F.col("_prev").isNotNull())
+            .select("event_type",
+                    F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                    F.col("n").cast(BIG).alias("n"),
+                    F.col("_prev").cast(BIG).alias("n_prev_day"),
+                    F.round((F.col("n") - F.col("_prev")) * 100.0
+                            / F.col("_prev"), 4).alias("growth_pct")))
