@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers",
-           "robust_scale", "chi2_independence"]
+           "robust_scale", "chi2_independence", "winsorized_mean"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -179,3 +179,29 @@ def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         ((F.count_distinct(a_col) - 1)
          * (F.count_distinct(b_col) - 1)).cast("bigint").alias("dof"),
         F.first("_n").cast("bigint").alias("n"))
+
+
+def winsorized_mean(df: DataFrame, group_col: str, value_col: str,
+                    lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Winsorized mean per group: values are CLAMPED to the group's
+    [p_lo, p_hi] quantiles before averaging — the outlier-robust mean
+    that, unlike trimming, keeps every row's vote (telemetry SLO
+    reporting, label aggregation over noisy raters).
+
+    Returns (group, n, p_lo, p_hi, winsorized_mean, raw_mean).  Same
+    two-pass shape as robust_scale: one holistic-percentile agg
+    (group-count-bounded, broadcast back) + one clamped-mean agg over
+    the fact — the scan never shuffles.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(float(lo))).alias("_plo"),
+        F.percentile(value_col, F.lit(float(hi))).alias("_phi"))
+    clamped = F.least(F.greatest(F.col(value_col), F.col("_plo")),
+                      F.col("_phi"))
+    return (df.join(F.broadcast(stats), group_col)
+            .groupBy(group_col)
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.first("_plo"), 4).alias("p_lo"),
+                 F.round(F.first("_phi"), 4).alias("p_hi"),
+                 F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+                 F.round(F.avg(value_col), 4).alias("raw_mean")))

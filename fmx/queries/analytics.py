@@ -993,3 +993,32 @@ def graph_triangle_count(spark, sf):
              .filter(F.col("src") < F.col("dst"))
              .select("src", "dst").distinct())
     return triangle_count(edges)
+
+
+@query(
+    "profile_winsorized_mean",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS plo,
+             quantile_cont(value, 0.95) AS phi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(first(s.plo), 4) AS p_lo,
+           round(first(s.phi), 4) AS p_hi,
+           round(avg(least(greatest(e.value, s.plo), s.phi)), 4)
+               AS winsorized_mean,
+           round(avg(e.value), 4) AS raw_mean
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """)
+def profile_winsorized_mean(spark, sf):
+    """5/95-winsorized mean of event values per type (outlier-robust
+    reporting): one holistic-percentile agg broadcast back + one
+    clamped-mean agg — the fact scan never shuffles."""
+    from fmx.operators.profiling import winsorized_mean
+
+    return winsorized_mean(
+        T(spark, sf, "events").select("event_type", "value"),
+        "event_type", "value")
