@@ -1022,3 +1022,65 @@ def profile_winsorized_mean(spark, sf):
     return winsorized_mean(
         T(spark, sf, "events").select("event_type", "value"),
         "event_type", "value")
+
+
+@query(
+    "funnel_within_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_n
+      FROM flagged),
+    stages AS (
+      SELECT user_id, session_n,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM sess GROUP BY user_id, session_n)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS clicked_after_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_buy > t_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_funnel
+    FROM stages
+    """)
+def funnel_within_session(spark, sf):
+    """Ordered view->click->purchase funnel confined WITHIN a single
+    30-minute session (the intent-level conversion rate — the per-user
+    funnel credits conversions days apart): sessionize's boundary
+    window, the per-(user, session) conditional-min stage agg, and the
+    global roll-up all share ONE user_id shuffle."""
+    from fmx.operators.temporal import sessionize
+
+    ev = T(spark, sf, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   tiebreak_cols=["event_id"])
+    stages = s.groupBy("user_id", "session_n").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_buy"))
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return stages.agg(
+        F.count("*").cast(BIG).alias("n_sessions"),
+        F.sum(F.when(viewed, 1).otherwise(0)).cast(BIG).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast(BIG)
+        .alias("clicked_after_view"),
+        F.sum(F.when(bought, 1).otherwise(0)).cast(BIG)
+        .alias("full_funnel"))
