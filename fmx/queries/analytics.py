@@ -1084,3 +1084,95 @@ def funnel_within_session(spark, sf):
         .alias("clicked_after_view"),
         F.sum(F.when(bought, 1).otherwise(0)).cast(BIG)
         .alias("full_funnel"))
+
+
+@query(
+    "abandoned_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_n
+      FROM flagged)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_n AS BIGINT) AS session_n,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 4) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_n
+    HAVING sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+       AND sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+    """)
+def abandoned_sessions(spark, sf):
+    """Abandoned sessions (clicked but never purchased within the
+    session) with size and duration — the retargeting feed.  The
+    HAVING conditional-sums ride the SAME per-session aggregate as the
+    rollup, so the whole query is sessionize's one user_id shuffle."""
+    from fmx.operators.temporal import sessionize
+
+    ev = T(spark, sf, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   tiebreak_cols=["event_id"])
+    agg = (s.groupBy("user_id", "session_n").agg(
+        F.count("*").cast(BIG).alias("n_events"),
+        F.round(F.max(F.col("ts").cast("double"))
+                - F.min(F.col("ts").cast("double")), 4)
+        .alias("duration_sec"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("_clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("_buys")))
+    return (agg.filter((F.col("_clicks") > 0) & (F.col("_buys") == 0))
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("session_n").cast(BIG).alias("session_n"),
+                    "n_events", "duration_sec"))
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS d
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size,
+           CAST(count(DISTINCT CASE WHEN d = 1 THEN user_id END) AS BIGINT) AS d1,
+           CAST(count(DISTINCT CASE WHEN d = 2 THEN user_id END) AS BIGINT) AS d2,
+           CAST(count(DISTINCT CASE WHEN d = 3 THEN user_id END) AS BIGINT) AS d3,
+           CAST(count(DISTINCT CASE WHEN d = 4 THEN user_id END) AS BIGINT) AS d4,
+           CAST(count(DISTINCT CASE WHEN d = 5 THEN user_id END) AS BIGINT) AS d5,
+           CAST(count(DISTINCT CASE WHEN d = 6 THEN user_id END) AS BIGINT) AS d6,
+           CAST(count(DISTINCT CASE WHEN d = 7 THEN user_id END) AS BIGINT) AS d7
+    FROM activity GROUP BY cohort_day
+    """)
+def cohort_retention_matrix(spark, sf):
+    """Full day-1..7 retention grid per daily cohort (the classic
+    triangle chart): one distinct (user, cohort, day-offset) relation,
+    then conditional distinct counts — the d-columns are conditional
+    aggregates over ONE pass, never 7 self-joins."""
+    ev = T(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (ev.join(firsts, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff(F.date_trunc("day", "ts"), "cohort_day")
+                        .alias("d"))
+                .distinct())
+    aggs = [F.countDistinct("user_id").cast(BIG).alias("cohort_size")]
+    aggs += [F.countDistinct(F.when(F.col("d") == i, F.col("user_id")))
+             .cast(BIG).alias(f"d{i}") for i in range(1, 8)]
+    return (activity.groupBy("cohort_day").agg(*aggs)
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                    .alias("cohort"), "cohort_size",
+                    *[f"d{i}" for i in range(1, 8)]))
