@@ -23,7 +23,7 @@ __all__ = [
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
-    "minhash_cross_pairs",
+    "minhash_cross_pairs", "dedup_keep_best",
 ]
 
 
@@ -676,3 +676,27 @@ def minhash_cross_pairs(batch: DataFrame, base: DataFrame,
             .select(F.col("batch_id").cast("bigint").alias("batch_id"),
                     F.col("base_id").cast("bigint").alias("base_id"))
             .distinct())
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+                    order_cols: list) -> DataFrame:
+    """Quality-aware near-dup removal: cluster the pair graph, keep the
+    BEST row per cluster by ``order_cols`` (e.g. longest text, highest
+    quality score — real curation rarely wants min-id, which keeps
+    whatever crawled first).  Include a unique tiebreaker for
+    determinism.  Returns the surviving rows of ``df`` plus their
+    ``cluster_id`` and ``cluster_size``.
+
+    Same cluster resolution as dedup_keep_canonical (min-label
+    propagation); the keep decision is ONE ranking window per cluster
+    (WindowGroupLimit heaps — a mega-cluster never fully sorts).
+    """
+    comps = connected_components(pairs, df.select(id_col), id_col)
+    sized = comps.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")).cast("bigint"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols])
+    return (df.join(sized, id_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

@@ -438,3 +438,50 @@ def dedup_cross_corpus(spark, sf):
     return D.minhash_cross_pairs(batch, base, "doc_id", "text",
                                  num_hashes=NUM_HASHES, bands=BANDS,
                                  shingle_n=SHINGLE_N)
+
+
+@query(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES}, {_SIG},
+    banded AS (SELECT doc_id, j // {NUM_HASHES // BANDS} AS band,
+                      array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY j), ',')
+                          AS band_key
+               FROM sig GROUP BY doc_id, j // {NUM_HASHES // BANDS}),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    comps AS (SELECT node AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY node),
+    sized AS (SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM comps)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(s.cluster_id AS BIGINT) AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN sized s ON d.doc_id = s.doc_id
+    QUALIFY row_number() OVER (PARTITION BY s.cluster_id
+                               ORDER BY d.n_chars DESC, d.doc_id) = 1
+    """)
+def dedup_keep_longest(spark, sf):
+    """Quality-aware canonicalization: resolve LSH near-dup clusters
+    and keep the LONGEST document per cluster (not min-id — real
+    curation keeps the best copy): min-label components + ONE ranking
+    window per cluster (WindowGroupLimit heaps)."""
+    docs = T(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    from pyspark.sql import functions as F
+    out = D.dedup_keep_best(docs, pairs, "doc_id",
+                            [F.col("n_chars").desc(), F.col("doc_id")])
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("cluster_id").cast("bigint").alias("cluster_id"),
+                      "cluster_size",
+                      F.col("n_chars").cast("bigint").alias("n_chars"))
