@@ -15,7 +15,7 @@ __all__ = [
     "fingerprint", "vocab_topk", "ngram_contamination",
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
-    "inverted_index", "char_entropy",
+    "inverted_index", "char_entropy", "vocab_kl_by_group",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -452,3 +452,44 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n.cast("bigint").alias("n_chars"),
         F.count("*").cast("bigint").alias("n_distinct_chars"),
         F.round(h, 6).alias("char_entropy"))
+
+
+def vocab_kl_by_group(df: DataFrame, group_col: str, text_col: str,
+                      k: int = 200, alpha: float = 0.5) -> DataFrame:
+    """Per-group vocabulary divergence: KL(group || rest-of-corpus)
+    over the corpus' top-``k`` tokens, Laplace-smoothed — the "which
+    source talks differently" corpus-mix diagnostic (a domain whose
+    unigram distribution diverges needs its own mixture weight; one
+    near zero is redundant with the rest).
+
+    Returns (group, n_tokens, kl_vs_rest).  Shapes: one explode +
+    token agg for the global vocab, TakeOrdered for the top-k, one
+    (group, token) agg semi-joined to that top-k, then a
+    groups x k densify (tiny cross of two broadcastable relations) so
+    absent tokens still contribute smoothed mass.  Probabilities are
+    restricted to the shared top-k support on BOTH sides, so P and Q
+    are comparable by construction.
+    """
+    toks = (df.select(F.col(group_col), F.explode(_toks(text_col))
+                      .alias("token"))
+            .filter(F.col("token") != ""))
+    allc = toks.groupBy("token").agg(F.count("*").alias("_ca"))
+    topk = allc.orderBy(F.desc("_ca"), "token").limit(k)
+    gc = (toks.join(F.broadcast(topk.select("token")), "token", "left_semi")
+          .groupBy(group_col, "token").agg(F.count("*").alias("_c")))
+    groups = df.select(group_col).distinct()
+    dense = (groups.crossJoin(F.broadcast(topk))
+             .join(gc, [group_col, "token"], "left")
+             .na.fill({"_c": 0}))
+    w = Window.partitionBy(group_col)
+    wall = Window.partitionBy()
+    dense = (dense
+             .withColumn("_ng", F.sum("_c").over(w))
+             .withColumn("_na", F.sum("_c").over(wall)))
+    a = F.lit(float(alpha))
+    ak = F.lit(float(alpha) * k)
+    p = (F.col("_c") + a) / (F.col("_ng") + ak)
+    q = ((F.col("_ca") - F.col("_c")) + a) / ((F.col("_na") - F.col("_ng")) + ak)
+    return (dense.groupBy(group_col)
+            .agg(F.first("_ng").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_rest")))

@@ -605,3 +605,39 @@ def multimodal_patches(spark, sf):
     docs = T(spark, sf, "documents")
     payloads = M.attach_payload(docs, "doc_id", "text", kind="text")
     return M.patch_payload(payloads, "doc_id", patch_bytes=64)
+
+
+@query(
+    "text_vocab_kl_by_source",
+    oracle="""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT source, token FROM toks WHERE token <> ''),
+    allc AS (SELECT token, count(*) AS ca FROM tf GROUP BY token),
+    topk AS (SELECT token, ca FROM allc ORDER BY ca DESC, token LIMIT 200),
+    gc AS (SELECT tf.source, tf.token, count(*) AS c
+           FROM tf JOIN topk USING (token) GROUP BY tf.source, tf.token),
+    dense AS (
+      SELECT g.source, t.token, t.ca, coalesce(gc.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM documents) g
+      CROSS JOIN topk t
+      LEFT JOIN gc ON gc.source = g.source AND gc.token = t.token),
+    sized AS (
+      SELECT source, token, ca, c,
+             sum(c) OVER (PARTITION BY source) AS ng,
+             sum(c) OVER () AS na
+      FROM dense)
+    SELECT source, CAST(first(ng) AS BIGINT) AS n_tokens,
+           round(sum(((c + 0.5) / (ng + 100.0))
+                     * ln(((c + 0.5) / (ng + 100.0))
+                          / (((ca - c) + 0.5) / ((na - ng) + 100.0)))), 6)
+               AS kl_vs_rest
+    FROM sized GROUP BY source
+    """)
+def text_vocab_kl_by_source(spark, sf):
+    """Per-source vocabulary KL vs the rest of the corpus (top-200
+    tokens, Laplace 0.5): the 'which source talks differently'
+    mixture diagnostic — global vocab via TakeOrdered top-k, one
+    (source, token) agg, and a tiny sources x k densify."""
+    return X.vocab_kl_by_group(T(spark, sf, "documents"), "source",
+                               "text", k=200, alpha=0.5)
