@@ -284,3 +284,38 @@ def test_robust_scale_broadcasts_stats(spark, sf_dir):
     never shuffles."""
     plan = _plan(spark, sf_dir, "profile_robust_scale")
     assert "BroadcastHashJoin" in plan
+
+
+def test_keep_longest_rides_window_group_limit(spark, sf_dir):
+    """The per-cluster keep-best pick must run as WindowGroupLimit
+    heaps — a mega-cluster of duplicates never fully sorts."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "dedup_keep_longest")
+
+
+def test_winsorized_mean_broadcasts_stats(spark, sf_dir):
+    """The percentile stats join back broadcast; the fact scan never
+    shuffles."""
+    plan = _plan(spark, sf_dir, "profile_winsorized_mean")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_session_analytics_single_exchange(spark, sf_dir):
+    """Session funnel and abandoned-sessions ride sessionize's ONE
+    user_id shuffle — boundary window, per-session agg, and rollup/
+    filter all share it."""
+    for name in ["funnel_within_session", "abandoned_sessions"]:
+        plan = _plan(spark, sf_dir, name)
+        n_ex = sum(1 for ln in plan.splitlines()
+                   if "Exchange hashpartitioning" in ln
+                   and "Reused" not in ln)
+        assert n_ex == 1, (name, plan)
+
+
+def test_vocab_kl_no_corpus_cartesian(spark, sf_dir):
+    """The only cross in vocab-KL is the tiny groups x top-k densify
+    (broadcast); the corpus itself is never nested-loop joined."""
+    plan = _plan(spark, sf_dir, "text_vocab_kl_by_source")
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln
