@@ -513,3 +513,66 @@ def ann_eval_pq_vs_exact(spark, sf):
     pred = S.pq_topk(emb, q, "vec_id", "embedding", k=K, m=PQ_M,
                      num_codes=PQ_CODES, dim=DIM)
     return S.rank_eval(pred, truth, k=K)
+
+
+@query(
+    "ann_ivf_cell_histogram",
+    oracle=f"""
+    WITH {_EX},
+    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
+              WHERE vec_id < {N_CELLS}),
+    cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
+              GROUP BY cell),
+    csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
+             FROM ex e JOIN cents c ON e.pos = c.pos
+             GROUP BY e.vec_id, c.cell),
+    csim2 AS (SELECT csim.vec_id, csim.cell,
+                     dot / (norms.nrm * cnorm.cn) AS sim
+              FROM csim JOIN norms ON csim.vec_id = norms.vec_id
+                        JOIN cnorm ON csim.cell = cnorm.cell),
+    cassign AS (SELECT vec_id, cell FROM csim2
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell) <= 1),
+    hist AS (SELECT cell, count(*) AS n FROM cassign GROUP BY cell)
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n_vectors,
+           round(n * 1.0 / sum(n) OVER (), 6) AS share,
+           round(max(n) OVER () * count(*) OVER () * 1.0
+                 / sum(n) OVER (), 4) AS skew_ratio
+    FROM hist
+    """)
+def ann_ivf_cell_histogram(spark, sf):
+    """IVF cell-balance report (fixed coarse centroids): vectors per
+    cell, share, and the hot-cell skew ratio (max*cells/total — 1.0 is
+    perfectly balanced; a hot cell is the straggler of every probe).
+    Assignment = broadcast centroids x corpus argmax (the IVF corpus
+    path), then one tiny per-cell agg — the capacity-planning readout
+    before sizing nprobe/cell counts."""
+    from fmx.core import linalg as L
+    from pyspark.sql import Window
+
+    emb = T(spark, sf, "embeddings")
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("_cell"),
+                F.col("embedding").cast("array<double>").alias("_cv")))
+    sim = (emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("_v"))
+           .crossJoin(cents)
+           .select("vec_id", "_cell",
+                   L.cosine_similarity("_v", "_cv").alias("_s")))
+    # argmax cell per vector: lexicographic max over (sim, -cell) —
+    # map-side-combinable, ties toward the LOWEST cell id (same
+    # convention as the oracle's ORDER BY sim DESC, cell)
+    assigned = (sim.groupBy("vec_id")
+                .agg(F.max(F.struct(F.col("_s"),
+                                    (-F.col("_cell")).alias("_nc")))
+                     .alias("_m"))
+                .select((-F.col("_m._nc")).alias("cell")))
+    hist = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    return hist.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(F.col("n") / F.sum("n").over(wall), 6).alias("share"),
+        F.round(F.max("n").over(wall) * F.count("*").over(wall)
+                / F.sum("n").over(wall), 4).alias("skew_ratio"))
