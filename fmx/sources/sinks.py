@@ -119,7 +119,12 @@ def compact_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     target_bytes = target_mb * 1024 * 1024
-    df = spark.read.format(fmt).load(path)
+    # mergeSchema: a dataset appended under an EVOLVING schema has files
+    # missing later columns — a single-file-schema read here would
+    # silently DROP those columns from the rewrite (data loss, found by
+    # test_read_parquet_evolved_unions_schemas).  The O(files) footer
+    # scan is exactly what compaction amortizes away.
+    df = (spark.read.option("mergeSchema", "true").format(fmt).load(path))
     tmp = path.rstrip("/") + "._compact_tmp"
     if partition_cols:
         # per-partition file math: rows per hive partition (one small
@@ -163,3 +168,17 @@ def compact_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
     os.rename(tmp, path)
     shutil.rmtree(old)
     return int(n_files)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files were written under EVOLVING
+    schemas (columns added over time — every long-lived lake):
+    ``mergeSchema`` unions the per-file schemas, and files missing a
+    column yield NULLs for it.
+
+    Schema merging reads every file footer up front — O(files) driver
+    work, which is why it is NOT the default read path: use it at
+    ingest boundaries (or after compaction, which rewrites to one
+    schema), not in hot queries.
+    """
+    return (spark.read.option("mergeSchema", "true").parquet(path))

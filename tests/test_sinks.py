@@ -150,3 +150,27 @@ def test_compact_dataset_crash_leaves_recoverable_state(spark, sf_dir,
     assert not os.path.exists(path + "._compact_old")
     assert not os.path.exists(path + "._compact_tmp")
     assert spark.read.parquet(path).count() == n
+
+
+def test_read_parquet_evolved_unions_schemas(spark, tmp_path):
+    """Files written before a column existed read back as NULL for it;
+    the merged schema is the union, and compaction normalizes the
+    dataset to one schema."""
+    from fmx.sources.sinks import compact_dataset, read_parquet_evolved
+
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.mode("overwrite").parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.mode("append").parquet(path)
+
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+    # compaction rewrites to the merged schema: plain reads now see it
+    compact_dataset(spark, path)
+    plain = spark.read.parquet(path)
+    assert set(plain.columns) == {"id", "v", "score"}
+    assert plain.count() == 2
