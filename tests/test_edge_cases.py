@@ -99,3 +99,42 @@ def test_randomsplit_batches_disjoint_and_complete(spark):
     assert total == 1000                      # disjoint (no overlaps)
     again = df.randomSplit(frac, seed=1234)
     assert [set(r.id for r in b.collect()) for b in again] == ids
+
+
+def test_round5_queries_partition_invariant(spark, sf_dir):
+    """Results must be a pure function of the data, not of parallelism:
+    re-running under a different shuffle-partition count must produce
+    identical rows (catches order-dependent aggregates, unseeded
+    randomness, and rank ties broken by partition layout)."""
+    import math
+
+    import fmx.queries as Q
+
+    names = ["event_sessionization", "dedup_cross_corpus",
+             "web_domain_cap", "profile_robust_scale",
+             "sample_pack_manifest", "dedup_keep_longest",
+             "text_vocab_kl_by_source", "ann_ivf_cell_histogram"]
+    ALL = Q.all_queries()
+
+    def snap():
+        out = {}
+        for n in names:
+            df = ALL[n].fn(spark, sf_dir).toPandas()
+            cols = sorted(df.columns)
+            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
+                          else (round(v, 9) if isinstance(v, float) else v)
+                          for v in row)
+                    for row in df[cols].itertuples(index=False)]
+            out[n] = sorted(rows, key=repr)
+        return out
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snap()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    bad = [n for n in names if a[n] != b[n]]
+    assert not bad, bad
