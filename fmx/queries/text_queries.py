@@ -641,3 +641,46 @@ def text_vocab_kl_by_source(spark, sf):
     (source, token) agg, and a tiny sources x k densify."""
     return X.vocab_kl_by_group(T(spark, sf, "documents"), "source",
                                "text", k=200, alpha=0.5)
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    langs AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(t, x -> list_contains({_SW['en']}, x))) >= len(list_filter(t, x -> list_contains({_SW['de']}, x)))
+                   AND len(list_filter(t, x -> list_contains({_SW['en']}, x))) >= len(list_filter(t, x -> list_contains({_SW['es']}, x)))
+                   AND len(list_filter(t, x -> list_contains({_SW['en']}, x))) >= len(list_filter(t, x -> list_contains({_SW['fr']}, x))) THEN 'en'
+                  WHEN len(list_filter(t, x -> list_contains({_SW['de']}, x))) >= len(list_filter(t, x -> list_contains({_SW['es']}, x)))
+                   AND len(list_filter(t, x -> list_contains({_SW['de']}, x))) >= len(list_filter(t, x -> list_contains({_SW['fr']}, x))) THEN 'de'
+                  WHEN len(list_filter(t, x -> list_contains({_SW['es']}, x))) >= len(list_filter(t, x -> list_contains({_SW['fr']}, x))) THEN 'es'
+                  ELSE 'fr' END AS pred_lang,
+             len(t) AS ws,
+             len(regexp_extract_all(text, '{X.BPE_RE}')) AS bpe
+      FROM base)
+    SELECT pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           round(sum(bpe) * 1.0 / sum(ws), 6) AS fertility
+    FROM langs GROUP BY pred_lang
+    """)
+def text_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    predicted language — the 'how much more expensive is language X
+    per word' budgeting number behind multilingual mixture weights.
+    Language-ID and both token counts are one map-only pass; the
+    report is one hash-agg on the language."""
+    docs = T(spark, sf, "documents")
+    lang = X.language_id(docs, "doc_id", "text").select("doc_id",
+                                                        "pred_lang")
+    counts = X.token_counts(docs, "doc_id", "text")
+    return (counts.join(lang, "doc_id")
+            .groupBy("pred_lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+                 F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+                 F.round(F.sum("bpe_tokens") / F.sum("ws_tokens"), 6)
+                 .alias("fertility")))
