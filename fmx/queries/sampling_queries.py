@@ -342,3 +342,44 @@ def sample_pack_manifest(spark, sf):
     toks = F.size(F.split(F.col("text"), " "))
     return pack_manifest(docs.select("doc_id", toks.alias("ws_tokens")),
                          "doc_id", "ws_tokens", budget=512, num_buckets=8)
+
+
+@query(
+    "sample_interleaved_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                 AS rn,
+             dense_rank() OVER (ORDER BY source) - 1 AS si,
+             count(DISTINCT source) OVER () AS ns
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(rn * ns + si AS BIGINT) AS interleave_rank
+    FROM ranked
+    """)
+def sample_interleaved_order(spark, sf):
+    """Deterministic round-robin interleave across sources:
+    interleave_rank = round_within_source * n_sources + source_index —
+    reading in rank order cycles one doc per source (the curriculum /
+    mixing order that keeps every batch source-balanced without
+    shuffling rows).  One shuffle on source for the within-source
+    ranks; the source index and count come from windows over the same
+    relation; no global sort is ever executed — the rank is a COLUMN,
+    consumed by whatever ordered writer needs it."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    # the exact source count enters as a broadcast 1-row join (distinct
+    # aggregates aren't valid window functions in Spark)
+    ns = docs.agg(F.countDistinct("source").alias("_ns"))
+    ranked = (docs
+              .withColumn("rn", F.row_number().over(w) - 1)
+              .withColumn("si", F.dense_rank().over(
+                  Window.orderBy("source")) - 1)
+              .crossJoin(F.broadcast(ns)))
+    return ranked.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source",
+        (F.col("rn") * F.col("_ns") + F.col("si")).cast("bigint")
+        .alias("interleave_rank"))
