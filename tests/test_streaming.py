@@ -455,3 +455,35 @@ def test_stream_sessionize_ids_state_carries_across_batches(spark,
            for r in spark.sql("SELECT * FROM sess_carry").collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 1}
     q.stop()
+
+
+def test_stream_sessionize_ids_live_trigger(spark):
+    """stream_sessionize_ids under a real 1s trigger: the rate source
+    emits one event per user every ~0.5s (well inside the 30-min gap),
+    so EVERY event across every live batch must stay in session 0 —
+    a state loss would restart numbering at a new session per batch.
+    Session indexes are asserted non-decreasing per user across
+    batches and identical (0) throughout."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 20).load())
+    events = rate.select(
+        (F.col("value") % 2).cast("long").alias("user_id"),
+        F.col("value").cast("long").alias("event_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("value"))
+        .alias("ts"))
+    batches: list = []
+    q = _run_live(S.stream_sessionize_ids(events), batches, min_batches=3)
+    try:
+        assert len(batches) >= 2, "fewer than 2 live output batches"
+        users_by_batch = {}
+        for bid, rows in batches:
+            for r in rows:
+                assert r.session_n == 0, (
+                    f"user {r.user_id} event {r.event_id} in batch {bid} "
+                    f"opened session {r.session_n} — cross-batch state "
+                    f"was lost")
+                users_by_batch.setdefault(r.user_id, set()).add(bid)
+        assert any(len(bids) >= 2 for bids in users_by_batch.values()), \
+            "no user observed in two different live batches"
+    finally:
+        q.stop()
