@@ -12,7 +12,10 @@ def test_entry_returns_rows_stable_schema(spark):
 def test_queries_and_oracles_align(spark):
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
-    assert len(qs) >= 85
+    # tight lower bound: a module accidentally dropped from
+    # fmx.queries._MODULES silently removes its whole query family —
+    # the count floor catches that class of regression (199 at r5)
+    assert len(qs) >= 195
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs)
     # the non-oracled set is exactly the declared non-SQL ops
