@@ -1176,3 +1176,42 @@ def cohort_retention_matrix(spark, sf):
             .select(F.date_format("cohort_day", "yyyy-MM-dd")
                     .alias("cohort"), "cohort_size",
                     *[f"d{i}" for i in range(1, 8)]))
+
+
+@query(
+    "fulfillment_lag_quantiles",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(d, 0.5), 4) AS p50_days,
+           round(quantile_cont(d, 0.9), 4) AS p90_days,
+           round(quantile_cont(d, 0.99), 4) AS p99_days,
+           CAST(max(d) AS BIGINT) AS max_days
+    FROM lag GROUP BY o_orderpriority
+    """)
+def fulfillment_lag_quantiles(spark, sf):
+    """Order-to-ship lag percentiles per priority class (the SLA
+    report): the one BIG fact-fact join in the set — orders x lineitem
+    on the order key, a shuffle join on a uniform key that AQE sizes —
+    then a per-priority holistic-percentile agg whose output is
+    priority-class-bounded.  Negative lags (synthetic noise shipping
+    before ordering) are excluded on both sides."""
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate",
+                                      "o_orderpriority")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+           .select("o_orderpriority",
+                   F.datediff("l_shipdate", "o_orderdate").alias("d")))
+    return (lag.groupBy("o_orderpriority")
+            .agg(F.count("*").cast(BIG).alias("n_lines"),
+                 F.round(F.percentile("d", F.lit(0.5)), 4).alias("p50_days"),
+                 F.round(F.percentile("d", F.lit(0.9)), 4).alias("p90_days"),
+                 F.round(F.percentile("d", F.lit(0.99)), 4)
+                 .alias("p99_days"),
+                 F.max("d").cast(BIG).alias("max_days")))
