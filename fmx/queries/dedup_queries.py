@@ -410,6 +410,7 @@ _BATCH_SRCS = "('src0', 'src1')"
 
 @query(
     "dedup_cross_corpus",
+    headline=True,
     oracle=f"""
     WITH {_SHINGLES}, {_SIG},
     banded AS (SELECT doc_id, j // {NUM_HASHES // BANDS} AS band,

@@ -560,6 +560,7 @@ def corpus_source_report(spark, sf):
 
 @query(
     "text_char_entropy",
+    headline=True,
     oracle="""
     WITH chars AS (
       SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
