@@ -28,12 +28,13 @@ _AFTER_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 
 def url_domain(url: Column | str) -> Column:
-    """Registrable-ish domain of a URL: lowercased host, ``www.``
-    stripped (public-suffix lists are a lookup table, not an engine
-    feature — join one in for exact eTLD+1 semantics)."""
+    """Registrable-ish domain of a URL: lowercased host, ``www.`` and
+    any ``:port`` stripped (public-suffix lists are a lookup table,
+    not an engine feature — join one in for exact eTLD+1 semantics)."""
     u = F.col(url) if isinstance(url, str) else url
     host = F.regexp_extract(u, _HOST_RE, 1)
-    return F.regexp_replace(F.lower(host), r"^www\.", "")
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(host), r"^www\.", ""), ":[0-9]+$", "")
 
 
 def url_normalize(df: DataFrame, url_col: str,
@@ -57,8 +58,17 @@ def url_normalize(df: DataFrame, url_col: str,
     pre = F.regexp_replace(base, r"\?.*$", "")           # scheme://host/path
     q = F.regexp_extract(base, r"\?(.*)$", 1)            # raw query ('' if none)
     scheme = F.lower(F.regexp_extract(pre, _SCHEME_RE, 1))
+    # default ports are not page identity: http://h:80/ == http://h/
+    # (non-default ports are preserved)
     host = F.regexp_replace(
         F.lower(F.regexp_extract(pre, _HOST_RE, 1)), r"^www\.", "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", "")
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
     path = F.regexp_replace(
         F.regexp_replace(pre, _AFTER_HOST_RE, ""), "/+$", "")
     params = F.array_sort(F.filter(

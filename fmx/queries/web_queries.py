@@ -37,7 +37,10 @@ _MESSY_URL_SQL = """
 """
 
 # DuckDB replay of url_normalize (RE2-safe patterns, shared verbatim
-# with the Spark side where literal)
+# with the Spark side where literal).  Default-port stripping
+# (http://h:80 == http://h) is NOT replayed here because the
+# synthesized URLs are portless — the operator's port behavior is
+# pinned by unit tests instead (test_url_normalize_ports)
 _NORM_SQL = r"""
 urls AS (SELECT doc_id, {url} AS url FROM documents),
 parts AS (

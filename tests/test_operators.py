@@ -982,3 +982,20 @@ def test_chi2_ignores_null_categories(spark):
     r1 = chi2_independence(clean, "a", "b").collect()[0]
     r2 = chi2_independence(noisy, "a", "b").collect()[0]
     assert (r1.chi2, r1.dof, r1.n) == (r2.chi2, r2.dof, r2.n)
+
+
+def test_url_normalize_ports(spark):
+    """Default ports are stripped (http:80, https:443); non-default
+    ports are preserved in the URL; the domain never carries a port."""
+    from fmx.operators.web import url_normalize
+
+    df = spark.createDataFrame(
+        [(1, "http://ex.com:80/a"), (2, "https://ex.com:443/a"),
+         (3, "http://ex.com:8080/a"), (4, "https://ex.com:443")],
+        ["id", "url"])
+    got = {r.id: (r.url_norm, r.domain)
+           for r in url_normalize(df, "url").collect()}
+    assert got[1] == ("http://ex.com/a", "ex.com")
+    assert got[2] == ("https://ex.com/a", "ex.com")
+    assert got[3] == ("http://ex.com:8080/a", "ex.com")
+    assert got[4] == ("https://ex.com", "ex.com")
