@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "k_hop"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -89,3 +89,31 @@ def triangle_count(edges: DataFrame, src: str = "src",
     closing = e.select(F.col("a"), F.col("b").alias("c"))
     return (wedges.join(closing, ["a", "c"])
             .agg(F.count("*").cast("bigint").alias("triangles")))
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int,
+          src: str = "src", dst: str = "dst",
+          node: str = "node") -> DataFrame:
+    """Minimum-hop distance from a seed set, bounded to ``k`` hops:
+    (node, hop) for every vertex reachable in <= k steps — the bounded
+    BFS behind neighborhood expansion (abuse/fraud blast radius,
+    recommendation candidate pools, graph feature extraction).
+
+    Each round is one equi-join on the frontier's node key plus one
+    min-aggregation: reached_{t+1} = min-hop over reached_t UNION
+    (edges JOIN reached_t).  Joining the FULL reached set (not a
+    delta frontier) keeps every round a pure join+agg replayable by
+    any engine; for deep k on long-diameter graphs switch to a delta
+    frontier + anti-join and localCheckpoint every few rounds (same
+    lineage discipline as pagerank).  Celebrity vertices fan out in
+    the dst agg, which is map-side combinable; AQE handles the rest.
+    """
+    reached = seeds.select(F.col(node).alias("node"),
+                           F.lit(0).alias("hop"))
+    for _ in range(k):
+        step = (edges.join(reached.withColumnRenamed("node", src), src)
+                .select(F.col(dst).alias("node"),
+                        (F.col("hop") + 1).alias("hop")))
+        reached = (reached.unionByName(step)
+                   .groupBy("node").agg(F.min("hop").alias("hop")))
+    return reached

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
            "pack_sequences", "temperature_mixture", "per_group_cap",
            "weighted_sample_per_group", "negative_sample",
-           "length_buckets", "pack_manifest"]
+           "length_buckets", "pack_manifest", "token_budget_mix"]
 
 _TWO60 = float(2 ** 60)
 
@@ -302,3 +302,42 @@ def pack_manifest(df: DataFrame, id_col: str, tokens_col,
                     F.round(F.col("fill_tokens") / budget, 4)
                     .alias("fill_ratio"),
                     F.array_join(F.array_sort("_e"), ";").alias("segments")))
+
+
+def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
+                     tokens_col, budgets: dict[str, int],
+                     default_budget: int = 0,
+                     seed: int = 42) -> DataFrame:
+    """Select documents per source up to a TOKEN budget (not a row
+    count) — the data-mixing step that hits a target corpus composition
+    by token mass ("x tokens of web, y of code, z of wiki"), which is
+    how pretraining mixes are actually specified.
+
+    Within each source documents are ordered by the md5 hash of their
+    id (a deterministic, engine-replayable shuffle) and kept while the
+    running token total — INCLUSIVE of the current document — stays
+    within the source's budget; sources absent from ``budgets`` get
+    ``default_budget`` (0 = excluded).  Greedy-by-hash means the
+    selection is stable under corpus growth: adding documents never
+    evicts an already-selected one unless its hash precedes theirs.
+
+    One shuffle keyed on source; the running total is a cumulative-sum
+    window over that partitioning, so cost is linear in corpus size
+    with no joins and no driver state.  A source whose corpus is
+    millions of docs is a single window partition — for extreme
+    single-source skew, pre-bucket the source by hash range and give
+    each bucket budget/n_buckets (same greedy semantics, bounded
+    partitions).
+    """
+    tc = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    b = F.lit(int(default_budget))
+    for s, amount in sorted(budgets.items()):
+        b = F.when(F.col(source_col) == s, F.lit(int(amount))).otherwise(b)
+    u = hash_uniform01(id_col, "mixtok", seed)
+    w = (Window.partitionBy(source_col)
+         .orderBy(u.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_tok", tc)
+            .withColumn("cum_tokens", F.sum("_tok").over(w))
+            .filter(F.col("cum_tokens") <= b)
+            .drop("_tok"))

@@ -1215,3 +1215,124 @@ def fulfillment_lag_quantiles(spark, sf):
                  F.round(F.percentile("d", F.lit(0.99)), 4)
                  .alias("p99_days"),
                  F.max("d").cast(BIG).alias("max_days")))
+
+
+@query(
+    "attribution_position_weighted",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, c.ts AS c_ts
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+    ranked AS (
+      SELECT purchase_id, click_id, user_id,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY c_ts, click_id) AS rn,
+             count(*) OVER (PARTITION BY purchase_id) AS n
+      FROM pairs)
+    SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           round(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN rn = 1 OR rn = n THEN 0.4
+                      ELSE 0.2 / (n - 2) END, 9) AS credit
+    FROM ranked
+    """)
+def attribution_position_weighted(spark, sf):
+    """U-shaped (position-based) multi-touch attribution: every click
+    within 1h before a purchase shares the credit — 40% to the first
+    touch, 40% to the last, the middle 20% split evenly (the standard
+    generalization of last-click that single-touch models can't
+    express).  The interval self-join keys its shuffle on user_id; the
+    per-purchase position/count come from ONE ranking window over the
+    joined pairs (purchase-bounded partitions), so the whole model is
+    join + window with no second pass over events."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf, "events")
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 "user_id", F.col("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 "user_id", F.col("ts").alias("p_ts")))
+    pairs = (c.join(p, "user_id")
+             .filter((F.col("p_ts") > F.col("c_ts"))
+                     & (F.col("p_ts") <= F.col("c_ts")
+                        + F.expr("INTERVAL 1 HOUR"))))
+    wp = Window.partitionBy("purchase_id")
+    ranked = (pairs
+              .withColumn("rn", F.row_number().over(
+                  wp.orderBy("c_ts", "click_id")))
+              .withColumn("n", F.count("*").over(wp)))
+    credit = (F.when(F.col("n") == 1, F.lit(1.0))
+              .when(F.col("n") == 2, F.lit(0.5))
+              .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")),
+                    F.lit(0.4))
+              .otherwise(F.lit(0.2) / (F.col("n") - 2)))
+    return ranked.select(
+        F.col("purchase_id").cast(BIG).alias("purchase_id"),
+        F.col("click_id").cast(BIG).alias("click_id"),
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.round(credit, 9).alias("credit"))
+
+
+def _khop_round(prev: str, out: str) -> str:
+    """One unrolled BFS round as an oracle CTE."""
+    return f"""
+    {out} AS (SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, {prev}.hop + 1 AS hop
+        FROM edges e JOIN {prev} ON e.src = {prev}.node) u
+      GROUP BY node)"""
+
+
+@query(
+    "graph_k_hop_2",
+    oracle=f"""
+    WITH pos AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                 FROM orders o JOIN lineitem l
+                   ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT concat('c:', CAST(c AS VARCHAR)) AS src,
+                     concat('p:', CAST(p AS VARCHAR)) AS dst FROM pos
+              UNION ALL
+              SELECT concat('p:', CAST(p AS VARCHAR)),
+                     concat('c:', CAST(c AS VARCHAR)) FROM pos),
+    r0 AS (SELECT concat('c:', CAST(c_custkey AS VARCHAR)) AS node,
+                  0 AS hop
+           FROM customer WHERE c_custkey % 100 = 0),
+    {_khop_round('r0', 'r1')},
+    {_khop_round('r1', 'r2')}
+    SELECT node, CAST(hop AS BIGINT) AS hop FROM r2
+    """)
+def graph_k_hop_2(spark, sf):
+    """Bounded BFS: minimum hop distance (<= 2) from seed customers
+    (every 100th key) over the bidirectional customer-part purchase
+    graph — the neighborhood-expansion primitive (blast radius,
+    candidate pools).  Each round is ONE frontier equi-join + one
+    map-side-combinable min-agg; no driver-side iteration state
+    (fmx.operators.graph.k_hop)."""
+    from fmx.operators.graph import k_hop
+
+    orders = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    cust = T(spark, sf, "customer")
+    pos = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("c"),
+                   F.col("l_partkey").alias("p"))
+           .distinct())
+    c = F.concat(F.lit("c:"), F.col("c").cast("string"))
+    p = F.concat(F.lit("p:"), F.col("p").cast("string"))
+    edges = (pos.select(c.alias("src"), p.alias("dst"))
+             .union(pos.select(p.alias("src"), c.alias("dst"))))
+    seeds = (cust.filter(F.col("c_custkey") % 100 == 0)
+             .select(F.concat(F.lit("c:"),
+                              F.col("c_custkey").cast("string"))
+                     .alias("node")))
+    out = k_hop(edges, seeds, k=2)
+    return out.select("node", F.col("hop").cast(BIG).alias("hop"))

@@ -383,3 +383,42 @@ def sample_interleaved_order(spark, sf):
         F.col("doc_id").cast("bigint").alias("doc_id"), "source",
         (F.col("rn") * F.col("_ns") + F.col("si")).cast("bigint")
         .alias("interleave_rank"))
+
+
+_BUDGETS = {f"src{i}": (1200 if i < 10 else 500) for i in range(20)}
+_HI = ", ".join(f"'src{i}'" for i in range(10))
+
+
+@query(
+    "sample_token_budget_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS toks,
+             {_U.format(tag='mixtok', seed=SEED, col='doc_id')} AS u
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, toks,
+             sum(toks) OVER (PARTITION BY source ORDER BY u, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM tok)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum
+    WHERE cum_tokens <= CASE WHEN source IN ({_HI}) THEN 1200 ELSE 500 END
+    """)
+def sample_token_budget_mix(spark, sf):
+    """Token-budget data mixing: each source contributes documents (in
+    deterministic md5-hash order) until its TOKEN budget is exhausted —
+    corpus composition specified by token mass, the way pretraining
+    mixes are actually written down.  One shuffle on source + one
+    cumulative-sum window; linear in corpus size, no joins
+    (fmx.operators.sampling.token_budget_mix)."""
+    docs = T(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    out = SMP.token_budget_mix(docs, "source", "doc_id", toks,
+                               budgets=_BUDGETS, seed=SEED)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "source",
+                      F.col("cum_tokens").cast("bigint")
+                      .alias("cum_tokens"))

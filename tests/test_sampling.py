@@ -140,3 +140,65 @@ def test_pack_manifest_invariants(spark, sf_dir):
         assert r.fill_tokens - segs[-1][2] < 512
         seen.extend(i for _o, i, _n in segs)
     assert len(seen) == len(set(seen)) == docs.count()
+
+
+def test_token_budget_mix_budget_and_stability(spark, sf_dir):
+    """Every source's selected token mass stays within its budget, and
+    growing the corpus never evicts an already-selected doc whose hash
+    precedes the newcomers (greedy-by-hash stability)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("toks", F.size(F.split("text", " "))))
+    budgets = {f"src{i}": 600 for i in range(20)}
+    out = SMP.token_budget_mix(docs, "source", "doc_id", "toks",
+                               budgets=budgets, seed=3)
+    per_src = {r.source: r.s for r in
+               out.groupBy("source").agg(F.sum("toks").alias("s"))
+               .collect()}
+    assert per_src, "no source selected anything"
+    assert all(s <= 600 for s in per_src.values()), per_src
+    # stability: selecting from HALF the corpus yields a subset of the
+    # docs selected from the full corpus only where hashes allow — the
+    # precise invariant is that a doc selected from the full corpus
+    # whose within-source hash-prefix set is unchanged stays selected.
+    # Check the practical form: every doc picked from the full corpus
+    # that also exists in the half corpus AND whose cum_tokens there is
+    # within budget is picked from the half corpus too.
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    out_half = SMP.token_budget_mix(half, "source", "doc_id", "toks",
+                                    budgets=budgets, seed=3)
+    full_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    half_ids = {r.doc_id for r in out_half.select("doc_id").collect()}
+    # removing rows frees budget: everything selected from the full
+    # corpus that survives the filter must still be selected
+    assert (full_ids & {r.doc_id for r in half.select("doc_id").collect()}
+            ) <= half_ids
+
+
+def test_k_hop_known_graph(spark):
+    """Chain a-b-c-d with seed {a}, k=2: hops a=0 b=1 c=2; d absent."""
+    from fmx.operators.graph import k_hop
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.hop for r in k_hop(edges, seeds, k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+    # a cycle must keep min-hop, not last-write
+    edges2 = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], ["src", "dst"])
+    got2 = {r.node: r.hop for r in k_hop(edges2, seeds, k=2).collect()}
+    assert got2 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_attribution_credits_sum_to_one(spark, sf_dir):
+    """Position-weighted credits must sum to 1 per purchase (within
+    float tolerance) whenever the purchase has >= 1 contributing
+    click."""
+    from fmx.queries import all_queries
+
+    q = all_queries()["attribution_position_weighted"]
+    out = q.fn(spark, sf_dir)
+    sums = (out.groupBy("purchase_id")
+            .agg(F.sum("credit").alias("s")).collect())
+    assert sums, "no attributed purchases at this sf"
+    assert all(abs(r.s - 1.0) < 1e-6 for r in sums), sums[:5]
