@@ -24,7 +24,7 @@ from fmx.core import linalg as L
 __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
-           "pq_rerank_topk", "rank_eval"]
+           "pq_rerank_topk", "rank_eval", "ivfpq_topk"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -493,3 +493,114 @@ def rank_eval(pred: DataFrame, truth: DataFrame,
     return per.agg(F.count("*").cast("bigint").alias("n_queries"),
                    F.round(F.avg("_recall"), 6).alias("recall_at_k"),
                    F.round(F.avg("_rr"), 6).alias("mrr"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, k: int = 5, num_cells: int = 8,
+               nprobe: int = 2, m: int = 4, num_codes: int = 16,
+               dim: int | None = None,
+               query_id: str = "query_id") -> DataFrame:
+    """IVF-PQ ANN: coarse cells + product quantization of the RESIDUAL
+    (vector minus its cell centroid) — the production composition
+    (FAISS ``IVFx,PQy``): the coarse index prunes the scan to nprobe
+    cells, the PQ codes shrink what the scan reads to m small ints per
+    vector, and quantizing residuals (smaller-magnitude, centered)
+    instead of raw vectors is what keeps ADC error low.
+
+    (query_id, id, adist, rank); adist = approximate squared L2 of the
+    residual pair, comparable within a (query, cell) probe.
+
+    Everything is relational and engine-replayable: coarse centroids
+    are the first ``num_cells`` corpus vectors and the shared residual
+    codebook the residuals of the first ``num_codes`` corpus vectors —
+    both DERIVED TABLES joined in long format, never driver literals
+    or collects, so the same plan runs when the centroid table itself
+    is too big to broadcast.  Per stage: cell assignment is one
+    (pos)-join + (id, cell) dot agg + map-side argmax struct-agg;
+    residuals one (cell, pos) join; encode/ADC the same broadcast-
+    codebook joins as ``pq_encode``/``pq_topk``.  The corpus is never
+    cross-joined against queries — candidates meet through the
+    (cell, sub, code) equi-join, and the distance-table side is
+    queries x nprobe x m x num_codes rows, always broadcastable."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    ex = (_as_double(corpus, vec_col)
+          .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "x")))
+    cents = (ex.filter(F.col(id_col) < num_cells)
+             .select(F.col(id_col).cast("int").alias("_cell"),
+                     "pos", F.col("x").alias("cx")))
+    cnorm = (cents.groupBy("_cell")
+             .agg(F.sqrt(F.sum(F.col("cx") ** 2)).alias("_cn")))
+    norms = ex.groupBy(id_col).agg(F.sqrt(F.sum(F.col("x") ** 2))
+                                   .alias("_nrm"))
+
+    def cell_sims(vecs: DataFrame, vid: str) -> DataFrame:
+        """(vid, _cell, _sim) — cosine against every coarse centroid."""
+        vex = (_as_double(vecs, vec_col)
+               .select(F.col(id_col).alias(vid),
+                       F.posexplode(vec_col).alias("pos", "x")))
+        vn = vex.groupBy(vid).agg(F.sqrt(F.sum(F.col("x") ** 2))
+                                  .alias("_n"))
+        dots = (vex.join(F.broadcast(cents), "pos")
+                .groupBy(vid, "_cell")
+                .agg(F.sum(F.col("x") * F.col("cx")).alias("_dot")))
+        return (dots.join(vn, vid).join(F.broadcast(cnorm), "_cell")
+                .select(vid, "_cell",
+                        (F.col("_dot") / (F.col("_n") * F.col("_cn")))
+                        .alias("_sim")))
+
+    # corpus assignment: argmax as a map-side-combinable struct agg
+    csims = cell_sims(corpus, id_col)
+    cassign = (csims.groupBy(id_col)
+               .agg(F.max(F.struct(F.col("_sim"),
+                                   (-F.col("_cell")).alias("nc"))).alias("_m"))
+               .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell")))
+    # query probing: top-nprobe cells (query side is small; window fine)
+    qsims = cell_sims(queries, query_id)
+    wq = Window.partitionBy(query_id).orderBy(F.col("_sim").desc(),
+                                              F.col("_cell"))
+    qassign = (qsims.withColumn("_rn", F.row_number().over(wq))
+               .filter(F.col("_rn") <= max(1, nprobe))
+               .select(query_id, "_cell"))
+
+    # residuals in long subspace format: (id, _cell, sub, spos, rx)
+    def residual_sub(vex: DataFrame, vid: str,
+                     assign: DataFrame) -> DataFrame:
+        return (vex.join(assign, vid)
+                .join(F.broadcast(cents), ["_cell", "pos"])
+                .select(vid, "_cell",
+                        (F.col("pos") / dsub).cast("int").alias("sub"),
+                        (F.col("pos") % dsub).alias("spos"),
+                        (F.col("x") - F.col("cx")).alias("rx")))
+
+    rex = residual_sub(ex, id_col, cassign)
+    # shared residual codebook: residual subvectors of the first
+    # num_codes corpus vectors (w.r.t. their own cells)
+    cb = (rex.filter(F.col(id_col) < num_codes)
+          .select("sub", F.col(id_col).cast("int").alias("code"),
+                  "spos", F.col("rx").alias("cbx")))
+    d2 = (rex.join(F.broadcast(cb), ["sub", "spos"])
+          .groupBy(id_col, "_cell", "sub", "code")
+          .agg(F.sum((F.col("rx") - F.col("cbx")) ** 2).alias("d2")))
+    codes = (d2.groupBy(id_col, "_cell", "sub")
+             .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m"))
+             .select(id_col, "_cell", "sub", F.col("_m.code").alias("code")))
+
+    qex = (_as_double(queries, vec_col)
+           .select(F.col(id_col).alias(query_id),
+                   F.posexplode(vec_col).alias("pos", "x")))
+    qres = residual_sub(qex, query_id, qassign)
+    dtab = (qres.join(F.broadcast(cb), ["sub", "spos"])
+            .groupBy(query_id, "_cell", "sub", "code")
+            .agg(F.sum((F.col("rx") - F.col("cbx")) ** 2).alias("pd")))
+    adist = (codes.join(F.broadcast(dtab), ["_cell", "sub", "code"])
+             .filter(F.col(id_col) != F.col(query_id))
+             .groupBy(query_id, id_col)
+             .agg(F.round(F.sum("pd"), 6).alias("adist")))
+    w = Window.partitionBy(query_id).orderBy(F.col("adist"), F.col(id_col))
+    return (adist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

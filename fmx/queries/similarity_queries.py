@@ -576,3 +576,91 @@ def ann_ivf_cell_histogram(spark, sf):
         F.round(F.col("n") / F.sum("n").over(wall), 6).alias("share"),
         F.round(F.max("n").over(wall) * F.count("*").over(wall)
                 / F.sum("n").over(wall), 4).alias("skew_ratio"))
+
+
+_DSUB = DIM // PQ_M
+
+_IVFPQ_COARSE = f"""
+cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
+          WHERE vec_id < {N_CELLS}),
+cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents GROUP BY cell),
+csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
+         FROM ex e JOIN cents c ON e.pos = c.pos
+         GROUP BY e.vec_id, c.cell),
+csim2 AS (SELECT csim.vec_id, csim.cell,
+                 dot / (norms.nrm * cnorm.cn) AS sim
+          FROM csim JOIN norms ON csim.vec_id = norms.vec_id
+                    JOIN cnorm ON csim.cell = cnorm.cell),
+cassign AS (SELECT vec_id, cell FROM csim2
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell) <= 1),
+qassign AS (SELECT vec_id AS query_id, cell FROM csim2
+            WHERE vec_id < {N_QUERIES}
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell)
+                    <= {N_PROBE})
+"""
+
+_IVFPQ_RESIDUAL = f"""
+crx AS (SELECT e.vec_id, a.cell,
+               CAST(e.pos // {_DSUB} AS BIGINT) AS sub,
+               e.pos % {_DSUB} AS spos, e.x - c.cx AS rx
+        FROM ex e JOIN cassign a ON e.vec_id = a.vec_id
+                  JOIN cents c ON a.cell = c.cell AND e.pos = c.pos),
+rcb AS (SELECT sub, vec_id AS code, spos, rx AS cbx
+        FROM crx WHERE vec_id < {PQ_CODES}),
+rd2 AS (SELECT s.vec_id, s.cell, s.sub, c.code,
+               sum((s.rx - c.cbx) * (s.rx - c.cbx)) AS d2
+        FROM crx s JOIN rcb c ON s.sub = c.sub AND s.spos = c.spos
+        GROUP BY s.vec_id, s.cell, s.sub, c.code),
+rcodes AS (SELECT vec_id, cell, sub, CAST(code AS BIGINT) AS code FROM rd2
+           QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, code) = 1),
+qrx AS (SELECT a.query_id, a.cell,
+               CAST(q.pos // {_DSUB} AS BIGINT) AS sub,
+               q.pos % {_DSUB} AS spos, q.x - c.cx AS rx
+        FROM ex q JOIN qassign a ON q.vec_id = a.query_id
+                  JOIN cents c ON a.cell = c.cell AND q.pos = c.pos),
+dtab AS (SELECT s.query_id, s.cell, s.sub, CAST(c.code AS BIGINT) AS code,
+                sum((s.rx - c.cbx) * (s.rx - c.cbx)) AS pd
+         FROM qrx s JOIN rcb c ON s.sub = c.sub AND s.spos = c.spos
+         GROUP BY s.query_id, s.cell, s.sub, c.code)
+"""
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_EX}, {_IVFPQ_COARSE}, {_IVFPQ_RESIDUAL},
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM rcodes k JOIN dtab d ON k.cell = d.cell
+                                       AND k.sub = d.sub
+                                       AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, adist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, vec_id) AS BIGINT)
+               AS rank
+    FROM adist QUALIFY rank <= {K}
+    """)
+def ann_ivfpq_topk(spark, sf):
+    """IVF-PQ ANN (the FAISS ``IVF8,PQ4`` composition): coarse cells
+    prune the scan to nprobe=2 cells per query, PQ codes of the
+    RESIDUAL (vector minus cell centroid) shrink what the scan reads
+    to 4 ints per vector, and ADC sums broadcast distance-table
+    lookups.  Coarse centroids and the residual codebook are DERIVED
+    relations (first-N-vectors convention) joined executor-side —
+    nothing is collected to the driver, so the identical plan holds
+    when the centroid table outgrows broadcast
+    (fmx.operators.similarity.ivfpq_topk)."""
+    emb = T(spark, sf, "embeddings")
+    out = S.ivfpq_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                       "vec_id", "embedding", k=K, num_cells=N_CELLS,
+                       nprobe=N_PROBE, m=PQ_M, num_codes=PQ_CODES,
+                       dim=DIM)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "adist",
+                      F.col("rank").cast("bigint").alias("rank"))

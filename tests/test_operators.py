@@ -109,6 +109,17 @@ def test_ann_recall_floors_every_path(spark):
     assert recall(S.pq_topk(emb, q, "vec_id", "embedding", k=25)) >= 0.4
     assert recall(S.pq_rerank_topk(emb, q, "vec_id", "embedding", k=5,
                                    k_cand=25)) >= 0.4
+    # IVF-PQ: nprobe=2/8 cells prunes candidates, so top-5 recall is
+    # probe-limited (measured 0.20), but the 25-candidate shortlist —
+    # what a rerank consumes — recalls 0.66, ABOVE the raw-PQ 0.48:
+    # quantizing residuals instead of raw vectors is worth ~0.18 recall
+    ivfpq5 = recall(S.ivfpq_topk(emb, q, "vec_id", "embedding", k=5))
+    ivfpq25 = recall(S.ivfpq_topk(emb, q, "vec_id", "embedding", k=25))
+    assert ivfpq5 >= 0.12, ivfpq5
+    assert ivfpq25 >= 0.5, ivfpq25
+    assert ivfpq25 >= recall(S.pq_topk(emb, q, "vec_id", "embedding",
+                                       k=25)), "residual PQ shortlist " \
+        "should dominate raw-vector PQ shortlist"
 
 
 def test_ivf_topk_shapes_and_selfconsistency(spark, sf_dir):
