@@ -319,3 +319,29 @@ def test_vocab_kl_no_corpus_cartesian(spark, sf_dir):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "BuildRight" in ln
+
+
+def test_ivfpq_no_cartesian_no_collect(spark, sf_dir):
+    """IVF-PQ must meet candidates through the (cell, sub, code)
+    equi-join — no cartesian and no nested-loop anywhere — and both
+    the centroid table and the residual codebook must be derived
+    relations (the plan contains only parquet scans, no
+    LocalTableScan of driver literals)."""
+    plan = _plan(spark, sf_dir, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LocalTableScan" not in plan
+
+
+def test_token_budget_mix_single_shuffle(spark, sf_dir):
+    """Token-budget mixing is one shuffle (the per-source cumulative
+    window); any join or second Exchange means it regressed."""
+    plan = _plan(spark, sf_dir, "sample_token_budget_mix")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_k_hop_equi_joins_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_k_hop_2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
