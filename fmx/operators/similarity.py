@@ -24,7 +24,7 @@ from fmx.core import linalg as L
 __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
-           "pq_rerank_topk", "rank_eval", "ivfpq_topk"]
+           "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -603,4 +603,30 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              .agg(F.round(F.sum("pd"), 6).alias("adist")))
     w = Window.partitionBy(query_id).orderBy(F.col("adist"), F.col(id_col))
     return (adist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 5, c: int = 60,
+             query_id: str = "query_id", id_col: str = "vec_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion of N candidate rankings:
+    rrf(q, d) = sum over rankings of 1 / (c + rank) — the standard
+    score-free way to combine retrieval paths (lexical + vector,
+    or several ANN indexes) without calibrating their scores.
+
+    Input rankings are already top-k' relations (k' rows per query
+    each), so fusion is a union of tiny relations + one (query, id)
+    hash-agg + a per-query WindowGroupLimit — cost is rankings x k'
+    rows per query, independent of corpus size."""
+    parts = [r.select(F.col(query_id), F.col(id_col),
+                      (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col)))
+                      .alias("_w"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy(query_id, id_col)
+             .agg(F.round(F.sum("_w"), 9).alias("rrf")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("rrf"), F.col(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -16,6 +16,7 @@ __all__ = [
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
+    "bm25_topk",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -493,3 +494,44 @@ def vocab_kl_by_group(df: DataFrame, group_col: str, text_col: str,
     return (dense.groupBy(group_col)
             .agg(F.first("_ng").cast("bigint").alias("n_tokens"),
                  F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_rest")))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 keyword retrieval: the top-``k`` documents for a bag of
+    query ``terms`` — the lexical-search complement to the ANN stack
+    (and the first stage of every hybrid retrieval system).
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with the Robertson-Sparck-Jones idf ln(1 + (N - df + .5)/(df + .5)).
+
+    Fully relational, one corpus scan: per-doc lengths and per-(doc,
+    term) tf come from the same explode, df/N/avgdl are a tiny
+    broadcast (|terms| + 1 rows), and the final top-k executes as
+    TakeOrderedAndProject (per-partition k-row heaps — no global
+    sort).  At 100 TB the production variant reads tf from the
+    persisted ``inverted_index`` postings instead of re-exploding the
+    corpus; the scoring arithmetic is identical.
+    """
+    toks = (df.select(F.col(id_col), F.explode(_toks(text_col))
+                      .alias("token"))
+            .filter(F.col("token") != ""))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    tf = (toks.filter(F.col("token").isin(list(terms)))
+          .groupBy(id_col, "token").agg(F.count("*").alias("_tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    norm = F.col("_tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl"))
+    contrib = idf * F.col("_tf") * F.lit(float(k1) + 1.0) / norm
+    scored = (tf.join(dl, id_col)
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(F.round(F.sum(contrib), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score"), id_col)
+    return top.withColumn("rank", F.row_number().over(w))

@@ -664,3 +664,68 @@ def ann_ivfpq_topk(spark, sf):
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "adist",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+RRF_K = 10              # per-path shortlist depth fed into the fusion
+RRF_C = 60
+
+
+@query(
+    "ann_hybrid_rrf",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    cosr AS (SELECT query_id, dots.vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(dot / (nq.nrm * nc.nrm), 6)
+                                                DESC, dots.vec_id) AS rank
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id
+             QUALIFY rank <= {RRF_K}),
+    dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
+                        AS code,
+                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+             FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+             WHERE s.vec_id < {N_QUERIES}
+             GROUP BY s.vec_id, s.sub, c.code),
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id),
+    pqr AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist, vec_id) AS rank
+            FROM adist QUALIFY rank <= {RRF_K}),
+    uni AS (SELECT query_id, vec_id, 1.0 / ({RRF_C} + rank) AS w FROM cosr
+            UNION ALL
+            SELECT query_id, vec_id, 1.0 / ({RRF_C} + rank) AS w FROM pqr),
+    fused AS (SELECT query_id, vec_id, round(sum(w), 9) AS rrf
+              FROM uni GROUP BY query_id, vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM fused QUALIFY rank <= {K}
+    """)
+def ann_hybrid_rrf(spark, sf):
+    """Reciprocal-rank fusion of two retrieval paths (exact cosine +
+    PQ ADC, 10 candidates each): rrf = sum 1/(60 + rank) — the
+    score-free hybrid-retrieval combiner.  Fusion touches only the
+    top-k' relations (2 x 10 rows per query): a union + one
+    (query, id) agg + WindowGroupLimit, corpus-size-independent
+    (fmx.operators.similarity.rrf_fuse)."""
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    cos = S.cosine_topk(emb, q, "vec_id", "embedding", k=RRF_K)
+    pq = S.pq_topk(emb, q, "vec_id", "embedding", k=RRF_K, m=PQ_M,
+                   num_codes=PQ_CODES, dim=DIM)
+    out = S.rrf_fuse([cos, pq], k=K, c=RRF_C)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "rrf",
+                      F.col("rank").cast("bigint").alias("rank"))

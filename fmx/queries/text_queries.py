@@ -685,3 +685,46 @@ def text_tokenizer_fertility(spark, sf):
                  F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
                  F.round(F.sum("bpe_tokens") / F.sum("ws_tokens"), 6)
                  .alias("fertility")))
+
+
+_BM25_TERMS = "('dup', 'spark', 'merge')"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tk2 GROUP BY doc_id),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tk2
+           WHERE token IN {_BM25_TERMS} GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    sc AS (SELECT tf.doc_id,
+                  round(sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+                        6) AS score
+           FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   JOIN dfq ON tf.token = dfq.token
+                   CROSS JOIN st
+           GROUP BY tf.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM sc QUALIFY rank <= 10
+    """)
+def text_bm25_topk(spark, sf):
+    """BM25 keyword retrieval (query bag: dup/spark/merge — one rare
+    term for idf contrast): per-doc tf and lengths from ONE corpus
+    explode, df/N/avgdl as a broadcast handful of rows, top-10 via
+    per-partition heaps (TakeOrderedAndProject)
+    (fmx.operators.text.bm25_topk)."""
+    from fmx.operators.text import bm25_topk
+
+    out = bm25_topk(T(spark, sf, "documents"), "doc_id", "text",
+                    terms=["dup", "spark", "merge"], k=10)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "score",
+                      F.col("rank").cast("bigint").alias("rank"))

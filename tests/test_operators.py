@@ -1010,3 +1010,34 @@ def test_url_normalize_ports(spark):
     assert got[2] == ("https://ex.com/a", "ex.com")
     assert got[3] == ("http://ex.com:8080/a", "ex.com")
     assert got[4] == ("https://ex.com", "ex.com")
+
+
+def test_bm25_known_tiny_corpus(spark):
+    """A document containing the query term must outrank ones that
+    don't (which score nothing and are absent); higher tf wins at
+    equal length; longer docs are length-penalized at equal tf."""
+    from fmx.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "x x dup y y"),        # tf=1, dl=5
+         (2, "x dup dup y y"),      # tf=2, dl=5 -> beats doc 1
+         (3, "x y z w q"),          # no query term -> absent
+         (4, "dup " + "pad " * 20)],  # tf=1 but long -> below doc 1
+        ["doc_id", "text"])
+    out = bm25_topk(docs, "doc_id", "text", terms=["dup"], k=10)
+    rows = {r.doc_id: (r.score, r.rank) for r in out.collect()}
+    assert 3 not in rows
+    assert rows[2][1] == 1          # highest tf first
+    assert rows[2][0] > rows[1][0] > rows[4][0] > 0
+
+
+def test_rrf_fusion_prefers_agreement(spark):
+    """An item ranked by BOTH paths must out-fuse items each path
+    ranks alone at the same positions."""
+    a = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2)], ["query_id", "vec_id", "rank"])
+    b = spark.createDataFrame(
+        [(0, 100, 2), (0, 102, 1)], ["query_id", "vec_id", "rank"])
+    out = {r.vec_id: r.rank for r in S.rrf_fuse([a, b], k=3).collect()}
+    assert out[100] == 1            # 1/61 + 1/62 beats either alone
+    assert set(out) == {100, 101, 102}
