@@ -630,6 +630,7 @@ dtab AS (SELECT s.query_id, s.cell, s.sub, CAST(c.code AS BIGINT) AS code,
 
 @query(
     "ann_ivfpq_topk",
+    headline=True,
     oracle=f"""
     WITH {_EX}, {_IVFPQ_COARSE}, {_IVFPQ_RESIDUAL},
     adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
