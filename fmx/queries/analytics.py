@@ -1336,3 +1336,113 @@ def graph_k_hop_2(spark, sf):
                      .alias("node")))
     out = k_hop(edges, seeds, k=2)
     return out.select("node", F.col("hop").cast(BIG).alias("hop"))
+
+
+@query(
+    "copurchase_pmi",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+    icnt AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey),
+    pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     count(*) AS n_ab
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+              HAVING count(*) >= 2)
+    SELECT CAST(pa AS BIGINT) AS item_a, CAST(pb AS BIGINT) AS item_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * nb.n / (ca.c * cb.c)), 6)
+               AS pmi
+    FROM pairs JOIN icnt ca ON pairs.pa = ca.l_partkey
+               JOIN icnt cb ON pairs.pb = cb.l_partkey
+               CROSS JOIN nb
+    """)
+def copurchase_pmi(spark, sf):
+    """Pointwise mutual information of co-purchased item pairs —
+    pmi = ln(n_ab * N / (n_a * n_b)), the association statistic that
+    separates genuinely-related pairs from popularity coincidence
+    (raw co-counts always rank bestsellers together).  Same
+    basket-capped within-order pair join as copurchase_topk; item
+    marginals and the basket count join back as broadcasts."""
+    li = (T(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li = (li.withColumn("_rn", F.row_number().over(wcap))
+          .filter(F.col("_rn") <= 32).drop("_rn"))
+    nb = li.agg(F.countDistinct("l_orderkey").alias("_n"))
+    icnt = li.groupBy("l_partkey").agg(F.count("*").alias("_c"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb").agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= 2))
+    return (pairs
+            .join(F.broadcast(icnt.withColumnRenamed("l_partkey", "pa")
+                              .withColumnRenamed("_c", "_ca")), "pa")
+            .join(F.broadcast(icnt.withColumnRenamed("l_partkey", "pb")
+                              .withColumnRenamed("_c", "_cb")), "pb")
+            .crossJoin(F.broadcast(nb))
+            .select(F.col("pa").cast(BIG).alias("item_a"),
+                    F.col("pb").cast(BIG).alias("item_b"),
+                    F.col("n_ab").cast(BIG).alias("n_ab"),
+                    F.round(F.log(F.col("n_ab").cast("double")
+                                  * F.col("_n")
+                                  / (F.col("_ca") * F.col("_cb"))), 6)
+                    .alias("pmi")))
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    WITH o_orph AS (SELECT count(*) AS n FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)),
+    l_orph AS (SELECT count(*) AS n FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)),
+    e_null AS (SELECT count(*) AS n FROM events WHERE user_id IS NULL),
+    tot AS (SELECT (SELECT count(*) FROM orders) AS n_orders,
+                   (SELECT count(*) FROM lineitem) AS n_lineitem)
+    SELECT CAST(tot.n_orders AS BIGINT) AS n_orders,
+           CAST(o_orph.n AS BIGINT) AS orders_orphaned_customer,
+           CAST(tot.n_lineitem AS BIGINT) AS n_lineitem,
+           CAST(l_orph.n AS BIGINT) AS lineitem_orphaned_order,
+           CAST(e_null.n AS BIGINT) AS events_null_user
+    FROM tot, o_orph, l_orph, e_null
+    """)
+def dq_referential_integrity(spark, sf):
+    """Cross-table referential-integrity gate: orphaned foreign keys
+    (orders without a customer, lineitems without an order) and null
+    join keys — the DQ check that catches partial loads and broken
+    ingest ordering before a downstream join silently drops rows.
+    Each orphan count is one ANTI join against the (broadcastable or
+    shuffled) parent keys; the whole report is a handful of 1-row
+    aggregates joined by literal cross of tiny relations."""
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    li = T(spark, sf, "lineitem")
+    ev = T(spark, sf, "events")
+    o_orph = (o.join(c.select("c_custkey").distinct(),
+                     o.o_custkey == F.col("c_custkey"), "left_anti")
+              .agg(F.count("*").cast(BIG)
+                   .alias("orders_orphaned_customer")))
+    l_orph = (li.join(o.select("o_orderkey").distinct(),
+                      li.l_orderkey == F.col("o_orderkey"), "left_anti")
+              .agg(F.count("*").cast(BIG)
+                   .alias("lineitem_orphaned_order")))
+    e_null = (ev.filter(F.col("user_id").isNull())
+              .agg(F.count("*").cast(BIG).alias("events_null_user")))
+    tot = o.agg(F.count("*").cast(BIG).alias("n_orders"))
+    tot2 = li.agg(F.count("*").cast(BIG).alias("n_lineitem"))
+    return (tot.crossJoin(F.broadcast(o_orph))
+            .crossJoin(F.broadcast(tot2))
+            .crossJoin(F.broadcast(l_orph))
+            .crossJoin(F.broadcast(e_null))
+            .select("n_orders", "orders_orphaned_customer",
+                    "n_lineitem", "lineitem_orphaned_order",
+                    "events_null_user"))

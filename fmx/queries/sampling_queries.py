@@ -422,3 +422,41 @@ def sample_token_budget_mix(spark, sf):
                       "source",
                       F.col("cum_tokens").cast("bigint")
                       .alias("cum_tokens"))
+
+
+@query(
+    "sample_curriculum_ntile",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, n_chars,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage,
+             {_U.format(tag='curr', seed=SEED, col='doc_id')} AS u
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(stage AS BIGINT) AS stage,
+           CAST(row_number() OVER (PARTITION BY stage ORDER BY u, doc_id)
+                AS BIGINT) AS stage_rank
+    FROM staged
+    """)
+def sample_curriculum_ntile(spark, sf):
+    """Curriculum staging: quartile documents by a difficulty proxy
+    (length) into 4 stages, with a deterministic md5-shuffled order
+    inside each stage — the easy-to-hard training schedule as two
+    window columns.  The ntile is a global ORDER BY at sandbox scale;
+    the documented scale path replaces it with approx-quantile edges
+    (profile_quantiles) + a CASE bucket, turning the stage id into a
+    map-only expression; the within-stage rank stays a per-stage
+    window either way."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf, "documents").select("doc_id", "n_chars")
+    u = SMP.hash_uniform01("doc_id", "curr", SEED)
+    staged = docs.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy("n_chars", "doc_id")))
+    return (staged
+            .withColumn("stage_rank", F.row_number().over(
+                Window.partitionBy("stage").orderBy(u.asc(),
+                                                    F.col("doc_id"))))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("stage").cast("bigint").alias("stage"),
+                    F.col("stage_rank").cast("bigint").alias("stage_rank")))

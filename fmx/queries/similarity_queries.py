@@ -730,3 +730,49 @@ def ann_hybrid_rrf(spark, sf):
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "rrf",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "emb_centroid_shift",
+    oracle="""
+    WITH ex AS (SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    lc AS (SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos),
+    gc AS (SELECT pos, avg(x) AS g FROM ex GROUP BY pos),
+    nv AS (SELECT label, count(DISTINCT vec_id) AS n FROM ex
+           GROUP BY label),
+    dot AS (SELECT label, sum(m * g) AS d, sqrt(sum(m * m)) AS nm,
+                   (SELECT sqrt(sum(g * g)) FROM gc) AS ng
+            FROM lc JOIN gc ON lc.pos = gc.pos GROUP BY label)
+    SELECT CAST(dot.label AS BIGINT) AS label,
+           CAST(nv.n AS BIGINT) AS n_vectors,
+           round(d / (nm * ng), 6) AS cos_to_global
+    FROM dot JOIN nv ON dot.label = nv.label
+    """)
+def emb_centroid_shift(spark, sf):
+    """Per-label embedding centroid vs the global centroid (cosine) —
+    the drift/cluster-compactness readout that flags a label or source
+    whose embedding distribution has moved (encoder change, corpus
+    shift) before it poisons ANN recall.  All long-format hash-aggs:
+    one (label, pos) mean, one (pos) mean, one label-sized join — no
+    vectors ever collected."""
+    ex = (T(spark, sf, "embeddings")
+          .select("vec_id", "label",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("pos", "x")))
+    lc = ex.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    gc = ex.groupBy("pos").agg(F.avg("x").alias("g"))
+    nv = ex.groupBy("label").agg(F.countDistinct("vec_id").alias("n"))
+    ng = gc.agg(F.sqrt(F.sum(F.col("g") ** 2)).alias("_ng"))
+    dot = (lc.join(F.broadcast(gc), "pos")
+           .groupBy("label")
+           .agg(F.sum(F.col("m") * F.col("g")).alias("d"),
+                F.sqrt(F.sum(F.col("m") ** 2)).alias("nm"))
+           .crossJoin(F.broadcast(ng)))
+    return (dot.join(F.broadcast(nv), "label")
+            .select(F.col("label").cast("bigint").alias("label"),
+                    F.col("n").cast("bigint").alias("n_vectors"),
+                    F.round(F.col("d") / (F.col("nm") * F.col("_ng")), 6)
+                    .alias("cos_to_global")))
