@@ -538,11 +538,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     norms = ex.groupBy(id_col).agg(F.sqrt(F.sum(F.col("x") ** 2))
                                    .alias("_nrm"))
 
-    def cell_sims(vecs: DataFrame, vid: str) -> DataFrame:
-        """(vid, _cell, _sim) — cosine against every coarse centroid."""
-        vex = (_as_double(vecs, vec_col)
-               .select(F.col(id_col).alias(vid),
-                       F.posexplode(vec_col).alias("pos", "x")))
+    def cell_sims(vex: DataFrame, vid: str) -> DataFrame:
+        """(vid, _cell, _sim) — cosine against every coarse centroid,
+        over an ALREADY-EXPLODED (vid, pos, x) relation: the corpus
+        path reuses ``ex`` so the scan+explode subtree canonicalizes
+        identically wherever it appears (exchange/subtree reuse)
+        instead of re-deriving it per consumer."""
         vn = vex.groupBy(vid).agg(F.sqrt(F.sum(F.col("x") ** 2))
                                   .alias("_n"))
         dots = (vex.join(F.broadcast(cents), "pos")
@@ -554,13 +555,16 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                         .alias("_sim")))
 
     # corpus assignment: argmax as a map-side-combinable struct agg
-    csims = cell_sims(corpus, id_col)
+    csims = cell_sims(ex, id_col)
     cassign = (csims.groupBy(id_col)
                .agg(F.max(F.struct(F.col("_sim"),
                                    (-F.col("_cell")).alias("nc"))).alias("_m"))
                .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell")))
     # query probing: top-nprobe cells (query side is small; window fine)
-    qsims = cell_sims(queries, query_id)
+    qex = (_as_double(queries, vec_col)
+           .select(F.col(id_col).alias(query_id),
+                   F.posexplode(vec_col).alias("pos", "x")))
+    qsims = cell_sims(qex, query_id)
     wq = Window.partitionBy(query_id).orderBy(F.col("_sim").desc(),
                                               F.col("_cell"))
     qassign = (qsims.withColumn("_rn", F.row_number().over(wq))
@@ -590,9 +594,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m"))
              .select(id_col, "_cell", "sub", F.col("_m.code").alias("code")))
 
-    qex = (_as_double(queries, vec_col)
-           .select(F.col(id_col).alias(query_id),
-                   F.posexplode(vec_col).alias("pos", "x")))
     qres = residual_sub(qex, query_id, qassign)
     dtab = (qres.join(F.broadcast(cb), ["sub", "spos"])
             .groupBy(query_id, "_cell", "sub", "code")
