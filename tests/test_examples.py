@@ -50,3 +50,8 @@ def test_vector_search_example_runs(tmp_path):
 def test_streaming_pipeline_example_runs(tmp_path):
     stdout = _run("streaming_pipeline.py", str(tmp_path / "out"))
     assert stdout.strip()  # completed without error and reported
+
+
+def test_hybrid_search_example_runs(tmp_path):
+    stdout = _run("hybrid_search.py")
+    assert "fused recall" in stdout
