@@ -93,7 +93,6 @@ _PRIORITY = [
     # -- re-checks: most recent driver row is r01 --
     "a7_min_max",
     "a8_count",
-    "agg_cube",
     "array_sql_funcs",
     "bool_bitwise_aggs",
     "exists_subquery",
@@ -106,23 +105,33 @@ _PRIORITY = [
     "p2_drop_column",
     "p4_distinct",
     "pivot_status",
-    "rank_functions",
-    "scalar_subquery",
     "set_intersect",
     "set_union_distinct",
-    "stats_agg",
     "string_manipulation",
     "union_by_name",
     "unpivot_melt",
     "window_value_funcs",
-    # -- re-checks: most recent driver row is r02 (oldest evidence) --
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "fm_predict_served",
-    # (rotated out to make room for the round-5 additions above —
+    # -- never driver-checked (late round-5 additions) --
+    "sample_token_budget_mix",
+    "attribution_position_weighted",
+    "graph_k_hop_2",
+    "ann_ivfpq_topk",
+    "text_bm25_topk",
+    "ann_hybrid_rrf",
+    "copurchase_pmi",
+    "dq_referential_integrity",
+    "emb_centroid_shift",
+    "sample_curriculum_ntile",
+    # (rotated out to make room for the round-5 additions above:
+    # the six r02-era re-checks (ann_lsh_topk, dedup_embedding_cosine,
+    # dedup_incremental, dedup_minhash_lsh_pairs, dedup_simhash,
+    # fm_predict_served) — all r02-green, harness-checked at both SFs
+    # every round, lsh-pairs additionally a bench headliner — and four
+    # r01-era composite shapes whose machinery later queries re-verify
+    # transitively (agg_cube via grouping_sets, rank_functions via the
+    # WindowGroupLimit family, scalar_subquery via the broadcast-1-row
+    # pattern in tpch_q11/q15, stats_agg via profile_* corr/regr).
+    # All re-enter the r6 window.  Earlier rotation notes:
     # text_stats/text_language_id/text_quality/text_redaction/
     # text_fingerprint/having_filter/ann_lsh_buckets/emb_normalize/
     # emb_quantize/ann_cosine_topk/dedup_exact/ann_ivf_topk/

@@ -14,8 +14,8 @@ def test_queries_and_oracles_align(spark):
     osql = entrymod.oracle_sql()
     # tight lower bound: a module accidentally dropped from
     # fmx.queries._MODULES silently removes its whole query family —
-    # the count floor catches that class of regression (199 at r5)
-    assert len(qs) >= 195
+    # the count floor catches that class of regression (210 at r5)
+    assert len(qs) >= 206
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs)
     # the non-oracled set is exactly the declared non-SQL ops
