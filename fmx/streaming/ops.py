@@ -449,3 +449,85 @@ def stream_sessionize_ids(events: DataFrame) -> DataFrame:
                 stateStructType=_SESSION_ID_STATE,
                 outputMode="Update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          max_files: int = 1) -> DataFrame:
+    """File-source stream over the documents parquet (same symlink-dir
+    + locked-schema mechanics as ``read_events_stream``)."""
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    stream_dir = os.path.join(tempfile.gettempdir(),
+                              "fmx_stream_" + src.replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(stream_dir))
+
+
+POSTINGS_SCHEMA = StructType([
+    StructField("token", StringType()),
+    StructField("df", LongType()),
+    StructField("postings", StringType()),
+])
+
+# per-token register: running distinct-doc count + the lowest
+# max_postings doc ids as a csv (bounded state per token, forever)
+_POSTINGS_STATE = StructType([
+    StructField("df", LongType()),
+    StructField("postings", StringType()),
+])
+
+
+def stream_inverted_postings(docs: DataFrame, min_df: int = 2,
+                             max_postings: int = 20) -> DataFrame:
+    """Streaming incremental inverted index: per-token document
+    frequency + capped posting list maintained across micro-batches —
+    the indexing side of ingest-time search, as the same mergeable-
+    register pattern as the HLL/histogram state (state per token is
+    ONE count + <= ``max_postings`` ids, bounded forever; a min-k set
+    merges associatively, so batch boundaries can't change the
+    result).
+
+    Assumes each document arrives exactly ONCE on the stream (true for
+    file/log sources; a redelivering source needs an upstream
+    ``stream_dedup``) — df increments rely on it.  Equality with the
+    batch twin (``fmx.operators.text.inverted_index``) is pinned by
+    test; the ``df >= min_df`` noise filter applies to the EMITTED
+    relation, while state keeps singletons so late mates can still
+    promote them."""
+    # same tokenization as the batch twin (no empty-token filter: the
+    # twins must agree token-for-token)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    def _apply(key, pdfs, state: GroupState):
+        seen = set()
+        for pdf in pdfs:
+            seen.update(int(d) for d in pdf["doc_id"])
+        if state.exists:
+            df0, csv = state.get
+            posts = [int(x) for x in csv.split(",") if x != ""]
+        else:
+            df0, posts = 0, []
+        df0 += len(seen)
+        posts = sorted(set(posts) | seen)[:max_postings]
+        state.update((df0, ",".join(str(p) for p in posts)))
+        yield pd.DataFrame({"token": [key[0]], "df": [df0],
+                            "postings": [",".join(str(p) for p in posts)]})
+
+    out = (toks.groupBy("token")
+           .applyInPandasWithState(
+               _apply,
+               outputStructType=POSTINGS_SCHEMA,
+               stateStructType=_POSTINGS_STATE,
+               outputMode="Update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    return out.filter(F.col("df") >= min_df)

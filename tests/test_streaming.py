@@ -487,3 +487,56 @@ def test_stream_sessionize_ids_live_trigger(spark):
             "no user observed in two different live batches"
     finally:
         q.stop()
+
+
+def test_stream_inverted_postings_matches_batch(spark, sf_dir):
+    """The streaming postings register under availableNow equals the
+    batch inverted_index (df counts and capped posting lists)."""
+    from fmx.operators.text import inverted_index
+
+    docs = S.read_documents_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_inverted_postings(docs), "postings",
+                       "update")
+    got = {r.token: (r.df, r.postings)
+           for r in spark.sql("SELECT * FROM postings").collect()}
+    want = {r.token: (r.df, r.postings)
+            for r in inverted_index(load_table(spark, sf_dir, "documents"),
+                                    "doc_id", "text").collect()}
+    assert got == want and got
+    q.stop()
+
+
+def test_stream_inverted_postings_state_merges_across_batches(spark,
+                                                              tmp_path):
+    """Two micro-batches of documents: df accumulates and the posting
+    list keeps the LOWEST ids seen across both (min-k register), not
+    just the latest batch's."""
+    import os
+
+    d1 = str(tmp_path / "in")
+    os.makedirs(d1)
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame([(5, "alpha beta"), (6, "alpha")], schema) \
+        .write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], schema) \
+        .write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    # copy batch files in as separate stream files
+    import shutil
+    for i, b in enumerate(["b1", "b2"]):
+        for f in os.listdir(str(tmp_path / b)):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / b / f), f"{d1}/{i}_{f}")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d1))
+    q = _run_to_memory(
+        S.stream_inverted_postings(stream, min_df=2, max_postings=2),
+        "postings2", "update")
+    # the memory sink appends every update row; the final register
+    # state per token is the row with the highest df (monotone counter)
+    rows = {}
+    for r in spark.sql("SELECT * FROM postings2").collect():
+        if r.token not in rows or r.df > rows[r.token][0]:
+            rows[r.token] = (r.df, r.postings)
+    q.stop()
+    assert rows["alpha"] == (3, "1,5")      # min-2 of {1, 5, 6}
+    assert rows["beta"] == (2, "2,5")       # docs 5 (b1) and 2 (b2)
