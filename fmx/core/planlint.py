@@ -79,11 +79,17 @@ def lint_plan(df: DataFrame, wide_scan_cols: int = 12) -> list[Finding]:
         if n:
             out.append(Finding(code, f"{msg} ({n}x)"))
 
-    # global window: empty partition spec prints as two bracket groups
-    # ("Window [fns], [ord]") vs three for partitioned windows
+    # global window: the Window node prints "[fns], [part], [ord]" when
+    # both specs exist, and two groups when one is absent — the second
+    # group is an ORDER spec (contains ASC/DESC sort directions) only
+    # when the partition spec is empty.  A partitioned-but-unordered
+    # window (running per-group aggregates) is NOT global.
     for ln in plan.splitlines():
         s = ln.strip().lstrip("+-: *(").rstrip(")")
-        if s.startswith("Window ") and len(_bracket_groups(ln)) == 2:
+        if not s.startswith("Window "):
+            continue
+        groups = _bracket_groups(ln)
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
             out.append(Finding(
                 "global-window",
                 "window with no PARTITION BY: all rows in one task"))

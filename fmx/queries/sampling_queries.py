@@ -364,20 +364,23 @@ def sample_interleaved_order(spark, sf):
     reading in rank order cycles one doc per source (the curriculum /
     mixing order that keeps every batch source-balanced without
     shuffling rows).  One shuffle on source for the within-source
-    ranks; the source index and count come from windows over the same
-    relation; no global sort is ever executed — the rank is a COLUMN,
-    consumed by whatever ordered writer needs it."""
+    ranks; the source index comes from a ranking window over the
+    DISTINCT-sources relation (#sources rows, then a broadcast join
+    back — a dense_rank window directly over the doc relation would
+    funnel the whole corpus through one task) and the source count is
+    a broadcast 1-row join; no global sort is ever executed — the rank
+    is a COLUMN, consumed by whatever ordered writer needs it."""
     from pyspark.sql import Window
 
     docs = T(spark, sf, "documents").select("doc_id", "source")
     w = Window.partitionBy("source").orderBy("doc_id")
-    # the exact source count enters as a broadcast 1-row join (distinct
-    # aggregates aren't valid window functions in Spark)
     ns = docs.agg(F.countDistinct("source").alias("_ns"))
+    srcs = (docs.select("source").distinct()
+            .withColumn("si", F.row_number().over(
+                Window.orderBy("source")) - 1))
     ranked = (docs
               .withColumn("rn", F.row_number().over(w) - 1)
-              .withColumn("si", F.dense_rank().over(
-                  Window.orderBy("source")) - 1)
+              .join(F.broadcast(srcs), "source")
               .crossJoin(F.broadcast(ns)))
     return ranked.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "source",

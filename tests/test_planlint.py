@@ -74,3 +74,67 @@ def test_flagship_queries_lint_clean(spark, sf_dir):
         df = Q.all_queries()[name].fn(spark, sf_dir)
         found = {f.code for f in lint_plan(df)} - {"arrow-udf"}
         assert found <= allowed.get(name, set()), (name, found)
+
+
+# Registry-wide allowances: every current finding is audited-legitimate
+# (broadcast scalar/centroid/dim crosses; filters on computed
+# expressions no engine can push; bounded-input or spec-mandated
+# sorts/windows with documented scale paths).  Any query NOT listed
+# that grows one of these patterns — or any listed query growing a NEW
+# pattern — fails; shrinkage is free.
+_ALLOWED = {
+    "cartesian": {
+        # broadcast 1-row scalar / bounded centroid / query-set crosses
+        "agg_incremental_merge", "ann_cosine_topk", "ann_eval_pq_vs_exact",
+        "ann_hybrid_rrf", "ann_ivf_cell_histogram", "ann_ivf_topk",
+        "ann_ivf_topk_fixed", "copurchase_pmi", "dedup_semantic",
+        "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
+        "graph_pagerank_3iter", "profile_chi2_lang_source",
+        "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
+        "sample_negatives", "text_bm25_topk", "text_perplexity",
+        "text_tfidf_top_terms", "text_vocab_kl_by_source",
+        "tpch_q11_important_stock", "tpch_q16_supplier_cnt",
+        "tpch_q20_excess_stock", "tpch_q22_idle_rich_customers",
+        "tpch_q2_min_cost_supplier",
+    },
+    "unpushed-scan": {
+        # filters on md5 coins / norms / computed expressions — not
+        # pushable by any engine
+        "ann_lsh_buckets", "ann_pq_codes", "copurchase_pmi",
+        "dedup_semantic", "emb_normalize", "emb_quantize",
+        "j8_salted_join_agg", "multimodal_frame_sample",
+        "profile_chi2_lang_source", "sample_interleaved_order",
+        "sample_stratified", "sample_temperature_mixture",
+        "sample_token_budget_mix", "text_chunking", "text_repetition",
+        "tpch_q11_important_stock", "w2_vector_sum_by_label",
+    },
+    "global-sort": {
+        # TPC-H-spec final orderings over aggregated (small) outputs
+        "bloom_contamination", "tpch_q11_important_stock",
+        "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+        "tpch_q20_excess_stock",
+    },
+    "global-window": {
+        # bounded-input windows (top-k rows, #sources, #keys) or
+        # documented approx-quantile scale paths (rfm, curriculum)
+        "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
+        "sample_interleaved_order", "text_bm25_topk", "text_vocab_topk",
+    },
+    "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
+                  "multimodal_patches", "multimodal_payload_stats"},
+    "python-udf": set(),
+    "wide-scan": set(),
+}
+
+
+def test_registry_wide_lint_allowances(spark, sf_dir):
+    """Lint EVERY registry query; findings outside the audited
+    allowances fail (the plan-shape net over the whole surface, not
+    just the individually-locked queries)."""
+    violations = []
+    for name, spec in sorted(Q.all_queries().items()):
+        found = {f.code for f in lint_plan(spec.fn(spark, sf_dir))}
+        for code in found:
+            if name not in _ALLOWED.get(code, set()):
+                violations.append((name, code))
+    assert not violations, violations
