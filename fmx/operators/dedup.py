@@ -23,7 +23,7 @@ __all__ = [
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
-    "minhash_cross_pairs", "dedup_keep_best",
+    "minhash_cross_pairs", "dedup_keep_best", "containment_pairs",
 ]
 
 
@@ -700,3 +700,45 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
     return (df.join(sized, id_col)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.5,
+                      max_df: int | None = 1000) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A ∩ B| / |A| >= threshold
+    with A the SMALLER document — the quote/excerpt/boilerplate-reuse
+    detector Jaccard structurally misses (a 50-shingle doc fully
+    contained in a 5000-shingle doc has Jaccard ~0.01 but containment
+    1.0; symmetric dedup never finds it, and excerpt spam is exactly
+    what pollutes a crawl corpus).
+
+    Returns (id_small, id_big, containment, jaccard) — both scores, so
+    a caller can see 'contained but not near-identical' directly.
+    Same distributed shape and ``max_df`` quadratic guard as
+    ``ngram_jaccard_pairs`` (the pair explosion is the same equi-join;
+    only the normalization differs), and sizes are computed on the
+    filtered shingle sets so both scores stay internally consistent.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n, max_df=max_df)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    scored = (inter.join(sa, "id_a").join(sb, "id_b")
+              .select(
+                  F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+                  .otherwise(F.col("id_b")).cast("bigint")
+                  .alias("id_small"),
+                  F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
+                  .otherwise(F.col("id_a")).cast("bigint")
+                  .alias("id_big"),
+                  (F.col("inter") / F.least("na", "nb"))
+                  .alias("containment"),
+                  (F.col("inter")
+                   / (F.col("na") + F.col("nb") - F.col("inter")))
+                  .alias("jaccard")))
+    return scored.filter(F.col("containment") >= threshold)

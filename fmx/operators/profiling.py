@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers",
-           "robust_scale", "chi2_independence", "winsorized_mean"]
+           "robust_scale", "chi2_independence", "winsorized_mean",
+           "bootstrap_mean_ci", "POISSON1_CDF"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -205,3 +206,54 @@ def winsorized_mean(df: DataFrame, group_col: str, value_col: str,
                  F.round(F.first("_phi"), 4).alias("p_hi"),
                  F.round(F.avg(clamped), 4).alias("winsorized_mean"),
                  F.round(F.avg(value_col), 4).alias("raw_mean")))
+
+
+# Poisson(1) CDF as FIXED literals (not computed exp() — both engines
+# must compare u against bit-identical constants): P(X <= k) for
+# k = 0..4; draws above 4 clamp to 5 (P > 0.9994, negligible)
+POISSON1_CDF = [0.3678794412, 0.7357588823, 0.9196986029,
+                0.9810118431, 0.9963401532]
+
+
+def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
+                      replicates: int = 16, seed: int = 42,
+                      z: float = 1.96) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a mean, one row:
+    (n, mean, boot_sd, ci_lo, ci_hi) — the error bar every eval
+    metric needs, as ONE corpus scan instead of a resampling loop.
+
+    Classic bootstrap resampling is impossible at scale (it needs n
+    draws WITH replacement per replicate = a shuffle per replicate);
+    the Poisson approximation gives each row an independent
+    Poisson(1) weight per replicate, so all ``replicates`` resampled
+    means reduce in a single pass: per replicate one (sum w*x, sum w)
+    pair, weights derived from the md5 coin of (replicate, seed, id)
+    via the inverse CDF over FIXED literal thresholds —
+    engine-replayable, layout-independent, append-stable.  ci =
+    mean ± z * sd(replicate means).
+    """
+    from fmx.operators.sampling import hash_uniform01
+
+    x = F.col(value_col).cast("double")
+    aggs = [F.count("*").cast("bigint").alias("n"),
+            F.avg(x).alias("_mean")]
+    for r in range(replicates):
+        u = hash_uniform01(id_col, f"boot:{r}", seed)
+        w = F.lit(5)
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+        aggs.append(F.sum(w * x).alias(f"_sx{r}"))
+        aggs.append(F.sum(w).alias(f"_sw{r}"))
+    one = df.agg(*aggs)
+    means = F.array(*[F.col(f"_sx{r}") / F.col(f"_sw{r}")
+                      for r in range(replicates)])
+    mu = F.aggregate(means, F.lit(0.0), lambda a, v: a + v) / replicates
+    var = (F.aggregate(means, F.lit(0.0),
+                       lambda a, v: a + (v - mu) * (v - mu))
+           / (replicates - 1))
+    sd = F.sqrt(var)
+    return one.select(
+        "n", F.round("_mean", 6).alias("mean"),
+        F.round(sd, 6).alias("boot_sd"),
+        F.round(F.col("_mean") - z * sd, 6).alias("ci_lo"),
+        F.round(F.col("_mean") + z * sd, 6).alias("ci_hi"))

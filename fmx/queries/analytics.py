@@ -1446,3 +1446,52 @@ def dq_referential_integrity(spark, sf):
             .select("n_orders", "orders_orphaned_customer",
                     "n_lineitem", "lineitem_orphaned_order",
                     "events_null_user"))
+
+
+def _boot_oracle(replicates: int = 16, seed: int = 42) -> str:
+    from fmx.operators.profiling import POISSON1_CDF
+    U = ("(CAST(concat('0x', substring(md5(concat('boot:{r}:{seed}:', "
+         "CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+         " / 1152921504606846976.0)")
+    ws, sels = [], []
+    for r in range(replicates):
+        u = U.format(r=r, seed=seed)
+        w = "5"
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = f"CASE WHEN {u} < {POISSON1_CDF[k]} THEN {k} ELSE {w} END"
+        ws.append(f"sum(({w}) * x) AS sx{r}, sum({w}) AS sw{r}")
+        sels.append(f"sx{r} / sw{r}")
+    rms = "[" + ", ".join(sels) + "]"
+    return f"""
+    WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x
+               FROM orders),
+    agg AS (SELECT count(*) AS n, avg(x) AS mean, {', '.join(ws)}
+            FROM t),
+    m AS (SELECT n, mean, {rms} AS rms FROM agg),
+    st AS (SELECT n, mean, list_sum(rms) / {replicates} AS mu, rms
+           FROM m),
+    v AS (SELECT n, mean,
+                 sqrt(list_sum(list_transform(rms,
+                      v -> (v - mu) * (v - mu))) / {replicates - 1})
+                     AS sd
+          FROM st)
+    SELECT CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+           round(sd, 6) AS boot_sd,
+           round(mean - 1.96 * sd, 6) AS ci_lo,
+           round(mean + 1.96 * sd, 6) AS ci_hi
+    FROM v
+    """
+
+
+@query("eval_bootstrap_ci", oracle=_boot_oracle())
+def eval_bootstrap_ci(spark, sf):
+    """Poisson-bootstrap CI of mean order value (16 replicates in ONE
+    scan): per-row Poisson(1) weights from md5 coins over fixed
+    literal CDF thresholds — the error bar every offline eval needs,
+    with no resampling loop and no extra shuffles
+    (fmx.operators.profiling.bootstrap_mean_ci)."""
+    from fmx.operators.profiling import bootstrap_mean_ci
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return bootstrap_mean_ci(o, "o_orderkey", "o_totalprice",
+                             replicates=16, seed=42)

@@ -486,3 +486,45 @@ def dedup_keep_longest(spark, sf):
                       F.col("cluster_id").cast("bigint").alias("cluster_id"),
                       "cluster_size",
                       F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= {MAX_DF}),
+    shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM shf a JOIN shf b ON a.shingle = b.shingle
+                                   AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    sc AS (SELECT CASE WHEN s1.n_sh <= s2.n_sh THEN id_a ELSE id_b END
+                      AS id_small,
+                  CASE WHEN s1.n_sh <= s2.n_sh THEN id_b ELSE id_a END
+                      AS id_big,
+                  i * 1.0 / least(s1.n_sh, s2.n_sh) AS containment,
+                  i * 1.0 / (s1.n_sh + s2.n_sh - i) AS jaccard
+           FROM inter JOIN sizes s1 ON id_a = s1.doc_id
+                      JOIN sizes s2 ON id_b = s2.doc_id)
+    SELECT CAST(id_small AS BIGINT) AS id_small,
+           CAST(id_big AS BIGINT) AS id_big,
+           round(containment, 6) AS containment,
+           round(jaccard, 6) AS jaccard
+    FROM sc WHERE containment >= 0.5
+    """)
+def dedup_containment(spark, sf):
+    """Asymmetric containment pairs (|A∩B| / |A| >= 0.5, A = smaller
+    doc): the excerpt/quote/boilerplate-reuse detector that symmetric
+    Jaccard structurally misses — a short doc fully inside a long one
+    has near-zero Jaccard.  Same shingle equi-join + max_df quadratic
+    guard as dedup_ngram_jaccard; only the normalization differs
+    (fmx.operators.dedup.containment_pairs)."""
+    from pyspark.sql import functions as F
+    out = D.containment_pairs(T(spark, sf, "documents"), "doc_id",
+                              "text", n=SHINGLE_N, threshold=0.5,
+                              max_df=MAX_DF)
+    return out.select("id_small", "id_big",
+                      F.round("containment", 6).alias("containment"),
+                      F.round("jaccard", 6).alias("jaccard"))

@@ -1041,3 +1041,38 @@ def test_rrf_fusion_prefers_agreement(spark):
     out = {r.vec_id: r.rank for r in S.rrf_fuse([a, b], k=3).collect()}
     assert out[100] == 1            # 1/61 + 1/62 beats either alone
     assert set(out) == {100, 101, 102}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment 1.0 but
+    Jaccard far below any dedup threshold — the pair symmetric dedup
+    structurally misses."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long_)],
+                                 ["doc_id", "text"])
+    rows = D.containment_pairs(docs, "doc_id", "text", n=3,
+                               threshold=0.5, max_df=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_small, r.id_big) == (1, 2)
+    assert r.containment == 1.0
+    assert r.jaccard < 0.2            # symmetric dedup would skip it
+
+
+def test_bootstrap_ci_is_sane_and_layout_independent(spark, sf_dir):
+    from fmx.operators.profiling import bootstrap_mean_ci
+    from fmx.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_totalprice")
+    a = bootstrap_mean_ci(o, "o_orderkey", "o_totalprice").first()
+    assert a.ci_lo < a.mean < a.ci_hi
+    assert a.boot_sd > 0
+    b = bootstrap_mean_ci(o.repartition(13), "o_orderkey",
+                          "o_totalprice").first()
+    # md5 weights are layout-independent; the only nondeterminism is
+    # float summation order inside each replicate's partial aggregate,
+    # which the 1e-6 rounding absorbs for the interval bounds
+    assert (a.n, a.mean) == (b.n, b.mean)
+    assert abs(a.ci_lo - b.ci_lo) < 1e-3 and abs(a.ci_hi - b.ci_hi) < 1e-3
