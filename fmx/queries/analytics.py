@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from fmx.operators.sampling import hash_uniform01 as SMP_hash_uniform01
 from fmx.queries import query
 from fmx.sources import load_table as T
 
@@ -1495,3 +1496,86 @@ def eval_bootstrap_ci(spark, sf):
     o = T(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     return bootstrap_mean_ci(o, "o_orderkey", "o_totalprice",
                              replicates=16, seed=42)
+
+
+_AB_U = ("(CAST(concat('0x', substring(md5(concat('exp1:42:', "
+         "CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+         " / 1152921504606846976.0)")
+
+
+@query(
+    "eval_ab_experiment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id, value,
+             CASE WHEN {_AB_U} < 0.5 THEN 'control' ELSE 'treatment' END
+                 AS arm
+      FROM events WHERE event_type = 'purchase'),
+    arms AS (SELECT arm,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                    avg(value) AS mean_value,
+                    stddev_samp(value) AS sd
+             FROM assigned GROUP BY arm)
+    SELECT arm, n, n_users, round(mean_value, 6) AS mean_value,
+           round(sd / sqrt(n), 6) AS se
+    FROM arms
+    """)
+def eval_ab_experiment(spark, sf):
+    """A/B experiment readout: users deterministically hashed into
+    control/treatment (the md5 coin — assignment is stable under
+    reprocessing and corpus growth, the property every experiment
+    platform needs), purchase-value mean and standard error per arm.
+    One scan + one arm-sized agg; the assignment is a pure column
+    expression, so the same query runs on the full event log."""
+    ev = T(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    u = SMP_hash_uniform01("user_id", "exp1", 42)
+    assigned = ev.withColumn(
+        "arm", F.when(u < 0.5, F.lit("control")).otherwise(F.lit("treatment")))
+    return (assigned.groupBy("arm")
+            .agg(F.count("*").cast(BIG).alias("n"),
+                 F.countDistinct("user_id").cast(BIG).alias("n_users"),
+                 F.avg("value").alias("_m"),
+                 F.stddev_samp("value").alias("_sd"))
+            .select("arm", "n", "n_users",
+                    F.round("_m", 6).alias("mean_value"),
+                    F.round(F.col("_sd") / F.sqrt("n"), 6).alias("se")))
+
+
+@query(
+    "profile_join_cardinality",
+    oracle="""
+    WITH ca AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+                GROUP BY o_custkey),
+    cb AS (SELECT c_custkey AS k, count(*) AS c FROM customer
+           GROUP BY c_custkey),
+    est AS (SELECT sum(ca.c * cb.c) AS est_rows,
+                   count(*) AS matched_keys
+            FROM ca JOIN cb ON ca.k = cb.k),
+    act AS (SELECT count(*) AS actual_rows
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT CAST(est.est_rows AS BIGINT) AS est_rows,
+           CAST(est.matched_keys AS BIGINT) AS matched_keys,
+           CAST(act.actual_rows AS BIGINT) AS actual_rows
+    FROM est, act
+    """)
+def profile_join_cardinality(spark, sf):
+    """Join-cardinality estimate from per-key count relations:
+    |A ⋈ B| = sum over shared keys of cntA * cntB — the pre-flight
+    check that predicts a join explosion from two #keys-sized
+    aggregates BEFORE shuffling data (planners do exactly this with
+    histograms; with exact counts the estimate is exact, asserted
+    against the actual join count in the same result row)."""
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("ca"))
+    cb = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("cb"))
+    est = (ca.join(cb, "k")
+           .agg(F.sum(F.col("ca") * F.col("cb")).cast(BIG)
+                .alias("est_rows"),
+                F.count("*").cast(BIG).alias("matched_keys")))
+    act = (o.join(c, o.o_custkey == c.c_custkey)
+           .agg(F.count("*").cast(BIG).alias("actual_rows")))
+    return est.crossJoin(F.broadcast(act))

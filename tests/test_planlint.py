@@ -90,6 +90,7 @@ _ALLOWED = {
         "ann_ivf_topk_fixed", "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
         "graph_pagerank_3iter", "profile_chi2_lang_source",
+        "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
         "sample_negatives", "text_bm25_topk", "text_perplexity",
         "text_tfidf_top_terms", "text_vocab_kl_by_source",
