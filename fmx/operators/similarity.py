@@ -535,21 +535,21 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                      "pos", F.col("x").alias("cx")))
     cnorm = (cents.groupBy("_cell")
              .agg(F.sqrt(F.sum(F.col("cx") ** 2)).alias("_cn")))
-    norms = ex.groupBy(id_col).agg(F.sqrt(F.sum(F.col("x") ** 2))
-                                   .alias("_nrm"))
 
     def cell_sims(vex: DataFrame, vid: str) -> DataFrame:
         """(vid, _cell, _sim) — cosine against every coarse centroid,
         over an ALREADY-EXPLODED (vid, pos, x) relation: the corpus
         path reuses ``ex`` so the scan+explode subtree canonicalizes
-        identically wherever it appears (exchange/subtree reuse)
-        instead of re-deriving it per consumer."""
-        vn = vex.groupBy(vid).agg(F.sqrt(F.sum(F.col("x") ** 2))
-                                  .alias("_n"))
+        identically wherever it appears.  The vector norm rides the
+        SAME (vid, _cell) aggregate as the dot product (each cell's
+        join rows carry the full vector, so sum(x*x) per (vid, cell)
+        IS norm^2) — one shuffle and no norm join instead of two
+        aggregates and a join."""
         dots = (vex.join(F.broadcast(cents), "pos")
                 .groupBy(vid, "_cell")
-                .agg(F.sum(F.col("x") * F.col("cx")).alias("_dot")))
-        return (dots.join(vn, vid).join(F.broadcast(cnorm), "_cell")
+                .agg(F.sum(F.col("x") * F.col("cx")).alias("_dot"),
+                     F.sqrt(F.sum(F.col("x") ** 2)).alias("_n")))
+        return (dots.join(F.broadcast(cnorm), "_cell")
                 .select(vid, "_cell",
                         (F.col("_dot") / (F.col("_n") * F.col("_cn")))
                         .alias("_sim")))
