@@ -24,7 +24,8 @@ from fmx.core import linalg as L
 __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
-           "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse"]
+           "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
+           "ivfpq_rerank_topk"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -630,4 +631,33 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 5, c: int = 60,
              .agg(F.round(F.sum("_w"), 9).alias("rrf")))
     w = Window.partitionBy(query_id).orderBy(F.desc("rrf"), F.col(id_col))
     return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivfpq_rerank_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, k: int = 5, k_cand: int = 25,
+                      num_cells: int = 8, nprobe: int = 2, m: int = 4,
+                      num_codes: int = 16, dim: int | None = None,
+                      query_id: str = "query_id") -> DataFrame:
+    """The full serving-path composition: IVF-PQ shortlist (cell-pruned
+    residual-ADC over compressed codes, ``k_cand`` candidates/query) ->
+    exact cosine rerank of just the shortlist -> top ``k``.  Recall is
+    set by (nprobe, k_cand) on the compressed scan; precision by an
+    exact pass touching only k_cand full vectors per query."""
+    cand = ivfpq_topk(corpus, queries, id_col, vec_col, k=k_cand,
+                      num_cells=num_cells, nprobe=nprobe, m=m,
+                      num_codes=num_codes, dim=dim, query_id=query_id)
+    cvec = _as_double(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_cv"))
+    qvec = _as_double(queries, vec_col).select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv"))
+    sim = (cand.select(query_id, id_col)
+           .join(cvec, id_col)
+           .join(F.broadcast(qvec), query_id)
+           .select(query_id, id_col,
+                   F.round(L.cosine_similarity("_qv", "_cv"), 6)
+                   .alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(id_col))
+    return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

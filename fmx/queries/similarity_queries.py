@@ -776,3 +776,48 @@ def emb_centroid_shift(spark, sf):
                     F.col("n").cast("bigint").alias("n_vectors"),
                     F.round(F.col("d") / (F.col("nm") * F.col("_ng")), 6)
                     .alias("cos_to_global")))
+
+
+@query(
+    "ann_ivfpq_rerank",
+    oracle=f"""
+    WITH {_EX}, {_IVFPQ_COARSE}, {_IVFPQ_RESIDUAL},
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM rcodes k JOIN dtab d ON k.cell = d.cell
+                                       AND k.sub = d.sub
+                                       AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id),
+    cand AS (SELECT query_id, vec_id FROM adist
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adist, vec_id) <= 25),
+    dots AS (SELECT cand.query_id, cand.vec_id, sum(eq.x * ec.x) AS dot
+             FROM cand JOIN ex eq ON eq.vec_id = cand.query_id
+                       JOIN ex ec ON ec.vec_id = cand.vec_id
+                                 AND ec.pos = eq.pos
+             GROUP BY cand.query_id, cand.vec_id),
+    sims AS (SELECT query_id, dots.vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= {K}
+    """)
+def ann_ivfpq_rerank(spark, sf):
+    """IVF-PQ shortlist (cell-pruned residual ADC, 25 candidates) ->
+    exact cosine rerank -> top-5: the full production serving path —
+    compressed scan sets recall, the exact pass touches only 25 full
+    vectors per query (fmx.operators.similarity.ivfpq_rerank_topk)."""
+    emb = T(spark, sf, "embeddings")
+    out = S.ivfpq_rerank_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                              "vec_id", "embedding", k=K, k_cand=25,
+                              num_cells=N_CELLS, nprobe=N_PROBE,
+                              m=PQ_M, num_codes=PQ_CODES, dim=DIM)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))

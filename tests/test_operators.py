@@ -120,6 +120,12 @@ def test_ann_recall_floors_every_path(spark):
     assert ivfpq25 >= recall(S.pq_topk(emb, q, "vec_id", "embedding",
                                        k=25)), "residual PQ shortlist " \
         "should dominate raw-vector PQ shortlist"
+    # the full serving path: rerank converts the 0.66 shortlist recall
+    # into 0.66 top-5 recall (exact pass cannot lose shortlist hits)
+    rr = recall(S.ivfpq_rerank_topk(emb, q, "vec_id", "embedding",
+                                    k=5, k_cand=25))
+    assert rr >= 0.5, rr
+    assert rr >= ivfpq5, "rerank must dominate raw IVF-PQ top-5"
 
 
 def test_ivf_topk_shapes_and_selfconsistency(spark, sf_dir):
