@@ -96,22 +96,22 @@ _PRIORITY = [
     "array_sql_funcs",
     "bool_bitwise_aggs",
     "exists_subquery",
-    "f4_math",
     "f6_split_cast",
     "grouping_sets",
-    "interval_arith",
-    "map_funcs",
     "null_safe_equality",
     "p2_drop_column",
     "p4_distinct",
     "pivot_status",
     "set_intersect",
     "set_union_distinct",
-    "string_manipulation",
     "union_by_name",
     "unpivot_melt",
-    "window_value_funcs",
     # -- never driver-checked (late round-5 additions) --
+    "dedup_containment",
+    "eval_bootstrap_ci",
+    "eval_ab_experiment",
+    "profile_join_cardinality",
+    "ann_ivfpq_rerank",
     "sample_token_budget_mix",
     "attribution_position_weighted",
     "graph_k_hop_2",
@@ -131,7 +131,13 @@ _PRIORITY = [
     # transitively (agg_cube via grouping_sets, rank_functions via the
     # WindowGroupLimit family, scalar_subquery via the broadcast-1-row
     # pattern in tpch_q11/q15, stats_agg via profile_* corr/regr).
-    # All re-enter the r6 window.  Earlier rotation notes:
+    # All re-enter the r6 window, together with five more r01-era
+    # shapes displaced by the second late-round-5 batch (f4_math,
+    # string_manipulation, map_funcs, interval_arith,
+    # window_value_funcs — their expression families run inside many
+    # green queries: math/string exprs everywhere, map/JSON in
+    # relational2, intervals throughout temporal, lag/lead in the
+    # w-family).  Earlier rotation notes:
     # text_stats/text_language_id/text_quality/text_redaction/
     # text_fingerprint/having_filter/ann_lsh_buckets/emb_normalize/
     # emb_quantize/ann_cosine_topk/dedup_exact/ann_ivf_topk/
