@@ -531,3 +531,23 @@ def stream_inverted_postings(docs: DataFrame, min_df: int = 2,
                outputMode="Update",
                timeoutConf=GroupStateTimeout.NoTimeout))
     return out.filter(F.col("df") >= min_df)
+
+
+def stream_ab_registers(events: DataFrame) -> DataFrame:
+    """Streaming A/B experiment state: per-arm (n, sum, sumsq) moment
+    registers over purchase values — count/sum/sum-of-squares merge
+    associatively, so the state is 2 rows x 3 numbers forever and the
+    mean/SE readout folds from the registers wherever it's consumed
+    (the same mergeable-register pattern as the HLL/histogram state).
+    Arm assignment is the identical md5 coin as the batch
+    ``eval_ab_experiment`` — a user's arm never changes mid-stream."""
+    from fmx.operators.sampling import hash_uniform01
+
+    u = hash_uniform01("user_id", "exp1", 42)
+    assigned = (events.filter(F.col("event_type") == "purchase")
+                .withColumn("arm", F.when(u < 0.5, F.lit("control"))
+                            .otherwise(F.lit("treatment"))))
+    return (assigned.groupBy("arm")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("value").alias("s"),
+                 F.sum(F.col("value") * F.col("value")).alias("s2")))

@@ -540,3 +540,30 @@ def test_stream_inverted_postings_state_merges_across_batches(spark,
     q.stop()
     assert rows["alpha"] == (3, "1,5")      # min-2 of {1, 5, 6}
     assert rows["beta"] == (2, "2,5")       # docs 5 (b1) and 2 (b2)
+
+
+def test_stream_ab_registers_fold_matches_batch(spark, sf_dir):
+    """Streaming per-arm moment registers fold to the same mean/SE as
+    the batch eval_ab_experiment readout."""
+    import math
+
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_ab_registers(events), "ab_regs",
+                       "complete")
+    regs = {r.arm: (r.n, r.s, r.s2)
+            for r in spark.sql("SELECT * FROM ab_regs").collect()}
+    q.stop()
+
+    from fmx.queries import all_queries
+    want = {r.arm: (r.n, r.mean_value, r.se)
+            for r in all_queries()["eval_ab_experiment"]
+            .fn(spark, sf_dir).collect()}
+    assert set(regs) == set(want)
+    for arm, (n, s, s2) in regs.items():
+        mean = s / n
+        var = (s2 - n * mean * mean) / (n - 1)
+        se = math.sqrt(var) / math.sqrt(n)
+        wn, wmean, wse = want[arm]
+        assert n == wn
+        assert abs(mean - wmean) < 1e-6
+        assert abs(se - wse) < 1e-6
