@@ -55,3 +55,8 @@ def test_streaming_pipeline_example_runs(tmp_path):
 def test_hybrid_search_example_runs(tmp_path):
     stdout = _run("hybrid_search.py")
     assert "fused recall" in stdout
+
+
+def test_experimentation_example_runs(tmp_path):
+    stdout = _run("experimentation.py")
+    assert "bootstrap" in stdout and "guardrail" in stdout
