@@ -304,6 +304,109 @@ def pack_manifest(df: DataFrame, id_col: str, tokens_col,
                     F.array_join(F.array_sort("_e"), ";").alias("segments")))
 
 
+def pareto_frontier(df: DataFrame, max_col: str, min_col: str,
+                    id_col: str, num_buckets: int = 64) -> DataFrame:
+    """2-D Pareto-frontier (skyline) selection: keep the rows not
+    dominated on (``max_col`` higher-is-better, ``min_col``
+    lower-is-better) — the data-selection step "give me the documents
+    that are best-quality *for their cost*" (quality vs token count,
+    score vs latency, ...).  A row is dominated if some other row is
+    >= on the maximized axis and <= on the minimized one with at least
+    one strict; among exact (max, min) ties the smallest ``id_col``
+    survives.
+
+    The textbook formulation is a running-min window over ONE global
+    sort by (max desc, min asc) — which in Spark collapses to a
+    single-partition window, the classic scale-killer.  This
+    implementation decomposes it exactly:
+
+    - bucket each row by a monotone fixed-width binning of ``max_col``
+      (bounds enter as a broadcast 1-row join, no driver scalar);
+    - the within-bucket running min is a window PARTITIONED by bucket
+      (parallel across buckets);
+    - the cross-bucket term — min of ``min_col`` over all strictly
+      higher buckets — is a ``num_buckets``-row aggregate with its own
+      tiny running-min window, broadcast-joined back.
+
+    Because bucketing is monotone in ``max_col``, min(preceding in the
+    global sort) == least(within-bucket running min, higher-bucket
+    min), so the result is row-identical to the single-sort skyline an
+    oracle engine can run — while the Spark plan has no unpartitioned
+    window and scales linearly.  Output: the surviving rows with both
+    axes materialized.
+    """
+    q = F.col(max_col).cast("double")
+    t = F.col(min_col).cast("double")
+    bounds = df.agg(F.min(q).alias("_qlo"), F.max(q).alias("_qhi"))
+    span = F.col("_qhi") - F.col("_qlo")
+    raw = F.floor((q - F.col("_qlo")) / span * num_buckets)
+    bucket = F.coalesce(F.least(raw, F.lit(num_buckets - 1)), F.lit(0))
+    base = (df.crossJoin(F.broadcast(bounds))
+            .select(F.col(id_col), q.alias("_q"), t.alias("_t"),
+                    bucket.alias("_bkt")))
+    w_in = (Window.partitionBy("_bkt")
+            .orderBy(F.col("_q").desc(), F.col("_t").asc(),
+                     F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    local = base.withColumn("_run_min", F.min("_t").over(w_in))
+    w_hi = (Window.orderBy(F.col("_bkt").desc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    hi = (base.groupBy("_bkt").agg(F.min("_t").alias("_bmin"))
+          .withColumn("_hi_min", F.min("_bmin").over(w_hi))
+          .select("_bkt", "_hi_min"))
+    inf = F.lit(float("inf"))
+    dom = F.least(F.coalesce(F.col("_run_min"), inf),
+                  F.coalesce(F.col("_hi_min"), inf))
+    return (local.join(F.broadcast(hi), "_bkt")
+            .filter(F.col("_t") < dom)
+            .select(F.col(id_col),
+                    F.col("_q").alias(max_col),
+                    F.col("_t").alias(min_col)))
+
+
+def matched_pairs(df: DataFrame, group_col: str, treat_value: str,
+                  control_value: str, match_col, id_col: str,
+                  bucket_width: int = 32, seed: int = 42) -> DataFrame:
+    """One-to-one matched sampling: pair each row of the treatment
+    group with a distinct control-group row of similar ``match_col``
+    (e.g. length-matched A/B eval sets, so a quality comparison isn't
+    confounded by document size).  Rows are coarsened into fixed-width
+    ``match_col`` buckets; within each bucket both groups are ranked by
+    a deterministic md5 shuffle and joined on rank, so each bucket
+    yields min(n_treat, n_control) pairs and no row is reused.
+
+    Shapes: one ranking window per (bucket, group) — WindowGroupLimit-
+    friendly, parallel across buckets — and one equi-join on
+    (bucket, rank) whose key space is uniform by construction (ranks),
+    so no skew.  Deterministic given the seed; replayable in ANSI SQL.
+    """
+    mc = F.col(match_col) if isinstance(match_col, str) else match_col
+    u = hash_uniform01(id_col, "match", seed)
+    ranked = (df.filter(F.col(group_col).isin([treat_value,
+                                               control_value]))
+              .select(F.col(id_col), F.col(group_col),
+                      mc.cast("double").alias("_m"),
+                      F.floor(mc / bucket_width).cast("bigint")
+                      .alias("_bkt"), u.alias("_u"))
+              .withColumn("_rank", F.row_number().over(
+                  Window.partitionBy("_bkt", group_col)
+                  .orderBy(F.col("_u").asc(), F.col(id_col).asc()))))
+    tr = (ranked.filter(F.col(group_col) == treat_value)
+          .select(F.col("_bkt"), F.col("_rank"),
+                  F.col(id_col).alias("treat_id"),
+                  F.col("_m").alias("treat_m")))
+    ct = (ranked.filter(F.col(group_col) == control_value)
+          .select(F.col("_bkt"), F.col("_rank"),
+                  F.col(id_col).alias("control_id"),
+                  F.col("_m").alias("control_m")))
+    return (tr.join(ct, ["_bkt", "_rank"])
+            .select(F.col("_bkt").alias("bucket"), "treat_id",
+                    "control_id",
+                    F.col("treat_m").cast("bigint").alias("treat_len"),
+                    F.col("control_m").cast("bigint")
+                    .alias("control_len")))
+
+
 def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
                      tokens_col, budgets: dict[str, int],
                      default_budget: int = 0,

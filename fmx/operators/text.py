@@ -177,6 +177,46 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                     F.col("term_rank").cast("bigint").alias("term_rank")))
 
 
+def cluster_terms(df: DataFrame, group_col: str, text_col: str,
+                  k: int = 5) -> DataFrame:
+    """Top-k distinctive terms per document cluster by class-based
+    tf-idf (the c-TF-IDF of BERTopic): treat each cluster (source,
+    language, topic id, LSH bucket, ...) as one pseudo-document,
+    score = tf_{t,c} * ln(1 + A / f_t) with A the mean token count per
+    cluster and f_t the corpus-wide count of the term — the "what is
+    this cluster about" readout used to label topic clusters and audit
+    corpus composition.
+
+    Shapes: one explode + (cluster, token) hash-agg (map-side combine
+    collapses the explosion before the shuffle), one token-grain agg
+    for f_t, the A scalar as a broadcast 1-row join, then a per-cluster
+    WindowGroupLimit for the top-k — the scoring join is one row per
+    (cluster, token), vocabulary-bounded, never corpus-bounded.  Score
+    rounded to 9 decimals before ranking so ln() replay cannot flip
+    ranks across engines.
+    """
+    toks = (df.select(F.col(group_col), F.explode(_toks(text_col))
+                      .alias("token"))
+            .filter(F.col("token") != ""))
+    tf = toks.groupBy(group_col, "token").agg(
+        F.count("*").alias("tf"))
+    ft = tf.groupBy("token").agg(F.sum("tf").alias("_ft"))
+    a = tf.agg((F.sum("tf")
+                / F.countDistinct(group_col)).alias("_a"))
+    scored = (tf.join(ft, "token")
+              .crossJoin(F.broadcast(a))
+              .withColumn("_s", F.round(
+                  F.col("tf")
+                  * F.log(F.lit(1.0) + F.col("_a") / F.col("_ft")), 9)))
+    w = Window.partitionBy(group_col).orderBy(F.col("_s").desc(), "token")
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= k)
+            .select(F.col(group_col), "token",
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.round("_s", 6).alias("ctfidf"),
+                    F.col("term_rank").cast("bigint").alias("term_rank")))
+
+
 def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
                       k_smooth: float = 0.5) -> DataFrame:
     """Per-document perplexity under an add-k-smoothed bigram LM trained

@@ -91,15 +91,16 @@ _PRIORITY = [
     "ts_gap_fill",
     "dedup_clusters",
     # -- re-checks: most recent driver row is r01 --
-    "a7_min_max",
-    "a8_count",
+    # (a7_min_max, a8_count, p2_drop_column were displaced to the r6
+    # window by the third late-round-5 batch below — the three most
+    # trivial shapes of the r01 batch, whose min/max/count/projection
+    # expressions run inside dozens of currently-green rows.)
     "array_sql_funcs",
     "bool_bitwise_aggs",
     "exists_subquery",
     "f6_split_cast",
     "grouping_sets",
     "null_safe_equality",
-    "p2_drop_column",
     "p4_distinct",
     "pivot_status",
     "set_intersect",
@@ -107,6 +108,9 @@ _PRIORITY = [
     "union_by_name",
     "unpivot_melt",
     # -- never driver-checked (late round-5 additions) --
+    "sample_pareto_frontier",
+    "sample_matched_pairs",
+    "text_cluster_terms",
     "dedup_containment",
     "eval_bootstrap_ci",
     "eval_ab_experiment",

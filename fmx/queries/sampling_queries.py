@@ -463,3 +463,84 @@ def sample_curriculum_ntile(spark, sf):
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     F.col("stage").cast("bigint").alias("stage"),
                     F.col("stage_rank").cast("bigint").alias("stage_rank")))
+
+
+@query(
+    "sample_pareto_frontier",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS q,
+             -CAST(len(string_split(text, ' ')) AS DOUBLE) AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, q, t,
+             min(t) OVER (ORDER BY q DESC, t ASC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS dm
+      FROM base)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ROUND(q, 6) AS lex_div,
+           CAST(-t AS BIGINT) AS tokens
+    FROM m
+    WHERE dm IS NULL OR t < dm
+    """)
+def sample_pareto_frontier(spark, sf):
+    """Pareto-frontier data selection: the documents not dominated on
+    (lexical diversity ^, token count ^) — no other document is both
+    more diverse AND longer, the "richest documents" selection curve.
+    The oracle replays the textbook single-sort skyline; the Spark plan
+    is the exact bucketed decomposition (per-bucket running min + a
+    64-row cross-bucket min, no unpartitioned window —
+    fmx.operators.sampling.pareto_frontier)."""
+    docs = T(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("lex_div"),
+        (-F.size(toks).cast("double")).alias("neg_tokens"))
+    out = SMP.pareto_frontier(base, "lex_div", "neg_tokens", "doc_id",
+                              num_buckets=64)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.round("lex_div", 6).alias("lex_div"),
+                      (-F.col("neg_tokens")).cast("bigint")
+                      .alias("tokens"))
+
+
+@query(
+    "sample_matched_pairs",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(floor(n_chars / 128) AS BIGINT) AS bkt,
+             row_number() OVER (
+               PARTITION BY CAST(floor(n_chars / 128) AS BIGINT), lang
+               ORDER BY {_U.format(tag='match', seed=SEED, col='doc_id')},
+                        doc_id) AS rnk
+      FROM documents WHERE lang IN ('en', 'de'))
+    SELECT t.bkt AS bucket,
+           CAST(t.doc_id AS BIGINT) AS treat_id,
+           CAST(c.doc_id AS BIGINT) AS control_id,
+           CAST(t.n_chars AS BIGINT) AS treat_len,
+           CAST(c.n_chars AS BIGINT) AS control_len
+    FROM ranked t JOIN ranked c
+      ON t.bkt = c.bkt AND t.rnk = c.rnk
+    WHERE t.lang = 'en' AND c.lang = 'de'
+    """)
+def sample_matched_pairs(spark, sf):
+    """Length-matched one-to-one pairing of English vs German documents
+    (128-char buckets, deterministic md5 shuffle within bucket) — the
+    matched-control eval-set builder that removes length as a
+    confounder.  Per-(bucket, group) ranking windows + one equi-join on
+    (bucket, rank): uniform join keys, no skew, no global window
+    (fmx.operators.sampling.matched_pairs)."""
+    out = SMP.matched_pairs(T(spark, sf, "documents"), "lang", "en",
+                            "de", "n_chars", "doc_id",
+                            bucket_width=128, seed=SEED)
+    return out.select(F.col("bucket").cast("bigint").alias("bucket"),
+                      F.col("treat_id").cast("bigint").alias("treat_id"),
+                      F.col("control_id").cast("bigint")
+                      .alias("control_id"),
+                      "treat_len", "control_len")

@@ -728,3 +728,35 @@ def text_bm25_topk(spark, sf):
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       "score",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "text_cluster_terms",
+    oracle="""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT source, token, count(*) AS tf
+           FROM toks WHERE token <> '' GROUP BY source, token),
+    ft AS (SELECT token, sum(tf) AS ft FROM tf GROUP BY token),
+    a AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT source) AS a
+          FROM tf),
+    scored AS (SELECT source, token, tf,
+                      round(tf * ln(1.0 + (SELECT a FROM a) / ft), 9) AS s
+               FROM tf JOIN ft USING (token))
+    SELECT source, token, CAST(tf AS BIGINT) AS tf,
+           round(s, 6) AS ctfidf,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY s DESC, token) AS BIGINT)
+               AS term_rank
+    FROM scored
+    QUALIFY term_rank <= 5
+    """)
+def text_cluster_terms(spark, sf):
+    """Top-5 distinctive terms per source cluster by class-based tf-idf
+    (BERTopic's c-TF-IDF) — the "what is this cluster about" readout
+    for topic labeling and corpus-composition audits.  Two
+    vocabulary-bounded hash-aggs + one token equi-join + per-cluster
+    WindowGroupLimit; the mean-tokens-per-cluster scalar enters as a
+    broadcast 1-row join (fmx.operators.text.cluster_terms)."""
+    return X.cluster_terms(T(spark, sf, "documents"), "source", "text",
+                           k=5)

@@ -1082,3 +1082,22 @@ def test_bootstrap_ci_is_sane_and_layout_independent(spark, sf_dir):
     # which the 1e-6 rounding absorbs for the interval bounds
     assert (a.n, a.mean) == (b.n, b.mean)
     assert abs(a.ci_lo - b.ci_lo) < 1e-3 and abs(a.ci_hi - b.ci_hi) < 1e-3
+
+
+def test_cluster_terms_ranks_and_distinctiveness(spark, sf_dir):
+    """c-TF-IDF: dense ranks 1..k per cluster, and a term used by only
+    one cluster must outscore (within that cluster) an equally-frequent
+    term shared by every cluster."""
+    from fmx.operators.text import cluster_terms
+
+    df = spark.createDataFrame(
+        [("a", "x x x common common"), ("b", "y y y common common"),
+         ("c", "z z z common common")], ["grp", "text"])
+    out = cluster_terms(df, "grp", "text", k=2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    for g, rs in by_grp.items():
+        assert sorted(r.term_rank for r in rs) == [1, 2]
+        top = min(rs, key=lambda r: r.term_rank)
+        assert top.token in {"x", "y", "z"}   # unique term beats 'common'

@@ -92,7 +92,8 @@ _ALLOWED = {
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
-        "sample_negatives", "text_bm25_topk", "text_perplexity",
+        "sample_negatives", "sample_pareto_frontier", "text_bm25_topk",
+        "text_cluster_terms", "text_perplexity",
         "text_tfidf_top_terms", "text_vocab_kl_by_source",
         "tpch_q11_important_stock", "tpch_q16_supplier_cnt",
         "tpch_q20_excess_stock", "tpch_q22_idle_rich_customers",
@@ -119,7 +120,8 @@ _ALLOWED = {
         # bounded-input windows (top-k rows, #sources, #keys) or
         # documented approx-quantile scale paths (rfm, curriculum)
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
-        "sample_interleaved_order", "text_bm25_topk", "text_vocab_topk",
+        "sample_interleaved_order", "sample_pareto_frontier",
+        "text_bm25_topk", "text_vocab_topk",
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats"},

@@ -202,3 +202,64 @@ def test_attribution_credits_sum_to_one(spark, sf_dir):
             .agg(F.sum("credit").alias("s")).collect())
     assert sums, "no attributed purchases at this sf"
     assert all(abs(r.s - 1.0) < 1e-6 for r in sums), sums[:5]
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The bucketed two-level skyline must equal the O(n^2) domination
+    definition exactly, including tie handling (among equal (q, t)
+    pairs only the smallest id survives)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, round(rnd.uniform(0, 1), 3), float(rnd.randint(1, 50)))
+            for i in range(300)]
+    rows += [(1000, rows[0][1], rows[0][2]),   # exact tie with row 0
+             (1001, 0.5, 3.0), (1002, 0.5, 3.0)]
+    df = spark.createDataFrame(rows, ["id", "q", "t"])
+    got = {r.id for r in
+           SMP.pareto_frontier(df, "q", "t", "id", num_buckets=8)
+           .collect()}
+
+    def dominated(a):
+        ia, qa, ta = a
+        for ib, qb, tb in rows:
+            if (ib, qb, tb) == (ia, qa, ta):
+                continue
+            if qb >= qa and tb <= ta and (qb > qa or tb < ta):
+                return True
+            if qb == qa and tb == ta and ib < ia:
+                return True   # duplicate: smallest id wins
+        return False
+
+    want = {i for (i, q, t) in rows if not dominated((i, q, t))}
+    assert got == want
+    # bucket count must not change the answer
+    got32 = {r.id for r in
+             SMP.pareto_frontier(df, "q", "t", "id", num_buckets=32)
+             .collect()}
+    assert got32 == want
+
+
+def test_matched_pairs_one_to_one_and_length_close(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.matched_pairs(docs, "lang", "en", "de", "n_chars",
+                            "doc_id", bucket_width=128, seed=7).collect()
+    assert out, "expected at least one matched pair"
+    treats = [r.treat_id for r in out]
+    controls = [r.control_id for r in out]
+    assert len(treats) == len(set(treats))       # no treatment reused
+    assert len(controls) == len(set(controls))   # no control reused
+    assert not set(treats) & set(controls)
+    for r in out:
+        assert abs(r.treat_len - r.control_len) < 128   # same bucket
+    # per bucket, pair count = min(group sizes)
+    by_bucket = {}
+    for r in docs.filter(F.col("lang").isin(["en", "de"])).collect():
+        b = r.n_chars // 128
+        by_bucket.setdefault(b, [0, 0])
+        by_bucket[b][0 if r.lang == "en" else 1] += 1
+    want = {b: min(c) for b, c in by_bucket.items() if min(c) > 0}
+    got = {}
+    for r in out:
+        got[r.bucket] = got.get(r.bucket, 0) + 1
+    assert got == want
