@@ -337,6 +337,9 @@ def pareto_frontier(df: DataFrame, max_col: str, min_col: str,
     """
     q = F.col(max_col).cast("double")
     t = F.col(min_col).cast("double")
+    # a row with a null axis has no defined domination relation (and
+    # engines disagree on null placement in DESC sorts) — exclude
+    df = df.filter(q.isNotNull() & t.isNotNull())
     bounds = df.agg(F.min(q).alias("_qlo"), F.max(q).alias("_qhi"))
     span = F.col("_qhi") - F.col("_qlo")
     raw = F.floor((q - F.col("_qlo")) / span * num_buckets)

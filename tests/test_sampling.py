@@ -263,3 +263,12 @@ def test_matched_pairs_one_to_one_and_length_close(spark, sf_dir):
     for r in out:
         got[r.bucket] = got.get(r.bucket, 0) + 1
     assert got == want
+
+
+def test_pareto_frontier_ignores_null_axes(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9, 5.0), (2, None, 1.0), (3, 0.5, None), (4, 0.8, 9.0)],
+        "id long, q double, t double")
+    got = {r.id for r in
+           SMP.pareto_frontier(df, "q", "t", "id").collect()}
+    assert got == {1}   # 4 dominated by 1; null-axis rows excluded
