@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 import fmx
-from fmx.operators.similarity import (cosine_topk, ivfpq_topk,
-                                      pq_rerank_topk, rrf_fuse)
+from fmx.operators.similarity import (cosine_topk, ivfpq_rerank_topk,
+                                      ivfpq_topk, rrf_fuse)
 from fmx.operators.text import bm25_topk
 from fmx.sources import load_table
 
@@ -58,10 +58,10 @@ def main() -> None:
           f"(terms dup/spark/merge, k={SHORTLIST})")
 
     # --- vector side: IVF-PQ shortlist -> exact rerank
-    vec = pq_rerank_topk(emb, queries, "vec_id", "embedding",
-                         k=SHORTLIST, k_cand=25)
+    vec = ivfpq_rerank_topk(emb, queries, "vec_id", "embedding",
+                            k=SHORTLIST, k_cand=25)
     print(f"vector shortlist rows: {vec.count()} "
-          f"(PQ codes scan + {25}-candidate exact rerank)")
+          f"(IVF cell-pruned PQ scan + {25}-candidate exact rerank)")
 
     fused = rrf_fuse([lexical.select("query_id", "vec_id",
                                      F.col("rank")),

@@ -161,6 +161,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Jaccard stays internally consistent.  ``max_df=None`` disables
     (exact semantics, test-only).
     """
+    return (_shingle_pair_counts(df, id_col, text_col, n, max_df)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    (F.col("inter")
+                     / (F.col("na") + F.col("nb") - F.col("inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _shingle_pair_counts(df: DataFrame, id_col: str, text_col: str,
+                         n: int, max_df: int | None) -> DataFrame:
+    """Shared pair machinery for the shingle-overlap scorers
+    (``ngram_jaccard_pairs``, ``containment_pairs``): shingle
+    equi-join -> per-pair intersection count -> per-doc sizes joined
+    on.  Returns (id_a, id_b, inter, na, nb) with id_a < id_b; sizes
+    are computed on the max_df-filtered shingle sets so every score
+    derived from them stays internally consistent."""
     sh = word_shingles(df, id_col, text_col, n=n, max_df=max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -170,13 +187,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .select(F.col("id_a").cast("bigint").alias("id_a"),
-                    F.col("id_b").cast("bigint").alias("id_b"),
-                    (F.col("inter")
-                     / (F.col("na") + F.col("nb") - F.col("inter")))
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -719,16 +730,7 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     only the normalization differs), and sizes are computed on the
     filtered shingle sets so both scores stay internally consistent.
     """
-    sh = word_shingles(df, id_col, text_col, n=n, max_df=max_df)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    scored = (inter.join(sa, "id_a").join(sb, "id_b")
+    scored = (_shingle_pair_counts(df, id_col, text_col, n, max_df)
               .select(
                   F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
                   .otherwise(F.col("id_b")).cast("bigint")

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
            "pack_sequences", "temperature_mixture", "per_group_cap",
            "weighted_sample_per_group", "negative_sample",
-           "length_buckets", "pack_manifest", "token_budget_mix"]
+           "length_buckets", "pack_manifest", "token_budget_mix",
+           "pareto_frontier", "matched_pairs"]
 
 _TWO60 = float(2 ** 60)
 

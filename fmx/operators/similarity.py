@@ -350,7 +350,7 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     ex = _subspace_explode(corpus, id_col, vec_col, m, dsub, id_col)
     d2 = (ex.join(F.broadcast(codebook), ["sub", "spos"])
           .groupBy(id_col, "sub", "code")
-          .agg(F.sum((F.col("x") - F.col("cx")) ** 2).alias("d2")))
+          .agg(F.round(F.sum((F.col("x") - F.col("cx")) ** 2), 9).alias("d2")))
     # lexicographic min over (d2, code) == the (d2 asc, code asc) rank-1
     # row: identical tie-breaking to a ranking window, one shuffle less
     # sorting
@@ -387,7 +387,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     qex = _subspace_explode(queries, id_col, vec_col, m, dsub, query_id)
     dtab = (qex.join(F.broadcast(codebook), ["sub", "spos"])
             .groupBy(query_id, "sub", "code")
-            .agg(F.sum((F.col("x") - F.col("cx")) ** 2).alias("pd")))
+            .agg(F.round(F.sum((F.col("x") - F.col("cx")) ** 2), 9).alias("pd")))
     adist = (codes.join(F.broadcast(dtab), ["sub", "code"])
              .filter(F.col(id_col) != F.col(query_id))
              .groupBy(query_id, id_col)
@@ -552,7 +552,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                      F.sqrt(F.sum(F.col("x") ** 2)).alias("_n")))
         return (dots.join(F.broadcast(cnorm), "_cell")
                 .select(vid, "_cell",
-                        (F.col("_dot") / (F.col("_n") * F.col("_cn")))
+                        F.round(F.col("_dot") / (F.col("_n") * F.col("_cn")), 9)
                         .alias("_sim")))
 
     # corpus assignment: argmax as a map-side-combinable struct agg
@@ -590,7 +590,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                   "spos", F.col("rx").alias("cbx")))
     d2 = (rex.join(F.broadcast(cb), ["sub", "spos"])
           .groupBy(id_col, "_cell", "sub", "code")
-          .agg(F.sum((F.col("rx") - F.col("cbx")) ** 2).alias("d2")))
+          .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9).alias("d2")))
     codes = (d2.groupBy(id_col, "_cell", "sub")
              .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m"))
              .select(id_col, "_cell", "sub", F.col("_m.code").alias("code")))
@@ -598,7 +598,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     qres = residual_sub(qex, query_id, qassign)
     dtab = (qres.join(F.broadcast(cb), ["sub", "spos"])
             .groupBy(query_id, "_cell", "sub", "code")
-            .agg(F.sum((F.col("rx") - F.col("cbx")) ** 2).alias("pd")))
+            .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9).alias("pd")))
     adist = (codes.join(F.broadcast(dtab), ["_cell", "sub", "code"])
              .filter(F.col(id_col) != F.col(query_id))
              .groupBy(query_id, id_col)
@@ -620,6 +620,8 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 5, c: int = 60,
     each), so fusion is a union of tiny relations + one (query, id)
     hash-agg + a per-query WindowGroupLimit — cost is rankings x k'
     rows per query, independent of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     parts = [r.select(F.col(query_id), F.col(id_col),
                       (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col)))
                       .alias("_w"))

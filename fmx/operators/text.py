@@ -16,7 +16,7 @@ __all__ = [
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
-    "bm25_topk",
+    "bm25_topk", "cluster_terms",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic

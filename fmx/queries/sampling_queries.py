@@ -420,7 +420,8 @@ def sample_token_budget_mix(spark, sf):
     docs = T(spark, sf, "documents")
     toks = F.size(F.split(F.col("text"), " "))
     out = SMP.token_budget_mix(docs, "source", "doc_id", toks,
-                               budgets=_BUDGETS, seed=SEED)
+                               budgets=_BUDGETS, default_budget=500,
+                               seed=SEED)
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       "source",
                       F.col("cum_tokens").cast("bigint")

@@ -188,7 +188,7 @@ N_PROBE = 2
              FROM ex e JOIN cents c ON e.pos = c.pos
              GROUP BY e.vec_id, c.cell),
     csim2 AS (SELECT csim.vec_id, csim.cell,
-                     dot / (norms.nrm * cnorm.cn) AS sim
+                     round(dot / (norms.nrm * cnorm.cn), 9) AS sim
               FROM csim JOIN norms ON csim.vec_id = norms.vec_id
                         JOIN cnorm ON csim.cell = cnorm.cell),
     cassign AS (SELECT vec_id, cell FROM csim2
@@ -259,7 +259,7 @@ sx AS (SELECT vec_id, CAST(pos // {DIM // PQ_M} AS BIGINT) AS sub,
 cb AS (SELECT sub, vec_id AS code, spos, x AS cx
        FROM sx WHERE vec_id < {PQ_CODES}),
 pqd AS (SELECT s.vec_id, s.sub, c.code,
-               sum((s.x - c.cx) * (s.x - c.cx)) AS d2
+               round(sum((s.x - c.cx) * (s.x - c.cx)), 9) AS d2
         FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
         GROUP BY s.vec_id, s.sub, c.code),
 codes AS (SELECT vec_id, sub, CAST(code AS BIGINT) AS code,
@@ -298,7 +298,7 @@ def ann_pq_codes(spark, sf):
     WITH {_EX}, {_PQ_SQL},
     dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
                         AS code,
-                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+                    round(sum((s.x - c.cx) * (s.x - c.cx)), 9) AS pd
              FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
              WHERE s.vec_id < {N_QUERIES}
              GROUP BY s.vec_id, s.sub, c.code),
@@ -393,7 +393,7 @@ K_CAND = 25             # PQ shortlist size before exact rerank
     WITH {_EX}, {_PQ_SQL},
     dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
                         AS code,
-                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+                    round(sum((s.x - c.cx) * (s.x - c.cx)), 9) AS pd
              FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
              WHERE s.vec_id < {N_QUERIES}
              GROUP BY s.vec_id, s.sub, c.code),
@@ -476,7 +476,7 @@ def ann_pq_trained(spark, sf):
                       <= {K}),
     dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
                         AS code,
-                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+                    round(sum((s.x - c.cx) * (s.x - c.cx)), 9) AS pd
              FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
              WHERE s.vec_id < {N_QUERIES}
              GROUP BY s.vec_id, s.sub, c.code),
@@ -527,7 +527,7 @@ def ann_eval_pq_vs_exact(spark, sf):
              FROM ex e JOIN cents c ON e.pos = c.pos
              GROUP BY e.vec_id, c.cell),
     csim2 AS (SELECT csim.vec_id, csim.cell,
-                     dot / (norms.nrm * cnorm.cn) AS sim
+                     round(dot / (norms.nrm * cnorm.cn), 9) AS sim
               FROM csim JOIN norms ON csim.vec_id = norms.vec_id
                         JOIN cnorm ON csim.cell = cnorm.cell),
     cassign AS (SELECT vec_id, cell FROM csim2
@@ -588,7 +588,7 @@ csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
          FROM ex e JOIN cents c ON e.pos = c.pos
          GROUP BY e.vec_id, c.cell),
 csim2 AS (SELECT csim.vec_id, csim.cell,
-                 dot / (norms.nrm * cnorm.cn) AS sim
+                 round(dot / (norms.nrm * cnorm.cn), 9) AS sim
           FROM csim JOIN norms ON csim.vec_id = norms.vec_id
                     JOIN cnorm ON csim.cell = cnorm.cell),
 cassign AS (SELECT vec_id, cell FROM csim2
@@ -610,7 +610,7 @@ crx AS (SELECT e.vec_id, a.cell,
 rcb AS (SELECT sub, vec_id AS code, spos, rx AS cbx
         FROM crx WHERE vec_id < {PQ_CODES}),
 rd2 AS (SELECT s.vec_id, s.cell, s.sub, c.code,
-               sum((s.rx - c.cbx) * (s.rx - c.cbx)) AS d2
+               round(sum((s.rx - c.cbx) * (s.rx - c.cbx)), 9) AS d2
         FROM crx s JOIN rcb c ON s.sub = c.sub AND s.spos = c.spos
         GROUP BY s.vec_id, s.cell, s.sub, c.code),
 rcodes AS (SELECT vec_id, cell, sub, CAST(code AS BIGINT) AS code FROM rd2
@@ -622,7 +622,7 @@ qrx AS (SELECT a.query_id, a.cell,
         FROM ex q JOIN qassign a ON q.vec_id = a.query_id
                   JOIN cents c ON a.cell = c.cell AND q.pos = c.pos),
 dtab AS (SELECT s.query_id, s.cell, s.sub, CAST(c.code AS BIGINT) AS code,
-                sum((s.rx - c.cbx) * (s.rx - c.cbx)) AS pd
+                round(sum((s.rx - c.cbx) * (s.rx - c.cbx)), 9) AS pd
          FROM qrx s JOIN rcb c ON s.sub = c.sub AND s.spos = c.spos
          GROUP BY s.query_id, s.cell, s.sub, c.code)
 """
@@ -689,7 +689,7 @@ RRF_C = 60
              QUALIFY rank <= {RRF_K}),
     dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
                         AS code,
-                    sum((s.x - c.cx) * (s.x - c.cx)) AS pd
+                    round(sum((s.x - c.cx) * (s.x - c.cx)), 9) AS pd
              FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
              WHERE s.vec_id < {N_QUERIES}
              GROUP BY s.vec_id, s.sub, c.code),

@@ -104,6 +104,7 @@ _ALLOWED = {
         # pushable by any engine
         "ann_lsh_buckets", "ann_pq_codes", "copurchase_pmi",
         "dedup_semantic", "emb_normalize", "emb_quantize",
+        "sample_pareto_frontier",   # null-axis guard on computed axes
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "sample_interleaved_order",
         "sample_stratified", "sample_temperature_mixture",
