@@ -60,3 +60,8 @@ def test_hybrid_search_example_runs(tmp_path):
 def test_experimentation_example_runs(tmp_path):
     stdout = _run("experimentation.py")
     assert "bootstrap" in stdout and "guardrail" in stdout
+
+
+def test_data_selection_example_runs(tmp_path):
+    stdout = _run("data_selection.py")
+    assert "Pareto frontier" in stdout and "matched en/de pairs" in stdout
