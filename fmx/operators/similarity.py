@@ -514,14 +514,16 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     Everything is relational and engine-replayable: coarse centroids
     are the first ``num_cells`` corpus vectors and the shared residual
     codebook the residuals of the first ``num_codes`` corpus vectors —
-    both DERIVED TABLES joined in long format, never driver literals
-    or collects, so the same plan runs when the centroid table itself
-    is too big to broadcast.  Per stage: cell assignment is one
-    (pos)-join + (id, cell) dot agg + map-side argmax struct-agg;
-    residuals one (cell, pos) join; encode/ADC the same broadcast-
-    codebook joins as ``pq_encode``/``pq_topk``.  The corpus is never
-    cross-joined against queries — candidates meet through the
-    (cell, sub, code) equi-join, and the distance-table side is
+    both DERIVED relations (a filter of the corpus), never driver
+    literals or collects.  Cell assignment is map-only: the
+    ``num_cells``-row centroid table (a FAISS-style coarse budget,
+    always broadcastable) crosses the corpus once and the cosine is an
+    in-row array fold, so the only assignment shuffle is the
+    corpus-grain argmax agg — not a dimension-exploded one; residuals
+    are one (cell, pos) long-format join; encode/ADC the same
+    broadcast-codebook joins as ``pq_encode``/``pq_topk``.  The corpus
+    is never cross-joined against queries — candidates meet through
+    the (cell, sub, code) equi-join, and the distance-table side is
     queries x nprobe x m x num_codes rows, always broadcastable."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -529,76 +531,90 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub = dim // m
 
-    ex = (_as_double(corpus, vec_col)
-          .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "x")))
-    cents = (ex.filter(F.col(id_col) < num_cells)
-             .select(F.col(id_col).cast("int").alias("_cell"),
-                     "pos", F.col("x").alias("cx")))
-    cnorm = (cents.groupBy("_cell")
-             .agg(F.sqrt(F.sum(F.col("cx") ** 2)).alias("_cn")))
+    # centroid table in array format (+ norm): derived from the corpus
+    # executor-side, broadcast at num_cells x dim doubles
+    carr = (_as_double(corpus, vec_col)
+            .filter(F.col(id_col) < num_cells)
+            .select(F.col(id_col).cast("int").alias("_cell"),
+                    F.col(vec_col).alias("_cv"),
+                    L.vec_norm(vec_col).alias("_cn")))
 
-    def cell_sims(vex: DataFrame, vid: str) -> DataFrame:
-        """(vid, _cell, _sim) — cosine against every coarse centroid,
-        over an ALREADY-EXPLODED (vid, pos, x) relation: the corpus
-        path reuses ``ex`` so the scan+explode subtree canonicalizes
-        identically wherever it appears.  The vector norm rides the
-        SAME (vid, _cell) aggregate as the dot product (each cell's
-        join rows carry the full vector, so sum(x*x) per (vid, cell)
-        IS norm^2) — one shuffle and no norm join instead of two
-        aggregates and a join."""
-        dots = (vex.join(F.broadcast(cents), "pos")
-                .groupBy(vid, "_cell")
-                .agg(F.sum(F.col("x") * F.col("cx")).alias("_dot"),
-                     F.sqrt(F.sum(F.col("x") ** 2)).alias("_n")))
-        return (dots.join(F.broadcast(cnorm), "_cell")
-                .select(vid, "_cell",
-                        F.round(F.col("_dot") / (F.col("_n") * F.col("_cn")), 9)
+    def cell_sims(vdf: DataFrame, out_id: str) -> DataFrame:
+        """(out_id, _cell, _sim) — cosine against every coarse
+        centroid as an in-row array fold over the broadcast
+        num_cells-row centroid table: no dimension explosion, no
+        join, no shuffle until the caller aggregates at vector
+        grain.  Rounded to 9 decimals before any ranking (the
+        cross-engine tie-break convention)."""
+        v = (_as_double(vdf, vec_col)
+             .select(F.col(id_col).alias(out_id),
+                     F.col(vec_col).alias("_vv"),
+                     L.vec_norm(vec_col).alias("_vn")))
+        return (v.crossJoin(F.broadcast(carr))
+                .select(out_id, "_cell",
+                        F.round(L.vec_dot("_vv", "_cv")
+                                / (F.col("_vn") * F.col("_cn")), 9)
                         .alias("_sim")))
 
     # corpus assignment: argmax as a map-side-combinable struct agg
-    csims = cell_sims(ex, id_col)
+    csims = cell_sims(corpus, id_col)
     cassign = (csims.groupBy(id_col)
                .agg(F.max(F.struct(F.col("_sim"),
                                    (-F.col("_cell")).alias("nc"))).alias("_m"))
                .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell")))
     # query probing: top-nprobe cells (query side is small; window fine)
-    qex = (_as_double(queries, vec_col)
-           .select(F.col(id_col).alias(query_id),
-                   F.posexplode(vec_col).alias("pos", "x")))
-    qsims = cell_sims(qex, query_id)
+    qsims = cell_sims(queries, query_id)
     wq = Window.partitionBy(query_id).orderBy(F.col("_sim").desc(),
                                               F.col("_cell"))
     qassign = (qsims.withColumn("_rn", F.row_number().over(wq))
                .filter(F.col("_rn") <= max(1, nprobe))
                .select(query_id, "_cell"))
 
-    # residuals in long subspace format: (id, _cell, sub, spos, rx)
-    def residual_sub(vex: DataFrame, vid: str,
+    # residual SUBVECTORS as arrays: (id, _cell, sub, rsub) — m rows
+    # per vector, each carrying a dsub-length array; the dimension
+    # never appears in a shuffle key and the per-code distance below
+    # is an in-row fold, so every shuffle in the encode path is
+    # (corpus x m)-grain, not (corpus x dim x codes)-grain
+    def residual_sub(vdf: DataFrame, src_id: str, out_id: str,
                      assign: DataFrame) -> DataFrame:
-        return (vex.join(assign, vid)
-                .join(F.broadcast(cents), ["_cell", "pos"])
-                .select(vid, "_cell",
-                        (F.col("pos") / dsub).cast("int").alias("sub"),
-                        (F.col("pos") % dsub).alias("spos"),
-                        (F.col("x") - F.col("cx")).alias("rx")))
+        r = (_as_double(vdf, vec_col)
+             .select(F.col(src_id).alias(out_id),
+                     F.col(vec_col).alias("_v"))
+             .join(assign, out_id)
+             .join(F.broadcast(carr.select("_cell", "_cv")), "_cell")
+             .select(out_id, "_cell",
+                     F.zip_with("_v", "_cv", lambda a, b: a - b)
+                     .alias("_r")))
+        pieces = F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("_r", s * dsub + 1, dsub).alias("rsub"))
+            for s in range(m)])
+        return (r.select(out_id, "_cell", F.explode(pieces).alias("_s"))
+                .select(out_id, "_cell", F.col("_s.sub").alias("sub"),
+                        F.col("_s.rsub").alias("rsub")))
 
-    rex = residual_sub(ex, id_col, cassign)
+    def fold_d2(a, b) -> F.Column:
+        diff = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.round(F.aggregate(diff, F.lit(0.0),
+                                   lambda acc, x: acc + x), 9)
+
+    rsub = residual_sub(corpus, id_col, id_col, cassign)
     # shared residual codebook: residual subvectors of the first
     # num_codes corpus vectors (w.r.t. their own cells)
-    cb = (rex.filter(F.col(id_col) < num_codes)
+    cb = (rsub.filter(F.col(id_col) < num_codes)
           .select("sub", F.col(id_col).cast("int").alias("code"),
-                  "spos", F.col("rx").alias("cbx")))
-    d2 = (rex.join(F.broadcast(cb), ["sub", "spos"])
-          .groupBy(id_col, "_cell", "sub", "code")
-          .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9).alias("d2")))
+                  F.col("rsub").alias("cbsub")))
+    d2 = (rsub.join(F.broadcast(cb), "sub")
+          .select(id_col, "_cell", "sub", "code",
+                  fold_d2(F.col("rsub"), F.col("cbsub")).alias("d2")))
     codes = (d2.groupBy(id_col, "_cell", "sub")
              .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m"))
              .select(id_col, "_cell", "sub", F.col("_m.code").alias("code")))
 
-    qres = residual_sub(qex, query_id, qassign)
-    dtab = (qres.join(F.broadcast(cb), ["sub", "spos"])
-            .groupBy(query_id, "_cell", "sub", "code")
-            .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9).alias("pd")))
+    qres = residual_sub(queries, id_col, query_id, qassign)
+    dtab = (qres.join(F.broadcast(cb), "sub")
+            .select(query_id, "_cell", "sub", "code",
+                    fold_d2(F.col("rsub"), F.col("cbsub")).alias("pd")))
     adist = (codes.join(F.broadcast(dtab), ["_cell", "sub", "code"])
              .filter(F.col(id_col) != F.col(query_id))
              .groupBy(query_id, id_col)

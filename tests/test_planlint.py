@@ -67,6 +67,8 @@ def test_flagship_queries_lint_clean(spark, sf_dir):
         # num_cells-row coarse table, not data) + the zero-norm guard
         # filtering on a computed norm, which no engine can push
         "dedup_semantic": {"cartesian", "unpushed-scan"},
+        # same bounded centroid cross: the map-side cell assignment
+        "ann_ivfpq_topk": {"cartesian"},
     }
     for name in ["a1_tpch_q1", "dedup_minhash_lsh_pairs",
                  "ann_pq_topk", "ann_ivfpq_topk", "dedup_semantic",
@@ -87,7 +89,8 @@ _ALLOWED = {
         # broadcast 1-row scalar / bounded centroid / query-set crosses
         "agg_incremental_merge", "ann_cosine_topk", "ann_eval_pq_vs_exact",
         "ann_hybrid_rrf", "ann_ivf_cell_histogram", "ann_ivf_topk",
-        "ann_ivf_topk_fixed", "copurchase_pmi", "dedup_semantic",
+        "ann_ivf_topk_fixed", "ann_ivfpq_rerank", "ann_ivfpq_topk",
+        "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "profile_join_cardinality",

