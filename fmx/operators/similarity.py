@@ -339,7 +339,11 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     as a min-over-struct hash-agg (map-side combinable — collapses to
     one row per (id, sub) BEFORE the shuffle, where a ranking window
     would shuffle all K candidate rows and sort) — no cross join,
-    corpus side never collected."""
+    corpus side never collected.  The candidate expansion stays
+    long-format deliberately: the expanded relation lives inside one
+    whole-stage-codegen stage and is never shuffled, which beats an
+    in-row array fold (higher-order functions are interpreted,
+    not codegen'd)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
@@ -570,51 +574,47 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                .filter(F.col("_rn") <= max(1, nprobe))
                .select(query_id, "_cell"))
 
-    # residual SUBVECTORS as arrays: (id, _cell, sub, rsub) — m rows
-    # per vector, each carrying a dsub-length array; the dimension
-    # never appears in a shuffle key and the per-code distance below
-    # is an in-row fold, so every shuffle in the encode path is
-    # (corpus x m)-grain, not (corpus x dim x codes)-grain
+    # residuals in long subspace format: (id, _cell, sub, spos, rx).
+    # Long format is deliberate here (mirrors pq_encode): the expanded
+    # candidate relation stays inside one whole-stage-codegen stage and
+    # is never shuffled — faster than an in-row higher-order fold,
+    # which Spark evaluates interpreted
+    cents = (_as_double(corpus, vec_col)
+             .filter(F.col(id_col) < num_cells)
+             .select(F.col(id_col).cast("int").alias("_cell"),
+                     F.posexplode(vec_col).alias("pos", "cx")))
+
     def residual_sub(vdf: DataFrame, src_id: str, out_id: str,
                      assign: DataFrame) -> DataFrame:
-        r = (_as_double(vdf, vec_col)
-             .select(F.col(src_id).alias(out_id),
-                     F.col(vec_col).alias("_v"))
-             .join(assign, out_id)
-             .join(F.broadcast(carr.select("_cell", "_cv")), "_cell")
-             .select(out_id, "_cell",
-                     F.zip_with("_v", "_cv", lambda a, b: a - b)
-                     .alias("_r")))
-        pieces = F.array(*[
-            F.struct(F.lit(s).alias("sub"),
-                     F.slice("_r", s * dsub + 1, dsub).alias("rsub"))
-            for s in range(m)])
-        return (r.select(out_id, "_cell", F.explode(pieces).alias("_s"))
-                .select(out_id, "_cell", F.col("_s.sub").alias("sub"),
-                        F.col("_s.rsub").alias("rsub")))
+        vex = (_as_double(vdf, vec_col)
+               .select(F.col(src_id).alias(out_id),
+                       F.posexplode(vec_col).alias("pos", "x")))
+        return (vex.join(assign, out_id)
+                .join(F.broadcast(cents), ["_cell", "pos"])
+                .select(out_id, "_cell",
+                        (F.col("pos") / dsub).cast("int").alias("sub"),
+                        (F.col("pos") % dsub).alias("spos"),
+                        (F.col("x") - F.col("cx")).alias("rx")))
 
-    def fold_d2(a, b) -> F.Column:
-        diff = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-        return F.round(F.aggregate(diff, F.lit(0.0),
-                                   lambda acc, x: acc + x), 9)
-
-    rsub = residual_sub(corpus, id_col, id_col, cassign)
+    rex = residual_sub(corpus, id_col, id_col, cassign)
     # shared residual codebook: residual subvectors of the first
     # num_codes corpus vectors (w.r.t. their own cells)
-    cb = (rsub.filter(F.col(id_col) < num_codes)
+    cb = (rex.filter(F.col(id_col) < num_codes)
           .select("sub", F.col(id_col).cast("int").alias("code"),
-                  F.col("rsub").alias("cbsub")))
-    d2 = (rsub.join(F.broadcast(cb), "sub")
-          .select(id_col, "_cell", "sub", "code",
-                  fold_d2(F.col("rsub"), F.col("cbsub")).alias("d2")))
+                  "spos", F.col("rx").alias("cbx")))
+    d2 = (rex.join(F.broadcast(cb), ["sub", "spos"])
+          .groupBy(id_col, "_cell", "sub", "code")
+          .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9)
+               .alias("d2")))
     codes = (d2.groupBy(id_col, "_cell", "sub")
              .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m"))
              .select(id_col, "_cell", "sub", F.col("_m.code").alias("code")))
 
     qres = residual_sub(queries, id_col, query_id, qassign)
-    dtab = (qres.join(F.broadcast(cb), "sub")
-            .select(query_id, "_cell", "sub", "code",
-                    fold_d2(F.col("rsub"), F.col("cbsub")).alias("pd")))
+    dtab = (qres.join(F.broadcast(cb), ["sub", "spos"])
+            .groupBy(query_id, "_cell", "sub", "code")
+            .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9)
+                 .alias("pd")))
     adist = (codes.join(F.broadcast(dtab), ["_cell", "sub", "code"])
              .filter(F.col(id_col) != F.col(query_id))
              .groupBy(query_id, id_col)
