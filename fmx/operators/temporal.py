@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "gap_fill", "sessionize"]
+__all__ = ["asof_join", "range_join", "gap_fill", "sessionize",
+           "interval_merge"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -224,3 +225,42 @@ def sessionize(df: DataFrame, key_cols: list[str] | str, ts_col: str,
     return df.withColumn("session_n",
                          (F.sum(new_sess).over(wrun) - F.lit(1))
                          .cast("bigint"))
+
+
+def interval_merge(df: DataFrame, key_cols: list[str] | str,
+                   start_col: str, end_col: str) -> DataFrame:
+    """Merge OVERLAPPING (or touching) intervals per key into maximal
+    disjoint islands: one row per island with its span and how many
+    input intervals it absorbed — the interval union behind "total
+    watch time", "machine busy time", SLA coverage, and span-level
+    text-annotation dedup (gaps-and-islands over typed intervals, not
+    just point events).
+
+    An island starts where an interval's start exceeds the running max
+    of all earlier ends (per key, ordered by start) — one shuffle on
+    the key and ONE window pass for the boundary flag + running island
+    id, then one hash-agg per island.  Same scale envelope as
+    ``sessionize``: bounded by the largest single key's history.
+    Intervals with end < start are treated as zero-length at start
+    (clamped via greatest).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    s = F.col(start_col).cast("double")
+    e = F.greatest(F.col(end_col).cast("double"), s)
+    w = Window.partitionBy(*keys).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_max_end.isNull() | (s > prev_max_end), 1) \
+                  .otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = (df.withColumn("_s", s).withColumn("_e", e)
+              .withColumn("island",
+                          (F.sum(new_island).over(wrun) - F.lit(1))
+                          .cast("bigint")))
+    return (tagged.groupBy(*keys, "island")
+            .agg(F.min("_s").alias("island_start"),
+                 F.max("_e").alias("island_end"),
+                 F.count("*").cast("bigint").alias("n_intervals"))
+            .withColumn("covered",
+                        F.round(F.col("island_end")
+                                - F.col("island_start"), 6)))

@@ -91,17 +91,17 @@ _PRIORITY = [
     "ts_gap_fill",
     "dedup_clusters",
     # -- re-checks: most recent driver row is r01 --
-    # (a7_min_max, a8_count, p2_drop_column were displaced to the r6
-    # window by the third late-round-5 batch below — the three most
-    # trivial shapes of the r01 batch, whose min/max/count/projection
-    # expressions run inside dozens of currently-green rows.)
+    # (a7_min_max, a8_count, p2_drop_column, p4_distinct were displaced
+    # to the r6 window by the third late-round-5 batch below — the four
+    # most trivial shapes of the r01 batch, whose min/max/count/
+    # projection/distinct expressions run inside dozens of
+    # currently-green rows.)
     "array_sql_funcs",
     "bool_bitwise_aggs",
     "exists_subquery",
     "f6_split_cast",
     "grouping_sets",
     "null_safe_equality",
-    "p4_distinct",
     "pivot_status",
     "set_intersect",
     "set_union_distinct",
@@ -111,6 +111,7 @@ _PRIORITY = [
     "sample_pareto_frontier",
     "sample_matched_pairs",
     "text_cluster_terms",
+    "ts_interval_coverage",
     "dedup_containment",
     "eval_bootstrap_ci",
     "eval_ab_experiment",

@@ -340,3 +340,50 @@ def ts_dod_growth(spark, sf):
                     F.col("_prev").cast(BIG).alias("n_prev_day"),
                     F.round((F.col("n") - F.col("_prev")) * 100.0
                             / F.col("_prev"), 4).alias("growth_pct")))
+
+
+@query(
+    "ts_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch(ts) AS s, epoch(ts) + value * 60 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, greatest(e, s) AS e2,
+             max(greatest(e, s)) OVER (
+               PARTITION BY user_id ORDER BY s, greatest(e, s)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e2,
+             sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e2
+                     ROWS UNBOUNDED PRECEDING) - 1 AS island
+      FROM m)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(island AS BIGINT) AS island,
+           round(min(s), 6) AS island_start,
+           round(max(e2), 6) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(max(e2) - min(s), 6) AS covered
+    FROM isl GROUP BY user_id, island
+    """)
+def ts_interval_coverage(spark, sf):
+    """Interval union per user: each event opens a [ts, ts + value
+    minutes] activity span; overlapping spans merge into maximal
+    islands with their covered duration — the "total busy time"
+    interval-merge (gaps-and-islands over typed intervals, not point
+    events).  One shuffle on the key, one window pass for the island
+    boundary (running max of prior ends), one hash-agg per island
+    (fmx.operators.temporal.interval_merge)."""
+    from fmx.operators.temporal import interval_merge
+
+    ev = T(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("double").alias("s"),
+        (F.col("ts").cast("double") + F.col("value") * 60).alias("e"))
+    out = interval_merge(ev, "user_id", "s", "e")
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      "island",
+                      F.round("island_start", 6).alias("island_start"),
+                      F.round("island_end", 6).alias("island_end"),
+                      "n_intervals", "covered")

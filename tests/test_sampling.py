@@ -272,3 +272,24 @@ def test_pareto_frontier_ignores_null_axes(spark):
     got = {r.id for r in
            SMP.pareto_frontier(df, "q", "t", "id").collect()}
     assert got == {1}   # 4 dominated by 1; null-axis rows excluded
+
+
+def test_interval_merge_known_islands(spark):
+    """Hand-checkable island semantics: overlap merges, touching
+    merges (start == running max end), gaps split, per-key isolation,
+    end < start clamps to zero-length."""
+    from fmx.operators.temporal import interval_merge
+
+    rows = [("a", 0.0, 10.0), ("a", 5.0, 7.0),     # contained
+            ("a", 10.0, 12.0),                     # touching -> same
+            ("a", 20.0, 25.0),                     # gap -> new island
+            ("a", 30.0, 28.0),                     # inverted -> point
+            ("b", 0.0, 1.0)]                       # other key
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    out = {(r.k, r.island): (r.island_start, r.island_end,
+                             r.n_intervals, r.covered)
+           for r in interval_merge(df, "k", "s", "e").collect()}
+    assert out == {("a", 0): (0.0, 12.0, 3, 12.0),
+                   ("a", 1): (20.0, 25.0, 1, 5.0),
+                   ("a", 2): (30.0, 30.0, 1, 0.0),
+                   ("b", 0): (0.0, 1.0, 1, 1.0)}
