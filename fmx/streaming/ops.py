@@ -26,6 +26,36 @@ from pyspark.sql.types import (BooleanType, DoubleType, LongType,
                                StringType, StructField, StructType,
                                TimestampType)
 
+def _file_stream(spark: SparkSession, sf_dir: str, file_name: str,
+                 max_files: int) -> DataFrame:
+    """Shared file-source stream mechanics: expose the single parquet
+    file via a symlink directory (streaming sources need a directory),
+    lock the schema from a batch peek, and pin the session timezone to
+    UTC — the oracle-checked batch twins format timestamps assuming
+    UTC (fmx.sources.tables.load_table sets the same conf), and a
+    foreign caller session may not carry fmx defaults."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.abspath(f"{sf_dir}/{file_name}")
+    stream_dir = os.path.join(tempfile.gettempdir(),
+                              "fmx_stream_" + src.replace("/", "_"))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, file_name)
+    # lexists: a broken symlink still EXISTS for symlink() purposes;
+    # the except guards the create race between concurrent sessions
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+    schema = spark.read.parquet(src).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(stream_dir))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files: int = 1) -> DataFrame:
     """File-source stream over the events parquet (schema locked from a
@@ -34,22 +64,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 
     ts normalization mirrors fmx.sources.load_table (nanos -> micros).
     """
-    import os
-    import tempfile
-
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stream_dir = os.path.join(tempfile.gettempdir(),
-                              "fmx_stream_" + src.replace("/", "_"))
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(src).schema
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", max_files)
-              .parquet(stream_dir))
+    stream = _file_stream(spark, sf_dir, "events.parquet", max_files)
     if dict(stream.dtypes).get("ts") == "bigint":
         # integer division (see fmx.sources.tables.load_table): double
         # division loses 1us on ns values above 2^53
@@ -188,6 +204,7 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     per-user running event count and value sum, emitted on every
     micro-batch (Update mode)."""
     return (events
+            .select("user_id", "value")
             .groupBy("user_id")
             .applyInPandasWithState(
                 _update_user_totals,
@@ -217,8 +234,6 @@ def _enrich_purchases_with_click(key, pdfs, state):
     """Per-user state machine: replay the batch in event-time order,
     remembering the latest click (ties -> largest event_id, the batch
     asof_join rule) and emitting every purchase with it attached."""
-    import pandas as pd
-
     if state.exists:
         last_id, last_us = state.get
     else:
@@ -258,6 +273,9 @@ def stream_asof_enrich(events: DataFrame) -> DataFrame:
     sort buffer or fall back to the batch operator."""
     return (events
             .filter(F.col("event_type").isin("click", "purchase"))
+            # narrow BEFORE the stateful shuffle: props and the unused
+            # metrics would otherwise ride Arrow into the state worker
+            .select("user_id", "event_id", "ts", "event_type")
             .groupBy("user_id")
             .applyInPandasWithState(
                 _enrich_purchases_with_click,
@@ -304,23 +322,30 @@ def _cdc_apply(key, pdfs, state):
     # latest-wins CDC apply: order by (ts, event_id); the delete
     # indicator comes from the input 'op' column (CDC_SCHEMA declares
     # it) — never derived inside the operator, so arbitrary change
-    # streams are applied as the producer tagged them
+    # streams are applied as the producer tagged them.  The winner per
+    # chunk is a vectorized sort/tail (max over chunk maxes == max
+    # over the union), not a per-row Python loop; a NULL change value
+    # stays NULL (the batch compaction carries it through — coercing
+    # to NaN would dodge `value IS NULL` predicates downstream).
     if state.exists:
         ts_us, eid, val, dele = state.get
     else:
-        ts_us, eid, val, dele = -1, -1, float("nan"), False
+        ts_us, eid, val, dele = -1, -1, None, False
     for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            r_us = int(r.ts.value // 1_000)
-            if (r_us, r.event_id) > (ts_us, eid):
-                ts_us, eid = r_us, int(r.event_id)
-                val = float(r.value)
-                dele = (r.op == "D")
+        if not len(pdf):
+            continue
+        best = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+        b_us = int(best.ts.value // 1_000)
+        if (b_us, int(best.event_id)) > (ts_us, eid):
+            ts_us, eid = b_us, int(best.event_id)
+            val = None if pd.isna(best.value) else float(best.value)
+            dele = (best.op == "D")
     state.update((ts_us, eid, val, dele))
     yield pd.DataFrame({
         "user_id": [key[0]], "event_id": [eid],
         "ts": [pd.Timestamp(ts_us, unit="us")],
-        "value": [val], "op": ["D" if dele else "U"]})
+        "value": pd.array([val], dtype="Float64"),
+        "op": ["D" if dele else "U"]})
 
 
 def stream_cdc_latest(events: DataFrame) -> DataFrame:
@@ -455,20 +480,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str,
                           max_files: int = 1) -> DataFrame:
     """File-source stream over the documents parquet (same symlink-dir
     + locked-schema mechanics as ``read_events_stream``)."""
-    import os
-    import tempfile
-
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    stream_dir = os.path.join(tempfile.gettempdir(),
-                              "fmx_stream_" + src.replace("/", "_"))
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    schema = spark.read.parquet(src).schema
-    return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files)
-            .parquet(stream_dir))
+    return _file_stream(spark, sf_dir, "documents.parquet", max_files)
 
 
 POSTINGS_SCHEMA = StructType([
@@ -548,6 +560,9 @@ def stream_ab_registers(events: DataFrame) -> DataFrame:
                 .withColumn("arm", F.when(u < 0.5, F.lit("control"))
                             .otherwise(F.lit("treatment"))))
     return (assigned.groupBy("arm")
-            .agg(F.count("*").cast("long").alias("n"),
+            # count(value): the fold divides s/n for the mean, and the
+            # batch readout's avg(value) skips NULLs — count(*) would
+            # bias mean/SE low on null-bearing streams
+            .agg(F.count("value").cast("long").alias("n"),
                  F.sum("value").alias("s"),
                  F.sum(F.col("value") * F.col("value")).alias("s2")))

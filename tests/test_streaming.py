@@ -567,3 +567,20 @@ def test_stream_ab_registers_fold_matches_batch(spark, sf_dir):
         assert n == wn
         assert abs(mean - wmean) < 1e-6
         assert abs(se - wse) < 1e-6
+
+
+def test_stream_cdc_preserves_null_values(spark, sf_dir):
+    """A NULL change value must survive CDC compaction as a true NULL
+    (not NaN) — downstream `value IS NULL` predicates depend on it."""
+    ev = (S.read_events_stream(spark, sf_dir)
+          .withColumn("op", F.when(F.col("event_id") % 17 == 0, "D")
+                      .otherwise("U"))
+          .withColumn("value", F.when(F.col("event_id") % 5 == 0, None)
+                      .otherwise(F.col("value"))))
+    _run_to_memory(S.stream_cdc_latest(ev), "cdc_nulls", "update")
+    row = spark.sql(
+        "SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) nulls, "
+        "sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) nans "
+        "FROM cdc_nulls").first()
+    assert row.nulls > 0
+    assert (row.nans or 0) == 0
