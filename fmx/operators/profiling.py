@@ -95,7 +95,10 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
     join back broadcast — group cardinality is tiny by construction),
     then one conditional-count agg.  Exact percentile keeps the result
     engine-portable; at extreme group counts swap in approx_percentile
-    without touching the plan shape."""
+    without touching the plan shape.  Degenerate groups (mad = 0: the
+    median value holds a majority) produce no outliers, mirroring
+    zscore_outliers' sd = 0 rule — without the guard every row that
+    differs at all from the median would be flagged."""
     med = (df.groupBy(group_col)
            .agg(F.percentile(value_col, F.lit(0.5)).alias("_med")))
     dev = (df.join(F.broadcast(med), group_col)
@@ -106,7 +109,9 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
     flagged = (dev.drop("_med")
                .join(F.broadcast(mad), group_col)
                .withColumn("_out",
-                           F.col("_adev") > F.lit(k * 1.4826) * F.col("_mad")))
+                           (F.col("_mad") > 0)
+                           & (F.col("_adev")
+                              > F.lit(k * 1.4826) * F.col("_mad"))))
     return (flagged.groupBy(group_col)
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.round(F.first("_med"), 6).alias("median"),
@@ -128,7 +133,9 @@ def robust_scale(df: DataFrame, group_col: str, value_col: str,
     whose output is group-count-bounded (broadcast join back), so the
     scaling scan itself never shuffles.  Exact linear-interpolation
     percentiles keep it engine-portable.  Zero-IQR groups (constant
-    bulk) yield NULL — no defined scale.
+    bulk) yield NULL — no defined scale.  A row-preserving scaler:
+    rows whose group key is NULL pass through with NULL stats (left
+    join — an inner join would silently shrink the output).
     """
     stats = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("_med"),
@@ -136,7 +143,7 @@ def robust_scale(df: DataFrame, group_col: str, value_col: str,
         F.percentile(value_col, F.lit(0.75)).alias("_q3"))
     iqr = F.col("_q3") - F.col("_q1")
     z = (F.col(value_col) - F.col("_med")) / F.nullif(iqr, F.lit(0.0))
-    return (df.join(F.broadcast(stats), group_col)
+    return (df.join(F.broadcast(stats), [group_col], "left")
             .select(*[df[c] for c in df.columns],
                     F.round("_med", 4).alias("group_median"),
                     F.round(iqr, 4).alias("group_iqr"),
@@ -231,10 +238,18 @@ def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
     via the inverse CDF over FIXED literal thresholds —
     engine-replayable, layout-independent, append-stable.  ci =
     mean ± z * sd(replicate means).
+
+    Rows with a NULL value or NULL id are excluded up front: a NULL
+    value would inflate sum(w) but not sum(w*x) (biasing every
+    replicate mean low), and a NULL id hashes to NULL so the weight
+    CASE would bottom out at a constant 5 — a 5x-weighted row with
+    zero resampling variance.
     """
     from fmx.operators.sampling import hash_uniform01
 
     x = F.col(value_col).cast("double")
+    df = df.filter(F.col(value_col).isNotNull()
+                   & F.col(id_col).isNotNull())
     aggs = [F.count("*").cast("bigint").alias("n"),
             F.avg(x).alias("_mean")]
     for r in range(replicates):
@@ -245,8 +260,16 @@ def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
         aggs.append(F.sum(w * x).alias(f"_sx{r}"))
         aggs.append(F.sum(w).alias(f"_sw{r}"))
     one = df.agg(*aggs)
-    means = F.array(*[F.col(f"_sx{r}") / F.col(f"_sw{r}")
-                      for r in range(replicates)])
+    # a replicate whose weights all drew 0 has no sample: center it on
+    # the overall mean (zero variance contribution) instead of
+    # dividing by zero (ANSI error in Spark, inf in DuckDB) — only
+    # reachable on tiny inputs, where the bootstrap is degenerate
+    # anyway
+    means = F.array(*[
+        F.when(F.col(f"_sw{r}") > 0,
+               F.col(f"_sx{r}") / F.col(f"_sw{r}"))
+        .otherwise(F.col("_mean"))
+        for r in range(replicates)])
     mu = F.aggregate(means, F.lit(0.0), lambda a, v: a + v) / replicates
     var = (F.aggregate(means, F.lit(0.0),
                        lambda a, v: a + (v - mu) * (v - mu))

@@ -32,7 +32,10 @@ def url_domain(url: Column | str) -> Column:
     any ``:port`` stripped (public-suffix lists are a lookup table,
     not an engine feature — join one in for exact eTLD+1 semantics)."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.regexp_extract(u, _HOST_RE, 1)
+    # drop userinfo: 'alice@example.com' and 'example.com' are the
+    # same host, not two dedup/cap keys
+    host = F.regexp_replace(F.regexp_extract(u, _HOST_RE, 1),
+                            "^[^@]*@", "")
     return F.regexp_replace(
         F.regexp_replace(F.lower(host), r"^www\.", ""), ":[0-9]+$", "")
 
@@ -50,8 +53,10 @@ def url_normalize(df: DataFrame, url_col: str,
     expressions inside whole-stage codegen, linear in corpus bytes.
 
     Inputs are expected to be ABSOLUTE URLs (scheme://...), which is
-    what crawlers record; a scheme-less value passes through with
-    empty scheme/host rather than being guessed at.
+    what crawlers record; a scheme-less value passes through UNCHANGED
+    rather than being guessed at — which also makes normalization
+    idempotent (re-normalizing an output is a no-op, so re-ingesting
+    an already-canonical corpus cannot churn dedup keys).
     """
     u = F.col(url_col)
     base = F.regexp_replace(u, "#.*$", "")               # fragment off
@@ -61,7 +66,8 @@ def url_normalize(df: DataFrame, url_col: str,
     # default ports are not page identity: http://h:80/ == http://h/
     # (non-default ports are preserved)
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(pre, _HOST_RE, 1)), r"^www\.", "")
+        F.lower(F.regexp_replace(F.regexp_extract(pre, _HOST_RE, 1),
+                                 "^[^@]*@", "")), r"^www\.", "")
     host = F.when(
         (scheme == "http") & host.endswith(":80"),
         F.regexp_replace(host, ":80$", "")
@@ -75,9 +81,10 @@ def url_normalize(df: DataFrame, url_col: str,
         F.split(q, "&"),
         lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE)))
     qs = F.array_join(params, "&")
-    norm = F.concat(
+    canon = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
+    norm = F.when(scheme == "", u).otherwise(canon)
     return (df.withColumn(out_col, norm)
             .withColumn("domain", url_domain(url_col)))
 
@@ -89,13 +96,20 @@ def per_domain_cap(df: DataFrame, domain_col: str, cap: int,
     dominate the training mix).  ``order_cols`` ranks which rows
     survive (defaults to the domain's natural row order — pass a
     quality score for quality-aware capping); include a unique
-    tiebreaker for deterministic output.
+    tiebreaker for deterministic output.  ``order_cols`` is required:
+    ordering by the partition key itself would be constant within
+    each window, so which rows survive would be nondeterministic —
+    an unreproducible training mix.
 
     One shuffle on domain; the ranking filter executes as
     WindowGroupLimit (per-partition top-``cap`` heaps — hot domains
     never fully sort)."""
-    order = [F.col(c) if isinstance(c, str) else c
-             for c in (order_cols or [domain_col])]
+    if not order_cols:
+        raise ValueError(
+            "per_domain_cap needs order_cols (e.g. a quality score + "
+            "a unique id tiebreaker): without an intra-domain order, "
+            "which rows survive the cap is nondeterministic")
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w = Window.partitionBy(domain_col).orderBy(*order)
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap)

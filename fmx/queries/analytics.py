@@ -435,9 +435,9 @@ def cdc_apply_changes(spark, sf):
            CAST(count(*) AS BIGINT) AS n,
            round(min(d._med), 6) AS median,
            round(min(m._mad), 6) AS mad,
-           CAST(sum(CASE WHEN d._adev > 3.0 * 1.4826 * m._mad
+           CAST(sum(CASE WHEN m._mad > 0 AND d._adev > 3.0 * 1.4826 * m._mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           round(sum(CASE WHEN d._adev > 3.0 * 1.4826 * m._mad
+           round(sum(CASE WHEN m._mad > 0 AND d._adev > 3.0 * 1.4826 * m._mad
                           THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
                AS outlier_ratio
     FROM dev d JOIN mad m USING (event_type)
@@ -1461,11 +1461,13 @@ def _boot_oracle(replicates: int = 16, seed: int = 42) -> str:
         for k in range(len(POISSON1_CDF) - 1, -1, -1):
             w = f"CASE WHEN {u} < {POISSON1_CDF[k]} THEN {k} ELSE {w} END"
         ws.append(f"sum(({w}) * x) AS sx{r}, sum({w}) AS sw{r}")
-        sels.append(f"sx{r} / sw{r}")
+        sels.append(f"CASE WHEN sw{r} > 0 THEN sx{r} / sw{r} "
+                    f"ELSE mean END")
     rms = "[" + ", ".join(sels) + "]"
     return f"""
     WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x
-               FROM orders),
+               FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
     agg AS (SELECT count(*) AS n, avg(x) AS mean, {', '.join(ws)}
             FROM t),
     m AS (SELECT n, mean, {rms} AS rms FROM agg),

@@ -44,16 +44,18 @@ _MESSY_URL_SQL = """
 _NORM_SQL = r"""
 urls AS (SELECT doc_id, {url} AS url FROM documents),
 parts AS (
-  SELECT doc_id, url,
+  SELECT doc_id, url0, url,
          regexp_replace(url, '\?.*$', '') AS pre,
          regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS q
-  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM urls)),
+  FROM (SELECT doc_id, url AS url0,
+               regexp_replace(url, '#.*$', '') AS url FROM urls)),
 norm AS (
-  SELECT doc_id,
+  SELECT doc_id, url0,
          lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
              AS scheme,
-         regexp_replace(lower(regexp_extract(
-             pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+         regexp_replace(lower(regexp_replace(regexp_extract(
+             pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+             '^[^@]*@', '')),
              '^www\.', '') AS host,
          regexp_replace(regexp_replace(
              pre, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '/+$', '')
@@ -64,8 +66,10 @@ norm AS (
   FROM parts),
 canon AS (
   SELECT doc_id,
-         scheme || '://' || host || path
-           || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm,
+         CASE WHEN scheme = '' THEN url0
+              ELSE scheme || '://' || host || path
+                || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+         END AS url_norm,
          host AS domain
   FROM norm)
 """.replace("{url}", _MESSY_URL_SQL)

@@ -1101,3 +1101,58 @@ def test_cluster_terms_ranks_and_distinctiveness(spark, sf_dir):
         assert sorted(r.term_rank for r in rs) == [1, 2]
         top = min(rs, key=lambda r: r.term_rank)
         assert top.token in {"x", "y", "z"}   # unique term beats 'common'
+
+
+def test_mad_outliers_zero_mad_group_flags_nothing(spark):
+    """A group whose median value holds a majority (MAD = 0) must
+    report zero outliers — the robust twin of zscore's sd = 0 rule."""
+    from fmx.operators.profiling import mad_outliers
+
+    rows = [("g", 7.0)] * 6 + [("g", 6.0), ("g", 8.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = mad_outliers(df, "k", "v", k=3.0).first()
+    assert out.mad == 0.0 and out.n_outliers == 0
+
+
+def test_robust_scale_preserves_null_group_rows(spark):
+    from fmx.operators.profiling import robust_scale
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), (None, 9.0)],
+        "k string, v double")
+    out = robust_scale(df, "k", "v")
+    assert out.count() == 4                      # row-preserving
+    nullrow = out.filter(F.col("k").isNull()).first()
+    assert nullrow.robust_z is None
+
+
+def test_check_expectations_dotted_names_and_empty_batch(spark):
+    from fmx.operators.dq import check_expectations, failing_rows
+
+    df = spark.createDataFrame([(1.0,), (-2.0,)], ["price"])
+    out = {r.rule: r.n_violations for r in check_expectations(
+        df, {"price.positive": F.col("price") > 0}).collect()}
+    assert out == {"price.positive": 1}
+    empty = check_expectations(
+        df.limit(0), {"price.positive": F.col("price") > 0}).first()
+    assert empty.n_violations == 0 and empty.pass_rate == 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        check_expectations(df, {})
+    with _pt.raises(ValueError):
+        failing_rows(df, {})
+
+
+def test_bootstrap_ci_ignores_null_values_and_ids(spark):
+    """Planted NULL values/ids must not bias the replicate means: the
+    CI over the 3 clean rows equals the CI with nulls mixed in."""
+    from fmx.operators.profiling import bootstrap_mean_ci
+
+    clean = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double")
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(4, None), (None, 99.0)], "id long, v double"))
+    a = bootstrap_mean_ci(clean, "id", "v").first()
+    b = bootstrap_mean_ci(dirty, "id", "v").first()
+    assert (a.n, a.mean, a.ci_lo, a.ci_hi) == (b.n, b.mean,
+                                               b.ci_lo, b.ci_hi)

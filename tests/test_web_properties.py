@@ -78,3 +78,38 @@ def test_char_entropy_bounds(spark, texts):
         # UP past the exact log2 bound by half a rounding step
         assert -5e-7 <= r.char_entropy <= math.log2(max(
             2, r.n_distinct_chars)) + 5e-7
+
+
+def test_url_normalize_schemeless_passthrough_and_userinfo(spark):
+    """A scheme-less value is a fixed point (passes through UNCHANGED,
+    no '://' prefix churn), and userinfo never splits a host into two
+    dedup/cap keys."""
+    from fmx.operators.web import url_domain, url_normalize
+
+    df = spark.createDataFrame(
+        [(1, "example.com/a"),                       # scheme-less
+         (2, "https://alice@example.com/page"),      # userinfo
+         (3, "https://example.com/page")],
+        ["id", "url"])
+    out = {r.id: (r.url_norm, r.domain)
+           for r in url_normalize(df, "url").collect()}
+    assert out[1][0] == "example.com/a"              # unchanged
+    # re-normalizing the passthrough is still a no-op
+    again = (url_normalize(
+        spark.createDataFrame([(1, out[1][0])], ["id", "url"]), "url")
+        .first().url_norm)
+    assert again == out[1][0]
+    assert out[2] == out[3]                          # userinfo stripped
+    doms = [r[0] for r in
+            df.select(url_domain("url")).collect()]
+    assert doms[1] == doms[2] == "example.com"
+
+
+def test_per_domain_cap_requires_order(spark):
+    import pytest as _pt
+
+    from fmx.operators.web import per_domain_cap
+
+    df = spark.createDataFrame([(1, "a.com")], ["id", "domain"])
+    with _pt.raises(ValueError, match="order_cols"):
+        per_domain_cap(df, "domain", cap=1)
