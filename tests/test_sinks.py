@@ -174,3 +174,29 @@ def test_read_parquet_evolved_unions_schemas(spark, tmp_path):
     plain = spark.read.parquet(path)
     assert set(plain.columns) == {"id", "v", "score"}
     assert plain.count() == 2
+
+
+def test_write_partitioned_files_per_partition_splits(tmp_path, spark):
+    """files_per_partition must actually yield multiple files per hive
+    partition — repartitioning on the partition key alone collapses
+    every partition to one file."""
+    import glob
+
+    from fmx.sources.sinks import write_partitioned
+
+    df = spark.range(2000).withColumn("p", F.lit("a"))
+    out = str(tmp_path / "fpp")
+    write_partitioned(df, out, ["p"], files_per_partition=4)
+    files = [f for f in glob.glob(f"{out}/p=a/*") if f.endswith(".parquet")]
+    assert len(files) > 1
+    back = spark.read.parquet(out)
+    assert back.count() == 2000 and "__fmx_salt" not in back.columns
+
+
+def test_compact_dataset_rejects_remote_uri(tmp_path, spark):
+    import pytest as _pt
+
+    from fmx.sources.sinks import compact_dataset
+
+    with _pt.raises(ValueError, match="local path"):
+        compact_dataset(spark, "s3a://bucket/events")

@@ -57,3 +57,18 @@ def test_salted_agg_rejects_non_decomposable(spark):
 
     with pytest.raises(ValueError):
         skew.salted_agg(spark.range(10), ["id"], {"m": "median(id)"})
+
+
+def test_salted_join_rejects_outer_and_salt_is_deterministic(spark):
+    import pytest as _pt
+
+    from fmx.core.skew import salted_join, with_salt
+
+    big = spark.range(100).withColumnRenamed("id", "k")
+    small = spark.range(10).withColumnRenamed("id", "k")
+    with _pt.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+    # deterministic: same content -> same salt under any layout
+    a = {r.k: r._salt for r in with_salt(big).collect()}
+    b = {r.k: r._salt for r in with_salt(big.repartition(7)).collect()}
+    assert a == b
