@@ -249,6 +249,11 @@ def vec_sum_agg(df: DataFrame, group_cols: Iterable[str], vec_col: str,
     array with a k-bounded collect_list.  Scales: the shuffle key is
     (group, pos) so a hot group spreads over k partitions, every stage has
     map-side combine, and the only collected list is length k.
+
+    Note: a group whose vectors are ALL null/empty produces no exploded
+    rows and is therefore ABSENT from the output (unlike a plain
+    groupBy, which would emit the group).  Use ``vec_sum_agg_expr``
+    when a row per group is required regardless.
     """
     group_cols = list(group_cols)
     exploded = df.select(*group_cols,
@@ -280,9 +285,12 @@ def vec_sum_agg_pandas(k: int) -> Column:
     # via the explicit GROUPED_AGG function type
     @pandas_udf(ArrayType(DoubleType()), PandasUDFType.GROUPED_AGG)
     def _vec_sum(vecs):
-        if len(vecs) == 0:
+        # null-skip like the reference UDAF's update (and the
+        # relational twins) — np.stack over a None crashes the worker
+        arrs = [v for v in vecs.to_numpy() if v is not None]
+        if not arrs:
             return [0.0] * k
-        return list(np.sum(np.stack(vecs.to_numpy()), axis=0).astype(float))
+        return list(np.sum(np.stack(arrs), axis=0).astype(float))
 
     return _vec_sum
 

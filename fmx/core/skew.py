@@ -16,11 +16,17 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, num_salts: int = 16,
               salt_col: str = "_salt") -> DataFrame:
-    """Attach a uniform salt in [0, num_salts) — derived from a
-    per-partition row id so rows of the same hot key spread evenly."""
+    """Attach a uniform salt in [0, num_salts) — a DETERMINISTIC hash
+    of the row content, never ``monotonically_increasing_id``: a
+    nondeterministic expression used as a shuffle key means a retried
+    map task can re-salt rows differently after reducers already
+    fetched its output (the SPARK-23207 correctness hazard).  Content
+    hashing keeps retries stable; exact-duplicate rows share a salt,
+    which only matters if a single hot key is ALSO mostly duplicate
+    rows."""
     return df.withColumn(
         salt_col,
-        F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int"))
+        F.pmod(F.xxhash64(*df.columns), F.lit(num_salts)).cast("int"))
 
 
 def replicate_with_salts(df: DataFrame, num_salts: int = 16,
@@ -35,7 +41,15 @@ def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
                 num_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join where ``big`` has power-law keys: salt the big side,
     replicate the small side, join on (key..., salt).  One hot key now
-    lands on num_salts reducers instead of one."""
+    lands on num_salts reducers instead of one.
+
+    Only ``inner`` and ``left`` are supported: under right/full outer,
+    an unmatched small-side row would surface once PER SALT REPLICA —
+    num_salts duplicate null-extended rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left, not {how!r}: unmatched "
+            "replicated small-side rows would duplicate num_salts times")
     keys = [on] if isinstance(on, str) else list(on)
     b = with_salt(big, num_salts)
     s = replicate_with_salts(small, num_salts)

@@ -9,21 +9,37 @@ row-group skipping, and explicit file-count control.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       fmt: str = "parquet", mode: str = "overwrite",
                       files_per_partition: int | None = None,
                       sort_within: list[str] | None = None) -> None:
-    """Hive-partitioned write.  ``files_per_partition`` repartitions by
-    the partition columns first (avoids the classic
-    tasks×partitions small-file explosion); ``sort_within`` orders rows
-    inside each file so parquet min/max row-group stats prune reads."""
+    """Hive-partitioned write.  ``files_per_partition`` caps the file
+    count per hive partition (avoids the classic tasks×partitions
+    small-file explosion) via a deterministic row-content salt in the
+    repartition key — repartitioning on the partition columns alone
+    would collapse EVERY hive partition to one file regardless of the
+    requested count, serializing fat partitions through single tasks;
+    ``sort_within`` orders rows inside each file so parquet min/max
+    row-group stats prune reads."""
     out = df
     if files_per_partition:
-        out = out.repartition(files_per_partition, *partition_cols)
+        salt = F.pmod(F.xxhash64(*df.columns),
+                      F.lit(int(files_per_partition)))
+        # explicit numPartitions: without it AQE coalesces the salted
+        # shuffle back into few partitions and the per-partition file
+        # count silently collapses again; the distinct count is one
+        # small agg bounded by the hive-partition cardinality
+        n_parts = df.select(*partition_cols).distinct().count() or 1
+        out = (out.withColumn("__fmx_salt", salt)
+               .repartition(int(n_parts * files_per_partition),
+                            *partition_cols, "__fmx_salt"))
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
+    if files_per_partition:
+        out = out.drop("__fmx_salt")
     (out.write.mode(mode).format(fmt)
      .partitionBy(*partition_cols).save(path))
 
@@ -111,7 +127,15 @@ def compact_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
     import os
     import shutil
 
-    from pyspark.sql import functions as F
+    if "://" in path:
+        # the file math (os.walk) and the crash-safe swap (os.rename)
+        # are local-filesystem operations; on a remote URI the sizes
+        # would silently read as 0 and the swap would fail AFTER the
+        # expensive rewrite
+        raise ValueError(
+            f"compact_dataset requires a local path, got {path!r} — "
+            "for object stores, rewrite to a new prefix and flip the "
+            "table location atomically in the catalog instead")
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -133,25 +157,32 @@ def compact_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
         counts = df.groupBy(*partition_cols).count()
         n_rows = (counts.agg(F.sum("count")).collect()[0][0]) or 1
         row_bytes = total / n_rows
+        # __fmx_-prefixed internals: a dataset legitimately carrying a
+        # '_salt' or '_k' column must not have it overwritten/dropped
+        # by the rewrite
         k = (counts.withColumn(
-            "_k", F.greatest(
+            "__fmx_k", F.greatest(
                 F.lit(1),
                 F.ceil(F.col("count") * F.lit(row_bytes)
                        / F.lit(target_bytes)).cast("int")))
             .drop("count"))
-        n_files = k.agg(F.sum("_k")).collect()[0][0]
+        # `or 1`: a dataset of only zero-row files (empty micro-batch
+        # leftovers — exactly what compaction targets) sums to NULL
+        n_files = k.agg(F.sum("__fmx_k")).collect()[0][0] or 1
         data_cols = [c for c in df.columns if c not in partition_cols]
         # deterministic within-partition salt in [0, k_p): spreads a fat
         # partition over k_p shuffle keys; the writer's partitionBy still
         # routes rows to their hive directory
         salted = (df.join(F.broadcast(k), partition_cols)
-                  .withColumn("_salt",
-                              F.pmod(F.xxhash64(*data_cols), F.col("_k")))
-                  .drop("_k"))
-        out = salted.repartition(int(n_files), *partition_cols, "_salt")
+                  .withColumn("__fmx_salt",
+                              F.pmod(F.xxhash64(*data_cols),
+                                     F.col("__fmx_k")))
+                  .drop("__fmx_k"))
+        out = salted.repartition(int(n_files), *partition_cols,
+                                 "__fmx_salt")
         if sort_within:
             out = out.sortWithinPartitions(*sort_within)
-        (out.drop("_salt").write.mode("overwrite").format(fmt)
+        (out.drop("__fmx_salt").write.mode("overwrite").format(fmt)
          .partitionBy(*partition_cols).save(tmp))
     else:
         n_files = max(1, math.ceil(total / target_bytes))

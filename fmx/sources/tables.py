@@ -74,6 +74,13 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
             reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
         reader = reader.schema(schema)
     else:
+        if corrupt_col is not None:
+            # silently skipping the quarantine would be worse than
+            # failing: inference needs the real schema to know which
+            # records are malformed
+            raise ValueError(
+                "corrupt_col requires an explicit schema — inferred "
+                "schemas cannot quarantine malformed records")
         reader = reader.option("inferSchema", str(infer_schema).lower())
     return reader.csv(path)
 
@@ -85,10 +92,13 @@ def read_libsvm_text(spark: SparkSession, path: str) -> DataFrame:
     natively (split + explode), no Python UDF."""
     raw = spark.read.text(path)
     toks = raw.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
+    # explode_outer: a label-only line (zero active features) is a
+    # valid sample and must keep its label row (null feature columns)
+    # — plain explode would silently drop it from class priors
     return (
         toks.select(
             F.col("t")[0].cast("double").alias("label"),
-            F.explode(F.slice("t", 2, 1_000_000)).alias("pair"))
+            F.explode_outer(F.slice("t", 2, 1_000_000)).alias("pair"))
         .select(
             "label",
             (F.split("pair", ":")[0].cast("int") - 1).alias("featureId"),
