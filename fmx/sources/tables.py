@@ -24,11 +24,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver harness builds its own SparkSession); timestamp formatting
     # in the oracle-checked queries assumes UTC
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # tz-naive parquet timestamps (isAdjustedToUTC=false, the current
+    # testdata format) would otherwise infer as TIMESTAMP_NTZ, on which
+    # CAST(ts AS DOUBLE) and watermarks are illegal; read as session-tz
+    # TIMESTAMP (UTC session zone ⇒ same wall times as the DuckDB oracle)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) (all SFs), which Spark 4
-        # rejects unless read as long; normalize to a microsecond
-        # timestamp (lossless here: the generator emits us-resolution).
-        # Set defensively — the driver's session may lack the conf.
+        # older generator runs stored events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark 4 rejects unless read as long;
+        # normalize to a microsecond timestamp (lossless: the generator
+        # emits us-resolution). Set defensively — the driver's session
+        # may lack the conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
@@ -36,8 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ~1.7e18 exceed 2^53, shaving 1us off ~1.6% of timestamps
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP.
+
+    Backstop for sessions where the ``inferTimestampNTZ`` conf could not
+    take effect (e.g. the file's footer was already cached with an NTZ
+    schema): downstream operators cast event times to DOUBLE and declare
+    watermarks, both of which reject NTZ."""
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -28,3 +28,83 @@ def test_queries_and_oracles_align(spark):
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in osql.values())
+
+
+def test_vanilla_session_replay():
+    """Replay the driver's environment: a SparkSession with NO fmx confs.
+
+    Round 5 shipped 219/219 green locally while the driver window showed
+    two red rows, because the local harness session pins
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=false``
+    (fmx/session.py) and the driver's vanilla session does not — the
+    regenerated tz-naive testdata then read as TIMESTAMP_NTZ and
+    ``CAST(ts AS DOUBLE)`` failed at analysis time.  This test runs in a
+    subprocess (the in-process pytest session already carries fmx confs,
+    and ``getOrCreate`` would reuse it) and does two things:
+
+    1. analyzes EVERY registry query (``df.schema`` forces resolution —
+       the r5 failure mode was an analysis-time DATATYPE_MISMATCH);
+    2. value-compares the event-time queries against their DuckDB
+       oracles at sf0.001 (the class of query the env drift broke).
+    """
+    import subprocess
+    import sys
+
+    script = r'''
+import sys
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]").appName("vanilla-replay")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+# assert genuinely vanilla: no fmx conf leaked in
+assert spark.conf.get(
+    "spark.sql.parquet.inferTimestampNTZ.enabled", "true") == "true", \
+    "session is not vanilla — replay is vacuous"
+
+import __spark_entry__ as e
+
+SF = "/root/testdata/sf0.001"
+qs, osql = e.queries(), e.oracle_sql()
+bad = []
+for name, fn in qs.items():
+    try:
+        fn(spark, SF).schema  # forces analysis
+    except Exception as ex:
+        bad.append(f"{name}: {type(ex).__name__}: {ex}")
+if bad:
+    print("ANALYSIS FAILURES:\n" + "\n".join(bad))
+    sys.exit(1)
+
+# value-compare the event-time family (what the r5 env drift broke)
+import duckdb
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+EVENT_TIME = [
+    "event_sessionization", "ts_interval_coverage", "abandoned_sessions",
+    "funnel_within_session", "win_tumbling_hour", "win_session_30m",
+    "asof_purchase_last_click", "ts_resample_ohlc", "cdc_apply_changes",
+]
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df.astype(str)
+
+for name in EVENT_TIME:
+    a = canon(qs[name](spark, SF).toPandas())
+    b = canon(con.sql(osql[name]).df())
+    if not a.equals(b):
+        print(f"VALUE MISMATCH: {name}")
+        sys.exit(1)
+print("VANILLA REPLAY OK")
+'''
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=1200)
+    assert proc.returncode == 0 and "VANILLA REPLAY OK" in proc.stdout, (
+        f"vanilla replay failed:\nstdout:\n{proc.stdout[-4000:]}\n"
+        f"stderr:\n{proc.stderr[-2000:]}")
