@@ -55,104 +55,83 @@ _MODULES = [
 # order); everything else follows in registration order.  Keep this list
 # at <= 50 names so the whole driver window is deliberate.
 #
-# Round-5 window: (a) the 16 fully-oracled round-5 additions plus
-# ann_pq_trained (new, rows-only by design), (b) re-verification of the
-# queries whose implementation or oracle CHANGED this round
-# (dedup_semantic's hierarchical assignment + persisted pair join;
-# ts_gap_fill's was_gap marker; dedup_clusters rides the reworked
-# connected_components), then (c) ALL 24 entries whose most recent
-# driver row is still r01 — including the 8 trivial shapes deliberately
-# left out of the r4 window — and (d) 6 of the oldest r02-era rows
-# (ANN, dedup, fm-serving paths first).  The remaining r02 tail
-# (text_* shapes, map-only embedding preps, bench headliners exercised
-# every round anyway) rotates in next.
+# Round-6 window, executing the rotation planned at round-5 close and
+# VERDICT r5 "Next round" #3:
+# (a) the two r5 RED rows (NTZ timestamp break, fixed in
+#     fmx/sources/tables.py::load_table this round) plus the two latent
+#     twins that share the ts.cast("double") pattern;
+# (b) every remaining registry entry that has NEVER had a driver row;
+# (c) ann_pq_trained re-entering with its new portable INVARIANT oracle
+#     (fixed-codebook MSE value-compared, trained<=fixed asserted) so
+#     the r5 no_oracle red-looking row turns green;
+# (d) the four trivial r01 shapes displaced at r5 close (a7/a8/p2/p4);
+# (e) the r02 tail: ANN/dedup/fm-serving re-checks + the w1-w3 windows
+#     + r01-era expression-family shapes (f4_math, string_manipulation,
+#     map_funcs, interval_arith, window_value_funcs) + the four
+#     composite shapes rotated out at r5 close (agg_cube,
+#     rank_functions, scalar_subquery, stats_agg);
+# (f) the five temporal rows whose last driver check (r3/r4) predates
+#     the driver's testdata regeneration (tz-naive timestamps) —
+#     re-evidence them against the NEW files;
+# (g) new round-6 queries (appended as added, window kept at <= 50).
+# After this window, no entry's most recent driver row predates r3
+# except bench-headliner/TPC-H rows re-exercised every round.
 _PRIORITY = [
-    # -- never driver-checked (new this round) --
+    # -- (a) r5 red rows + latent NTZ twins --
     "event_sessionization",
-    "text_char_entropy",
-    "dedup_cross_corpus",
-    "web_url_normalize",
-    "web_domain_stats",
-    "web_domain_cap",
-    "web_domain_mixture",
-    "profile_robust_scale",
-    "profile_chi2_lang_source",
-    "anomaly_hourly_event_rate",
-    "event_trigram_paths",
-    "approx_user_overlap",
-    "sample_pack_manifest",
-    "graph_triangle_count",
-    "ann_eval_pq_vs_exact",
-    "multimodal_patches",
-    # -- never driver-checked (new this round; rows-only) --
-    "ann_pq_trained",
-    # -- changed this round: re-verify --
-    "dedup_semantic",
-    "ts_gap_fill",
-    "dedup_clusters",
-    # -- re-checks: most recent driver row is r01 --
-    # (a7_min_max, a8_count, p2_drop_column, p4_distinct were displaced
-    # to the r6 window by the third late-round-5 batch below — the four
-    # most trivial shapes of the r01 batch, whose min/max/count/
-    # projection/distinct expressions run inside dozens of
-    # currently-green rows.)
-    "array_sql_funcs",
-    "bool_bitwise_aggs",
-    "exists_subquery",
-    "f6_split_cast",
-    "grouping_sets",
-    "null_safe_equality",
-    "pivot_status",
-    "set_intersect",
-    "set_union_distinct",
-    "union_by_name",
-    "unpivot_melt",
-    # -- never driver-checked (late round-5 additions) --
-    "sample_pareto_frontier",
-    "sample_matched_pairs",
-    "text_cluster_terms",
     "ts_interval_coverage",
-    "dedup_containment",
-    "eval_bootstrap_ci",
-    "eval_ab_experiment",
-    "profile_join_cardinality",
-    "ann_ivfpq_rerank",
-    "sample_token_budget_mix",
-    "attribution_position_weighted",
-    "graph_k_hop_2",
-    "ann_ivfpq_topk",
-    "text_bm25_topk",
-    "ann_hybrid_rrf",
-    "copurchase_pmi",
-    "dq_referential_integrity",
-    "emb_centroid_shift",
-    "sample_curriculum_ntile",
-    # (rotated out to make room for the round-5 additions above:
-    # the six r02-era re-checks (ann_lsh_topk, dedup_embedding_cosine,
-    # dedup_incremental, dedup_minhash_lsh_pairs, dedup_simhash,
-    # fm_predict_served) — all r02-green, harness-checked at both SFs
-    # every round, lsh-pairs additionally a bench headliner — and four
-    # r01-era composite shapes whose machinery later queries re-verify
-    # transitively (agg_cube via grouping_sets, rank_functions via the
-    # WindowGroupLimit family, scalar_subquery via the broadcast-1-row
-    # pattern in tpch_q11/q15, stats_agg via profile_* corr/regr).
-    # All re-enter the r6 window, together with five more r01-era
-    # shapes displaced by the second late-round-5 batch (f4_math,
-    # string_manipulation, map_funcs, interval_arith,
-    # window_value_funcs — their expression families run inside many
-    # green queries: math/string exprs everywhere, map/JSON in
-    # relational2, intervals throughout temporal, lag/lead in the
-    # w-family).  Earlier rotation notes:
-    # text_stats/text_language_id/text_quality/text_redaction/
-    # text_fingerprint/having_filter/ann_lsh_buckets/emb_normalize/
-    # emb_quantize/ann_cosine_topk/dedup_exact/ann_ivf_topk/
-    # dedup_minhash_signatures/dedup_ngram_jaccard/
-    # multimodal_payload_stats/fm_loss; all r02-green, harness-checked at both
-    # SFs every round; the bench headliners among them additionally run
-    # every round; signatures/jaccard arithmetic is transitively
-    # re-verified by the lsh-pairs/clusters/cross-corpus rows that
-    # derive from it.  They re-enter the next window with the r02
-    # TPC-H tail.)
+    "abandoned_sessions",
+    "funnel_within_session",
+    # -- (b) never driver-checked --
+    "cohort_retention_matrix",
+    "ts_moving_avg",
+    "ts_trailing_anomaly",
+    "ts_dod_growth",
+    "sample_interleaved_order",
+    "dedup_keep_longest",
+    "ann_ivf_cell_histogram",
+    "text_vocab_kl_by_source",
+    "text_tokenizer_fertility",
+    "profile_winsorized_mean",
+    "fulfillment_lag_quantiles",
+    # -- (c) re-enters with the new invariant oracle --
+    "ann_pq_trained",
+    # -- (d) trivial r01 shapes displaced at r5 close --
+    "a7_min_max",
+    "a8_count",
+    "p2_drop_column",
+    "p4_distinct",
+    # -- (e) r02 tail + r01 expression families --
+    "ann_lsh_topk",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_simhash",
+    "fm_predict_served",
+    "w1_partition_sum",
+    "w2_vector_sum_by_label",
+    "w3_row_number_topk",
+    "f4_math",
+    "string_manipulation",
+    "map_funcs",
+    "interval_arith",
+    "window_value_funcs",
+    "agg_cube",
+    "rank_functions",
+    "scalar_subquery",
+    "stats_agg",
+    # -- (f) temporal rows last checked against the OLD (ns) testdata --
+    "win_tumbling_hour",
+    "win_session_30m",
+    "asof_purchase_last_click",
+    "ts_resample_ohlc",
+    "cdc_apply_changes",
+    # -- (g) new round-6 queries --
+    # (Prior rotation history lives in git: r5 window at tag-commit
+    # ded7618, r4 and earlier in this file's log.  Everything rotated
+    # out of this window is r4/r5-green and remains covered by the
+    # sf0.001+sf0.01 oracle harness every round; bench headliners
+    # additionally run per-round.)
 ]
 
 

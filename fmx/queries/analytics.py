@@ -1512,9 +1512,10 @@ _AB_U = ("(CAST(concat('0x', substring(md5(concat('exp1:42:', "
       SELECT user_id, value,
              CASE WHEN {_AB_U} < 0.5 THEN 'control' ELSE 'treatment' END
                  AS arm
-      FROM events WHERE event_type = 'purchase'),
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
     arms AS (SELECT arm,
-                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(value) AS BIGINT) AS n,
                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                     avg(value) AS mean_value,
                     stddev_samp(value) AS sd
@@ -1529,13 +1530,22 @@ def eval_ab_experiment(spark, sf):
     reprocessing and corpus growth, the property every experiment
     platform needs), purchase-value mean and standard error per arm.
     One scan + one arm-sized agg; the assignment is a pure column
-    expression, so the same query runs on the full event log."""
-    ev = T(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    expression, so the same query runs on the full event log.
+
+    Assignment requires a non-null user_id (Spark's concat yields NULL
+    on a NULL arg while DuckDB skips it — a NULL-user event would land
+    in different arms across engines), so anonymous events are filtered
+    out; n counts non-null values (consistent with avg/stddev skipping
+    NULLs, and with the streaming register fold in
+    fmx/streaming/ops.py::stream_ab_registers)."""
+    ev = (T(spark, sf, "events")
+          .filter((F.col("event_type") == "purchase")
+                  & F.col("user_id").isNotNull()))
     u = SMP_hash_uniform01("user_id", "exp1", 42)
     assigned = ev.withColumn(
         "arm", F.when(u < 0.5, F.lit("control")).otherwise(F.lit("treatment")))
     return (assigned.groupBy("arm")
-            .agg(F.count("*").cast(BIG).alias("n"),
+            .agg(F.count("value").cast(BIG).alias("n"),
                  F.countDistinct("user_id").cast(BIG).alias("n_users"),
                  F.avg("value").alias("_m"),
                  F.stddev_samp("value").alias("_sd"))

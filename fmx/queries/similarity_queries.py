@@ -436,25 +436,40 @@ def ann_pq_rerank(spark, sf):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
-@query("ann_pq_trained")  # non-SQL-expressible: Lloyd-trained codebook
+@query(
+    "ann_pq_trained",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL}
+    SELECT sub, round(avg(d2), 4) AS fixed_mse,
+           CAST(1 AS BIGINT) AS trained_improves
+    FROM codes GROUP BY sub ORDER BY sub
+    """)
 def ann_pq_trained(spark, sf):
-    """Two-stage ANN over a Lloyd-TRAINED PQ codebook: k-means-refined
-    per-subspace centroids (floating means — engine-private, hence
-    rows-only; the fixed-codebook twin `ann_pq_topk` carries the full
-    oracle), ADC shortlist, exact cosine rerank.  Training cuts mean
-    quantization error ~30% on these embeddings (asserted in
-    tests/test_operators.py)."""
+    """Lloyd-trained PQ codebook, checked through a PORTABLE INVARIANT:
+    per subspace, emit the FIXED codebook's mean quantization error
+    (exactly replayable in SQL — value-compared against DuckDB) and a
+    flag asserting the TRAINED codebook's error is <= the fixed one.
+    K-means initialized from the fixed codebook is monotone
+    non-increasing in within-cluster SSE per subspace, so the oracle
+    expects trained_improves = 1 everywhere; a training regression
+    flips the flag and hash-mismatches.  The trained floats themselves
+    are engine-private (floating means — not bit-portable); the recall
+    gain (~30% lower MSE) is asserted in tests/test_operators.py."""
     emb = T(spark, sf, "embeddings")
     cb = S.pq_codebook_trained(emb, "vec_id", "embedding", m=PQ_M,
                                num_codes=PQ_CODES, dim=DIM, lloyd_iters=2)
-    out = S.pq_rerank_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
-                           "vec_id", "embedding", k=K, k_cand=K_CAND,
-                           m=PQ_M, num_codes=PQ_CODES, dim=DIM,
-                           codebook=cb)
-    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
-                      F.col("vec_id").cast("bigint").alias("vec_id"),
-                      "cosine",
-                      F.col("rank").cast("bigint").alias("rank"))
+    enc_fixed = S.pq_encode(emb, "vec_id", "embedding", m=PQ_M,
+                            num_codes=PQ_CODES, dim=DIM)
+    enc_tr = S.pq_encode(emb, "vec_id", "embedding", m=PQ_M,
+                         num_codes=PQ_CODES, dim=DIM, codebook=cb)
+    fixed = enc_fixed.groupBy("sub").agg(F.avg("d2").alias("_fmse"))
+    trained = enc_tr.groupBy("sub").agg(F.avg("d2").alias("_tmse"))
+    return (fixed.join(trained, "sub")
+            .select(F.col("sub").cast("bigint").alias("sub"),
+                    F.round("_fmse", 4).alias("fixed_mse"),
+                    F.when(F.col("_tmse") <= F.col("_fmse") + 1e-9, 1)
+                     .otherwise(0).cast("bigint").alias("trained_improves"))
+            .orderBy("sub"))
 
 
 @query(

@@ -23,10 +23,24 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     would collapse EVERY hive partition to one file regardless of the
     requested count, serializing fat partitions through single tasks;
     ``sort_within`` orders rows inside each file so parquet min/max
-    row-group stats prune reads."""
+    row-group stats prune reads.
+
+    Costs and caveats of ``files_per_partition``: (a) it runs one extra
+    eager job at call time (a small distinct().count() bounded by the
+    hive-partition cardinality) to size the repartition explicitly —
+    AQE would otherwise coalesce the salted shuffle back down; (b) the
+    salt mixes ``spark_partition_id()`` into the row-content hash so
+    duplicate rows spread across input partitions still fan out
+    (content alone would give identical rows identical salts and
+    collapse a duplicate-heavy hive partition back toward one file)
+    while staying deterministic under task retry — a re-executed task
+    recomputes the same input partition, so the same rows land in the
+    same output file both attempts.  Duplicates co-resident in ONE
+    input partition still share a salt; at that point the input
+    partitioning itself is the skew to fix (see fmx.core.skew)."""
     out = df
     if files_per_partition:
-        salt = F.pmod(F.xxhash64(*df.columns),
+        salt = F.pmod(F.xxhash64(F.spark_partition_id(), *df.columns),
                       F.lit(int(files_per_partition)))
         # explicit numPartitions: without it AQE coalesces the salted
         # shuffle back into few partitions and the per-partition file

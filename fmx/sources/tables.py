@@ -111,6 +111,9 @@ def read_libsvm_text(spark: SparkSession, path: str) -> DataFrame:
     natively (split + explode), no Python UDF."""
     raw = spark.read.text(path)
     toks = raw.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
+    # blank/whitespace-only lines split to [''] — drop them BEFORE the
+    # explode, or they'd surface as phantom all-null samples
+    toks = toks.filter(F.col("t")[0] != "")
     # explode_outer: a label-only line (zero active features) is a
     # valid sample and must keep its label row (null feature columns)
     # — plain explode would silently drop it from class priors

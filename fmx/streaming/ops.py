@@ -556,7 +556,10 @@ def stream_ab_registers(events: DataFrame) -> DataFrame:
     from fmx.operators.sampling import hash_uniform01
 
     u = hash_uniform01("user_id", "exp1", 42)
-    assigned = (events.filter(F.col("event_type") == "purchase")
+    # non-null user_id only, matching the batch readout: the md5 coin is
+    # undefined for anonymous events (concat-of-NULL differs per engine)
+    assigned = (events.filter((F.col("event_type") == "purchase")
+                              & F.col("user_id").isNotNull())
                 .withColumn("arm", F.when(u < 0.5, F.lit("control"))
                             .otherwise(F.lit("treatment"))))
     return (assigned.groupBy("arm")

@@ -255,6 +255,16 @@ def test_read_libsvm_text(spark, tmp_path):
     assert got == {(1.0, 0, 0.5), (1.0, 2, 1.5), (0.0, 1, 2.0)}
 
 
+def test_read_libsvm_text_blank_and_label_only_lines(spark, tmp_path):
+    # blank / whitespace-only lines are dropped entirely; a label-only
+    # line (zero active features) keeps its label row with null features
+    p = tmp_path / "sample.txt"
+    p.write_text("1.0 1:0.5\n\n   \n0.0\n")
+    rows = read_libsvm_text(spark, str(p)).collect()
+    got = {(r.label, r.featureId, r.featureValue) for r in rows}
+    assert got == {(1.0, 0, 0.5), (0.0, None, None)}
+
+
 # ---------------------------------------------------------------- temporal
 
 def test_asof_join_semantics(spark):

@@ -145,3 +145,36 @@ def test_registry_wide_lint_allowances(spark, sf_dir):
             if name not in _ALLOWED.get(code, set()):
                 violations.append((name, code))
     assert not violations, violations
+
+
+def test_no_driver_actions_during_query_construction(spark, sf_dir):
+    """Constructing any registry query must not run a Spark action:
+    a first()/head()/collect()/count() inside plan construction is a
+    hidden driver round-trip that serializes scheduling at 100 TB
+    (e.g. a dim probe on a billion-row corpus scans a partition just
+    to read an array length the caller already knows).  Every ANN/PQ
+    operator accepts an explicit dim= for this reason — this test
+    pins that every declared query actually threads it."""
+    from pyspark.sql import DataFrame
+
+    actions = {}
+    for name in ("first", "head", "take", "collect", "count", "toPandas"):
+        actions[name] = getattr(DataFrame, name)
+
+    def _forbid(name):
+        def _raise(self, *a, **k):
+            raise AssertionError(
+                f"DataFrame.{name}() called during query construction")
+        return _raise
+
+    try:
+        for name in actions:
+            setattr(DataFrame, name, _forbid(name))
+        for qname, fn in Q.queries().items():
+            try:
+                fn(spark, sf_dir)
+            except AssertionError as ex:
+                raise AssertionError(f"{qname}: {ex}") from None
+    finally:
+        for name, orig in actions.items():
+            setattr(DataFrame, name, orig)
