@@ -37,21 +37,24 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
         .selectExpr("sum(l_quantity)").collect()
 
+    # best-of-3 uniformly: this machine is contended — r5's like-for-like
+    # "regression" (+32% on byte-identical code) was run-to-run noise that
+    # best-of-2 did not control.  The per-query min/median spread is
+    # recorded so a future delta can be attributed (plan change moves the
+    # MIN; machine noise widens median-vs-min) without re-running.
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, fn in sorted(headline_queries().items()):
-        # best-of-2: the first execution pays per-query plan compilation
-        # + codegen JIT; the second is the engine's steady-state number.
-        # Sub-second queries get a third run — at that scale scheduler
-        # jitter is a large relative error (r02 flagged a +56% "regression"
-        # on a 0.25 s query that no code change touched).
-        best = float("inf")
-        runs = 0
-        while runs < 2 or (best < 1.0 and runs < 3):
+        runs: list[float] = []
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-            runs += 1
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spread[name] = {"min": round(runs[0], 3),
+                        "median": round(runs[len(runs) // 2], 3)}
 
     # training benchmark — training is the reference's core workload, so
     # the headline line carries a 3-iteration mini-batch SGD fit (fixed
@@ -125,6 +128,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "training": {"fm_train_sgd_3iter_sf0.01": train_sec},
         "sf": sf,
     }
@@ -134,6 +138,12 @@ def main() -> None:
         out["duckdb_sec"] = duck_timings
         out["duckdb_total"] = round(duck_total, 3)
         out["spark_vs_duckdb"] = round(spark_on_oracled / duck_total, 2)
+        # per-query ratio: fixed-overhead drift (scheduling floor) shows
+        # up uniformly on sub-second queries; a plan regression moves one
+        # query's ratio in isolation
+        out["ratio_vs_duckdb"] = {
+            n: round(timings[n] / d, 2) if d > 0 else None
+            for n, d in duck_timings.items()}
     print(json.dumps(out))
     spark.stop()
 

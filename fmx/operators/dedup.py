@@ -24,6 +24,7 @@ __all__ = [
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
     "minhash_cross_pairs", "dedup_keep_best", "containment_pairs",
+    "split_leakage",
 ]
 
 
@@ -744,3 +745,31 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                    / (F.col("na") + F.col("nb") - F.col("inter")))
                   .alias("jaccard")))
     return scored.filter(F.col("containment") >= threshold)
+
+
+def split_leakage(df: DataFrame, id_col: str, text_col: str,
+                  split_col, num_hashes: int = 8, bands: int = 4,
+                  shingle_n: int = 3) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate candidate pairs that
+    CROSS a split boundary — the check every pretraining pipeline runs
+    after splitting, because a test document whose near-dup sits in the
+    train set silently inflates eval scores.
+
+    ``split_col`` is a Column assigning each document its split label
+    (use fmx.operators.sampling.hash_split's assignment so the audit
+    sees exactly the production split).  Candidates come from the same
+    MinHash-LSH banding as ``minhash_lsh_pairs`` — the audit cost is
+    the dedup cost, an equi-join on (band, band_key), never a
+    train x eval cross product.
+
+    Returns (id_a, id_b, split_a, split_b) with split_a <> split_b.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes=num_hashes,
+                              bands=bands, shingle_n=shingle_n)
+    splits = df.select(F.col(id_col).alias("_sid"), split_col.alias("_sp"))
+    return (pairs
+            .join(splits.select(F.col("_sid").alias("id_a"),
+                                F.col("_sp").alias("split_a")), "id_a")
+            .join(splits.select(F.col("_sid").alias("id_b"),
+                                F.col("_sp").alias("split_b")), "id_b")
+            .filter(F.col("split_a") != F.col("split_b")))

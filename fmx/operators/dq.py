@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_expectations", "failing_rows"]
+__all__ = ["check_expectations", "failing_rows", "table_diff"]
 
 
 def check_expectations(df: DataFrame,
@@ -64,3 +64,50 @@ def failing_rows(df: DataFrame, rules: dict[str, Column],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_diff(a: DataFrame, b: DataFrame, key_col: str, sig: Column,
+               num_buckets: int = 256) -> DataFrame:
+    """Checksum-bucket table reconciliation (the data-diff pattern):
+    find WHERE two table snapshots differ without joining them row-by-
+    row.  Each side folds to ``num_buckets`` (count, checksum) rows —
+    bucket = md5-hash(key) mod buckets, checksum = sum of a per-row
+    signature hash — and only buckets whose registers disagree are
+    reported.  At 100 TB this is two scans + two bucket-grain aggs +
+    a broadcastable join of two tiny relations; drill-down then targets
+    just the differing buckets (a partition-pruned re-scan), never the
+    whole table.
+
+    ``sig`` is a STRING Column rendering the row's compared content;
+    keep it engine-portable (ints/strings — avoid raw double-to-string
+    casts, whose formatting differs across engines; round to fixed
+    decimals and cast via BIGINT instead).
+
+    Returns (bucket, n_a, n_b, chk_a, chk_b) for differing buckets.
+    Checksums are summed mod 2^40 so the register stays well inside
+    BIGINT at any row count.
+    """
+    from fmx.operators.dedup import hash64
+
+    mod = 2 ** 40
+
+    def _fold(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        return (df.select(
+                    F.pmod(hash64(F.col(key_col).cast("string")),
+                           F.lit(int(num_buckets))).alias("bucket"),
+                    F.pmod(hash64(sig), F.lit(mod)).alias("_h"))
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias(n_name),
+                     F.pmod(F.sum("_h"), F.lit(mod)).cast("bigint")
+                     .alias(c_name)))
+
+    fa = _fold(a, "n_a", "chk_a")
+    fb = _fold(b, "n_b", "chk_b")
+    return (fa.join(fb, "bucket", "full_outer")
+            .select(F.col("bucket").cast("bigint").alias("bucket"),
+                    F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                    F.coalesce("n_b", F.lit(0)).alias("n_b"),
+                    F.coalesce("chk_a", F.lit(-1)).alias("chk_a"),
+                    F.coalesce("chk_b", F.lit(-1)).alias("chk_b"))
+            .filter((F.col("n_a") != F.col("n_b"))
+                    | (F.col("chk_a") != F.col("chk_b"))))

@@ -26,7 +26,7 @@ __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
            "pack_sequences", "temperature_mixture", "per_group_cap",
            "weighted_sample_per_group", "negative_sample",
            "length_buckets", "pack_manifest", "token_budget_mix",
-           "pareto_frontier", "matched_pairs"]
+           "pareto_frontier", "matched_pairs", "dsir_weights"]
 
 _TWO60 = float(2 ** 60)
 
@@ -448,3 +448,61 @@ def token_budget_mix(df: DataFrame, source_col: str, id_col: str,
             .withColumn("cum_tokens", F.sum("_tok").over(w))
             .filter(F.col("cum_tokens") <= b)
             .drop("_tok"))
+
+
+def dsir_weights(df: DataFrame, id_col: str, text_col: str,
+                 is_target, num_buckets: int = 256,
+                 smoothing: float = 1.0) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) over hashed unigram features: score every document
+    by how much more likely its tokens are under a TARGET slice of the
+    corpus than under the corpus as a whole.
+
+    ``is_target`` is a boolean Column marking the target distribution
+    (e.g. ``F.col("lang") == "en"`` to up-select English-like text).
+    Token counts are hashed into ``num_buckets`` buckets (the classic
+    hashed n-gram trick — the feature space stays fixed no matter the
+    vocabulary), add-``smoothing`` estimates give bucket probabilities
+    for target vs corpus, and each document's weight is the MEAN
+    log-likelihood ratio of its tokens (mean, not sum, so long
+    documents aren't favored).  Sampling proportional to exp(weight)
+    reproduces the DSIR selection; downstream callers usually just take
+    the top slice.
+
+    Returns (id, n_tokens, weight), weight rounded to 6dp.
+
+    Scale shape: one token explode -> two bucket-grain conditional aggs
+    (``num_buckets`` rows, always broadcastable) -> broadcast join back
+    to the token stream -> per-doc mean.  No driver state, no global
+    window; the bucket table is the only synchronized structure and it
+    is O(num_buckets).  md5 bucketing keeps the oracle replayable in
+    any engine (fmx.operators.dedup.hash64 arithmetic).
+    """
+    from fmx.operators.dedup import hash64
+
+    toks = (df.select(F.col(id_col), is_target.alias("_tgt"),
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("_w"))
+            .filter(F.col("_w") != "")
+            .withColumn("_b", F.pmod(hash64(F.col("_w")),
+                                     F.lit(int(num_buckets)))))
+    probs = (toks.groupBy("_b")
+             .agg(F.count("*").alias("_na"),
+                  F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+                  .alias("_nt")))
+    # add-k smoothed log ratio; the normalizers are scalar aggregates
+    # folded in via a broadcast 1-row cross (bounded, plan-linted)
+    totals = probs.agg(F.sum("_na").alias("_tot_all"),
+                       F.sum("_nt").alias("_tot_tgt"))
+    k = float(smoothing)
+    b_tbl = (probs.crossJoin(F.broadcast(totals))
+             .select("_b",
+                     (F.log((F.col("_nt") + k)
+                            / (F.col("_tot_tgt") + k * num_buckets))
+                      - F.log((F.col("_na") + k)
+                              / (F.col("_tot_all") + k * num_buckets)))
+                     .alias("_llr")))
+    return (toks.join(F.broadcast(b_tbl), "_b")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.round(F.avg("_llr"), 6).alias("weight")))

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_join", "gap_fill", "sessionize",
-           "interval_merge"]
+           "interval_merge", "time_weighted_avg"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -264,3 +264,35 @@ def interval_merge(df: DataFrame, key_cols: list[str] | str,
             .withColumn("covered",
                         F.round(F.col("island_end")
                                 - F.col("island_start"), 6)))
+
+
+def time_weighted_avg(df: DataFrame, key_cols: list[str], ts_col: str,
+                      val_col: str, tiebreak: str | None = None,
+                      out_col: str = "twap") -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation's value is
+    weighted by how long it remained current — the correct mean for
+    irregularly-sampled state (a price that held for an hour counts 60x
+    one that held a minute; a plain avg() treats them equally).
+
+    Weight = seconds until the key's NEXT observation (lead window);
+    the final observation has no duration and drops out, so keys with a
+    single observation are excluded.  One shuffle on the key; the lead
+    window is per-key, never global.
+
+    Returns key_cols + (n_obs, duration_sec, out_col), values rounded
+    to 6dp.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    sec = F.col(ts_col).cast("double")
+    dt = F.lead(sec).over(w) - sec
+    return (df.filter(F.col(val_col).isNotNull())
+            .withColumn("_dt", dt)
+            .filter(F.col("_dt").isNotNull())
+            .groupBy(*key_cols)
+            .agg(F.count("*").cast("bigint").alias("n_obs"),
+                 F.round(F.sum("_dt"), 6).alias("duration_sec"),
+                 F.round(F.sum(F.col(val_col) * F.col("_dt"))
+                         / F.sum("_dt"), 6).alias(out_col)))

@@ -127,6 +127,13 @@ _PRIORITY = [
     "ts_resample_ohlc",
     "cdc_apply_changes",
     # -- (g) new round-6 queries --
+    "select_importance_dsir",
+    "leakage_split_overlap",
+    "eval_rank_auc",
+    "eval_calibration_bins",
+    "dq_table_diff",
+    "ts_time_weighted_avg",
+    "scd2_point_in_time",
     # (Prior rotation history lives in git: r5 window at tag-commit
     # ded7618, r4 and earlier in this file's log.  Everything rotated
     # out of this window is r4/r5-green and remains covered by the

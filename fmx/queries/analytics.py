@@ -1591,3 +1591,183 @@ def profile_join_cardinality(spark, sf):
     act = (o.join(c, o.o_custkey == c.c_custkey)
            .agg(F.count("*").cast(BIG).alias("actual_rows")))
     return est.crossJoin(F.broadcast(act))
+
+
+AUC_BINS = 1024
+
+
+@query(
+    "eval_rank_auc",
+    oracle=f"""
+    WITH scored AS (SELECT value AS s,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                                END AS y
+                    FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT min(s) AS mn, max(s) AS mx FROM scored),
+    binned AS (SELECT CASE WHEN mx = mn THEN 0
+                           ELSE least(CAST(floor((s - mn)
+                                      / ((mx - mn) / {AUC_BINS}.0))
+                                      AS BIGINT), {AUC_BINS - 1}) END AS b,
+                      y
+               FROM scored, rng),
+    per_bin AS (SELECT b, sum(y) AS np, sum(1 - y) AS nn
+                FROM binned GROUP BY b),
+    cum AS (SELECT b, np, nn,
+                   coalesce(sum(nn) OVER (ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS nn_below
+            FROM per_bin)
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           round(sum(np * (nn_below + 0.5 * nn))
+                 / (sum(np) * sum(nn)), 6) AS auc
+    FROM cum
+    """)
+def eval_rank_auc(spark, sf):
+    """Rank-based ROC AUC (Mann-Whitney U) of purchase-value as a
+    purchase classifier, computed over {AUC_BINS}-bucket equal-width
+    score bins: per-bin positive/negative counts, then
+    U = sum np_b * (negatives below + half the tied bin).  Binning is
+    THE scale move — the only window runs over <= 1024 bin rows
+    (bounded, never row grain), so the plan is two scans (min/max,
+    then bin-agg) regardless of corpus size; AUC is exact for the
+    binned scores and within 1/bins of the raw-score AUC."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("value").alias("s"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    rng = ev.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    binned = (ev.crossJoin(F.broadcast(rng))
+              .select(F.when(F.col("mx") == F.col("mn"), 0)
+                      .otherwise(F.least(
+                          F.floor((F.col("s") - F.col("mn"))
+                                  / ((F.col("mx") - F.col("mn"))
+                                     / float(AUC_BINS))).cast(BIG),
+                          F.lit(AUC_BINS - 1))).alias("b"),
+                      "y"))
+    per_bin = binned.groupBy("b").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn"))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = per_bin.withColumn(
+        "nn_below", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return (cum.agg(
+        F.sum("np").cast(BIG).alias("n_pos"),
+        F.sum("nn").cast(BIG).alias("n_neg"),
+        F.round(F.sum(F.col("np") * (F.col("nn_below")
+                                     + 0.5 * F.col("nn")))
+                / (F.sum("np") * F.sum("nn")), 6).alias("auc")))
+
+
+CAL_BINS = 10
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS (SELECT value AS s,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                                END AS y
+                    FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT min(s) AS mn, max(s) AS mx FROM scored)
+    SELECT CASE WHEN mx = mn THEN 0
+                ELSE least(CAST(floor((s - mn) / ((mx - mn) / {CAL_BINS}.0))
+                           AS BIGINT), {CAL_BINS - 1}) END AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 6) AS mean_score,
+           round(avg(y), 6) AS event_rate
+    FROM scored, rng
+    GROUP BY 1
+    """)
+def eval_calibration_bins(spark, sf):
+    """Reliability-diagram data: equal-width score bins with mean score
+    and observed outcome rate per bin — the calibration readout every
+    scored-model eval needs.  One min/max agg broadcast into a one-scan
+    bin-grain agg; no windows, no per-row state."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("value").alias("s"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    rng = ev.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    return (ev.crossJoin(F.broadcast(rng))
+            .select(F.when(F.col("mx") == F.col("mn"), 0)
+                    .otherwise(F.least(
+                        F.floor((F.col("s") - F.col("mn"))
+                                / ((F.col("mx") - F.col("mn"))
+                                   / float(CAL_BINS))).cast(BIG),
+                        F.lit(CAL_BINS - 1))).alias("bin"),
+                    "s", "y")
+            .groupBy("bin")
+            .agg(F.count("*").cast(BIG).alias("n"),
+                 F.round(F.avg("s"), 6).alias("mean_score"),
+                 F.round(F.avg("y"), 6).alias("event_rate")))
+
+
+@query(
+    "dq_table_diff",
+    oracle="""
+    WITH mut AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN (CAST(concat('0x', substring(md5(concat('mut:42:',
+                        CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                        / 1152921504606846976.0) < 0.01
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+      FROM orders),
+    siga AS (SELECT CAST(concat('0x', substring(md5(CAST(o_orderkey
+                        AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+                    CAST(concat('0x', substring(md5(concat(
+                        CAST(o_orderkey AS VARCHAR), ':', o_orderstatus,
+                        ':', CAST(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT) AS VARCHAR))), 1, 15))
+                        AS BIGINT) % 1099511627776 AS h
+             FROM orders),
+    sigb AS (SELECT CAST(concat('0x', substring(md5(CAST(o_orderkey
+                        AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+                    CAST(concat('0x', substring(md5(concat(
+                        CAST(o_orderkey AS VARCHAR), ':', o_orderstatus,
+                        ':', CAST(CAST(round(price * 100, 0)
+                                  AS BIGINT) AS VARCHAR))), 1, 15))
+                        AS BIGINT) % 1099511627776 AS h
+             FROM mut),
+    fa AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a,
+                  CAST(sum(h) % 1099511627776 AS BIGINT) AS chk_a
+           FROM siga GROUP BY bucket),
+    fb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b,
+                  CAST(sum(h) % 1099511627776 AS BIGINT) AS chk_b
+           FROM sigb GROUP BY bucket)
+    SELECT CAST(coalesce(fa.bucket, fb.bucket) AS BIGINT) AS bucket,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+           coalesce(chk_a, -1) AS chk_a, coalesce(chk_b, -1) AS chk_b
+    FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+    WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
+       OR coalesce(chk_a, -1) <> coalesce(chk_b, -1)
+    """)
+def dq_table_diff(spark, sf):
+    """Checksum-bucket table reconciliation (the data-diff pattern):
+    locate WHERE two snapshots differ from two bucket-grain register
+    relations — here orders vs a deterministically mutated twin (1% of
+    rows get +1.0 on totalprice via the md5 coin).  Two scans + two
+    256-row aggs + a tiny full-outer join; at 100 TB the drill-down
+    re-scans only the differing buckets.  Doubles enter the row
+    signature as integer cents (raw double->string rendering is not
+    engine-portable)."""
+    from fmx.operators.dq import table_diff
+
+    o = T(spark, sf, "orders")
+    u = SMP_hash_uniform01("o_orderkey", "mut", 42)
+    mut = o.withColumn(
+        "o_totalprice",
+        F.when(u < 0.01, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")))
+
+    def sig(df):
+        return F.concat_ws(
+            ":", F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100, 0).cast(BIG)
+            .cast("string"))
+
+    return table_diff(o, mut, "o_orderkey", sig(o), num_buckets=256)

@@ -528,3 +528,56 @@ def dedup_containment(spark, sf):
     return out.select("id_small", "id_big",
                       F.round("containment", 6).alias("containment"),
                       F.round("jaccard", 6).alias("jaccard"))
+
+
+_SPLIT_U = ("(CAST(concat('0x', substring(md5(concat('split:42:', "
+            "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+            " / 1152921504606846976.0)")
+
+_BANDED = f"""
+banded AS (SELECT doc_id, j // {NUM_HASHES // BANDS} AS band,
+                  array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY j), ',')
+                      AS band_key
+           FROM sig GROUP BY doc_id, j // {NUM_HASHES // BANDS}),
+lsh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+"""
+
+
+@query(
+    "leakage_split_overlap",
+    oracle=f"""
+    WITH {_SHINGLES}, {_SIG}, {_BANDED},
+    sp AS (SELECT doc_id,
+                  CASE WHEN {_SPLIT_U} < 0.9 THEN 'train'
+                       WHEN {_SPLIT_U} < 0.95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           sa.split AS split_a, sb.split AS split_b
+    FROM lsh_pairs JOIN sp sa ON id_a = sa.doc_id
+                   JOIN sp sb ON id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """)
+def leakage_split_overlap(spark, sf):
+    """Train/eval leakage audit: MinHash-LSH near-duplicate candidate
+    pairs that CROSS the production 90/5/5 hash split — the post-split
+    check that catches eval contamination (a test doc whose near-dup
+    trains silently inflates scores).  Audit cost = dedup cost: the
+    banding equi-join, never a train x eval cross product; the split
+    labels join in at doc grain."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.dedup import split_leakage
+    from fmx.operators.sampling import hash_uniform01
+
+    u = hash_uniform01("doc_id", "split", 42)
+    split = (F.when(u < 0.9, F.lit("train"))
+             .when(u < 0.95, F.lit("val"))
+             .otherwise(F.lit("test")))
+    out = split_leakage(T(spark, sf, "documents"), "doc_id", "text",
+                        split, num_hashes=NUM_HASHES, bands=BANDS,
+                        shingle_n=SHINGLE_N)
+    return out.select("id_a", "id_b", "split_a", "split_b")

@@ -545,3 +545,47 @@ def sample_matched_pairs(spark, sf):
                       F.col("control_id").cast("bigint")
                       .alias("control_id"),
                       "treat_len", "control_len")
+
+
+DSIR_BUCKETS = 256
+DSIR_TOPK = 50
+_H64 = "CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "select_importance_dsir",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, tgt,
+                  {_H64.format(expr='w')} % {DSIR_BUCKETS} AS b
+           FROM toks WHERE w <> ''),
+    probs AS (SELECT b, count(*) AS na,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt
+              FROM tf GROUP BY b),
+    tot AS (SELECT sum(na) AS n_all, sum(nt) AS n_tgt FROM probs),
+    btbl AS (SELECT b, ln((nt + 1.0) / (n_tgt + {DSIR_BUCKETS}.0))
+                       - ln((na + 1.0) / (n_all + {DSIR_BUCKETS}.0)) AS llr
+             FROM probs, tot),
+    doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(llr), 6) AS weight
+            FROM tf JOIN btbl USING (b) GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, weight FROM doc
+    QUALIFY row_number() OVER (ORDER BY weight DESC, doc_id) <= {DSIR_TOPK}
+    """)
+def select_importance_dsir(spark, sf):
+    """DSIR data selection (hashed-unigram importance resampling,
+    arXiv:2302.03169): score every document by the mean log-likelihood
+    ratio of its tokens under the English slice vs the whole corpus,
+    keep the top 50.  The scalable shape is one token explode + a
+    256-row bucket table broadcast back — no vocabulary-sized state,
+    no global window (the final top-k is a TakeOrdered over doc-grain
+    scores)."""
+    out = SMP.dsir_weights(T(spark, sf, "documents"), "doc_id", "text",
+                           F.col("lang") == "en",
+                           num_buckets=DSIR_BUCKETS)
+    return (out.orderBy(F.col("weight").desc(), "doc_id")
+            .limit(DSIR_TOPK)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "n_tokens", "weight"))

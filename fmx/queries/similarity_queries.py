@@ -468,8 +468,7 @@ def ann_pq_trained(spark, sf):
             .select(F.col("sub").cast("bigint").alias("sub"),
                     F.round("_fmse", 4).alias("fixed_mse"),
                     F.when(F.col("_tmse") <= F.col("_fmse") + 1e-9, 1)
-                     .otherwise(0).cast("bigint").alias("trained_improves"))
-            .orderBy("sub"))
+                     .otherwise(0).cast("bigint").alias("trained_improves")))
 
 
 @query(

@@ -387,3 +387,35 @@ def ts_interval_coverage(spark, sf):
                       F.round("island_start", 6).alias("island_start"),
                       F.round("island_end", 6).alias("island_end"),
                       "n_intervals", "covered")
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, epoch(ts) AS s, value,
+             lead(epoch(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - epoch(ts)
+                 AS dt
+      FROM events WHERE value IS NOT NULL)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(sum(dt), 2) AS duration_sec,
+           round(sum(value * dt) / sum(dt), 6) AS twap
+    FROM obs WHERE dt IS NOT NULL
+    GROUP BY user_id
+    """)
+def ts_time_weighted_avg(spark, sf):
+    """Time-weighted average value per user (TWAP): each observation is
+    weighted by how long it stayed current (seconds to the user's next
+    event) — the correct mean for irregularly-sampled state, where a
+    plain avg() overweights bursts.  One shuffle on the key; the lead
+    window is per-key, never global."""
+    from fmx.operators.temporal import time_weighted_avg
+
+    out = time_weighted_avg(T(spark, sf, "events"), ["user_id"], "ts",
+                            "value", tiebreak="event_id")
+    return out.select(F.col("user_id").cast(BIG).alias("user_id"),
+                      "n_obs",
+                      F.round("duration_sec", 2).alias("duration_sec"),
+                      "twap")

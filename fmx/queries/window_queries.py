@@ -322,3 +322,35 @@ def scd2_user_status(spark, sf):
                     .alias("valid_to"),
                     F.when(nxt.isNull(), 1).otherwise(0)
                     .cast("int").alias("is_current")))
+
+
+PIT_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "scd2_point_in_time",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from
+    FROM events WHERE ts <= TIMESTAMP '{PIT_TS}'
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """)
+def scd2_point_in_time(spark, sf):
+    """Point-in-time lookup against the SCD2 history: each user's status
+    valid at a fixed as-of timestamp — the dimension read every
+    training-snapshot join needs (features as they WERE, not as they
+    are).  The as-of filter is a plain ts predicate, so it pushes down
+    to the parquet scan (row groups after the PIT never load); one
+    per-user window picks the last open interval."""
+    return (T(spark, sf, "events")
+            .filter(F.col("ts") <= F.lit(PIT_TS).cast("timestamp"))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("user_id")
+                .orderBy(F.col("ts").desc(), F.col("event_id").desc())))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("user_id").cast(BIG).alias("user_id"),
+                    F.col("event_type").alias("status"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("valid_from")))

@@ -15,7 +15,7 @@ def test_queries_and_oracles_align(spark):
     # tight lower bound: a module accidentally dropped from
     # fmx.queries._MODULES silently removes its whole query family —
     # the count floor catches that class of regression (210 at r5)
-    assert len(qs) >= 206
+    assert len(qs) >= 220
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs)
     # the non-oracled set is exactly the declared non-SQL ops

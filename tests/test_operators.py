@@ -1166,3 +1166,94 @@ def test_bootstrap_ci_ignores_null_values_and_ids(spark):
     b = bootstrap_mean_ci(dirty, "id", "v").first()
     assert (a.n, a.mean, a.ci_lo, a.ci_hi) == (b.n, b.mean,
                                                b.ci_lo, b.ci_hi)
+
+
+# ------------------------------------------------------------- round 6 ops
+
+def test_dsir_weights_orders_target_like_docs_first(spark):
+    from pyspark.sql import functions as F
+
+    from fmx.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta", "en"),
+         (2, "alpha beta gamma beta", "en"),
+         (3, "delta epsilon zeta eta", "xx"),
+         (4, "alpha beta beta alpha", "xx"),   # en-like text, xx label
+         (5, "delta zeta epsilon eta", "xx")],
+        "doc_id int, text string, lang string")
+    out = {r.doc_id: (r.n_tokens, r.weight)
+           for r in dsir_weights(docs, "doc_id", "text",
+                                 F.col("lang") == "en",
+                                 num_buckets=64).collect()}
+    assert all(n == 4 for n, _ in out.values())
+    # docs made of target-distribution tokens outscore non-target ones,
+    # INCLUDING the en-like doc labeled xx (that's the whole point of
+    # importance weights: the text decides, not the label)
+    assert out[4][1] > out[3][1]
+    assert min(out[1][1], out[2][1], out[4][1]) > max(out[3][1], out[5][1])
+
+
+def test_split_leakage_reports_only_cross_split_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from fmx.operators.dedup import split_leakage
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup),                      # near-dup pair
+         (3, "completely different text with no shingles shared at all "
+             "zebra yak xylophone wombat vulture")],
+        "doc_id int, text string")
+    # force doc 1 into train and doc 2 into eval
+    split = F.when(F.col("doc_id") == 1, "train").otherwise("eval")
+    got = {(r.id_a, r.id_b, r.split_a, r.split_b)
+           for r in split_leakage(docs, "doc_id", "text", split).collect()}
+    assert got == {(1, 2, "train", "eval")}
+    # same-split duplicates are NOT leakage
+    all_train = split_leakage(docs, "doc_id", "text", F.lit("train"))
+    assert all_train.count() == 0
+
+
+def test_table_diff_finds_exactly_the_changed_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from fmx.operators.dq import table_diff
+
+    a = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    sig = F.concat_ws(":", F.col("k").cast("string"),
+                      F.col("v").cast("string"))
+    # identical snapshots -> no differing buckets
+    assert table_diff(a, a, "k", sig, num_buckets=16).count() == 0
+    # one mutated row -> its bucket flagged with equal counts,
+    # differing checksums
+    b = a.withColumn("v", F.when(F.col("k") == 42, F.lit(-1))
+                     .otherwise(F.col("v")))
+    rows = table_diff(a, b, "k", sig, num_buckets=16).collect()
+    assert len(rows) == 1 and rows[0].n_a == rows[0].n_b
+    assert rows[0].chk_a != rows[0].chk_b
+    # one deleted row -> count mismatch in exactly one bucket
+    c = a.filter(F.col("k") != 7)
+    rows = table_diff(a, c, "k", sig, num_buckets=16).collect()
+    assert len(rows) == 1 and rows[0].n_a == rows[0].n_b + 1
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from fmx.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 10, 20.0), (1, 40, 99.0),   # 99 has no dt
+         (2, 0, 5.0),                                   # single obs: out
+         (3, 0, None), (3, 10, 1.0), (3, 20, 2.0)],     # null value: out
+        "k int, ts_s int, value double").withColumn(
+        "ts", F.timestamp_seconds("ts_s"))
+    out = {r.k: (r.n_obs, r.duration_sec, r.twap)
+           for r in time_weighted_avg(df, ["k"], "ts", "value").collect()}
+    # k=1: (10*10 + 20*30) / 40 = 17.5
+    assert out[1] == (2, 40.0, 17.5)
+    assert 2 not in out
+    # k=3: null-value row dropped BEFORE intervals form -> 1.0 holds 10s
+    assert out[3] == (1, 10.0, 1.0)

@@ -92,6 +92,8 @@ _ALLOWED = {
         "ann_ivf_topk_fixed", "ann_ivfpq_rerank", "ann_ivfpq_topk",
         "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
+        "eval_calibration_bins", "eval_rank_auc",   # 1-row min/max broadcast
+        "select_importance_dsir",                    # 1-row totals broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
@@ -105,7 +107,8 @@ _ALLOWED = {
     "unpushed-scan": {
         # filters on md5 coins / norms / computed expressions — not
         # pushable by any engine
-        "ann_lsh_buckets", "ann_pq_codes", "copurchase_pmi",
+        "ann_lsh_buckets", "ann_pq_codes", "ann_pq_trained",
+        "copurchase_pmi",
         "dedup_semantic", "emb_normalize", "emb_quantize",
         "sample_pareto_frontier",   # null-axis guard on computed axes
         "j8_salted_join_agg", "multimodal_frame_sample",
@@ -123,6 +126,7 @@ _ALLOWED = {
     "global-window": {
         # bounded-input windows (top-k rows, #sources, #keys) or
         # documented approx-quantile scale paths (rfm, curriculum)
+        "eval_rank_auc",            # cum-negatives over <= 1024 bin rows
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_vocab_topk",
