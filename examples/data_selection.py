@@ -10,6 +10,8 @@ loop of a pretraining data team, composed from engine operators:
      md5-stable under corpus growth)
   4. curriculum: easy-to-hard staging of the selected mix
   5. control: length-matched en/de pairs for a fair quality eval
+  6. DSIR importance scoring against a target slice (arXiv:2302.03169)
+  7. split-leakage audit: near-dups crossing the train/eval boundary
 
 Run: python examples/data_selection.py [sf_dir]
 """
@@ -24,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 import fmx
-from fmx.operators.sampling import (matched_pairs, pareto_frontier,
+from fmx.operators.dedup import split_leakage
+from fmx.operators.sampling import (dsir_weights, hash_uniform01,
+                                    matched_pairs, pareto_frontier,
                                     token_budget_mix)
 from fmx.operators.text import cluster_terms
 from fmx.sources import load_table
@@ -76,6 +80,28 @@ def main() -> None:
         .alias("d")).first().d
     print(f"matched en/de pairs: {n_pairs}, mean |len diff| = {spread} chars"
           " (unmatched sampling would not control this)")
+
+    # 6. DSIR importance scoring: which documents look most like the
+    # English slice?  (hashed-unigram log-likelihood ratio, mean per doc)
+    scored = dsir_weights(docs, "doc_id", "text",
+                          F.col("lang") == "en", num_buckets=256)
+    top = (scored.join(docs.select("doc_id", "lang"), "doc_id")
+           .orderBy(F.col("weight").desc(), "doc_id").limit(100))
+    en_share = top.agg(
+        F.round(F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 2)
+        .alias("s")).first().s
+    print(f"DSIR top-100: {en_share:.0%} en "
+          "(importance weights find the target slice without labels)")
+
+    # 7. leakage audit: do any near-duplicates cross the train/eval
+    # boundary of the production hash split?
+    u = hash_uniform01("doc_id", "split", 42)
+    split = (F.when(u < 0.9, F.lit("train"))
+             .when(u < 0.95, F.lit("val")).otherwise(F.lit("test")))
+    leaks = split_leakage(docs, "doc_id", "text", split)
+    n_leaks = leaks.count()
+    print(f"split-leakage audit: {n_leaks} near-dup pair(s) cross the "
+          "90/5/5 split -> route to the eval-dedup pass before training")
 
     spark.stop()
 
