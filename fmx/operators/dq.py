@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_expectations", "failing_rows", "table_diff"]
+__all__ = ["check_expectations", "failing_rows", "table_diff",
+           "checksum_registers"]
 
 
 def check_expectations(df: DataFrame,
@@ -65,6 +66,32 @@ def failing_rows(df: DataFrame, rules: dict[str, Column],
         out = out.unionByName(p)
     return out
 
+_CHK_MOD = 2 ** 40
+
+
+def checksum_registers(df: DataFrame, key_col: str, sig: Column,
+                       num_buckets: int = 256) -> DataFrame:
+    """The mergeable register state behind ``table_diff``: per bucket
+    (= md5-hash(key) mod ``num_buckets``) a row count and a checksum
+    (sum of per-row signature hashes mod 2^40).  Both registers are
+    ASSOCIATIVE — counts add, checksums add mod — so the same fold runs
+    batch, incrementally (yesterday's registers + today's delta), or as
+    streaming state (see fmx.streaming.ops.stream_checksum_registers):
+    reconciling two 100 TB snapshots never re-reads either side beyond
+    its own one scan.
+
+    Returns (bucket, n, chk)."""
+    from fmx.operators.dedup import hash64
+
+    return (df.select(
+                F.pmod(hash64(F.col(key_col).cast("string")),
+                       F.lit(int(num_buckets))).alias("bucket"),
+                F.pmod(hash64(sig), F.lit(_CHK_MOD)).alias("_h"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.pmod(F.sum("_h"), F.lit(_CHK_MOD)).cast("bigint")
+                 .alias("chk")))
+
 
 def table_diff(a: DataFrame, b: DataFrame, key_col: str, sig: Column,
                num_buckets: int = 256) -> DataFrame:
@@ -87,22 +114,10 @@ def table_diff(a: DataFrame, b: DataFrame, key_col: str, sig: Column,
     Checksums are summed mod 2^40 so the register stays well inside
     BIGINT at any row count.
     """
-    from fmx.operators.dedup import hash64
-
-    mod = 2 ** 40
-
-    def _fold(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
-        return (df.select(
-                    F.pmod(hash64(F.col(key_col).cast("string")),
-                           F.lit(int(num_buckets))).alias("bucket"),
-                    F.pmod(hash64(sig), F.lit(mod)).alias("_h"))
-                .groupBy("bucket")
-                .agg(F.count("*").cast("bigint").alias(n_name),
-                     F.pmod(F.sum("_h"), F.lit(mod)).cast("bigint")
-                     .alias(c_name)))
-
-    fa = _fold(a, "n_a", "chk_a")
-    fb = _fold(b, "n_b", "chk_b")
+    fa = (checksum_registers(a, key_col, sig, num_buckets)
+          .withColumnsRenamed({"n": "n_a", "chk": "chk_a"}))
+    fb = (checksum_registers(b, key_col, sig, num_buckets)
+          .withColumnsRenamed({"n": "n_b", "chk": "chk_b"}))
     return (fa.join(fb, "bucket", "full_outer")
             .select(F.col("bucket").cast("bigint").alias("bucket"),
                     F.coalesce("n_a", F.lit(0)).alias("n_a"),

@@ -490,12 +490,16 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
              .agg(F.count("*").alias("_na"),
                   F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
                   .alias("_nt")))
-    # add-k smoothed log ratio; the normalizers are scalar aggregates
-    # folded in via a broadcast 1-row cross (bounded, plan-linted)
-    totals = probs.agg(F.sum("_na").alias("_tot_all"),
-                       F.sum("_nt").alias("_tot_tgt"))
+    # add-k smoothed log ratio; the normalizers are sums OVER the
+    # bucket table itself (an unpartitioned window, but over exactly
+    # num_buckets rows — a scalar-subquery cross would recompute the
+    # whole explode+agg subtree a second time, measured 12 -> 8
+    # exchanges and one fewer corpus scan with the window form)
     k = float(smoothing)
-    b_tbl = (probs.crossJoin(F.broadcast(totals))
+    wall = Window.partitionBy()
+    b_tbl = (probs
+             .withColumn("_tot_all", F.sum("_na").over(wall))
+             .withColumn("_tot_tgt", F.sum("_nt").over(wall))
              .select("_b",
                      (F.log((F.col("_nt") + k)
                             / (F.col("_tot_tgt") + k * num_buckets))

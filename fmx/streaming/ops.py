@@ -569,3 +569,19 @@ def stream_ab_registers(events: DataFrame) -> DataFrame:
             .agg(F.count("value").cast("long").alias("n"),
                  F.sum("value").alias("s"),
                  F.sum(F.col("value") * F.col("value")).alias("s2")))
+
+
+def stream_checksum_registers(rows: DataFrame, key_col: str, sig,
+                              num_buckets: int = 256) -> DataFrame:
+    """Streaming table-reconciliation state: the ``checksum_registers``
+    bucket table (count + signature-sum mod 2^40 per bucket) maintained
+    incrementally over an append stream — state is EXACTLY
+    ``num_buckets`` rows forever (both registers merge by addition, no
+    watermark needed).  Emit in update/complete mode and compare
+    against a reference side's registers with the same stateless join
+    ``table_diff`` uses: continuous replication verification without
+    ever re-scanning the source."""
+    from fmx.operators.dq import checksum_registers
+
+    # one groupBy with additive aggs — directly streamable
+    return checksum_registers(rows, key_col, sig, num_buckets)

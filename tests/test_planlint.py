@@ -93,7 +93,6 @@ _ALLOWED = {
         "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
         "eval_calibration_bins", "eval_rank_auc",   # 1-row min/max broadcast
-        "select_importance_dsir",                    # 1-row totals broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",

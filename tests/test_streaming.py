@@ -584,3 +584,29 @@ def test_stream_cdc_preserves_null_values(spark, sf_dir):
         "FROM cdc_nulls").first()
     assert row.nulls > 0
     assert (row.nans or 0) == 0
+
+
+def test_stream_checksum_registers_fold_matches_batch(spark, sf_dir):
+    """Streaming checksum registers over the events stream equal the
+    batch checksum_registers fold on the same rows — the continuous
+    replication-verification state is exactly the batch reconciliation
+    state."""
+    from fmx.operators.dq import checksum_registers
+
+    sig = F.concat_ws(":", F.col("event_id").cast("string"),
+                      F.col("event_type"))
+    ev_stream = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(
+        S.stream_checksum_registers(ev_stream, "event_id", sig,
+                                    num_buckets=32),
+        "chk_regs", "complete")
+    got = {r.bucket: (r.n, r.chk)
+           for r in spark.sql("SELECT * FROM chk_regs").collect()}
+    q.stop()
+
+    from fmx.sources import load_table
+    want = {r.bucket: (r.n, r.chk)
+            for r in checksum_registers(load_table(spark, sf_dir, "events"),
+                                        "event_id", sig,
+                                        num_buckets=32).collect()}
+    assert got == want and len(got) == 32
