@@ -1771,3 +1771,77 @@ def dq_table_diff(spark, sf):
             .cast("string"))
 
     return table_diff(o, mut, "o_orderkey", sig(o), num_buckets=256)
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    fanout AS (SELECT user_id, d + CAST(i AS INTEGER) AS d_asof
+               FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g)
+    SELECT strftime(d_asof, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM fanout JOIN days ON d_asof = days.d
+    GROUP BY d_asof
+    """)
+def rolling_7d_active_users(spark, sf):
+    """Rolling 7-day active users per day — the DAU/WAU family.  A
+    sliding COUNT DISTINCT window cannot merge partially, so the scale
+    shape is the FAN-OUT trick: each (user, day) activity row votes for
+    the 7 as-of days it keeps the user active, then one count-distinct
+    agg per day.  Work is 7x the (user, day) relation — bounded,
+    shuffle-partitioned, no per-day re-scan, no unbounded window state;
+    the as-of days are clipped to days that exist in the data so the
+    tail is comparable."""
+    ev = T(spark, sf, "events")
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    fanout = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d").select("user_id", F.date_add("d", F.col("i")).alias("d_asof"))
+    return (fanout.join(days, fanout.d_asof == days.d)
+            .groupBy("d_asof")
+            .agg(F.countDistinct("user_id").cast(BIG).alias("active_7d"))
+            .select(F.date_format("d_asof", "yyyy-MM-dd").alias("day"),
+                    "active_7d"))
+
+
+@query(
+    "profile_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT digit, n, sum(n) OVER () AS total FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / total, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+           round(abs(n / total - ln(1.0 + 1.0 / digit) / ln(10.0)), 6)
+               AS abs_dev
+    FROM tot
+    """)
+def profile_benford_first_digit(spark, sf):
+    """Benford's-law first-digit profile of order totals: observed vs
+    expected log10(1 + 1/d) frequency per leading digit — the classic
+    fabricated-data / unit-mixup screen auditors run on money columns.
+    One scan + a 9-row agg; the share normalizer is a window over the
+    9-row digit relation, never row grain."""
+    o = T(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast(BIG).cast("string"),
+                    1, 1).cast(BIG).alias("digit"))
+    obs = digits.groupBy("digit").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy()
+    benford = F.log(F.lit(1.0) + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (obs.withColumn("_tot", F.sum("_n").over(w))
+            .select("digit",
+                    F.col("_n").cast(BIG).alias("n"),
+                    F.round(F.col("_n") / F.col("_tot"), 6)
+                    .alias("observed_p"),
+                    F.round(benford, 6).alias("benford_p"),
+                    F.round(F.abs(F.col("_n") / F.col("_tot") - benford), 6)
+                    .alias("abs_dev")))

@@ -111,7 +111,8 @@ _ALLOWED = {
         "dedup_semantic", "emb_normalize", "emb_quantize",
         "sample_pareto_frontier",   # null-axis guard on computed axes
         "j8_salted_join_agg", "multimodal_frame_sample",
-        "profile_chi2_lang_source", "sample_interleaved_order",
+        "profile_chi2_lang_source", "rolling_7d_active_users",
+        "sample_interleaved_order",
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_chunking", "text_repetition",
         "tpch_q11_important_stock", "w2_vector_sum_by_label",
