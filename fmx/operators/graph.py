@@ -23,10 +23,10 @@ replay them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "k_hop"]
+__all__ = ["pagerank", "triangle_count", "k_hop", "label_propagation"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -117,3 +117,40 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int,
         reached = (reached.unionByName(step)
                    .groupBy("node").agg(F.min("hop").alias("hop")))
     return reached
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", rounds: int = 2) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection): every node starts with its own id as label; each round
+    every node adopts the label most frequent among its neighbors,
+    ties broken by the smallest label.  Returns (node, label) after
+    ``rounds`` rounds over the undirected graph.
+
+    The classic LPA is order-dependent; this variant is a pure
+    function of the edge set — synchronous updates, total tie order —
+    so any engine replays it bit-identically.  Per round: one
+    equi-join (labels onto the neighbor side), one (node, label)
+    hash-agg with map-side combine, and a per-node top-1 window whose
+    partition size is bounded by the node's distinct neighbor-label
+    count (cap degree upstream, as copurchase/triangle queries do).
+    Rounds are fixed and small; for deep propagation switch the
+    argmax to connected-components-style min-label (dedup stack) and
+    localCheckpoint between rounds.
+    """
+    und = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .unionByName(
+               edges.select(F.col(dst).alias("node"),
+                            F.col(src).alias("nbr"))))
+    labels = (und.select("node").distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(),
+                                           F.col("label").asc())
+    for _ in range(rounds):
+        msgs = (und.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                .select("node", "label"))
+        counts = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (counts.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select("node", "label"))
+    return labels

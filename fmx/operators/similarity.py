@@ -25,7 +25,7 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
-           "ivfpq_rerank_topk"]
+           "ivfpq_rerank_topk", "gram_matrix"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -679,3 +679,59 @@ def ivfpq_rerank_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                upper_only: bool = True) -> DataFrame:
+    """Distributed Gramian ``G = X^T X`` of an embedding column — the
+    reduce step of distributed PCA/SVD (compute the d x d Gramian on
+    the cluster, eigendecompose the tiny result wherever you like).
+
+    Scale shape: each Arrow batch contributes one d x d partial via a
+    single numpy matmul (``mapInPandas``), so the shuffle carries
+    ``partitions * d(d+1)/2`` rows regardless of corpus size; the
+    final (i, j) hash-agg is map-side combinable.  The declarative
+    alternative — double posexplode to (i, j, xi*xj) rows — ships
+    d^2 rows per VECTOR through the shuffle (4096x more at d=64) and
+    was measured strictly worse; this is the canonical case where
+    Arrow-batched Python beats built-ins.  Elements are upcast to
+    float64 before the matmul so partial sums match an
+    all-double-arithmetic engine to ~1e-12 relative.
+
+    Returns (i, j, gram) with 0-based indices, upper triangle only
+    (i <= j) unless ``upper_only=False``.
+    """
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("i", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("partial", DoubleType()),
+    ])
+
+    def _partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            d = g.shape[0]
+            if upper_only:
+                ii, jj = np.triu_indices(d)
+            else:
+                ii, jj = np.indices((d, d)).reshape(2, -1)
+            yield pd.DataFrame({"i": ii.astype("int32"),
+                                "j": jj.astype("int32"),
+                                "partial": g[ii, jj]})
+
+    partials = df.select(vec_col).mapInPandas(_partial_gram,
+                                              schema=out_schema)
+    return (partials.groupBy("i", "j")
+            .agg(F.sum("partial").alias("gram"))
+            .select(F.col("i").cast("bigint").alias("i"),
+                    F.col("j").cast("bigint").alias("j"),
+                    "gram"))

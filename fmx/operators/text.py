@@ -16,7 +16,7 @@ __all__ = [
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
-    "bm25_topk", "cluster_terms",
+    "bm25_topk", "cluster_terms", "boilerplate_strip",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -575,3 +575,49 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
     w = Window.orderBy(F.desc("score"), id_col)
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def boilerplate_strip(df: DataFrame, id_col: str, text_col: str,
+                      chunk_size: int = 8, min_df: int = 2) -> DataFrame:
+    """Corpus-level boilerplate removal at chunk grain — the
+    RefinedWeb / CCNet repeated-line filter, phrased over fixed
+    ``chunk_size``-token chunks because this corpus is single-line:
+    a chunk whose exact text occurs in >= ``min_df`` DISTINCT
+    documents is boilerplate (nav bars, license headers, cookie
+    banners) and is cut from every document; survivors are
+    reassembled in order.
+
+    Returns per document: n_chunks, n_kept, kept_tokens, and
+    ``clean_hash`` = md5 of the reassembled text ('' when everything
+    was boilerplate).
+
+    Scale shape: chunking is a map-only explode (see chunk_tokens);
+    the document-frequency relation is one (chunk-md5) hash-agg with
+    map-side combine; flagging is an equi-join on the md5 (uniform
+    key — it's a hash); reassembly is collect_list + array_sort at
+    document grain, bounded by tokens-per-doc, never a corpus-wide
+    window.  No driver state: the boilerplate 'set' stays a
+    distributed relation, so a 100 TB corpus with billions of
+    distinct chunks never funnels anywhere.
+    """
+    chunks = chunk_tokens(df, id_col, text_col,
+                          chunk_size=chunk_size, stride=chunk_size)
+    chunks = chunks.withColumn("_h", F.md5(F.col("chunk_text")))
+    freq = (chunks.groupBy("_h")
+            .agg(F.countDistinct(id_col).alias("_df")))
+    flagged = (chunks.join(freq, "_h")
+               .withColumn("_boiler",
+                           (F.col("_df") >= int(min_df)).cast("int")))
+    keep = F.when(F.col("_boiler") == 0,
+                  F.struct(F.col("chunk_id"), F.col("chunk_text")))
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 F.sum(F.lit(1) - F.col("_boiler")).cast("bigint")
+                 .alias("n_kept"),
+                 F.sum(F.when(F.col("_boiler") == 0, F.col("n_tokens"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("kept_tokens"),
+                 F.md5(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(keep)),
+                                 lambda s: s.chunk_text),
+                     " ")).alias("clean_hash")))

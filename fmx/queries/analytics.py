@@ -1845,3 +1845,128 @@ def profile_benford_first_digit(spark, sf):
                     F.round(benford, 6).alias("benford_p"),
                     F.round(F.abs(F.col("_n") / F.col("_tot") - benford), 6)
                     .alias("abs_dev")))
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    l0 AS (SELECT DISTINCT node, node AS label FROM und),
+    m1 AS (SELECT u.node, l.label, count(*) AS c
+           FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY u.node, l.label),
+    l1 AS (SELECT node, label FROM m1
+           QUALIFY row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) = 1),
+    m2 AS (SELECT u.node, l.label, count(*) AS c
+           FROM und u JOIN l1 l ON u.nbr = l.node GROUP BY u.node, l.label),
+    l2 AS (SELECT node, label FROM m2
+           QUALIFY row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) = 1)
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l2 GROUP BY label
+    """)
+def graph_label_propagation(spark, sf):
+    """Community detection on the co-purchase graph via two rounds of
+    DETERMINISTIC synchronous label propagation (labels init to node
+    id; each round a node adopts its neighbors' most frequent label,
+    ties to the smallest), reported as a community-size histogram.
+    Classic LPA is scan-order-dependent; the synchronous + total-tie-
+    order variant is a pure function of the edge set, so DuckDB
+    replays it exactly.  Per round: one equi-join + one (node, label)
+    map-side-combinable agg + a per-node top-1 window bounded by the
+    32-item basket cap on degree."""
+    from fmx.operators.graph import label_propagation
+
+    li = (T(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li = (li.withColumn("_rn", F.row_number().over(wcap))
+          .filter(F.col("_rn") <= 32).drop("_rn"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "l_orderkey")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    labels = label_propagation(edges, rounds=2)
+    return (labels.groupBy("label")
+            .agg(F.count("*").cast(BIG).alias("n_nodes"))
+            .select(F.col("label").cast(BIG).alias("community"),
+                    "n_nodes"))
+
+
+KS_BINS = 64
+_KS_U = ("(CAST(concat('0x', substring(md5(concat('ksdrift:7:', "
+         "CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+         " / 1152921504606846976.0)")
+
+
+@query(
+    "eval_ks_split_drift",
+    oracle=f"""
+    WITH base AS (SELECT o_totalprice AS s,
+                         CASE WHEN {_KS_U} < 0.5 THEN 1 ELSE 0 END AS a
+                  FROM orders),
+    rng AS (SELECT min(s) AS mn, max(s) AS mx FROM base),
+    binned AS (SELECT CASE WHEN mx = mn THEN 0
+                           ELSE least(CAST(floor((s - mn)
+                                      / ((mx - mn) / {KS_BINS}.0))
+                                      AS BIGINT), {KS_BINS - 1}) END AS b,
+                      a
+               FROM base, rng),
+    per_bin AS (SELECT b, sum(a) AS na, sum(1 - a) AS nb
+                FROM binned GROUP BY b),
+    cum AS (SELECT b,
+                   sum(na) OVER (ORDER BY b) AS cna,
+                   sum(nb) OVER (ORDER BY b) AS cnb,
+                   sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+            FROM per_bin)
+    SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+           round(max(abs(cna * 1.0 / ta - cnb * 1.0 / tb)), 6) AS ks_stat
+    FROM cum
+    """)
+def eval_ks_split_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift check between the two halves
+    of a deterministic hash split of orders (the split-integrity gate a
+    training pipeline runs before trusting an eval holdout): KS = max
+    CDF gap over 64 equal-width totalprice bins.  Binned-CDF is THE
+    scale move — exact KS needs a global sort, while the binned
+    statistic is two scans (min/max, bin-agg) plus windows over <= 64
+    bin rows, and is within 1/bins of the exact value."""
+    o = T(spark, sf, "orders")
+    u = SMP_hash_uniform01("o_orderkey", "ksdrift", 7)
+    base = o.select(F.col("o_totalprice").alias("s"),
+                    F.when(u < 0.5, 1).otherwise(0).alias("a"))
+    rng = base.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    binned = (base.crossJoin(F.broadcast(rng))
+              .select(F.when(F.col("mx") == F.col("mn"), 0)
+                      .otherwise(F.least(
+                          F.floor((F.col("s") - F.col("mn"))
+                                  / ((F.col("mx") - F.col("mn"))
+                                     / float(KS_BINS))).cast(BIG),
+                          F.lit(KS_BINS - 1))).alias("b"),
+                      "a"))
+    per_bin = binned.groupBy("b").agg(
+        F.sum("a").alias("na"),
+        F.sum(F.lit(1) - F.col("a")).alias("nb"))
+    wc = Window.orderBy("b")
+    wall = Window.partitionBy()
+    cum = per_bin.select(
+        F.sum("na").over(wc).alias("cna"),
+        F.sum("nb").over(wc).alias("cnb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"))
+    return cum.agg(
+        F.max("ta").cast(BIG).alias("n_a"),
+        F.max("tb").cast(BIG).alias("n_b"),
+        F.round(F.max(F.abs(F.col("cna") / F.col("ta")
+                            - F.col("cnb") / F.col("tb"))), 6)
+        .alias("ks_stat"))

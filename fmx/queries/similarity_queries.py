@@ -835,3 +835,27 @@ def ann_ivfpq_rerank(spark, sf):
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "cosine",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "emb_gram_matrix",
+    oracle="""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings)
+    SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+           round(sum(a.x * b.x), 6) AS gram
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+    GROUP BY a.pos, b.pos
+    """)
+def emb_gram_matrix(spark, sf):
+    """Upper-triangle Gramian X^T X of the embedding corpus — the
+    cluster-side reduce of distributed PCA (eigendecompose the d x d
+    result anywhere).  mapInPandas emits ONE d x d numpy partial per
+    Arrow batch, so shuffle volume is partitions * d(d+1)/2 rows,
+    independent of corpus size; the oracle replays it as the
+    row-grain self-join DuckDB can afford at sf0.01.  Float32 inputs
+    upcast to float64 before the matmul keep both engines within
+    1e-12 relative, far inside the 6dp round."""
+    g = S.gram_matrix(T(spark, sf, "embeddings"), "embedding")
+    return g.select("i", "j", F.round("gram", 6).alias("gram"))

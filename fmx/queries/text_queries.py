@@ -760,3 +760,49 @@ def text_cluster_terms(spark, sf):
     broadcast 1-row join (fmx.operators.text.cluster_terms)."""
     return X.cluster_terms(T(spark, sf, "documents"), "source", "text",
                            k=5)
+
+
+BP_CHUNK, BP_MIN_DF = 8, 2
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(s // {BP_CHUNK} AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(t, s + 1,
+                             least(s + {BP_CHUNK}, len(t))), ' ') AS ctext,
+             len(list_slice(t, s + 1, least(s + {BP_CHUNK}, len(t)))) AS ntok
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1,
+                                        {BP_CHUNK})) AS s) g
+      WHERE len(t) > 0),
+    freq AS (SELECT md5(ctext) AS h, count(DISTINCT doc_id) AS df
+             FROM chunks GROUP BY md5(ctext)),
+    flagged AS (SELECT c.doc_id, c.chunk_id, c.ctext, c.ntok,
+                       CASE WHEN f.df >= {BP_MIN_DF} THEN 1 ELSE 0 END
+                           AS boiler
+                FROM chunks c JOIN freq f ON md5(c.ctext) = f.h)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(1 - boiler) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN boiler = 0 THEN ntok END), 0)
+                AS BIGINT) AS kept_tokens,
+           md5(coalesce(string_agg(CASE WHEN boiler = 0 THEN ctext END,
+                                   ' ' ORDER BY chunk_id), '')) AS clean_hash
+    FROM flagged GROUP BY doc_id
+    """)
+def text_boilerplate_strip(spark, sf):
+    """Corpus-level boilerplate removal (the RefinedWeb/CCNet repeated-
+    line filter, at 8-token chunk grain): chunks whose exact text
+    appears in >= 2 distinct documents are cut everywhere, documents
+    reassembled from the survivors (md5 of the cleaned text proves the
+    reassembly order across engines).  Map-only chunking, one chunk-
+    hash agg for document frequency, an equi-join on the (uniform) md5
+    key, then a doc-grain collect + array_sort — the boilerplate set
+    stays a distributed relation, never driver state."""
+    return X.boilerplate_strip(T(spark, sf, "documents"), "doc_id",
+                               "text", chunk_size=BP_CHUNK,
+                               min_df=BP_MIN_DF)

@@ -1257,3 +1257,63 @@ def test_time_weighted_avg_hand_computed(spark):
     assert 2 not in out
     # k=3: null-value row dropped BEFORE intervals form -> 1.0 holds 10s
     assert out[3] == (1, 10.0, 1.0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles each converge to the community label of
+    their own min-id node after 2 synchronous rounds; the tie order
+    (count desc, then smallest label) makes the result exact."""
+    from fmx.operators.graph import label_propagation
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri, ["src", "dst"])
+    got = {r.node: r.label
+           for r in label_propagation(edges, rounds=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """The distributed Gramian must equal numpy's X^T X on the upper
+    triangle to float64 round-off, over multiple partitions (partial
+    per-batch sums must combine correctly)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(50, 6).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        ["vec_id", "embedding"]).repartition(8)
+    got = {(r.i, r.j): r.gram
+           for r in S.gram_matrix(df, "embedding").collect()}
+    want = x.astype(np.float64).T @ x.astype(np.float64)
+    assert len(got) == 6 * 7 // 2
+    for (i, j), v in got.items():
+        assert i <= j
+        assert abs(v - want[i, j]) < 1e-9, (i, j, v, want[i, j])
+
+
+def test_boilerplate_strip_cuts_planted_chunk(spark):
+    """An 8-token chunk shared by >= min_df documents is cut from every
+    document; unique tails survive and reassemble to the expected md5;
+    an all-boilerplate document reassembles to md5('')."""
+    import hashlib
+
+    from fmx.operators.text import boilerplate_strip
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7"
+    tails = ["u%d0 u%d1 u%d2 u%d3 u%d4 u%d5 u%d6 u%d7"
+             % ((d,) * 8) for d in range(3)]
+    rows = [(d, f"{boiler} {tails[d]}") for d in range(3)]
+    rows.append((3, boiler))            # all boilerplate
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           boilerplate_strip(docs, "doc_id", "text",
+                             chunk_size=8, min_df=2).collect()}
+    for d in range(3):
+        r = got[d]
+        assert (r.n_chunks, r.n_kept, r.kept_tokens) == (2, 1, 8)
+        assert r.clean_hash == hashlib.md5(
+            tails[d].encode()).hexdigest()
+    r = got[3]
+    assert (r.n_chunks, r.n_kept, r.kept_tokens) == (1, 0, 0)
+    assert r.clean_hash == hashlib.md5(b"").hexdigest()

@@ -93,6 +93,7 @@ _ALLOWED = {
         "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
         "eval_calibration_bins", "eval_rank_auc",   # 1-row min/max broadcast
+        "eval_ks_split_drift",                      # 1-row min/max broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
@@ -114,7 +115,8 @@ _ALLOWED = {
         "profile_chi2_lang_source", "rolling_7d_active_users",
         "sample_interleaved_order",
         "sample_stratified", "sample_temperature_mixture",
-        "sample_token_budget_mix", "text_chunking", "text_repetition",
+        "sample_token_budget_mix", "text_boilerplate_strip",
+        "text_chunking", "text_repetition",
         "tpch_q11_important_stock", "w2_vector_sum_by_label",
     },
     "global-sort": {
@@ -127,12 +129,14 @@ _ALLOWED = {
         # bounded-input windows (top-k rows, #sources, #keys) or
         # documented approx-quantile scale paths (rfm, curriculum)
         "eval_rank_auc",            # cum-negatives over <= 1024 bin rows
+        "eval_ks_split_drift",      # cum-CDF over <= 64 bin rows
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_vocab_topk",
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
-                  "multimodal_patches", "multimodal_payload_stats"},
+                  "multimodal_patches", "multimodal_payload_stats",
+                  "emb_gram_matrix"},   # per-batch d x d Gramian partial
     "python-udf": set(),
     "wide-scan": set(),
 }
