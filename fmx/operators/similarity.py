@@ -25,7 +25,7 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
-           "ivfpq_rerank_topk", "gram_matrix"]
+           "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -735,3 +735,40 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
             .select(F.col("i").cast("bigint").alias("i"),
                     F.col("j").cast("bigint").alias("j"),
                     "gram"))
+
+
+def power_iteration_top_eig(gram: DataFrame, rounds: int = 2) -> DataFrame:
+    """Leading eigenpair of an upper-triangle Gramian relation (the
+    output of :func:`gram_matrix`) via fixed-round power iteration,
+    written entirely as joins + aggregations so any engine replays it:
+    v <- normalize(G v) per round from the all-ones start; the
+    returned ``eig`` is the final pre-normalization L2 norm, which for
+    a PSD Gramian converges to the top eigenvalue.
+
+    Everything after the Gramian is d- or d^2-sized: the G relation is
+    d(d+1)/2 rows, v is d rows (always broadcast), each round is one
+    broadcast equi-join + one map-side-combinable agg + a 1-row norm
+    cross — iteration cost is independent of corpus size, which is the
+    point of reducing to the Gramian first.  Rounds are fixed and the
+    start vector deterministic (no RNG), so the result — sign included
+    — is a pure function of G.
+    """
+    full = gram.unionByName(
+        gram.filter(F.col("i") != F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "gram"))
+    v = full.select("i").distinct().select("i", F.lit(1.0).alias("v"))
+    eig = None
+    for _ in range(rounds + 1):
+        n = v.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_n"))
+        v = (v.crossJoin(F.broadcast(n))
+             .select("i", (F.col("v") / F.col("_n")).alias("v")))
+        eig = n
+        if _ == rounds:
+            break
+        v = (full.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+             .groupBy("i").agg(F.sum(F.col("gram") * F.col("v"))
+                               .alias("v")))
+    return (v.crossJoin(F.broadcast(eig))
+            .select(F.col("i").cast("bigint").alias("i"),
+                    F.round("v", 6).alias("v"),
+                    F.round("_n", 6).alias("eig")))

@@ -16,7 +16,7 @@ __all__ = [
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
-    "bm25_topk", "cluster_terms", "boilerplate_strip",
+    "bm25_topk", "cluster_terms", "boilerplate_strip", "bpe_pair_counts",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -621,3 +621,36 @@ def boilerplate_strip(df: DataFrame, id_col: str, text_col: str,
                      F.transform(F.array_sort(F.collect_list(keep)),
                                  lambda s: s.chunk_text),
                      " ")).alias("clean_hash")))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-weighted adjacent character-pair frequencies — the reduce
+    step that dominates one BPE tokenizer-training merge round: count
+    every adjacent symbol pair, weighted by word frequency, and emit
+    the top-``k`` merge candidates (pair, cnt, rank; ties to the
+    lexicographically smaller pair so ranking is total).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD relation
+    first (Zipf-bounded — orders of magnitude smaller than the token
+    stream), pair expansion explodes word-length-minus-one positions
+    over that small relation, the pair agg is map-side combinable, and
+    the top-k executes as TakeOrderedAndProject (k rows, no global
+    sort).  A full BPE trainer iterates this with a merged symbol
+    table; one round is the portable, oracle-checkable unit.
+    """
+    words = (df.select(F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+        .alias("word"))
+        .groupBy("word").agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2))
+    pairs = (words.select(
+        "wc", "word",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("p"))
+        .select(F.substring(F.col("word"), F.col("p"), F.lit(2))
+                .alias("pair"), "wc"))
+    counts = (pairs.groupBy("pair")
+              .agg(F.sum("wc").cast("bigint").alias("cnt")))
+    top = counts.orderBy(F.col("cnt").desc(), "pair").limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return top.select("pair", "cnt",
+                      F.row_number().over(w).cast("bigint").alias("rank"))

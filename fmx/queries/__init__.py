@@ -136,8 +136,9 @@ _PRIORITY = [
     "scd2_point_in_time",
     # (The window is full at 50; the round-6 additions
     # rolling_7d_active_users, profile_benford_first_digit,
-    # text_boilerplate_strip, graph_label_propagation, emb_gram_matrix
-    # and eval_ks_split_drift are r7-window stock — oracled and
+    # text_boilerplate_strip, graph_label_propagation, emb_gram_matrix,
+    # eval_ks_split_drift, emb_top_eigvec and text_bpe_pair_merges are
+    # r7-window stock — oracled and
     # harness-checked at both SFs now, first driver row next round.  Prior rotation history lives in git: r5 window at tag-commit
     # ded7618, r4 and earlier in this file's log.  Everything rotated
     # out of this window is r4/r5-green and remains covered by the

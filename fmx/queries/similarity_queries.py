@@ -859,3 +859,42 @@ def emb_gram_matrix(spark, sf):
     1e-12 relative, far inside the 6dp round."""
     g = S.gram_matrix(T(spark, sf, "embeddings"), "embedding")
     return g.select("i", "j", F.round("gram", 6).alias("gram"))
+
+
+@query(
+    "emb_top_eigvec",
+    oracle="""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    g AS (SELECT a.pos AS i, b.pos AS j, sum(a.x * b.x) AS gram
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+          GROUP BY a.pos, b.pos),
+    gf AS (SELECT i, j, gram FROM g
+           UNION ALL SELECT j AS i, i AS j, gram FROM g WHERE i <> j),
+    v0 AS (SELECT DISTINCT i, 1.0 AS v FROM gf),
+    n0 AS (SELECT sqrt(sum(v * v)) AS n FROM v0),
+    v0n AS (SELECT i, v / n AS v FROM v0, n0),
+    w1 AS (SELECT gf.i AS i, sum(gf.gram * v0n.v) AS w
+           FROM gf JOIN v0n ON gf.j = v0n.i GROUP BY gf.i),
+    n1 AS (SELECT sqrt(sum(w * w)) AS n FROM w1),
+    v1 AS (SELECT i, w / n AS v FROM w1, n1),
+    w2 AS (SELECT gf.i AS i, sum(gf.gram * v1.v) AS w
+           FROM gf JOIN v1 ON gf.j = v1.i GROUP BY gf.i),
+    n2 AS (SELECT sqrt(sum(w * w)) AS n FROM w2)
+    SELECT CAST(w2.i AS BIGINT) AS i, round(w2.w / n2.n, 6) AS v,
+           round(n2.n, 6) AS eig
+    FROM w2, n2
+    """)
+def emb_top_eigvec(spark, sf):
+    """Top principal eigenpair of the embedding corpus, distributed
+    end-to-end: one corpus pass reduces to the d x d Gramian (see
+    emb_gram_matrix), then two relational power-iteration rounds —
+    broadcast joins and aggs over d- and d^2-row relations whose cost
+    is independent of corpus size.  This is how PCA actually runs at
+    100 TB: the cluster computes G, the eigenproblem is then
+    arbitrarily cheap (here the leading pair stays relational so the
+    oracle replays it; a full eigh of the 64 x 64 result is a driver
+    no-op).  Deterministic: all-ones start, fixed rounds, no RNG."""
+    g = S.gram_matrix(T(spark, sf, "embeddings"), "embedding")
+    return S.power_iteration_top_eig(g, rounds=2)

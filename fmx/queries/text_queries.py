@@ -806,3 +806,37 @@ def text_boilerplate_strip(spark, sf):
     return X.boilerplate_strip(T(spark, sf, "documents"), "doc_id",
                                "text", chunk_size=BP_CHUNK,
                                min_df=BP_MIN_DF)
+
+
+BPE_TOPK = 20
+
+
+@query(
+    "text_bpe_pair_merges",
+    oracle=f"""
+    WITH w AS (SELECT word, count(*) AS wc
+               FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                               x -> x <> '')) AS word
+                     FROM documents)
+               GROUP BY word),
+    w2 AS (SELECT word, wc FROM w WHERE length(word) >= 2),
+    pairs AS (SELECT substring(word, p, 2) AS pair, wc
+              FROM w2, LATERAL (SELECT unnest(generate_series(1,
+                                length(word) - 1)) AS p) g),
+    counts AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+               FROM pairs GROUP BY pair),
+    top AS (SELECT pair, cnt FROM counts
+            ORDER BY cnt DESC, pair LIMIT {BPE_TOPK})
+    SELECT pair, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+               AS rank
+    FROM top
+    """)
+def text_bpe_pair_merges(spark, sf):
+    """Top BPE merge candidates over the corpus: adjacent character-
+    pair frequencies weighted by word count — the distributed reduce
+    inside tokenizer training.  The corpus collapses to the Zipf-
+    bounded distinct-word relation before any expansion; pair counting
+    is one map-side-combinable agg; top-k is TakeOrderedAndProject."""
+    return X.bpe_pair_counts(T(spark, sf, "documents"), "text",
+                             k=BPE_TOPK)

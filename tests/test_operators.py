@@ -1317,3 +1317,43 @@ def test_boilerplate_strip_cuts_planted_chunk(spark):
     r = got[3]
     assert (r.n_chunks, r.n_kept, r.kept_tokens) == (1, 0, 0)
     assert r.clean_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_power_iteration_approaches_numpy_top_eig(spark):
+    """Two relational power-iteration rounds on the distributed Gramian
+    must land near numpy's top eigenpair (sign-aligned; tolerance set
+    by the spectral gap of the test matrix — a dominant direction is
+    planted to make convergence fast and the assertion meaningful)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(80, 5).astype(np.float64) * 0.1
+    base[:, 2] += 3.0            # dominant direction -> big spectral gap
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(base)],
+        ["vec_id", "embedding"]).repartition(4)
+    got = S.power_iteration_top_eig(
+        S.gram_matrix(df, "embedding"), rounds=2).collect()
+    v = np.zeros(5)
+    eig = got[0].eig
+    for r in got:
+        v[r.i] = r.v
+    evals, evecs = np.linalg.eigh(base.T @ base)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+    if np.dot(v, top_vec) < 0:
+        top_vec = -top_vec
+    assert abs(eig - top_val) / top_val < 0.01
+    assert np.abs(v - top_vec).max() < 0.01
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """'aaab' x2 + 'ab' x1: aa appears 2 per 'aaab' word occurrence
+    (2 words -> 4), ab appears in all three words (3); ranking is by
+    weighted count then pair."""
+    from fmx.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "aaab ab"), (1, "aaab x")], ["doc_id", "text"])
+    got = [(r.pair, r.cnt, r.rank)
+           for r in bpe_pair_counts(docs, "text", k=5).collect()]
+    assert got == [("aa", 4, 1), ("ab", 3, 2)]

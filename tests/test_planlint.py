@@ -92,6 +92,7 @@ _ALLOWED = {
         "ann_ivf_topk_fixed", "ann_ivfpq_rerank", "ann_ivfpq_topk",
         "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
+        "emb_top_eigvec",           # 1-row norm broadcast per round
         "eval_calibration_bins", "eval_rank_auc",   # 1-row min/max broadcast
         "eval_ks_split_drift",                      # 1-row min/max broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
@@ -132,7 +133,7 @@ _ALLOWED = {
         "eval_ks_split_drift",      # cum-CDF over <= 64 bin rows
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
-        "text_bm25_topk", "text_vocab_topk",
+        "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
