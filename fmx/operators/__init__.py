@@ -1,3 +1,3 @@
-from fmx.operators import (dedup, dq, graph, layout,  # noqa: F401
-                           multimodal, profiling, sampling, similarity,
-                           sketches, temporal, text, web)
+from fmx.operators import (dedup, dq, features, graph,  # noqa: F401
+                           layout, multimodal, profiling, sampling,
+                           similarity, sketches, temporal, text, web)

@@ -1970,3 +1970,110 @@ def eval_ks_split_drift(spark, sf):
         F.round(F.max(F.abs(F.col("cna") / F.col("ta")
                             - F.col("cnb") / F.col("tb"))), 6)
         .alias("ks_stat"))
+
+
+@query(
+    "feat_target_encode_loo",
+    oracle="""
+    WITH g AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                      sum(o_totalprice) OVER (PARTITION BY o_custkey) AS s,
+                      count(*) OVER (PARTITION BY o_custkey) AS c
+               FROM orders),
+    p AS (SELECT avg(o_totalprice) AS prior FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           round((s - o_totalprice + 10.0 * prior) / (c - 1 + 10.0), 6)
+               AS enc
+    FROM g, p
+    """)
+def feat_target_encode_loo(spark, sf):
+    """Leave-one-out target encoding of customer id by order total with
+    additive smoothing toward the global prior — the high-cardinality
+    categorical encoder that does NOT leak the row's own label (the
+    classic feature-store bug).  One key hash-agg + 1-row prior
+    broadcast + equi-join back; the oracle replays it as per-key
+    windows, which is the same arithmetic at sf0.01 but the agg+join
+    plan is the one that survives a hot key at 100 TB."""
+    from fmx.operators.features import target_encode_loo
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                      "o_totalprice")
+    enc = target_encode_loo(o, "o_custkey", "o_totalprice",
+                            smoothing=10.0)
+    return enc.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                      F.col("o_custkey").cast(BIG).alias("o_custkey"),
+                      F.round("enc", 6).alias("enc"))
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    com AS (SELECT u1.node AS a, u2.node AS b, count(*) AS common
+            FROM und u1 JOIN und u2 ON u1.nbr = u2.nbr
+                                   AND u1.node < u2.node
+            GROUP BY u1.node, u2.node),
+    j AS (SELECT a, b, common,
+                 round(common * 1.0 / (da.d + db.d - common), 6)
+                     AS jaccard
+          FROM com JOIN deg da ON com.a = da.node
+                   JOIN deg db ON com.b = db.node),
+    top AS (SELECT a, b, common, jaccard FROM j
+            ORDER BY jaccard DESC, common DESC, a, b LIMIT 20)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(common AS BIGINT) AS common, jaccard,
+           CAST(row_number() OVER (ORDER BY jaccard DESC, common DESC,
+                                   a, b) AS BIGINT) AS rank
+    FROM top
+    """)
+def graph_jaccard_neighbors(spark, sf):
+    """Neighbor-set Jaccard similarity of co-purchase part pairs — the
+    standard link-prediction / related-items feature.  Common
+    neighbors come from ONE wedge equi-join on the shared neighbor
+    (never pairs x pairs); degrees join post-aggregation; top-20
+    executes as TakeOrderedAndProject.  The 32-item basket cap bounds
+    wedge fan-out exactly as in triangle counting."""
+    li = (T(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li = (li.withColumn("_rn", F.row_number().over(wcap))
+          .filter(F.col("_rn") <= 32).drop("_rn"))
+    pa = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    pb = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    e = (pa.join(pb, "l_orderkey")
+         .filter(F.col("src") < F.col("dst"))
+         .select("src", "dst").distinct())
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionByName(e.select(F.col("dst").alias("node"),
+                                 F.col("src").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").alias("d"))
+    u1 = und.select(F.col("node").alias("a"), "nbr")
+    u2 = und.select(F.col("node").alias("b"), "nbr")
+    com = (u1.join(u2, "nbr").filter(F.col("a") < F.col("b"))
+           .groupBy("a", "b").agg(F.count("*").alias("common")))
+    j = (com.join(deg.withColumnRenamed("node", "a")
+                  .withColumnRenamed("d", "da"), "a")
+         .join(deg.withColumnRenamed("node", "b")
+               .withColumnRenamed("d", "db"), "b")
+         .select("a", "b", "common",
+                 F.round(F.col("common")
+                         / (F.col("da") + F.col("db") - F.col("common")),
+                         6).alias("jaccard")))
+    top = j.orderBy(F.col("jaccard").desc(), F.col("common").desc(),
+                    "a", "b").limit(20)
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("common").desc(),
+                       "a", "b")
+    return top.select(F.col("a").cast(BIG).alias("a"),
+                      F.col("b").cast(BIG).alias("b"),
+                      F.col("common").cast(BIG).alias("common"),
+                      "jaccard",
+                      F.row_number().over(w).cast(BIG).alias("rank"))

@@ -1357,3 +1357,31 @@ def test_bpe_pair_counts_hand_computed(spark):
     got = [(r.pair, r.cnt, r.rank)
            for r in bpe_pair_counts(docs, "text", k=5).collect()]
     assert got == [("aa", 4, 1), ("ab", 3, 2)]
+
+
+def test_target_encode_loo_hand_computed(spark):
+    """Key 'a' = targets [10, 20, 30] with m=2, prior = 20 (global over
+    [10,20,30,20]): row(10) -> (50 + 40)/(2 + 2) = 22.5; singleton key
+    'b' (target 20) -> (0 + 40)/(0 + 2) = 20 (pulled fully to prior,
+    no self-leak, no divide-by-zero)."""
+    from fmx.operators.features import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 20.0)],
+        ["id", "k", "y"])
+    got = {r.id: r.enc
+           for r in target_encode_loo(df, "k", "y", smoothing=2.0)
+           .collect()}
+    assert got[1] == pytest.approx((50.0 + 40.0) / 4.0)
+    assert got[2] == pytest.approx((40.0 + 40.0) / 4.0)
+    assert got[3] == pytest.approx((30.0 + 40.0) / 4.0)
+    assert got[4] == pytest.approx(20.0)
+
+
+def test_frequency_encode_shares(spark):
+    from fmx.operators.features import frequency_encode
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], ["id", "k"])
+    got = {r.id: r.freq for r in frequency_encode(df, "k").collect()}
+    assert got == {1: 0.75, 2: 0.75, 3: 0.75, 4: 0.25}

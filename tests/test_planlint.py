@@ -131,6 +131,7 @@ _ALLOWED = {
         # documented approx-quantile scale paths (rfm, curriculum)
         "eval_rank_auc",            # cum-negatives over <= 1024 bin rows
         "eval_ks_split_drift",      # cum-CDF over <= 64 bin rows
+        "graph_jaccard_neighbors",  # rank over the top-20 rows only
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
