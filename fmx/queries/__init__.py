@@ -138,7 +138,8 @@ _PRIORITY = [
     # rolling_7d_active_users, profile_benford_first_digit,
     # text_boilerplate_strip, graph_label_propagation, emb_gram_matrix,
     # eval_ks_split_drift, emb_top_eigvec, text_bpe_pair_merges,
-    # feat_target_encode_loo and graph_jaccard_neighbors are
+    # feat_target_encode_loo, graph_jaccard_neighbors and
+    # emb_dim_variance are
     # r7-window stock — oracled and
     # harness-checked at both SFs now, first driver row next round.  Prior rotation history lives in git: r5 window at tag-commit
     # ded7618, r4 and earlier in this file's log.  Everything rotated

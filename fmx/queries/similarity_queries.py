@@ -898,3 +898,39 @@ def emb_top_eigvec(spark, sf):
     no-op).  Deterministic: all-ones start, fixed rounds, no RNG."""
     g = S.gram_matrix(T(spark, sf, "embeddings"), "embedding")
     return S.power_iteration_top_eig(g, rounds=2)
+
+
+@query(
+    "emb_dim_variance",
+    oracle="""
+    WITH ex AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    per_dim AS (SELECT pos, avg(x) AS m, var_samp(x) AS v
+                FROM ex GROUP BY pos),
+    tot AS (SELECT pos, m, v, sum(v) OVER () AS tv FROM per_dim)
+    SELECT CAST(pos AS BIGINT) AS i, round(m, 6) AS mean,
+           round(v, 6) AS variance, round(v / tv, 6) AS var_share
+    FROM tot
+    """)
+def emb_dim_variance(spark, sf):
+    """Per-dimension mean / variance / share-of-total-variance of the
+    embedding corpus — the cheap embedding-health screen (dead or
+    dominating dimensions, collapsed encoders) run before any ANN
+    index build.  One explode + one (pos) hash-agg with map-side
+    combine; the share normalizer is a window over the d-row dim
+    relation, never row grain."""
+    from pyspark.sql import Window
+
+    ex = (T(spark, sf, "embeddings")
+          .select(F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("pos", "x")))
+    per_dim = ex.groupBy("pos").agg(F.avg("x").alias("m"),
+                                    F.var_samp("x").alias("v"))
+    w = Window.partitionBy()
+    return (per_dim.withColumn("tv", F.sum("v").over(w))
+            .select(F.col("pos").cast("bigint").alias("i"),
+                    F.round("m", 6).alias("mean"),
+                    F.round("v", 6).alias("variance"),
+                    F.round(F.col("v") / F.col("tv"), 6)
+                    .alias("var_share")))
