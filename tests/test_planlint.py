@@ -95,6 +95,7 @@ _ALLOWED = {
         "emb_top_eigvec",           # 1-row norm broadcast per round
         "eval_calibration_bins", "eval_rank_auc",   # 1-row min/max broadcast
         "eval_ks_split_drift",                      # 1-row min/max broadcast
+        "feat_target_encode_loo",                   # 1-row prior broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
