@@ -74,6 +74,10 @@ def lint_plan(df: DataFrame, wide_scan_cols: int = 12) -> list[Finding]:
          "row-at-a-time Python UDF in the hot path"),
         ("ArrowEvalPython", "arrow-udf",
          "Arrow-batched Python stage (off the codegen path)"),
+        ("MapInPandas", "arrow-udf",
+         "Arrow-batched mapInPandas stage (off the codegen path)"),
+        ("FlatMapGroupsInPandas", "arrow-udf",
+         "Arrow-batched grouped-pandas stage (off the codegen path)"),
     ]:
         n = plan.count(pat)
         if n:

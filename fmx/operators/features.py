@@ -17,10 +17,12 @@ __all__ = ["target_encode_loo", "frequency_encode"]
 def target_encode_loo(df: DataFrame, key_col: str, target_col: str,
                       smoothing: float = 10.0,
                       out_col: str = "enc") -> DataFrame:
-    """Leave-one-out target encoding with additive smoothing toward the
-    global prior:
-
-        enc_row = (sum_key - target_row + m * prior) / (cnt_key - 1 + m)
+    """Leave-one-out target encoding with additive smoothing toward
+    the global prior: each row gets (sum_key - target_row + m * prior)
+    / (cnt_key - 1 + m), i.e. the mean target of its key computed
+    WITHOUT the row itself, shrunk toward the global mean by ``m``
+    pseudo-observations.  NULL keys form their own group (SQL GROUP BY
+    semantics — the join back is null-safe, so no row is dropped).
 
     The LOO exclusion of the row's own target is what keeps the encoding
     usable as a TRAINING feature (plain mean encoding leaks the label
@@ -34,16 +36,16 @@ def target_encode_loo(df: DataFrame, key_col: str, target_col: str,
     other post-aggregation.  Deterministic given (df, key, target, m).
     """
     m = float(smoothing)
-    grp = (df.groupBy(key_col)
+    grp = (df.groupBy(F.col(key_col).alias("_k"))
            .agg(F.sum(target_col).alias("_s"),
                 F.count("*").alias("_c")))
     prior = df.agg(F.avg(target_col).alias("_prior"))
     enc = ((F.col("_s") - F.col(target_col) + m * F.col("_prior"))
            / (F.col("_c") - 1 + m))
-    return (df.join(grp, key_col)
+    return (df.join(grp, F.col(key_col).eqNullSafe(F.col("_k")))
             .crossJoin(F.broadcast(prior))
             .withColumn(out_col, enc)
-            .drop("_s", "_c", "_prior"))
+            .drop("_k", "_s", "_c", "_prior"))
 
 
 def frequency_encode(df: DataFrame, key_col: str,
@@ -51,11 +53,13 @@ def frequency_encode(df: DataFrame, key_col: str,
     """Frequency encoding: each row gains its key's share of the table
     (cnt_key / n_total) — the cheapest useful encoding of a
     high-cardinality categorical.  One key hash-agg + a 1-row total
-    broadcast + an equi-join back; same skew-safety argument as
+    broadcast + a null-safe equi-join back (NULL keys are a group, not
+    dropped); same skew-safety argument as
     :func:`target_encode_loo`."""
-    grp = df.groupBy(key_col).agg(F.count("*").alias("_c"))
+    grp = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_c"))
     tot = df.agg(F.count("*").alias("_n"))
-    return (df.join(grp, key_col)
+    return (df.join(grp, F.col(key_col).eqNullSafe(F.col("_k")))
             .crossJoin(F.broadcast(tot))
             .withColumn(out_col, F.col("_c") / F.col("_n"))
-            .drop("_c", "_n"))
+            .drop("_k", "_c", "_n"))

@@ -699,7 +699,9 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
     all-double-arithmetic engine to ~1e-12 relative.
 
     Returns (i, j, gram) with 0-based indices, upper triangle only
-    (i <= j) unless ``upper_only=False``.
+    (i <= j) unless ``upper_only=False``.  NULL vectors are excluded
+    (a single null row must not abort a corpus-scale job; SQL aggs
+    skip NULLs the same way).
     """
     from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                    StructType)
@@ -728,8 +730,9 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
                                 "j": jj.astype("int32"),
                                 "partial": g[ii, jj]})
 
-    partials = df.select(vec_col).mapInPandas(_partial_gram,
-                                              schema=out_schema)
+    partials = (df.select(vec_col)
+                .filter(F.col(vec_col).isNotNull())
+                .mapInPandas(_partial_gram, schema=out_schema))
     return (partials.groupBy("i", "j")
             .agg(F.sum("partial").alias("gram"))
             .select(F.col("i").cast("bigint").alias("i"),
@@ -737,9 +740,12 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
                     "gram"))
 
 
-def power_iteration_top_eig(gram: DataFrame, rounds: int = 2) -> DataFrame:
-    """Leading eigenpair of an upper-triangle Gramian relation (the
-    output of :func:`gram_matrix`) via fixed-round power iteration,
+def power_iteration_top_eig(gram: DataFrame, rounds: int = 2,
+                            upper_only: bool = True) -> DataFrame:
+    """Leading eigenpair of a Gramian relation (the output of
+    :func:`gram_matrix`; pass ``upper_only=False`` if it was built
+    with the full matrix — mirroring a full matrix would double every
+    off-diagonal) via fixed-round power iteration,
     written entirely as joins + aggregations so any engine replays it:
     v <- normalize(G v) per round from the all-ones start; the
     returned ``eig`` is the final pre-normalization L2 norm, which for
@@ -753,9 +759,11 @@ def power_iteration_top_eig(gram: DataFrame, rounds: int = 2) -> DataFrame:
     start vector deterministic (no RNG), so the result — sign included
     — is a pure function of G.
     """
-    full = gram.unionByName(
-        gram.filter(F.col("i") != F.col("j"))
-        .select(F.col("j").alias("i"), F.col("i").alias("j"), "gram"))
+    full = gram
+    if upper_only:
+        full = gram.unionByName(
+            gram.filter(F.col("i") != F.col("j"))
+            .select(F.col("j").alias("i"), F.col("i").alias("j"), "gram"))
     v = full.select("i").distinct().select("i", F.lit(1.0).alias("v"))
     eig = None
     for _ in range(rounds + 1):

@@ -455,6 +455,30 @@ def profile_mad_outliers(spark, sf):
     return mad_outliers(ev, "event_type", "value", k=3.0)
 
 
+def _capped_baskets(spark, sf, cap: int = 32):
+    """Distinct (order, part) rows with a per-order basket cap — the
+    shared input of every co-purchase query (see copurchase_topk's
+    oracle comment for why the cap is semantically free at our SFs
+    and necessary at scale)."""
+    li = (T(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (li.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def _copurchase_edges(spark, sf, cap: int = 32):
+    """Distinct undirected co-purchase part edges (src < dst) over
+    capped baskets — shared by the triangle/LPA/Jaccard graph
+    queries."""
+    li = _capped_baskets(spark, sf, cap)
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
+    return (a.join(b, "l_orderkey")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst").distinct())
+
+
 @query(
     "copurchase_topk",
     oracle="""
@@ -490,11 +514,7 @@ def copurchase_topk(spark, sf):
     basket in a trillion rows would otherwise emit its size squared),
     then one pair hash-agg and a ranking-window top-k
     (WindowGroupLimit heaps)."""
-    li = (T(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    li = (li.withColumn("_rn", F.row_number().over(wcap))
-          .filter(F.col("_rn") <= 32).drop("_rn"))
+    li = _capped_baskets(spark, sf)
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
     pairs = (a.join(b, "l_orderkey")
@@ -983,16 +1003,7 @@ def graph_triangle_count(spark, sf):
     orientation, no cartesian anywhere."""
     from fmx.operators.graph import triangle_count
 
-    li = (T(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    li = (li.withColumn("_rn", F.row_number().over(wcap))
-          .filter(F.col("_rn") <= 32).drop("_rn"))
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    edges = (a.join(b, "l_orderkey")
-             .filter(F.col("src") < F.col("dst"))
-             .select("src", "dst").distinct())
+    edges = _copurchase_edges(spark, sf)
     return triangle_count(edges)
 
 
@@ -1369,11 +1380,7 @@ def copurchase_pmi(spark, sf):
     (raw co-counts always rank bestsellers together).  Same
     basket-capped within-order pair join as copurchase_topk; item
     marginals and the basket count join back as broadcasts."""
-    li = (T(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    li = (li.withColumn("_rn", F.row_number().over(wcap))
-          .filter(F.col("_rn") <= 32).drop("_rn"))
+    li = _capped_baskets(spark, sf)
     nb = li.agg(F.countDistinct("l_orderkey").alias("_n"))
     icnt = li.groupBy("l_partkey").agg(F.count("*").alias("_c"))
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
@@ -1886,16 +1893,7 @@ def graph_label_propagation(spark, sf):
     32-item basket cap on degree."""
     from fmx.operators.graph import label_propagation
 
-    li = (T(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    li = (li.withColumn("_rn", F.row_number().over(wcap))
-          .filter(F.col("_rn") <= 32).drop("_rn"))
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    edges = (a.join(b, "l_orderkey")
-             .filter(F.col("src") < F.col("dst"))
-             .select("src", "dst").distinct())
+    edges = _copurchase_edges(spark, sf)
     labels = label_propagation(edges, rounds=2)
     return (labels.groupBy("label")
             .agg(F.count("*").cast(BIG).alias("n_nodes"))
@@ -2042,16 +2040,7 @@ def graph_jaccard_neighbors(spark, sf):
     (never pairs x pairs); degrees join post-aggregation; top-20
     executes as TakeOrderedAndProject.  The 32-item basket cap bounds
     wedge fan-out exactly as in triangle counting."""
-    li = (T(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    li = (li.withColumn("_rn", F.row_number().over(wcap))
-          .filter(F.col("_rn") <= 32).drop("_rn"))
-    pa = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    pb = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    e = (pa.join(pb, "l_orderkey")
-         .filter(F.col("src") < F.col("dst"))
-         .select("src", "dst").distinct())
+    e = _copurchase_edges(spark, sf)
     und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
            .unionByName(e.select(F.col("dst").alias("node"),
                                  F.col("src").alias("nbr"))))

@@ -1385,3 +1385,59 @@ def test_frequency_encode_shares(spark):
         [(1, "a"), (2, "a"), (3, "a"), (4, "b")], ["id", "k"])
     got = {r.id: r.freq for r in frequency_encode(df, "k").collect()}
     assert got == {1: 0.75, 2: 0.75, 3: 0.75, 4: 0.25}
+
+
+def test_encoders_keep_null_key_rows(spark):
+    """NULL keys are a group (SQL GROUP BY semantics), not dropped:
+    both encoders must return every input row and encode the NULL
+    group consistently."""
+    from fmx.operators.features import frequency_encode, target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, None, 40.0)],
+        ["id", "k", "y"])
+    te = {r.id: r.enc
+          for r in target_encode_loo(df, "k", "y", smoothing=2.0)
+          .collect()}
+    # prior = 70/3; null group: row 2 -> (60-20+2*prior)/(2-1+2)
+    prior = 70.0 / 3.0
+    assert sorted(te) == [1, 2, 3]
+    assert te[2] == pytest.approx((40.0 + 2 * prior) / 3.0)
+    fe = {r.id: r.freq for r in frequency_encode(df, "k").collect()}
+    assert fe == {1: pytest.approx(1 / 3), 2: pytest.approx(2 / 3),
+                  3: pytest.approx(2 / 3)}
+
+
+def test_gram_matrix_skips_null_vectors(spark):
+    """A NULL embedding row must be excluded, not abort the job."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    got = {(r.i, r.j): r.gram
+           for r in S.gram_matrix(df, "embedding").collect()}
+    x = np.array([[1.0, 2.0], [3.0, 4.0]])
+    want = x.T @ x
+    assert got.keys() == {(0, 0), (0, 1), (1, 1)}
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i, j])
+
+
+def test_power_iteration_full_matrix_mode_matches_upper(spark):
+    """upper_only=False on a full Gramian must agree with the default
+    upper-triangle path (the mirror must not double off-diagonals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(30, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        ["vec_id", "embedding"])
+    up = S.power_iteration_top_eig(
+        S.gram_matrix(df, "embedding"), rounds=2).collect()
+    fu = S.power_iteration_top_eig(
+        S.gram_matrix(df, "embedding", upper_only=False), rounds=2,
+        upper_only=False).collect()
+    assert {(r.i, r.v, r.eig) for r in up} == {(r.i, r.v, r.eig)
+                                               for r in fu}

@@ -139,7 +139,8 @@ _ALLOWED = {
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
-                  "emb_gram_matrix"},   # per-batch d x d Gramian partial
+                  # per-batch d x d Gramian partial (gram_matrix)
+                  "emb_gram_matrix", "emb_top_eigvec"},
     "python-udf": set(),
     "wide-scan": set(),
 }
@@ -189,3 +190,15 @@ def test_no_driver_actions_during_query_construction(spark, sf_dir):
     finally:
         for name, orig in actions.items():
             setattr(DataFrame, name, orig)
+
+
+def test_map_in_pandas_flagged_as_arrow_udf(spark):
+    """mapInPandas stages must be visible to the registry-wide Python
+    audit (they were a blind spot: only ArrowEvalPython was matched)."""
+    import pandas as pd
+
+    def ident(batches):
+        yield from batches
+
+    df = spark.range(10).mapInPandas(ident, schema="id long")
+    assert "arrow-udf" in _codes(df)
