@@ -585,3 +585,33 @@ def stream_checksum_registers(rows: DataFrame, key_col: str, sig,
 
     # one groupBy with additive aggs — directly streamable
     return checksum_registers(rows, key_col, sig, num_buckets)
+
+
+def stream_ks_registers(events: DataFrame, value_col: str = "value",
+                        id_col: str = "user_id", lo: float = 0.0,
+                        hi: float = 1000.0, num_bins: int = 64,
+                        tag: str = "ksdrift", seed: int = 7) -> DataFrame:
+    """Streaming two-sample drift state: per (arm, bin) count registers
+    over FIXED bin edges — counts merge by addition, so the state is at
+    most 2 * num_bins rows forever and the binned KS statistic (max
+    cumulative-share gap, see the batch ``eval_ks_split_drift``) folds
+    from the registers wherever it's consumed.  Fixed edges are the
+    streaming concession: the batch query derives bins from the global
+    min/max, which a stream cannot know up front — pin edges from
+    historical data; the statistic is a valid binned KS for ANY fixed
+    binning.  Arm assignment is the same md5 coin family as the batch
+    split (non-null ids only — the coin is undefined on NULL)."""
+    from fmx.operators.sampling import hash_uniform01
+
+    u = hash_uniform01(id_col, tag, seed)
+    base = (events.filter(F.col(value_col).isNotNull()
+                          & F.col(id_col).isNotNull())
+            .withColumn("arm", F.when(u < 0.5, F.lit("a"))
+                        .otherwise(F.lit("b"))))
+    width = (float(hi) - float(lo)) / int(num_bins)
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - float(lo)) / width),
+                   F.lit(0)),
+        F.lit(int(num_bins) - 1)).cast("long")
+    return (base.groupBy("arm", b.alias("bin"))
+            .agg(F.count("*").cast("long").alias("n")))

@@ -610,3 +610,35 @@ def test_stream_checksum_registers_fold_matches_batch(spark, sf_dir):
                                         "event_id", sig,
                                         num_buckets=32).collect()}
     assert got == want and len(got) == 32
+
+
+def test_stream_ks_registers_fold_matches_batch(spark, sf_dir):
+    """Streaming per-(arm, bin) count registers fold to the same binned
+    KS statistic as the identical batch computation over the same
+    events (fixed edges, same md5 coin)."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_ks_registers(events), "ks_regs",
+                       "complete")
+    regs = {(r.arm, r.bin): r.n
+            for r in spark.sql("SELECT * FROM ks_regs").collect()}
+    q.stop()
+
+    batch = load_table(spark, sf_dir, "events")
+    want = {(r.arm, r.bin): r.n
+            for r in S.stream_ks_registers(batch).collect()}
+    assert regs == want and len(regs) > 0
+
+    def ks(reg):
+        na = sum(n for (a, _), n in reg.items() if a == "a")
+        nb = sum(n for (a, _), n in reg.items() if a == "b")
+        bins = sorted({b for (_, b) in reg})
+        ca = cb = 0
+        gap = 0.0
+        for b in bins:
+            ca += reg.get(("a", b), 0)
+            cb += reg.get(("b", b), 0)
+            gap = max(gap, abs(ca / na - cb / nb))
+        return gap
+
+    assert ks(regs) == ks(want)
+    assert 0.0 <= ks(regs) <= 1.0
