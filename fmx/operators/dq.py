@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["check_expectations", "failing_rows", "table_diff",
-           "checksum_registers"]
+           "checksum_registers", "table_diff_drilldown"]
 
 
 def check_expectations(df: DataFrame,
@@ -126,3 +126,43 @@ def table_diff(a: DataFrame, b: DataFrame, key_col: str, sig: Column,
                     F.coalesce("chk_b", F.lit(-1)).alias("chk_b"))
             .filter((F.col("n_a") != F.col("n_b"))
                     | (F.col("chk_a") != F.col("chk_b"))))
+
+
+def table_diff_drilldown(a: DataFrame, b: DataFrame, key_col: str,
+                         sig: Column, diff_buckets: DataFrame,
+                         num_buckets: int = 256) -> DataFrame:
+    """Stage 2 of the data-diff pattern: given the differing buckets
+    from :func:`table_diff`, re-scan both sides RESTRICTED to those
+    buckets and emit the exact differing keys —
+    (key, status in {only_a, only_b, changed}, sig_a, sig_b).
+
+    The bucket restriction is an equi-join against the broadcast
+    differing-bucket relation, so only ~|diff|/num_buckets of each
+    table survives into the per-key full-outer join; with a
+    bucket-aligned physical layout the restriction prunes whole
+    partitions before the scan.  Two 100 TB snapshots that differ in a
+    handful of buckets reconcile key-by-key at the cost of reading
+    those buckets only."""
+    from fmx.operators.dedup import hash64
+
+    bset = F.broadcast(
+        diff_buckets.select(F.col("bucket").cast("bigint").alias("_bk"))
+        .distinct())
+
+    def _side(df: DataFrame, out: str) -> DataFrame:
+        return (df.withColumn(
+                    "_bk",
+                    F.pmod(hash64(F.col(key_col).cast("string")),
+                           F.lit(int(num_buckets))).cast("bigint"))
+                .join(bset, "_bk")
+                .select(F.col(key_col), sig.alias(out)))
+
+    sa, sb = _side(a, "sig_a"), _side(b, "sig_b")
+    status = (F.when(F.col("sig_a").isNull(), F.lit("only_b"))
+              .when(F.col("sig_b").isNull(), F.lit("only_a"))
+              .otherwise(F.lit("changed")))
+    return (sa.join(sb, key_col, "full_outer")
+            .filter(F.col("sig_a").isNull() | F.col("sig_b").isNull()
+                    | (F.col("sig_a") != F.col("sig_b")))
+            .select(F.col(key_col), status.alias("status"),
+                    "sig_a", "sig_b"))

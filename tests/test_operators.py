@@ -1441,3 +1441,22 @@ def test_power_iteration_full_matrix_mode_matches_upper(spark):
         upper_only=False).collect()
     assert {(r.i, r.v, r.eig) for r in up} == {(r.i, r.v, r.eig)
                                                for r in fu}
+
+
+def test_table_diff_drilldown_finds_exact_keys_and_presence(spark):
+    """Drill-down must report exactly the changed keys plus one-sided
+    keys with the right status, scanning only the differing buckets."""
+    from fmx.operators.dq import table_diff, table_diff_drilldown
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], ["k", "val"])
+    b = spark.createDataFrame(
+        [(i, "CHANGED" if i == 7 else f"v{i}")
+         for i in range(100) if i != 3] + [(100, "v100")],
+        ["k", "val"])
+    sig = F.concat_ws(":", F.col("k").cast("string"), F.col("val"))
+    diff = table_diff(a, b, "k", sig, num_buckets=16)
+    got = {r.k: r.status
+           for r in table_diff_drilldown(a, b, "k", sig, diff,
+                                         num_buckets=16).collect()}
+    assert got == {3: "only_a", 7: "changed", 100: "only_b"}

@@ -111,7 +111,8 @@ _ALLOWED = {
         # pushable by any engine
         "ann_lsh_buckets", "ann_pq_codes", "ann_pq_trained",
         "copurchase_pmi",
-        "dedup_semantic", "emb_normalize", "emb_quantize",
+        "dedup_semantic", "dq_table_diff_drilldown",
+        "emb_normalize", "emb_quantize",
         "sample_pareto_frontier",   # null-axis guard on computed axes
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
