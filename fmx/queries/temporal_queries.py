@@ -419,3 +419,46 @@ def ts_time_weighted_avg(spark, sf):
                       "n_obs",
                       F.round("duration_sec", 2).alias("duration_sec"),
                       "twap")
+
+
+@query(
+    "ts_seasonal_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    f AS (SELECT event_type, d, n,
+                 lag(n, 7) OVER (PARTITION BY event_type ORDER BY d)
+                     AS pred
+          FROM daily)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(n - pred)), 4) AS mae,
+           round(avg(abs(n - pred) * 100.0 / n), 4) AS mape_pct,
+           round(avg(abs(n - pred) * 200.0 / (n + pred)), 4) AS smape_pct
+    FROM f WHERE pred IS NOT NULL GROUP BY event_type
+    """)
+def ts_seasonal_backtest(spark, sf):
+    """Seasonal-naive forecast backtest per event type: predict each
+    day's event count with the count 7 observed days earlier, score
+    MAE / MAPE / sMAPE over every evaluable day — the baseline every
+    forecasting pipeline must beat, and the cheapest continuous
+    'is the metric still forecastable' monitor.  The corpus collapses
+    to the day-grain series first (one agg), so the lag window and
+    error agg run over calendar-bounded rows at any event volume;
+    as with ts_dod_growth, lag is 7 ROWS on the OBSERVED series —
+    densify with gap_fill when days can be empty."""
+    daily = (T(spark, sf, "events")
+             .groupBy("event_type", F.to_date("ts").alias("_d"))
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("_d")
+    f = (daily.withColumn("pred", F.lag("n", 7).over(w))
+         .filter(F.col("pred").isNotNull()))
+    err = F.abs(F.col("n") - F.col("pred"))
+    return (f.groupBy("event_type")
+            .agg(F.count("*").cast(BIG).alias("n_days"),
+                 F.round(F.avg(err), 4).alias("mae"),
+                 F.round(F.avg(err * 100.0 / F.col("n")), 4)
+                 .alias("mape_pct"),
+                 F.round(F.avg(err * 200.0 / (F.col("n")
+                                              + F.col("pred"))), 4)
+                 .alias("smape_pct")))
