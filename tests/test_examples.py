@@ -65,3 +65,8 @@ def test_experimentation_example_runs(tmp_path):
 def test_data_selection_example_runs(tmp_path):
     stdout = _run("data_selection.py")
     assert "Pareto frontier" in stdout and "matched en/de pairs" in stdout
+
+
+def test_tabular_features_example_runs(tmp_path):
+    stdout = _run("tabular_features.py")
+    assert "leakage-free" in stdout and "val MAE" in stdout
