@@ -2124,3 +2124,61 @@ def dq_table_diff_drilldown(spark, sf):
                               num_buckets=256)
     return dd.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
                      "status", "sig_a", "sig_b")
+
+
+def _rolling_hll_oracle() -> str:
+    from fmx.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
+    wb = 60 - HLL_B + 1
+    est = (f"CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / (s + ({HLL_M} - n))"
+           f" <= {2.5 * HLL_M} AND {HLL_M} - n > 0"
+           f" THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n))"
+           f" ELSE {HLL_ALPHA * HLL_M * HLL_M} / (s + ({HLL_M} - n)) END")
+    return f"""
+    WITH rd AS (SELECT d, h % {HLL_M} AS j,
+                       max({wb} - length(bin(h >> {HLL_B}))) AS m
+                FROM (SELECT CAST(ts AS DATE) AS d,
+                             CAST(concat('0x', substring(md5(concat('hll:',
+                                  CAST(user_id AS VARCHAR))), 1, 15))
+                                  AS BIGINT) AS h
+                      FROM events)
+                GROUP BY d, j),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    fan AS (SELECT rd.d + CAST(i AS INTEGER) AS d_asof, j, m
+            FROM rd, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g),
+    mg AS (SELECT d_asof, j, max(m) AS m
+           FROM fan JOIN days ON fan.d_asof = days.d
+           GROUP BY d_asof, j),
+    agg AS (SELECT d_asof, sum(power(2.0, -m)) AS s, count(*) AS n
+            FROM mg GROUP BY d_asof)
+    SELECT strftime(d_asof, '%Y-%m-%d') AS day,
+           CAST(round({est}) AS BIGINT) AS active_7d_hll
+    FROM agg
+    """
+
+
+@query("rolling_7d_hll_users", oracle=_rolling_hll_oracle())
+def rolling_7d_hll_users(spark, sf):
+    """Rolling 7-day active users from MERGEABLE HLL registers — the
+    sketch twin of rolling_7d_active_users and the shape that survives
+    when the (user, day) relation itself is too big to fan out 7x:
+    per-day register tables (64 rows/day, persistable) vote for their
+    7 as-of days, merge by register-wise max, fold to the estimate.
+    Post-register work is days x 64 rows regardless of user count;
+    the md5 register arithmetic is engine-portable, so the oracle
+    replays the sketch exactly (estimate, not approximation, is
+    compared)."""
+    from fmx.operators.sketches import hll_fold, hll_registers
+
+    ev = (T(spark, sf, "events")
+          .select("user_id", F.to_date("ts").alias("d")))
+    regs = hll_registers(ev, "d", "user_id")
+    days = ev.select("d").distinct()
+    fan = (regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d", "_j", "m")
+        .select(F.date_add("d", F.col("i")).alias("d_asof"), "_j", "m"))
+    merged = (fan.join(days.withColumnRenamed("d", "d_asof"), "d_asof")
+              .groupBy("d_asof", "_j").agg(F.max("m").alias("m")))
+    return (hll_fold(merged, "d_asof")
+            .select(F.date_format("d_asof", "yyyy-MM-dd").alias("day"),
+                    F.col("approx_distinct").alias("active_7d_hll")))

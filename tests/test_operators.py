@@ -1460,3 +1460,20 @@ def test_table_diff_drilldown_finds_exact_keys_and_presence(spark):
            for r in table_diff_drilldown(a, b, "k", sig, diff,
                                          num_buckets=16).collect()}
     assert got == {3: "only_a", 7: "changed", 100: "only_b"}
+
+
+def test_rolling_hll_tracks_exact_within_hll_error(spark, sf_dir):
+    """The register-merge rolling DAU must track the exact fan-out
+    version within standard HLL error for m=64 (~13% * 1.15 headroom)
+    on every as-of day."""
+    import fmx.queries as Q
+
+    exact = {r.day: r.active_7d
+             for r in Q.all_queries()["rolling_7d_active_users"]
+             .fn(spark, sf_dir).collect()}
+    approx = {r.day: r.active_7d_hll
+              for r in Q.all_queries()["rolling_7d_hll_users"]
+              .fn(spark, sf_dir).collect()}
+    assert approx.keys() == exact.keys()
+    for d, n in exact.items():
+        assert abs(approx[d] - n) / n <= 0.15, (d, approx[d], n)

@@ -116,6 +116,7 @@ _ALLOWED = {
         "sample_pareto_frontier",   # null-axis guard on computed axes
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
+        "rolling_7d_hll_users",
         "sample_interleaved_order",
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_boilerplate_strip",
