@@ -4,8 +4,9 @@ enforces, composed from engine operators:
 
   1. split: deterministic hash split (stable under reprocessing)
   2. fit: target + frequency encodings computed on TRAIN ONLY
-  3. apply: encodings joined onto val/test (unseen keys fall back to
-     the train prior — never to their own slice's statistics)
+  3. apply: encodings joined onto val (unseen keys fall back to the
+     train prior — never to their own slice's statistics; production
+     serving applies the same table the same way)
   4. audit: within-train the LOO form is used, so no row sees its own
      label even inside the fit slice
   5. eval: MAE of the encoding as a 1-feature predictor, per split —
@@ -41,8 +42,14 @@ def main() -> None:
     # encoding gives a real, if modest, lift over the prior baseline —
     # the point of the example is the leakage DISCIPLINE, not the lift
     li = load_table(spark, sf_dir, "lineitem")
+    # the natural key (orderkey, linenumber) keeps the hash split a
+    # pure function of the ROW — monotonically_increasing_id would
+    # reshuffle slices whenever the partition layout changes, the
+    # exact reprocessing leak hash_split exists to prevent
     orders = li.select(
-        F.monotonically_increasing_id().alias("o_orderkey"),
+        F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"))
+        .alias("o_orderkey"),
         F.col("l_partkey").alias("o_custkey"),
         (F.col("l_extendedprice") / F.col("l_quantity"))
         .alias("o_totalprice"))
@@ -68,13 +75,12 @@ def main() -> None:
                       / (F.col("_c") + SMOOTH)).alias("enc")))
 
     # 3. apply to val: left join + prior fallback for unseen customers
-    val_enc = (val.join(serve, "o_custkey", "left")
-               .crossJoin(F.broadcast(prior))
+    joined = (val.join(serve, "o_custkey", "left")
+              .crossJoin(F.broadcast(prior)))
+    unseen = joined.filter(F.col("enc").isNull()).count()
+    val_enc = (joined
                .withColumn("enc", F.coalesce("enc", F.col("_prior")))
                .drop("_prior"))
-    unseen = val_enc.join(
-        train.select("o_custkey").distinct(), "o_custkey",
-        "left_anti").count()
 
     # 5. the encoding as a 1-feature predictor, honest per-split MAE
     def mae(df):

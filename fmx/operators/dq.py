@@ -83,8 +83,13 @@ def checksum_registers(df: DataFrame, key_col: str, sig: Column,
     Returns (bucket, n, chk)."""
     from fmx.operators.dedup import hash64
 
+    # NULL keys hash to a real bucket (sentinel string) — hash64(NULL)
+    # would yield a NULL bucket, which the full-outer register join can
+    # never pair (NULL != NULL) and downstream bucket equi-joins drop
+    key_str = F.coalesce(F.col(key_col).cast("string"),
+                         F.lit("\u0000null"))
     return (df.select(
-                F.pmod(hash64(F.col(key_col).cast("string")),
+                F.pmod(hash64(key_str),
                        F.lit(int(num_buckets))).alias("bucket"),
                 F.pmod(hash64(sig), F.lit(_CHK_MOD)).alias("_h"))
             .groupBy("bucket")
@@ -149,20 +154,26 @@ def table_diff_drilldown(a: DataFrame, b: DataFrame, key_col: str,
         diff_buckets.select(F.col("bucket").cast("bigint").alias("_bk"))
         .distinct())
 
-    def _side(df: DataFrame, out: str) -> DataFrame:
+    def _side(df: DataFrame, key_out: str, out: str) -> DataFrame:
+        key_str = F.coalesce(F.col(key_col).cast("string"),
+                             F.lit("\u0000null"))
         return (df.withColumn(
                     "_bk",
-                    F.pmod(hash64(F.col(key_col).cast("string")),
+                    F.pmod(hash64(key_str),
                            F.lit(int(num_buckets))).cast("bigint"))
                 .join(bset, "_bk")
-                .select(F.col(key_col), sig.alias(out)))
+                .select(F.col(key_col).alias(key_out), sig.alias(out)))
 
-    sa, sb = _side(a, "sig_a"), _side(b, "sig_b")
+    # null-safe pairing end-to-end: the bucket hash above coalesces a
+    # NULL key to a sentinel (matching checksum_registers), and the
+    # key join uses eqNullSafe so a NULL-key row diffs like any other
+    sa, sb = _side(a, "_ka", "sig_a"), _side(b, "_kb", "sig_b")
     status = (F.when(F.col("sig_a").isNull(), F.lit("only_b"))
               .when(F.col("sig_b").isNull(), F.lit("only_a"))
               .otherwise(F.lit("changed")))
-    return (sa.join(sb, key_col, "full_outer")
+    return (sa.join(sb, F.col("_ka").eqNullSafe(F.col("_kb")),
+                    "full_outer")
             .filter(F.col("sig_a").isNull() | F.col("sig_b").isNull()
                     | (F.col("sig_a") != F.col("sig_b")))
-            .select(F.col(key_col), status.alias("status"),
-                    "sig_a", "sig_b"))
+            .select(F.coalesce("_ka", "_kb").alias(key_col),
+                    status.alias("status"), "sig_a", "sig_b"))

@@ -1713,6 +1713,32 @@ def eval_calibration_bins(spark, sf):
                  F.round(F.avg("y"), 6).alias("event_rate")))
 
 
+def _mutated_orders(spark, sf):
+    """orders + its deterministically mutated twin (1% of rows get
+    +1.0 on totalprice via the md5 coin) — the shared scenario of the
+    dq_table_diff stage-1/stage-2 pair; one definition so the two
+    stages can never drift."""
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus",
+                                      "o_totalprice")
+    u = SMP_hash_uniform01("o_orderkey", "mut", 42)
+    mut = o.withColumn(
+        "o_totalprice",
+        F.when(u < 0.01, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")))
+    return o, mut
+
+
+def _order_sig():
+    """The shared row signature (integer cents — raw double->string
+    rendering is not engine-portable)."""
+    return F.concat_ws(
+        ":", F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast(BIG)
+        .cast("string"))
+
+
+
 @query(
     "dq_table_diff",
     oracle="""
@@ -1763,21 +1789,9 @@ def dq_table_diff(spark, sf):
     engine-portable)."""
     from fmx.operators.dq import table_diff
 
-    o = T(spark, sf, "orders")
-    u = SMP_hash_uniform01("o_orderkey", "mut", 42)
-    mut = o.withColumn(
-        "o_totalprice",
-        F.when(u < 0.01, F.col("o_totalprice") + 1.0)
-        .otherwise(F.col("o_totalprice")))
-
-    def sig(df):
-        return F.concat_ws(
-            ":", F.col("o_orderkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 100, 0).cast(BIG)
-            .cast("string"))
-
-    return table_diff(o, mut, "o_orderkey", sig(o), num_buckets=256)
+    o, mut = _mutated_orders(spark, sf)
+    return table_diff(o, mut, "o_orderkey", _order_sig(),
+                      num_buckets=256)
 
 
 @query(
@@ -2106,19 +2120,8 @@ def dq_table_diff_drilldown(spark, sf):
     reading ~1% of the data at this mutation rate."""
     from fmx.operators.dq import table_diff, table_diff_drilldown
 
-    o = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus",
-                                      "o_totalprice")
-    u = SMP_hash_uniform01("o_orderkey", "mut", 42)
-    mut = o.withColumn(
-        "o_totalprice",
-        F.when(u < 0.01, F.col("o_totalprice") + 1.0)
-        .otherwise(F.col("o_totalprice")))
-
-    sig = F.concat_ws(
-        ":", F.col("o_orderkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100, 0).cast(BIG).cast("string"))
-
+    o, mut = _mutated_orders(spark, sf)
+    sig = _order_sig()
     diff = table_diff(o, mut, "o_orderkey", sig, num_buckets=256)
     dd = table_diff_drilldown(o, mut, "o_orderkey", sig, diff,
                               num_buckets=256)

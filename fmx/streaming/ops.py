@@ -602,16 +602,16 @@ def stream_ks_registers(events: DataFrame, value_col: str = "value",
     binning.  Arm assignment is the same md5 coin family as the batch
     split (non-null ids only — the coin is undefined on NULL)."""
     from fmx.operators.sampling import hash_uniform01
+    from fmx.operators.sketches import hist_fixed_registers
 
     u = hash_uniform01(id_col, tag, seed)
     base = (events.filter(F.col(value_col).isNotNull()
                           & F.col(id_col).isNotNull())
             .withColumn("arm", F.when(u < 0.5, F.lit("a"))
                         .otherwise(F.lit("b"))))
-    width = (float(hi) - float(lo)) / int(num_bins)
-    b = F.least(
-        F.greatest(F.floor((F.col(value_col) - float(lo)) / width),
-                   F.lit(0)),
-        F.lit(int(num_bins) - 1)).cast("long")
-    return (base.groupBy("arm", b.alias("bin"))
-            .agg(F.count("*").cast("long").alias("n")))
+    # the binning IS hist_fixed_registers (one definition of the edge
+    # math for batch, streaming, and this drift state)
+    return (hist_fixed_registers(base, "arm", value_col,
+                                 float(lo), float(hi), int(num_bins))
+            .select("arm", F.col("bucket").cast("long").alias("bin"),
+                    F.col("c").cast("long").alias("n")))

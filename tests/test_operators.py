@@ -1477,3 +1477,28 @@ def test_rolling_hll_tracks_exact_within_hll_error(spark, sf_dir):
     assert approx.keys() == exact.keys()
     for d, n in exact.items():
         assert abs(approx[d] - n) / n <= 0.15, (d, approx[d], n)
+
+
+def test_table_diff_null_keys_pair_and_drill(spark):
+    """NULL keys must behave like any other key end-to-end: identical
+    snapshots with NULL-key rows report NO diff (the register join
+    pairs the null bucket), and a changed NULL-key row surfaces in the
+    drill-down with status 'changed'."""
+    from fmx.operators.dq import table_diff, table_diff_drilldown
+
+    sig = F.concat_ws(":", F.coalesce(F.col("k").cast("string"),
+                                      F.lit("~")), F.col("val"))
+    a = spark.createDataFrame([(1, "x"), (None, "y")],
+                              "k int, val string")
+    same = spark.createDataFrame([(1, "x"), (None, "y")],
+                                 "k int, val string")
+    assert table_diff(a, same, "k", sig, num_buckets=8).count() == 0
+
+    b = spark.createDataFrame([(1, "x"), (None, "CHANGED")],
+                              "k int, val string")
+    diff = table_diff(a, b, "k", sig, num_buckets=8)
+    assert diff.count() == 1
+    got = table_diff_drilldown(a, b, "k", sig, diff,
+                               num_buckets=8).collect()
+    assert len(got) == 1
+    assert got[0].k is None and got[0].status == "changed"
