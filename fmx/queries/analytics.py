@@ -2185,3 +2185,63 @@ def rolling_7d_hll_users(spark, sf):
     return (hll_fold(merged, "d_asof")
             .select(F.date_format("d_asof", "yyyy-MM-dd").alias("day"),
                     F.col("approx_distinct").alias("active_7d_hll")))
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH fo AS (SELECT o_custkey,
+                       min(date_trunc('month', o_orderdate)) AS cohort
+                FROM orders GROUP BY o_custkey),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM fo GROUP BY cohort),
+    rev AS (SELECT fo.cohort,
+                   (year(date_trunc('month', o.o_orderdate)) * 12
+                    + month(date_trunc('month', o.o_orderdate)))
+                   - (year(fo.cohort) * 12 + month(fo.cohort)) AS age,
+                   sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                       AS r
+            FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+            GROUP BY fo.cohort, age),
+    cum AS (SELECT cohort, age,
+                   sum(r) OVER (PARTITION BY cohort ORDER BY age) AS cr
+            FROM rev)
+    SELECT strftime(cum.cohort, '%Y-%m') AS cohort,
+           CAST(age AS BIGINT) AS age_months,
+           CAST(n_users AS BIGINT) AS n_users,
+           (cr // n_users) / 100.0 AS ltv_per_user
+    FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+    """)
+def cohort_ltv_curve(spark, sf):
+    """Cohort lifetime-value curve: for each first-purchase-month
+    cohort, cumulative revenue per cohort member by cohort age — the
+    payback/LTV readout every growth team tracks.  Cohort assignment
+    is one customer-grain agg; revenue collapses to (cohort, age)
+    grain BEFORE the cumulative window, so the only window runs over
+    calendar-bounded rows per cohort (never customer or order grain)
+    and the cohort size joins back post-aggregation.  Month age is
+    computed as integer year*12+month arithmetic — identical in any
+    engine, no interval semantics."""
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_totalprice",
+        F.date_trunc("month", "o_orderdate").alias("_m"))
+    fo = o.groupBy("o_custkey").agg(F.min("_m").alias("_cohort"))
+    sizes = fo.groupBy("_cohort").agg(F.count("*").alias("n_users"))
+    mi = F.year("_m") * 12 + F.month("_m")
+    ci = F.year("_cohort") * 12 + F.month("_cohort")
+    # revenue accumulates as exact integer cents: float sum ORDER
+    # noise at the half-cent rounding boundary is not engine-portable
+    rev = (o.join(fo, "o_custkey")
+           .groupBy("_cohort", (mi - ci).alias("age"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast(BIG)).alias("r")))
+    w = (Window.partitionBy("_cohort").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = rev.withColumn("cr", F.sum("r").over(w))
+    return (cum.join(sizes, "_cohort")
+            .select(F.date_format("_cohort", "yyyy-MM").alias("cohort"),
+                    F.col("age").cast(BIG).alias("age_months"),
+                    F.col("n_users").cast(BIG).alias("n_users"),
+                    # integer cents-per-user: engines round double
+                    # halves differently, integer division is exact
+                    (F.expr("cr div n_users") / 100.0)
+                    .alias("ltv_per_user")))
