@@ -11,6 +11,11 @@ Conventions that make the driver's hash-compare deterministic:
   sides** (DuckDB's sum(int)->HUGEINT, length()->BIGINT etc. would
   otherwise mismatch Spark's types);
 - doubles are rounded (2 for money sums, 4-6 elsewhere) in both engines;
+  when a rounded value can land ON the half boundary (e.g. integer
+  cents / integer count), do NOT round a double — engines disagree
+  there (DuckDB re-renders decimally, Spark rounds the binary double;
+  see cohort_ltv_curve) — keep the arithmetic integer (cents, div)
+  and divide by a power of ten at the very end;
 - timestamps/dates are emitted as formatted strings (session tz = UTC);
 - LIMIT queries carry a total ORDER BY (unique key suffix).
 """
