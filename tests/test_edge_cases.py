@@ -138,3 +138,44 @@ def test_round5_queries_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     bad = [n for n in names if a[n] != b[n]]
     assert not bad, bad
+
+
+def test_round6_queries_partition_invariant(spark, sf_dir):
+    """Same pure-function-of-the-data invariant for the round-6
+    additions: LPA tie-breaks, Gramian partial-sum layout, power
+    iteration, boilerplate reassembly order, BPE/jaccard rank ties,
+    sketch register merges — none may depend on parallelism."""
+    import math
+
+    import fmx.queries as Q
+
+    names = ["graph_label_propagation", "emb_gram_matrix",
+             "emb_top_eigvec", "text_boilerplate_strip",
+             "text_bpe_pair_merges", "graph_jaccard_neighbors",
+             "feat_target_encode_loo", "eval_ks_split_drift",
+             "rolling_7d_hll_users", "dq_table_diff_drilldown",
+             "cohort_ltv_curve", "ts_seasonal_backtest"]
+    ALL = Q.all_queries()
+
+    def snap():
+        out = {}
+        for n in names:
+            df = ALL[n].fn(spark, sf_dir).toPandas()
+            cols = sorted(df.columns)
+            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
+                          else (round(v, 9) if isinstance(v, float) else v)
+                          for v in row)
+                    for row in df[cols].itertuples(index=False)]
+            out[n] = sorted(rows, key=repr)
+        return out
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snap()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    bad = [n for n in names if a[n] != b[n]]
+    assert not bad, bad
