@@ -25,7 +25,8 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
-           "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig"]
+           "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
+           "hard_negatives"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -780,3 +781,43 @@ def power_iteration_top_eig(gram: DataFrame, rounds: int = 2,
             .select(F.col("i").cast("bigint").alias("i"),
                     F.round("v", 6).alias("v"),
                     F.round("_n", 6).alias("eig")))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, label_col: str, k: int = 5,
+                   query_id: str = "query_id") -> DataFrame:
+    """Hard-negative mining for retrieval / contrastive training: per
+    query, the top-``k`` most-similar corpus items with a DIFFERENT
+    label — maximally confusable negatives, the ones that actually
+    move an embedding model (random negatives are trivially separable
+    after the first epochs).
+
+    Same broadcast-query exact-cosine shape as :func:`cosine_topk`
+    with the label inequality folded into the pair filter (it prunes
+    pairs before the ranking window, not after).  At corpus scale swap
+    the exact scorer for an ANN shortlist (``ivfpq_rerank_topk``) and
+    keep the same label anti-filter + window; the output contract is
+    identical.  Ties break on corpus id after rounding — deterministic
+    under any partitioning."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id),
+                       F.col(vec_col).alias("_qv"),
+                       F.col(label_col).alias("_ql"),
+                       L.vec_norm(vec_col).alias("_qn")))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                      F.col(label_col).alias("_cl"),
+                      L.vec_norm(vec_col).alias("_cn"))
+    sim = (c.crossJoin(q)
+           .filter((F.col(id_col) != F.col(query_id))
+                   & (F.col("_cl") != F.col("_ql")))
+           .select(query_id, id_col,
+                   F.col("_cl").alias("neg_label"),
+                   F.round(
+                       F.when((F.col("_qn") > 0) & (F.col("_cn") > 0),
+                              L.vec_dot("_qv", "_cv")
+                              / (F.col("_qn") * F.col("_cn")))
+                       .otherwise(F.lit(0.0)), 6).alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(id_col))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -934,3 +934,45 @@ def emb_dim_variance(spark, sf):
                     F.round("v", 6).alias("variance"),
                     F.round(F.col("v") / F.col("tv"), 6)
                     .alias("var_share")))
+
+
+@query(
+    "retrieval_hard_negatives",
+    oracle=f"""
+    WITH {_EX},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id AS vec_id,
+                    CAST(lc.label AS BIGINT) AS neg_label,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id
+                       JOIN lab lq ON query_id = lq.vec_id
+                       JOIN lab lc ON dots.vec_id = lc.vec_id
+             WHERE lq.label <> lc.label)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, neg_label, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM sims QUALIFY rank <= {K}
+    """)
+def retrieval_hard_negatives(spark, sf):
+    """Hard-negative mining: per query vector, the top-5 most similar
+    corpus vectors of a DIFFERENT label — the contrastive-training
+    negatives that are actually hard.  Broadcast-query exact cosine
+    with the label inequality pruning pairs before the ranking
+    window; at 10^9 vectors the scorer swaps to the IVF-PQ shortlist
+    with the same filter and output contract."""
+    emb = T(spark, sf, "embeddings")
+    out = S.hard_negatives(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                           "vec_id", "embedding", "label", k=K)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("neg_label").cast("bigint").alias("neg_label"),
+                      "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))

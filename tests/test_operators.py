@@ -1502,3 +1502,21 @@ def test_table_diff_null_keys_pair_and_drill(spark):
                                num_buckets=8).collect()
     assert len(got) == 1
     assert got[0].k is None and got[0].status == "changed"
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    """Hard negatives must all carry a different label than the query,
+    rank by cosine, and include the most-similar cross-label item."""
+    rows = [(0, [1.0, 0.0], 0),        # query, label 0
+            (1, [0.99, 0.1], 0),       # same label — excluded
+            (2, [0.9, 0.3], 1),        # cross label, most similar
+            (3, [0.0, 1.0], 1),        # cross label, orthogonal
+            (4, [0.8, 0.4], 2)]        # cross label
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = [(r.vec_id, r.neg_label, r.rank)
+           for r in S.hard_negatives(
+               emb, emb.filter(F.col("vec_id") == 0),
+               "vec_id", "embedding", "label", k=2)
+           .orderBy("rank").collect()]
+    assert got == [(2, 1, 1), (4, 2, 2)]

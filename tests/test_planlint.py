@@ -97,6 +97,7 @@ _ALLOWED = {
         "eval_ks_split_drift",                      # 1-row min/max broadcast
         "feat_target_encode_loo",                   # 1-row prior broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
+        "retrieval_hard_negatives",    # broadcast query-set cross
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
         "sample_negatives", "sample_pareto_frontier", "text_bm25_topk",
