@@ -145,7 +145,9 @@ _PRIORITY = [
     # eval_ks_split_drift, emb_top_eigvec, text_bpe_pair_merges,
     # feat_target_encode_loo, graph_jaccard_neighbors and
     # emb_dim_variance, dq_table_diff_drilldown and
-    # ts_seasonal_backtest, rolling_7d_hll_users and the
+    # ts_seasonal_backtest, rolling_7d_hll_users, cohort_ltv_curve,
+    # retrieval_hard_negatives, multimodal_payload_dedup, eval_ab_srm,
+    # profile_column_cardinalities and the
     # tabular-features example family are
     # r7-window stock — oracled and
     # harness-checked at both SFs now, first driver row next round.  Prior rotation history lives in git: r5 window at tag-commit

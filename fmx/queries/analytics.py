@@ -2245,3 +2245,87 @@ def cohort_ltv_curve(spark, sf):
                     # halves differently, integer division is exact
                     (F.expr("cr div n_users") / 100.0)
                     .alias("ltv_per_user")))
+
+
+@query(
+    "eval_ab_srm",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE user_id IS NOT NULL),
+    a AS (SELECT CASE WHEN {_AB_U} < 0.5 THEN 1 ELSE 0 END AS c FROM u),
+    t AS (SELECT sum(c) AS na, count(*) - sum(c) AS nb,
+                 count(*) AS n FROM a)
+    SELECT CAST(na AS BIGINT) AS n_control,
+           CAST(nb AS BIGINT) AS n_treatment,
+           round(power(na - n / 2.0, 2) / (n / 2.0)
+                 + power(nb - n / 2.0, 2) / (n / 2.0), 6) AS chi2,
+           CAST(CASE WHEN power(na - n / 2.0, 2) / (n / 2.0)
+                          + power(nb - n / 2.0, 2) / (n / 2.0)
+                          > 3.841459 THEN 1 ELSE 0 END AS BIGINT)
+               AS srm_detected
+    FROM t
+    """)
+def eval_ab_srm(spark, sf):
+    """Sample-ratio-mismatch guardrail for the A/B experiment: chi2 of
+    observed arm sizes against the designed 50/50 split, computed over
+    DISTINCT users (assignment is per user, so an activity-skewed arm
+    must not fake an SRM).  The #1 experiment-validity check — a
+    triggered SRM means broken assignment/logging and voids the
+    readout.  One distinct + one scalar agg; the md5 coin is the same
+    one eval_ab_experiment uses, so this guards that exact readout."""
+    u = (T(spark, sf, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("user_id").distinct())
+    coin = SMP_hash_uniform01("user_id", "exp1", 42)
+    a = u.select(F.when(coin < 0.5, 1).otherwise(0).alias("c"))
+    t = a.agg(F.sum("c").alias("na"),
+              (F.count("*") - F.sum("c")).alias("nb"),
+              F.count("*").alias("n"))
+    chi2 = (F.pow(F.col("na") - F.col("n") / 2.0, 2) / (F.col("n") / 2.0)
+            + F.pow(F.col("nb") - F.col("n") / 2.0, 2)
+            / (F.col("n") / 2.0))
+    return t.select(F.col("na").cast(BIG).alias("n_control"),
+                    F.col("nb").cast(BIG).alias("n_treatment"),
+                    F.round(chi2, 6).alias("chi2"),
+                    F.when(chi2 > 3.841459, 1).otherwise(0).cast(BIG)
+                    .alias("srm_detected"))
+
+
+_CARD_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "profile_column_cardinalities",
+    oracle=f"""
+    WITH s AS (SELECT count(*) AS n,
+               {', '.join(f"count({c}) AS nn_{c}, "
+                          f"count(DISTINCT {c}) AS nd_{c}"
+                          for c in _CARD_COLS)}
+               FROM orders)
+    {' UNION ALL '.join(
+        f"SELECT '{c}' AS col, CAST(n AS BIGINT) AS n_rows, "
+        f"CAST(nn_{c} AS BIGINT) AS n_nonnull, "
+        f"CAST(nd_{c} AS BIGINT) AS n_distinct FROM s"
+        for c in _CARD_COLS)}
+    """)
+def profile_column_cardinalities(spark, sf):
+    """Dataset-card column profile: row count, non-null count, and
+    distinct count per column in ONE scan (the multi-count-distinct
+    agg Spark executes via EXPAND — input multiplies by the number of
+    distinct aggs, the documented cost; at true scale swap
+    countDistinct for approx_count_distinct and the plan loses the
+    expand entirely, same output contract +-2%)."""
+    o = T(spark, sf, "orders")
+    aggs = [F.count("*").alias("n")]
+    for c in _CARD_COLS:
+        aggs += [F.count(c).alias(f"nn_{c}"),
+                 F.countDistinct(c).alias(f"nd_{c}")]
+    s = o.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col("n").cast(BIG).alias("n_rows"),
+                 F.col(f"nn_{c}").cast(BIG).alias("n_nonnull"),
+                 F.col(f"nd_{c}").cast(BIG).alias("n_distinct"))
+        for c in _CARD_COLS])
+    return (s.select(F.explode(rows).alias("r"))
+            .select("r.col", "r.n_rows", "r.n_nonnull", "r.n_distinct"))

@@ -840,3 +840,27 @@ def text_bpe_pair_merges(spark, sf):
     is one map-side-combinable agg; top-k is TakeOrderedAndProject."""
     return X.bpe_pair_counts(T(spark, sf, "documents"), "text",
                              k=BPE_TOPK)
+
+
+@query(
+    "multimodal_payload_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_md5,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS byte_len
+    FROM documents GROUP BY md5(text)
+    """)
+def multimodal_payload_dedup(spark, sf):
+    """Exact dedup on the BINARY payload column (byte-identical
+    images/audio/blobs collapse regardless of any metadata): group by
+    payload md5, keep the min id — the multimodal twin of exact text
+    dedup, one hash-agg at any corpus size, bytes hashed never
+    parsed."""
+    from pyspark.sql import functions as F
+
+    mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")
+    return (mm.groupBy(F.md5("payload").alias("payload_md5"))
+            .agg(F.min("doc_id").cast("bigint").alias("keep_id"),
+                 F.count("*").cast("bigint").alias("dup_count"),
+                 F.min("meta.byte_len").cast("bigint").alias("byte_len")))
