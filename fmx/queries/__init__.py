@@ -139,18 +139,19 @@ _PRIORITY = [
     "dq_table_diff",
     "ts_time_weighted_avg",
     "scd2_point_in_time",
-    # (The window is full at 50; the round-6 additions
-    # rolling_7d_active_users, profile_benford_first_digit,
-    # text_boilerplate_strip, graph_label_propagation, emb_gram_matrix,
-    # eval_ks_split_drift, emb_top_eigvec, text_bpe_pair_merges,
-    # feat_target_encode_loo, graph_jaccard_neighbors and
-    # emb_dim_variance, dq_table_diff_drilldown and
-    # ts_seasonal_backtest, rolling_7d_hll_users, cohort_ltv_curve,
-    # retrieval_hard_negatives, multimodal_payload_dedup, eval_ab_srm,
-    # profile_column_cardinalities and the
-    # tabular-features example family are
-    # r7-window stock — oracled and
-    # harness-checked at both SFs now, first driver row next round.  Prior rotation history lives in git: r5 window at tag-commit
+    # (The window is full at 50.  The round-6 additions below are
+    # r7-WINDOW STOCK — every one oracled and harness-checked at both
+    # SFs this round, first driver row next round:
+    #   rolling_7d_active_users, profile_benford_first_digit,
+    #   text_boilerplate_strip, graph_label_propagation,
+    #   emb_gram_matrix, emb_top_eigvec, emb_dim_variance,
+    #   eval_ks_split_drift, text_bpe_pair_merges,
+    #   feat_target_encode_loo, graph_jaccard_neighbors,
+    #   dq_table_diff_drilldown, ts_seasonal_backtest,
+    #   rolling_7d_hll_users, cohort_ltv_curve,
+    #   retrieval_hard_negatives, multimodal_payload_dedup,
+    #   eval_ab_srm, profile_column_cardinalities.
+    # Prior rotation history lives in git: r5 window at tag-commit
     # ded7618, r4 and earlier in this file's log.  Everything rotated
     # out of this window is r4/r5-green and remains covered by the
     # sf0.001+sf0.01 oracle harness every round; bench headliners
