@@ -589,3 +589,42 @@ def select_importance_dsir(spark, sf):
             .limit(DSIR_TOPK)
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     "n_tokens", "weight"))
+
+
+@query(
+    "sample_group_split",
+    oracle="""
+    WITH src AS (SELECT DISTINCT source FROM documents),
+    coin AS (SELECT source,
+                    CAST(concat('0x', substring(md5(concat('split:11:',
+                         source)), 1, 15)) AS BIGINT)
+                    / 1152921504606846976.0 AS u
+             FROM src),
+    asg AS (SELECT source,
+                   CASE WHEN u < 0.8 THEN 'train' ELSE 'val' END AS split
+            FROM coin)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN asg ON d.source = asg.source
+    GROUP BY split
+    """)
+def sample_group_split(spark, sf):
+    """Group-aware train/val split (the GroupKFold discipline): the
+    hash coin flips on the SOURCE, so every document of a source lands
+    in the same slice — near-duplicates and style leakage within a
+    source can never straddle the eval boundary, the failure mode a
+    row-level split invites.  Assignment costs one distinct + a
+    broadcastable join; per-slice stats prove the allocation.  Same
+    deterministic md5 coin as hash_split — stable under reprocessing
+    and corpus growth."""
+    docs = T(spark, sf, "documents")
+    src = docs.select("source").distinct()
+    asg = SMP.hash_split(src, "source", {"train": 0.8, "val": 0.2},
+                         seed=11)
+    return (docs.join(F.broadcast(asg), "source")
+            .groupBy("split")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.countDistinct("source").cast("bigint")
+                 .alias("n_sources"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))
