@@ -69,6 +69,20 @@ def failing_rows(df: DataFrame, rules: dict[str, Column],
 _CHK_MOD = 2 ** 40
 
 
+def _bucket_of(key_col: str, num_buckets: int):
+    """Bucket hash shared by stage-1 registers and the stage-2
+    drill-down restriction — ONE definition, because the two stages
+    must agree byte-for-byte on the bucket input.  NULL keys coalesce
+    to a sentinel so they land in a real bucket (hash64(NULL) would
+    yield a NULL bucket that full-outer register joins can never pair
+    and bucket equi-joins silently drop)."""
+    from fmx.operators.dedup import hash64
+
+    key_str = F.coalesce(F.col(key_col).cast("string"),
+                         F.lit("\u0000null"))
+    return F.pmod(hash64(key_str), F.lit(int(num_buckets)))
+
+
 def checksum_registers(df: DataFrame, key_col: str, sig: Column,
                        num_buckets: int = 256) -> DataFrame:
     """The mergeable register state behind ``table_diff``: per bucket
@@ -83,14 +97,8 @@ def checksum_registers(df: DataFrame, key_col: str, sig: Column,
     Returns (bucket, n, chk)."""
     from fmx.operators.dedup import hash64
 
-    # NULL keys hash to a real bucket (sentinel string) — hash64(NULL)
-    # would yield a NULL bucket, which the full-outer register join can
-    # never pair (NULL != NULL) and downstream bucket equi-joins drop
-    key_str = F.coalesce(F.col(key_col).cast("string"),
-                         F.lit("\u0000null"))
     return (df.select(
-                F.pmod(hash64(key_str),
-                       F.lit(int(num_buckets))).alias("bucket"),
+                _bucket_of(key_col, num_buckets).alias("bucket"),
                 F.pmod(hash64(sig), F.lit(_CHK_MOD)).alias("_h"))
             .groupBy("bucket")
             .agg(F.count("*").cast("bigint").alias("n"),
@@ -148,19 +156,14 @@ def table_diff_drilldown(a: DataFrame, b: DataFrame, key_col: str,
     partitions before the scan.  Two 100 TB snapshots that differ in a
     handful of buckets reconcile key-by-key at the cost of reading
     those buckets only."""
-    from fmx.operators.dedup import hash64
-
     bset = F.broadcast(
         diff_buckets.select(F.col("bucket").cast("bigint").alias("_bk"))
         .distinct())
 
     def _side(df: DataFrame, key_out: str, out: str) -> DataFrame:
-        key_str = F.coalesce(F.col(key_col).cast("string"),
-                             F.lit("\u0000null"))
         return (df.withColumn(
                     "_bk",
-                    F.pmod(hash64(key_str),
-                           F.lit(int(num_buckets))).cast("bigint"))
+                    _bucket_of(key_col, num_buckets).cast("bigint"))
                 .join(bset, "_bk")
                 .select(F.col(key_col).alias(key_out), sig.alias(out)))
 

@@ -33,6 +33,38 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def _cosine_pairs(corpus: DataFrame, queries: DataFrame, id_col: str,
+                  vec_col: str, query_id: str,
+                  q_extra: tuple[str, ...] = (),
+                  c_extra: tuple[str, ...] = ()) -> DataFrame:
+    """Shared broadcast-query exact-cosine pair relation: one row per
+    (query, corpus item != query) with the rounded ``cosine`` plus any
+    carried columns (``q_extra`` as _q_<name>, ``c_extra`` as
+    _c_<name>).  Norms are hoisted out of the pair loop — query norms
+    once in the broadcast side, corpus norms once per row; the
+    per-pair work is a single dot-product fold.  The zero-norm guard
+    and 6dp round live HERE so every consumer (top-k, hard negatives)
+    ranks identical values."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id),
+                       F.col(vec_col).alias("_qv"),
+                       L.vec_norm(vec_col).alias("_qn"),
+                       *[F.col(x).alias(f"_q_{x}") for x in q_extra]))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                      L.vec_norm(vec_col).alias("_cn"),
+                      *[F.col(x).alias(f"_c_{x}") for x in c_extra])
+    cos = F.round(
+        F.when((F.col("_qn") > 0) & (F.col("_cn") > 0),
+               L.vec_dot("_qv", "_cv")
+               / (F.col("_qn") * F.col("_cn")))
+        .otherwise(F.lit(0.0)), 6).alias("cosine")
+    return (c.crossJoin(q)
+            .filter(F.col(id_col) != F.col(query_id))
+            .select(query_id, id_col, cos,
+                    *[f"_q_{x}" for x in q_extra],
+                    *[f"_c_{x}" for x in c_extra]))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, k: int = 5,
                 query_id: str = "query_id") -> DataFrame:
@@ -43,23 +75,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     per-query top-k (a k-row heap per partition via window + filter).
     Rank is deterministic: ties broken on corpus id after rounding.
     """
-    # norms are hoisted out of the pair loop: query norms computed once
-    # in the broadcast side, corpus norms once per corpus row — the
-    # per-pair work is a single dot-product fold
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias(query_id),
-                       F.col(vec_col).alias("_qv"),
-                       L.vec_norm(vec_col).alias("_qn")))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
-                      L.vec_norm(vec_col).alias("_cn"))
-    sim = (c.crossJoin(q)
-           .filter(F.col(id_col) != F.col(query_id))
-           .select(query_id, id_col,
-                   F.round(
-                       F.when((F.col("_qn") > 0) & (F.col("_cn") > 0),
-                              L.vec_dot("_qv", "_cv")
-                              / (F.col("_qn") * F.col("_cn")))
-                       .otherwise(F.lit(0.0)), 6).alias("cosine")))
+    sim = _cosine_pairs(corpus, queries, id_col, vec_col, query_id)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -792,31 +808,23 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, id_col: str,
     move an embedding model (random negatives are trivially separable
     after the first epochs).
 
-    Same broadcast-query exact-cosine shape as :func:`cosine_topk`
-    with the label inequality folded into the pair filter (it prunes
-    pairs before the ranking window, not after).  At corpus scale swap
-    the exact scorer for an ANN shortlist (``ivfpq_rerank_topk``) and
-    keep the same label anti-filter + window; the output contract is
-    identical.  Ties break on corpus id after rounding — deterministic
-    under any partitioning."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias(query_id),
-                       F.col(vec_col).alias("_qv"),
-                       F.col(label_col).alias("_ql"),
-                       L.vec_norm(vec_col).alias("_qn")))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
-                      F.col(label_col).alias("_cl"),
-                      L.vec_norm(vec_col).alias("_cn"))
-    sim = (c.crossJoin(q)
-           .filter((F.col(id_col) != F.col(query_id))
-                   & (F.col("_cl") != F.col("_ql")))
+    Built on the same :func:`_cosine_pairs` relation as
+    ``cosine_topk`` (one definition of the zero-norm guard, rounding,
+    and tie order) with the label inequality pruning pairs BEFORE the
+    ranking window.  The label compare is null-safe: a NULL label is
+    its own class — NULL-vs-labeled pairs count as different (valid
+    negatives), NULL-vs-NULL as same (excluded) — so partially
+    labeled corpora neither crash nor silently vanish.  At corpus
+    scale swap the exact scorer for an ANN shortlist
+    (``ivfpq_rerank_topk``) and keep the same filter + window; the
+    output contract is identical."""
+    sim = (_cosine_pairs(corpus, queries, id_col, vec_col, query_id,
+                         q_extra=(label_col,), c_extra=(label_col,))
+           .filter(~F.col(f"_c_{label_col}")
+                   .eqNullSafe(F.col(f"_q_{label_col}")))
            .select(query_id, id_col,
-                   F.col("_cl").alias("neg_label"),
-                   F.round(
-                       F.when((F.col("_qn") > 0) & (F.col("_cn") > 0),
-                              L.vec_dot("_qv", "_cv")
-                              / (F.col("_qn") * F.col("_cn")))
-                       .otherwise(F.lit(0.0)), 6).alias("cosine")))
+                   F.col(f"_c_{label_col}").alias("neg_label"),
+                   "cosine"))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))

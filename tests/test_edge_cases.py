@@ -154,7 +154,10 @@ def test_round6_queries_partition_invariant(spark, sf_dir):
              "text_bpe_pair_merges", "graph_jaccard_neighbors",
              "feat_target_encode_loo", "eval_ks_split_drift",
              "rolling_7d_hll_users", "dq_table_diff_drilldown",
-             "cohort_ltv_curve", "ts_seasonal_backtest"]
+             "cohort_ltv_curve", "ts_seasonal_backtest",
+             "retrieval_hard_negatives", "eval_ab_srm",
+             "profile_column_cardinalities",
+             "multimodal_payload_dedup", "sample_group_split"]
     ALL = Q.all_queries()
 
     def snap():

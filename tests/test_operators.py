@@ -1520,3 +1520,20 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
                "vec_id", "embedding", "label", k=2)
            .orderBy("rank").collect()]
     assert got == [(2, 1, 1), (4, 2, 2)]
+
+
+def test_hard_negatives_null_label_semantics(spark):
+    """NULL labels are their own class: NULL-vs-labeled pairs are
+    valid negatives, NULL-vs-NULL pairs are excluded (null-safe
+    compare — no silent drop of partially labeled corpora)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], None), (1, [0.9, 0.1], None),
+         (2, [0.8, 0.2], 1)],
+        "vec_id long, embedding array<double>, label int")
+    got = [(r.vec_id, r.neg_label)
+           for r in S.hard_negatives(
+               emb, emb.filter(F.col("vec_id") == 0),
+               "vec_id", "embedding", "label", k=5)
+           .orderBy("rank").collect()]
+    # id 1 (NULL label, same as query's NULL) excluded; id 2 kept
+    assert got == [(2, 1)]
