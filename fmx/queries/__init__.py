@@ -150,7 +150,8 @@ _PRIORITY = [
     #   dq_table_diff_drilldown, ts_seasonal_backtest,
     #   rolling_7d_hll_users, cohort_ltv_curve,
     #   retrieval_hard_negatives, multimodal_payload_dedup,
-    #   eval_ab_srm, profile_column_cardinalities, sample_group_split.
+    #   eval_ab_srm, profile_column_cardinalities, sample_group_split,
+    #   ts_cusum_changepoint, profile_gini_binned.
     # Prior rotation history lives in git: r5 window at tag-commit
     # ded7618, r4 and earlier in this file's log.  Everything rotated
     # out of this window is r4/r5-green and remains covered by the

@@ -2329,3 +2329,80 @@ def profile_column_cardinalities(spark, sf):
         for c in _CARD_COLS])
     return (s.select(F.explode(rows).alias("r"))
             .select("r.col", "r.n_rows", "r.n_nonnull", "r.n_distinct"))
+
+
+GINI_BINS = 256
+
+
+@query(
+    "profile_gini_binned",
+    oracle=f"""
+    WITH cust AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                  FROM orders GROUP BY o_custkey),
+    rng AS (SELECT min(rev) AS mn, max(rev) AS mx FROM cust),
+    binned AS (SELECT CASE WHEN mx = mn THEN 0
+                           ELSE least(CAST(floor((rev - mn)
+                                      / ((mx - mn) / {GINI_BINS}.0))
+                                      AS BIGINT), {GINI_BINS - 1}) END AS b,
+                      rev
+               FROM cust, rng),
+    per_bin AS (SELECT b, count(*) AS c, sum(rev) AS r
+                FROM binned GROUP BY b),
+    lorenz AS (SELECT b,
+                      sum(c) OVER (ORDER BY b) * 1.0
+                          / sum(c) OVER () AS p,
+                      sum(r) OVER (ORDER BY b) * 1.0
+                          / sum(r) OVER () AS l,
+                      coalesce(sum(c) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) * 1.0
+                          / sum(c) OVER () AS p0,
+                      coalesce(sum(r) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) * 1.0
+                          / sum(r) OVER () AS l0
+               FROM per_bin)
+    SELECT CAST((SELECT count(*) FROM cust) AS BIGINT) AS n_customers,
+           round(1.0 - sum((p - p0) * (l + l0)), 6) AS gini
+    FROM lorenz
+    """)
+def profile_gini_binned(spark, sf):
+    """Revenue-concentration Gini over customers via the BINNED Lorenz
+    curve: exact Gini needs a global sort of every customer; binning
+    lifetime revenue into {GINI_BINS} equal-width buckets reduces it
+    to one customer-grain agg + windows over {GINI_BINS} bounded rows
+    (trapezoid integral of the binned Lorenz curve — error vanishes
+    with bin width).  The same min/max-broadcast + bin-agg shape as
+    eval_rank_auc / eval_ks_split_drift."""
+    cust = (T(spark, sf, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("rev")))
+    rng = cust.agg(F.min("rev").alias("mn"), F.max("rev").alias("mx"))
+    binned = (cust.crossJoin(F.broadcast(rng))
+              .select(F.when(F.col("mx") == F.col("mn"), 0)
+                      .otherwise(F.least(
+                          F.floor((F.col("rev") - F.col("mn"))
+                                  / ((F.col("mx") - F.col("mn"))
+                                     / float(GINI_BINS))).cast(BIG),
+                          F.lit(GINI_BINS - 1))).alias("b"),
+                      "rev"))
+    per_bin = binned.groupBy("b").agg(F.count("*").alias("c"),
+                                      F.sum("rev").alias("r"))
+    wc = Window.orderBy("b")
+    wprev = (Window.orderBy("b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy()
+    lorenz = per_bin.select(
+        (F.sum("c").over(wc) / F.sum("c").over(wall)).alias("p"),
+        (F.sum("r").over(wc) / F.sum("r").over(wall)).alias("l"),
+        (F.coalesce(F.sum("c").over(wprev), F.lit(0))
+         / F.sum("c").over(wall)).alias("p0"),
+        (F.coalesce(F.sum("r").over(wprev), F.lit(0))
+         / F.sum("r").over(wall)).alias("l0"))
+    n = cust.agg(F.count("*").cast(BIG).alias("n_customers"))
+    return (lorenz.agg(
+        F.round(1.0 - F.sum((F.col("p") - F.col("p0"))
+                            * (F.col("l") + F.col("l0"))), 6)
+        .alias("gini"))
+        .crossJoin(F.broadcast(n))
+        .select("n_customers", "gini"))

@@ -462,3 +462,52 @@ def ts_seasonal_backtest(spark, sf):
                  F.round(F.avg(err * 200.0 / (F.col("n")
                                               + F.col("pred"))), 4)
                  .alias("smape_pct")))
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                   FROM events GROUP BY CAST(ts AS DATE)),
+    tot AS (SELECT count(*) AS k_all, sum(n) AS s_all FROM daily),
+    cum AS (SELECT d, n,
+                   sum(n) OVER (ORDER BY d) AS s,
+                   row_number() OVER (ORDER BY d) AS k
+            FROM daily)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           round(abs(s - k * 1.0 * s_all / k_all), 4) AS cusum_dev,
+           CAST(CASE WHEN abs(s - k * 1.0 * s_all / k_all) =
+                     max(abs(s - k * 1.0 * s_all / k_all)) OVER ()
+                THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+    FROM cum, tot
+    """)
+def ts_cusum_changepoint(spark, sf):
+    """CUSUM mean-shift localization on the daily event-rate series:
+    deviation of the cumulative sum from the global-rate line, maximal
+    at the most likely changepoint — the standard 'when did the
+    pipeline's behavior change' screen.  The corpus collapses to the
+    day-grain series first, so the cumulative/argmax windows run over
+    calendar-bounded rows at any event volume; the global rate enters
+    as a 1-row broadcast."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("n")))
+    tot = daily.agg(F.count("*").alias("k_all"),
+                    F.sum("n").alias("s_all"))
+    wc = Window.orderBy("d")
+    wall = Window.partitionBy()
+    cum = (daily.crossJoin(F.broadcast(tot))
+           .select("d", "n",
+                   F.sum("n").over(wc).alias("s"),
+                   F.row_number().over(wc).alias("k"),
+                   "k_all", "s_all"))
+    dev = F.abs(F.col("s") - F.col("k") * F.col("s_all")
+                / F.col("k_all"))
+    return (cum.withColumn("_dev", dev)
+            .withColumn("_mx", F.max("_dev").over(wall))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("n").cast(BIG).alias("n"),
+                    F.round("_dev", 4).alias("cusum_dev"),
+                    F.when(F.col("_dev") == F.col("_mx"), 1)
+                    .otherwise(0).cast(BIG).alias("is_changepoint")))

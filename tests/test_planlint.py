@@ -96,6 +96,8 @@ _ALLOWED = {
         "eval_calibration_bins", "eval_rank_auc",   # 1-row min/max broadcast
         "eval_ks_split_drift",                      # 1-row min/max broadcast
         "feat_target_encode_loo",                   # 1-row prior broadcast
+        "profile_gini_binned",      # 1-row min/max + count broadcasts
+        "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "retrieval_hard_negatives",    # broadcast query-set cross
         "profile_join_cardinality",
@@ -136,6 +138,8 @@ _ALLOWED = {
         "eval_rank_auc",            # cum-negatives over <= 1024 bin rows
         "eval_ks_split_drift",      # cum-CDF over <= 64 bin rows
         "graph_jaccard_neighbors",  # rank over the top-20 rows only
+        "profile_gini_binned",      # Lorenz over <= 256 bin rows
+        "ts_cusum_changepoint",     # cumsum over calendar-bounded days
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
