@@ -511,3 +511,58 @@ def ts_cusum_changepoint(spark, sf):
                     F.round("_dev", 4).alias("cusum_dev"),
                     F.when(F.col("_dev") == F.col("_mx"), 1)
                     .otherwise(0).cast(BIG).alias("is_changepoint")))
+
+
+@query(
+    "ts_concurrent_orders",
+    oracle="""
+    WITH ship AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS sd
+                  FROM lineitem GROUP BY l_orderkey),
+    iv AS (SELECT CAST(o.o_orderdate AS DATE) AS od, ship.sd
+           FROM orders o JOIN ship ON o.o_orderkey = ship.l_orderkey),
+    deltas AS (SELECT od AS d, 1 AS delta FROM iv
+               UNION ALL SELECT sd + 1 AS d, -1 AS delta FROM iv),
+    byday AS (SELECT d,
+                     sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                         AS opened,
+                     sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END)
+                         AS closed,
+                     sum(delta) AS net
+              FROM deltas GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(opened AS BIGINT) AS opened,
+           CAST(closed AS BIGINT) AS closed,
+           CAST(sum(net) OVER (ORDER BY d) AS BIGINT) AS open_orders
+    FROM byday
+    """)
+def ts_concurrent_orders(spark, sf):
+    """Concurrent open orders over time (placed but not fully
+    shipped): the +1/-1 interval-counting pattern — every order emits
+    an open delta at its order date and a close delta the day after
+    its last shipment, deltas collapse to day grain, one cumulative
+    sum walks the calendar.  The staffing/inventory sibling of
+    interval_merge: row-grain work is two map-side deltas + one
+    day-grain agg; the only window runs over calendar-bounded rows no
+    matter how many orders exist."""
+    ship = (T(spark, sf, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.max(F.to_date("l_shipdate")).alias("sd")))
+    iv = (T(spark, sf, "orders")
+          .select(F.col("o_orderkey"),
+                  F.to_date("o_orderdate").alias("od"))
+          .join(ship, F.col("o_orderkey") == F.col("l_orderkey")))
+    deltas = (iv.select(F.col("od").alias("d"), F.lit(1).alias("delta"))
+              .unionByName(iv.select(F.date_add("sd", 1).alias("d"),
+                                     F.lit(-1).alias("delta"))))
+    byday = (deltas.groupBy("d")
+             .agg(F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                  .alias("opened"),
+                  F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+                  .alias("closed"),
+                  F.sum("delta").alias("net")))
+    w = Window.orderBy("d")
+    return (byday.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("opened").cast(BIG).alias("opened"),
+        F.col("closed").cast(BIG).alias("closed"),
+        F.sum("net").over(w).cast(BIG).alias("open_orders")))

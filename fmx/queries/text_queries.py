@@ -864,3 +864,59 @@ def multimodal_payload_dedup(spark, sf):
             .agg(F.min("doc_id").cast("bigint").alias("keep_id"),
                  F.count("*").cast("bigint").alias("dup_count"),
                  F.min("meta.byte_len").cast("bigint").alias("byte_len")))
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '')
+                             AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     array_to_string(list_slice(t, s, s + 2), ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(generate_series(1,
+                                  len(t) - 2)) AS s) x
+              WHERE len(t) >= 3),
+    dg AS (SELECT DISTINCT doc_id, g FROM grams),
+    dfreq AS (SELECT g, count(*) AS df FROM dg GROUP BY g)
+    SELECT CAST(dg.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM dg JOIN dfreq ON dg.g = dfreq.g
+    GROUP BY dg.doc_id
+    """)
+def text_ngram_novelty(spark, sf):
+    """Per-document 3-gram novelty: the fraction of a document's
+    distinct trigrams that occur in NO other document — high novelty
+    marks original content, low novelty marks template/boilerplate
+    (the document-level complement of the span-dup profile).  One
+    explode + distinct + trigram hash-agg + an equi-join back on the
+    gram (uniform post-distinct); never doc x doc."""
+    toks = (T(spark, sf, "documents")
+            .select("doc_id",
+                    F.filter(F.split(F.col("text"), " "),
+                             lambda x: x != "").alias("_t"))
+            .filter(F.size("_t") >= 3))
+    grams = (toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("_t") - 2)).alias("s"),
+        "_t")
+        .select("doc_id",
+                F.array_join(F.slice("_t", F.col("s"), 3), " ")
+                .alias("g")))
+    dg = grams.distinct()
+    dfreq = dg.groupBy("g").agg(F.count("*").alias("df"))
+    return (dg.join(dfreq, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_unique"),
+                 F.round(F.sum(F.when(F.col("df") == 1, 1)
+                               .otherwise(0)) / F.count("*"), 6)
+                 .alias("novelty"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "n_grams", "n_unique", "novelty"))

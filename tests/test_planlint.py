@@ -123,6 +123,7 @@ _ALLOWED = {
         "sample_interleaved_order",
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_boilerplate_strip",
+        "text_ngram_novelty",
         "text_chunking", "text_repetition",
         "tpch_q11_important_stock", "w2_vector_sum_by_label",
     },
@@ -140,6 +141,7 @@ _ALLOWED = {
         "graph_jaccard_neighbors",  # rank over the top-20 rows only
         "profile_gini_binned",      # Lorenz over <= 256 bin rows
         "ts_cusum_changepoint",     # cumsum over calendar-bounded days
+        "ts_concurrent_orders",     # cumsum over calendar-bounded days
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
