@@ -566,3 +566,42 @@ def ts_concurrent_orders(spark, sf):
         F.col("opened").cast(BIG).alias("opened"),
         F.col("closed").cast(BIG).alias("closed"),
         F.sum("net").over(w).cast(BIG).alias("open_orders")))
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                   FROM events GROUP BY CAST(ts AS DATE)),
+    x AS (SELECT n,
+                 lag(n, 1) OVER (ORDER BY d) AS l1,
+                 lag(n, 7) OVER (ORDER BY d) AS l7
+          FROM daily),
+    a AS (SELECT corr(n, l1) AS a1, corr(n, l7) AS a7 FROM x)
+    SELECT CAST(1 AS BIGINT) AS lag, round(a1, 6) AS acf FROM a
+    UNION ALL
+    SELECT CAST(7 AS BIGINT) AS lag, round(a7, 6) AS acf FROM a
+    """)
+def ts_autocorrelation(spark, sf):
+    """Lag-1 and lag-7 autocorrelation of the daily event-rate series
+    — the two numbers that say whether yesterday predicts today and
+    whether the series has weekly seasonality (and therefore which
+    baseline ts_seasonal_backtest should use).  Day-grain collapse
+    first; lag windows and Pearson corr over calendar-bounded rows;
+    corr skips the lag-head NULL pairs identically in both engines."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("n")))
+    w = Window.orderBy("d")
+    x = daily.select("n",
+                     F.lag("n", 1).over(w).alias("l1"),
+                     F.lag("n", 7).over(w).alias("l7"))
+    a = x.agg(F.corr("n", "l1").alias("a1"),
+              F.corr("n", "l7").alias("a7"))
+    rows = F.array(
+        F.struct(F.lit(1).cast(BIG).alias("lag"),
+                 F.round("a1", 6).alias("acf")),
+        F.struct(F.lit(7).cast(BIG).alias("lag"),
+                 F.round("a7", 6).alias("acf")))
+    return (a.select(F.explode(rows).alias("r"))
+            .select("r.lag", "r.acf"))

@@ -142,6 +142,7 @@ _ALLOWED = {
         "profile_gini_binned",      # Lorenz over <= 256 bin rows
         "ts_cusum_changepoint",     # cumsum over calendar-bounded days
         "ts_concurrent_orders",     # cumsum over calendar-bounded days
+        "ts_autocorrelation",       # lag over calendar-bounded days
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
