@@ -157,7 +157,10 @@ def test_round6_queries_partition_invariant(spark, sf_dir):
              "cohort_ltv_curve", "ts_seasonal_backtest",
              "retrieval_hard_negatives", "eval_ab_srm",
              "profile_column_cardinalities",
-             "multimodal_payload_dedup", "sample_group_split"]
+             "multimodal_payload_dedup", "sample_group_split",
+             "ts_cusum_changepoint", "profile_gini_binned",
+             "text_ngram_novelty", "ts_concurrent_orders",
+             "ts_autocorrelation"]
     ALL = Q.all_queries()
 
     def snap():
