@@ -2406,3 +2406,37 @@ def profile_gini_binned(spark, sf):
         .alias("gini"))
         .crossJoin(F.broadcast(n))
         .select("n_customers", "gini"))
+
+
+@query(
+    "dq_key_uniqueness",
+    oracle="""
+    WITH m AS (SELECT l_partkey, count(*) AS c
+               FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_keys,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+           CAST(max(c) AS BIGINT) AS max_multiplicity,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM m
+    """)
+def dq_key_uniqueness(spark, sf):
+    """Key-multiplicity profile (the 'is this column a key' check a
+    pipeline runs before declaring a join contract): distinct keys,
+    strictly-unique keys, duplicated keys, worst multiplicity — one
+    key-grain hash-agg + one scalar fold, no windows.  Run it on a
+    claimed primary key and gate on n_dup_keys == 0; here profiled on
+    l_partkey where duplication is expected and the numbers are
+    non-vacuous."""
+    m = (T(spark, sf, "lineitem")
+         .groupBy("l_partkey").agg(F.count("*").alias("c")))
+    return m.agg(
+        F.count("*").cast(BIG).alias("n_keys"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(BIG)
+        .alias("n_unique_keys"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast(BIG)
+        .alias("n_dup_keys"),
+        F.max("c").cast(BIG).alias("max_multiplicity"),
+        F.sum("c").cast(BIG).alias("n_rows"))

@@ -920,3 +920,64 @@ def text_ngram_novelty(spark, sf):
                  .alias("novelty"))
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     "n_grams", "n_unique", "novelty"))
+
+
+@query(
+    "text_template_clusters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, s + 1,
+                 least(s + {BP_CHUNK}, len(t))), ' ')) AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1,
+                                        {BP_CHUNK})) AS s) g
+      WHERE len(t) > 0),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS df
+             FROM chunks GROUP BY h),
+    boiler AS (SELECT DISTINCT c.doc_id, c.h
+               FROM chunks c JOIN freq f ON c.h = f.h
+               WHERE f.df >= {BP_MIN_DF}),
+    tid AS (SELECT doc_id,
+                   md5(string_agg(h, ',' ORDER BY h)) AS template_id
+            FROM boiler GROUP BY doc_id)
+    SELECT template_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS exemplar_doc
+    FROM tid GROUP BY template_id
+    HAVING count(*) >= 2
+    """)
+def text_template_clusters(spark, sf):
+    """Template detection: documents sharing the same SET of
+    boilerplate chunks (df >= {BP_MIN_DF} 8-token chunks, the same
+    grain as text_boilerplate_strip) get one template_id = md5 of
+    their sorted boilerplate-chunk hashes; clusters of >= 2 docs are
+    the site templates a web pipeline strips or caps.  Chunking is
+    map-only; the signature is a doc-grain sorted collect over the
+    (bounded) boilerplate chunks; clustering is one hash-agg on the
+    signature — never doc x doc."""
+    toks = (T(spark, sf, "documents")
+            .select("doc_id",
+                    F.filter(F.split(F.col("text"), " "),
+                             lambda x: x != "").alias("_t"))
+            .filter(F.size("_t") > 0))
+    starts = F.explode(F.sequence(
+        F.lit(0), F.size("_t") - 1, F.lit(BP_CHUNK))).alias("s")
+    chunks = (toks.select("doc_id", "_t", starts)
+              .select("doc_id",
+                      F.md5(F.array_join(
+                          F.slice("_t", F.col("s") + 1, BP_CHUNK), " "))
+                      .alias("h")))
+    freq = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = (chunks.join(freq, "h")
+              .filter(F.col("df") >= BP_MIN_DF)
+              .select("doc_id", "h").distinct())
+    tid = (boiler.groupBy("doc_id")
+           .agg(F.md5(F.array_join(F.array_sort(F.collect_list("h")),
+                                   ",")).alias("template_id")))
+    return (tid.groupBy("template_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.min("doc_id").cast("bigint").alias("exemplar_doc"))
+            .filter(F.col("n_docs") >= 2))

@@ -123,7 +123,7 @@ _ALLOWED = {
         "sample_interleaved_order",
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_boilerplate_strip",
-        "text_ngram_novelty",
+        "text_ngram_novelty", "text_template_clusters",
         "text_chunking", "text_repetition",
         "tpch_q11_important_stock", "w2_vector_sum_by_label",
     },
