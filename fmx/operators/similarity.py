@@ -26,7 +26,7 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
-           "hard_negatives"]
+           "hard_negatives", "ndcg_eval"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -829,3 +829,33 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, id_col: str,
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ndcg_eval(pred: DataFrame, truth: DataFrame,
+              query_col: str = "query_id", id_col: str = "vec_id",
+              k: int = 5, rank_col: str = "rank") -> DataFrame:
+    """NDCG@k of a candidate ranking against an exact baseline, with
+    linear graded relevance from the baseline's own order (rel =
+    k+1-rank_truth): position-sensitive where recall@k is not — an
+    ANN path that finds the right items in the wrong order scores
+    below one.  One (query, id) equi-join of two k-row-per-query
+    relations + two tiny aggs, same scale shape as :func:`rank_eval`;
+    log2 is written ln(x)/ln(2) so any engine replays it exactly."""
+    ln2 = F.log(F.lit(2.0))
+    t = (truth.filter(F.col(rank_col) <= k)
+         .select(query_col, id_col, F.col(rank_col).alias("_tr")))
+    p = (pred.filter(F.col(rank_col) <= k)
+         .select(query_col, id_col, F.col(rank_col).alias("_pr")))
+    rel = F.lit(k + 1) - F.col("_tr")
+    idcg = t.groupBy(query_col).agg(
+        F.sum(rel / (F.log(F.lit(1.0) + F.col("_tr")) / ln2))
+        .alias("_idcg"))
+    dcg = (p.join(t, [query_col, id_col])
+           .groupBy(query_col)
+           .agg(F.sum(rel / (F.log(F.lit(1.0) + F.col("_pr")) / ln2))
+                .alias("_dcg")))
+    per = (idcg.join(dcg, query_col, "left")
+           .select((F.coalesce(F.col("_dcg"), F.lit(0.0))
+                    / F.col("_idcg")).alias("_ndcg")))
+    return per.agg(F.count("*").cast("bigint").alias("n_queries"),
+                   F.round(F.avg("_ndcg"), 6).alias("ndcg_at_k"))

@@ -976,3 +976,67 @@ def retrieval_hard_negatives(spark, sf):
                       F.col("neg_label").cast("bigint").alias("neg_label"),
                       "cosine",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "ann_eval_ndcg",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id AS vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id),
+    truthr AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id)
+                          AS trank
+               FROM sims
+               QUALIFY trank <= {K}),
+    dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
+                        AS code,
+                    round(sum((s.x - c.cx) * (s.x - c.cx)), 9) AS pd
+             FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+             WHERE s.vec_id < {N_QUERIES}
+             GROUP BY s.vec_id, s.sub, c.code),
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id),
+    pred AS (SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, vec_id) AS rank
+             FROM adist
+             QUALIFY rank <= {K}),
+    idcg AS (SELECT query_id,
+                    sum(({K} + 1 - trank)
+                        / (ln(1.0 + trank) / ln(2.0))) AS idcg
+             FROM truthr GROUP BY query_id),
+    dcg AS (SELECT p.query_id,
+                   sum(({K} + 1 - t.trank)
+                       / (ln(1.0 + p.rank) / ln(2.0))) AS dcg
+            FROM pred p JOIN truthr t
+              ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+            GROUP BY p.query_id),
+    per AS (SELECT coalesce(dcg, 0.0) / idcg AS ndcg
+            FROM idcg LEFT JOIN dcg USING (query_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(ndcg), 6) AS ndcg_at_k
+    FROM per
+    """)
+def ann_eval_ndcg(spark, sf):
+    """NDCG@5 of the PQ/ADC path against exact cosine — the
+    position-sensitive companion to ann_eval_pq_vs_exact's recall/MRR
+    (an ANN index that returns the right five items in the wrong order
+    loses score here and not there).  Linear graded relevance from the
+    exact ranking; same two-k-row-relation equi-join shape."""
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = S.cosine_topk(emb, q, "vec_id", "embedding", k=K)
+    pred = S.pq_topk(emb, q, "vec_id", "embedding", k=K, m=PQ_M,
+                     num_codes=PQ_CODES, dim=DIM)
+    return S.ndcg_eval(pred, truth, k=K)

@@ -1537,3 +1537,21 @@ def test_hard_negatives_null_label_semantics(spark):
            .orderBy("rank").collect()]
     # id 1 (NULL label, same as query's NULL) excluded; id 2 kept
     assert got == [(2, 1)]
+
+
+def test_ndcg_perfect_and_reversed_rankings(spark):
+    """NDCG must be 1.0 for the baseline ordering itself, strictly
+    less for a reversed ordering, and 0 when nothing overlaps."""
+    t = spark.createDataFrame(
+        [(0, i, i) for i in range(1, 6)], ["query_id", "vec_id", "rank"])
+    perfect = S.ndcg_eval(t, t, k=5).collect()[0]
+    assert perfect.ndcg_at_k == 1.0
+    rev = spark.createDataFrame(
+        [(0, i, 6 - i) for i in range(1, 6)],
+        ["query_id", "vec_id", "rank"])
+    r = S.ndcg_eval(rev, t, k=5).collect()[0]
+    assert 0.0 < r.ndcg_at_k < 1.0
+    miss = spark.createDataFrame(
+        [(0, i + 100, i) for i in range(1, 6)],
+        ["query_id", "vec_id", "rank"])
+    assert S.ndcg_eval(miss, t, k=5).collect()[0].ndcg_at_k == 0.0

@@ -88,6 +88,7 @@ _ALLOWED = {
     "cartesian": {
         # broadcast 1-row scalar / bounded centroid / query-set crosses
         "agg_incremental_merge", "ann_cosine_topk", "ann_eval_pq_vs_exact",
+        "ann_eval_ndcg",
         "ann_hybrid_rrf", "ann_ivf_cell_histogram", "ann_ivf_topk",
         "ann_ivf_topk_fixed", "ann_ivfpq_rerank", "ann_ivfpq_topk",
         "copurchase_pmi", "dedup_semantic",
