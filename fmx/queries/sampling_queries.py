@@ -628,3 +628,45 @@ def sample_group_split(spark, sf):
                  F.countDistinct("source").cast("bigint")
                  .alias("n_sources"),
                  F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+NEY_BUDGET = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (SELECT source, count(*) AS n_h,
+                           stddev_samp(n_chars) AS sd_h
+                    FROM documents GROUP BY source),
+    wt AS (SELECT source, n_h, sd_h, n_h * sd_h AS w FROM strata),
+    tot AS (SELECT sum(w) AS tw FROM wt)
+    SELECT source, CAST(n_h AS BIGINT) AS n_h,
+           round(sd_h, 4) AS sd_h,
+           round(w / tw, 6) AS share,
+           CAST(CAST(floor({NEY_BUDGET} * w / tw) AS BIGINT)
+                AS BIGINT) AS alloc
+    FROM wt, tot
+    """)
+def sample_neyman_allocation(spark, sf):
+    """Neyman (variance-optimal) sample allocation across source
+    strata for a {NEY_BUDGET}-doc labeling/eval budget: each stratum
+    gets budget * N_h*sd_h / sum(N*sd) — big AND internally varied
+    sources get the labels, uniform ones don't waste them.  The
+    minimum-variance allocation for stratified estimation of the mean;
+    one stratum-grain agg + a 1-row total broadcast.  floor() keeps
+    the per-stratum count integer (both engines floor identically on
+    the same double)."""
+    strata = (T(spark, sf, "documents")
+              .groupBy("source")
+              .agg(F.count("*").alias("n_h"),
+                   F.stddev_samp("n_chars").alias("sd_h")))
+    wt = strata.withColumn("w", F.col("n_h") * F.col("sd_h"))
+    tot = wt.agg(F.sum("w").alias("tw"))
+    return (wt.crossJoin(F.broadcast(tot))
+            .select("source",
+                    F.col("n_h").cast("bigint").alias("n_h"),
+                    F.round("sd_h", 4).alias("sd_h"),
+                    F.round(F.col("w") / F.col("tw"), 6).alias("share"),
+                    F.floor(NEY_BUDGET * F.col("w") / F.col("tw"))
+                    .cast("bigint").alias("alloc")))

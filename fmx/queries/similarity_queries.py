@@ -1040,3 +1040,56 @@ def ann_eval_ndcg(spark, sf):
     pred = S.pq_topk(emb, q, "vec_id", "embedding", k=K, m=PQ_M,
                      num_codes=PQ_CODES, dim=DIM)
     return S.ndcg_eval(pred, truth, k=K)
+
+
+@query(
+    "emb_label_separation",
+    oracle="""
+    WITH ex AS (SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    lm AS (SELECT label, pos, avg(x) AS m, count(*) AS n
+           FROM ex GROUP BY label, pos),
+    gm AS (SELECT pos, avg(x) AS g FROM ex GROUP BY pos),
+    btw AS (SELECT lm.pos, sum(lm.n * (lm.m - gm.g) * (lm.m - gm.g))
+                       AS sb
+            FROM lm JOIN gm ON lm.pos = gm.pos GROUP BY lm.pos),
+    wth AS (SELECT ex.pos, sum((ex.x - lm.m) * (ex.x - lm.m)) AS sw
+            FROM ex JOIN lm ON ex.label = lm.label AND ex.pos = lm.pos
+            GROUP BY ex.pos)
+    SELECT CAST(btw.pos AS BIGINT) AS i,
+           round(sb, 4) AS between_scatter,
+           round(sw, 4) AS within_scatter,
+           round(sb / sw, 6) AS fisher_ratio
+    FROM btw JOIN wth ON btw.pos = wth.pos
+    """)
+def emb_label_separation(spark, sf):
+    """Per-dimension Fisher criterion of the labeled embedding corpus:
+    between-class scatter over within-class scatter — the 'are these
+    labels even separable in this space' screen run before training a
+    probe or building a classifier index.  Two (label, dim)/(dim)
+    hash-aggs + one equi-join back at (label, dim) grain; everything
+    after the first agg is labels x dims rows regardless of corpus
+    size."""
+    ex = (T(spark, sf, "embeddings")
+          .select("vec_id", "label",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("pos", "x")))
+    lm = ex.groupBy("label", "pos").agg(F.avg("x").alias("m"),
+                                        F.count("*").alias("n"))
+    gm = ex.groupBy("pos").agg(F.avg("x").alias("g"))
+    btw = (lm.join(gm, "pos")
+           .groupBy("pos")
+           .agg(F.sum(F.col("n") * (F.col("m") - F.col("g"))
+                      * (F.col("m") - F.col("g"))).alias("sb")))
+    wth = (ex.join(lm.select("label", "pos", "m"), ["label", "pos"])
+           .groupBy("pos")
+           .agg(F.sum((F.col("x") - F.col("m"))
+                      * (F.col("x") - F.col("m"))).alias("sw")))
+    return (btw.join(wth, "pos")
+            .select(F.col("pos").cast("bigint").alias("i"),
+                    F.round("sb", 4).alias("between_scatter"),
+                    F.round("sw", 4).alias("within_scatter"),
+                    F.round(F.col("sb") / F.col("sw"), 6)
+                    .alias("fisher_ratio")))

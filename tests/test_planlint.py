@@ -103,7 +103,8 @@ _ALLOWED = {
         "retrieval_hard_negatives",    # broadcast query-set cross
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
-        "sample_negatives", "sample_pareto_frontier", "text_bm25_topk",
+        "sample_negatives", "sample_neyman_allocation",
+        "sample_pareto_frontier", "text_bm25_topk",
         "text_cluster_terms", "text_perplexity",
         "text_tfidf_top_terms", "text_vocab_kl_by_source",
         "tpch_q11_important_stock", "tpch_q16_supplier_cnt",
