@@ -154,7 +154,8 @@ _PRIORITY = [
     #   ts_cusum_changepoint, profile_gini_binned,
     #   text_ngram_novelty, ts_concurrent_orders, ts_autocorrelation,
     #   text_template_clusters, dq_key_uniqueness, ann_eval_ndcg,
-    #   emb_label_separation, sample_neyman_allocation.
+    #   emb_label_separation, sample_neyman_allocation,
+    #   eval_langid_confusion.
     # Prior rotation history lives in git: r5 window at tag-commit
     # ded7618, r4 and earlier in this file's log.  Everything rotated
     # out of this window is r4/r5-green and remains covered by the

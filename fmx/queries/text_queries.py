@@ -981,3 +981,51 @@ def text_template_clusters(spark, sf):
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.min("doc_id").cast("bigint").alias("exemplar_doc"))
             .filter(F.col("n_docs") >= 2))
+
+
+def _langid_confusion_oracle() -> str:
+    score = {lang: f"len(list_filter(t, x -> list_contains({_SW[lang]}, x)))"
+                   " * 1.0 / len(t)"
+             for lang in X.STOPWORDS}
+    pred = f"""CASE WHEN {score['en']} >= {score['de']}
+                 AND {score['en']} >= {score['es']}
+                 AND {score['en']} >= {score['fr']} THEN 'en'
+                WHEN {score['de']} >= {score['es']}
+                 AND {score['de']} >= {score['fr']} THEN 'de'
+                WHEN {score['es']} >= {score['fr']} THEN 'es'
+                ELSE 'fr' END"""
+    return f"""
+    WITH base AS (SELECT doc_id, lang,
+                         string_split(text, ' ') AS t FROM documents),
+    p AS (SELECT lang AS true_lang, {pred} AS pred_lang FROM base),
+    tot AS (SELECT true_lang, count(*) AS n_true FROM p
+            GROUP BY true_lang)
+    SELECT p.true_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / max(n_true), 6) AS frac_of_true
+    FROM p JOIN tot ON p.true_lang = tot.true_lang
+    GROUP BY p.true_lang, p.pred_lang
+    """
+
+
+@query("eval_langid_confusion", oracle=_langid_confusion_oracle())
+def eval_langid_confusion(spark, sf):
+    """Confusion matrix of the stopword language-ID against the
+    corpus's REAL ground-truth lang column — per (true, predicted)
+    cell count and recall share, the honest accuracy readout for a
+    heuristic classifier (and the template for evaluating any
+    classifier column against labels).  One scan + a cells-grain agg;
+    the per-class totals join back post-aggregation."""
+    docs = T(spark, sf, "documents")
+    pred = (X.language_id(docs, "doc_id", "text")
+            .select(F.col("doc_id").alias("_pid"), "pred_lang"))
+    p = (docs.select(F.col("doc_id"), F.col("lang").alias("true_lang"))
+         .join(pred, F.col("doc_id") == F.col("_pid"))
+         .select("true_lang", "pred_lang"))
+    tot = p.groupBy("true_lang").agg(F.count("*").alias("n_true"))
+    return (p.groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .join(tot, "true_lang")
+            .select("true_lang", "pred_lang", "n",
+                    F.round(F.col("n") / F.col("n_true"), 6)
+                    .alias("frac_of_true")))
