@@ -160,7 +160,10 @@ def test_round6_queries_partition_invariant(spark, sf_dir):
              "multimodal_payload_dedup", "sample_group_split",
              "ts_cusum_changepoint", "profile_gini_binned",
              "text_ngram_novelty", "ts_concurrent_orders",
-             "ts_autocorrelation"]
+             "ts_autocorrelation", "text_template_clusters",
+             "dq_key_uniqueness", "ann_eval_ndcg",
+             "emb_label_separation", "sample_neyman_allocation",
+             "eval_langid_confusion"]
     ALL = Q.all_queries()
 
     def snap():
