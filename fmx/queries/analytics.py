@@ -1632,8 +1632,8 @@ AUC_BINS = 1024
     """)
 def eval_rank_auc(spark, sf):
     """Rank-based ROC AUC (Mann-Whitney U) of purchase-value as a
-    purchase classifier, computed over {AUC_BINS}-bucket equal-width
-    score bins: per-bin positive/negative counts, then
+    purchase classifier, computed over 1024-bucket equal-width score
+    bins: per-bin positive/negative counts, then
     U = sum np_b * (negatives below + half the tied bin).  Binning is
     THE scale move — the only window runs over <= 1024 bin rows
     (bounded, never row grain), so the plan is two scans (min/max,
@@ -2362,15 +2362,15 @@ GINI_BINS = 256
                           AND 1 PRECEDING), 0) * 1.0
                           / sum(r) OVER () AS l0
                FROM per_bin)
-    SELECT CAST((SELECT count(*) FROM cust) AS BIGINT) AS n_customers,
+    SELECT CAST((SELECT sum(c) FROM per_bin) AS BIGINT) AS n_customers,
            round(1.0 - sum((p - p0) * (l + l0)), 6) AS gini
     FROM lorenz
     """)
 def profile_gini_binned(spark, sf):
     """Revenue-concentration Gini over customers via the BINNED Lorenz
     curve: exact Gini needs a global sort of every customer; binning
-    lifetime revenue into {GINI_BINS} equal-width buckets reduces it
-    to one customer-grain agg + windows over {GINI_BINS} bounded rows
+    lifetime revenue into 256 equal-width buckets reduces it to one
+    customer-grain agg + windows over 256 bounded rows
     (trapezoid integral of the binned Lorenz curve — error vanishes
     with bin width).  The same min/max-broadcast + bin-agg shape as
     eval_rank_auc / eval_ks_split_drift."""
@@ -2399,7 +2399,9 @@ def profile_gini_binned(spark, sf):
          / F.sum("c").over(wall)).alias("p0"),
         (F.coalesce(F.sum("r").over(wprev), F.lit(0))
          / F.sum("r").over(wall)).alias("l0"))
-    n = cust.agg(F.count("*").cast(BIG).alias("n_customers"))
+    # n_customers folds from the 256-row bin relation — no third
+    # customer-grain scan just for a count
+    n = per_bin.agg(F.sum("c").cast(BIG).alias("n_customers"))
     return (lorenz.agg(
         F.round(1.0 - F.sum((F.col("p") - F.col("p0"))
                             * (F.col("l") + F.col("l0"))), 6)

@@ -637,7 +637,7 @@ NEY_BUDGET = 1000
     "sample_neyman_allocation",
     oracle=f"""
     WITH strata AS (SELECT source, count(*) AS n_h,
-                           stddev_samp(n_chars) AS sd_h
+                           coalesce(stddev_samp(n_chars), 0.0) AS sd_h
                     FROM documents GROUP BY source),
     wt AS (SELECT source, n_h, sd_h, n_h * sd_h AS w FROM strata),
     tot AS (SELECT sum(w) AS tw FROM wt)
@@ -650,17 +650,21 @@ NEY_BUDGET = 1000
     """)
 def sample_neyman_allocation(spark, sf):
     """Neyman (variance-optimal) sample allocation across source
-    strata for a {NEY_BUDGET}-doc labeling/eval budget: each stratum
+    strata for a 1000-doc labeling/eval budget: each stratum
     gets budget * N_h*sd_h / sum(N*sd) — big AND internally varied
     sources get the labels, uniform ones don't waste them.  The
     minimum-variance allocation for stratified estimation of the mean;
     one stratum-grain agg + a 1-row total broadcast.  floor() keeps
     the per-stratum count integer (both engines floor identically on
     the same double)."""
+    # singleton strata have undefined sample sd -> coalesce to 0:
+    # they get zero Neyman budget (a defined allocation, not a NULL
+    # that silently drops out of the denominator)
     strata = (T(spark, sf, "documents")
               .groupBy("source")
               .agg(F.count("*").alias("n_h"),
-                   F.stddev_samp("n_chars").alias("sd_h")))
+                   F.coalesce(F.stddev_samp("n_chars"), F.lit(0.0))
+                   .alias("sd_h")))
     wt = strata.withColumn("w", F.col("n_h") * F.col("sd_h"))
     tot = wt.agg(F.sum("w").alias("tw"))
     return (wt.crossJoin(F.broadcast(tot))

@@ -1049,15 +1049,15 @@ def ann_eval_ndcg(spark, sf):
                        generate_subscripts(embedding, 1) - 1 AS pos,
                        CAST(unnest(embedding) AS DOUBLE) AS x
                 FROM embeddings),
-    lm AS (SELECT label, pos, avg(x) AS m, count(*) AS n
+    lm AS (SELECT label, pos, avg(x) AS m, count(*) AS n,
+                  sum(x * x) AS sq
            FROM ex GROUP BY label, pos),
     gm AS (SELECT pos, avg(x) AS g FROM ex GROUP BY pos),
     btw AS (SELECT lm.pos, sum(lm.n * (lm.m - gm.g) * (lm.m - gm.g))
                        AS sb
             FROM lm JOIN gm ON lm.pos = gm.pos GROUP BY lm.pos),
-    wth AS (SELECT ex.pos, sum((ex.x - lm.m) * (ex.x - lm.m)) AS sw
-            FROM ex JOIN lm ON ex.label = lm.label AND ex.pos = lm.pos
-            GROUP BY ex.pos)
+    wth AS (SELECT pos, sum(sq - n * m * m) AS sw
+            FROM lm GROUP BY pos)
     SELECT CAST(btw.pos AS BIGINT) AS i,
            round(sb, 4) AS between_scatter,
            round(sw, 4) AS within_scatter,
@@ -1071,22 +1071,24 @@ def emb_label_separation(spark, sf):
     probe or building a classifier index.  Two (label, dim)/(dim)
     hash-aggs + one equi-join back at (label, dim) grain; everything
     after the first agg is labels x dims rows regardless of corpus
-    size."""
+    size.  Within-scatter folds out of the SAME first agg
+    (sum(x^2) - n*mean^2 per label-dim cell) — one corpus pass total,
+    no row-grain join back."""
     ex = (T(spark, sf, "embeddings")
           .select("vec_id", "label",
                   F.posexplode(F.col("embedding").cast("array<double>"))
                   .alias("pos", "x")))
-    lm = ex.groupBy("label", "pos").agg(F.avg("x").alias("m"),
-                                        F.count("*").alias("n"))
+    lm = ex.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"), F.count("*").alias("n"),
+        F.sum(F.col("x") * F.col("x")).alias("sq"))
     gm = ex.groupBy("pos").agg(F.avg("x").alias("g"))
     btw = (lm.join(gm, "pos")
            .groupBy("pos")
            .agg(F.sum(F.col("n") * (F.col("m") - F.col("g"))
                       * (F.col("m") - F.col("g"))).alias("sb")))
-    wth = (ex.join(lm.select("label", "pos", "m"), ["label", "pos"])
-           .groupBy("pos")
-           .agg(F.sum((F.col("x") - F.col("m"))
-                      * (F.col("x") - F.col("m"))).alias("sw")))
+    wth = (lm.groupBy("pos")
+           .agg(F.sum(F.col("sq") - F.col("n") * F.col("m")
+                      * F.col("m")).alias("sw")))
     return (btw.join(wth, "pos")
             .select(F.col("pos").cast("bigint").alias("i"),
                     F.round("sb", 4).alias("between_scatter"),

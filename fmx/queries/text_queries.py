@@ -951,8 +951,8 @@ def text_ngram_novelty(spark, sf):
     """)
 def text_template_clusters(spark, sf):
     """Template detection: documents sharing the same SET of
-    boilerplate chunks (df >= {BP_MIN_DF} 8-token chunks, the same
-    grain as text_boilerplate_strip) get one template_id = md5 of
+    boilerplate chunks (df >= 2 8-token chunks, the same grain as
+    text_boilerplate_strip) get one template_id = md5 of
     their sorted boilerplate-chunk hashes; clusters of >= 2 docs are
     the site templates a web pipeline strips or caps.  Chunking is
     map-only; the signature is a doc-grain sorted collect over the
