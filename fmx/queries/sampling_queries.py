@@ -674,3 +674,45 @@ def sample_neyman_allocation(spark, sf):
                     F.round(F.col("w") / F.col("tw"), 6).alias("share"),
                     F.floor(NEY_BUDGET * F.col("w") / F.col("tw"))
                     .cast("bigint").alias("alloc")))
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT min(n) AS m FROM c),
+    r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(concat('bal:7:',
+                                  CAST(doc_id AS VARCHAR))), doc_id)
+                     AS rn
+          FROM documents),
+    kept AS (SELECT r.lang FROM r, mn WHERE r.rn <= mn.m)
+    SELECT c.lang, CAST(c.n AS BIGINT) AS n_before,
+           CAST(k.n_after AS BIGINT) AS n_after
+    FROM c JOIN (SELECT lang, count(*) AS n_after FROM kept
+                 GROUP BY lang) k ON c.lang = k.lang
+    """)
+def sample_class_balance(spark, sf):
+    """Class-balanced downsampling: every language capped at the
+    MINORITY class size, members chosen by a deterministic md5 coin
+    (stable under reprocessing — the same docs survive every run) —
+    the class-rebalance step before training a classifier on skewed
+    labels.  The min-count enters as a 1-row broadcast, never a
+    driver scalar; the per-class ranking window is the same
+    per-group-cap shape as web domain caps (partition = class)."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    mn = c.agg(F.min("n").alias("m"))
+    coin = F.md5(F.concat(F.lit("bal:7:"),
+                          F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(coin, "doc_id")
+    kept = (docs.withColumn("rn", F.row_number().over(w))
+            .crossJoin(F.broadcast(mn))
+            .filter(F.col("rn") <= F.col("m"))
+            .groupBy("lang").agg(F.count("*").alias("n_after")))
+    return (c.join(kept, "lang")
+            .select("lang", F.col("n").cast("bigint").alias("n_before"),
+                    F.col("n_after").cast("bigint").alias("n_after")))

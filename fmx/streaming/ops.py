@@ -615,3 +615,20 @@ def stream_ks_registers(events: DataFrame, value_col: str = "value",
                                  float(lo), float(hi), int(num_bins))
             .select("arm", F.col("bucket").cast("long").alias("bin"),
                     F.col("c").cast("long").alias("n")))
+
+
+def stream_cms_registers(events: DataFrame, value_col: str = "user_id",
+                         tag: str = "cms") -> DataFrame:
+    """Streaming count-min frequency state: the ``cms_state`` cell
+    table maintained incrementally over an append stream — counters
+    merge by per-cell SUM, so state is exactly d x w rows forever
+    (no watermark, no per-key growth): bounded-memory frequency
+    estimates over an unbounded key domain, the property a
+    heavy-hitters monitor needs at 100 TB.  Fold with
+    ``fmx.operators.sketches.cms_estimate`` against any probe set
+    wherever the registers are consumed — the same
+    mergeable-register pattern as stream_hll/hist/checksum."""
+    from fmx.operators.sketches import cms_state
+
+    return cms_state(events.filter(F.col(value_col).isNotNull()),
+                     value_col, tag=tag)

@@ -103,6 +103,7 @@ _ALLOWED = {
         "retrieval_hard_negatives",    # broadcast query-set cross
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
+        "sample_class_balance",     # 1-row min-count broadcast
         "sample_negatives", "sample_neyman_allocation",
         "sample_pareto_frontier", "text_bm25_topk",
         "text_cluster_terms", "text_perplexity",

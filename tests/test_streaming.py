@@ -670,3 +670,32 @@ def test_stream_ks_registers_live_trigger_accumulates(spark):
         assert sum(prev.values()) > 0
     finally:
         q.stop()
+
+
+def test_stream_cms_registers_fold_matches_batch(spark, sf_dir):
+    """Streaming CMS cell registers must equal the batch cms_state fold
+    over the same events, and estimates from them must upper-bound the
+    true counts (the CMS guarantee)."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_cms_registers(events), "cms_regs",
+                       "complete")
+    regs = {(r._d, r._col): r.c
+            for r in spark.sql("SELECT * FROM cms_regs").collect()}
+    q.stop()
+
+    batch = load_table(spark, sf_dir, "events")
+    want = {(r._d, r._col): r.c
+            for r in S.stream_cms_registers(batch).collect()}
+    assert regs == want and len(regs) > 0
+
+    from fmx.operators.sketches import cms_estimate
+    truth = {r.user_id: r.c for r in
+             batch.groupBy("user_id").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c")).limit(5).collect()}
+    probes = spark.createDataFrame([(u,) for u in truth], ["user_id"])
+    state = spark.createDataFrame(
+        [(d, c, n) for (d, c), n in want.items()], ["_d", "_col", "c"])
+    est = {r.user_id: r.est_count
+           for r in cms_estimate(state, probes, "user_id").collect()}
+    for u, n in truth.items():
+        assert est[u] >= n
