@@ -632,3 +632,23 @@ def stream_cms_registers(events: DataFrame, value_col: str = "user_id",
 
     return cms_state(events.filter(F.col(value_col).isNotNull()),
                      value_col, tag=tag)
+
+
+def stream_bloom_registers(events: DataFrame,
+                           value_col: str = "user_id",
+                           tag: str = "bloom") -> DataFrame:
+    """Streaming Bloom membership state: the distinct set-bit relation
+    of ``bloom_bits`` maintained incrementally — set bits only ever
+    turn on (union = DISTINCT), so state is bounded by the filter
+    width m forever, no watermark.  Emit in update mode and
+    ``bloom_probe`` the snapshot wherever membership is consumed (the
+    streaming side of the decontamination gate: eval-set bits stream
+    in, training batches probe).  Completes the mergeable-register
+    family: HLL (max), histogram/CMS/checksum (sum), Bloom (or)."""
+    from fmx.operators.sketches import BLOOM_K, BLOOM_M, _md5_long
+
+    pos = F.array(*[F.pmod(_md5_long(F.col(value_col), f"{tag}{i}:"),
+                           F.lit(BLOOM_M)) for i in range(BLOOM_K)])
+    return (events.filter(F.col(value_col).isNotNull())
+            .select(F.explode(pos).alias("pos"))
+            .dropDuplicates(["pos"]))

@@ -699,3 +699,25 @@ def test_stream_cms_registers_fold_matches_batch(spark, sf_dir):
            for r in cms_estimate(state, probes, "user_id").collect()}
     for u, n in truth.items():
         assert est[u] >= n
+
+
+def test_stream_bloom_registers_fold_matches_batch(spark, sf_dir):
+    """Streaming Bloom set-bit state must equal the batch bloom_bits
+    relation over the same events, and probing it must admit every
+    seen key (no false negatives — the Bloom guarantee)."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_bloom_registers(events), "bloom_regs",
+                       "update")
+    got = {r.pos for r in spark.sql("SELECT * FROM bloom_regs").collect()}
+    q.stop()
+
+    from fmx.operators.sketches import bloom_bits, bloom_probe
+    batch = load_table(spark, sf_dir, "events")
+    want = {r.pos for r in bloom_bits(batch, "user_id").collect()}
+    assert got == want and len(got) > 0
+
+    bits = spark.createDataFrame([(p,) for p in got], ["pos"])
+    seen = batch.select("user_id").distinct().limit(20)
+    probed = bloom_probe(seen, bits, "user_id")
+    hit_col = [c for c in probed.columns if c != "user_id"][0]
+    assert all(r[hit_col] for r in probed.collect())
