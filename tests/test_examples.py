@@ -70,3 +70,9 @@ def test_data_selection_example_runs(tmp_path):
 def test_tabular_features_example_runs(tmp_path):
     stdout = _run("tabular_features.py")
     assert "leakage-free" in stdout and "val MAE" in stdout
+
+
+def test_monitoring_example_runs(tmp_path):
+    stdout = _run("monitoring.py")
+    assert "monitoring pass complete" in stdout
+    assert "changed keys" in stdout and "srm:" in stdout
