@@ -155,7 +155,7 @@ _PRIORITY = [
     #   text_ngram_novelty, ts_concurrent_orders, ts_autocorrelation,
     #   text_template_clusters, dq_key_uniqueness, ann_eval_ndcg,
     #   emb_label_separation, sample_neyman_allocation,
-    #   eval_langid_confusion, sample_class_balance (+ the
+    #   eval_langid_confusion, sample_class_balance, eval_pr_auc (+ the
     #   streaming register family gained stream_ks/cms_registers).
     # Prior rotation history lives in git: r5 window at tag-commit
     # ded7618, r4 and earlier in this file's log.  Everything rotated

@@ -2442,3 +2442,73 @@ def dq_key_uniqueness(spark, sf):
         .alias("n_dup_keys"),
         F.max("c").cast(BIG).alias("max_multiplicity"),
         F.sum("c").cast(BIG).alias("n_rows"))
+
+
+@query(
+    "eval_pr_auc",
+    oracle=f"""
+    WITH scored AS (SELECT value AS s,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                                END AS y
+                    FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT min(s) AS mn, max(s) AS mx FROM scored),
+    binned AS (SELECT CASE WHEN mx = mn THEN 0
+                           ELSE least(CAST(floor((s - mn)
+                                      / ((mx - mn) / {AUC_BINS}.0))
+                                      AS BIGINT), {AUC_BINS - 1}) END AS b,
+                      y
+               FROM scored, rng),
+    per_bin AS (SELECT b, sum(y) AS np, sum(1 - y) AS nn
+                FROM binned GROUP BY b),
+    cum AS (SELECT b,
+                   sum(np) OVER (ORDER BY b DESC) AS tp,
+                   sum(nn) OVER (ORDER BY b DESC) AS fp,
+                   coalesce(sum(np) OVER (ORDER BY b DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS tp_prev,
+                   sum(np) OVER () AS pos
+            FROM per_bin)
+    SELECT CAST(max(pos) AS BIGINT) AS n_pos,
+           round(sum((tp - tp_prev) * 1.0 / pos
+                     * (tp * 1.0 / (tp + fp))), 6) AS pr_auc
+    FROM cum
+    """)
+def eval_pr_auc(spark, sf):
+    """Binned average precision (PR-AUC) of purchase-value as a
+    purchase classifier — the metric that stays informative when
+    positives are rare and ROC AUC saturates.  Same 1024-equal-width-
+    bin reduction as eval_rank_auc: thresholds sweep bins from the
+    high end, AP = sum over threshold steps of (recall gain x
+    precision there); all windows run over <= 1024 bin rows at any
+    corpus size."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("value").alias("s"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    rng = ev.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    binned = (ev.crossJoin(F.broadcast(rng))
+              .select(F.when(F.col("mx") == F.col("mn"), 0)
+                      .otherwise(F.least(
+                          F.floor((F.col("s") - F.col("mn"))
+                                  / ((F.col("mx") - F.col("mn"))
+                                     / float(AUC_BINS))).cast(BIG),
+                          F.lit(AUC_BINS - 1))).alias("b"),
+                      "y"))
+    per_bin = binned.groupBy("b").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn"))
+    wd = Window.orderBy(F.col("b").desc())
+    wprev = (Window.orderBy(F.col("b").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy()
+    cum = per_bin.select(
+        F.sum("np").over(wd).alias("tp"),
+        F.sum("nn").over(wd).alias("fp"),
+        F.coalesce(F.sum("np").over(wprev), F.lit(0)).alias("tp_prev"),
+        F.sum("np").over(wall).alias("pos"))
+    return cum.agg(
+        F.max("pos").cast(BIG).alias("n_pos"),
+        F.round(F.sum((F.col("tp") - F.col("tp_prev")) / F.col("pos")
+                      * (F.col("tp") / (F.col("tp") + F.col("fp")))),
+                6).alias("pr_auc"))

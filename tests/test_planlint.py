@@ -94,7 +94,8 @@ _ALLOWED = {
         "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
         "emb_top_eigvec",           # 1-row norm broadcast per round
-        "eval_calibration_bins", "eval_rank_auc",   # 1-row min/max broadcast
+        "eval_calibration_bins", "eval_pr_auc",
+        "eval_rank_auc",                            # 1-row min/max broadcast
         "eval_ks_split_drift",                      # 1-row min/max broadcast
         "feat_target_encode_loo",                   # 1-row prior broadcast
         "profile_gini_binned",      # 1-row min/max + count broadcasts
@@ -141,6 +142,7 @@ _ALLOWED = {
         # documented approx-quantile scale paths (rfm, curriculum)
         "eval_rank_auc",            # cum-negatives over <= 1024 bin rows
         "eval_ks_split_drift",      # cum-CDF over <= 64 bin rows
+        "eval_pr_auc",              # threshold sweep over <= 1024 bins
         "graph_jaccard_neighbors",  # rank over the top-20 rows only
         "profile_gini_binned",      # Lorenz over <= 256 bin rows
         "ts_cusum_changepoint",     # cumsum over calendar-bounded days
