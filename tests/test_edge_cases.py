@@ -163,7 +163,8 @@ def test_round6_queries_partition_invariant(spark, sf_dir):
              "ts_autocorrelation", "text_template_clusters",
              "dq_key_uniqueness", "ann_eval_ndcg",
              "emb_label_separation", "sample_neyman_allocation",
-             "eval_langid_confusion"]
+             "eval_langid_confusion", "sample_class_balance",
+             "eval_pr_auc"]
     ALL = Q.all_queries()
 
     def snap():
