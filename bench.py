@@ -86,6 +86,21 @@ def main() -> None:
         model.strength.count(), model.factors.count()
         train_sec = min(train_sec, round(time.perf_counter() - t0, 3))
 
+    # second training row at the BENCH scale factor (r6 verdict #7):
+    # tracks how the SGD loop scales with data volume round-over-round.
+    # One timed fit — codegen for every plan shape in the loop is
+    # already warm from the sf0.01 fits above, so a single run is
+    # attributable (the cold-fit noise the best-of-2 guards against is
+    # paid already).
+    emb_sf = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("features"))
+    train_sf = emb_sf.withColumn(
+        "label", F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
+    t0 = time.perf_counter()
+    model_sf = est.fit(train_sf)
+    model_sf.strength.count(), model_sf.factors.count()
+    train_sf_sec = round(time.perf_counter() - t0, 3)
+
     # DuckDB comparator: the reference publishes no benchmark numbers
     # (BASELINE.md), so the external wall-time yardstick is the oracle
     # engine itself — each headline query's DuckDB oracle SQL, same
@@ -129,7 +144,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "training": {"fm_train_sgd_3iter_sf0.01": train_sec},
+        "training": {"fm_train_sgd_3iter_sf0.01": train_sec,
+                     f"fm_train_sgd_3iter_sf{sf}": train_sf_sec},
         "sf": sf,
     }
     if duck_timings:

@@ -67,6 +67,9 @@ def failing_rows(df: DataFrame, rules: dict[str, Column],
     return out
 
 _CHK_MOD = 2 ** 40
+# shared NULL sentinel for keys and signatures: NULLs must participate
+# in bucketing and checksums instead of vanishing from register sums
+_NULL_SENTINEL = "\u0000null"
 
 
 def _bucket_of(key_col: str, num_buckets: int):
@@ -79,7 +82,7 @@ def _bucket_of(key_col: str, num_buckets: int):
     from fmx.operators.dedup import hash64
 
     key_str = F.coalesce(F.col(key_col).cast("string"),
-                         F.lit("\u0000null"))
+                         F.lit(_NULL_SENTINEL))
     return F.pmod(hash64(key_str), F.lit(int(num_buckets)))
 
 
@@ -97,9 +100,20 @@ def checksum_registers(df: DataFrame, key_col: str, sig: Column,
     Returns (bucket, n, chk)."""
     from fmx.operators.dedup import hash64
 
+    # NULL sig coalesces to a sentinel (mirroring _bucket_of's NULL-key
+    # sentinel): hash64(NULL) is NULL and sum() would silently skip the
+    # row while n still counts it, so two snapshots differing only
+    # inside NULL-sig rows would reconcile as equal
+    sig_str = F.coalesce(sig.cast("string"), F.lit(_NULL_SENTINEL))
+    # the per-row hash is bounded by 2^40, but a plain BIGINT sum of
+    # 2^40-bounded terms overflows signed 64-bit at ~2^23 rows per
+    # bucket (ANSI mode => ARITHMETIC_OVERFLOW at scale); accumulate in
+    # DECIMAL(38,0) (headroom ~10^26 rows) and take the mod at the end
+    # — same value as a mod-as-you-go sum, so registers stay mergeable
     return (df.select(
                 _bucket_of(key_col, num_buckets).alias("bucket"),
-                F.pmod(hash64(sig), F.lit(_CHK_MOD)).alias("_h"))
+                F.pmod(hash64(sig_str), F.lit(_CHK_MOD))
+                .cast("decimal(38,0)").alias("_h"))
             .groupBy("bucket")
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.pmod(F.sum("_h"), F.lit(_CHK_MOD)).cast("bigint")
@@ -124,8 +138,10 @@ def table_diff(a: DataFrame, b: DataFrame, key_col: str, sig: Column,
     decimals and cast via BIGINT instead).
 
     Returns (bucket, n_a, n_b, chk_a, chk_b) for differing buckets.
-    Checksums are summed mod 2^40 so the register stays well inside
-    BIGINT at any row count.
+    Per-row hashes are 2^40-bounded and accumulated in DECIMAL(38,0)
+    with the mod taken after the sum (a plain BIGINT sum would overflow
+    at ~2^23 rows/bucket under ANSI mode), so the register stays exact
+    at any realistic row count.
     """
     fa = (checksum_registers(a, key_col, sig, num_buckets)
           .withColumnsRenamed({"n": "n_a", "chk": "chk_a"}))
@@ -161,11 +177,15 @@ def table_diff_drilldown(a: DataFrame, b: DataFrame, key_col: str,
         .distinct())
 
     def _side(df: DataFrame, key_out: str, out: str) -> DataFrame:
+        # sig coalesces to the register sentinel: a present row whose
+        # sig renders NULL must NOT look like an absent side to the
+        # status logic below (only_a/only_b derive from sig NULLness)
+        sig_str = F.coalesce(sig.cast("string"), F.lit(_NULL_SENTINEL))
         return (df.withColumn(
                     "_bk",
                     _bucket_of(key_col, num_buckets).cast("bigint"))
                 .join(bset, "_bk")
-                .select(F.col(key_col).alias(key_out), sig.alias(out)))
+                .select(F.col(key_col).alias(key_out), sig_str.alias(out)))
 
     # null-safe pairing end-to-end: the bucket hash above coalesces a
     # NULL key to a sentinel (matching checksum_registers), and the

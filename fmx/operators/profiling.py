@@ -150,7 +150,8 @@ def robust_scale(df: DataFrame, group_col: str, value_col: str,
                     F.round(z, 4).alias(out_col)))
 
 
-def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+def chi2_independence(df: DataFrame, a_col: str, b_col: str,
+                      max_categories: int = 1000) -> DataFrame:
     """Pearson chi-square test of independence between two categorical
     columns: one row (chi2, dof, n) — the "is the label mix skewed by
     source" gate of corpus audits.
@@ -163,6 +164,14 @@ def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     count to the statistic, which a groupBy alone would silently drop
     (underestimating chi2 exactly when association is strongest).
 
+    ``max_categories`` bounds the densifying cross (the ``max_df``
+    convention): the cross materializes |a|·|b| cells, so an unguarded
+    call on two genuinely high-cardinality columns (user ids, urls)
+    would silently build a quadratic relation.  The guard is IN-PLAN
+    (no driver action at construction): execution raises if either
+    marginal exceeds the bound — bucket or top-K the column first, or
+    raise the bound explicitly.
+
     Rows with a NULL in either column are EXCLUDED up front (the
     standard complete-case convention): a NULL category would survive
     the groupBy but fall out of the non-null-safe densifying join,
@@ -174,10 +183,24 @@ def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     da = cc.groupBy(a_col).agg(F.sum("_c").alias("_ma"))
     db = cc.groupBy(b_col).agg(F.sum("_c").alias("_mb"))
     tot = da.agg(F.sum("_ma").alias("_n"))
+    lim = F.lit(int(max_categories))
+    err = F.concat(
+        F.lit("chi2_independence: marginal cardinalities "),
+        F.col("_ka").cast("string"), F.lit(" x "),
+        F.col("_kb").cast("string"),
+        F.lit(f" exceed max_categories={int(max_categories)} — bucket "
+              "or top-K the column first, or raise the bound explicitly"))
+    guard = (da.agg(F.count("*").alias("_ka"))
+             .crossJoin(db.agg(F.count("*").alias("_kb")))
+             # filter (not an unused column) so pruning can't drop it
+             .filter(F.when((F.col("_ka") <= lim) & (F.col("_kb") <= lim),
+                            F.lit(True)).otherwise(F.raise_error(err)))
+             .select(F.lit(1).alias("_guard")))
     dense = (da.crossJoin(db)
              .join(cc, [a_col, b_col], "left")
              .na.fill({"_c": 0})
-             .crossJoin(F.broadcast(tot)))
+             .crossJoin(F.broadcast(tot))
+             .crossJoin(F.broadcast(guard)))
     e = (F.col("_ma") * F.col("_mb")) / F.col("_n")
     per = dense.select(a_col, b_col,
                        ((F.col("_c") - e) ** 2 / e).alias("_x"),

@@ -60,108 +60,89 @@ _MODULES = [
 # order); everything else follows in registration order.  Keep this list
 # at <= 50 names so the whole driver window is deliberate.
 #
-# Round-6 window, executing the rotation planned at round-5 close and
-# VERDICT r5 "Next round" #3:
-# (a) the two r5 RED rows (NTZ timestamp break, fixed in
-#     fmx/sources/tables.py::load_table this round) plus the two latent
-#     twins that share the ts.cast("double") pattern;
-# (b) every remaining registry entry that has NEVER had a driver row;
-# (c) ann_pq_trained re-entering with its new portable INVARIANT oracle
-#     (fixed-codebook MSE value-compared, trained<=fixed asserted) so
-#     the r5 no_oracle red-looking row turns green;
-# (d) the four trivial r01 shapes displaced at r5 close (a7/a8/p2/p4);
-# (e) the r02 tail: ANN/dedup/fm-serving re-checks + the w1-w3 windows
-#     + r01-era expression-family shapes (f4_math, string_manipulation,
-#     map_funcs, interval_arith, window_value_funcs) + the four
-#     composite shapes rotated out at r5 close (agg_cube,
-#     rank_functions, scalar_subquery, stats_agg);
-# (f) the five temporal rows whose last driver check (r3/r4) predates
-#     the driver's testdata regeneration (tz-naive timestamps) —
-#     re-evidence them against the NEW files;
-# (g) new round-6 queries (appended as added, window kept at <= 50).
-# After this window, no entry's most recent driver row predates r3
-# except bench-headliner/TPC-H rows re-exercised every round.
+# Round-7 window, executing the rotation stocked at round-6 close
+# (VERDICT r6 "Next round" #1-#3).  After this window lands, the union
+# of driver rows r01..r07 covers EVERY registry entry:
+# (a) the 33 round-6 additions that have never had a driver row (all
+#     verified locally at sf0.001+sf0.01 and independently replayed by
+#     the r6 judge at sf0.01);
+# (b) s1_csv_roundtrip, NEW this round — the last SURVEY §2 row (S1
+#     CSV scan) without a driver-green slot: write lineitem to CSV,
+#     read back through fmx.sources.read_csv, checksum vs the parquet
+#     oracle;
+# (c) 16 slots of the OLDEST evidence — entries whose most recent
+#     driver row is r02 (evidence-age refresh, all green in the local
+#     two-SF harness every round since).
+# Still r02-fresh after this window (r8 stock, all non-headliner):
+#   the TPC-H tail (q4, q7, q8, q12, q13, q14, q17, q18, q19, q21,
+#   q22), text_redaction, text_repetition, emb_quantize; headliners
+#   dedup_exact / ann_cosine_topk / text_stats / tpch_q3/q5/q6 run
+#   per-round in bench.
 _PRIORITY = [
-    # -- (a) r5 red rows + latent NTZ twins --
-    "event_sessionization",
-    "ts_interval_coverage",
-    "abandoned_sessions",
-    "funnel_within_session",
-    # -- (b) never driver-checked --
-    "cohort_retention_matrix",
-    "ts_moving_avg",
-    "ts_trailing_anomaly",
-    "ts_dod_growth",
-    "sample_interleaved_order",
-    "dedup_keep_longest",
-    "ann_ivf_cell_histogram",
-    "text_vocab_kl_by_source",
-    "text_tokenizer_fertility",
-    "profile_winsorized_mean",
-    "fulfillment_lag_quantiles",
-    # -- (c) re-enters with the new invariant oracle --
-    "ann_pq_trained",
-    # -- (d) trivial r01 shapes displaced at r5 close --
-    "a7_min_max",
-    "a8_count",
-    "p2_drop_column",
-    "p4_distinct",
-    # -- (e) r02 tail + r01 expression families --
-    "ann_lsh_topk",
-    "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_simhash",
-    "fm_predict_served",
-    "w1_partition_sum",
-    "w2_vector_sum_by_label",
-    "w3_row_number_topk",
-    "f4_math",
-    "string_manipulation",
-    "map_funcs",
-    "interval_arith",
-    "window_value_funcs",
-    "agg_cube",
-    "rank_functions",
-    "scalar_subquery",
-    "stats_agg",
-    # -- (f) temporal rows last checked against the OLD (ns) testdata --
-    "win_tumbling_hour",
-    "win_session_30m",
-    "asof_purchase_last_click",
-    "ts_resample_ohlc",
-    "cdc_apply_changes",
-    # -- (g) new round-6 queries --
-    "select_importance_dsir",
-    "leakage_split_overlap",
-    "eval_rank_auc",
-    "eval_calibration_bins",
-    "dq_table_diff",
-    "ts_time_weighted_avg",
-    "scd2_point_in_time",
-    # (The window is full at 50.  The round-6 additions below are
-    # r7-WINDOW STOCK — every one oracled and harness-checked at both
-    # SFs this round, first driver row next round:
-    #   rolling_7d_active_users, profile_benford_first_digit,
-    #   text_boilerplate_strip, graph_label_propagation,
-    #   emb_gram_matrix, emb_top_eigvec, emb_dim_variance,
-    #   eval_ks_split_drift, text_bpe_pair_merges,
-    #   feat_target_encode_loo, graph_jaccard_neighbors,
-    #   dq_table_diff_drilldown, ts_seasonal_backtest,
-    #   rolling_7d_hll_users, cohort_ltv_curve,
-    #   retrieval_hard_negatives, multimodal_payload_dedup,
-    #   eval_ab_srm, profile_column_cardinalities, sample_group_split,
-    #   ts_cusum_changepoint, profile_gini_binned,
-    #   text_ngram_novelty, ts_concurrent_orders, ts_autocorrelation,
-    #   text_template_clusters, dq_key_uniqueness, ann_eval_ndcg,
-    #   emb_label_separation, sample_neyman_allocation,
-    #   eval_langid_confusion, sample_class_balance, eval_pr_auc (+ the
-    #   streaming register family gained stream_ks/cms_registers).
-    # Prior rotation history lives in git: r5 window at tag-commit
-    # ded7618, r4 and earlier in this file's log.  Everything rotated
-    # out of this window is r4/r5-green and remains covered by the
-    # sf0.001+sf0.01 oracle harness every round; bench headliners
-    # additionally run per-round.)
+    # -- (b) new: the last §2 row without a driver slot --
+    "s1_csv_roundtrip",
+    # -- (a) never driver-checked: embeddings / ANN evals --
+    "emb_gram_matrix",
+    "emb_top_eigvec",
+    "emb_dim_variance",
+    "emb_label_separation",
+    "retrieval_hard_negatives",
+    "ann_eval_ndcg",
+    # -- (a) text / multimodal --
+    "text_boilerplate_strip",
+    "text_bpe_pair_merges",
+    "text_ngram_novelty",
+    "text_template_clusters",
+    "multimodal_payload_dedup",
+    "eval_langid_confusion",
+    # -- (a) graph --
+    "graph_label_propagation",
+    "graph_jaccard_neighbors",
+    # -- (a) features / sampling --
+    "feat_target_encode_loo",
+    "sample_group_split",
+    "sample_neyman_allocation",
+    "sample_class_balance",
+    # -- (a) eval / experimentation --
+    "eval_ks_split_drift",
+    "eval_ab_srm",
+    "eval_pr_auc",
+    # -- (a) profiling / DQ --
+    "profile_benford_first_digit",
+    "profile_column_cardinalities",
+    "profile_gini_binned",
+    "dq_table_diff_drilldown",
+    "dq_key_uniqueness",
+    # -- (a) time series / cohorts --
+    "rolling_7d_active_users",
+    "rolling_7d_hll_users",
+    "cohort_ltv_curve",
+    "ts_seasonal_backtest",
+    "ts_cusum_changepoint",
+    "ts_concurrent_orders",
+    "ts_autocorrelation",
+    # -- (c) oldest evidence: most recent driver row is r02 --
+    "fm_loss",
+    "w4_moving_sum",
+    "having_filter",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "emb_normalize",
+    "ann_lsh_buckets",
+    "text_language_id",
+    "text_quality",
+    "text_fingerprint",
+    "text_token_counts",
+    "text_vocab_topk",
+    "text_chunking",
+    "text_contamination",
+    "multimodal_payload_stats",
+    "tpch_q10_returned_items",
+    # (Window full at 50.  Prior rotation history lives in git: the r6
+    # window at commit 5207f57^, r5 at ded7618, r4 and earlier in this
+    # file's log.  Everything rotated out is r4+-green and remains
+    # covered by the sf0.001+sf0.01 oracle harness every round; bench
+    # headliners additionally run per-round.)
 ]
 
 

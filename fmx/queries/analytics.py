@@ -2010,8 +2010,12 @@ def feat_target_encode_loo(spark, sf):
 
     o = T(spark, sf, "orders").select("o_orderkey", "o_custkey",
                                       "o_totalprice")
+    # broadcast_keys: the encoder table is customer-cardinality-bounded
+    # (a dimension, not the fact) — pin the broadcast join instead of
+    # waiting for AQE stats; test_plans.py asserts the resulting
+    # BroadcastHashJoin
     enc = target_encode_loo(o, "o_custkey", "o_totalprice",
-                            smoothing=10.0)
+                            smoothing=10.0, broadcast_keys=True)
     return enc.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
                       F.col("o_custkey").cast(BIG).alias("o_custkey"),
                       F.round("enc", 6).alias("enc"))

@@ -953,7 +953,7 @@ def emb_dim_variance(spark, sf):
                        JOIN norms nc ON dots.vec_id = nc.vec_id
                        JOIN lab lq ON query_id = lq.vec_id
                        JOIN lab lc ON dots.vec_id = lc.vec_id
-             WHERE lq.label <> lc.label)
+             WHERE lq.label IS DISTINCT FROM lc.label)
     SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(vec_id AS BIGINT) AS vec_id, neg_label, cosine,
            CAST(row_number() OVER (PARTITION BY query_id

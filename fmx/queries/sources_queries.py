@@ -53,6 +53,65 @@ def s3_libsvm_parse(spark, sf):
                       .alias("featureId"), "featureValue")
 
 
+_CSV_ROUNDTRIP_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse",
+    "_s1_csv_roundtrip")
+
+
+@query(
+    "s1_csv_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+           CAST(sum(l_partkey + l_suppkey) AS BIGINT) AS sum_keys,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_qty_cents,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
+    FROM lineitem
+    """)
+def s1_csv_roundtrip(spark, sf):
+    """CSV scan with explicit schema (ref S1,
+    FactorizationMachinesSample.scala:98-102 spark.read.csv): write
+    lineitem out as CSV, read it back through fmx.sources.read_csv,
+    and fold to count + integer checksums + date bounds that the
+    DuckDB oracle computes from the PARQUET originals — value equality
+    proves the CSV writer/parser round-trips every column type (ints,
+    doubles via shortest-round-trip rendering, strings, timestamps).
+
+    Checksums are integer sums (order-independent, no float-sum drift);
+    money/quantity fold through floor(x*100+0.5) — pure IEEE ops both
+    engines, no decimal re-rendering (see the registry docstring on
+    rounding).  The roundtrip directory is per-SF so harness SFs don't
+    clash.  At scale this is the ingest-validation pattern: land CSV,
+    re-aggregate, compare registers against the upstream's manifest."""
+    li = T(spark, sf, "lineitem")
+    path = os.path.join(_CSV_ROUNDTRIP_DIR,
+                        os.path.basename(os.path.normpath(sf)))
+    (li.write.mode("overwrite").option("header", "true")
+     .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path))
+    from fmx.sources import read_csv
+    back = read_csv(spark, path, header=True, schema=li.schema,
+                    options={"timestampFormat": "yyyy-MM-dd HH:mm:ss"})
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("bigint")  # noqa: E731
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_orderkey"),
+        F.sum(F.col("l_partkey") + F.col("l_suppkey")).cast("bigint")
+        .alias("sum_keys"),
+        F.sum(cents("l_extendedprice")).cast("bigint")
+        .alias("sum_price_cents"),
+        F.sum(cents("l_quantity")).cast("bigint").alias("sum_qty_cents"),
+        F.count_distinct("l_returnflag").cast("bigint").alias("n_flags"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd")
+        .alias("min_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd")
+        .alias("max_shipdate"))
+
+
 @query("approx_distinct")  # sketch-based: engine-specific, rows-only
 def approx_distinct(spark, sf):
     """HyperLogLog++ approximate distinct counts (engine capability;

@@ -73,7 +73,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def read_csv(spark: SparkSession, path: str, header: bool = True,
              infer_schema: bool = True, schema=None,
              mode: str = "PERMISSIVE",
-             corrupt_col: str | None = None) -> DataFrame:
+             corrupt_col: str | None = None,
+             options: dict[str, str] | None = None) -> DataFrame:
     """CSV scan with header + schema inference (reference S1,
     FactorizationMachinesSample.scala:98-102).
 
@@ -81,10 +82,14 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     plus ``corrupt_col`` to capture unparseable lines in a side column
     (PERMISSIVE quarantine — route them to a dead-letter sink instead
     of failing a 100 TB load), ``mode='DROPMALFORMED'`` to drop them,
-    or ``mode='FAILFAST'`` to abort on the first bad record."""
+    or ``mode='FAILFAST'`` to abort on the first bad record.
+    ``options`` passes any further CSV reader options through verbatim
+    (timestampFormat, delimiter, nullValue, ...)."""
     reader = (spark.read
               .option("header", str(header).lower())
               .option("mode", mode))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if schema is not None:
         if corrupt_col is not None:
             from pyspark.sql.types import StringType, StructField, StructType

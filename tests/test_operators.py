@@ -920,6 +920,25 @@ def test_chi2_independence(spark):
     assert r2.chi2 == 16.0 and r2.dof == 1    # perfect association = n
 
 
+def test_chi2_max_categories_guard(spark):
+    """The densifying cross is |a|x|b|; exceeding max_categories must
+    fail AT EXECUTION with a clear message (the guard is in-plan — no
+    driver action during construction), and a bound that fits passes."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from fmx.operators.profiling import chi2_independence
+
+    df = spark.createDataFrame(
+        [(str(i), str(i % 3)) for i in range(10)], ["a", "b"])
+    # construction never errors (lazy guard)
+    plan = chi2_independence(df, "a", "b", max_categories=2)
+    with pytest.raises(PySparkException, match="max_categories=2"):
+        plan.collect()
+    ok = chi2_independence(df, "a", "b", max_categories=10).collect()[0]
+    assert ok.n == 10 and ok.dof == (10 - 1) * (3 - 1)
+
+
 def test_hll_overlap_disjoint_and_identical(spark):
     """Identical register tables -> intersection == each set, jaccard 1;
     disjoint value ranges -> near-zero intersection (within HLL noise)."""
@@ -1502,6 +1521,43 @@ def test_table_diff_null_keys_pair_and_drill(spark):
                                num_buckets=8).collect()
     assert len(got) == 1
     assert got[0].k is None and got[0].status == "changed"
+
+
+def test_table_diff_null_sigs_participate(spark):
+    """A NULL row signature must participate in the checksum (sentinel,
+    not silently dropped): snapshots differing ONLY inside NULL-sig
+    rows must diff, and a present-both-sides key whose sig is NULL on
+    one side drills down as 'changed' — never only_a/only_b."""
+    from fmx.operators.dq import table_diff, table_diff_drilldown
+
+    # sig built with F.concat (NOT null-safe): NULL val -> NULL sig
+    sig = F.concat(F.col("k").cast("string"), F.lit(":"), F.col("val"))
+    a = spark.createDataFrame([(1, "x"), (2, None)], "k int, val string")
+    b = spark.createDataFrame([(1, "x"), (2, "now-set")],
+                              "k int, val string")
+    same = spark.createDataFrame([(1, "x"), (2, None)],
+                                 "k int, val string")
+    assert table_diff(a, same, "k", sig, num_buckets=8).count() == 0
+    diff = table_diff(a, b, "k", sig, num_buckets=8)
+    assert diff.count() == 1
+    got = table_diff_drilldown(a, b, "k", sig, diff,
+                               num_buckets=8).collect()
+    assert len(got) == 1
+    assert got[0].k == 2 and got[0].status == "changed"
+
+
+def test_checksum_registers_no_bigint_overflow(spark):
+    """20M same-bucket rows of ~2^40-bounded hashes overflow a plain
+    BIGINT sum (ANSI mode => ARITHMETIC_OVERFLOW at ~2^23 rows/bucket);
+    the DECIMAL(38,0) accumulator must survive and stay mod-correct."""
+    from fmx.operators.dq import _CHK_MOD, checksum_registers
+
+    df = spark.range(20_000_000).select(
+        F.lit(0).alias("k"), F.col("id").cast("string").alias("v"))
+    row = checksum_registers(df, "k", F.col("v"), num_buckets=1).collect()
+    assert len(row) == 1
+    assert row[0].n == 20_000_000
+    assert 0 <= row[0].chk < _CHK_MOD
 
 
 def test_hard_negatives_excludes_same_label_and_ranks(spark):

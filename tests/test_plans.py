@@ -348,3 +348,22 @@ def test_k_hop_equi_joins_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_k_hop_2")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_encoders_broadcast_key_table(spark, sf_dir):
+    """With broadcast_keys=True both encoders must pin a
+    BroadcastHashJoin for the join back on the key (the encoder table
+    is dimension-sized here); the registry query threads the hint, and
+    the library default (False) leaves the strategy to AQE."""
+    from fmx.operators.features import frequency_encode
+
+    plan = _plan(spark, sf_dir, "feat_target_encode_loo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    from fmx.sources import load_table
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    fplan = (frequency_encode(o, "o_custkey", broadcast_keys=True)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in fplan
+    assert "SortMergeJoin" not in fplan
