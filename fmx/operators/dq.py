@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["check_expectations", "failing_rows", "table_diff",
-           "checksum_registers", "table_diff_drilldown"]
+           "checksum_registers", "table_diff_drilldown", "freshness_lag"]
 
 
 def check_expectations(df: DataFrame,
@@ -200,3 +200,27 @@ def table_diff_drilldown(a: DataFrame, b: DataFrame, key_col: str,
                     | (F.col("sig_a") != F.col("sig_b")))
             .select(F.coalesce("_ka", "_kb").alias(key_col),
                     status.alias("status"), "sig_a", "sig_b"))
+
+
+def freshness_lag(df: DataFrame, group_col: str, ts_col: str,
+                  warn_lag_hours: float = 24.0) -> DataFrame:
+    """Per-source data-freshness gate: each group's newest event time
+    against the dataset's newest event time — the "did source X stop
+    delivering" check that runs before every incremental promotion.
+
+    Returns (group, last_ts, lag_hours, stale) where lag is measured
+    from the GLOBAL max timestamp (portable: no wall-clock now() — the
+    same frame always grades the same) and stale flags lags over
+    ``warn_lag_hours``.
+
+    One scan: a (group) max-agg plus a 1-row global-max broadcast.
+    The register is max-mergeable, so the same fold runs incrementally
+    over arriving batches."""
+    per = df.groupBy(group_col).agg(F.max(ts_col).alias("last_ts"))
+    glob = df.agg(F.max(ts_col).alias("_gmax"))
+    lag_h = ((F.col("_gmax").cast("double")
+              - F.col("last_ts").cast("double")) / 3600.0)
+    return (per.crossJoin(F.broadcast(glob))
+            .select(group_col, "last_ts",
+                    F.round(lag_h, 4).alias("lag_hours"),
+                    (lag_h > float(warn_lag_hours)).alias("stale")))

@@ -1,17 +1,21 @@
-"""Feature-engineering operators for tabular ML pipelines: target
-encoding and frequency encoding of high-cardinality categoricals.
+"""Feature-engineering operators for tabular ML pipelines: target /
+frequency encoding of high-cardinality categoricals, k-fold
+out-of-fold target encoding, quantile bucketizing, and top-K one-hot
+vocabulary indexing.
 
-Both are pure DataFrame -> DataFrame plans (one hash-agg on the key +
-one equi-join back) so they run unchanged at any scale; all arithmetic
-is replayable in ANSI SQL for the DuckDB oracles.
+All are pure DataFrame -> DataFrame plans (hash-aggs on the key +
+equi-joins back, or 1-row stat broadcasts) so they run unchanged at
+any scale; all arithmetic is replayable in ANSI SQL for the DuckDB
+oracles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode_loo", "frequency_encode"]
+__all__ = ["target_encode_loo", "frequency_encode",
+           "target_encode_kfold", "quantile_bucketize", "onehot_topk"]
 
 
 def target_encode_loo(df: DataFrame, key_col: str, target_col: str,
@@ -75,3 +79,130 @@ def frequency_encode(df: DataFrame, key_col: str,
             .crossJoin(F.broadcast(tot))
             .withColumn(out_col, F.col("_c") / F.col("_n"))
             .drop("_k", "_c", "_n"))
+
+
+def target_encode_kfold(df: DataFrame, key_col: str, target_col: str,
+                        id_col: str, n_folds: int = 5,
+                        smoothing: float = 10.0, seed: int = 42,
+                        out_col: str = "enc",
+                        fold_col: str = "fold",
+                        broadcast_keys: bool = False) -> DataFrame:
+    """K-fold out-of-fold target encoding: rows are assigned a
+    deterministic fold by md5 hash of ``id_col`` (stable under
+    repartition and corpus growth, like hash_split), and each row's
+    encoding is the smoothed mean target of its key computed over the
+    OTHER k-1 folds only:
+
+        enc = (sum_key - sum_key_fold + m * prior)
+              / (cnt_key - cnt_key_fold + m)
+
+    The out-of-fold exclusion generalizes LOO (``target_encode_loo`` is
+    the n_folds = n limit): coarser folds leak less estimator variance
+    per row into the feature while still never using the row's own fold,
+    which is the standard competition/production recipe when the same
+    frame later trains a model per fold.
+
+    A key fully contained in one fold yields prior for its own fold's
+    rows (numerator m*prior / denominator m) — defined, no division by
+    zero.  NULL keys form their own group (null-safe join back).
+
+    Scale shape: one (key, fold) hash-agg (k times the key cardinality,
+    still dimension-sized), totals re-aggregated FROM the partials (no
+    second corpus scan), one 1-row prior broadcast, one (key, fold)
+    equi-join back.  ``broadcast_keys`` pins the join strategy as in
+    :func:`target_encode_loo`.
+    """
+    from fmx.operators.sampling import hash_uniform01
+
+    m = float(smoothing)
+    k = int(n_folds)
+    fold = F.floor(hash_uniform01(id_col, "kfold", seed) * k).cast("int")
+    with_fold = df.withColumn(fold_col, fold)
+    per_kf = (with_fold.groupBy(F.col(key_col).alias("_k"),
+                                F.col(fold_col).alias("_f"))
+              .agg(F.sum(target_col).alias("_sf"),
+                   F.count("*").alias("_cf")))
+    # key totals from the partials: a window over the <= k rows of each
+    # key in the (key, fold) relation — dimension-sized, never row grain
+    wk = Window.partitionBy("_k")
+    enc_tab = (per_kf
+               .withColumn("_s", F.sum("_sf").over(wk))
+               .withColumn("_c", F.sum("_cf").over(wk)))
+    if broadcast_keys:
+        enc_tab = F.broadcast(enc_tab)
+    prior = df.agg(F.avg(target_col).alias("_prior"))
+    enc = ((F.col("_s") - F.col("_sf") + m * F.col("_prior"))
+           / (F.col("_c") - F.col("_cf") + m))
+    return (with_fold.join(
+                enc_tab,
+                F.col(key_col).eqNullSafe(F.col("_k"))
+                & (F.col(fold_col) == F.col("_f")))
+            .crossJoin(F.broadcast(prior))
+            .withColumn(out_col, enc)
+            .drop("_k", "_f", "_sf", "_cf", "_s", "_c", "_prior"))
+
+
+def quantile_bucketize(df: DataFrame, value_col: str,
+                       quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+                       out_col: str = "bucket") -> DataFrame:
+    """Equal-frequency bucketing: each row gains the index of its
+    value's quantile bin (0 .. len(quantiles)), computed from the exact
+    linear-interpolation percentiles of the column — the numeric
+    discretizer for tree-model features, calibration bins, and
+    monotonic-feature audits.
+
+    bucket = #{cut : value >= cut} over the broadcast cutpoint array;
+    NULL values get NULL buckets (preserved, not bucket 0).
+
+    Engine-portability note (why the query layer feeds INTEGER values):
+    interpolated cutpoints from integer-valued data are either exact
+    order statistics (both engines produce the identical value, no
+    arithmetic) or lie >= min-gap*frac away from every data value, so a
+    1-ulp pow/interpolation difference between engines can never flip a
+    >= comparison.  Feeding raw doubles is correct too but the bucket
+    of a value within float-epsilon of a cut is then engine-dependent.
+
+    Scale shape: ONE holistic-percentile agg (1 output row) broadcast
+    back over the scan — no sort, no shuffle of the data; the exact
+    percentile is the only non-sketch step and is itself one pass.  At
+    extreme scale swap F.percentile for approx_percentile, same
+    contract.
+    """
+    qs = [float(q) for q in quantiles]
+    cuts = df.agg(F.percentile(value_col, F.lit(qs)).alias("_cuts"))
+    bucket = F.aggregate(
+        "_cuts", F.lit(0),
+        lambda acc, c: acc + F.when(F.col(value_col) >= c, 1).otherwise(0))
+    return (df.crossJoin(F.broadcast(cuts))
+            .withColumn(out_col,
+                        F.when(F.col(value_col).isNull(), F.lit(None))
+                        .otherwise(bucket).cast("int"))
+            .drop("_cuts"))
+
+
+def onehot_topk(df: DataFrame, cat_col: str, k: int = 10,
+                out_col: str = "cat_index") -> DataFrame:
+    """Top-K vocabulary indexing of a categorical: the K most frequent
+    categories get stable indices 0..K-1 (by count desc, value asc —
+    fully deterministic), everything else (including NULL) maps to -1
+    ("other") — the long-format core of one-hot/embedding-table
+    encoding where the tail would otherwise explode the feature space.
+
+    Scale shape: one (category) hash-agg with map-side combine; the
+    top-K ranking runs over the aggregated category relation (bounded
+    by category cardinality, never row grain) via a k-limited window;
+    the vocabulary (<= k rows) broadcasts back.  A 10^5-category column
+    on 100 TB costs one agg + a broadcast join.
+    """
+    counts = (df.na.drop(subset=[cat_col])
+              .groupBy(F.col(cat_col).alias("_cat"))
+              .agg(F.count("*").alias("_n")))
+    wv = Window.orderBy(F.col("_n").desc(), F.col("_cat"))
+    vocab = (counts.withColumn("_idx", F.row_number().over(wv))
+             .filter(F.col("_idx") <= int(k))
+             .select("_cat", (F.col("_idx") - 1).cast("int").alias("_idx")))
+    return (df.join(F.broadcast(vocab),
+                    F.col(cat_col) == F.col("_cat"), "left")
+            .withColumn(out_col,
+                        F.coalesce(F.col("_idx"), F.lit(-1)).cast("int"))
+            .drop("_cat", "_idx"))

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "k_hop", "label_propagation"]
+__all__ = ["pagerank", "triangle_count", "k_hop", "label_propagation",
+           "degree_distribution"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -154,3 +155,24 @@ def label_propagation(edges: DataFrame, src: str = "src",
                   .filter(F.col("_rn") == 1)
                   .select("node", "label"))
     return labels
+
+
+def degree_distribution(edges: DataFrame, src: str = "src",
+                        dst: str = "dst") -> DataFrame:
+    """Log2-binned degree histogram of an undirected edge list:
+    (degree_bin = floor(log2(degree)), n_nodes, min_degree,
+    max_degree) — the heavy-tail diagnostic that decides whether a
+    graph workload needs hub mitigation (salting, cap) before any
+    per-neighbor join.
+
+    Two bounded aggs: per-node degree (node-grain) then per-bin counts
+    (<= 64 rows); no joins, no windows.  log2 via ln/ln(2) so the
+    DuckDB oracle replays the exact bin arithmetic."""
+    deg = (edges.select(F.col(src).alias("node"))
+           .unionAll(edges.select(F.col(dst).alias("node")))
+           .groupBy("node").agg(F.count("*").alias("_deg")))
+    bin_ = F.floor(F.log(F.col("_deg").cast("double")) / F.log(F.lit(2.0)))
+    return (deg.groupBy(bin_.cast("bigint").alias("degree_bin"))
+            .agg(F.count("*").cast("bigint").alias("n_nodes"),
+                 F.min("_deg").cast("bigint").alias("min_degree"),
+                 F.max("_deg").cast("bigint").alias("max_degree")))

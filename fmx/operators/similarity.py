@@ -26,7 +26,7 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
-           "hard_negatives", "ndcg_eval"]
+           "hard_negatives", "ndcg_eval", "range_search"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -859,3 +859,21 @@ def ndcg_eval(pred: DataFrame, truth: DataFrame,
                     / F.col("_idcg")).alias("_ndcg")))
     return per.agg(F.count("*").cast("bigint").alias("n_queries"),
                    F.round(F.avg("_ndcg"), 6).alias("ndcg_at_k"))
+
+
+def range_search(corpus: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, min_cosine: float,
+                 query_id: str = "query_id") -> DataFrame:
+    """Cosine RANGE search: every corpus item with cosine >=
+    ``min_cosine`` of each query — the radius-query companion to
+    :func:`cosine_topk` (FAISS range_search): duplicate sweeps and
+    "all sufficiently similar" retrieval want a threshold, not a k.
+
+    Shares ``_cosine_pairs`` (broadcast query side, hoisted norms,
+    one 6dp round defining the threshold comparison), then a map-side
+    filter — no window at all, so output size is data-determined and
+    the plan is scan + filter.  At 10^9 vectors swap the exact pair
+    source for the IVF-PQ shortlist with the same threshold contract.
+    """
+    sim = _cosine_pairs(corpus, queries, id_col, vec_col, query_id)
+    return sim.filter(F.col("cosine") >= float(min_cosine))

@@ -138,11 +138,15 @@ _PRIORITY = [
     "text_contamination",
     "multimodal_payload_stats",
     "tpch_q10_returned_items",
-    # (Window full at 50.  Prior rotation history lives in git: the r6
-    # window at commit 5207f57^, r5 at ded7618, r4 and earlier in this
-    # file's log.  Everything rotated out is r4+-green and remains
-    # covered by the sf0.001+sf0.01 oracle harness every round; bench
-    # headliners additionally run per-round.)
+    # (Window full at 50.  Round-7 additions — feat_frequency_encode,
+    # feat_target_encode_kfold, feat_quantile_bins, feat_onehot_topk,
+    # graph_degree_distribution, dq_freshness, ann_range_search — are
+    # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
+    # round, first driver row next round.  Prior rotation history lives
+    # in git: the r6 window at commit 5207f57^, r5 at ded7618, r4 and
+    # earlier in this file's log.  Everything rotated out is r4+-green
+    # and remains covered by the sf0.001+sf0.01 oracle harness every
+    # round; bench headliners additionally run per-round.)
 ]
 
 

@@ -2516,3 +2516,211 @@ def eval_pr_auc(spark, sf):
         F.round(F.sum((F.col("tp") - F.col("tp_prev")) / F.col("pos")
                       * (F.col("tp") / (F.col("tp") + F.col("fp")))),
                 6).alias("pr_auc"))
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: feature encoders (k-fold / frequency / quantile /
+# one-hot vocab), graph degree profile, data-freshness gate
+# ---------------------------------------------------------------------------
+
+_KF_U = ("(CAST(concat('0x', substring(md5(concat('kfold:42:', "
+         "CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+         " / 1152921504606846976.0)")
+
+
+@query(
+    "feat_frequency_encode",
+    oracle="""
+    WITH g AS (SELECT o_orderkey, o_custkey,
+                      count(*) OVER (PARTITION BY o_custkey) AS c,
+                      count(*) OVER () AS n
+               FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           round(CAST(c AS DOUBLE) / n, 6) AS freq
+    FROM g
+    """)
+def feat_frequency_encode(spark, sf):
+    """Frequency encoding of customer id over orders — each row gains
+    its key's share of the table (fmx.operators.features.
+    frequency_encode).  One key hash-agg + 1-row total broadcast +
+    null-safe equi-join back (broadcast-pinned: the encoder table is
+    dimension-sized); the oracle replays it as per-key windows, same
+    arithmetic at test SF, but the agg+join plan is the hot-key-safe
+    one at 100 TB."""
+    from fmx.operators.features import frequency_encode
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    enc = frequency_encode(o, "o_custkey", broadcast_keys=True)
+    return enc.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                      F.col("o_custkey").cast(BIG).alias("o_custkey"),
+                      F.round("freq", 6).alias("freq"))
+
+
+@query(
+    "feat_target_encode_kfold",
+    oracle=f"""
+    WITH u AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                      CAST(floor({_KF_U} * 5) AS BIGINT) AS fold
+               FROM orders),
+    g AS (SELECT *,
+                 sum(o_totalprice) OVER (PARTITION BY o_custkey) AS s,
+                 count(*) OVER (PARTITION BY o_custkey) AS c,
+                 sum(o_totalprice) OVER (PARTITION BY o_custkey, fold)
+                     AS sf,
+                 count(*) OVER (PARTITION BY o_custkey, fold) AS cf
+          FROM u),
+    p AS (SELECT avg(o_totalprice) AS prior FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, fold,
+           round((s - sf + 10.0 * prior) / (c - cf + 10.0), 6) AS enc
+    FROM g, p
+    """)
+def feat_target_encode_kfold(spark, sf):
+    """K-fold out-of-fold target encoding (fmx.operators.features.
+    target_encode_kfold): deterministic md5 fold per order, encoding =
+    smoothed mean target of the customer over the OTHER four folds —
+    the generalized leakage-free encoder (LOO is the n-fold limit).
+    One (key, fold) hash-agg, totals re-aggregated from the partials
+    over the <= 5-row-per-key relation, 1-row prior broadcast, one
+    equi-join back.  The oracle replays the identical md5 coin and
+    window arithmetic."""
+    from fmx.operators.features import target_encode_kfold
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                      "o_totalprice")
+    enc = target_encode_kfold(o, "o_custkey", "o_totalprice",
+                              id_col="o_orderkey", n_folds=5,
+                              smoothing=10.0, seed=42,
+                              broadcast_keys=True)
+    return enc.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                      F.col("fold").cast(BIG).alias("fold"),
+                      F.round("enc", 6).alias("enc"))
+
+
+@query(
+    "feat_quantile_bins",
+    oracle="""
+    WITH v AS (SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS price_cents
+               FROM orders),
+    c AS (SELECT quantile_cont(price_cents, 0.25) AS q1,
+                 quantile_cont(price_cents, 0.50) AS q2,
+                 quantile_cont(price_cents, 0.75) AS q3
+          FROM v)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, price_cents,
+           CAST((CASE WHEN price_cents >= q1 THEN 1 ELSE 0 END
+               + CASE WHEN price_cents >= q2 THEN 1 ELSE 0 END
+               + CASE WHEN price_cents >= q3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS bucket
+    FROM v, c
+    """)
+def feat_quantile_bins(spark, sf):
+    """Equal-frequency quartile bucketing of order value
+    (fmx.operators.features.quantile_bucketize): ONE exact-percentile
+    agg (1 row, broadcast back) — no sort, no data shuffle.  Values
+    enter as integer cents so interpolated cutpoints can never sit
+    within float-epsilon of a data value (the engine-portability
+    argument in the operator docstring); the oracle replays the bucket
+    arithmetic from quantile_cont."""
+    from fmx.operators.features import quantile_bucketize
+
+    v = (T(spark, sf, "orders")
+         .select("o_orderkey",
+                 F.floor(F.col("o_totalprice") * 100 + 0.5).cast(BIG)
+                 .alias("price_cents")))
+    out = quantile_bucketize(v, "price_cents")
+    return out.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                      "price_cents",
+                      F.col("bucket").cast(BIG).alias("bucket"))
+
+
+@query(
+    "feat_onehot_topk",
+    oracle="""
+    WITH cnt AS (SELECT p_type, count(*) AS n FROM part GROUP BY p_type),
+    v AS (SELECT p_type, row_number() OVER (ORDER BY n DESC, p_type) - 1
+                 AS idx
+          FROM cnt
+          QUALIFY row_number() OVER (ORDER BY n DESC, p_type) <= 10)
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_type,
+           CAST(coalesce(v.idx, -1) AS BIGINT) AS cat_index
+    FROM part p LEFT JOIN v ON p.p_type = v.p_type
+    """)
+def feat_onehot_topk(spark, sf):
+    """Top-10 vocabulary indexing of part type (fmx.operators.
+    features.onehot_topk): the 10 most frequent categories get stable
+    indices (count desc, value asc), the tail maps to -1 — the
+    bounded-vocabulary one-hot/embedding-table encoder.  The ranking
+    window runs over the aggregated category relation (bounded by
+    category cardinality, never row grain); the vocabulary broadcasts
+    back."""
+    from fmx.operators.features import onehot_topk
+
+    p = T(spark, sf, "part").select("p_partkey", "p_type")
+    out = onehot_topk(p, "p_type", k=10)
+    return out.select(F.col("p_partkey").cast(BIG).alias("p_partkey"),
+                      "p_type",
+                      F.col("cat_index").cast(BIG).alias("cat_index"))
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node FROM e
+            UNION ALL SELECT dst AS node FROM e),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node)
+    SELECT CAST(floor(ln(CAST(d AS DOUBLE)) / ln(2.0)) AS BIGINT)
+               AS degree_bin,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """)
+def graph_degree_distribution(spark, sf):
+    """Log2-binned degree histogram of the co-purchase part graph
+    (fmx.operators.graph.degree_distribution) — the heavy-tail
+    diagnostic run before any per-neighbor join to decide whether hubs
+    need salting/caps.  Two bounded aggs (node-grain degrees, <= 64
+    bin rows); no joins, no windows; same 32-item basket cap as every
+    co-purchase query."""
+    from fmx.operators.graph import degree_distribution
+
+    return degree_distribution(_copurchase_edges(spark, sf))
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH per AS (SELECT event_type, max(ts) AS last_ts FROM events
+                 GROUP BY event_type),
+    g AS (SELECT max(ts) AS gmax FROM events)
+    SELECT event_type,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round((epoch(gmax) - epoch(last_ts)) / 3600.0, 4)
+               AS lag_hours,
+           (epoch(gmax) - epoch(last_ts)) / 3600.0 > 24.0 AS stale
+    FROM per, g
+    """)
+def dq_freshness(spark, sf):
+    """Per-source data-freshness gate (fmx.operators.dq.freshness_lag):
+    each event type's newest timestamp vs the dataset's newest, lag in
+    hours, stale flag at 24h — the "did source X stop delivering"
+    check before an incremental promotion.  One scan: a (group)
+    max-agg + a 1-row global-max broadcast; measured from the global
+    max (no wall clock) so the same frame always grades the same."""
+    from fmx.operators.dq import freshness_lag
+
+    ev = T(spark, sf, "events")
+    out = freshness_lag(ev, "event_type", "ts", warn_lag_hours=24.0)
+    return out.select(
+        "event_type",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "lag_hours", "stale")

@@ -1095,3 +1095,39 @@ def emb_label_separation(spark, sf):
                     F.round("sw", 4).alias("within_scatter"),
                     F.round(F.col("sb") / F.col("sw"), 6)
                     .alias("fisher_ratio")))
+
+
+RANGE_TAU = 0.3
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+    WITH {_EX},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id AS vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine
+    FROM sims WHERE cosine >= {RANGE_TAU}
+    """)
+def ann_range_search(spark, sf):
+    """Cosine RANGE search (radius query, FAISS range_search shape):
+    all corpus vectors with cosine >= 0.3 of each query vector —
+    threshold retrieval for duplicate sweeps where k is unknown.
+    Shares the cosine_topk pair relation (broadcast queries, hoisted
+    norms, one 6dp round defining the comparison) and ends in a
+    map-side filter: NO ranking window anywhere
+    (fmx.operators.similarity.range_search)."""
+    emb = T(spark, sf, "embeddings")
+    out = S.range_search(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                         "vec_id", "embedding", min_cosine=RANGE_TAU)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "cosine")

@@ -189,3 +189,42 @@ def test_round6_queries_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     bad = [n for n in names if a[n] != b[n]]
     assert not bad, bad
+
+
+def test_round7_queries_partition_invariant(spark, sf_dir):
+    """Pure-function-of-the-data invariant for the round-7 additions:
+    fold coins, percentile cutpoints, vocab rank ties, degree bins,
+    freshness lags, range-search thresholds, CSV round-trip checksums
+    — none may depend on parallelism."""
+    import math
+
+    import fmx.queries as Q
+
+    names = ["s1_csv_roundtrip", "feat_frequency_encode",
+             "feat_target_encode_kfold", "feat_quantile_bins",
+             "feat_onehot_topk", "graph_degree_distribution",
+             "dq_freshness", "ann_range_search"]
+    ALL = Q.all_queries()
+
+    def snap():
+        out = {}
+        for n in names:
+            df = ALL[n].fn(spark, sf_dir).toPandas()
+            cols = sorted(df.columns)
+            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
+                          else (round(v, 9) if isinstance(v, float) else v)
+                          for v in row)
+                    for row in df[cols].itertuples(index=False)]
+            out[n] = sorted(rows, key=repr)
+        return out
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snap()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    bad = [n for n in names if a[n] != b[n]]
+    assert not bad, bad

@@ -1611,3 +1611,114 @@ def test_ndcg_perfect_and_reversed_rankings(spark):
         [(0, i + 100, i) for i in range(1, 6)],
         ["query_id", "vec_id", "rank"])
     assert S.ndcg_eval(miss, t, k=5).collect()[0].ndcg_at_k == 0.0
+
+
+def test_target_encode_kfold_out_of_fold_math(spark):
+    """The encoding must equal the hand-computed out-of-fold smoothed
+    mean, replaying the md5 fold coin in Python; a key confined to one
+    fold must encode as the global prior for its own rows."""
+    import hashlib
+
+    from fmx.operators.features import target_encode_kfold
+
+    rows = [(i, "k" if i < 6 else "solo", float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id int, key string, y double")
+    out = {r.id: r for r in
+           target_encode_kfold(df, "key", "y", id_col="id", n_folds=3,
+                               smoothing=2.0, seed=7).collect()}
+
+    def fold(i):
+        h = hashlib.md5(f"kfold:7:{i}".encode()).hexdigest()[:15]
+        return int(int(h, 16) / 2**60 * 3)
+
+    prior = sum(float(i) for i in range(8)) / 8
+    by_kf, by_k = {}, {}
+    for i, k, y in rows:
+        f = fold(i)
+        s, c = by_kf.get((k, f), (0.0, 0))
+        by_kf[(k, f)] = (s + y, c + 1)
+        s, c = by_k.get(k, (0.0, 0))
+        by_k[k] = (s + y, c + 1)
+    for i, k, y in rows:
+        f = fold(i)
+        sf_, cf = by_kf[(k, f)]
+        s, c = by_k[k]
+        want = (s - sf_ + 2.0 * prior) / (c - cf + 2.0)
+        assert abs(out[i].enc - want) < 1e-9, (i, out[i].enc, want)
+        assert out[i].fold == f
+    # 'solo' keys that share one fold with all their rows -> exactly
+    # the prior when their fold holds every row of the key
+    for i, k, _ in rows:
+        if k == "solo" and by_kf[(k, fold(i))][1] == by_k[k][1]:
+            assert abs(out[i].enc - prior) < 1e-9
+
+
+def test_quantile_bucketize_quartiles_and_nulls(spark):
+    """1..8 quartile-bucket as 0,0,1,1,2,2,3,3; NULL stays NULL."""
+    from fmx.operators.features import quantile_bucketize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)] + [(99, None)],
+        "id int, v double")
+    got = {r.id: r.bucket for r in
+           quantile_bucketize(df, "v").collect()}
+    assert [got[i] for i in range(1, 9)] == [0, 0, 1, 1, 2, 2, 3, 3]
+    assert got[99] is None
+
+
+def test_onehot_topk_rank_ties_and_other(spark):
+    """Vocabulary indices order by (count desc, value asc); out-of-vocab
+    and NULL categories map to -1."""
+    from fmx.operators.features import onehot_topk
+
+    rows = ([("a",)] * 3 + [("b",)] * 3 + [("c",)] * 2
+            + [("d",)] * 1 + [(None,)])
+    df = spark.createDataFrame(rows, "cat string")
+    got = {r.cat: r.cat_index
+           for r in onehot_topk(df, "cat", k=3).distinct().collect()}
+    # tie a/b broken by value: a=0, b=1; c=2; d falls out of top-3
+    assert got == {"a": 0, "b": 1, "c": 2, "d": -1, None: -1}
+
+
+def test_degree_distribution_bins(spark):
+    """Path graph a-b-c-d: two degree-1 nodes bin 0, two degree-2
+    nodes bin 1."""
+    from fmx.operators.graph import degree_distribution
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
+                              "src string, dst string")
+    got = {r.degree_bin: (r.n_nodes, r.min_degree, r.max_degree)
+           for r in degree_distribution(e).collect()}
+    assert got == {0: (2, 1, 1), 1: (2, 2, 2)}
+
+
+def test_freshness_lag_flags_stale_sources(spark):
+    """Lag measures from the GLOBAL max; > warn hours flags stale."""
+    from fmx.operators.dq import freshness_lag
+
+    df = spark.createDataFrame(
+        [("fresh", "2024-01-02 00:00:00"),
+         ("old", "2024-01-01 00:00:00"),
+         ("ancient", "2023-12-30 12:00:00")],
+        "src string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    got = {r.src: r for r in
+           freshness_lag(df, "src", "ts", warn_lag_hours=24.0).collect()}
+    assert got["fresh"].lag_hours == 0.0 and not got["fresh"].stale
+    assert got["old"].lag_hours == 24.0 and not got["old"].stale
+    assert got["ancient"].lag_hours == 60.0 and got["ancient"].stale
+
+
+def test_range_search_threshold_semantics(spark):
+    """Everything at or above the cosine threshold is returned (no k
+    cap), self-pairs excluded, sub-threshold items absent."""
+    from fmx.operators.similarity import range_search
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.9, 0.5]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {(r.query_id, r.vec_id): r.cosine for r in
+           range_search(emb, emb.filter(F.col("vec_id") == 0),
+                        "vec_id", "embedding", min_cosine=0.8).collect()}
+    assert set(got) == {(0, 1), (0, 2)}
+    assert all(v >= 0.8 for v in got.values())

@@ -98,6 +98,11 @@ _ALLOWED = {
         "eval_rank_auc",                            # 1-row min/max broadcast
         "eval_ks_split_drift",                      # 1-row min/max broadcast
         "feat_target_encode_loo",                   # 1-row prior broadcast
+        "feat_target_encode_kfold",                 # 1-row prior broadcast
+        "feat_frequency_encode",                    # 1-row total broadcast
+        "feat_quantile_bins",                       # 1-row cutpoint broadcast
+        "dq_freshness",                             # 1-row global-max broadcast
+        "ann_range_search",                         # broadcast query-set cross
         "profile_gini_binned",      # 1-row min/max + count broadcasts
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
@@ -121,6 +126,8 @@ _ALLOWED = {
         "dedup_semantic", "dq_table_diff_drilldown",
         "emb_normalize", "emb_quantize",
         "sample_pareto_frontier",   # null-axis guard on computed axes
+        "feat_target_encode_kfold",  # join key includes the md5 fold
+        "feat_onehot_topk",          # rank filter on the vocab relation
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
         "rolling_7d_hll_users",
@@ -148,6 +155,7 @@ _ALLOWED = {
         "ts_cusum_changepoint",     # cumsum over calendar-bounded days
         "ts_concurrent_orders",     # cumsum over calendar-bounded days
         "ts_autocorrelation",       # lag over calendar-bounded days
+        "feat_onehot_topk",         # rank over the bounded vocab relation
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
