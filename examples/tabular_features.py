@@ -97,6 +97,25 @@ def main() -> None:
           f"{baseline:.2f})")
     print("leakage-free: val features derive from train labels only")
 
+    # 6. the k-fold variant (coarser leakage control than LOO — the
+    # recipe when the same frame later trains one model per fold) plus
+    # discretized features: quartile-bucketed target, top-K key vocab
+    from fmx.operators.features import (onehot_topk, quantile_bucketize,
+                                        target_encode_kfold)
+
+    kf = target_encode_kfold(train, "o_custkey", "o_totalprice",
+                             id_col="o_orderkey", n_folds=5,
+                             smoothing=SMOOTH, seed=7)
+    print(f"train 5-fold MAE {mae(kf):.2f}  (out-of-fold encodings)")
+    feats = onehot_topk(
+        quantile_bucketize(train, "o_totalprice", out_col="price_q"),
+        "o_custkey", k=100)
+    q_counts = (feats.groupBy("price_q").count()
+                .orderBy("price_q").collect())
+    in_vocab = feats.filter(F.col("cat_index") >= 0).count()
+    print("price quartile sizes", [r["count"] for r in q_counts],
+          f"(equal-frequency); top-100 vocab covers {in_vocab} rows")
+
     spark.stop()
 
 

@@ -15,7 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["check_expectations", "failing_rows", "table_diff",
-           "checksum_registers", "table_diff_drilldown", "freshness_lag"]
+           "checksum_registers", "table_diff_drilldown", "freshness_lag",
+           "freshness_from_registers"]
 
 
 def check_expectations(df: DataFrame,
@@ -213,14 +214,28 @@ def freshness_lag(df: DataFrame, group_col: str, ts_col: str,
     same frame always grades the same) and stale flags lags over
     ``warn_lag_hours``.
 
-    One scan: a (group) max-agg plus a 1-row global-max broadcast.
-    The register is max-mergeable, so the same fold runs incrementally
-    over arriving batches."""
+    One scan: a (group) max-agg plus a 1-row global-max broadcast
+    (the global max folds FROM the per-group registers — the scan is
+    not read twice).  The register is max-mergeable, so the same fold
+    runs incrementally over arriving batches / streaming snapshots
+    (see fmx.streaming.ops.stream_freshness_registers) — report
+    derivation is ONE definition, :func:`freshness_from_registers`."""
     per = df.groupBy(group_col).agg(F.max(ts_col).alias("last_ts"))
-    glob = df.agg(F.max(ts_col).alias("_gmax"))
+    return freshness_from_registers(per, group_col, warn_lag_hours)
+
+
+def freshness_from_registers(registers: DataFrame, group_col: str,
+                             warn_lag_hours: float = 24.0) -> DataFrame:
+    """Fold a (group, last_ts) max-register table (batch
+    ``freshness_lag`` internals or ``stream_freshness_registers``
+    snapshots — registers from several sources merge by group-max
+    first) into the freshness report: (group, last_ts, lag_hours,
+    stale).  Runs entirely on the group-count-bounded register
+    relation: one max-agg + a 1-row broadcast."""
+    glob = registers.agg(F.max("last_ts").alias("_gmax"))
     lag_h = ((F.col("_gmax").cast("double")
               - F.col("last_ts").cast("double")) / 3600.0)
-    return (per.crossJoin(F.broadcast(glob))
+    return (registers.crossJoin(F.broadcast(glob))
             .select(group_col, "last_ts",
                     F.round(lag_h, 4).alias("lag_hours"),
                     (lag_h > float(warn_lag_hours)).alias("stale")))

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers",
            "robust_scale", "chi2_independence", "winsorized_mean",
-           "bootstrap_mean_ci", "POISSON1_CDF"]
+           "bootstrap_mean_ci", "POISSON1_CDF", "corr_matrix"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -303,3 +303,25 @@ def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
         F.round(sd, 6).alias("boot_sd"),
         F.round(F.col("_mean") - z * sd, 6).alias("ci_lo"),
         F.round(F.col("_mean") + z * sd, 6).alias("ci_hi"))
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix of numeric columns in ONE
+    aggregation pass: (col_a, col_b, corr) for every a < b pair — the
+    dataset-card redundancy/multicollinearity readout.
+
+    All k(k-1)/2 corr aggregates run in a single scan with map-side
+    partial aggregation (never one job per pair); the long-format
+    explode happens on the 1-row aggregate.  Keep k modest (pairs grow
+    quadratically in the AGGREGATE list, not in data passes)."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if not pairs:
+        raise ValueError("corr_matrix needs at least two columns")
+    aggs = [F.corr(a, b).alias(f"_c_{i}") for i, (a, b) in enumerate(pairs)]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col(f"_c_{i}").alias("corr"))
+        for i, (a, b) in enumerate(pairs)])
+    return (one.select(F.explode(rows).alias("r"))
+            .select("r.col_a", "r.col_b", "r.corr"))

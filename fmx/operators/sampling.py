@@ -26,7 +26,8 @@ __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
            "pack_sequences", "temperature_mixture", "per_group_cap",
            "weighted_sample_per_group", "negative_sample",
            "length_buckets", "pack_manifest", "token_budget_mix",
-           "pareto_frontier", "matched_pairs", "dsir_weights"]
+           "pareto_frontier", "matched_pairs", "dsir_weights",
+           "time_split_embargo"]
 
 _TWO60 = float(2 ** 60)
 
@@ -510,3 +511,37 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_tokens"),
                  F.round(F.avg("_llr"), 6).alias("weight")))
+
+
+def time_split_embargo(df: DataFrame, ts_col: str,
+                       cut_quantile: float = 0.8,
+                       embargo_hours: float = 24.0,
+                       out_col: str = "split") -> DataFrame:
+    """Temporal train/eval split with a purge gap: rows up to
+    (cut - embargo) train, rows after the cut evaluate, and the
+    embargo band between them is EXCLUDED from both — the time-series
+    discipline that prevents look-ahead leakage through windowed
+    features and near-boundary autocorrelation (the purged-split
+    recipe from financial ML).
+
+    The cut is the ``cut_quantile`` exact percentile of the epoch
+    seconds — data-derived, so the same frame always splits the same
+    (no wall clock), and integer-second inputs keep the interpolated
+    cut engine-exact for the DuckDB oracle (see quantile_bucketize's
+    portability note).
+
+    Scale shape: ONE percentile agg (1 row, broadcast back) + a
+    map-side CASE — no shuffle of the data.  Labels: 'train',
+    'embargo', 'eval'.
+    """
+    epoch = F.col(ts_col).cast("double").cast("bigint")
+    cut = df.agg(F.percentile(epoch, F.lit(float(cut_quantile)))
+                 .alias("_cut"))
+    gap = float(embargo_hours) * 3600.0
+    lab = (F.when(epoch.cast("double") <= F.col("_cut") - gap,
+                  F.lit("train"))
+           .when(epoch.cast("double") > F.col("_cut"), F.lit("eval"))
+           .otherwise(F.lit("embargo")))
+    return (df.crossJoin(F.broadcast(cut))
+            .withColumn(out_col, lab)
+            .drop("_cut"))

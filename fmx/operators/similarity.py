@@ -26,7 +26,7 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
-           "hard_negatives", "ndcg_eval", "range_search"]
+           "hard_negatives", "ndcg_eval", "range_search", "pca_project"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -877,3 +877,28 @@ def range_search(corpus: DataFrame, queries: DataFrame, id_col: str,
     """
     sim = _cosine_pairs(corpus, queries, id_col, vec_col, query_id)
     return sim.filter(F.col("cosine") >= float(min_cosine))
+
+
+def pca_project(df: DataFrame, id_col: str, vec_col: str,
+                eig_vec: DataFrame) -> DataFrame:
+    """Project every vector onto a principal direction: (id, pc1) with
+    pc1 = <x, v> for the (i, v) eigenvector relation produced by
+    :func:`power_iteration_top_eig` — the dimensionality-reduction /
+    corpus-drift score that completes the distributed-PCA story
+    (gram_matrix -> power iteration -> THIS projection).
+
+    Scale shape: the d-row eigenvector folds to a ONE-ROW ordered
+    array (collect_list over the bounded relation, sorted by i) that
+    broadcasts; the projection is then a map-only zip_with dot fold
+    over the corpus — no explode, no shuffle, no per-row join.  Sign
+    is deterministic (all-ones power-iteration start)."""
+    varr = eig_vec.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "v"))),
+                    lambda s: s["v"]).alias("_v"))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("_v"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, t: acc + t)
+    return (df.crossJoin(F.broadcast(varr))
+            .select(F.col(id_col), dot.alias("pc1"))
+            .drop("_v"))

@@ -140,7 +140,10 @@ _PRIORITY = [
     "tpch_q10_returned_items",
     # (Window full at 50.  Round-7 additions — feat_frequency_encode,
     # feat_target_encode_kfold, feat_quantile_bins, feat_onehot_topk,
-    # graph_degree_distribution, dq_freshness, ann_range_search — are
+    # graph_degree_distribution, dq_freshness, ann_range_search,
+    # eval_lift_deciles, sample_time_split_embargo, emb_pca_project,
+    # profile_corr_matrix (+ the streaming
+    # register family gained stream_freshness_registers) — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives
     # in git: the r6 window at commit 5207f57^, r5 at ded7618, r4 and

@@ -2724,3 +2724,98 @@ def dq_freshness(spark, sf):
         "event_type",
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         "lag_hours", "stale")
+
+
+LIFT_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def _lift_oracle() -> str:
+    cuts = ", ".join(f"quantile_cont(s, {q}) AS q{i}"
+                     for i, q in enumerate(LIFT_QS, 1))
+    bucket = " + ".join(f"CASE WHEN s >= q{i} THEN 1 ELSE 0 END"
+                        for i in range(1, len(LIFT_QS) + 1))
+    return f"""
+    WITH sc AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END AS y
+                FROM events WHERE value IS NOT NULL),
+    c AS (SELECT {cuts} FROM sc),
+    b AS (SELECT 10 - ({bucket}) AS decile, y FROM sc, c),
+    o AS (SELECT sum(y) * 1.0 / count(*) AS rate FROM sc)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(sum(y) * 1.0 / count(*), 6) AS resp_rate,
+           round((sum(y) * 1.0 / count(*)) / rate, 6) AS lift
+    FROM b, o GROUP BY decile, rate
+    """
+
+
+@query("eval_lift_deciles", oracle=_lift_oracle())
+def eval_lift_deciles(spark, sf):
+    """Model lift table: events deciled by score (purchase-value cents,
+    decile 1 = highest), per-decile response rate and lift over the
+    base rate — the campaign-targeting readout that complements AUC
+    (eval_rank_auc) and calibration (eval_calibration_bins).
+
+    Composes fmx.operators.features.quantile_bucketize (one exact-
+    percentile agg broadcast back; integer-cents feed keeps the nine
+    cutpoint comparisons engine-exact) + a decile-grain agg + a 1-row
+    base-rate broadcast.  No windows; nothing beyond decile grain
+    shuffles."""
+    from fmx.operators.features import quantile_bucketize
+
+    sc = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                  .alias("s"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    dec = (quantile_bucketize(sc, "s", quantiles=LIFT_QS, out_col="_b")
+           .withColumn("decile", (F.lit(10) - F.col("_b")).cast(BIG)))
+    rate = sc.agg((F.sum("y") * 1.0 / F.count("*")).alias("_rate"))
+    per = dec.groupBy("decile").agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum("y").cast(BIG).alias("n_pos"))
+    return (per.crossJoin(F.broadcast(rate))
+            .select("decile", "n", "n_pos",
+                    F.round(F.col("n_pos") * 1.0 / F.col("n"), 6)
+                    .alias("resp_rate"),
+                    F.round((F.col("n_pos") * 1.0 / F.col("n"))
+                            / F.col("_rate"), 6).alias("lift")))
+
+
+@query(
+    "profile_corr_matrix",
+    oracle="""
+    WITH one AS (SELECT corr(l_quantity, l_extendedprice) AS c0,
+                        corr(l_quantity, l_discount) AS c1,
+                        corr(l_quantity, l_tax) AS c2,
+                        corr(l_extendedprice, l_discount) AS c3,
+                        corr(l_extendedprice, l_tax) AS c4,
+                        corr(l_discount, l_tax) AS c5
+                 FROM lineitem)
+    SELECT col_a, col_b, round(c, 6) AS corr FROM one,
+    (VALUES ('l_quantity', 'l_extendedprice', 0),
+            ('l_quantity', 'l_discount', 1),
+            ('l_quantity', 'l_tax', 2),
+            ('l_extendedprice', 'l_discount', 3),
+            ('l_extendedprice', 'l_tax', 4),
+            ('l_discount', 'l_tax', 5)) AS t(col_a, col_b, k),
+    LATERAL (SELECT CASE k WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+                           WHEN 3 THEN c3 WHEN 4 THEN c4 ELSE c5 END
+                 AS c) AS l
+    """)
+def profile_corr_matrix(spark, sf):
+    """Pairwise Pearson correlations of the four numeric lineitem
+    measures in ONE scan (fmx.operators.profiling.corr_matrix): all
+    six corr aggregates run with map-side partial aggregation, the
+    long-format explode happens on the 1-row aggregate — the
+    dataset-card multicollinearity readout at any scale."""
+    from fmx.operators.profiling import corr_matrix
+
+    li = T(spark, sf, "lineitem")
+    out = corr_matrix(li, ["l_quantity", "l_extendedprice",
+                           "l_discount", "l_tax"])
+    return out.select("col_a", "col_b",
+                      F.round("corr", 6).alias("corr"))

@@ -716,3 +716,33 @@ def sample_class_balance(spark, sf):
     return (c.join(kept, "lang")
             .select("lang", F.col("n").cast("bigint").alias("n_before"),
                     F.col("n_after").cast("bigint").alias("n_after")))
+
+
+@query(
+    "sample_time_split_embargo",
+    oracle="""
+    WITH e AS (SELECT event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ep
+               FROM events),
+    c AS (SELECT quantile_cont(ep, 0.8) AS cut FROM e)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CASE WHEN ep <= cut - 86400.0 THEN 'train'
+                WHEN ep > cut THEN 'eval'
+                ELSE 'embargo' END AS split
+    FROM e, c
+    """)
+def sample_time_split_embargo(spark, sf):
+    """Temporal split with a 24h purge gap (fmx.operators.sampling.
+    time_split_embargo): train up to the p80 timestamp minus the
+    embargo, eval strictly after the cut, the band between excluded
+    from both — the purged time-series split that stops look-ahead
+    leakage through windowed features.  One percentile agg (1-row
+    broadcast) + a map-side CASE; the cut is data-derived (no wall
+    clock) and integer epoch seconds keep it engine-exact."""
+    from fmx.operators.sampling import time_split_embargo
+
+    ev = T(spark, sf, "events").select("event_id", "ts")
+    out = time_split_embargo(ev, "ts", cut_quantile=0.8,
+                             embargo_hours=24.0)
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      "split")

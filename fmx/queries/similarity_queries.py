@@ -1131,3 +1131,55 @@ def ann_range_search(spark, sf):
     return out.select(F.col("query_id").cast("bigint").alias("query_id"),
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "cosine")
+
+
+@query(
+    "emb_pca_project",
+    oracle="""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    g AS (SELECT a.pos AS i, b.pos AS j, sum(a.x * b.x) AS gram
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+          GROUP BY a.pos, b.pos),
+    gf AS (SELECT i, j, gram FROM g
+           UNION ALL SELECT j AS i, i AS j, gram FROM g WHERE i <> j),
+    v0 AS (SELECT DISTINCT i, 1.0 AS v FROM gf),
+    n0 AS (SELECT sqrt(sum(v * v)) AS n FROM v0),
+    v0n AS (SELECT i, v / n AS v FROM v0, n0),
+    w1 AS (SELECT gf.i AS i, sum(gf.gram * v0n.v) AS w
+           FROM gf JOIN v0n ON gf.j = v0n.i GROUP BY gf.i),
+    n1 AS (SELECT sqrt(sum(w * w)) AS n FROM w1),
+    v1 AS (SELECT i, w / n AS v FROM w1, n1),
+    w2 AS (SELECT gf.i AS i, sum(gf.gram * v1.v) AS w
+           FROM gf JOIN v1 ON gf.j = v1.i GROUP BY gf.i),
+    n2 AS (SELECT sqrt(sum(w * w)) AS n FROM w2),
+    -- v is ROUNDED to 6dp before projecting (both engines): the raw
+    -- components differ across engines at ~1e-9 (gram summation
+    -- order), which a 64-term dot amplifies past the output round's
+    -- boundary; rounding first makes the projection input identical
+    vf AS (SELECT w2.i AS i, round(w2.w / n2.n, 6) AS v FROM w2, n2)
+    SELECT CAST(ex.vec_id AS BIGINT) AS vec_id,
+           round(sum(ex.x * vf.v), 6) AS pc1
+    FROM ex JOIN vf ON ex.pos = vf.i
+    GROUP BY ex.vec_id
+    """)
+def emb_pca_project(spark, sf):
+    """First-principal-component scores for the whole corpus — the
+    projection step that completes distributed PCA (emb_gram_matrix →
+    emb_top_eigvec → THIS): one corpus pass builds the d x d Gramian,
+    two relational power rounds produce the eigenvector, then the
+    d-row vector folds to a ONE-ROW broadcast array and the projection
+    is a map-only zip_with dot per row
+    (fmx.operators.similarity.pca_project — no explode, no join at
+    corpus grain).  Sign is deterministic (all-ones start).  The
+    oracle replays the identical arithmetic row-grain."""
+    emb = T(spark, sf, "embeddings")
+    eig = S.power_iteration_top_eig(S.gram_matrix(emb, "embedding"),
+                                    rounds=2)
+    # 6dp-round v BEFORE projecting (mirrored in the oracle): makes
+    # the dot-product input engine-identical — see the oracle comment
+    eig = eig.select("i", F.round("v", 6).alias("v"))
+    out = S.pca_project(emb, "vec_id", "embedding", eig)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.round("pc1", 6).alias("pc1"))

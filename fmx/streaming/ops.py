@@ -652,3 +652,18 @@ def stream_bloom_registers(events: DataFrame,
     return (events.filter(F.col(value_col).isNotNull())
             .select(F.explode(pos).alias("pos"))
             .dropDuplicates(["pos"]))
+
+
+def stream_freshness_registers(rows: DataFrame, group_col: str,
+                               ts_col: str) -> DataFrame:
+    """Streaming data-freshness state: per-group newest event time —
+    a MAX register, so state is exactly one row per group forever (no
+    watermark; max merges across batches and across partitions).
+    Emit in update/complete mode and derive the lag report with
+    ``fmx.operators.dq.freshness_from_registers`` wherever the
+    registers are consumed — the streaming side of the
+    did-source-X-stop-delivering gate (batch twin:
+    ``fmx.operators.dq.freshness_lag``).  Extends the mergeable-
+    register family: HLL (max), hist/CMS/checksum (sum), Bloom (or),
+    freshness (max)."""
+    return rows.groupBy(group_col).agg(F.max(ts_col).alias("last_ts"))

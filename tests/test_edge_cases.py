@@ -203,7 +203,9 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
     names = ["s1_csv_roundtrip", "feat_frequency_encode",
              "feat_target_encode_kfold", "feat_quantile_bins",
              "feat_onehot_topk", "graph_degree_distribution",
-             "dq_freshness", "ann_range_search"]
+             "dq_freshness", "ann_range_search", "eval_lift_deciles",
+             "sample_time_split_embargo", "emb_pca_project",
+             "profile_corr_matrix"]
     ALL = Q.all_queries()
 
     def snap():

@@ -70,6 +70,7 @@ def test_data_selection_example_runs(tmp_path):
 def test_tabular_features_example_runs(tmp_path):
     stdout = _run("tabular_features.py")
     assert "leakage-free" in stdout and "val MAE" in stdout
+    assert "5-fold MAE" in stdout and "quartile sizes" in stdout
 
 
 def test_monitoring_example_runs(tmp_path):

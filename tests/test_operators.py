@@ -1722,3 +1722,70 @@ def test_range_search_threshold_semantics(spark):
                         "vec_id", "embedding", min_cosine=0.8).collect()}
     assert set(got) == {(0, 1), (0, 2)}
     assert all(v >= 0.8 for v in got.values())
+
+
+def test_time_split_embargo_bands(spark):
+    """Train strictly below cut-embargo, eval strictly above the cut,
+    embargo band excluded from both; labels partition the frame."""
+    from fmx.operators.sampling import time_split_embargo
+
+    # 10 hourly events: p80 of epoch = between 8th and 9th hour
+    rows = [(i, f"2024-01-01 {i:02d}:00:00") for i in range(10)]
+    df = (spark.createDataFrame(rows, "id int, ts string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    got = {r.id: r.split
+           for r in time_split_embargo(df, "ts", cut_quantile=0.8,
+                                       embargo_hours=3.0).collect()}
+    assert len(got) == 10
+    # cut = 7.2h -> eval: hours 8, 9; embargo: (4.2, 7.2] -> 5, 6, 7;
+    # train: <= 4.2 -> 0..4
+    assert [got[i] for i in range(10)] == (
+        ["train"] * 5 + ["embargo"] * 3 + ["eval"] * 2)
+
+
+def test_lift_deciles_partition_and_rates(spark, sf_dir):
+    """Deciles partition the scored rows; lift = resp_rate / base rate
+    and the n-weighted mean of resp_rate recovers the base rate."""
+    import fmx.queries as Q
+
+    rows = Q.all_queries()["eval_lift_deciles"].fn(spark, sf_dir).collect()
+    n_total = sum(r.n for r in rows)
+    n_pos = sum(r.n_pos for r in rows)
+    base = n_pos / n_total
+    for r in rows:
+        assert abs(r.resp_rate - r.n_pos / r.n) < 1e-6
+        assert abs(r.lift - (r.n_pos / r.n) / base) < 1e-4
+    assert 1 <= min(r.decile for r in rows) and max(
+        r.decile for r in rows) <= 10
+
+
+def test_pca_project_known_vector(spark):
+    """Projection is the plain dot with the (i, v) eigenvector
+    relation, ordered by i regardless of the relation's row order."""
+    from fmx.operators.similarity import pca_project
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    # deliberately out-of-order rows: array_sort must order by i
+    eig = spark.createDataFrame([(1, 0.8), (0, 0.6)], "i long, v double")
+    got = {r.vec_id: r.pc1
+           for r in pca_project(emb, "vec_id", "embedding", eig).collect()}
+    assert abs(got[1] - 0.6) < 1e-12
+    assert abs(got[2] - 1.6) < 1e-12
+    assert abs(got[3] - 5.0) < 1e-12
+
+
+def test_corr_matrix_known_correlations(spark):
+    """Perfect positive / negative correlation and all pairs present."""
+    from fmx.operators.profiling import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1, -3.0 * i) for i in range(10)],
+        "a double, b double, c double")
+    got = {(r.col_a, r.col_b): r.corr
+           for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert abs(got[("a", "b")] - 1.0) < 1e-9
+    assert abs(got[("a", "c")] + 1.0) < 1e-9
+    assert abs(got[("b", "c")] + 1.0) < 1e-9

@@ -94,6 +94,7 @@ _ALLOWED = {
         "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
         "emb_top_eigvec",           # 1-row norm broadcast per round
+        "emb_pca_project",          # 1-row eigvec-array broadcast
         "eval_calibration_bins", "eval_pr_auc",
         "eval_rank_auc",                            # 1-row min/max broadcast
         "eval_ks_split_drift",                      # 1-row min/max broadcast
@@ -103,6 +104,8 @@ _ALLOWED = {
         "feat_quantile_bins",                       # 1-row cutpoint broadcast
         "dq_freshness",                             # 1-row global-max broadcast
         "ann_range_search",                         # broadcast query-set cross
+        "eval_lift_deciles",        # 1-row cutpoint + base-rate broadcasts
+        "sample_time_split_embargo",                # 1-row cut broadcast
         "profile_gini_binned",      # 1-row min/max + count broadcasts
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
@@ -163,7 +166,8 @@ _ALLOWED = {
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
                   # per-batch d x d Gramian partial (gram_matrix)
-                  "emb_gram_matrix", "emb_top_eigvec"},
+                  "emb_gram_matrix", "emb_top_eigvec",
+                  "emb_pca_project"},
     "python-udf": set(),
     "wide-scan": set(),
 }

@@ -721,3 +721,33 @@ def test_stream_bloom_registers_fold_matches_batch(spark, sf_dir):
     probed = bloom_probe(seen, bits, "user_id")
     hit_col = [c for c in probed.columns if c != "user_id"][0]
     assert all(r[hit_col] for r in probed.collect())
+
+
+def test_stream_freshness_registers_fold_matches_batch(spark, sf_dir):
+    """Streaming per-group max-ts registers over the events stream
+    equal the batch fold, and freshness_from_registers over the
+    snapshot reproduces freshness_lag on the batch rows exactly (one
+    definition of the report derivation)."""
+    from fmx.operators.dq import freshness_from_registers, freshness_lag
+    from fmx.sources import load_table
+
+    ev_stream = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(
+        S.stream_freshness_registers(ev_stream, "event_type", "ts"),
+        "fresh_regs", "complete")
+    got = {r.event_type: r.last_ts
+           for r in spark.sql("SELECT * FROM fresh_regs").collect()}
+    q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {r.event_type: r.last_ts
+            for r in ev.groupBy("event_type")
+            .agg(F.max("ts").alias("last_ts")).collect()}
+    assert got == want
+
+    snap = spark.sql("SELECT * FROM fresh_regs")
+    rep = {r.event_type: (r.lag_hours, r.stale)
+           for r in freshness_from_registers(snap, "event_type").collect()}
+    batch = {r.event_type: (r.lag_hours, r.stale)
+             for r in freshness_lag(ev, "event_type", "ts").collect()}
+    assert rep == batch
