@@ -91,15 +91,22 @@ def main() -> None:
     # One timed fit — codegen for every plan shape in the loop is
     # already warm from the sf0.01 fits above, so a single run is
     # attributable (the cold-fit noise the best-of-2 guards against is
-    # paid already).
-    emb_sf = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("features"))
-    train_sf = emb_sf.withColumn(
-        "label", F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
-    t0 = time.perf_counter()
-    model_sf = est.fit(train_sf)
-    model_sf.strength.count(), model_sf.factors.count()
-    train_sf_sec = round(time.perf_counter() - t0, 3)
+    # paid already).  Skipped when the bench SF dir IS the fixed train
+    # dir: the key would collide and the single warm run would
+    # silently overwrite the best-of-2 number.
+    training = {"fm_train_sgd_3iter_sf0.01": train_sec}
+    bench_key = ("fm_train_sgd_3iter_"
+                 + (os.path.basename(sf_dir.rstrip("/")) or "bench"))
+    if os.path.realpath(sf_dir) != os.path.realpath(train_dir):
+        emb_sf = load_table(spark, sf_dir, "embeddings").select(
+            F.col("embedding").cast("array<double>").alias("features"))
+        train_sf = emb_sf.withColumn(
+            "label",
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
+        t0 = time.perf_counter()
+        model_sf = est.fit(train_sf)
+        model_sf.strength.count(), model_sf.factors.count()
+        training[bench_key] = round(time.perf_counter() - t0, 3)
 
     # DuckDB comparator: the reference publishes no benchmark numbers
     # (BASELINE.md), so the external wall-time yardstick is the oracle
@@ -144,8 +151,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "training": {"fm_train_sgd_3iter_sf0.01": train_sec,
-                     f"fm_train_sgd_3iter_sf{sf}": train_sf_sec},
+        "training": training,
         "sf": sf,
     }
     if duck_timings:

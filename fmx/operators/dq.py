@@ -235,7 +235,11 @@ def freshness_from_registers(registers: DataFrame, group_col: str,
     glob = registers.agg(F.max("last_ts").alias("_gmax"))
     lag_h = ((F.col("_gmax").cast("double")
               - F.col("last_ts").cast("double")) / 3600.0)
+    # a group whose last_ts is NULL (only NULL event times) is the
+    # dead-source case this gate exists for: stale must be TRUE, not
+    # NULL (a NULL would pass a `stale` filter unnoticed)
     return (registers.crossJoin(F.broadcast(glob))
             .select(group_col, "last_ts",
                     F.round(lag_h, 4).alias("lag_hours"),
-                    (lag_h > float(warn_lag_hours)).alias("stale")))
+                    F.coalesce(lag_h > float(warn_lag_hours),
+                               F.lit(True)).alias("stale")))

@@ -104,24 +104,34 @@ def target_encode_kfold(df: DataFrame, key_col: str, target_col: str,
 
     A key fully contained in one fold yields prior for its own fold's
     rows (numerator m*prior / denominator m) — defined, no division by
-    zero.  NULL keys form their own group (null-safe join back).
+    zero.  NULL keys form their own group (null-safe join back), and a
+    NULL ``id_col`` deterministically lands in fold 0 (the md5 coin is
+    undefined on NULL; coalescing keeps the row-preserving contract of
+    :func:`target_encode_loo` instead of silently dropping the row
+    through a never-matching NULL-fold join).
 
     Scale shape: one (key, fold) hash-agg (k times the key cardinality,
-    still dimension-sized), totals re-aggregated FROM the partials (no
-    second corpus scan), one 1-row prior broadcast, one (key, fold)
-    equi-join back.  ``broadcast_keys`` pins the join strategy as in
+    still dimension-sized); the key totals AND the global prior both
+    re-aggregate FROM the partials (no second corpus scan); one 1-row
+    prior broadcast; one (key, fold) equi-join back.
+    ``broadcast_keys`` pins the join strategy as in
     :func:`target_encode_loo`.
     """
     from fmx.operators.sampling import hash_uniform01
 
     m = float(smoothing)
     k = int(n_folds)
-    fold = F.floor(hash_uniform01(id_col, "kfold", seed) * k).cast("int")
+    fold = F.coalesce(
+        F.floor(hash_uniform01(id_col, "kfold", seed) * k).cast("int"),
+        F.lit(0))
     with_fold = df.withColumn(fold_col, fold)
     per_kf = (with_fold.groupBy(F.col(key_col).alias("_k"),
                                 F.col(fold_col).alias("_f"))
               .agg(F.sum(target_col).alias("_sf"),
-                   F.count("*").alias("_cf")))
+                   F.count("*").alias("_cf"),
+                   # non-null target count: the prior is avg(target),
+                   # which must not dilute by NULL-target rows
+                   F.count(target_col).alias("_ct")))
     # key totals from the partials: a window over the <= k rows of each
     # key in the (key, fold) relation — dimension-sized, never row grain
     wk = Window.partitionBy("_k")
@@ -130,7 +140,8 @@ def target_encode_kfold(df: DataFrame, key_col: str, target_col: str,
                .withColumn("_c", F.sum("_cf").over(wk)))
     if broadcast_keys:
         enc_tab = F.broadcast(enc_tab)
-    prior = df.agg(F.avg(target_col).alias("_prior"))
+    # global prior from the SAME partials — not a second corpus scan
+    prior = per_kf.agg((F.sum("_sf") / F.sum("_ct")).alias("_prior"))
     enc = ((F.col("_s") - F.col("_sf") + m * F.col("_prior"))
            / (F.col("_c") - F.col("_cf") + m))
     return (with_fold.join(
@@ -139,7 +150,7 @@ def target_encode_kfold(df: DataFrame, key_col: str, target_col: str,
                 & (F.col(fold_col) == F.col("_f")))
             .crossJoin(F.broadcast(prior))
             .withColumn(out_col, enc)
-            .drop("_k", "_f", "_sf", "_cf", "_s", "_c", "_prior"))
+            .drop("_k", "_f", "_sf", "_cf", "_ct", "_s", "_c", "_prior"))
 
 
 def quantile_bucketize(df: DataFrame, value_col: str,

@@ -538,8 +538,12 @@ def time_split_embargo(df: DataFrame, ts_col: str,
     cut = df.agg(F.percentile(epoch, F.lit(float(cut_quantile)))
                  .alias("_cut"))
     gap = float(embargo_hours) * 3600.0
-    lab = (F.when(epoch.cast("double") <= F.col("_cut") - gap,
-                  F.lit("train"))
+    # NULL timestamps label NULL, not 'embargo': an unparseable event
+    # time is 'unlabelable', and the catch-all otherwise() would
+    # silently absorb it into the purge band
+    lab = (F.when(epoch.isNull(), F.lit(None).cast("string"))
+           .when(epoch.cast("double") <= F.col("_cut") - gap,
+                 F.lit("train"))
            .when(epoch.cast("double") > F.col("_cut"), F.lit("eval"))
            .otherwise(F.lit("embargo")))
     return (df.crossJoin(F.broadcast(cut))

@@ -900,5 +900,4 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str,
                    lambda x, y: x * y),
         F.lit(0.0), lambda acc, t: acc + t)
     return (df.crossJoin(F.broadcast(varr))
-            .select(F.col(id_col), dot.alias("pc1"))
-            .drop("_v"))
+            .select(F.col(id_col), dot.alias("pc1")))

@@ -2561,7 +2561,8 @@ def feat_frequency_encode(spark, sf):
     "feat_target_encode_kfold",
     oracle=f"""
     WITH u AS (SELECT o_orderkey, o_custkey, o_totalprice,
-                      CAST(floor({_KF_U} * 5) AS BIGINT) AS fold
+                      CAST(coalesce(floor({_KF_U} * 5), 0) AS BIGINT)
+                          AS fold
                FROM orders),
     g AS (SELECT *,
                  sum(o_totalprice) OVER (PARTITION BY o_custkey) AS s,
@@ -2638,7 +2639,8 @@ def feat_quantile_bins(spark, sf):
 @query(
     "feat_onehot_topk",
     oracle="""
-    WITH cnt AS (SELECT p_type, count(*) AS n FROM part GROUP BY p_type),
+    WITH cnt AS (SELECT p_type, count(*) AS n FROM part
+                 WHERE p_type IS NOT NULL GROUP BY p_type),
     v AS (SELECT p_type, row_number() OVER (ORDER BY n DESC, p_type) - 1
                  AS idx
           FROM cnt
@@ -2706,7 +2708,8 @@ def graph_degree_distribution(spark, sf):
            strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
            round((epoch(gmax) - epoch(last_ts)) / 3600.0, 4)
                AS lag_hours,
-           (epoch(gmax) - epoch(last_ts)) / 3600.0 > 24.0 AS stale
+           coalesce((epoch(gmax) - epoch(last_ts)) / 3600.0 > 24.0,
+                    TRUE) AS stale
     FROM per, g
     """)
 def dq_freshness(spark, sf):
@@ -2773,10 +2776,12 @@ def eval_lift_deciles(spark, sf):
                   .otherwise(0).alias("y")))
     dec = (quantile_bucketize(sc, "s", quantiles=LIFT_QS, out_col="_b")
            .withColumn("decile", (F.lit(10) - F.col("_b")).cast(BIG)))
-    rate = sc.agg((F.sum("y") * 1.0 / F.count("*")).alias("_rate"))
     per = dec.groupBy("decile").agg(
         F.count("*").cast(BIG).alias("n"),
         F.sum("y").cast(BIG).alias("n_pos"))
+    # base rate from the 10-row decile aggregate (integer sums — exact),
+    # not a third scan of the fact
+    rate = per.agg((F.sum("n_pos") * 1.0 / F.sum("n")).alias("_rate"))
     return (per.crossJoin(F.broadcast(rate))
             .select("decile", "n", "n_pos",
                     F.round(F.col("n_pos") * 1.0 / F.col("n"), 6)

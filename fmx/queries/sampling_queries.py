@@ -726,7 +726,8 @@ def sample_class_balance(spark, sf):
                FROM events),
     c AS (SELECT quantile_cont(ep, 0.8) AS cut FROM e)
     SELECT CAST(event_id AS BIGINT) AS event_id,
-           CASE WHEN ep <= cut - 86400.0 THEN 'train'
+           CASE WHEN ep IS NULL THEN NULL
+                WHEN ep <= cut - 86400.0 THEN 'train'
                 WHEN ep > cut THEN 'eval'
                 ELSE 'embargo' END AS split
     FROM e, c

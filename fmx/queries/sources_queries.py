@@ -87,12 +87,37 @@ def s1_csv_roundtrip(spark, sf):
     engines, no decimal re-rendering (see the registry docstring on
     rounding).  The roundtrip directory is per-SF so harness SFs don't
     clash.  At scale this is the ingest-validation pattern: land CSV,
-    re-aggregate, compare registers against the upstream's manifest."""
+    re-aggregate, compare registers against the upstream's manifest.
+
+    The CSV export is the query's DECLARED side effect (a write job at
+    construction — the one registry query whose semantics are a
+    write+read-back), but it is MEMOIZED on the source parquet's
+    (size, mtime): plan-only passes over the registry (lint,
+    invariance, driver-action audits) re-export nothing after the
+    first materialization for a given source."""
     li = T(spark, sf, "lineitem")
     path = os.path.join(_CSV_ROUNDTRIP_DIR,
                         os.path.basename(os.path.normpath(sf)))
-    (li.write.mode("overwrite").option("header", "true")
-     .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path))
+    src = os.path.join(sf, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "unknown"
+    # underscore prefix: Spark's file-discovery skips _-prefixed files,
+    # so the marker never enters the CSV scan
+    marker = os.path.join(path, "_fmx_src_stamp")
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
+        (li.write.mode("overwrite").option("header", "true")
+         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path))
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     from fmx.sources import read_csv
     back = read_csv(spark, path, header=True, schema=li.schema,
                     options={"timestampFormat": "yyyy-MM-dd HH:mm:ss"})

@@ -1789,3 +1789,36 @@ def test_corr_matrix_known_correlations(spark):
     assert abs(got[("a", "b")] - 1.0) < 1e-9
     assert abs(got[("a", "c")] + 1.0) < 1e-9
     assert abs(got[("b", "c")] + 1.0) < 1e-9
+
+
+def test_review_fixes_null_handling(spark):
+    """Round-7 review regressions: (a) a NULL id row keeps its encoding
+    (fold 0) instead of vanishing through a NULL-fold join; (b) a NULL
+    timestamp gets a NULL split, not 'embargo'; (c) a group with only
+    NULL timestamps reports stale=TRUE, not NULL."""
+    from fmx.operators.dq import freshness_lag
+    from fmx.operators.features import target_encode_kfold
+    from fmx.operators.sampling import time_split_embargo
+
+    df = spark.createDataFrame(
+        [(None, "k", 1.0), ("a", "k", 2.0), ("b", "k", 3.0)],
+        "id string, key string, y double")
+    out = target_encode_kfold(df, "key", "y", id_col="id",
+                              n_folds=3, smoothing=1.0).collect()
+    assert len(out) == 3
+    assert next(r for r in out if r.id is None).fold == 0
+
+    ts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00"),
+         (3, None)],
+        "id int, ts string").withColumn("ts", F.to_timestamp("ts"))
+    got = {r.id: r.split
+           for r in time_split_embargo(ts, "ts", 0.8, 1.0).collect()}
+    assert got[3] is None and len(got) == 3
+
+    fr = spark.createDataFrame(
+        [("live", "2024-01-01 00:00:00"), ("dead", None)],
+        "src string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    stale = {r.src: r.stale
+             for r in freshness_lag(fr, "src", "ts").collect()}
+    assert stale["dead"] is True and stale["live"] is False
