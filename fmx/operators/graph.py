@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "k_hop", "label_propagation",
-           "degree_distribution"]
+           "degree_distribution", "kcore_peel"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -176,3 +176,33 @@ def degree_distribution(edges: DataFrame, src: str = "src",
             .agg(F.count("*").cast("bigint").alias("n_nodes"),
                  F.min("_deg").cast("bigint").alias("min_degree"),
                  F.max("_deg").cast("bigint").alias("max_degree")))
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int = 3,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded-round k-core peeling of an undirected edge list:
+    repeatedly drop nodes with degree < k and recompute degrees on the
+    induced subgraph; after ``rounds`` passes return (node, degree)
+    for the survivors — an UPPER BOUND on the true k-core that is
+    exact once a round removes nothing (dense-community extraction,
+    spam-ring cores, the standard pre-filter before expensive graph
+    algorithms).
+
+    Each round is two joins against the (shrinking) survivor relation
+    + one degree agg with map-side combine — the same bounded-round
+    join+agg discipline as pagerank/k_hop, so any engine can replay
+    it (the oracle unrolls the rounds).  Fixed rounds keep the plan
+    finite; for exact cores on deep cascades, loop until the survivor
+    count stops changing with localCheckpoint every few rounds."""
+    und = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .unionAll(edges.select(F.col(dst).alias("node"),
+                                  F.col(src).alias("nbr"))))
+    # `rounds` degree-filters total: rounds-1 subgraph restrictions,
+    # then the final degree/filter IS the last round's peel
+    for _ in range(int(rounds) - 1):
+        deg = und.groupBy("node").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= int(k)).select("node")
+        und = (und.join(keep, "node")
+               .join(keep.withColumnRenamed("node", "nbr"), "nbr"))
+    return (und.groupBy("node").agg(F.count("*").alias("degree"))
+            .filter(F.col("degree") >= int(k)))

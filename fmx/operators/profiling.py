@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers",
            "robust_scale", "chi2_independence", "winsorized_mean",
-           "bootstrap_mean_ci", "POISSON1_CDF", "corr_matrix"]
+           "bootstrap_mean_ci", "POISSON1_CDF", "corr_matrix",
+           "value_ranges"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -325,3 +326,37 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         for i, (a, b) in enumerate(pairs)])
     return (one.select(F.explode(rows).alias("r"))
             .select("r.col_a", "r.col_b", "r.corr"))
+
+
+def value_ranges(df: DataFrame, cols: list[str],
+                 quantiles: tuple[float, ...] = (0.01, 0.5, 0.99)
+                 ) -> DataFrame:
+    """Numeric dataset-card profile in ONE scan: per column
+    (col, n, n_null, min, max, p01, p50, p99) — the value-range
+    contract a promotion gate checks against the previous snapshot
+    (complements profile_column_cardinalities' distinct-count view).
+
+    All min/max/percentile aggregates for every column run in a single
+    aggregation pass (exact percentiles are the one holistic piece —
+    swap approx_percentile at extreme scale, same contract); the
+    long-format explode happens on the 1-row aggregate."""
+    qs = [float(q) for q in quantiles]
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [F.count("*").alias(f"_n_{i}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{i}"),
+                 F.min(c).alias(f"_mn_{i}"), F.max(c).alias(f"_mx_{i}"),
+                 F.percentile(c, F.lit(qs)).alias(f"_q_{i}")]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"_n_{i}").cast("bigint").alias("n"),
+            F.col(f"_nn_{i}").cast("bigint").alias("n_null"),
+            F.round(F.col(f"_mn_{i}").cast("double"), 6).alias("min"),
+            F.round(F.col(f"_mx_{i}").cast("double"), 6).alias("max"),
+            *[F.round(F.col(f"_q_{i}")[j], 4)
+              .alias(f"p{int(round(q * 100)):02d}")
+              for j, q in enumerate(qs)])
+        for i, c in enumerate(cols)])
+    return (one.select(F.explode(rows).alias("r")).select("r.*"))

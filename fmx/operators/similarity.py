@@ -26,7 +26,8 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
-           "hard_negatives", "ndcg_eval", "range_search", "pca_project"]
+           "hard_negatives", "ndcg_eval", "range_search", "pca_project",
+           "centroid_distance_topk"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -901,3 +902,36 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str,
         F.lit(0.0), lambda acc, t: acc + t)
     return (df.crossJoin(F.broadcast(varr))
             .select(F.col(id_col), dot.alias("pc1")))
+
+
+def centroid_distance_topk(df: DataFrame, id_col: str, vec_col: str,
+                           k: int = 20) -> DataFrame:
+    """Embedding-space outliers: the ``k`` vectors farthest (L2) from
+    the corpus centroid — the quick QA sweep that surfaces corrupt
+    encodes, wrong-modality rows, and distribution tails before they
+    poison training (complements emb_dim_variance's per-dimension
+    view with a per-ROW view).
+
+    Scale shape: one explode + (pos) avg builds the d-row centroid
+    (map-side combinable, same pass shape as emb_dim_variance), which
+    folds to a ONE-ROW ordered array and broadcasts; the distance is
+    a map-only zip_with fold per row; top-k executes as
+    TakeOrderedAndProject.  The centroid is 6dp-rounded BEFORE the
+    distance so cross-engine summation noise cannot reach the output
+    round (the pca_project lesson).  Returns (id, dist, rank)."""
+    ex = df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("pos", "x"))
+    cent = (ex.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy()
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"]).alias("_cent")))
+    dist = F.round(F.sqrt(F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("_cent"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, t: acc + t)), 6)
+    scored = (df.crossJoin(F.broadcast(cent))
+              .select(F.col(id_col), dist.alias("dist")))
+    top = scored.orderBy(F.desc("dist"), id_col).limit(int(k))
+    w = Window.orderBy(F.desc("dist"), id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -142,7 +142,8 @@ _PRIORITY = [
     # feat_target_encode_kfold, feat_quantile_bins, feat_onehot_topk,
     # graph_degree_distribution, dq_freshness, ann_range_search,
     # eval_lift_deciles, sample_time_split_embargo, emb_pca_project,
-    # profile_corr_matrix (+ the streaming
+    # profile_corr_matrix, graph_kcore_members, profile_value_ranges,
+    # event_interarrival_stats, emb_outlier_distance (+ the streaming
     # register family gained stream_freshness_registers) — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives

@@ -2824,3 +2824,128 @@ def profile_corr_matrix(spark, sf):
                            "l_discount", "l_tax"])
     return out.select("col_a", "col_b",
                       F.round("corr", 6).alias("corr"))
+
+
+KCORE_K = 70
+
+
+@query(
+    "graph_kcore_members",
+    oracle=f"""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    u0 AS (SELECT src AS node, dst AS nbr FROM e
+           UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    d0 AS (SELECT node, count(*) AS d FROM u0 GROUP BY node),
+    s1 AS (SELECT node FROM d0 WHERE d >= {KCORE_K}),
+    u1 AS (SELECT u0.node, u0.nbr FROM u0
+           JOIN s1 a ON u0.node = a.node JOIN s1 b ON u0.nbr = b.node),
+    d1 AS (SELECT node, count(*) AS d FROM u1 GROUP BY node),
+    s2 AS (SELECT node FROM d1 WHERE d >= {KCORE_K}),
+    u2 AS (SELECT u1.node, u1.nbr FROM u1
+           JOIN s2 a ON u1.node = a.node JOIN s2 b ON u1.nbr = b.node),
+    d2 AS (SELECT node, count(*) AS d FROM u2 GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS degree
+    FROM d2 WHERE d >= {KCORE_K}
+    """)
+def graph_kcore_members(spark, sf):
+    """Three-round k-core peel (k=70) of the co-purchase part graph
+    (fmx.operators.graph.kcore_peel): drop degree<k nodes, restrict
+    the subgraph, repeat — survivors + their round-2-subgraph degree,
+    an upper bound on the true 70-core that is exact once a round
+    removes nothing.  Each round is two survivor equi-joins + one
+    map-side-combinable degree agg (pagerank's bounded-round
+    discipline); the oracle unrolls the three rounds."""
+    from fmx.operators.graph import kcore_peel
+
+    core = kcore_peel(_copurchase_edges(spark, sf), k=KCORE_K, rounds=3)
+    return core.select(F.col("node").cast(BIG).alias("node"),
+                       F.col("degree").cast(BIG).alias("degree"))
+
+
+@query(
+    "profile_value_ranges",
+    oracle="""
+    WITH one AS (SELECT count(*) AS n,
+                        sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0
+                            END) AS nn1,
+                        round(CAST(min(o_totalprice) AS DOUBLE), 6) AS mn1,
+                        round(CAST(max(o_totalprice) AS DOUBLE), 6) AS mx1,
+                        round(quantile_cont(o_totalprice, 0.01), 4) AS a1,
+                        round(quantile_cont(o_totalprice, 0.50), 4) AS b1,
+                        round(quantile_cont(o_totalprice, 0.99), 4) AS c1,
+                        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                            END) AS nn2,
+                        round(CAST(min(o_custkey) AS DOUBLE), 6) AS mn2,
+                        round(CAST(max(o_custkey) AS DOUBLE), 6) AS mx2,
+                        round(quantile_cont(o_custkey, 0.01), 4) AS a2,
+                        round(quantile_cont(o_custkey, 0.50), 4) AS b2,
+                        round(quantile_cont(o_custkey, 0.99), 4) AS c2
+                 FROM orders)
+    SELECT col, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+           min, max, p01, p50, p99
+    FROM one, (VALUES ('o_totalprice', 1), ('o_custkey', 2)) AS t(col, k),
+    LATERAL (SELECT CASE k WHEN 1 THEN nn1 ELSE nn2 END AS n_null,
+                    CASE k WHEN 1 THEN mn1 ELSE mn2 END AS min,
+                    CASE k WHEN 1 THEN mx1 ELSE mx2 END AS max,
+                    CASE k WHEN 1 THEN a1 ELSE a2 END AS p01,
+                    CASE k WHEN 1 THEN b1 ELSE b2 END AS p50,
+                    CASE k WHEN 1 THEN c1 ELSE c2 END AS p99) AS l
+    """)
+def profile_value_ranges(spark, sf):
+    """Numeric value-range contract of the orders table in one scan
+    (fmx.operators.profiling.value_ranges): per column count, nulls,
+    min/max, p01/p50/p99 — the dataset-card companion to
+    profile_column_cardinalities; a promotion gate diffs this row set
+    against the previous snapshot's."""
+    from fmx.operators.profiling import value_ranges
+
+    o = T(spark, sf, "orders")
+    return value_ranges(o, ["o_totalprice", "o_custkey"])
+
+
+@query(
+    "event_interarrival_stats",
+    oracle="""
+    WITH g AS (SELECT user_id,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id) AS gap_us
+               FROM events),
+    gaps AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL)
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
+    FROM gaps
+    """)
+def event_interarrival_stats(spark, sf):
+    """User inter-arrival time profile: per-user consecutive-event
+    gaps (lag window partitioned by user, (ts, event_id) total order
+    for tie determinism), summarized as p50/p90/max seconds — the
+    behavioral-cadence diagnostic behind session-timeout choices and
+    bot screening.  Gaps are INTEGER microseconds (unix_micros /
+    epoch_us), so the percentile interpolation is engine-exact; the
+    only window partitions on user_id (high-cardinality), and the
+    final fold is one global agg."""
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (ev.select("user_id",
+                   (F.unix_micros("ts")
+                    - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+         .filter(F.col("gap_us").isNotNull()))
+    return g.agg(
+        F.count_distinct("user_id").cast(BIG).alias("n_users"),
+        F.count("*").cast(BIG).alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6)
+        .alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6)
+        .alias("p90_gap_s"),
+        F.round(F.max("gap_us").cast("double") / 1e6, 6)
+        .alias("max_gap_s"))

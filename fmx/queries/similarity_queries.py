@@ -1183,3 +1183,33 @@ def emb_pca_project(spark, sf):
     out = S.pca_project(emb, "vec_id", "embedding", eig)
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.round("pc1", 6).alias("pc1"))
+
+
+@query(
+    "emb_outlier_distance",
+    oracle=f"""
+    WITH {_EX},
+    cent AS (SELECT pos, round(avg(x), 6) AS c FROM ex GROUP BY pos),
+    d AS (SELECT vec_id,
+                 round(sqrt(sum((x - c) * (x - c))), 6) AS dist
+          FROM ex JOIN cent ON ex.pos = cent.pos GROUP BY vec_id),
+    top AS (SELECT vec_id, dist FROM d
+            ORDER BY dist DESC, vec_id LIMIT 20)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, dist,
+           CAST(row_number() OVER (ORDER BY dist DESC, vec_id)
+                AS BIGINT) AS rank
+    FROM top
+    """)
+def emb_outlier_distance(spark, sf):
+    """Embedding-space outlier sweep: the 20 vectors farthest (L2)
+    from the corpus centroid (fmx.operators.similarity.
+    centroid_distance_topk) — the per-row QA view that surfaces
+    corrupt encodes and distribution tails (emb_dim_variance is the
+    per-dimension twin).  Centroid = one (pos) avg folded to a 1-row
+    broadcast array (6dp-rounded in both engines before the distance
+    — the pca_project lesson); distances are map-only; top-20 rides
+    TakeOrderedAndProject."""
+    emb = T(spark, sf, "embeddings")
+    out = S.centroid_distance_topk(emb, "vec_id", "embedding", k=20)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "dist", "rank")

@@ -205,7 +205,9 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
              "feat_onehot_topk", "graph_degree_distribution",
              "dq_freshness", "ann_range_search", "eval_lift_deciles",
              "sample_time_split_embargo", "emb_pca_project",
-             "profile_corr_matrix"]
+             "profile_corr_matrix", "graph_kcore_members",
+             "profile_value_ranges", "event_interarrival_stats",
+             "emb_outlier_distance"]
     ALL = Q.all_queries()
 
     def snap():

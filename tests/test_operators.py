@@ -1822,3 +1822,44 @@ def test_review_fixes_null_handling(spark):
     stale = {r.src: r.stale
              for r in freshness_lag(fr, "src", "ts").collect()}
     assert stale["dead"] is True and stale["live"] is False
+
+
+def test_kcore_peel_cascade(spark):
+    """Pendant chain peels away in cascade: star spokes die round 1,
+    which drops the hub below k in round 2; the triangle core
+    survives with within-subgraph degree 2."""
+    from fmx.operators.graph import kcore_peel
+
+    # triangle a-b-c (degree 2 each) + chain c-d, d-e
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    got = {r.node: r.degree
+           for r in kcore_peel(e, k=2, rounds=3).collect()}
+    # round1 drops e (deg1); round2 drops d (deg fell to 1); triangle
+    # keeps degree 2 (c loses the d edge)
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_value_ranges_profile(spark):
+    """Counts, nulls, min/max and exact percentiles per column."""
+    from fmx.operators.profiling import value_ranges
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], "v double")
+    r = {x.col: x for x in value_ranges(df, ["v"]).collect()}["v"]
+    assert (r.n, r.n_null, r.min, r.max) == (101, 1, 1.0, 100.0)
+    assert r.p50 == 50.5 and r.p99 == 99.01
+
+
+def test_centroid_distance_topk_outlier(spark):
+    """The planted far-away vector ranks first."""
+    from fmx.operators.similarity import centroid_distance_topk
+
+    rows = [(i, [0.0, 0.0]) for i in range(9)] + [(9, [9.0, 12.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    got = centroid_distance_topk(emb, "vec_id", "embedding", k=3).collect()
+    assert got[0].vec_id == 9 and got[0].rank == 1
+    # centroid is (0.9, 1.2); outlier distance = ||(8.1, 10.8)|| = 13.5
+    assert abs(got[0].dist - 13.5) < 1e-6

@@ -106,6 +106,7 @@ _ALLOWED = {
         "ann_range_search",                         # broadcast query-set cross
         "eval_lift_deciles",        # 1-row cutpoint + base-rate broadcasts
         "sample_time_split_embargo",                # 1-row cut broadcast
+        "emb_outlier_distance",     # 1-row centroid-array broadcast
         "profile_gini_binned",      # 1-row min/max + count broadcasts
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
@@ -131,6 +132,7 @@ _ALLOWED = {
         "sample_pareto_frontier",   # null-axis guard on computed axes
         "feat_target_encode_kfold",  # join key includes the md5 fold
         "feat_onehot_topk",          # rank filter on the vocab relation
+        "event_interarrival_stats",  # filter on the computed lag gap
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
         "rolling_7d_hll_users",
@@ -159,6 +161,7 @@ _ALLOWED = {
         "ts_concurrent_orders",     # cumsum over calendar-bounded days
         "ts_autocorrelation",       # lag over calendar-bounded days
         "feat_onehot_topk",         # rank over the bounded vocab relation
+        "emb_outlier_distance",     # rank over the top-20 rows only
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
