@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["target_encode_loo", "frequency_encode",
-           "target_encode_kfold", "quantile_bucketize", "onehot_topk"]
+           "target_encode_kfold", "quantile_bucketize", "onehot_topk",
+           "hashed_cross"]
 
 
 def target_encode_loo(df: DataFrame, key_col: str, target_col: str,
@@ -217,3 +218,29 @@ def onehot_topk(df: DataFrame, cat_col: str, k: int = 10,
             .withColumn(out_col,
                         F.coalesce(F.col("_idx"), F.lit(-1)).cast("int"))
             .drop("_cat", "_idx"))
+
+
+def hashed_cross(df: DataFrame, cols: list[str], num_buckets: int = 64,
+                 out_col: str = "cross_bucket",
+                 tag: str = "cross") -> DataFrame:
+    """Hashed feature cross (the hashing-trick interaction feature):
+    the tuple of categorical values maps to a stable bucket in
+    [0, num_buckets) via the engine-portable md5 hash -- interaction
+    terms for linear/FM models without materializing the cross
+    vocabulary (|a|*|b| cells never exist anywhere).
+
+    NULL components coalesce to a sentinel (a NULL anywhere would
+    NULL the whole hash and silently drop the feature); components
+    join with an unprintable separator so ("ab","c") and ("a","bc")
+    cross to different buckets.  Map-only: one expression per row, no
+    shuffle, no state."""
+    from fmx.operators.dedup import hash64
+
+    if len(cols) < 2:
+        raise ValueError("hashed_cross needs at least two columns")
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\u0000null"))
+             for c in cols]
+    joined = F.concat_ws("\u0001", *parts)
+    key = F.concat(F.lit(f"{tag}:"), joined)
+    return df.withColumn(
+        out_col, F.pmod(hash64(key), F.lit(int(num_buckets))).cast("int"))

@@ -143,7 +143,9 @@ _PRIORITY = [
     # graph_degree_distribution, dq_freshness, ann_range_search,
     # eval_lift_deciles, sample_time_split_embargo, emb_pca_project,
     # profile_corr_matrix, graph_kcore_members, profile_value_ranges,
-    # event_interarrival_stats, emb_outlier_distance (+ the streaming
+    # event_interarrival_stats, emb_outlier_distance,
+    # feat_hashed_cross, eval_confusion_at_threshold,
+    # ts_weekday_hour_profile (+ the streaming
     # register family gained stream_freshness_registers) — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives

@@ -2949,3 +2949,126 @@ def event_interarrival_stats(spark, sf):
         .alias("p90_gap_s"),
         F.round(F.max("gap_us").cast("double") / 1e6, 6)
         .alias("max_gap_s"))
+
+
+
+@query(
+    "feat_hashed_cross",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderstatus, o_orderpriority,
+           CAST(CAST(concat('0x', substring(md5(concat('cross:',
+                concat_ws(chr(1),
+                          coalesce(o_orderstatus, chr(0) || 'null'),
+                          coalesce(o_orderpriority, chr(0) || 'null')))),
+                1, 15)) AS BIGINT) % 64 AS BIGINT) AS cross_bucket
+    FROM orders
+    """)
+def feat_hashed_cross(spark, sf):
+    """Hashed interaction feature of (order status x order priority)
+    into 64 buckets (fmx.operators.features.hashed_cross — the
+    hashing trick): stable md5 bucket per value tuple, NULLs
+    sentinel-coalesced, unprintable separator so adjacent values
+    can't collide across columns.  Map-only (one expression, no
+    shuffle, no vocabulary anywhere); the oracle replays the md5
+    arithmetic bit-for-bit."""
+    from fmx.operators.features import hashed_cross
+
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus",
+                                      "o_orderpriority")
+    out = hashed_cross(o, ["o_orderstatus", "o_orderpriority"],
+                       num_buckets=64)
+    return out.select(F.col("o_orderkey").cast(BIG).alias("o_orderkey"),
+                      "o_orderstatus", "o_orderpriority",
+                      F.col("cross_bucket").cast(BIG)
+                      .alias("cross_bucket"))
+
+
+CONF_TAU = 100.0
+
+
+@query(
+    "eval_confusion_at_threshold",
+    oracle=f"""
+    WITH sc AS (SELECT value AS s,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END AS y
+                FROM events WHERE value IS NOT NULL),
+    c AS (SELECT sum(CASE WHEN s >= {CONF_TAU} AND y = 1 THEN 1 ELSE 0
+                     END) AS tp,
+                 sum(CASE WHEN s >= {CONF_TAU} AND y = 0 THEN 1 ELSE 0
+                     END) AS fp,
+                 sum(CASE WHEN s < {CONF_TAU} AND y = 1 THEN 1 ELSE 0
+                     END) AS fn,
+                 sum(CASE WHEN s < {CONF_TAU} AND y = 0 THEN 1 ELSE 0
+                     END) AS tn
+          FROM sc)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(tp * 1.0 / (tp + fn), 6) AS recall,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM c
+    """)
+def eval_confusion_at_threshold(spark, sf):
+    """Operating-point confusion matrix: purchase-value >= 100 as the
+    positive prediction vs the purchase label — TP/FP/FN/TN with
+    precision/recall/F1, the deployment-threshold readout that
+    complements the threshold-sweeping eval_rank_auc / eval_pr_auc.
+    ONE conditional-count aggregation pass; every derived metric is a
+    ratio of the integer cells (exact cross-engine)."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("value").alias("s"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    pred = F.col("s") >= CONF_TAU
+    c = ev.agg(
+        F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast(BIG).alias("tp"),
+        F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast(BIG).alias("fp"),
+        F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast(BIG).alias("fn"),
+        F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast(BIG).alias("tn"))
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6)
+        .alias("precision"),
+        F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6)
+        .alias("recall"),
+        F.round(2.0 * F.col("tp")
+                / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        .alias("f1"))
+
+
+@query(
+    "ts_weekday_hour_profile",
+    oracle="""
+    WITH per AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+                        count(*) AS n
+                 FROM events GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS t FROM per)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+           CAST(n AS BIGINT) AS n, round(n * 1.0 / t, 6) AS share
+    FROM per, tot
+    """)
+def ts_weekday_hour_profile(spark, sf):
+    """Weekday x hour activity heatmap of the event stream (load
+    profile behind capacity planning and anomaly baselines): one
+    (dow, hour) hash-agg (<= 168 cells), total folded FROM the cell
+    aggregate (1-row broadcast, integer sums — exact), share per
+    cell.  Spark's dayofweek (Sunday=1) is matched by DuckDB's
+    dayofweek+1."""
+    ev = T(spark, sf, "events")
+    per = (ev.groupBy(F.dayofweek("ts").alias("dow"),
+                      F.hour("ts").alias("hr"))
+           .agg(F.count("*").alias("n")))
+    tot = per.agg(F.sum("n").alias("t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("dow").cast(BIG).alias("dow"),
+                    F.col("hr").cast(BIG).alias("hr"),
+                    F.col("n").cast(BIG).alias("n"),
+                    F.round(F.col("n") * 1.0 / F.col("t"), 6)
+                    .alias("share")))

@@ -207,7 +207,8 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
              "sample_time_split_embargo", "emb_pca_project",
              "profile_corr_matrix", "graph_kcore_members",
              "profile_value_ranges", "event_interarrival_stats",
-             "emb_outlier_distance"]
+             "emb_outlier_distance", "feat_hashed_cross",
+             "eval_confusion_at_threshold", "ts_weekday_hour_profile"]
     ALL = Q.all_queries()
 
     def snap():

@@ -1863,3 +1863,22 @@ def test_centroid_distance_topk_outlier(spark):
     assert got[0].vec_id == 9 and got[0].rank == 1
     # centroid is (0.9, 1.2); outlier distance = ||(8.1, 10.8)|| = 13.5
     assert abs(got[0].dist - 13.5) < 1e-6
+
+
+def test_hashed_cross_stability_and_separator(spark):
+    """Same tuple -> same bucket everywhere; NULL components keep the
+    row; the separator distinguishes ('ab','c') from ('a','bc')."""
+    from fmx.operators.features import hashed_cross
+
+    df = spark.createDataFrame(
+        [("ab", "c"), ("a", "bc"), ("ab", "c"), (None, "c")],
+        "x string, y string")
+    got = hashed_cross(df, ["x", "y"], num_buckets=1024).collect()
+    assert len(got) == 4
+    by = {}
+    for r in got:
+        by.setdefault((r.x, r.y), set()).add(r.cross_bucket)
+    assert all(len(v) == 1 for v in by.values())          # stable
+    assert by[("ab", "c")] != by[("a", "bc")]             # separator
+    assert all(0 <= r.cross_bucket < 1024 for r in got)
+    assert by[(None, "c")] is not None                    # row kept
