@@ -7,6 +7,7 @@ platform runs over a production table, composed from engine operators:
   4. reconciliation: bucket-register table diff vs a mutated replica,
      then drill-down to the exact changed keys
   5. contract: key-multiplicity profile before declaring a join key
+  6. freshness: per-source staleness vs the dataset's newest event
 
 Every stage is a DataFrame plan with a DuckDB-checkable twin in the
 registry; at scale each is one or two scans plus bounded-row windows.
@@ -74,6 +75,15 @@ def main() -> None:
     ku = Q["dq_key_uniqueness"].fn(spark, sf_dir).first()
     print(f"key profile: {ku.n_keys} keys, {ku.n_dup_keys} duplicated, "
           f"worst multiplicity {ku.max_multiplicity}")
+
+    # 6. freshness — did any source stop delivering (lag vs global max;
+    # the register is max-mergeable, so yesterday's snapshot folds in)
+    from fmx.operators.dq import freshness_lag
+
+    ev = load_table(spark, sf_dir, "events")
+    stale = (freshness_lag(ev, "event_type", "ts", warn_lag_hours=24.0)
+             .filter(F.col("stale")).count())
+    print(f"freshness: {stale} stale sources (>24h behind)")
 
     print("monitoring pass complete")
     spark.stop()

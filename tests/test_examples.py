@@ -77,3 +77,4 @@ def test_monitoring_example_runs(tmp_path):
     stdout = _run("monitoring.py")
     assert "monitoring pass complete" in stdout
     assert "changed keys" in stdout and "srm:" in stdout
+    assert "freshness:" in stdout

@@ -751,3 +751,27 @@ def test_stream_freshness_registers_fold_matches_batch(spark, sf_dir):
     batch = {r.event_type: (r.lag_hours, r.stale)
              for r in freshness_lag(ev, "event_type", "ts").collect()}
     assert rep == batch
+
+
+def test_stream_freshness_registers_live_trigger_monotonic(spark):
+    """Freshness registers under a real trigger in complete mode:
+    per-group last_ts must be NON-DECREASING across live batches (a
+    max register can only advance) and groups never disappear."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 50).load())
+    rows = rate.select((F.col("value") % 3).cast("string").alias("src"),
+                       F.col("timestamp").alias("ts"))
+    batches = []
+    q = _run_live(S.stream_freshness_registers(rows, "src", "ts"),
+                  batches, min_batches=2, output_mode="complete")
+    try:
+        assert len(batches) >= 2, "no live batches arrived"
+        prev = {}
+        for _bid, out in batches:
+            cur = {r.src: r.last_ts for r in out}
+            for k, t in prev.items():
+                assert k in cur and cur[k] >= t, (k, t, cur.get(k))
+            prev = cur
+        assert prev
+    finally:
+        q.stop()
