@@ -97,6 +97,10 @@ def target_encode_kfold(df: DataFrame, key_col: str, target_col: str,
         enc = (sum_key - sum_key_fold + m * prior)
               / (cnt_key - cnt_key_fold + m)
 
+    Sums and counts cover NON-NULL targets only (avg semantics): a
+    NULL-target row neither contributes nor dilutes, and a fold whose
+    targets are all NULL encodes as the other folds' smoothed mean.
+
     The out-of-fold exclusion generalizes LOO (``target_encode_loo`` is
     the n_folds = n limit): coarser folds leak less estimator variance
     per row into the feature while still never using the row's own fold,
@@ -129,29 +133,34 @@ def target_encode_kfold(df: DataFrame, key_col: str, target_col: str,
     per_kf = (with_fold.groupBy(F.col(key_col).alias("_k"),
                                 F.col(fold_col).alias("_f"))
               .agg(F.sum(target_col).alias("_sf"),
-                   F.count("*").alias("_cf"),
-                   # non-null target count: the prior is avg(target),
-                   # which must not dilute by NULL-target rows
+                   # non-null target counts everywhere: NULL-target
+                   # rows contribute neither to sums nor to counts
+                   # (avg semantics) — an all-NULL fold must encode as
+                   # the other folds' mean, not propagate NULL
                    F.count(target_col).alias("_ct")))
     # key totals from the partials: a window over the <= k rows of each
     # key in the (key, fold) relation — dimension-sized, never row grain
     wk = Window.partitionBy("_k")
     enc_tab = (per_kf
                .withColumn("_s", F.sum("_sf").over(wk))
-               .withColumn("_c", F.sum("_cf").over(wk)))
+               .withColumn("_c", F.sum("_ct").over(wk)))
     if broadcast_keys:
         enc_tab = F.broadcast(enc_tab)
     # global prior from the SAME partials — not a second corpus scan
     prior = per_kf.agg((F.sum("_sf") / F.sum("_ct")).alias("_prior"))
-    enc = ((F.col("_s") - F.col("_sf") + m * F.col("_prior"))
-           / (F.col("_c") - F.col("_cf") + m))
+    # coalesce the NULL partials (an all-NULL-target fold has _sf NULL;
+    # the window sum already skips NULL partials)
+    enc = ((F.coalesce(F.col("_s"), F.lit(0.0))
+            - F.coalesce(F.col("_sf"), F.lit(0.0))
+            + m * F.col("_prior"))
+           / (F.col("_c") - F.col("_ct") + m))
     return (with_fold.join(
                 enc_tab,
                 F.col(key_col).eqNullSafe(F.col("_k"))
                 & (F.col(fold_col) == F.col("_f")))
             .crossJoin(F.broadcast(prior))
             .withColumn(out_col, enc)
-            .drop("_k", "_f", "_sf", "_cf", "_ct", "_s", "_c", "_prior"))
+            .drop("_k", "_f", "_sf", "_ct", "_s", "_c", "_prior"))
 
 
 def quantile_bucketize(df: DataFrame, value_col: str,
@@ -238,6 +247,9 @@ def hashed_cross(df: DataFrame, cols: list[str], num_buckets: int = 64,
 
     if len(cols) < 2:
         raise ValueError("hashed_cross needs at least two columns")
+    if int(num_buckets) < 1:
+        # pmod(x, 0) yields NULL, silently voiding the feature
+        raise ValueError("num_buckets must be >= 1")
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\u0000null"))
              for c in cols]
     joined = F.concat_ws("\u0001", *parts)

@@ -198,8 +198,14 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3,
            .unionAll(edges.select(F.col(dst).alias("node"),
                                   F.col(src).alias("nbr"))))
     # `rounds` degree-filters total: rounds-1 subgraph restrictions,
-    # then the final degree/filter IS the last round's peel
+    # then the final degree/filter IS the last round's peel.  Each
+    # round references `und` three times (degree agg + both survivor
+    # joins), so without a lineage break the edge subtree re-derives
+    # ~3^rounds times; the lazy localCheckpoint truncates lineage at
+    # execution (no job at plan-construction time — pagerank's
+    # discipline).
     for _ in range(int(rounds) - 1):
+        und = und.localCheckpoint(eager=False)
         deg = und.groupBy("node").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= int(k)).select("node")
         und = (und.join(keep, "node")

@@ -341,6 +341,18 @@ def value_ranges(df: DataFrame, cols: list[str],
     swap approx_percentile at extreme scale, same contract); the
     long-format explode happens on the 1-row aggregate."""
     qs = [float(q) for q in quantiles]
+
+    def _pname(q: float) -> str:
+        pct = q * 100.0
+        if float(pct).is_integer():
+            return f"p{int(pct):02d}"
+        # non-integer percents keep their decimals ('.' -> '_'):
+        # 0.125 -> p12_5 — int(round()) would mislabel or collide
+        return "p" + (f"{pct:g}").replace(".", "_")
+
+    names = [_pname(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile names {names}")
     aggs = []
     for i, c in enumerate(cols):
         aggs += [F.count("*").alias(f"_n_{i}"),
@@ -355,8 +367,7 @@ def value_ranges(df: DataFrame, cols: list[str],
             F.col(f"_nn_{i}").cast("bigint").alias("n_null"),
             F.round(F.col(f"_mn_{i}").cast("double"), 6).alias("min"),
             F.round(F.col(f"_mx_{i}").cast("double"), 6).alias("max"),
-            *[F.round(F.col(f"_q_{i}")[j], 4)
-              .alias(f"p{int(round(q * 100)):02d}")
-              for j, q in enumerate(qs)])
+            *[F.round(F.col(f"_q_{i}")[j], 4).alias(names[j])
+              for j in range(len(qs))])
         for i, c in enumerate(cols)])
     return (one.select(F.explode(rows).alias("r")).select("r.*"))

@@ -99,25 +99,39 @@ def s1_csv_roundtrip(spark, sf):
     path = os.path.join(_CSV_ROUNDTRIP_DIR,
                         os.path.basename(os.path.normpath(sf)))
     src = os.path.join(sf, "lineitem.parquet")
+    # content fingerprint: size + mtime + md5 of head/tail 4 KiB (the
+    # parquet footer lives in the tail, so an mtime-preserving
+    # regeneration still changes the stamp); unreadable source (e.g. a
+    # remote URI) -> stamp None -> never memoize, always re-export
+    stamp = None
     try:
+        import hashlib
+
         st = os.stat(src)
-        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+        with open(src, "rb") as fh:
+            head = fh.read(4096)
+            fh.seek(max(0, st.st_size - 4096))
+            tail = fh.read(4096)
+        stamp = (f"{st.st_size}:{st.st_mtime_ns}:"
+                 f"{hashlib.md5(head + tail).hexdigest()}")
     except OSError:
-        stamp = "unknown"
+        pass
     # underscore prefix: Spark's file-discovery skips _-prefixed files,
     # so the marker never enters the CSV scan
     marker = os.path.join(path, "_fmx_src_stamp")
     fresh = False
-    try:
-        with open(marker) as fh:
-            fresh = fh.read() == stamp
-    except OSError:
-        pass
+    if stamp is not None:
+        try:
+            with open(marker) as fh:
+                fresh = fh.read() == stamp
+        except OSError:
+            pass
     if not fresh:
         (li.write.mode("overwrite").option("header", "true")
          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path))
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        if stamp is not None:
+            with open(marker, "w") as fh:
+                fh.write(stamp)
     from fmx.sources import read_csv
     back = read_csv(spark, path, header=True, schema=li.schema,
                     options={"timestampFormat": "yyyy-MM-dd HH:mm:ss"})

@@ -1880,5 +1880,40 @@ def test_hashed_cross_stability_and_separator(spark):
         by.setdefault((r.x, r.y), set()).add(r.cross_bucket)
     assert all(len(v) == 1 for v in by.values())          # stable
     assert by[("ab", "c")] != by[("a", "bc")]             # separator
-    assert all(0 <= r.cross_bucket < 1024 for r in got)
-    assert by[(None, "c")] is not None                    # row kept
+    assert all(r.cross_bucket is not None
+               and 0 <= r.cross_bucket < 1024 for r in got)
+    assert None not in by[(None, "c")]        # NULL component kept,
+    # with a real bucket
+
+
+def test_target_encode_kfold_null_target_fold(spark):
+    """A fold whose targets are all NULL must encode as the OTHER
+    folds' smoothed mean (sum/count over non-null targets), never
+    propagate NULL."""
+    import hashlib
+
+    from fmx.operators.features import target_encode_kfold
+
+    def fold(i, k=3, seed=7):
+        h = hashlib.md5(f"kfold:{seed}:{i}".encode()).hexdigest()[:15]
+        return int(int(h, 16) / 2**60 * k)
+
+    # ids 0..7: pick one fold and null out every target landing there
+    folds = {i: fold(i) for i in range(8)}
+    victim = folds[0]
+    rows = [(str(i), "k",
+             None if folds[i] == victim else float(i))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "id string, key string, y double")
+    out = target_encode_kfold(df, "key", "y", id_col="id", n_folds=3,
+                              smoothing=2.0, seed=7).collect()
+    assert len(out) == 8
+    vals = [(r.id, r.enc) for r in out]
+    assert all(e is not None for _, e in vals), vals
+    # a victim-fold row's encoding = smoothed mean of ALL non-null
+    # targets (its own fold contributes nothing)
+    nn = [float(i) for i in range(8) if folds[i] != victim]
+    prior = sum(nn) / len(nn)
+    want = (sum(nn) + 2.0 * prior) / (len(nn) + 2.0)
+    got0 = next(e for i, e in vals if i == "0")
+    assert abs(got0 - want) < 1e-9
