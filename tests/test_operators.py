@@ -1917,3 +1917,36 @@ def test_target_encode_kfold_null_target_fold(spark):
     want = (sum(nn) + 2.0 * prior) / (len(nn) + 2.0)
     got0 = next(e for i, e in vals if i == "0")
     assert abs(got0 - want) < 1e-9
+
+
+def test_round7_operators_empty_input(spark):
+    """Empty frames must yield empty (or defined-empty) results, never
+    throw — the behavior a scheduled pipeline hits on a quiet day."""
+    from fmx.operators.dq import freshness_lag
+    from fmx.operators.features import (hashed_cross, onehot_topk,
+                                        quantile_bucketize,
+                                        target_encode_kfold)
+    from fmx.operators.graph import degree_distribution, kcore_peel
+    from fmx.operators.profiling import corr_matrix, value_ranges
+    from fmx.operators.sampling import time_split_embargo
+
+    empty_kv = spark.createDataFrame([], "id string, key string, y double")
+    assert target_encode_kfold(empty_kv, "key", "y",
+                               id_col="id").count() == 0
+    empty_v = spark.createDataFrame([], "id int, v double")
+    assert quantile_bucketize(empty_v, "v").count() == 0
+    assert onehot_topk(empty_v.selectExpr("cast(v as string) as c"),
+                       "c").count() == 0
+    assert hashed_cross(spark.createDataFrame([], "a string, b string"),
+                        ["a", "b"]).count() == 0
+    empty_e = spark.createDataFrame([], "src string, dst string")
+    assert degree_distribution(empty_e).count() == 0
+    assert kcore_peel(empty_e, k=2).count() == 0
+    empty_ts = spark.createDataFrame([], "src string, ts timestamp")
+    assert freshness_lag(empty_ts, "src", "ts").count() == 0
+    assert time_split_embargo(empty_ts, "ts").count() == 0
+    # 1-row aggregates stay 1 row (vacuous profile, NULL stats)
+    assert corr_matrix(empty_v.selectExpr("v", "v as w"),
+                       ["v", "w"]).count() == 1
+    vr = value_ranges(empty_v, ["v"]).collect()
+    assert len(vr) == 1 and vr[0].n == 0
