@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 __all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers",
            "robust_scale", "chi2_independence", "winsorized_mean",
            "bootstrap_mean_ci", "POISSON1_CDF", "corr_matrix",
-           "value_ranges"]
+           "value_ranges", "safe_corr"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -306,6 +306,17 @@ def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
         F.round(F.col("_mean") + z * sd, 6).alias("ci_hi"))
 
 
+def safe_corr(a, b) -> F.Column:
+    """Pearson correlation that yields NULL (not ARITHMETIC error) on
+    zero-variance inputs: ANSI-mode Spark's native ``corr`` throws
+    DIVIDE_BY_ZERO when either column is constant, while every other
+    engine (and the DuckDB oracles) returns NULL.  Computed as
+    covar_samp / nullif(sd_a * sd_b, 0) — algebraically identical to
+    corr wherever corr is defined (the n-1 factors cancel)."""
+    denom = F.nullif(F.stddev_samp(a) * F.stddev_samp(b), F.lit(0.0))
+    return F.covar_samp(a, b) / denom
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlation matrix of numeric columns in ONE
     aggregation pass: (col_a, col_b, corr) for every a < b pair — the
@@ -318,7 +329,8 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     if not pairs:
         raise ValueError("corr_matrix needs at least two columns")
-    aggs = [F.corr(a, b).alias(f"_c_{i}") for i, (a, b) in enumerate(pairs)]
+    aggs = [safe_corr(a, b).alias(f"_c_{i}")
+            for i, (a, b) in enumerate(pairs)]
     one = df.agg(*aggs)
     rows = F.array(*[
         F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),

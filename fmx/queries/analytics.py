@@ -3072,3 +3072,121 @@ def ts_weekday_hour_profile(spark, sf):
                     F.col("n").cast(BIG).alias("n"),
                     F.round(F.col("n") * 1.0 / F.col("t"), 6)
                     .alias("share")))
+
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle="""
+    WITH ep AS (SELECT unnest([0, 1]) AS epoch),
+    keyed AS (SELECT d.doc_id, ep.epoch,
+                     CAST(concat('0x', substring(md5(concat('eshuf:',
+                          CAST(ep.epoch AS VARCHAR), ':',
+                          CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                         AS shuffle_key
+              FROM documents d CROSS JOIN ep)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(epoch AS BIGINT) AS epoch,
+           CAST(shuffle_key % 256 AS BIGINT) AS shuffle_bucket,
+           shuffle_key
+    FROM keyed
+    """)
+def sample_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch shuffle order for training data: each
+    (doc, epoch) gets a stable md5 key — the writer sorts/partitions
+    by it, giving every epoch an independent, REPRODUCIBLE order
+    (rerunning epoch 3 after a crash yields byte-identical batch
+    order; Spark's own shuffle order would not).  Map-only over the
+    corpus x a 2-row epoch relation; no rank, no sort in the plan —
+    ordering happens at the consumer's write, keyed by shuffle_key,
+    and shuffle_bucket routes partitions."""
+    from fmx.operators.dedup import hash64
+
+    docs = T(spark, sf, "documents").select("doc_id")
+    ep = spark.range(2).select(F.col("id").alias("epoch"))
+    key = hash64(F.concat(F.lit("eshuf:"),
+                          F.col("epoch").cast("string"), F.lit(":"),
+                          F.col("doc_id").cast("string")))
+    return (docs.crossJoin(F.broadcast(ep))
+            .select(F.col("doc_id").cast(BIG).alias("doc_id"),
+                    F.col("epoch").cast(BIG).alias("epoch"),
+                    F.pmod(key, F.lit(256)).cast(BIG)
+                    .alias("shuffle_bucket"),
+                    key.alias("shuffle_key")))
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node)
+    SELECT CAST(count(*) AS BIGINT) AS n_edge_ends,
+           round(corr(da.d, db.d), 6) AS assortativity
+    FROM und JOIN deg da ON und.node = da.node
+             JOIN deg db ON und.nbr = db.node
+    """)
+def graph_assortativity(spark, sf):
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the (directed-both-ways)
+    edge list — positive means hubs prefer hubs (social-graph shape),
+    negative means hub-to-leaf (star shape); decides whether degree
+    is a useful stratification key.  One degree agg (node grain) +
+    two broadcast joins onto the edge list + one corr agg — nothing
+    beyond node/edge grain shuffles."""
+    e = _copurchase_edges(spark, sf)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionByName(e.select(F.col("dst").alias("node"),
+                                 F.col("src").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").alias("d"))
+    da = deg.withColumnsRenamed({"node": "node", "d": "da"})
+    db = deg.withColumnsRenamed({"node": "nbr", "d": "db"})
+    from fmx.operators.profiling import safe_corr
+
+    j = (und.join(F.broadcast(da), "node")
+         .join(F.broadcast(db), "nbr"))
+    # safe_corr: ANSI-mode corr throws DIVIDE_BY_ZERO on a regular
+    # (zero-degree-variance) graph; NULL is the defined answer
+    return j.agg(F.count("*").cast(BIG).alias("n_edge_ends"),
+                 F.round(safe_corr("da", "db"), 6).alias("assortativity"))
+
+
+@query(
+    "eval_brier_score",
+    oracle="""
+    WITH sc AS (SELECT least(greatest(value / 500.0, 0.0), 1.0) AS p,
+                       CASE WHEN event_type = 'purchase' THEN 1.0
+                            ELSE 0.0 END AS y
+                FROM events WHERE value IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg((p - y) * (p - y)), 6) AS brier,
+           round(avg(y * 1.0), 6) AS base_rate,
+           round(avg(y) * (1.0 - avg(y)), 6) AS brier_baseline
+    FROM sc
+    """)
+def eval_brier_score(spark, sf):
+    """Brier score of purchase-value/500 as a purchase probability:
+    mean squared error of the probabilistic prediction, with the
+    always-predict-base-rate baseline (a useful model scores BELOW
+    it) — the proper-scoring companion to the calibration bins.  ONE
+    aggregation pass; clamp + square are map-side."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.least(F.greatest(F.col("value") / 500.0, F.lit(0.0)),
+                          F.lit(1.0)).alias("p"),
+                  F.when(F.col("event_type") == "purchase", 1.0)
+                  .otherwise(0.0).alias("y")))
+    return ev.agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.round(F.avg((F.col("p") - F.col("y"))
+                      * (F.col("p") - F.col("y"))), 6).alias("brier"),
+        F.round(F.avg(F.col("y") * 1.0), 6).alias("base_rate"),
+        F.round(F.avg("y") * (1.0 - F.avg("y")), 6)
+        .alias("brier_baseline"))

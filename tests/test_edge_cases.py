@@ -208,7 +208,9 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
              "profile_corr_matrix", "graph_kcore_members",
              "profile_value_ranges", "event_interarrival_stats",
              "emb_outlier_distance", "feat_hashed_cross",
-             "eval_confusion_at_threshold", "ts_weekday_hour_profile"]
+             "eval_confusion_at_threshold", "ts_weekday_hour_profile",
+             "sample_epoch_shuffle", "graph_assortativity",
+             "eval_brier_score"]
     ALL = Q.all_queries()
 
     def snap():

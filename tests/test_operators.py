@@ -1950,3 +1950,48 @@ def test_round7_operators_empty_input(spark):
                        ["v", "w"]).count() == 1
     vr = value_ranges(empty_v, ["v"]).collect()
     assert len(vr) == 1 and vr[0].n == 0
+
+
+def test_epoch_shuffle_independent_orders(spark, sf_dir):
+    """Each epoch's shuffle keys are a different permutation (the
+    point of per-epoch reshuffling), yet both are reproducible."""
+    import fmx.queries as Q
+
+    df = Q.all_queries()["sample_epoch_shuffle"].fn(spark, sf_dir)
+    rows = df.collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.shuffle_key
+    assert set(by_epoch) == {0, 1}
+    order0 = sorted(by_epoch[0], key=by_epoch[0].get)
+    order1 = sorted(by_epoch[1], key=by_epoch[1].get)
+    assert order0 != order1            # epochs reshuffle
+    again = {r.doc_id: r.shuffle_key
+             for r in Q.all_queries()["sample_epoch_shuffle"]
+             .fn(spark, sf_dir).collect() if r.epoch == 0}
+    assert again == by_epoch[0]        # reproducible
+
+
+def test_assortativity_known_graphs(spark):
+    """A star is perfectly disassortative (r = -1); an edge-regular
+    graph (cycle) has zero degree variance -> NULL (safe_corr: ANSI
+    corr would throw DIVIDE_BY_ZERO — the bug this test found)."""
+    from fmx.operators.profiling import safe_corr
+
+    def assort(edges):
+        und = (edges.select(F.col("src").alias("node"),
+                            F.col("dst").alias("nbr"))
+               .unionByName(edges.select(F.col("dst").alias("node"),
+                                         F.col("src").alias("nbr"))))
+        deg = und.groupBy("node").agg(F.count("*").alias("d"))
+        j = (und.join(deg.withColumnsRenamed({"d": "da"}), "node")
+             .join(deg.withColumnsRenamed({"node": "nbr", "d": "db"}),
+                   "nbr"))
+        return j.agg(safe_corr("da", "db")).first()[0]
+
+    star = spark.createDataFrame(
+        [("h", x) for x in "abcd"], "src string, dst string")
+    assert abs(assort(star) + 1.0) < 1e-9
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    assert assort(cycle) is None   # zero variance

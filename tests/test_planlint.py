@@ -108,6 +108,7 @@ _ALLOWED = {
         "sample_time_split_embargo",                # 1-row cut broadcast
         "emb_outlier_distance",     # 1-row centroid-array broadcast
         "ts_weekday_hour_profile",  # 1-row total broadcast
+        "sample_epoch_shuffle",     # 2-row epoch-relation broadcast
         "profile_gini_binned",      # 1-row min/max + count broadcasts
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "graph_pagerank_3iter", "profile_chi2_lang_source",
