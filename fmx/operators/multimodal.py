@@ -33,6 +33,7 @@ __all__ = [
     "attach_payload", "payload_stats", "extract_features",
     "decode_image", "sample_frame_offsets", "patch_payload",
     "FEATURE_SCHEMA",
+    "payload_minhash_pairs",
 ]
 
 
@@ -160,3 +161,58 @@ def patch_payload(df: DataFrame, id_col: str,
                     F.col("patch_idx").cast("bigint").alias("patch_idx"),
                     F.octet_length(patch).cast("bigint").alias("patch_len"),
                     F.md5(patch).alias("patch_md5")))
+
+
+def payload_minhash_pairs(df: DataFrame, id_col: str,
+                          shingle_bytes: int = 8, stride: int = 4,
+                          num_hashes: int = 8, bands: int = 4
+                          ) -> DataFrame:
+    """Near-duplicate candidate pairs over BINARY payloads WITHOUT
+    decoding: byte-shingle MinHash + LSH banding — catches re-encoded
+    metadata variants, truncated copies, and byte-shifted duplicates
+    that exact payload-md5 dedup misses, with no codec anywhere (the
+    multimodal twin of text MinHash-LSH).
+
+    Shingles are ``shingle_bytes``-byte windows every ``stride`` bytes,
+    taken over the payload's HEX rendering (2 chars/byte) so both
+    engines shingle with plain string ops (no BLOB substring in the
+    oracle engine).  Each doc folds to ``num_hashes`` salted-md5
+    minima; ``bands`` band signatures equi-join candidates — the
+    banding keeps pair work linear (never all-pairs), exactly like
+    text MinHash.  Docs shorter than one shingle are excluded.
+
+    Returns (a, b, shared_bands), a < b, one row per candidate pair.
+    """
+    from fmx.operators.dedup import hash64
+
+    rows = num_hashes // bands
+    hexp = F.hex(F.col("payload"))
+    n_pos = (F.col("meta.byte_len") - shingle_bytes) / stride
+    sh = (df.filter(F.col("meta.byte_len") >= shingle_bytes)
+          .select(F.col(id_col).alias("_id"), hexp.alias("_hx"),
+                  F.explode(F.sequence(
+                      F.lit(0), n_pos.cast("int"), F.lit(1)))
+                  .alias("_i"))
+          .select("_id",
+                  F.substring("_hx", F.col("_i") * (2 * stride) + 1,
+                              2 * shingle_bytes).alias("_sh"))
+          .distinct())
+    sig = sh.groupBy("_id").agg(*[
+        F.min(hash64(F.col("_sh"), salt=f"mmb{p}")).alias(f"_h{p}")
+        for p in range(num_hashes)])
+    band_cols = [
+        F.md5(F.concat_ws(":", *[F.col(f"_h{b * rows + r}").cast("string")
+                                 for r in range(rows)])).alias(f"_b{b}")
+        for b in range(bands)]
+    banded = sig.select("_id", *band_cols)
+    longf = banded.select(
+        "_id", F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("sig"))
+            for b in range(bands)])).alias("bs")
+    ).select("_id", "bs.band", "bs.sig")
+    l = longf.withColumnRenamed("_id", "a")
+    r = longf.withColumnRenamed("_id", "b")
+    return (l.join(r, ["band", "sig"])
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("shared_bands")))

@@ -146,7 +146,8 @@ _PRIORITY = [
     # event_interarrival_stats, emb_outlier_distance,
     # feat_hashed_cross, eval_confusion_at_threshold,
     # ts_weekday_hour_profile, sample_epoch_shuffle,
-    # graph_assortativity, eval_brier_score (+ the streaming
+    # graph_assortativity, eval_brier_score,
+    # multimodal_payload_near_dup (+ the streaming
     # register family gained stream_freshness_registers) — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives

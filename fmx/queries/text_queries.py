@@ -1029,3 +1029,53 @@ def eval_langid_confusion(spark, sf):
             .select("true_lang", "pred_lang", "n",
                     F.round(F.col("n") / F.col("n_true"), 6)
                     .alias("frac_of_true")))
+
+
+
+@query(
+    "multimodal_payload_near_dup",
+    oracle="""
+    WITH pl AS (SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS bl
+                FROM documents
+                WHERE octet_length(encode(text)) >= 8),
+    sh AS (SELECT DISTINCT doc_id, substring(hx, i * 8 + 1, 16) AS s
+           FROM pl, LATERAL (SELECT unnest(generate_series(0,
+                             CAST(floor((bl - 8) / 4.0) AS INT))) AS i) t),
+    sig AS (SELECT doc_id,
+                min(CAST(concat('0x', substring(md5(concat('mmb0:', s)), 1, 15)) AS BIGINT)) AS h0,
+                min(CAST(concat('0x', substring(md5(concat('mmb1:', s)), 1, 15)) AS BIGINT)) AS h1,
+                min(CAST(concat('0x', substring(md5(concat('mmb2:', s)), 1, 15)) AS BIGINT)) AS h2,
+                min(CAST(concat('0x', substring(md5(concat('mmb3:', s)), 1, 15)) AS BIGINT)) AS h3,
+                min(CAST(concat('0x', substring(md5(concat('mmb4:', s)), 1, 15)) AS BIGINT)) AS h4,
+                min(CAST(concat('0x', substring(md5(concat('mmb5:', s)), 1, 15)) AS BIGINT)) AS h5,
+                min(CAST(concat('0x', substring(md5(concat('mmb6:', s)), 1, 15)) AS BIGINT)) AS h6,
+                min(CAST(concat('0x', substring(md5(concat('mmb7:', s)), 1, 15)) AS BIGINT)) AS h7
+            FROM sh GROUP BY doc_id),
+    lf AS (SELECT doc_id, 0 AS band, md5(concat_ws(':', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR))) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1 AS band, md5(concat_ws(':', CAST(h2 AS VARCHAR), CAST(h3 AS VARCHAR))) AS sig FROM sig
+        UNION ALL SELECT doc_id, 2 AS band, md5(concat_ws(':', CAST(h4 AS VARCHAR), CAST(h5 AS VARCHAR))) AS sig FROM sig
+        UNION ALL SELECT doc_id, 3 AS band, md5(concat_ws(':', CAST(h6 AS VARCHAR), CAST(h7 AS VARCHAR))) AS sig FROM sig),
+    pairs AS (SELECT la.doc_id AS a, lb.doc_id AS b
+              FROM lf la JOIN lf lb ON la.band = lb.band
+                                   AND la.sig = lb.sig
+                                   AND la.doc_id < lb.doc_id)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(count(*) AS BIGINT) AS shared_bands
+    FROM pairs GROUP BY a, b
+    """)
+def multimodal_payload_near_dup(spark, sf):
+    """Near-duplicate BINARY payloads without decoding: byte-shingle
+    (8 bytes, stride 4, over the hex rendering) MinHash with 8 salted
+    minima in 4 bands of 2; candidates meet through the band
+    equi-join — linear pair work, the multimodal twin of text
+    MinHash-LSH (fmx.operators.multimodal.payload_minhash_pairs).
+    Catches byte-shifted/truncated/metadata-variant copies that exact
+    payload-md5 dedup (multimodal_payload_dedup) misses; no codec
+    anywhere."""
+    mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")
+    out = M.payload_minhash_pairs(mm, "doc_id")
+    return out.select(F.col("a").cast("bigint").alias("a"),
+                      F.col("b").cast("bigint").alias("b"),
+                      F.col("shared_bands").cast("bigint")
+                      .alias("shared_bands"))

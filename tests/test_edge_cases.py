@@ -210,7 +210,7 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
              "emb_outlier_distance", "feat_hashed_cross",
              "eval_confusion_at_threshold", "ts_weekday_hour_profile",
              "sample_epoch_shuffle", "graph_assortativity",
-             "eval_brier_score"]
+             "eval_brier_score", "multimodal_payload_near_dup"]
     ALL = Q.all_queries()
 
     def snap():

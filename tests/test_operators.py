@@ -1995,3 +1995,24 @@ def test_assortativity_known_graphs(spark):
     cycle = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
     assert assort(cycle) is None   # zero variance
+
+
+def test_payload_minhash_pairs_byte_shift(spark):
+    """A byte-shifted copy (4-byte prefix = one stride) pairs with its
+    original; an unrelated payload does not; identical payloads share
+    every band."""
+    from fmx.operators.multimodal import (attach_payload,
+                                          payload_minhash_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(1, base), (2, "XXXX" + base), (3, base),
+            (4, "completely different content with no overlap at all "
+                "qwertyuiopasdfghjklzxcvbnm 0123456789 " * 8)]
+    mm = attach_payload(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text")
+    got = {(r.a, r.b): r.shared_bands
+           for r in payload_minhash_pairs(mm, "doc_id").collect()}
+    assert got.get((1, 3)) == 4          # identical: all bands
+    assert (1, 2) in got                 # stride-aligned shift pairs
+    assert (1, 4) not in got and (3, 4) not in got
