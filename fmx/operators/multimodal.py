@@ -168,7 +168,7 @@ def payload_minhash_pairs(df: DataFrame, id_col: str,
                           num_hashes: int = 8, bands: int = 4
                           ) -> DataFrame:
     """Near-duplicate candidate pairs over BINARY payloads WITHOUT
-    decoding: byte-shingle MinHash + LSH banding — catches re-encoded
+    decoding: byte-shingle MinHash + LSH banding -- catches re-encoded
     metadata variants, truncated copies, and byte-shifted duplicates
     that exact payload-md5 dedup misses, with no codec anywhere (the
     multimodal twin of text MinHash-LSH).
@@ -176,15 +176,24 @@ def payload_minhash_pairs(df: DataFrame, id_col: str,
     Shingles are ``shingle_bytes``-byte windows every ``stride`` bytes,
     taken over the payload's HEX rendering (2 chars/byte) so both
     engines shingle with plain string ops (no BLOB substring in the
-    oracle engine).  Each doc folds to ``num_hashes`` salted-md5
-    minima; ``bands`` band signatures equi-join candidates — the
-    banding keeps pair work linear (never all-pairs), exactly like
-    text MinHash.  Docs shorter than one shingle are excluded.
+    oracle engine).  Each shingle is md5-hashed ONCE; the num_hashes
+    permutations are dedup.py's affine MinHash maps (minhash_slot --
+    8x cheaper than salted re-hashing, same scheme the text oracles
+    replay); no shingle distinct (min() is duplicate-insensitive, the
+    dedup shuffle is pure cost -- the _minhash_wide lesson).  ``bands``
+    must divide ``num_hashes`` (a non-divisor silently weakens the
+    signature; bands > num_hashes would degenerate every band key to
+    the empty string and the equi-join into a cross product).  Docs
+    shorter than one shingle are excluded.
 
     Returns (a, b, shared_bands), a < b, one row per candidate pair.
     """
-    from fmx.operators.dedup import hash64
+    from fmx.operators.dedup import hash64, minhash_slot
 
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of "
+            f"num_hashes={num_hashes}")
     rows = num_hashes // bands
     hexp = F.hex(F.col("payload"))
     n_pos = (F.col("meta.byte_len") - shingle_bytes) / stride
@@ -194,11 +203,11 @@ def payload_minhash_pairs(df: DataFrame, id_col: str,
                       F.lit(0), n_pos.cast("int"), F.lit(1)))
                   .alias("_i"))
           .select("_id",
-                  F.substring("_hx", F.col("_i") * (2 * stride) + 1,
-                              2 * shingle_bytes).alias("_sh"))
-          .distinct())
+                  hash64(F.substring("_hx",
+                                     F.col("_i") * (2 * stride) + 1,
+                                     2 * shingle_bytes)).alias("_h")))
     sig = sh.groupBy("_id").agg(*[
-        F.min(hash64(F.col("_sh"), salt=f"mmb{p}")).alias(f"_h{p}")
+        F.min(minhash_slot(F.col("_h"), p)).alias(f"_h{p}")
         for p in range(num_hashes)])
     band_cols = [
         F.md5(F.concat_ws(":", *[F.col(f"_h{b * rows + r}").cast("string")

@@ -310,11 +310,21 @@ def safe_corr(a, b) -> F.Column:
     """Pearson correlation that yields NULL (not ARITHMETIC error) on
     zero-variance inputs: ANSI-mode Spark's native ``corr`` throws
     DIVIDE_BY_ZERO when either column is constant, while every other
-    engine (and the DuckDB oracles) returns NULL.  Computed as
-    covar_samp / nullif(sd_a * sd_b, 0) — algebraically identical to
-    corr wherever corr is defined (the n-1 factors cancel)."""
-    denom = F.nullif(F.stddev_samp(a) * F.stddev_samp(b), F.lit(0.0))
-    return F.covar_samp(a, b) / denom
+    engine (and the DuckDB oracles) returns NULL.
+
+    Both columns are masked to PAIRWISE-COMPLETE rows first (corr's
+    semantics): without the mask, covar_samp sees only complete pairs
+    while each stddev_samp sees its own column's non-null rows, and
+    the n-1 factors stop cancelling — on columns with different null
+    patterns the unmasked form returns a value that is not a
+    correlation at all.  With the mask, covar_samp / (sd_a * sd_b) is
+    algebraically identical to corr wherever corr is defined."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    both = ca.isNotNull() & cb.isNotNull()
+    ma, mb = F.when(both, ca), F.when(both, cb)
+    denom = F.nullif(F.stddev_samp(ma) * F.stddev_samp(mb), F.lit(0.0))
+    return F.covar_samp(ma, mb) / denom
 
 
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -3146,7 +3146,7 @@ def graph_assortativity(spark, sf):
            .unionByName(e.select(F.col("dst").alias("node"),
                                  F.col("src").alias("nbr"))))
     deg = und.groupBy("node").agg(F.count("*").alias("d"))
-    da = deg.withColumnsRenamed({"node": "node", "d": "da"})
+    da = deg.withColumnsRenamed({"d": "da"})
     db = deg.withColumnsRenamed({"node": "nbr", "d": "db"})
     from fmx.operators.profiling import safe_corr
 

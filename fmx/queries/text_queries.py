@@ -1039,18 +1039,19 @@ def eval_langid_confusion(spark, sf):
                        octet_length(encode(text)) AS bl
                 FROM documents
                 WHERE octet_length(encode(text)) >= 8),
-    sh AS (SELECT DISTINCT doc_id, substring(hx, i * 8 + 1, 16) AS s
+    sh AS (SELECT doc_id,
+                  CAST(concat('0x', substring(md5(substring(hx, i * 8 + 1, 16)), 1, 15)) AS BIGINT) AS h
            FROM pl, LATERAL (SELECT unnest(generate_series(0,
                              CAST(floor((bl - 8) / 4.0) AS INT))) AS i) t),
     sig AS (SELECT doc_id,
-                min(CAST(concat('0x', substring(md5(concat('mmb0:', s)), 1, 15)) AS BIGINT)) AS h0,
-                min(CAST(concat('0x', substring(md5(concat('mmb1:', s)), 1, 15)) AS BIGINT)) AS h1,
-                min(CAST(concat('0x', substring(md5(concat('mmb2:', s)), 1, 15)) AS BIGINT)) AS h2,
-                min(CAST(concat('0x', substring(md5(concat('mmb3:', s)), 1, 15)) AS BIGINT)) AS h3,
-                min(CAST(concat('0x', substring(md5(concat('mmb4:', s)), 1, 15)) AS BIGINT)) AS h4,
-                min(CAST(concat('0x', substring(md5(concat('mmb5:', s)), 1, 15)) AS BIGINT)) AS h5,
-                min(CAST(concat('0x', substring(md5(concat('mmb6:', s)), 1, 15)) AS BIGINT)) AS h6,
-                min(CAST(concat('0x', substring(md5(concat('mmb7:', s)), 1, 15)) AS BIGINT)) AS h7
+                min((40520 * (h % 2147483647) + 69624) % 2147483647) AS h0,
+                min((81023 * (h % 2147483647) + 139245) % 2147483647) AS h1,
+                min((121526 * (h % 2147483647) + 208866) % 2147483647) AS h2,
+                min((162029 * (h % 2147483647) + 278487) % 2147483647) AS h3,
+                min((202532 * (h % 2147483647) + 348108) % 2147483647) AS h4,
+                min((243035 * (h % 2147483647) + 417729) % 2147483647) AS h5,
+                min((283538 * (h % 2147483647) + 487350) % 2147483647) AS h6,
+                min((324041 * (h % 2147483647) + 556971) % 2147483647) AS h7
             FROM sh GROUP BY doc_id),
     lf AS (SELECT doc_id, 0 AS band, md5(concat_ws(':', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR))) AS sig FROM sig
         UNION ALL SELECT doc_id, 1 AS band, md5(concat_ws(':', CAST(h2 AS VARCHAR), CAST(h3 AS VARCHAR))) AS sig FROM sig

@@ -276,11 +276,18 @@ def stats_corr_regr(spark, sf):
 def w7_time_range_sum(spark, sf):
     """Time-based RANGE window frame: per-user rolling 1-hour value sum
     (frame bounds in event-time seconds, not row counts — the frame a
-    row-count window gets wrong on irregular arrivals)."""
+    row-count window gets wrong on irregular arrivals).
+
+    Ordering is the FRACTIONAL epoch (ts as double — microsecond
+    precision), matching the oracle's epoch() exactly: ordering by
+    unix_timestamp (truncated whole seconds) shifts events near the
+    3600s frame boundary into/out of the window and creates phantom
+    RANGE peers among same-second events — caught by the first sf0.1
+    registry-wide oracle sweep (round 7), invisible at sf<=0.01."""
     from pyspark.sql import Window
 
     w = (Window.partitionBy("user_id")
-         .orderBy(F.unix_timestamp("ts"))
+         .orderBy(F.col("ts").cast("double"))
          .rangeBetween(-3600, 0))
     return (T(spark, sf, "events")
             .select(F.col("event_id").cast(BIG).alias("event_id"),

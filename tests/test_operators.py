@@ -2016,3 +2016,34 @@ def test_payload_minhash_pairs_byte_shift(spark):
     assert got.get((1, 3)) == 4          # identical: all bands
     assert (1, 2) in got                 # stride-aligned shift pairs
     assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_safe_corr_pairwise_complete_nulls(spark):
+    """safe_corr must equal native corr's pairwise-complete semantics
+    when the two columns have DIFFERENT null patterns (the unmasked
+    covar/sd*sd form returns 0.5 here — not a correlation at all)."""
+    from fmx.operators.profiling import safe_corr
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 1.0), (3.0, 2.0), (None, 3.0)],
+        "a double, b double")
+    got = df.agg(safe_corr("a", "b")).first()[0]
+    assert abs(got - 1.0) < 1e-12    # complete pairs (2,1),(3,2): r=1
+
+
+def test_payload_minhash_bands_guard(spark):
+    """bands must divide num_hashes — a non-divisor silently weakens
+    the signature and bands > num_hashes degenerates the band join
+    into a cross product."""
+    import pytest
+
+    from fmx.operators.multimodal import (attach_payload,
+                                          payload_minhash_pairs)
+
+    mm = attach_payload(
+        spark.createDataFrame([(1, "x" * 50)], "doc_id long, text string"),
+        "doc_id", "text")
+    with pytest.raises(ValueError, match="divisor"):
+        payload_minhash_pairs(mm, "doc_id", num_hashes=8, bands=3)
+    with pytest.raises(ValueError, match="divisor"):
+        payload_minhash_pairs(mm, "doc_id", num_hashes=8, bands=16)
