@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["check_expectations", "failing_rows", "table_diff",
            "checksum_registers", "table_diff_drilldown", "freshness_lag",
-           "freshness_from_registers"]
+           "freshness_from_registers", "null_rate_drift"]
 
 
 def check_expectations(df: DataFrame,
@@ -243,3 +243,53 @@ def freshness_from_registers(registers: DataFrame, group_col: str,
                     F.round(lag_h, 4).alias("lag_hours"),
                     F.coalesce(lag_h > float(warn_lag_hours),
                                F.lit(True)).alias("stale")))
+
+
+def null_rate_drift(df: DataFrame, cols: list[str],
+                    ts_col: str) -> DataFrame:
+    """Per-column null-rate drift between the early and late half of
+    the batch's time range: (col, n_early, rate_early, n_late,
+    rate_late, drift) — the schema-health trend check (an upstream
+    extractor silently started emitting NULLs mid-window) that
+    complements dq_psi_drift's value-distribution view.
+
+    The time midpoint comes from a 1-row min/max aggregate over the
+    fractional epoch (``cast('double')`` — whole-second truncation
+    shifts boundary rows, the w7 lesson) broadcast back over the
+    fact; all per-period per-column counts then run in a single
+    conditional aggregation pass (one scan, map-side combinable, no
+    shuffle beyond the 1-row exchange), and the long-format explode
+    happens on the 1-row result.  Rows with NULL timestamps belong to
+    neither period (they carry no trend information; gate them via
+    check_expectations).  Integer count ratios keep every rate
+    engine-exact; an empty period reports NULL rates and NULL drift
+    rather than pretending stability."""
+    ep = F.col(ts_col).cast("double")
+    rng = df.agg(F.min(ep).alias("_mn"), F.max(ep).alias("_mx"))
+    late = ep > (F.col("_mn") + F.col("_mx")) / 2.0
+    aggs = []
+    for i, c in enumerate(cols):
+        isn = F.col(c).isNull().cast("long")
+        aggs += [
+            F.sum(F.when(~late, 1).otherwise(0)).alias(f"_ne_{i}"),
+            F.sum(F.when(~late, isn).otherwise(0)).alias(f"_nne_{i}"),
+            F.sum(F.when(late, 1).otherwise(0)).alias(f"_nl_{i}"),
+            F.sum(F.when(late, isn).otherwise(0)).alias(f"_nnl_{i}"),
+        ]
+    one = df.crossJoin(F.broadcast(rng)).agg(*aggs)
+    def _rate(num, den):
+        return F.round(F.col(num) / F.nullif(F.col(den), F.lit(0)), 6)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.coalesce(F.col(f"_ne_{i}"), F.lit(0)).cast("bigint")
+            .alias("n_early"),
+            _rate(f"_nne_{i}", f"_ne_{i}").alias("rate_early"),
+            F.coalesce(F.col(f"_nl_{i}"), F.lit(0)).cast("bigint")
+            .alias("n_late"),
+            _rate(f"_nnl_{i}", f"_nl_{i}").alias("rate_late"),
+            F.round(F.abs(F.col(f"_nnl_{i}") / F.nullif(F.col(f"_nl_{i}"), F.lit(0))
+                          - F.col(f"_nne_{i}") / F.nullif(F.col(f"_ne_{i}"), F.lit(0))),
+                    6).alias("drift"))
+        for i, c in enumerate(cols)])
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["target_encode_loo", "frequency_encode",
            "target_encode_kfold", "quantile_bucketize", "onehot_topk",
-           "hashed_cross"]
+           "hashed_cross", "woe_encode"]
 
 
 def target_encode_loo(df: DataFrame, key_col: str, target_col: str,
@@ -256,3 +256,41 @@ def hashed_cross(df: DataFrame, cols: list[str], num_buckets: int = 64,
     key = F.concat(F.lit(f"{tag}:"), joined)
     return df.withColumn(
         out_col, F.pmod(hash64(key), F.lit(int(num_buckets))).cast("int"))
+
+
+def woe_encode(df: DataFrame, cat_col: str, label_col,
+               smooth: float = 0.5) -> DataFrame:
+    """Weight-of-evidence table for a categorical feature against a
+    binary target: per category (cat, n, n_pos, woe, iv_term) with
+
+        woe = ln( (pos_c + s)/(P + 2s) / ((neg_c + s)/(N + 2s)) )
+        iv_term = (pos_c/P - neg_c/N) * woe
+
+    — the scorecard-standard monotone encoding (and its information-
+    value contribution, sum(iv_term) = IV) for credit-risk-style
+    tabular models; smoothing ``s`` keeps single-class categories
+    finite.  Rows with NULL label are excluded (no evidence);
+    ``label_col`` may be a name or a boolean/0-1 Column expression.
+
+    Shape: ONE hash-agg over the category (map-side combinable), the
+    global pos/neg totals roll up from that bounded agg (never a
+    second fact scan — the lift-deciles discipline) and broadcast
+    back as a 1-row cross.  All counts are integers, so both engines
+    reproduce the ratios and the single ln() bit-identically."""
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    y = y.cast("int")
+    per = (df.filter(y.isNotNull())
+           .groupBy(F.col(cat_col).alias("cat"))
+           .agg(F.count("*").alias("n"), F.sum(y).alias("n_pos")))
+    tot = per.agg(F.sum("n_pos").alias("_P"),
+                  F.sum(F.col("n") - F.col("n_pos")).alias("_N"))
+    s = float(smooth)
+    neg = F.col("n") - F.col("n_pos")
+    woe = F.log(((F.col("n_pos") + s) / (F.col("_P") + 2 * s))
+                / ((neg + s) / (F.col("_N") + 2 * s)))
+    iv = (F.col("n_pos") / F.col("_P") - neg / F.col("_N")) * woe
+    return (per.crossJoin(F.broadcast(tot))
+            .select("cat", F.col("n").cast("bigint").alias("n"),
+                    F.col("n_pos").cast("bigint").alias("n_pos"),
+                    F.round(woe, 6).alias("woe"),
+                    F.round(iv, 6).alias("iv_term")))

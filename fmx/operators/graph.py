@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "k_hop", "label_propagation",
-           "degree_distribution", "kcore_peel"]
+           "degree_distribution", "kcore_peel", "min_label_rounds"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -154,6 +154,45 @@ def label_propagation(edges: DataFrame, src: str = "src",
         labels = (counts.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1)
                   .select("node", "label"))
+    return labels
+
+
+def min_label_rounds(edges: DataFrame, rounds: int = 3,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded-round connected components: every node starts with its
+    own id as label; each synchronous round every node adopts the
+    minimum label among itself and its neighbors.  Returns
+    (node, label) after exactly ``rounds`` rounds — labels are exact
+    component minima for every node within graph distance ``rounds``
+    of its component's minimum node, an upper-bound partition
+    otherwise (components can only be split too fine, never merged).
+
+    This is the replayable, fixed-point-free sibling of
+    ``fmx.operators.dedup.connected_components`` (which iterates to
+    convergence with an Observation-based stop and is therefore not
+    expressible as a finite SQL plan).  Per round: one equi-join of
+    labels onto the neighbor side, one min-agg per node (map-side
+    combinable), one left join back so isolated-this-round nodes keep
+    their label.  ``localCheckpoint(eager=False)`` between rounds
+    truncates the 3-references-per-round lineage growth (kcore_peel's
+    discipline).  For 100TB graphs with large diameters, switch to
+    alternating large-/small-star rewiring (O(log d) rounds); the
+    bounded-round form here is the verification-friendly spec.
+    """
+    und = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .unionByName(
+               edges.select(F.col(dst).alias("node"),
+                            F.col(src).alias("nbr"))))
+    labels = (und.select("node").distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(int(rounds)):
+        labels = labels.localCheckpoint(eager=False)
+        nmin = (und.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node").agg(F.min("label").alias("nmin")))
+        labels = (labels.join(nmin, "node", "left")
+                  .select("node",
+                          F.least("label", F.coalesce("nmin", "label"))
+                          .alias("label")))
     return labels
 
 

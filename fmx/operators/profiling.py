@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 __all__ = ["key_skew_profile", "zscore_outliers", "mad_outliers",
            "robust_scale", "chi2_independence", "winsorized_mean",
            "bootstrap_mean_ci", "POISSON1_CDF", "corr_matrix",
-           "value_ranges", "safe_corr"]
+           "value_ranges", "safe_corr", "categorical_entropy"]
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
@@ -393,3 +393,39 @@ def value_ranges(df: DataFrame, cols: list[str],
               for j in range(len(qs))])
         for i, c in enumerate(cols)])
     return (one.select(F.explode(rows).alias("r")).select("r.*"))
+
+
+def categorical_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy profile of categorical columns in one scan:
+    per column (col, n, n_distinct, entropy_bits, norm_entropy) —
+    the dataset-card diversity readout (is `source` one giant bucket?
+    did `lang` collapse after a filter change?) that complements
+    value_ranges' numeric view.
+
+    NULL is a category (a null-heavy column IS low-entropy evidence).
+    All columns unpivot into (col, val) pairs on the scan (array of
+    structs + explode — stack() with a single shuffle on the
+    (col, val) hash-agg, map-side combinable), then a col-grain agg
+    computes H = log2(n) - sum(c*log2(c))/n — the transform keeps
+    every c integer so the only float summation is over the bounded
+    per-column distinct set.  norm_entropy = H / log2(n_distinct)
+    (0.0 for single-valued columns).  At 100TB the pair relation is
+    |cols| x rows but combines to |cols| x |distinct| before the
+    exchange; high-cardinality id columns belong in
+    profile_column_cardinalities (HLL), not here."""
+    pairs = (df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(c).cast("string").alias("val"))
+        for c in cols])).alias("r")).select("r.*"))
+    counts = pairs.groupBy("col", "val").agg(F.count("*").alias("c"))
+    per = counts.groupBy("col").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(F.col("c") * F.log2("c")).alias("_slc"))
+    h = F.log2("n") - F.col("_slc") / F.col("n")
+    return per.select(
+        "col", F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("n_distinct"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.when(F.col("k") > 1, h / F.log2("k"))
+                .otherwise(F.lit(0.0)), 6).alias("norm_entropy"))

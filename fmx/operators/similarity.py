@@ -27,7 +27,7 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
            "hard_negatives", "ndcg_eval", "range_search", "pca_project",
-           "centroid_distance_topk"]
+           "centroid_distance_topk", "kmeans_assign"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -935,3 +935,52 @@ def centroid_distance_topk(df: DataFrame, id_col: str, vec_col: str,
     top = scored.orderBy(F.desc("dist"), id_col).limit(int(k))
     w = Window.orderBy(F.desc("dist"), id_col)
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
+                  k: int = 4, iters: int = 1) -> DataFrame:
+    """Deterministic mini-Lloyd clustering: seed centroids from the
+    ``k`` smallest-id vectors, run ``iters`` assign-recompute rounds,
+    return the final assignment (id, cell, dist) — the semantic-
+    bucketing primitive behind corpus partitioning / diversity
+    sampling when the full MLlib KMeans (random init, driver-side
+    state) is overkill or must be replayable across engines.
+
+    Everything is relational: vectors posexplode to (id, pos, x);
+    assignment joins the (k x dim)-row centroid relation on pos
+    (broadcast — it is tiny by construction) and takes the argmin of
+    squared L2 per id via a k-row ranking window; recompute is one
+    (cell, pos) mean-agg.  Recomputed centroid means are ROUNDED to
+    6dp before the next distance pass — engine summation order
+    perturbs means at ~1e-12 and a dim-term dot amplifies that past
+    any output round (the emb_pca_project lesson); the argmin
+    likewise ranks on round(dist, 6) with the cell id as total
+    tie-break, so the oracle replays every round exactly.  Seeding
+    from ordered ids (not hashes) keeps init portable; at 100TB the
+    take-k init is a TakeOrdered, never a full sort."""
+    ex = (df.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "x"))
+          .withColumn("x", F.col("x").cast("double")))
+    seeds = (df.select(id_col).orderBy(id_col).limit(int(k))
+             .select(F.col(id_col).alias("_sid"),
+                     (F.row_number().over(Window.orderBy(id_col)) - 1)
+                     .alias("cell")))
+    cents = (ex.join(F.broadcast(seeds), ex[id_col] == seeds["_sid"])
+             .select("cell", "pos", F.col("x").alias("c")))
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        d = (ex.join(F.broadcast(cents_df), "pos")
+             .groupBy(id_col, "cell")
+             .agg(F.round(F.sum((F.col("x") - F.col("c"))
+                                * (F.col("x") - F.col("c"))), 6)
+                  .alias("dist")))
+        w = Window.partitionBy(id_col).orderBy("dist", "cell")
+        return (d.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    assign = _assign(cents)
+    for _ in range(int(iters)):
+        cents = (ex.join(assign.select(id_col, "cell"), id_col)
+                 .groupBy("cell", "pos")
+                 .agg(F.round(F.avg("x"), 6).alias("c")))
+        assign = _assign(cents)
+    return assign

@@ -296,3 +296,38 @@ def time_weighted_avg(df: DataFrame, key_cols: list[str], ts_col: str,
                  F.round(F.sum("_dt"), 6).alias("duration_sec"),
                  F.round(F.sum(F.col(val_col) * F.col("_dt"))
                          / F.sum("_dt"), 6).alias(out_col)))
+
+
+def ewma(df: DataFrame, key_cols: list[str], ts_col: str,
+         value_col: str, alpha: float = 0.3, span: int = 8,
+         out_col: str = "ewma") -> DataFrame:
+    """Exponentially weighted moving average over the trailing
+    ``span`` rows of each key's ordered series:
+
+        ewma_t = sum_i (1-a)^i * x_{t-i} / sum_i (1-a)^i   (i < span,
+                                                            x non-null)
+
+    — the smoother behind monitoring baselines and anomaly bands
+    (reacts faster than a flat moving average, bounded memory unlike
+    the infinite-history recurrence).  Truncating at ``span`` rows
+    makes the operator a PURE windowed expression: one window pass
+    per key emits an explicit lag chain, every weight is a Python
+    float literal baked into the plan, and the additions associate
+    left-to-right — so any engine (and the DuckDB oracle) replays the
+    IEEE arithmetic bit-for-bit.  NULL values drop out of both
+    numerator and weight mass (gaps don't decay the average toward
+    0).  The window is per-key over ``span`` rows — no global sort,
+    no unbounded state; for the infinite-memory recurrence use the
+    streaming register stack instead."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    q = 1.0 - float(alpha)
+    num = None
+    den = None
+    for i in range(int(span)):
+        xi = F.col(value_col) if i == 0 else F.lag(value_col, i).over(w)
+        wi = F.lit(q ** i)
+        term = F.when(xi.isNotNull(), wi * xi).otherwise(F.lit(0.0))
+        mass = F.when(xi.isNotNull(), wi).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return df.withColumn(out_col, num / F.nullif(den, F.lit(0.0)))

@@ -17,6 +17,7 @@ __all__ = [
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
     "bm25_topk", "cluster_terms", "boilerplate_strip", "bpe_pair_counts",
+    "readability",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -654,3 +655,39 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     w = Window.orderBy(F.col("cnt").desc(), "pair")
     return top.select("pair", "cnt",
                       F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease profile per document: (id, n_sentences,
+    n_words, n_syllables, flesch) with
+
+        flesch = 206.835 - 1.015*(words/sentences)
+                         - 84.6*(syllables/words)
+
+    — the classic readability gate (C4/Gopher-style corpus filters
+    keep prose in a target band; pathological machine-generated text
+    scores far outside it).  Syllables use the standard regex proxy:
+    one syllable per maximal vowel group (`[aeiouyAEIOUY]+`);
+    sentences are maximal `[.!?]+` runs; words are the corpus-wide
+    whitespace-token convention (token_stats).  Every count is an
+    integer regexp_count/size over the row — no UDFs, no shuffle, a
+    pure map over any corpus size — and the score arithmetic is three
+    IEEE double ops on integer ratios, so any engine replays it
+    bit-identically.  Empty/degenerate docs clamp both denominators
+    to >= 1 rather than NULLing out (a 0-sentence fragment is still
+    scoreable prose-or-not evidence)."""
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1))
+    n_words = F.greatest(F.size(_toks(text_col)), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[aeiouyAEIOUY]+")),
+        F.lit(1))
+    score = (F.lit(206.835)
+             - F.lit(1.015) * (n_words / n_sent)
+             - F.lit(84.6) * (n_syll / n_words))
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.round(score, 4).alias("flesch"))

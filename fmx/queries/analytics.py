@@ -3190,3 +3190,237 @@ def eval_brier_score(spark, sf):
         F.round(F.avg(F.col("y") * 1.0), 6).alias("base_rate"),
         F.round(F.avg("y") * (1.0 - F.avg("y")), 6)
         .alias("brier_baseline"))
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    l0 AS (SELECT DISTINCT node, node AS label FROM und),
+    m1 AS (SELECT u.node, min(l.label) AS nmin
+           FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY u.node),
+    l1 AS (SELECT l0.node,
+                  least(l0.label, coalesce(m1.nmin, l0.label)) AS label
+           FROM l0 LEFT JOIN m1 ON l0.node = m1.node),
+    m2 AS (SELECT u.node, min(l.label) AS nmin
+           FROM und u JOIN l1 l ON u.nbr = l.node GROUP BY u.node),
+    l2 AS (SELECT l1.node,
+                  least(l1.label, coalesce(m2.nmin, l1.label)) AS label
+           FROM l1 LEFT JOIN m2 ON l1.node = m2.node),
+    m3 AS (SELECT u.node, min(l.label) AS nmin
+           FROM und u JOIN l2 l ON u.nbr = l.node GROUP BY u.node),
+    l3 AS (SELECT l2.node,
+                  least(l2.label, coalesce(m3.nmin, l2.label)) AS label
+           FROM l2 LEFT JOIN m3 ON l2.node = m3.node)
+    SELECT CAST(label AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY label
+    """)
+def graph_connected_components(spark, sf):
+    """Bounded-round connected components of the co-purchase part
+    graph (fmx.operators.graph.min_label_rounds, 3 synchronous
+    min-label rounds): every node takes the minimum label in its
+    closed neighborhood each round, then components report their
+    size.  Exact for every node within distance 3 of its component's
+    minimum; never merges distinct components.  The replayable
+    sibling of the dedup stack's converge-with-Observation
+    connected_components (reference fm_spark has no graph stack; this
+    is the engine-capability family).  Per round: one equi-join + one
+    map-side-combinable min-agg + one survivor left join, with lazy
+    localCheckpoints truncating lineage — the oracle unrolls the
+    three rounds."""
+    from fmx.operators.graph import min_label_rounds
+
+    labels = min_label_rounds(_copurchase_edges(spark, sf), rounds=3)
+    return (labels.groupBy(F.col("label").cast(BIG).alias("component"))
+            .agg(F.count("*").cast(BIG).alias("n_nodes")))
+
+
+@query(
+    "profile_entropy",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'lang' AS col, lang AS val FROM documents
+      UNION ALL SELECT 'source' AS col, source AS val FROM documents),
+    c AS (SELECT col, val, count(*) AS c FROM pairs GROUP BY col, val),
+    per AS (SELECT col, sum(c) AS n, count(*) AS k,
+                   sum(c * log2(c)) AS slc
+            FROM c GROUP BY col)
+    SELECT col, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_distinct,
+           round(log2(n) - slc / n, 6) AS entropy_bits,
+           round(CASE WHEN k > 1 THEN (log2(n) - slc / n) / log2(k)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM per
+    """)
+def profile_entropy(spark, sf):
+    """Shannon-entropy diversity profile of the documents corpus'
+    categorical columns (fmx.operators.profiling.categorical_entropy
+    over lang + source): per column n, distinct count, entropy in
+    bits and entropy normalized by log2(n_distinct) — the
+    dataset-card "is this corpus one giant bucket?" readout.  One
+    scan (array-of-structs unpivot), one (col, val) hash-agg with
+    map-side combine, one bounded col-grain agg; the
+    H = log2(n) - sum(c*log2 c)/n transform keeps all counts integer
+    so the only float sum runs over the tiny distinct set."""
+    from fmx.operators.profiling import categorical_entropy
+
+    return categorical_entropy(T(spark, sf, "documents"),
+                               ["lang", "source"])
+
+
+@query(
+    "dq_null_rate_drift",
+    oracle="""
+    WITH rng AS (SELECT min(epoch(ts)) AS _mn, max(epoch(ts)) AS _mx
+                 FROM events),
+    t AS (SELECT value, props,
+                 epoch(ts) > (_mn + _mx) / 2.0 AS late
+          FROM events, rng),
+    one AS (SELECT
+      sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS ne0,
+      sum(CASE WHEN NOT late AND value IS NULL THEN 1 ELSE 0 END) AS nne0,
+      sum(CASE WHEN late THEN 1 ELSE 0 END) AS nl0,
+      sum(CASE WHEN late AND value IS NULL THEN 1 ELSE 0 END) AS nnl0,
+      sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS ne1,
+      sum(CASE WHEN NOT late AND props IS NULL THEN 1 ELSE 0 END) AS nne1,
+      sum(CASE WHEN late THEN 1 ELSE 0 END) AS nl1,
+      sum(CASE WHEN late AND props IS NULL THEN 1 ELSE 0 END) AS nnl1
+      FROM t)
+    SELECT col,
+           CAST(n_early AS BIGINT) AS n_early,
+           round(r_early, 6) AS rate_early,
+           CAST(n_late AS BIGINT) AS n_late,
+           round(r_late, 6) AS rate_late,
+           round(abs(r_late - r_early), 6) AS drift
+    FROM one, LATERAL (VALUES
+      ('value', ne0, nne0 / nullif(ne0, 0), nl0, nnl0 / nullif(nl0, 0)),
+      ('props', ne1, nne1 / nullif(ne1, 0), nl1, nnl1 / nullif(nl1, 0)))
+      AS v(col, n_early, r_early, n_late, r_late)
+    """)
+def dq_null_rate_drift(spark, sf):
+    """Null-rate drift of events.value / events.props between the
+    early and late half of the batch's time range
+    (fmx.operators.dq.null_rate_drift): the schema-health trend
+    check that catches an upstream extractor going NULL mid-window,
+    complementing dq_psi_drift's value-distribution view.  Midpoint
+    from a broadcast 1-row min/max over the FRACTIONAL epoch
+    (cast('double') — the w7 whole-second-truncation lesson); all
+    period x column counts in ONE conditional aggregation pass;
+    integer ratios keep rates engine-exact."""
+    from fmx.operators.dq import null_rate_drift
+
+    return null_rate_drift(T(spark, sf, "events"),
+                           ["value", "props"], "ts")
+
+
+@query(
+    "feat_woe_encode",
+    oracle="""
+    WITH per AS (SELECT event_type AS cat, count(*) AS n,
+                        sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS np
+                 FROM events WHERE value IS NOT NULL
+                 GROUP BY event_type),
+    tot AS (SELECT sum(np) AS p, sum(n - np) AS ng FROM per)
+    SELECT cat, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           round(ln(((np + 0.5) / (p + 1.0))
+                    / ((n - np + 0.5) / (ng + 1.0))), 6) AS woe,
+           round((np / p - (n - np) / ng)
+                 * ln(((np + 0.5) / (p + 1.0))
+                      / ((n - np + 0.5) / (ng + 1.0))), 6) AS iv_term
+    FROM per, tot
+    """)
+def feat_woe_encode(spark, sf):
+    """Weight-of-evidence encoding of event_type against the binary
+    high-value target (value > 250), with per-category information-
+    value contributions (fmx.operators.features.woe_encode) — the
+    scorecard-standard monotone categorical encoding.  ONE hash-agg
+    over the category; global pos/neg totals roll up from that
+    bounded agg (never a second fact scan) and broadcast back;
+    integer counts make the single ln() engine-exact.  NULL-valued
+    rows carry no label evidence and are excluded."""
+    from fmx.operators.features import woe_encode
+
+    ev = T(spark, sf, "events")
+    return woe_encode(ev, "event_type",
+                      (F.col("value") > 250), smooth=0.5)
+
+
+GAUC_BINS = 256
+
+
+@query(
+    "eval_auc_by_group",
+    oracle=f"""
+    WITH scored AS (SELECT dayofweek(ts) AS g, value AS s,
+                           CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END AS y
+                    FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT g, min(s) AS mn, max(s) AS mx FROM scored GROUP BY g),
+    binned AS (SELECT scored.g,
+                      CASE WHEN mx = mn THEN 0
+                           ELSE least(CAST(floor((s - mn)
+                                      / ((mx - mn) / {GAUC_BINS}.0))
+                                      AS BIGINT), {GAUC_BINS - 1}) END AS b,
+                      y
+               FROM scored JOIN rng ON scored.g = rng.g),
+    per_bin AS (SELECT g, b, sum(y) AS np, sum(1 - y) AS nn
+                FROM binned GROUP BY g, b),
+    cum AS (SELECT g, np, nn,
+                   coalesce(sum(nn) OVER (PARTITION BY g ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS nn_below
+            FROM per_bin)
+    SELECT CAST(g AS BIGINT) AS weekday,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           round(sum(np * (nn_below + 0.5 * nn))
+                 / (sum(np) * sum(nn)), 6) AS auc
+    FROM cum GROUP BY g
+    """)
+def eval_auc_by_group(spark, sf):
+    """Sliced ROC AUC: the eval_rank_auc Mann-Whitney/binned
+    construction computed independently per weekday cohort — the
+    fairness/segment readout (a model can hold global AUC while
+    collapsing on one slice).  Per-group min/max ranges come from a
+    bounded group-grain agg broadcast-joined back (an equi-join, not
+    a cross); the cumulative window is PARTITIONED by group over
+    <= {GAUC_BINS} bin rows, so no global single-partition pass
+    exists at any scale."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select((F.dayofweek("ts") - 1).alias("g"),
+                  F.col("value").alias("s"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    rng = ev.groupBy("g").agg(F.min("s").alias("mn"),
+                              F.max("s").alias("mx"))
+    binned = (ev.join(F.broadcast(rng), "g")
+              .select("g",
+                      F.when(F.col("mx") == F.col("mn"), 0)
+                      .otherwise(F.least(
+                          F.floor((F.col("s") - F.col("mn"))
+                                  / ((F.col("mx") - F.col("mn"))
+                                     / float(GAUC_BINS))).cast(BIG),
+                          F.lit(GAUC_BINS - 1))).alias("b"),
+                      "y"))
+    per_bin = binned.groupBy("g", "b").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn"))
+    w = (Window.partitionBy("g").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = per_bin.withColumn(
+        "nn_below", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return (cum.groupBy(F.col("g").cast(BIG).alias("weekday")).agg(
+        F.sum("np").cast(BIG).alias("n_pos"),
+        F.sum("nn").cast(BIG).alias("n_neg"),
+        F.round(F.sum(F.col("np") * (F.col("nn_below")
+                                     + 0.5 * F.col("nn")))
+                / (F.sum("np") * F.sum("nn")), 6).alias("auc")))

@@ -1213,3 +1213,57 @@ def emb_outlier_distance(spark, sf):
     out = S.centroid_distance_topk(emb, "vec_id", "embedding", k=20)
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       "dist", "rank")
+
+
+@query(
+    "emb_kmeans_assign",
+    oracle="""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    seeds AS (SELECT vec_id AS sid,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS cell
+              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+    c0 AS (SELECT s.cell, e.pos, e.x AS c
+           FROM ex e JOIN seeds s ON e.vec_id = s.sid),
+    d1 AS (SELECT e.vec_id, c.cell,
+                  round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+           FROM ex e JOIN c0 c ON e.pos = c.pos
+           GROUP BY e.vec_id, c.cell),
+    a1 AS (SELECT vec_id, cell FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) = 1),
+    c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS c
+           FROM ex e JOIN a1 a ON e.vec_id = a.vec_id
+           GROUP BY a.cell, e.pos),
+    d2 AS (SELECT e.vec_id, c.cell,
+                  round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+           FROM ex e JOIN c1 c ON e.pos = c.pos
+           GROUP BY e.vec_id, c.cell),
+    a2 AS (SELECT vec_id, cell, dist FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) = 1)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cell AS BIGINT) AS cell,
+           round(dist, 4) AS dist
+    FROM a2
+    """)
+def emb_kmeans_assign(spark, sf):
+    """Deterministic mini-Lloyd clustering of the embedding corpus
+    (fmx.operators.similarity.kmeans_assign, k=4, one
+    assign-recompute round): seed centroids = the 4 smallest-id
+    vectors, assign by squared L2, recompute means, reassign —
+    the replayable semantic-bucketing primitive (corpus partitioning,
+    diversity sampling) where MLlib KMeans' random init can't be
+    oracle-checked.  Recomputed means round to 6dp before the next
+    distance pass and the argmin ranks on round(dist,6) with cell id
+    tie-break (emb_pca_project's summation-order lesson); the k x dim
+    centroid relation broadcasts, the only windows are k-row
+    per-vector argmins, and the oracle unrolls both rounds."""
+    from fmx.operators.similarity import kmeans_assign
+
+    emb = T(spark, sf, "embeddings")
+    out = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("cell").cast("bigint").alias("cell"),
+                      F.round("dist", 4).alias("dist"))

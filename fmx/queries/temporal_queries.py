@@ -605,3 +605,60 @@ def ts_autocorrelation(spark, sf):
                  F.round("a7", 6).alias("acf")))
     return (a.select(F.explode(rows).alias("r"))
             .select("r.lag", "r.acf"))
+
+
+EWMA_ALPHA = 0.3
+EWMA_SPAN = 8
+
+
+def _ewma_oracle() -> str:
+    """Lag-chain oracle mirroring fmx.operators.temporal.ewma term by
+    term: python-float weight literals (repr round-trips to the exact
+    same double in DuckDB) and left-associated additions, so both
+    engines run identical IEEE ops."""
+    q = 1.0 - EWMA_ALPHA
+    num, den = [], []
+    for i in range(EWMA_SPAN):
+        x = "v" if i == 0 else f"lag(v, {i}) OVER w"
+        w = repr(q ** i)
+        num.append(f"CASE WHEN {x} IS NOT NULL THEN {w} * {x} ELSE 0.0 END")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts))
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           round(v, 6) AS hourly_avg,
+           round(({' + '.join(num)})
+                 / nullif({' + '.join(den)}, 0.0), 6) AS ewma
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    """
+
+
+@query("ts_ewma", oracle=_ewma_oracle())
+def ts_ewma(spark, sf):
+    """Exponentially weighted moving average of the hourly mean event
+    value per event type (fmx.operators.temporal.ewma, alpha=0.3 over
+    the trailing 8 hours): the monitoring baseline that reacts faster
+    than a flat moving average.  The hourly mean is ROUNDED to 6dp
+    before smoothing (aggregate-derived floats differ across engines
+    at ~1e-12 in summation order — the emb_pca_project lesson), after
+    which the explicit lag chain with python-float weight literals is
+    bit-identical IEEE arithmetic in both engines.  One hourly
+    hash-agg (map-side combinable) + one per-type window pass; NULL
+    hours (no valued events) drop out of numerator and weight mass."""
+    from fmx.operators.temporal import ewma
+
+    hourly = (T(spark, sf, "events")
+              .groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.round(F.avg("value"), 6).alias("v")))
+    out = ewma(hourly, ["event_type"], "h", "v",
+               alpha=EWMA_ALPHA, span=EWMA_SPAN, out_col="_ewma")
+    return out.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round("v", 6).alias("hourly_avg"),
+        F.round("_ewma", 6).alias("ewma"))

@@ -1080,3 +1080,31 @@ def multimodal_payload_near_dup(spark, sf):
                       F.col("b").cast("bigint").alias("b"),
                       F.col("shared_bands").cast("bigint")
                       .alias("shared_bands"))
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+             greatest(len(string_split(text, ' ')), 1) AS nw,
+             greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+                 AS nsy
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ns AS BIGINT) AS n_sentences,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(nsy AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (nw / ns) - 84.6 * (nsy / nw), 4)
+               AS flesch
+    FROM c
+    """)
+def text_readability(spark, sf):
+    """Flesch reading-ease per document (fmx.operators.text.readability):
+    vowel-group syllable proxy, [.!?]+ sentence runs, whitespace
+    words — the readability-band corpus filter (C4/Gopher family).
+    Pure per-row regexp counts (no UDF, no shuffle — a map over any
+    corpus size); the score is three IEEE ops on integer ratios, so
+    both engines produce bit-identical doubles."""
+    return X.readability(T(spark, sf, "documents"), "doc_id", "text")

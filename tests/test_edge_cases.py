@@ -235,3 +235,40 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     bad = [n for n in names if a[n] != b[n]]
     assert not bad, bad
+
+
+def test_round7_session2_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the second round-7 batch: min-label
+    rounds, entropy folds, EWMA lag chains, WoE totals, k-means
+    argmins, grouped-AUC bins — pure functions of the data."""
+    import math
+
+    import fmx.queries as Q
+
+    names = ["graph_connected_components", "profile_entropy",
+             "dq_null_rate_drift", "text_readability", "ts_ewma",
+             "feat_woe_encode", "eval_auc_by_group", "emb_kmeans_assign"]
+    ALL = Q.all_queries()
+
+    def snap():
+        out = {}
+        for n in names:
+            df = ALL[n].fn(spark, sf_dir).toPandas()
+            cols = sorted(df.columns)
+            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
+                          else (round(v, 9) if isinstance(v, float) else v)
+                          for v in row)
+                    for row in df[cols].itertuples(index=False)]
+            out[n] = sorted(rows, key=repr)
+        return out
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snap()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    bad = [n for n in names if a[n] != b[n]]
+    assert not bad, bad

@@ -2047,3 +2047,151 @@ def test_payload_minhash_bands_guard(spark):
         payload_minhash_pairs(mm, "doc_id", num_hashes=8, bands=3)
     with pytest.raises(ValueError, match="divisor"):
         payload_minhash_pairs(mm, "doc_id", num_hashes=8, bands=16)
+
+
+def test_session2_operators_empty_input(spark):
+    """Round-7 second-batch operators on empty frames: empty or
+    defined-empty output, never a throw."""
+    from fmx.operators.dq import null_rate_drift
+    from fmx.operators.features import woe_encode
+    from fmx.operators.graph import min_label_rounds
+    from fmx.operators.profiling import categorical_entropy
+    from fmx.operators.similarity import kmeans_assign
+    from fmx.operators.temporal import ewma
+    from fmx.operators.text import readability
+
+    empty_e = spark.createDataFrame([], "src string, dst string")
+    assert min_label_rounds(empty_e).count() == 0
+    empty_c = spark.createDataFrame([], "a string, b string")
+    assert categorical_entropy(empty_c, ["a", "b"]).count() == 0
+    empty_d = spark.createDataFrame([], "doc_id long, text string")
+    assert readability(empty_d, "doc_id", "text").count() == 0
+    empty_ts = spark.createDataFrame([], "v double, p string, ts timestamp")
+    drift = null_rate_drift(empty_ts, ["v", "p"], "ts").collect()
+    assert len(drift) == 2 and all(r.n_early == 0 and r.drift is None
+                                   for r in drift)
+    assert ewma(empty_ts.select("ts", "v"), [], "ts", "v").count() == 0
+    assert woe_encode(empty_c.selectExpr("a", "cast(b as int) as y"),
+                      "a", "y").count() == 0
+    empty_v = spark.createDataFrame([], "vec_id long, emb array<float>")
+    assert kmeans_assign(empty_v, "vec_id", "emb", k=2).count() == 0
+
+
+def test_min_label_rounds_bounded_semantics(spark):
+    """On the 5-chain 1-2-3-4-5 plus the pair 10-11, three rounds
+    resolve every node within distance 3 of its component minimum:
+    node 5 (distance 4) still carries label 2 — the documented
+    exact-within-radius contract — while the pair collapses to 10."""
+    from fmx.operators.graph import min_label_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long")
+    got = {r.node: r.label for r in min_label_rounds(edges, 3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 10: 10, 11: 10}
+    # one more round reaches the chain end: true components
+    got4 = {r.node: r.label
+            for r in min_label_rounds(edges, 4).collect()}
+    assert got4 == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_readability_known_values(spark):
+    """Hand-computed Flesch on a 3-word sentence, and the >= 1 clamps
+    on a degenerate doc."""
+    from fmx.operators.text import readability
+
+    df = spark.createDataFrame([(1, "The cat sat."), (2, "")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           readability(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1.n_sentences, r1.n_words, r1.n_syllables) == (1, 3, 3)
+    assert r1.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    r2 = got[2]  # empty text: 1 token convention, clamps to 1/1/1
+    assert (r2.n_sentences, r2.n_words, r2.n_syllables) == (1, 1, 1)
+
+
+def test_categorical_entropy_known(spark):
+    """Uniform binary column -> exactly 1 bit (norm 1.0); constant
+    column -> 0 bits (norm 0.0 by the k=1 rule); NULL is a category."""
+    from fmx.operators.profiling import categorical_entropy
+
+    df = spark.createDataFrame(
+        [("a", "x", "m"), ("b", "x", None), ("a", "x", "m"),
+         ("b", "x", None)],
+        "u string, c string, n string")
+    got = {r.col: r for r in
+           categorical_entropy(df, ["u", "c", "n"]).collect()}
+    assert got["u"].entropy_bits == 1.0 and got["u"].norm_entropy == 1.0
+    assert got["c"].entropy_bits == 0.0 and got["c"].norm_entropy == 0.0
+    assert got["n"].n_distinct == 2 and got["n"].entropy_bits == 1.0
+
+
+def test_null_rate_drift_known(spark):
+    """Values go NULL in the late half -> drift 1.0; steady column ->
+    drift 0; NULL-ts rows belong to neither period."""
+    from fmx.operators.dq import null_rate_drift
+
+    rows = [(float(i), "p", f"2024-01-01 0{i}:00:00") for i in range(4)]
+    rows += [(None, "p", f"2024-01-01 2{i}:00:00") for i in range(4)]
+    rows += [(1.0, "p", None)]
+    df = (spark.createDataFrame(rows, "v double, p string, ts string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    got = {r.col: r for r in
+           null_rate_drift(df, ["v", "p"], "ts").collect()}
+    assert got["v"].n_early == 4 and got["v"].n_late == 4
+    assert got["v"].rate_early == 0.0 and got["v"].rate_late == 1.0
+    assert got["v"].drift == 1.0
+    assert got["p"].drift == 0.0
+
+
+def test_ewma_known_values(spark):
+    """Constant series -> the constant; two-point series matches the
+    hand-computed weighted mean; a NULL hour leaves the weight mass."""
+    from fmx.operators.temporal import ewma
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 10.0), ("k", 3, 10.0)],
+        "k string, t int, v double")
+    out = {r.t: r.ewma for r in
+           ewma(df, ["k"], "t", "v").collect()}
+    assert all(abs(v - 10.0) < 1e-12 for v in out.values())
+    df2 = spark.createDataFrame([("k", 1, 0.0), ("k", 2, 1.0)],
+                                "k string, t int, v double")
+    out2 = {r.t: r.ewma for r in ewma(df2, ["k"], "t", "v").collect()}
+    # t=2: (1*1 + 0.7*0) / (1 + 0.7)
+    assert abs(out2[2] - 1.0 / 1.7) < 1e-12
+    df3 = spark.createDataFrame([("k", 1, 5.0), ("k", 2, None)],
+                                "k string, t int, v double")
+    out3 = {r.t: r.ewma for r in ewma(df3, ["k"], "t", "v").collect()}
+    # current NULL: only the lag contributes -> still exactly 5
+    assert abs(out3[2] - 5.0) < 1e-12
+
+
+def test_woe_encode_known(spark):
+    """A category matching the global pos/neg ratio scores woe ~ 0;
+    an all-positive category scores > 0; NULL labels drop."""
+    from fmx.operators.features import woe_encode
+
+    rows = ([("bal", 1)] * 2 + [("bal", 0)] * 2
+            + [("hot", 1)] * 4 + [("cold", 0)] * 4 + [("bal", None)])
+    df = spark.createDataFrame(rows, "c string, y int")
+    got = {r.cat: r for r in woe_encode(df, "c", "y").collect()}
+    assert got["bal"].n == 4            # NULL label excluded
+    assert abs(got["bal"].woe) < 0.05   # near the global ratio
+    assert got["hot"].woe > 1.0 and got["cold"].woe < -1.0
+    assert got["hot"].iv_term > 0 and got["cold"].iv_term > 0
+
+
+def test_kmeans_assign_separates_blobs(spark):
+    """Two well-separated 2-D blobs, k=2: the final assignment is the
+    blob partition regardless of seed quality, and dists are small."""
+    from fmx.operators.similarity import kmeans_assign
+
+    pts = ([(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)]
+           + [(i + 10, [9.0 + 0.01 * i, 9.0]) for i in range(5)])
+    df = spark.createDataFrame(pts, "vec_id long, emb array<float>")
+    got = {r.vec_id: r.cell for r in
+           kmeans_assign(df, "vec_id", "emb", k=2, iters=1).collect()}
+    left = {got[i] for i in range(5)}
+    right = {got[i + 10] for i in range(5)}
+    assert len(left) == 1 and len(right) == 1 and left != right

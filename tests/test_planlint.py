@@ -101,8 +101,10 @@ _ALLOWED = {
         "feat_target_encode_loo",                   # 1-row prior broadcast
         "feat_target_encode_kfold",                 # 1-row prior broadcast
         "feat_frequency_encode",                    # 1-row total broadcast
+        "feat_woe_encode",                          # 1-row pos/neg-total broadcast
         "feat_quantile_bins",                       # 1-row cutpoint broadcast
         "dq_freshness",                             # 1-row global-max broadcast
+        "dq_null_rate_drift",                       # 1-row min/max broadcast
         "ann_range_search",                         # broadcast query-set cross
         "eval_lift_deciles",        # 1-row cutpoint + base-rate broadcasts
         "sample_time_split_embargo",                # 1-row cut broadcast
@@ -164,6 +166,7 @@ _ALLOWED = {
         "ts_autocorrelation",       # lag over calendar-bounded days
         "feat_onehot_topk",         # rank over the bounded vocab relation
         "emb_outlier_distance",     # rank over the top-20 rows only
+        "emb_kmeans_assign",        # rank over the k=4 seed rows only
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
