@@ -148,7 +148,10 @@ _PRIORITY = [
     # ts_weekday_hour_profile, sample_epoch_shuffle,
     # graph_assortativity, eval_brier_score,
     # multimodal_payload_near_dup (+ the streaming
-    # register family gained stream_freshness_registers) — are
+    # register family gained stream_freshness_registers), plus the
+    # session-2 batch — graph_connected_components, profile_entropy,
+    # dq_null_rate_drift, text_readability, ts_ewma, feat_woe_encode,
+    # eval_auc_by_group, emb_kmeans_assign — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives
     # in git: the r6 window at commit 5207f57^, r5 at ded7618, r4 and
