@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["check_expectations", "failing_rows", "table_diff",
            "checksum_registers", "table_diff_drilldown", "freshness_lag",
-           "freshness_from_registers", "null_rate_drift"]
+           "freshness_from_registers", "null_rate_drift", "id_gaps"]
 
 
 def check_expectations(df: DataFrame,
@@ -293,3 +293,38 @@ def null_rate_drift(df: DataFrame, cols: list[str],
                     6).alias("drift"))
         for i, c in enumerate(cols)])
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def id_gaps(df: DataFrame, id_col: str, bucket: int = 4096) -> DataFrame:
+    """Primary-key contiguity report: ONE row (n_ids, id_min, id_max,
+    n_missing, n_buckets, n_gap_buckets, max_bucket_missing) — the
+    "did the upstream exporter drop a chunk?" check (a missing
+    partition shows up as a huge contiguous hole; TPC-H orderkeys,
+    which legitimately use 1 in 4 values, show steady per-bucket
+    gaps).
+
+    n_missing is EXACT at any scale: (id_max - id_min + 1) - n_ids
+    from one integer aggregate.  The per-bucket view (floor(id /
+    bucket) grain) localizes holes without any ordering: a bucket's
+    (local_max - local_min + 1 - n) counts its internal holes, so the
+    whole report is two hash-aggs with map-side combine — no window,
+    no sort, no join.  Holes that span bucket boundaries appear in
+    the global count but not in any bucket's local count (by
+    construction); shrink ``bucket`` to localize further.  NULL ids
+    are excluded (gate them via check_expectations).  An empty batch
+    reports 0 ids / 0 buckets with NULL range stats."""
+    b = (df.filter(F.col(id_col).isNotNull())
+         .groupBy(F.floor(F.col(id_col) / int(bucket)).alias("_b"))
+         .agg(F.count("*").alias("_n"), F.min(id_col).alias("_mn"),
+              F.max(id_col).alias("_mx")))
+    local_miss = F.col("_mx") - F.col("_mn") + 1 - F.col("_n")
+    return b.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_ids"),
+        F.min("_mn").cast("bigint").alias("id_min"),
+        F.max("_mx").cast("bigint").alias("id_max"),
+        (F.max("_mx") - F.min("_mn") + 1 - F.sum("_n")).cast("bigint")
+        .alias("n_missing"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.coalesce(F.sum((local_miss > 0).cast("long")), F.lit(0))
+        .cast("bigint").alias("n_gap_buckets"),
+        F.max(local_miss).cast("bigint").alias("max_bucket_missing"))

@@ -27,7 +27,7 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
            "hard_negatives", "ndcg_eval", "range_search", "pca_project",
-           "centroid_distance_topk", "kmeans_assign"]
+           "centroid_distance_topk", "kmeans_assign", "truncation_fidelity"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -984,3 +984,72 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
                  .agg(F.round(F.avg("x"), 6).alias("c")))
         assign = _assign(cents)
     return assign
+
+
+def truncation_fidelity(corpus: DataFrame, queries: DataFrame,
+                        id_col: str, vec_col: str, half_dim: int,
+                        query_id: str = "query_id") -> DataFrame:
+    """Matryoshka-style truncation fidelity: how much retrieval
+    quality survives keeping only the first ``half_dim`` embedding
+    components — one row (n_queries, top1_agreement, mean_abs_delta)
+    comparing full-dimension cosine against truncated cosine over
+    every (query, corpus) pair.  The decision input for "can we store
+    half the vector?" (2x memory/IO at serving time) that a 100TB
+    embedding store wants answered BEFORE re-encoding the corpus.
+
+    One posexplode feeds BOTH similarities: the pair-grain agg sums
+    full and truncated dot products (the truncated one via a
+    pos < half_dim conditional) in the same pass, norms likewise —
+    the corpus is scanned once, the query side broadcasts, and the
+    per-query argmaxes rank on round(cos, 6) with id tie-break (the
+    engine-portability discipline of every topk here)."""
+    h = int(half_dim)
+    qex = (queries.select(F.col(id_col).alias(query_id),
+                          F.posexplode(vec_col).alias("pos", "qx"))
+           .withColumn("qx", F.col("qx").cast("double")))
+    cex = (corpus.select(F.col(id_col),
+                         F.posexplode(vec_col).alias("pos", "cx"))
+           .withColumn("cx", F.col("cx").cast("double")))
+    half = F.col("pos") < h
+
+    def _norms(ex: DataFrame, xcol: str, out: str) -> DataFrame:
+        return ex.groupBy(ex.columns[0]).agg(
+            F.sqrt(F.sum(F.col(xcol) * F.col(xcol))).alias(f"{out}_f"),
+            F.sqrt(F.sum(F.when(half, F.col(xcol) * F.col(xcol))
+                         .otherwise(0.0))).alias(f"{out}_h"))
+
+    qn = _norms(qex, "qx", "qn")
+    cn = _norms(cex, "cx", "cn")
+    dots = (cex.join(F.broadcast(qex), "pos")
+            .filter(F.col(query_id) != F.col(id_col))
+            .groupBy(query_id, id_col)
+            .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot_f"),
+                 F.sum(F.when(half, F.col("qx") * F.col("cx"))
+                       .otherwise(0.0)).alias("dot_h")))
+    sims = (dots.join(F.broadcast(qn), query_id)
+            .join(cn, id_col)
+            .select(query_id, id_col,
+                    F.round(F.col("dot_f")
+                            / (F.col("qn_f") * F.col("cn_f")), 6)
+                    .alias("cos_f"),
+                    F.round(F.col("dot_h")
+                            / F.nullif(F.col("qn_h") * F.col("cn_h"),
+                                       F.lit(0.0)), 6).alias("cos_h")))
+    wf = Window.partitionBy(query_id).orderBy(F.desc("cos_f"), id_col)
+    wh = Window.partitionBy(query_id).orderBy(F.desc("cos_h"), id_col)
+    top = (sims.select(query_id, id_col,
+                       F.row_number().over(wf).alias("_rf"),
+                       F.row_number().over(wh).alias("_rh"),
+                       F.abs(F.col("cos_f") - F.col("cos_h"))
+                       .alias("_ad"))
+           .groupBy(query_id)
+           .agg(F.max(F.when(F.col("_rf") == 1, F.col(id_col)))
+                .alias("_t1f"),
+                F.max(F.when(F.col("_rh") == 1, F.col(id_col)))
+                .alias("_t1h"),
+                F.avg("_ad").alias("_mad")))
+    return top.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg((F.col("_t1f") == F.col("_t1h")).cast("double")),
+                6).alias("top1_agreement"),
+        F.round(F.avg("_mad"), 6).alias("mean_abs_delta"))

@@ -17,7 +17,7 @@ __all__ = [
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
     "bm25_topk", "cluster_terms", "boilerplate_strip", "bpe_pair_counts",
-    "readability",
+    "readability", "charset_profile",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -691,3 +691,30 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_words.cast("bigint").alias("n_words"),
         n_syll.cast("bigint").alias("n_syllables"),
         F.round(score, 4).alias("flesch"))
+
+
+def charset_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-class composition per document: (id, n_chars,
+    ascii_ratio, nonascii_ratio, upper_ratio, space_ratio, alpha_ratio)
+    — the encoding-health gate multilingual corpus curation runs
+    before language ID (mojibake and binary-spill documents light up
+    the non-ASCII ratio; ALL-CAPS spam lights up upper_ratio).
+    Complements token_stats' punct/digit view at the raw-character
+    grain.  Pure per-row regexp counts over explicit byte-range
+    classes — map-only at any corpus size; ratios are integer counts
+    over n_chars (NULL for empty docs), engine-exact."""
+    nc = F.length(F.col(text_col))
+    den = F.nullif(nc, F.lit(0))
+
+    def _ratio(pattern: str):
+        return F.round(F.regexp_count(F.col(text_col), F.lit(pattern))
+                       / den, 6)
+
+    return df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        nc.cast("bigint").alias("n_chars"),
+        _ratio("[\\x20-\\x7e]").alias("ascii_ratio"),
+        _ratio("[^\\x00-\\x7f]").alias("nonascii_ratio"),
+        _ratio("[A-Z]").alias("upper_ratio"),
+        _ratio(" ").alias("space_ratio"),
+        _ratio("[A-Za-z]").alias("alpha_ratio"))

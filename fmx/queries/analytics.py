@@ -3424,3 +3424,88 @@ def eval_auc_by_group(spark, sf):
         F.round(F.sum(F.col("np") * (F.col("nn_below")
                                      + 0.5 * F.col("nn")))
                 / (F.sum("np") * F.sum("nn")), 6).alias("auc")))
+
+
+@query(
+    "dq_id_gaps",
+    oracle="""
+    WITH b AS (SELECT CAST(floor(o_orderkey / 4096) AS BIGINT) AS bk,
+                      count(*) AS n, min(o_orderkey) AS mn,
+                      max(o_orderkey) AS mx
+               FROM orders WHERE o_orderkey IS NOT NULL
+               GROUP BY 1)
+    SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_ids,
+           CAST(min(mn) AS BIGINT) AS id_min,
+           CAST(max(mx) AS BIGINT) AS id_max,
+           CAST(max(mx) - min(mn) + 1 - sum(n) AS BIGINT) AS n_missing,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(coalesce(sum(CASE WHEN mx - mn + 1 - n > 0
+                             THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_gap_buckets,
+           CAST(max(mx - mn + 1 - n) AS BIGINT) AS max_bucket_missing
+    FROM b
+    """)
+def dq_id_gaps(spark, sf):
+    """Primary-key contiguity report over orders.o_orderkey
+    (fmx.operators.dq.id_gaps) — TPC-H orderkeys legitimately use 1
+    in 4 values, so the report shows dense per-bucket gaps; a dropped
+    export chunk would spike one bucket's local count.  Two integer
+    hash-aggs with map-side combine, no window/sort/join; exact
+    global missing count at any scale."""
+    from fmx.operators.dq import id_gaps
+
+    return id_gaps(T(spark, sf, "orders"), "o_orderkey", bucket=4096)
+
+
+@query(
+    "eval_ece",
+    oracle=f"""
+    WITH scored AS (SELECT value AS s,
+                           CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END AS y
+                    FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT min(s) AS mn, max(s) AS mx FROM scored),
+    per_bin AS (SELECT CASE WHEN mx = mn THEN 0
+                            ELSE least(CAST(floor((s - mn)
+                                       / ((mx - mn) / {CAL_BINS}.0))
+                                       AS BIGINT), {CAL_BINS - 1}) END AS b,
+                       count(*) AS n,
+                       round(avg(s), 6) AS ms,
+                       round(avg(y * 1.0), 6) AS er
+                FROM scored, rng GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(n * abs(ms - er)) / sum(n), 6) AS ece,
+           round(max(abs(ms - er)), 6) AS max_gap
+    FROM per_bin
+    """)
+def eval_ece(spark, sf):
+    """Expected calibration error of purchase-value as a purchase
+    score: the single-number summary of eval_calibration_bins —
+    bin-population-weighted |mean score - event rate|, plus the worst
+    bin's gap.  Per-bin means are ROUNDED to 6dp in both engines
+    BEFORE the weighted fold (aggregate-derived floats carry
+    summation-order noise — the emb_pca_project discipline), so the
+    10-term final sum is over identical doubles.  Same
+    two-scan-then-bin-grain shape as the other threshold metrics; no
+    windows at all."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("value").alias("s"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    rng = ev.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    per_bin = (ev.crossJoin(F.broadcast(rng))
+               .groupBy(F.when(F.col("mx") == F.col("mn"), 0)
+                        .otherwise(F.least(
+                            F.floor((F.col("s") - F.col("mn"))
+                                    / ((F.col("mx") - F.col("mn"))
+                                       / float(CAL_BINS))).cast(BIG),
+                            F.lit(CAL_BINS - 1))).alias("b"))
+               .agg(F.count("*").alias("n"),
+                    F.round(F.avg("s"), 6).alias("ms"),
+                    F.round(F.avg(F.col("y") * 1.0), 6).alias("er")))
+    gap = F.abs(F.col("ms") - F.col("er"))
+    return per_bin.agg(
+        F.count("*").cast(BIG).alias("n_bins"),
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("max_gap"))

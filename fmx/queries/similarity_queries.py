@@ -1267,3 +1267,141 @@ def emb_kmeans_assign(spark, sf):
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.col("cell").cast("bigint").alias("cell"),
                       F.round("dist", 4).alias("dist"))
+
+
+HALF_DIM = 32
+
+
+@query(
+    "emb_truncation_fidelity",
+    oracle=f"""
+    WITH {_EX},
+    hnorms AS (SELECT vec_id,
+                      sqrt(sum(CASE WHEN pos < {HALF_DIM} THEN x * x
+                               ELSE 0.0 END)) AS hn
+               FROM ex GROUP BY vec_id),
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot_f,
+                    sum(CASE WHEN q.pos < {HALF_DIM} THEN q.x * c.x
+                        ELSE 0.0 END) AS dot_h
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, d.vec_id,
+                    round(dot_f / (nq.nrm * nc.nrm), 6) AS cos_f,
+                    round(dot_h / nullif(hq.hn * hc.hn, 0.0), 6) AS cos_h
+             FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+                         JOIN norms nc ON d.vec_id = nc.vec_id
+                         JOIN hnorms hq ON d.query_id = hq.vec_id
+                         JOIN hnorms hc ON d.vec_id = hc.vec_id),
+    rk AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_f DESC, vec_id) AS rf,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_h DESC NULLS LAST,
+                                              vec_id) AS rh,
+                  abs(cos_f - cos_h) AS ad
+           FROM sims),
+    per AS (SELECT query_id,
+                   max(CASE WHEN rf = 1 THEN vec_id END) AS t1f,
+                   max(CASE WHEN rh = 1 THEN vec_id END) AS t1h,
+                   avg(ad) AS mad
+            FROM rk GROUP BY query_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN t1f = t1h THEN 1.0 ELSE 0.0 END), 6)
+               AS top1_agreement,
+           round(avg(mad), 6) AS mean_abs_delta
+    FROM per
+    """)
+def emb_truncation_fidelity(spark, sf):
+    """Matryoshka truncation fidelity
+    (fmx.operators.similarity.truncation_fidelity): does the FIRST
+    HALF of the embedding rank like the full vector?  Top-1 agreement
+    + mean |cos_full - cos_half| over every (query, corpus) pair —
+    the store-half-the-vector decision input.  One posexplode feeds
+    both similarities (full + pos<32-conditional sums in the same
+    pair-grain agg); cosines round to 6dp before the argmax and the
+    delta (summation-order discipline); query side broadcasts."""
+    emb = T(spark, sf, "embeddings")
+    return S.truncation_fidelity(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES),
+        "vec_id", "embedding", half_dim=HALF_DIM)
+
+
+@query(
+    "ann_eval_ivf_vs_exact",
+    oracle=f"""
+    WITH {_EX},
+    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
+              WHERE vec_id < {N_CELLS}),
+    cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
+              GROUP BY cell),
+    csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
+             FROM ex e JOIN cents c ON e.pos = c.pos
+             GROUP BY e.vec_id, c.cell),
+    csim2 AS (SELECT csim.vec_id, csim.cell,
+                     round(dot / (norms.nrm * cnorm.cn), 9) AS sim
+              FROM csim JOIN norms ON csim.vec_id = norms.vec_id
+                        JOIN cnorm ON csim.cell = cnorm.cell),
+    cassign AS (SELECT vec_id, cell FROM csim2
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell) <= 1),
+    qassign AS (SELECT vec_id AS query_id, cell FROM csim2
+                WHERE vec_id < {N_QUERIES}
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell)
+                        <= {N_PROBE}),
+    cand AS (SELECT q.query_id, c.vec_id
+             FROM qassign q JOIN cassign c ON q.cell = c.cell
+             WHERE c.vec_id <> q.query_id),
+    pdots AS (SELECT cand.query_id, cand.vec_id, sum(eq.x * ec.x) AS dot
+              FROM cand JOIN ex eq ON eq.vec_id = cand.query_id
+                        JOIN ex ec ON ec.vec_id = cand.vec_id
+                                  AND ec.pos = eq.pos
+              GROUP BY cand.query_id, cand.vec_id),
+    pred AS (SELECT query_id, pdots.vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                                 pdots.vec_id) AS rank
+             FROM pdots JOIN norms nq ON query_id = nq.vec_id
+                        JOIN norms nc ON pdots.vec_id = nc.vec_id
+             QUALIFY rank <= {K}),
+    xdots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     sum(q.x * c.x) AS dot
+              FROM ex q JOIN ex c ON q.pos = c.pos
+              WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+              GROUP BY q.vec_id, c.vec_id),
+    truth AS (SELECT query_id, xdots.vec_id FROM xdots
+              JOIN norms nq ON query_id = nq.vec_id
+              JOIN norms nc ON xdots.vec_id = nc.vec_id
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                                   xdots.vec_id) <= {K}),
+    tn AS (SELECT query_id, count(*) AS t_n FROM truth GROUP BY query_id),
+    hits AS (SELECT p.query_id, count(*) AS h, min(p.rank) AS fr
+             FROM pred p JOIN truth t
+               ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+             GROUP BY p.query_id),
+    per AS (SELECT coalesce(h, 0) * 1.0 / t_n AS recall,
+                   coalesce(1.0 / fr, 0.0) AS rr
+            FROM tn LEFT JOIN hits USING (query_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(recall), 6) AS recall_at_k,
+           round(avg(rr), 6) AS mrr
+    FROM per
+    """)
+def ann_eval_ivf_vs_exact(spark, sf):
+    """Retrieval-quality report of the fixed-centroid IVF path
+    against exact cosine (recall@5 + MRR via
+    fmx.operators.similarity.rank_eval) — completes the ANN eval
+    family (PQ already has ann_eval_pq_vs_exact) so the
+    recall-vs-probe trade-off is a hash-checked number, not a hope.
+    The eval itself is one (query, id) equi-join of two
+    k-row-per-query relations; nothing rescans the corpus beyond the
+    two searches."""
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = S.cosine_topk(emb, q, "vec_id", "embedding", k=K)
+    pred = S.ivf_topk(emb, q, "vec_id", "embedding", k=K,
+                      num_cells=N_CELLS, nprobe=N_PROBE, lloyd_iters=0)
+    return S.rank_eval(pred, truth, k=K)

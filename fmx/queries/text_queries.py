@@ -1108,3 +1108,30 @@ def text_readability(spark, sf):
     corpus size); the score is three IEEE ops on integer ratios, so
     both engines produce bit-identical doubles."""
     return X.readability(T(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_charset_profile",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(len(regexp_extract_all(text, '[\\x20-\\x7e]'))
+                 / nullif(length(text), 0), 6) AS ascii_ratio,
+           round(len(regexp_extract_all(text, '[^\\x00-\\x7f]'))
+                 / nullif(length(text), 0), 6) AS nonascii_ratio,
+           round(len(regexp_extract_all(text, '[A-Z]'))
+                 / nullif(length(text), 0), 6) AS upper_ratio,
+           round(len(regexp_extract_all(text, ' '))
+                 / nullif(length(text), 0), 6) AS space_ratio,
+           round(len(regexp_extract_all(text, '[A-Za-z]'))
+                 / nullif(length(text), 0), 6) AS alpha_ratio
+    FROM documents
+    """)
+def text_charset_profile(spark, sf):
+    """Character-class composition per document
+    (fmx.operators.text.charset_profile): ASCII / non-ASCII / upper /
+    space / alpha ratios — the encoding-health gate before language
+    ID (mojibake and binary spill light up non-ASCII; caps-spam
+    lights up upper).  Map-only regexp counts, scan pruned to
+    (doc_id, text); integer count ratios are engine-exact."""
+    return X.charset_profile(T(spark, sf, "documents"), "doc_id", "text")

@@ -361,3 +361,55 @@ def scd2_point_in_time(spark, sf):
                     F.col("event_type").alias("status"),
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
                     .alias("valid_from")))
+
+
+@query(
+    "w8_rolling_median",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    fr AS (
+      SELECT event_type, h, n,
+             list_sort(list(n) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+      FROM hourly)
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN len(l) % 2 = 1 THEN l[(len(l) + 1) // 2] * 1.0
+                ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2.0
+           END AS med7_n
+    FROM fr
+    """)
+def w8_rolling_median(spark, sf):
+    """Rolling 7-hour MEDIAN of hourly event counts per type — the
+    robust twin of the w4 moving sum (a single burst hour drags a
+    moving average for 7 rows; the median shrugs it off), and the
+    window shape Spark has no native holistic function for.  The
+    frame's values collect into a sorted array (bounded at 7
+    elements — collect_list over a ROWS frame, never partition-wide)
+    and the median is exact element arithmetic: integer counts make
+    odd frames integer-exact and even frames exact half-integers, so
+    NO rounding is applied (rounding a value ON the half boundary is
+    the documented cross-engine trap).  Upstream grain is the hourly
+    hash-agg; the window partitions by event_type over
+    calendar-bounded rows."""
+    hourly = (T(spark, sf, "events")
+              .groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(-6, 0))
+    arr = F.sort_array(F.collect_list("n").over(w))
+    m = F.size(arr)
+    med = F.when(
+        m % 2 == 1,
+        F.element_at(arr, ((m + 1) / 2).cast("int")) * 1.0
+    ).otherwise(
+        (F.element_at(arr, (m / 2).cast("int"))
+         + F.element_at(arr, (m / 2 + 1).cast("int"))) / 2.0)
+    return hourly.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").cast(BIG).alias("n"),
+        med.alias("med7_n"))

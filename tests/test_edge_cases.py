@@ -247,7 +247,10 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
 
     names = ["graph_connected_components", "profile_entropy",
              "dq_null_rate_drift", "text_readability", "ts_ewma",
-             "feat_woe_encode", "eval_auc_by_group", "emb_kmeans_assign"]
+             "feat_woe_encode", "eval_auc_by_group", "emb_kmeans_assign",
+             "emb_truncation_fidelity", "ann_eval_ivf_vs_exact",
+             "text_charset_profile", "dq_id_gaps", "eval_ece",
+             "w8_rolling_median"]
     ALL = Q.all_queries()
 
     def snap():

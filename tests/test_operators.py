@@ -2075,6 +2075,16 @@ def test_session2_operators_empty_input(spark):
                       "a", "y").count() == 0
     empty_v = spark.createDataFrame([], "vec_id long, emb array<float>")
     assert kmeans_assign(empty_v, "vec_id", "emb", k=2).count() == 0
+    from fmx.operators.dq import id_gaps
+    from fmx.operators.similarity import truncation_fidelity
+    from fmx.operators.text import charset_profile
+
+    assert charset_profile(empty_d, "doc_id", "text").count() == 0
+    g = id_gaps(spark.createDataFrame([], "id long"), "id").collect()
+    assert len(g) == 1 and g[0].n_ids == 0 and g[0].n_buckets == 0
+    tf = truncation_fidelity(empty_v, empty_v, "vec_id", "emb",
+                             half_dim=2).collect()
+    assert len(tf) == 1 and tf[0].n_queries == 0
 
 
 def test_min_label_rounds_bounded_semantics(spark):
@@ -2195,3 +2205,48 @@ def test_kmeans_assign_separates_blobs(spark):
     left = {got[i] for i in range(5)}
     right = {got[i + 10] for i in range(5)}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_charset_profile_known(spark):
+    """Hand-computed ratios incl. a non-ASCII doc and the empty-doc
+    NULL contract."""
+    from fmx.operators.text import charset_profile
+
+    df = spark.createDataFrame(
+        [(1, "Ab c"), (2, "éé"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           charset_profile(df, "doc_id", "text").collect()}
+    r1 = got[1]     # 4 chars: 'A','b',' ','c' all ASCII; 1 upper; 1 space
+    assert r1.n_chars == 4 and r1.ascii_ratio == 1.0
+    assert r1.upper_ratio == 0.25 and r1.space_ratio == 0.25
+    assert r1.alpha_ratio == 0.75 and r1.nonascii_ratio == 0.0
+    r2 = got[2]
+    assert r2.nonascii_ratio == 1.0 and r2.ascii_ratio == 0.0
+    assert got[3].ascii_ratio is None    # empty doc: no defined ratio
+
+
+def test_id_gaps_known(spark):
+    """ids 0..9 minus {3,4} with bucket=8: global missing 2, the
+    first bucket localizes both, the second is contiguous."""
+    from fmx.operators.dq import id_gaps
+
+    ids = [(i,) for i in range(10) if i not in (3, 4)] + [(None,)]
+    df = spark.createDataFrame(ids, "id long")
+    r = id_gaps(df, "id", bucket=8).collect()[0]
+    assert (r.n_ids, r.id_min, r.id_max, r.n_missing) == (8, 0, 9, 2)
+    assert (r.n_buckets, r.n_gap_buckets, r.max_bucket_missing) == (2, 1, 2)
+
+
+def test_truncation_fidelity_degenerate_and_perfect(spark):
+    """Vectors whose information lives entirely in the first half:
+    truncation is lossless -> agreement 1.0, delta 0."""
+    from fmx.operators.similarity import truncation_fidelity
+
+    rows = [(i, [float(i + 1), float(2 * i), 0.0, 0.0])
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<float>")
+    r = truncation_fidelity(df, df.filter(F.col("vec_id") < 2),
+                            "vec_id", "emb", half_dim=2).collect()[0]
+    assert r.n_queries == 2
+    assert r.top1_agreement == 1.0 and r.mean_abs_delta == 0.0

@@ -96,6 +96,8 @@ _ALLOWED = {
         "emb_top_eigvec",           # 1-row norm broadcast per round
         "emb_pca_project",          # 1-row eigvec-array broadcast
         "eval_calibration_bins", "eval_pr_auc",
+        "eval_ece",                                 # 1-row min/max broadcast
+        "ann_eval_ivf_vs_exact",    # bounded centroid-table crosses
         "eval_rank_auc",                            # 1-row min/max broadcast
         "eval_ks_split_drift",                      # 1-row min/max broadcast
         "feat_target_encode_loo",                   # 1-row prior broadcast
