@@ -614,8 +614,11 @@ EWMA_SPAN = 8
 def _ewma_oracle() -> str:
     """Lag-chain oracle mirroring fmx.operators.temporal.ewma term by
     term: python-float weight literals (repr round-trips to the exact
-    same double in DuckDB) and left-associated additions, so both
-    engines run identical IEEE ops."""
+    same double in DuckDB) and left-associated additions over
+    integer-exact hourly means, so both engines run identical IEEE
+    ops end to end and NO output rounding is needed (round() itself
+    diverges across engines on half-boundary decimals — the sf0.1
+    sweep caught round(avg,6) flipping 43.4728125)."""
     q = 1.0 - EWMA_ALPHA
     num, den = [], []
     for i in range(EWMA_SPAN):
@@ -626,13 +629,18 @@ def _ewma_oracle() -> str:
     return f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             round(avg(value), 6) AS v
-      FROM events GROUP BY event_type, date_trunc('hour', ts))
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS c,
+             count(value) AS nv
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    hv AS (SELECT event_type, h,
+                  c / (100.0 * nullif(nv, 0)) AS v
+           FROM hourly)
     SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-           round(v, 6) AS hourly_avg,
-           round(({' + '.join(num)})
-                 / nullif({' + '.join(den)}, 0.0), 6) AS ewma
-    FROM hourly
+           v AS hourly_avg,
+           ({' + '.join(num)})
+               / nullif({' + '.join(den)}, 0.0) AS ewma
+    FROM hv
     WINDOW w AS (PARTITION BY event_type ORDER BY h)
     """
 
@@ -642,23 +650,34 @@ def ts_ewma(spark, sf):
     """Exponentially weighted moving average of the hourly mean event
     value per event type (fmx.operators.temporal.ewma, alpha=0.3 over
     the trailing 8 hours): the monitoring baseline that reacts faster
-    than a flat moving average.  The hourly mean is ROUNDED to 6dp
-    before smoothing (aggregate-derived floats differ across engines
-    at ~1e-12 in summation order — the emb_pca_project lesson), after
-    which the explicit lag chain with python-float weight literals is
-    bit-identical IEEE arithmetic in both engines.  One hourly
-    hash-agg (map-side combinable) + one per-type window pass; NULL
-    hours (no valued events) drop out of numerator and weight mass."""
+    than a flat moving average.  Engine-exactness design: values are
+    2-decimal, so the hourly mean is computed as INTEGER cent sums
+    over integer counts with ONE double division — bit-identical
+    across engines with no intermediate rounding — and the lag-chain
+    fold with python-float weight literals is identical IEEE
+    arithmetic, so outputs ship UNROUNDED.  (The first cut rounded
+    round(avg,6) and the sf0.1 sweep caught the half-boundary
+    43.4728125 rounding differently in Spark's BigDecimal HALF_UP vs
+    DuckDB's multiply-based round — the cohort_ltv_curve lesson,
+    re-learned on a window query.)  One hourly hash-agg (map-side
+    combinable) + one per-type window pass; all-NULL hours drop out
+    of numerator and weight mass."""
     from fmx.operators.temporal import ewma
 
     hourly = (T(spark, sf, "events")
               .groupBy("event_type",
                        F.date_trunc("hour", "ts").alias("h"))
-              .agg(F.round(F.avg("value"), 6).alias("v")))
-    out = ewma(hourly, ["event_type"], "h", "v",
+              .agg(F.sum(F.round(F.col("value") * 100)
+                         .cast("bigint")).alias("c"),
+                   F.count("value").alias("nv")))
+    hv = hourly.select(
+        "event_type", "h",
+        (F.col("c") / (100.0 * F.nullif(F.col("nv"), F.lit(0))))
+        .alias("v"))
+    out = ewma(hv, ["event_type"], "h", "v",
                alpha=EWMA_ALPHA, span=EWMA_SPAN, out_col="_ewma")
     return out.select(
         "event_type",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-        F.round("v", 6).alias("hourly_avg"),
-        F.round("_ewma", 6).alias("ewma"))
+        F.col("v").alias("hourly_avg"),
+        F.col("_ewma").alias("ewma"))
