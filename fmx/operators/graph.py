@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "k_hop", "label_propagation",
-           "degree_distribution", "kcore_peel", "min_label_rounds"]
+           "degree_distribution", "kcore_peel", "min_label_rounds",
+           "adamic_adar"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -251,3 +252,41 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3,
                .join(keep.withColumnRenamed("node", "nbr"), "nbr"))
     return (und.groupBy("node").agg(F.count("*").alias("degree"))
             .filter(F.col("degree") >= int(k)))
+
+
+def adamic_adar(edges: DataFrame, topk: int = 20,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list: for
+    each non-adjacent-or-adjacent pair (a < b) sharing neighbors,
+    score = sum over common neighbors z of 1/ln(deg(z)) — common
+    neighbors weighted by their selectivity (a hub in common is weak
+    evidence; a rare mutual friend is strong).  Returns the top-k
+    (a, b, common, score, rank) — the classic link-prediction
+    baseline next to jaccard_neighbors.
+
+    Shapes: the pair relation forms ONLY through the shared-neighbor
+    equi-join (never nodes x nodes) exactly like the Jaccard/triangle
+    queries, so hub fan-out is the cost driver — cap degrees upstream
+    (the copurchase basket cap) as those queries do.  deg(z) >= 2 for
+    every common neighbor by construction (z touches both a and b),
+    so 1/ln(deg) is always finite — no ANSI divide-by-zero surface.
+    Top-k rides TakeOrderedAndProject on the totally-ordered
+    (score, common, a, b) key; the rank window sees k rows."""
+    und = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .unionByName(
+               edges.select(F.col(dst).alias("node"),
+                            F.col(src).alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").alias("d"))
+    a = und.select(F.col("node").alias("a"), "nbr")
+    b = und.select(F.col("node").alias("b"), "nbr")
+    pairs = (a.join(b, "nbr").filter(F.col("a") < F.col("b"))
+             .join(deg.withColumnRenamed("node", "nbr"), "nbr")
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("common"),
+                  F.round(F.sum(1.0 / F.log(F.col("d"))), 6)
+                  .alias("score")))
+    top = (pairs.orderBy(F.desc("score"), F.desc("common"), "a", "b")
+           .limit(int(topk)))
+    w = Window.orderBy(F.desc("score"), F.desc("common"), "a", "b")
+    return top.select("a", "b", "common", "score",
+                      F.row_number().over(w).cast("bigint").alias("rank"))

@@ -27,7 +27,7 @@ __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
            "weighted_sample_per_group", "negative_sample",
            "length_buckets", "pack_manifest", "token_budget_mix",
            "pareto_frontier", "matched_pairs", "dsir_weights",
-           "time_split_embargo"]
+           "time_split_embargo", "group_kfold"]
 
 _TWO60 = float(2 ** 60)
 
@@ -549,3 +549,19 @@ def time_split_embargo(df: DataFrame, ts_col: str,
     return (df.crossJoin(F.broadcast(cut))
             .withColumn(out_col, lab)
             .drop("_cut"))
+
+
+def group_kfold(df: DataFrame, group_col: str, k: int = 5,
+                tag: str = "gkf", seed: int = 7,
+                out_col: str = "fold") -> DataFrame:
+    """Group k-fold assignment: every row of a group lands in the SAME
+    fold (fold = floor(U01(group) * k) from the md5 coin), so
+    cross-validation never leaks a group across train/valid — the
+    grouped sibling of hash_split, replayable in any engine via the
+    documented `_U` SQL template.  Pure map (no shuffle, no state);
+    fold balance is multinomial across groups, checked by the
+    companion report query.  NULL groups carry no identity to keep
+    together — they get a NULL fold; gate or sentinel them upstream."""
+    u = hash_uniform01(group_col, tag, seed)
+    return df.withColumn(out_col,
+                         F.floor(u * int(k)).cast("bigint"))

@@ -3509,3 +3509,49 @@ def eval_ece(spark, sf):
         F.count("*").cast(BIG).alias("n_bins"),
         F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
         F.round(F.max(gap), 6).alias("max_gap"))
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    pz AS (SELECT u1.node AS a, u2.node AS b, u1.nbr AS z
+           FROM und u1 JOIN und u2 ON u1.nbr = u2.nbr
+                                  AND u1.node < u2.node),
+    sc AS (SELECT a, b, count(*) AS common,
+                  round(sum(1.0 / ln(deg.d)), 6) AS score
+           FROM pz JOIN deg ON pz.z = deg.node
+           GROUP BY a, b),
+    top AS (SELECT a, b, common, score FROM sc
+            ORDER BY score DESC, common DESC, a, b LIMIT 20)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(common AS BIGINT) AS common, score,
+           CAST(row_number() OVER (ORDER BY score DESC, common DESC,
+                                   a, b) AS BIGINT) AS rank
+    FROM top
+    """)
+def graph_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction over the co-purchase part graph
+    (fmx.operators.graph.adamic_adar): common neighbors weighted by
+    1/ln(degree) — a rare mutual neighbor is strong evidence, a hub
+    in common is weak — the standard baseline next to
+    graph_jaccard_neighbors.  Pairs form only through the
+    shared-neighbor equi-join (hub fan-out bounded by the basket
+    cap); deg(z) >= 2 by construction so the log never hits 1; top-20
+    rides TakeOrderedAndProject on a total order."""
+    from fmx.operators.graph import adamic_adar
+
+    out = adamic_adar(_copurchase_edges(spark, sf), topk=20)
+    return out.select(F.col("a").cast(BIG).alias("a"),
+                      F.col("b").cast(BIG).alias("b"),
+                      F.col("common").cast(BIG).alias("common"),
+                      "score", "rank")

@@ -747,3 +747,35 @@ def sample_time_split_embargo(spark, sf):
                              embargo_hours=24.0)
     return out.select(F.col("event_id").cast("bigint").alias("event_id"),
                       "split")
+
+
+_GKF_U = _U.format(tag="gkf", seed=7, col="user_id")
+
+
+@query(
+    "sample_group_kfold",
+    oracle=f"""
+    WITH f AS (SELECT user_id,
+                      CAST(floor({_GKF_U} * 5) AS BIGINT) AS fold
+               FROM events)
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups
+    FROM f GROUP BY fold
+    """)
+def sample_group_kfold(spark, sf):
+    """Group 5-fold assignment report over events
+    (fmx.operators.sampling.group_kfold): every row of a user lands
+    in the same fold (fold = floor(U01(user) * 5) from the md5 coin),
+    so cross-validation never leaks a user across train/valid — the
+    grouped sibling of sample_hash_split.  The assignment is a pure
+    map; this report is one (fold) agg with a distinct-count (exact
+    here; the documented 100TB swap is approx_count_distinct at the
+    same contract)."""
+    from fmx.operators.sampling import group_kfold
+
+    ev = group_kfold(T(spark, sf, "events"), "user_id", k=5,
+                     tag="gkf", seed=7)
+    return (ev.groupBy("fold")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("n_groups")))

@@ -1135,3 +1135,45 @@ def text_charset_profile(spark, sf):
     lights up upper).  Map-only regexp counts, scan pruned to
     (doc_id, text); integer count ratios are engine-exact."""
     return X.charset_profile(T(spark, sf, "documents"), "doc_id", "text")
+
+
+ZIPF_K = 1000
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM toks
+               WHERE token <> '' GROUP BY token),
+    top AS (SELECT token, cnt FROM counts
+            ORDER BY cnt DESC, token LIMIT {ZIPF_K}),
+    rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)
+                      AS rank FROM top),
+    xy AS (SELECT ln(rank) AS x, ln(cnt) AS y FROM rk)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+           round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4)
+               AS intercept
+    FROM xy
+    """)
+def text_zipf_slope(spark, sf):
+    """Zipf's-law fit of the corpus vocabulary: regress ln(freq) on
+    ln(rank) over the top-{ZIPF_K} terms (fmx.operators.text.vocab_topk)
+    — natural corpora slope ~ -1; template/machine-generated spam
+    flattens or cliffs, making the slope a corpus-health scalar for
+    dataset cards.  The regression runs on the {ZIPF_K}-row vocab
+    relation (covar_pop/var_pop — bounded input, rounded at 4dp to
+    absorb co-moment update-order noise); the heavy lifting is the
+    one explode + combinable count agg + TakeOrdered that vocab_topk
+    already does."""
+    from fmx.operators.text import vocab_topk
+
+    v = vocab_topk(T(spark, sf, "documents"), "text", k=ZIPF_K)
+    xy = v.select(F.log("rank").alias("x"), F.log("cnt").alias("y"))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return xy.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"))

@@ -2250,3 +2250,40 @@ def test_truncation_fidelity_degenerate_and_perfect(spark):
                             "vec_id", "emb", half_dim=2).collect()[0]
     assert r.n_queries == 2
     assert r.top1_agreement == 1.0 and r.mean_abs_delta == 0.0
+
+
+def test_adamic_adar_known_graph(spark):
+    """Square 1-2-3-4 (cycle): opposite corners share exactly the two
+    adjacent corners, every node has degree 2 -> score 2/ln(2)."""
+    import math
+
+    from fmx.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long")
+    got = {(r.a, r.b): (r.common, r.score)
+           for r in adamic_adar(edges, topk=10).collect()}
+    want = round(2.0 / math.log(2.0), 6)
+    assert got[(1, 3)] == (2, want) and got[(2, 4)] == (2, want)
+    # adjacent pairs share no neighbor on a 4-cycle: absent
+    assert (1, 2) not in got
+    assert adamic_adar(
+        spark.createDataFrame([], "src long, dst long")).count() == 0
+
+
+def test_group_kfold_no_leakage(spark):
+    """Every group maps to exactly one fold, folds cover 0..k-1 only,
+    NULL groups get NULL fold."""
+    from fmx.operators.sampling import group_kfold
+
+    rows = [(f"u{i % 37}", i) for i in range(500)] + [(None, 999)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = group_kfold(df, "g", k=5).collect()
+    by_g = {}
+    for r in out:
+        if r.g is None:
+            assert r.fold is None
+        else:
+            by_g.setdefault(r.g, set()).add(r.fold)
+    assert all(len(f) == 1 for f in by_g.values())
+    assert set().union(*by_g.values()) <= {0, 1, 2, 3, 4}

@@ -162,6 +162,8 @@ _ALLOWED = {
         "eval_ks_split_drift",      # cum-CDF over <= 64 bin rows
         "eval_pr_auc",              # threshold sweep over <= 1024 bins
         "graph_jaccard_neighbors",  # rank over the top-20 rows only
+        "graph_adamic_adar",        # rank over the top-20 rows only
+        "text_zipf_slope",          # vocab rank over the top-1000 rows
         "profile_gini_binned",      # Lorenz over <= 256 bin rows
         "ts_cusum_changepoint",     # cumsum over calendar-bounded days
         "ts_concurrent_orders",     # cumsum over calendar-bounded days
