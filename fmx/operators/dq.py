@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["check_expectations", "failing_rows", "table_diff",
            "checksum_registers", "table_diff_drilldown", "freshness_lag",
-           "freshness_from_registers", "null_rate_drift", "id_gaps"]
+           "freshness_from_registers", "null_rate_drift", "id_gaps",
+           "id_gap_registers", "id_gaps_from_registers"]
 
 
 def check_expectations(df: DataFrame,
@@ -295,6 +296,43 @@ def null_rate_drift(df: DataFrame, cols: list[str],
     return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
+def id_gap_registers(df: DataFrame, id_col: str,
+                     bucket: int = 4096) -> DataFrame:
+    """Bucket-grain contiguity registers for :func:`id_gaps`:
+    (bucket, n, mn, mx) at floor(id / bucket) grain.  Every field is
+    MERGEABLE (n: sum, mn: min, mx: max), so the same registers
+    accumulate incrementally over arriving batches or as Structured
+    Streaming state (fmx.streaming.ops.stream_idgap_registers) and
+    merge across sources by bucket before folding — the
+    freshness-register discipline applied to key contiguity.  NULL
+    ids are excluded (no position on the id line)."""
+    return (df.filter(F.col(id_col).isNotNull())
+            .groupBy(F.floor(F.col(id_col) / int(bucket)).alias("bucket"))
+            .agg(F.count("*").alias("n"), F.min(id_col).alias("mn"),
+                 F.max(id_col).alias("mx")))
+
+
+def id_gaps_from_registers(registers: DataFrame) -> DataFrame:
+    """Fold (bucket, n, mn, mx) contiguity registers (batch
+    ``id_gap_registers`` or ``stream_idgap_registers`` snapshots —
+    merge multi-source registers by bucket-sum/min/max first) into
+    the contiguity report: ONE row (n_ids, id_min, id_max, n_missing,
+    n_buckets, n_gap_buckets, max_bucket_missing).  Runs entirely on
+    the bucket-count-bounded register relation; report derivation is
+    ONE definition shared by the batch and streaming paths."""
+    local_miss = F.col("mx") - F.col("mn") + 1 - F.col("n")
+    return registers.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_ids"),
+        F.min("mn").cast("bigint").alias("id_min"),
+        F.max("mx").cast("bigint").alias("id_max"),
+        (F.max("mx") - F.min("mn") + 1 - F.sum("n")).cast("bigint")
+        .alias("n_missing"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.coalesce(F.sum((local_miss > 0).cast("long")), F.lit(0))
+        .cast("bigint").alias("n_gap_buckets"),
+        F.max(local_miss).cast("bigint").alias("max_bucket_missing"))
+
+
 def id_gaps(df: DataFrame, id_col: str, bucket: int = 4096) -> DataFrame:
     """Primary-key contiguity report: ONE row (n_ids, id_min, id_max,
     n_missing, n_buckets, n_gap_buckets, max_bucket_missing) — the
@@ -312,19 +350,7 @@ def id_gaps(df: DataFrame, id_col: str, bucket: int = 4096) -> DataFrame:
     the global count but not in any bucket's local count (by
     construction); shrink ``bucket`` to localize further.  NULL ids
     are excluded (gate them via check_expectations).  An empty batch
-    reports 0 ids / 0 buckets with NULL range stats."""
-    b = (df.filter(F.col(id_col).isNotNull())
-         .groupBy(F.floor(F.col(id_col) / int(bucket)).alias("_b"))
-         .agg(F.count("*").alias("_n"), F.min(id_col).alias("_mn"),
-              F.max(id_col).alias("_mx")))
-    local_miss = F.col("_mx") - F.col("_mn") + 1 - F.col("_n")
-    return b.agg(
-        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_ids"),
-        F.min("_mn").cast("bigint").alias("id_min"),
-        F.max("_mx").cast("bigint").alias("id_max"),
-        (F.max("_mx") - F.min("_mn") + 1 - F.sum("_n")).cast("bigint")
-        .alias("n_missing"),
-        F.count("*").cast("bigint").alias("n_buckets"),
-        F.coalesce(F.sum((local_miss > 0).cast("long")), F.lit(0))
-        .cast("bigint").alias("n_gap_buckets"),
-        F.max(local_miss).cast("bigint").alias("max_bucket_missing"))
+    reports 0 ids / 0 buckets with NULL range stats.  Composition:
+    :func:`id_gap_registers` (mergeable, with a streaming twin) +
+    :func:`id_gaps_from_registers` (the shared fold)."""
+    return id_gaps_from_registers(id_gap_registers(df, id_col, bucket))

@@ -667,3 +667,20 @@ def stream_freshness_registers(rows: DataFrame, group_col: str,
     register family: HLL (max), hist/CMS/checksum (sum), Bloom (or),
     freshness (max)."""
     return rows.groupBy(group_col).agg(F.max(ts_col).alias("last_ts"))
+
+
+def stream_idgap_registers(rows: DataFrame, id_col: str,
+                           bucket: int = 4096) -> DataFrame:
+    """Streaming key-contiguity state: per-bucket (n, mn, mx) of ids
+    seen so far — every field mergeable (sum/min/max), so state is
+    one row per id-bucket forever (no watermark) and snapshots fold
+    into the contiguity report with
+    ``fmx.operators.dq.id_gaps_from_registers`` — the streaming side
+    of the did-the-exporter-drop-a-chunk gate (batch twin:
+    ``fmx.operators.dq.id_gaps``).  Extends the mergeable-register
+    family: HLL (max), hist/CMS/checksum (sum), Bloom (or),
+    freshness (max), contiguity (sum/min/max)."""
+    return (rows.filter(F.col(id_col).isNotNull())
+            .groupBy(F.floor(F.col(id_col) / int(bucket)).alias("bucket"))
+            .agg(F.count("*").alias("n"), F.min(id_col).alias("mn"),
+                 F.max(id_col).alias("mx")))

@@ -775,3 +775,56 @@ def test_stream_freshness_registers_live_trigger_monotonic(spark):
         assert prev
     finally:
         q.stop()
+
+
+def test_stream_idgap_registers_fold_matches_batch(spark, sf_dir):
+    """Streaming per-bucket contiguity registers over the events
+    stream equal the batch registers, and id_gaps_from_registers over
+    the snapshot reproduces id_gaps on the batch rows exactly (one
+    definition of the report derivation)."""
+    from fmx.operators.dq import (id_gap_registers, id_gaps,
+                                  id_gaps_from_registers)
+    from fmx.sources import load_table
+
+    ev_stream = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(
+        S.stream_idgap_registers(ev_stream, "event_id", bucket=512),
+        "idgap_regs", "complete")
+    got = {r.bucket: (r.n, r.mn, r.mx)
+           for r in spark.sql("SELECT * FROM idgap_regs").collect()}
+    q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {r.bucket: (r.n, r.mn, r.mx)
+            for r in id_gap_registers(ev, "event_id",
+                                      bucket=512).collect()}
+    assert got == want
+
+    snap = spark.sql("SELECT * FROM idgap_regs")
+    rep = id_gaps_from_registers(snap).collect()[0]
+    batch = id_gaps(ev, "event_id", bucket=512).collect()[0]
+    assert rep.asDict() == batch.asDict()
+
+
+def test_stream_idgap_registers_live_trigger_monotonic(spark):
+    """Contiguity registers under a real trigger in complete mode:
+    per-bucket n non-decreasing, mn non-increasing, mx non-decreasing
+    across live batches (sum/min/max registers only advance)."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", 200).load())
+    rows = rate.select(F.col("value").alias("id"))
+    batches = []
+    q = _run_live(S.stream_idgap_registers(rows, "id", bucket=64),
+                  batches, min_batches=2, output_mode="complete")
+    try:
+        assert len(batches) >= 2, "no live batches arrived"
+        prev = {}
+        for _bid, out in batches:
+            cur = {r.bucket: (r.n, r.mn, r.mx) for r in out}
+            for b, (n, mn, mx) in prev.items():
+                assert b in cur, f"bucket {b} disappeared"
+                n2, mn2, mx2 = cur[b]
+                assert n2 >= n and mn2 <= mn and mx2 >= mx, (b, prev, cur)
+            prev = cur
+    finally:
+        q.stop()
