@@ -8,6 +8,9 @@ platform runs over a production table, composed from engine operators:
      then drill-down to the exact changed keys
   5. contract: key-multiplicity profile before declaring a join key
   6. freshness: per-source staleness vs the dataset's newest event
+  7. schema health: per-column null-rate drift between the window's
+     early and late half
+  8. contiguity: did the exporter drop an id chunk (bucket registers)
 
 Every stage is a DataFrame plan with a DuckDB-checkable twin in the
 registry; at scale each is one or two scans plus bounded-row windows.
@@ -84,6 +87,22 @@ def main() -> None:
     stale = (freshness_lag(ev, "event_type", "ts", warn_lag_hours=24.0)
              .filter(F.col("stale")).count())
     print(f"freshness: {stale} stale sources (>24h behind)")
+
+    # 7. schema health — did a column start going NULL mid-window
+    from fmx.operators.dq import null_rate_drift
+
+    drift = null_rate_drift(ev, ["value", "props"], "ts")
+    worst = drift.orderBy(F.desc_nulls_last("drift")).first()
+    print(f"null drift: worst column {worst.col} "
+          f"({worst.rate_early} -> {worst.rate_late})")
+
+    # 8. contiguity — the id line itself (registers are mergeable, so
+    # the streaming twin accumulates the same state; one shared fold)
+    from fmx.operators.dq import id_gaps
+
+    gaps = id_gaps(ev, "event_id", bucket=4096).first()
+    print(f"id gaps: {gaps.n_ids} ids in [{gaps.id_min}, {gaps.id_max}], "
+          f"{gaps.n_missing} missing ({gaps.n_gap_buckets} gap buckets)")
 
     print("monitoring pass complete")
     spark.stop()
