@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_join", "gap_fill", "sessionize",
-           "interval_merge", "time_weighted_avg"]
+           "interval_merge", "time_weighted_avg", "theilsen_trend"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -331,3 +331,45 @@ def ewma(df: DataFrame, key_cols: list[str], ts_col: str,
         num = term if num is None else num + term
         den = mass if den is None else den + mass
     return df.withColumn(out_col, num / F.nullif(den, F.lit(0.0)))
+
+
+def theilsen_trend(df: DataFrame, ts_col: str, value_col) -> DataFrame:
+    """Theil-Sen robust trend over a (time, value) series: one row
+    (n_points, n_pairs, slope_per_day, intercept) where slope is the
+    MEDIAN of all pairwise slopes and intercept the median of
+    (y - slope*x) — the outlier-immune alternative to least squares
+    (one bad export day drags an OLS fit; Theil-Sen tolerates ~29%
+    contamination).
+
+    Intended for BOUNDED series (day/hour grain after an upstream
+    aggregation — calendar-bounded like the CUSUM/autocorrelation
+    queries): the pairwise self-join is quadratic in the series
+    length, which is exactly why the series must be grain-bounded
+    first, never row-grain.  x is integer days from the series start
+    and y integer-derived, so every pairwise slope is the same double
+    in any engine and the exact median interpolation reproduces
+    bit-identically — results ship UNROUNDED (the ts_ewma round()
+    lesson)."""
+    y = (F.col(value_col) if isinstance(value_col, str)
+         else value_col).alias("y")
+    pts = df.select(F.col(ts_col).alias("t"), y)
+    base = pts.agg(F.min("t").alias("t0"))
+    xy = (pts.crossJoin(F.broadcast(base))
+          .select(F.datediff("t", "t0").cast("double").alias("x"),
+                  F.col("y").cast("double").alias("y")))
+    a = xy.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (a.join(b, F.col("xa") < F.col("xb"))
+              .select(((F.col("yb") - F.col("ya"))
+                       / (F.col("xb") - F.col("xa"))).alias("m")))
+    med_m = slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.percentile("m", F.lit(0.5)).alias("slope"))
+    resid = (xy.crossJoin(F.broadcast(med_m))
+             .select("n_pairs", "slope",
+                     (F.col("y") - F.col("slope") * F.col("x"))
+                     .alias("r")))
+    return resid.groupBy("n_pairs", "slope").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.percentile("r", F.lit(0.5)).alias("intercept")
+    ).select("n_points", "n_pairs", "slope", "intercept")

@@ -3194,6 +3194,7 @@ def eval_brier_score(spark, sf):
 
 @query(
     "graph_connected_components",
+    headline=True,
     oracle="""
     WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     li AS (SELECT l_orderkey, l_partkey FROM li0

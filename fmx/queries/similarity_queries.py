@@ -1217,6 +1217,7 @@ def emb_outlier_distance(spark, sf):
 
 @query(
     "emb_kmeans_assign",
+    headline=True,
     oracle="""
     WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                        CAST(unnest(embedding) AS DOUBLE) AS x

@@ -681,3 +681,38 @@ def ts_ewma(spark, sf):
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("v").alias("hourly_avg"),
         F.col("_ewma").alias("ewma"))
+
+
+@query(
+    "ts_theilsen_trend",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+                   FROM events GROUP BY 1),
+    base AS (SELECT min(d) AS t0 FROM daily),
+    xy AS (SELECT CAST(d - t0 AS DOUBLE) AS x, CAST(n AS DOUBLE) AS y
+           FROM daily, base),
+    sl AS (SELECT (b.y - a.y) / (b.x - a.x) AS m
+           FROM xy a JOIN xy b ON a.x < b.x),
+    med AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   quantile_cont(m, 0.5) AS slope FROM sl),
+    res AS (SELECT n_pairs, slope, y - slope * x AS r FROM xy, med)
+    SELECT CAST(count(*) AS BIGINT) AS n_points, n_pairs, slope,
+           quantile_cont(r, 0.5) AS intercept
+    FROM res GROUP BY n_pairs, slope
+    """)
+def ts_theilsen_trend(spark, sf):
+    """Theil-Sen robust trend of daily event volume
+    (fmx.operators.temporal.theilsen_trend): median of all pairwise
+    slopes + median intercept — the outlier-immune growth estimate
+    (one bad export day drags OLS; Theil-Sen tolerates ~29%
+    contamination).  The quadratic pair join runs on the
+    CALENDAR-BOUNDED daily relation (the CUSUM discipline), never row
+    grain; integer day/count inputs make every slope the same double
+    in both engines and the exact median interpolation bit-identical,
+    so results ship UNROUNDED (the ts_ewma round() lesson)."""
+    from fmx.operators.temporal import theilsen_trend
+
+    daily = (T(spark, sf, "events")
+             .groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("n")))
+    return theilsen_trend(daily, "d", "n")

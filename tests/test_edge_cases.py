@@ -251,7 +251,8 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
              "emb_truncation_fidelity", "ann_eval_ivf_vs_exact",
              "text_charset_profile", "dq_id_gaps", "eval_ece",
              "w8_rolling_median", "graph_adamic_adar",
-             "sample_group_kfold", "text_zipf_slope"]
+             "sample_group_kfold", "text_zipf_slope",
+             "ts_theilsen_trend"]
     ALL = Q.all_queries()
 
     def snap():

@@ -2287,3 +2287,19 @@ def test_group_kfold_no_leakage(spark):
             by_g.setdefault(r.g, set()).add(r.fold)
     assert all(len(f) == 1 for f in by_g.values())
     assert set().union(*by_g.values()) <= {0, 1, 2, 3, 4}
+
+
+def test_theilsen_known_trend(spark):
+    """Perfect line y = 2x + 3 with one wild outlier: Theil-Sen
+    recovers slope 2 and intercept 3 exactly (OLS would not)."""
+    import datetime as dt
+
+    from fmx.operators.temporal import theilsen_trend
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), 2 * i + 3) for i in range(9)]
+    rows.append((d0 + dt.timedelta(days=9), 1000))   # the bad export day
+    df = spark.createDataFrame(rows, "d date, n long")
+    r = theilsen_trend(df, "d", "n").collect()[0]
+    assert r.n_points == 10 and r.n_pairs == 45
+    assert r.slope == 2.0 and r.intercept == 3.0

@@ -115,6 +115,7 @@ _ALLOWED = {
         "sample_epoch_shuffle",     # 2-row epoch-relation broadcast
         "profile_gini_binned",      # 1-row min/max + count broadcasts
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
+        "ts_theilsen_trend",        # day-grain pair join + 1-row medians
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "retrieval_hard_negatives",    # broadcast query-set cross
         "profile_join_cardinality",
