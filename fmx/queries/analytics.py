@@ -3556,3 +3556,88 @@ def graph_adamic_adar(spark, sf):
                       F.col("b").cast(BIG).alias("b"),
                       F.col("common").cast(BIG).alias("common"),
                       "score", "rank")
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+    wedges AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg),
+    mid AS (SELECT src AS b, dst AS c FROM e),
+    wed AS (SELECT e.src AS a, e.dst AS b, mid.c
+            FROM e JOIN mid ON e.dst = mid.b),
+    tri AS (SELECT count(*) AS t FROM wed
+            JOIN e e2 ON wed.a = e2.src AND wed.c = e2.dst)
+    SELECT CAST(t AS BIGINT) AS triangles,
+           CAST(w AS BIGINT) AS wedges,
+           round(3.0 * t / nullif(w, 0), 6) AS clustering_coefficient
+    FROM tri, wedges
+    """)
+def graph_clustering_coefficient(spark, sf):
+    """Global clustering coefficient of the co-purchase graph:
+    3 x triangles / wedges — how clique-like the graph is (community
+    density vs a random graph), composing
+    fmx.operators.graph.triangle_count with a degree-moment wedge
+    count.  Wedges cost ONE degree agg + a 1-row sum (d*(d-1)/2 from
+    integer degrees — no second pair join); the triangle side is the
+    existing compact-forward double equi-join.  Both reduce to 1-row
+    relations crossed at the end — integer counts, engine-exact."""
+    from fmx.operators.graph import triangle_count
+
+    e = _copurchase_edges(spark, sf)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionByName(e.select(F.col("dst").alias("node"),
+                                 F.col("src").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").alias("d"))
+    wedges = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                     .cast("bigint").alias("wedges"))
+    tri = triangle_count(e)
+    return (tri.crossJoin(F.broadcast(wedges))
+            .select(F.col("triangles").cast(BIG).alias("triangles"),
+                    F.col("wedges").cast(BIG).alias("wedges"),
+                    F.round(3.0 * F.col("triangles")
+                            / F.nullif(F.col("wedges"), F.lit(0)), 6)
+                    .alias("clustering_coefficient")))
+
+
+@query(
+    "profile_null_patterns",
+    oracle="""
+    SELECT CASE WHEN value IS NULL THEN 1 ELSE 0 END
+               * 2 + CASE WHEN props IS NULL THEN 1 ELSE 0 END
+               AS pattern_id,
+           concat(CASE WHEN value IS NULL THEN 'value' ELSE '-' END,
+                  ',', CASE WHEN props IS NULL THEN 'props' ELSE '-' END)
+               AS pattern,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+    FROM events GROUP BY 1, 2
+    """)
+def profile_null_patterns(spark, sf):
+    """Null co-occurrence patterns over events (value, props): one row
+    per missingness combination with counts and shares — the MCAR/MAR
+    diagnostic (do value and props go NULL together — one upstream
+    failure — or independently?) that single-column null rates
+    (dq_null_rate_drift) cannot see.  ONE hash-agg over at most 2^k
+    pattern rows (k columns profiled — keep k small by contract);
+    the share window runs over those bounded rows."""
+    ev = T(spark, sf, "events")
+    vnull = F.col("value").isNull()
+    pnull = F.col("props").isNull()
+    return (ev.groupBy(
+        (vnull.cast("int") * 2 + pnull.cast("int")).alias("pattern_id"),
+        F.concat(F.when(vnull, "value").otherwise("-"), F.lit(","),
+                 F.when(pnull, "props").otherwise("-")).alias("pattern"))
+        .agg(F.count("*").cast(BIG).alias("n"))
+        .withColumn("share",
+                    F.round(F.col("n") * 1.0
+                            / F.sum("n").over(Window.partitionBy()), 6)))

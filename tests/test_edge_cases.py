@@ -252,7 +252,8 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
              "text_charset_profile", "dq_id_gaps", "eval_ece",
              "w8_rolling_median", "graph_adamic_adar",
              "sample_group_kfold", "text_zipf_slope",
-             "ts_theilsen_trend"]
+             "ts_theilsen_trend", "graph_clustering_coefficient",
+             "profile_null_patterns"]
     ALL = Q.all_queries()
 
     def snap():
