@@ -154,8 +154,9 @@ _PRIORITY = [
     # eval_auc_by_group, emb_kmeans_assign, emb_truncation_fidelity,
     # ann_eval_ivf_vs_exact, text_charset_profile, dq_id_gaps,
     # eval_ece, w8_rolling_median, graph_adamic_adar,
-    # sample_group_kfold, text_zipf_slope (+ stream_idgap_registers
-    # in the streaming register family) — are
+    # sample_group_kfold, text_zipf_slope, ts_theilsen_trend,
+    # graph_clustering_coefficient, profile_null_patterns
+    # (+ stream_idgap_registers in the streaming register family) — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives
     # in git: the r6 window at commit 5207f57^, r5 at ded7618, r4 and
