@@ -268,13 +268,14 @@ def null_rate_drift(df: DataFrame, cols: list[str],
     ep = F.col(ts_col).cast("double")
     rng = df.agg(F.min(ep).alias("_mn"), F.max(ep).alias("_mx"))
     late = ep > (F.col("_mn") + F.col("_mx")) / 2.0
-    aggs = []
+    # the period row counts are column-independent: compute them ONCE,
+    # not once per profiled column (halves the per-row aggregate work)
+    aggs = [F.sum(F.when(~late, 1).otherwise(0)).alias("_ne"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("_nl")]
     for i, c in enumerate(cols):
         isn = F.col(c).isNull().cast("long")
         aggs += [
-            F.sum(F.when(~late, 1).otherwise(0)).alias(f"_ne_{i}"),
             F.sum(F.when(~late, isn).otherwise(0)).alias(f"_nne_{i}"),
-            F.sum(F.when(late, 1).otherwise(0)).alias(f"_nl_{i}"),
             F.sum(F.when(late, isn).otherwise(0)).alias(f"_nnl_{i}"),
         ]
     one = df.crossJoin(F.broadcast(rng)).agg(*aggs)
@@ -283,14 +284,14 @@ def null_rate_drift(df: DataFrame, cols: list[str],
     rows = F.array(*[
         F.struct(
             F.lit(c).alias("col"),
-            F.coalesce(F.col(f"_ne_{i}"), F.lit(0)).cast("bigint")
+            F.coalesce(F.col("_ne"), F.lit(0)).cast("bigint")
             .alias("n_early"),
-            _rate(f"_nne_{i}", f"_ne_{i}").alias("rate_early"),
-            F.coalesce(F.col(f"_nl_{i}"), F.lit(0)).cast("bigint")
+            _rate(f"_nne_{i}", "_ne").alias("rate_early"),
+            F.coalesce(F.col("_nl"), F.lit(0)).cast("bigint")
             .alias("n_late"),
-            _rate(f"_nnl_{i}", f"_nl_{i}").alias("rate_late"),
-            F.round(F.abs(F.col(f"_nnl_{i}") / F.nullif(F.col(f"_nl_{i}"), F.lit(0))
-                          - F.col(f"_nne_{i}") / F.nullif(F.col(f"_ne_{i}"), F.lit(0))),
+            _rate(f"_nnl_{i}", "_nl").alias("rate_late"),
+            F.round(F.abs(F.col(f"_nnl_{i}") / F.nullif(F.col("_nl"), F.lit(0))
+                          - F.col(f"_nne_{i}") / F.nullif(F.col("_ne"), F.lit(0))),
                     6).alias("drift"))
         for i, c in enumerate(cols)])
     return one.select(F.explode(rows).alias("r")).select("r.*")
@@ -305,11 +306,16 @@ def id_gap_registers(df: DataFrame, id_col: str,
     Streaming state (fmx.streaming.ops.stream_idgap_registers) and
     merge across sources by bucket before folding — the
     freshness-register discipline applied to key contiguity.  NULL
-    ids are excluded (no position on the id line)."""
+    ids are excluded (no position on the id line), and ids are
+    DEDUPLICATED first: n must count distinct positions on the id
+    line or duplicate deliveries would mask real holes (inflated n
+    cancels missing ids in the fold's subtraction).  The distinct is
+    bucket-local (same key), so it adds no extra exchange."""
     return (df.filter(F.col(id_col).isNotNull())
-            .groupBy(F.floor(F.col(id_col) / int(bucket)).alias("bucket"))
-            .agg(F.count("*").alias("n"), F.min(id_col).alias("mn"),
-                 F.max(id_col).alias("mx")))
+            .select(F.col(id_col).alias("_id")).distinct()
+            .groupBy(F.floor(F.col("_id") / int(bucket)).alias("bucket"))
+            .agg(F.count("*").alias("n"), F.min("_id").alias("mn"),
+                 F.max("_id").alias("mx")))
 
 
 def id_gaps_from_registers(registers: DataFrame) -> DataFrame:

@@ -288,7 +288,11 @@ def woe_encode(df: DataFrame, cat_col: str, label_col,
     neg = F.col("n") - F.col("n_pos")
     woe = F.log(((F.col("n_pos") + s) / (F.col("_P") + 2 * s))
                 / ((neg + s) / (F.col("_N") + 2 * s)))
-    iv = (F.col("n_pos") / F.col("_P") - neg / F.col("_N")) * woe
+    # IV uses the UNSMOOTHED class rates: a batch with a missing class
+    # (P or N = 0) yields NULL iv_term rather than an ANSI
+    # DIVIDE_BY_ZERO (woe itself is always finite via the smoothing)
+    iv = (F.col("n_pos") / F.nullif(F.col("_P"), F.lit(0))
+          - neg / F.nullif(F.col("_N"), F.lit(0))) * woe
     return (per.crossJoin(F.broadcast(tot))
             .select("cat", F.col("n").cast("bigint").alias("n"),
                     F.col("n_pos").cast("bigint").alias("n_pos"),

@@ -1029,8 +1029,11 @@ def truncation_fidelity(corpus: DataFrame, queries: DataFrame,
     sims = (dots.join(F.broadcast(qn), query_id)
             .join(cn, id_col)
             .select(query_id, id_col,
+                    # zero-norm vectors (corrupt encodes) yield NULL
+                    # cosines, never an ANSI DIVIDE_BY_ZERO
                     F.round(F.col("dot_f")
-                            / (F.col("qn_f") * F.col("cn_f")), 6)
+                            / F.nullif(F.col("qn_f") * F.col("cn_f"),
+                                       F.lit(0.0)), 6)
                     .alias("cos_f"),
                     F.round(F.col("dot_h")
                             / F.nullif(F.col("qn_h") * F.col("cn_h"),

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_join", "gap_fill", "sessionize",
-           "interval_merge", "time_weighted_avg", "theilsen_trend"]
+           "interval_merge", "time_weighted_avg", "theilsen_trend", "ewma"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],

@@ -1663,9 +1663,12 @@ def eval_rank_auc(spark, sf):
     return (cum.agg(
         F.sum("np").cast(BIG).alias("n_pos"),
         F.sum("nn").cast(BIG).alias("n_neg"),
+        # a single-class slice (all or no purchases on a weekday) has
+        # no defined AUC: NULL, never an ANSI DIVIDE_BY_ZERO
         F.round(F.sum(F.col("np") * (F.col("nn_below")
                                      + 0.5 * F.col("nn")))
-                / (F.sum("np") * F.sum("nn")), 6).alias("auc")))
+                / F.nullif(F.sum("np") * F.sum("nn"), F.lit(0)), 6)
+        .alias("auc")))
 
 
 CAL_BINS = 10
@@ -3333,7 +3336,7 @@ def dq_null_rate_drift(spark, sf):
     SELECT cat, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
            round(ln(((np + 0.5) / (p + 1.0))
                     / ((n - np + 0.5) / (ng + 1.0))), 6) AS woe,
-           round((np / p - (n - np) / ng)
+           round((np / nullif(p, 0) - (n - np) / nullif(ng, 0))
                  * ln(((np + 0.5) / (p + 1.0))
                       / ((n - np + 0.5) / (ng + 1.0))), 6) AS iv_term
     FROM per, tot
@@ -3383,7 +3386,7 @@ GAUC_BINS = 256
            CAST(sum(np) AS BIGINT) AS n_pos,
            CAST(sum(nn) AS BIGINT) AS n_neg,
            round(sum(np * (nn_below + 0.5 * nn))
-                 / (sum(np) * sum(nn)), 6) AS auc
+                 / nullif(sum(np) * sum(nn), 0), 6) AS auc
     FROM cum GROUP BY g
     """)
 def eval_auc_by_group(spark, sf):
@@ -3422,19 +3425,22 @@ def eval_auc_by_group(spark, sf):
     return (cum.groupBy(F.col("g").cast(BIG).alias("weekday")).agg(
         F.sum("np").cast(BIG).alias("n_pos"),
         F.sum("nn").cast(BIG).alias("n_neg"),
+        # a single-class slice (all or no purchases on a weekday) has
+        # no defined AUC: NULL, never an ANSI DIVIDE_BY_ZERO
         F.round(F.sum(F.col("np") * (F.col("nn_below")
                                      + 0.5 * F.col("nn")))
-                / (F.sum("np") * F.sum("nn")), 6).alias("auc")))
+                / F.nullif(F.sum("np") * F.sum("nn"), F.lit(0)), 6)
+        .alias("auc")))
 
 
 @query(
     "dq_id_gaps",
     oracle="""
-    WITH b AS (SELECT CAST(floor(o_orderkey / 4096) AS BIGINT) AS bk,
-                      count(*) AS n, min(o_orderkey) AS mn,
-                      max(o_orderkey) AS mx
-               FROM orders WHERE o_orderkey IS NOT NULL
-               GROUP BY 1)
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                 WHERE o_orderkey IS NOT NULL),
+    b AS (SELECT CAST(floor(id / 4096) AS BIGINT) AS bk,
+                 count(*) AS n, min(id) AS mn, max(id) AS mx
+          FROM ids GROUP BY 1)
     SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_ids,
            CAST(min(mn) AS BIGINT) AS id_min,
            CAST(max(mx) AS BIGINT) AS id_max,
@@ -3571,7 +3577,7 @@ def graph_adamic_adar(spark, sf):
     und AS (SELECT src AS node, dst AS nbr FROM e
             UNION ALL SELECT dst AS node, src AS nbr FROM e),
     deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
-    wedges AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg),
+    wedges AS (SELECT sum(d * (d - 1)) // 2 AS w FROM deg),
     mid AS (SELECT src AS b, dst AS c FROM e),
     wed AS (SELECT e.src AS a, e.dst AS b, mid.c
             FROM e JOIN mid ON e.dst = mid.b),
@@ -3598,8 +3604,11 @@ def graph_clustering_coefficient(spark, sf):
            .unionByName(e.select(F.col("dst").alias("node"),
                                  F.col("src").alias("nbr"))))
     deg = und.groupBy("node").agg(F.count("*").alias("d"))
-    wedges = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)
-                     .cast("bigint").alias("wedges"))
+    # sum the (always even) BIGINT d*(d-1) and halve AFTER: the sum
+    # stays integer-exact past 2^53 wedges, where summing per-term
+    # float halves would not (the checksum_registers lesson)
+    wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1))
+                      / F.lit(2)).cast("bigint").alias("wedges"))
     tri = triangle_count(e)
     return (tri.crossJoin(F.broadcast(wedges))
             .select(F.col("triangles").cast(BIG).alias("triangles"),

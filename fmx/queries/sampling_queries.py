@@ -756,7 +756,9 @@ _GKF_U = _U.format(tag="gkf", seed=7, col="user_id")
     "sample_group_kfold",
     oracle=f"""
     WITH f AS (SELECT user_id,
-                      CAST(floor({_GKF_U} * 5) AS BIGINT) AS fold
+                      CASE WHEN user_id IS NULL THEN NULL
+                           ELSE CAST(floor({_GKF_U} * 5) AS BIGINT)
+                      END AS fold
                FROM events)
     SELECT fold, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups

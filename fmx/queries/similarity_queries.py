@@ -1289,7 +1289,8 @@ HALF_DIM = 32
              WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
              GROUP BY q.vec_id, c.vec_id),
     sims AS (SELECT query_id, d.vec_id,
-                    round(dot_f / (nq.nrm * nc.nrm), 6) AS cos_f,
+                    round(dot_f / nullif(nq.nrm * nc.nrm, 0.0), 6)
+                        AS cos_f,
                     round(dot_h / nullif(hq.hn * hc.hn, 0.0), 6) AS cos_h
              FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
                          JOIN norms nc ON d.vec_id = nc.vec_id

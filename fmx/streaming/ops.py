@@ -671,16 +671,22 @@ def stream_freshness_registers(rows: DataFrame, group_col: str,
 
 def stream_idgap_registers(rows: DataFrame, id_col: str,
                            bucket: int = 4096) -> DataFrame:
-    """Streaming key-contiguity state: per-bucket (n, mn, mx) of ids
-    seen so far — every field mergeable (sum/min/max), so state is
-    one row per id-bucket forever (no watermark) and snapshots fold
-    into the contiguity report with
+    """Streaming key-contiguity state: per-bucket (n, mn, mx) of
+    DISTINCT ids seen so far — every register field mergeable
+    (sum/min/max); snapshots fold into the contiguity report with
     ``fmx.operators.dq.id_gaps_from_registers`` — the streaming side
     of the did-the-exporter-drop-a-chunk gate (batch twin:
-    ``fmx.operators.dq.id_gaps``).  Extends the mergeable-register
+    ``fmx.operators.dq.id_gaps``).  Ids are deduplicated WITHIN the
+    stream (dropDuplicates) so at-least-once redelivery cannot
+    inflate n and mask holes — the dedup keeps one state row PER ID
+    (the register side stays one row per bucket); in production bound
+    that state with ``withWatermark`` + dropDuplicates on (id, ts),
+    which preserves exactness for any replay horizon inside the
+    watermark.  mn/mx are replay-proof with or without the dedup.  Extends the mergeable-register
     family: HLL (max), hist/CMS/checksum (sum), Bloom (or),
     freshness (max), contiguity (sum/min/max)."""
     return (rows.filter(F.col(id_col).isNotNull())
+            .dropDuplicates([id_col])
             .groupBy(F.floor(F.col(id_col) / int(bucket)).alias("bucket"))
             .agg(F.count("*").alias("n"), F.min(id_col).alias("mn"),
                  F.max(id_col).alias("mx")))

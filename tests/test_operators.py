@@ -2303,3 +2303,43 @@ def test_theilsen_known_trend(spark):
     r = theilsen_trend(df, "d", "n").collect()[0]
     assert r.n_points == 10 and r.n_pairs == 45
     assert r.slope == 2.0 and r.intercept == 3.0
+
+
+def test_woe_encode_single_class_no_throw(spark):
+    """A window with no positive (or no negative) labels yields NULL
+    iv_term and finite woe — never an ANSI DIVIDE_BY_ZERO (review
+    finding)."""
+    from fmx.operators.features import woe_encode
+
+    df = spark.createDataFrame([("a", 0), ("b", 0), ("a", 0)],
+                               "c string, y int")
+    rows = woe_encode(df, "c", "y").collect()
+    assert len(rows) == 2
+    assert all(r.iv_term is None for r in rows)
+    assert all(r.woe is not None for r in rows)
+
+
+def test_truncation_fidelity_zero_vector_no_throw(spark):
+    """An all-zero embedding (corrupt encode) must yield NULL cosines,
+    not abort the whole fidelity report (review finding)."""
+    from fmx.operators.similarity import truncation_fidelity
+
+    pts = [(0, [1.0, 0.0, 1.0, 0.0]), (1, [0.0, 1.0, 0.0, 1.0]),
+           (2, [0.0, 0.0, 0.0, 0.0]), (3, [1.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, emb array<float>")
+    r = truncation_fidelity(df, df.filter(F.col("vec_id") < 2),
+                            "vec_id", "emb", half_dim=2).collect()[0]
+    assert r.n_queries == 2          # completed despite the zero vector
+
+
+def test_id_gaps_duplicates_do_not_mask_holes(spark):
+    """Duplicate deliveries must not inflate n_ids and cancel missing
+    ids in the fold's subtraction (review finding): ids 0..9 minus
+    {3,4}, with ids 0..2 delivered TWICE."""
+    from fmx.operators.dq import id_gaps
+
+    ids = [(i,) for i in range(10) if i not in (3, 4)]
+    ids += [(i,) for i in range(3)]           # duplicate redelivery
+    df = spark.createDataFrame(ids, "id long")
+    r = id_gaps(df, "id", bucket=8).collect()[0]
+    assert (r.n_ids, r.n_missing) == (8, 2)   # still sees both holes
