@@ -155,7 +155,8 @@ _PRIORITY = [
     # ann_eval_ivf_vs_exact, text_charset_profile, dq_id_gaps,
     # eval_ece, w8_rolling_median, graph_adamic_adar,
     # sample_group_kfold, text_zipf_slope, ts_theilsen_trend,
-    # graph_clustering_coefficient, profile_null_patterns
+    # graph_clustering_coefficient, profile_null_patterns,
+    # feat_decayed_counts, multimodal_chunk_manifest, retrieval_triplets
     # (+ stream_idgap_registers in the streaming register family) — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives

@@ -3650,3 +3650,58 @@ def profile_null_patterns(spark, sf):
         .withColumn("share",
                     F.round(F.col("n") * 1.0
                             / F.sum("n").over(Window.partitionBy()), 6)))
+
+
+DECAY_WEIGHTS = [1.0, 0.95, 0.9025, 0.8573749999999999, 0.8145062499999999, 0.7737809374999998, 0.7350918906249998, 0.6983372960937497, 0.6634204312890623, 0.6302494097246091, 0.5987369392383787, 0.5688000922764597, 0.5403600876626367, 0.5133420832795048, 0.48767497911552954, 0.46329123015975304, 0.44012666865176536, 0.4181203352191771, 0.3972143184582182, 0.37735360253530725, 0.3584859224085419, 0.3405616262881148, 0.323533544973709, 0.3073568677250236, 0.2919890243387724, 0.27738957312183377, 0.26352009446574204, 0.2503440897424549, 0.23782688525533216, 0.22593554099256555, 0.21463876394293727, 0.2039068257457904, 0.19371148445850087, 0.18402591023557582, 0.174824614723797, 0.16608338398760716, 0.1577792147882268, 0.14989025404881545, 0.14239574134637467, 0.13527595427905592, 0.12851215656510312, 0.12208654873684796, 0.11598222130000556, 0.11018311023500528, 0.10467395472325501, 0.09944025698709225, 0.09446824413773763, 0.08974483193085075, 0.0852575903343082, 0.0809947108175928, 0.07694497527671315, 0.07309772651287749, 0.06944284018723361, 0.06597069817787193, 0.06267216326897833, 0.05953855510552941, 0.056561627350252934, 0.053733545982740286, 0.051046868683603266, 0.048494525249423104, 0.046069798986951946, 0.043766309037604346, 0.04157799358572413, 0.03949909390643792]
+
+
+@query(
+    "feat_decayed_counts",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+    mx AS (SELECT max(day) AS d0 FROM daily),
+    offs AS (SELECT event_type, CAST(d0 - day AS BIGINT) AS d, n
+             FROM daily, mx),
+    wtd AS (SELECT event_type, n,
+                   CASE WHEN d < 64
+                        THEN [1.0, 0.95, 0.9025, 0.8573749999999999, 0.8145062499999999, 0.7737809374999998, 0.7350918906249998, 0.6983372960937497, 0.6634204312890623, 0.6302494097246091, 0.5987369392383787, 0.5688000922764597, 0.5403600876626367, 0.5133420832795048, 0.48767497911552954, 0.46329123015975304, 0.44012666865176536, 0.4181203352191771, 0.3972143184582182, 0.37735360253530725, 0.3584859224085419, 0.3405616262881148, 0.323533544973709, 0.3073568677250236, 0.2919890243387724, 0.27738957312183377, 0.26352009446574204, 0.2503440897424549, 0.23782688525533216, 0.22593554099256555, 0.21463876394293727, 0.2039068257457904, 0.19371148445850087, 0.18402591023557582, 0.174824614723797, 0.16608338398760716, 0.1577792147882268, 0.14989025404881545, 0.14239574134637467, 0.13527595427905592, 0.12851215656510312, 0.12208654873684796, 0.11598222130000556, 0.11018311023500528, 0.10467395472325501, 0.09944025698709225, 0.09446824413773763, 0.08974483193085075, 0.0852575903343082, 0.0809947108175928, 0.07694497527671315, 0.07309772651287749, 0.06944284018723361, 0.06597069817787193, 0.06267216326897833, 0.05953855510552941, 0.056561627350252934, 0.053733545982740286, 0.051046868683603266, 0.048494525249423104, 0.046069798986951946, 0.043766309037604346, 0.04157799358572413, 0.03949909390643792][CAST(d + 1 AS INT)]
+                        ELSE 0.0 END AS w
+            FROM offs)
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           round(sum(n * w), 6) AS decayed_count
+    FROM wtd GROUP BY event_type
+    """)
+def feat_decayed_counts(spark, sf):
+    """Time-decayed frequency encoding of event_type: each day's count
+    weighted by 0.95^(days before the newest day), truncated at 64
+    days — the recency-aware CTR-style count feature (yesterday's
+    volume matters more than last quarter's) next to the flat
+    feat_frequency_encode.  Engine-exactness: the 64 weights are
+    PYTHON-FLOAT LITERALS baked into both plans (pow() is libm- and
+    engine-dependent; literals are not), day offsets are integers
+    from a 1-row max-date broadcast, and the weighted fold runs over
+    the bounded (type, day) grain.  One daily hash-agg (map-side
+    combinable) + a type-grain rollup; element lookups are
+    CASE-guarded so ANSI never sees an out-of-bounds index."""
+    from pyspark.sql import functions as F
+
+    daily = (T(spark, sf, "events")
+             .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("n")))
+    mx = daily.agg(F.max("day").alias("d0"))
+    offs = (daily.crossJoin(F.broadcast(mx))
+            .select("event_type", "n",
+                    F.datediff("d0", "day").cast("bigint").alias("d")))
+    warr = F.array(*[F.lit(w) for w in DECAY_WEIGHTS])
+    wtd = offs.select(
+        "event_type", "n",
+        F.when(F.col("d") < 64,
+               F.element_at(warr, (F.col("d") + 1).cast("int")))
+        .otherwise(F.lit(0.0)).alias("w"))
+    return (wtd.groupBy("event_type")
+            .agg(F.sum("n").cast("bigint").alias("n_total"),
+                 F.round(F.sum(F.col("n") * F.col("w")), 6)
+                 .alias("decayed_count")))

@@ -1407,3 +1407,81 @@ def ann_eval_ivf_vs_exact(spark, sf):
     pred = S.ivf_topk(emb, q, "vec_id", "embedding", k=K,
                       num_cells=N_CELLS, nprobe=N_PROBE, lloyd_iters=0)
     return S.rank_eval(pred, truth, k=K)
+
+
+@query(
+    "retrieval_triplets",
+    oracle=f"""
+    WITH {_EX},
+    dots AS (SELECT q.vec_id AS anchor, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT anchor, d.vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+                    la.label AS al, lc.label AS cl
+             FROM dots d JOIN norms nq ON d.anchor = nq.vec_id
+                         JOIN norms nc ON d.vec_id = nc.vec_id
+                         JOIN embeddings la ON d.anchor = la.vec_id
+                         JOIN embeddings lc ON d.vec_id = lc.vec_id),
+    pos AS (SELECT anchor, vec_id AS pos_id,
+                   round(cosine, 4) AS pos_cos
+            FROM sims WHERE al = cl
+            QUALIFY row_number() OVER (PARTITION BY anchor
+                                       ORDER BY cosine DESC, vec_id) = 1),
+    neg AS (SELECT anchor, vec_id AS neg_id,
+                   round(cosine, 4) AS neg_cos
+            FROM sims WHERE al IS DISTINCT FROM cl
+            QUALIFY row_number() OVER (PARTITION BY anchor
+                                       ORDER BY cosine DESC, vec_id) = 1)
+    SELECT CAST(p.anchor AS BIGINT) AS anchor,
+           CAST(pos_id AS BIGINT) AS pos_id, pos_cos,
+           CAST(neg_id AS BIGINT) AS neg_id, neg_cos,
+           pos_cos - neg_cos AS margin
+    FROM pos p JOIN neg n ON p.anchor = n.anchor
+    """)
+def retrieval_triplets(spark, sf):
+    """Contrastive training triplets (anchor, positive, negative) from
+    the embedding corpus: per anchor, the highest-cosine SAME-label
+    item and the highest-cosine DIFFERENT-label item (the hard
+    negative), with the margin the triplet/InfoNCE loss would see —
+    the dataset-assembly step of every embedding fine-tune, as one
+    relational plan.  Label semantics match retrieval_hard_negatives:
+    NULL-label candidates are valid negatives (IS DISTINCT FROM),
+    positives require an exact non-null label match.  Cosines rank
+    at the shared 6dp convention but EMIT at 4dp (double-rounded):
+    the same-label argmax surfaces mid-pack pairs the top-k queries
+    never emit, and one such raw cosine at sf0.001 sits exactly ON a
+    6dp half boundary (0.2190325) where 1e-9 dot-fold noise flips
+    round() across engines — 4dp absorbs it; the margin is a
+    difference of the 4dp doubles.  Query side broadcasts; one corpus
+    scan feeds both sides."""
+    from pyspark.sql import Window
+
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    pairs = S._cosine_pairs(emb, q, "vec_id", "embedding", "query_id",
+                            q_extra=("label",), c_extra=("label",))
+    sims = pairs.select(
+        F.col("query_id").alias("anchor"), F.col("vec_id"),
+        F.col("cosine"),
+        F.col("_q_label").alias("al"), F.col("_c_label").alias("cl"))
+    w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), "vec_id")
+    pos = (sims.filter(F.col("al") == F.col("cl"))
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("anchor", F.col("vec_id").alias("pos_id"),
+                   F.round("cosine", 4).alias("pos_cos")))
+    neg = (sims.filter(~F.col("al").eqNullSafe(F.col("cl")))
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("anchor", F.col("vec_id").alias("neg_id"),
+                   F.round("cosine", 4).alias("neg_cos")))
+    return (pos.join(neg, "anchor")
+            .select(F.col("anchor").cast("bigint").alias("anchor"),
+                    F.col("pos_id").cast("bigint").alias("pos_id"),
+                    "pos_cos",
+                    F.col("neg_id").cast("bigint").alias("neg_id"),
+                    "neg_cos",
+                    (F.col("pos_cos") - F.col("neg_cos")).alias("margin")))

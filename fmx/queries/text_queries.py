@@ -1177,3 +1177,61 @@ def text_zipf_slope(spark, sf):
         F.count("*").cast("bigint").alias("n_terms"),
         F.round(slope, 4).alias("slope"),
         F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"))
+
+
+CHUNK_BYTES = 256
+
+
+@query(
+    "multimodal_chunk_manifest",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS blen
+               FROM documents WHERE octet_length(encode(text)) > 0),
+    ch AS (SELECT doc_id, blen,
+                  unnest(range(CAST(ceil(blen / {CHUNK_BYTES}.0)
+                               AS BIGINT))) AS idx,
+                  hx
+           FROM p)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(idx AS BIGINT) AS chunk_idx,
+           CAST(idx * {CHUNK_BYTES} AS BIGINT) AS byte_off,
+           CAST(least({CHUNK_BYTES}, blen - idx * {CHUNK_BYTES})
+                AS BIGINT) AS byte_len,
+           md5(substring(hx, CAST(idx * {CHUNK_BYTES} * 2 + 1 AS BIGINT),
+                         CAST(least({CHUNK_BYTES},
+                                    blen - idx * {CHUNK_BYTES}) * 2
+                              AS BIGINT))) AS chunk_md5
+    FROM ch
+    """)
+def multimodal_chunk_manifest(spark, sf):
+    """Fixed-size chunk manifest over binary payloads: (doc_id,
+    chunk_idx, byte_off, byte_len, chunk_md5) at 256-byte grain — the
+    sharding step a multimodal ingest runs so parallel workers can
+    decode/upload/verify ranges of a blob independently, and the
+    range-level integrity check when blobs are re-fetched.  Pure map:
+    one sequence-explode per payload (bounded by byte_len/chunk), the
+    md5 runs on the HEX rendering (both engines use plain string ops
+    on identical hex — the payload_minhash codec-free discipline);
+    zero-byte payloads produce no chunks by contract."""
+    d = T(spark, sf, "documents")
+    p = (d.select("doc_id",
+                  F.hex(F.encode(F.col("text"), "utf-8")).alias("hx"),
+                  F.octet_length(F.encode(F.col("text"), "utf-8"))
+                  .alias("blen"))
+         .filter(F.col("blen") > 0))
+    n_chunks = F.ceil(F.col("blen") / float(CHUNK_BYTES)).cast("bigint")
+    ch = p.select("doc_id", "blen", "hx",
+                  F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                       n_chunks - 1)).alias("idx"))
+    blen_left = F.col("blen") - F.col("idx") * CHUNK_BYTES
+    clen = F.least(F.lit(CHUNK_BYTES).cast("bigint"), blen_left)
+    return ch.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("idx").cast("bigint").alias("chunk_idx"),
+        (F.col("idx") * CHUNK_BYTES).cast("bigint").alias("byte_off"),
+        clen.cast("bigint").alias("byte_len"),
+        F.md5(F.substring(
+            F.col("hx"),
+            (F.col("idx") * CHUNK_BYTES * 2 + 1).cast("int"),
+            (clen * 2).cast("int"))).alias("chunk_md5"))

@@ -253,7 +253,8 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
              "w8_rolling_median", "graph_adamic_adar",
              "sample_group_kfold", "text_zipf_slope",
              "ts_theilsen_trend", "graph_clustering_coefficient",
-             "profile_null_patterns"]
+             "profile_null_patterns", "feat_decayed_counts",
+             "multimodal_chunk_manifest", "retrieval_triplets"]
     ALL = Q.all_queries()
 
     def snap():

@@ -2343,3 +2343,61 @@ def test_id_gaps_duplicates_do_not_mask_holes(spark):
     df = spark.createDataFrame(ids, "id long")
     r = id_gaps(df, "id", bucket=8).collect()[0]
     assert (r.n_ids, r.n_missing) == (8, 2)   # still sees both holes
+
+
+def test_chunk_manifest_reassembles(spark):
+    """Chunks tile the payload exactly: offsets contiguous, lengths
+    sum to byte_len, per-chunk md5s match hand-computed values."""
+    import hashlib
+
+    import fmx.queries as Q
+
+    rows = Q.all_queries()["multimodal_chunk_manifest"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .collect()}
+    checked = 0
+    for doc_id, chunks in list(by_doc.items())[:20]:
+        chunks.sort(key=lambda r: r.chunk_idx)
+        raw = docs[doc_id].encode("utf-8")
+        assert sum(c.byte_len for c in chunks) == len(raw)
+        off = 0
+        for c in chunks:
+            assert c.byte_off == off
+            hx = raw[off:off + c.byte_len].hex().upper()
+            assert c.chunk_md5 == hashlib.md5(hx.encode()).hexdigest()
+            off += c.byte_len
+            checked += 1
+    assert checked > 0
+
+
+def test_decayed_counts_weights(spark):
+    """Two event types, one all-recent and one all-old: the recent one
+    keeps ~full weight, the >=64-day-old one decays to exactly 0."""
+    from fmx.queries import all_queries  # noqa: F401  (registry import)
+    import fmx.queries.analytics as A
+
+    rows = [("fresh", "2024-03-01 12:00:00")] * 4
+    rows += [("stale", "2023-11-01 12:00:00")] * 4   # 121 days before
+    df = (spark.createDataFrame(rows, "event_type string, ts string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = (df.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("n")))
+    mx = daily.agg(F.max("day").alias("d0"))
+    offs = (daily.crossJoin(F.broadcast(mx))
+            .select("event_type", "n",
+                    F.datediff("d0", "day").cast("bigint").alias("d")))
+    warr = F.array(*[F.lit(w) for w in A.DECAY_WEIGHTS])
+    wtd = offs.select("event_type", "n",
+                      F.when(F.col("d") < 64,
+                             F.element_at(warr, (F.col("d") + 1).cast("int")))
+                      .otherwise(F.lit(0.0)).alias("w"))
+    got = {r.event_type: r.dc for r in
+           wtd.groupBy("event_type")
+           .agg(F.round(F.sum(F.col("n") * F.col("w")), 6).alias("dc"))
+           .collect()}
+    assert got["fresh"] == 4.0 and got["stale"] == 0.0

@@ -103,6 +103,7 @@ _ALLOWED = {
         "feat_target_encode_loo",                   # 1-row prior broadcast
         "feat_target_encode_kfold",                 # 1-row prior broadcast
         "feat_frequency_encode",                    # 1-row total broadcast
+        "feat_decayed_counts",                      # 1-row max-date broadcast
         "feat_woe_encode",                          # 1-row pos/neg-total broadcast
         "feat_quantile_bins",                       # 1-row cutpoint broadcast
         "dq_freshness",                             # 1-row global-max broadcast
@@ -119,6 +120,7 @@ _ALLOWED = {
         "graph_clustering_coefficient",  # two 1-row relations crossed
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "retrieval_hard_negatives",    # broadcast query-set cross
+        "retrieval_triplets",          # broadcast query-set cross
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
         "sample_class_balance",     # 1-row min-count broadcast
