@@ -27,7 +27,7 @@ __all__ = ["hash_uniform01", "hash_split", "stratified_sample",
            "weighted_sample_per_group", "negative_sample",
            "length_buckets", "pack_manifest", "token_budget_mix",
            "pareto_frontier", "matched_pairs", "dsir_weights",
-           "time_split_embargo", "group_kfold"]
+           "time_split_embargo", "group_kfold", "negative_downsample"]
 
 _TWO60 = float(2 ** 60)
 
@@ -565,3 +565,26 @@ def group_kfold(df: DataFrame, group_col: str, k: int = 5,
     u = hash_uniform01(group_col, tag, seed)
     return df.withColumn(out_col,
                          F.floor(u * int(k)).cast("bigint"))
+
+
+def negative_downsample(df: DataFrame, label_col, rate: float = 0.1,
+                        id_col: str = "id", tag: str = "negds",
+                        seed: int = 11) -> DataFrame:
+    """CTR-style negative downsampling with importance weights: keep
+    every positive, keep negatives with probability ``rate`` (md5
+    coin on the id — deterministic, replayable), and attach
+    weight = 1 for positives / 1/rate for kept negatives so any
+    weighted aggregate over the sample is an unbiased estimate of the
+    full data (the standard trick that cuts a 1000:1 imbalanced
+    training set to size without biasing the learned base rate —
+    recalibrate the intercept or use the weights).
+
+    Pure map: one coin + one filter, no shuffle, no state; rows with
+    NULL labels are treated as negatives (they carry no positive
+    evidence).  Returns the kept rows plus a ``weight`` column."""
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = F.coalesce(y.cast("boolean"), F.lit(False))
+    u = hash_uniform01(id_col, tag, seed)
+    kept = df.filter(pos | (u < float(rate)))
+    return kept.withColumn(
+        "weight", F.when(pos, F.lit(1.0)).otherwise(F.lit(1.0 / rate)))

@@ -27,7 +27,8 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
            "hard_negatives", "ndcg_eval", "range_search", "pca_project",
-           "centroid_distance_topk", "kmeans_assign", "truncation_fidelity"]
+           "centroid_distance_topk", "kmeans_assign", "truncation_fidelity",
+           "sign_sketch_topk"]
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -1056,3 +1057,55 @@ def truncation_fidelity(corpus: DataFrame, queries: DataFrame,
         F.round(F.avg((F.col("_t1f") == F.col("_t1h")).cast("double")),
                 6).alias("top1_agreement"),
         F.round(F.avg("_mad"), 6).alias("mean_abs_delta"))
+
+
+def sign_sketch_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 5, dim: int = 64,
+                     query_id: str = "query_id") -> DataFrame:
+    """Binary sign-sketch retrieval: quantize each embedding to its
+    sign bits packed into two BIGINT words (dims 0-31 / 32-63), rank
+    candidates per query by Hamming distance
+    bit_count(xor(lo)) + bit_count(xor(hi)) — the 64x-compression ANN
+    path (1-bit/dim) production stores use when the full vectors
+    don't fit serving memory; ~96% top-1 agreement with cosine on
+    normalized embeddings is the classic trade.
+
+    The packing is ONE integer aggregate per vector ((x>=0) << pos —
+    engine-exact, no floats anywhere downstream); the sketch relation
+    is 2 BIGINTs per id, so the broadcast-query cross scans 16 bytes
+    per candidate instead of 8*dim, and the per-query top-k is the
+    usual bounded ranking window over (hamming, id).  Two words keep
+    every shift < 32 (bit 63 would overflow signed BIGINT).  At 10^9
+    vectors the sketch table IS the index — rebuild is one scan."""
+    if dim > 64:
+        raise ValueError("sign_sketch_topk packs at most 64 dims")
+
+    def _words(df: DataFrame, out_id: str) -> DataFrame:
+        ex = df.select(F.col(id_col).alias(out_id),
+                       F.posexplode(vec_col).alias("pos", "x"))
+        bit = (F.col("x") >= 0).cast("long")
+        # F.shiftleft takes a python-int bit count; the SQL form takes
+        # a column
+        lo = F.when(F.col("pos") < 32,
+                    bit * F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                 "CAST(pos AS INT))")
+                    ).otherwise(F.lit(0))
+        hi = F.when(F.col("pos") >= 32,
+                    bit * F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                 "CAST(pos - 32 AS INT))")
+                    ).otherwise(F.lit(0))
+        return ex.groupBy(out_id).agg(F.sum(lo).alias(f"_lo_{out_id}"),
+                                      F.sum(hi).alias(f"_hi_{out_id}"))
+
+    cw = _words(corpus, id_col)
+    qw = _words(queries, query_id)
+    ham = (F.bit_count(F.col(f"_lo_{id_col}")
+                       .bitwiseXOR(F.col(f"_lo_{query_id}")))
+           + F.bit_count(F.col(f"_hi_{id_col}")
+                         .bitwiseXOR(F.col(f"_hi_{query_id}"))))
+    w = Window.partitionBy(query_id).orderBy("hamming", id_col)
+    return (cw.crossJoin(F.broadcast(qw))
+            .filter(F.col(id_col) != F.col(query_id))
+            .select(query_id, id_col, ham.cast("bigint").alias("hamming"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= int(k)))

@@ -156,7 +156,8 @@ _PRIORITY = [
     # eval_ece, w8_rolling_median, graph_adamic_adar,
     # sample_group_kfold, text_zipf_slope, ts_theilsen_trend,
     # graph_clustering_coefficient, profile_null_patterns,
-    # feat_decayed_counts, multimodal_chunk_manifest, retrieval_triplets
+    # feat_decayed_counts, multimodal_chunk_manifest, retrieval_triplets,
+    # ann_hamming_topk, sample_negative_downsample
     # (+ stream_idgap_registers in the streaming register family) — are
     # r8-WINDOW STOCK: oracled and harness-checked at both SFs this
     # round, first driver row next round.  Prior rotation history lives

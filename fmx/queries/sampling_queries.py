@@ -781,3 +781,48 @@ def sample_group_kfold(spark, sf):
             .agg(F.count("*").cast("bigint").alias("n_rows"),
                  F.countDistinct("user_id").cast("bigint")
                  .alias("n_groups")))
+
+
+_NDS_U = _U.format(tag="negds", seed=11, col="event_id")
+NDS_RATE = 0.1
+
+
+@query(
+    "sample_negative_downsample",
+    oracle=f"""
+    WITH t AS (SELECT event_type,
+                      CASE WHEN event_type = 'purchase' THEN TRUE
+                           ELSE FALSE END AS pos,
+                      {_NDS_U} AS u
+               FROM events),
+    k AS (SELECT event_type, pos FROM t
+          WHERE pos OR u < {NDS_RATE})
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(sum(CASE WHEN pos THEN 1.0 ELSE {1.0 / NDS_RATE} END)
+                AS BIGINT) AS est_rows
+    FROM k GROUP BY event_type
+    """)
+def sample_negative_downsample(spark, sf):
+    """CTR-style negative downsampling report
+    (fmx.operators.sampling.negative_downsample): keep every purchase
+    (positive), keep 10% of other events by md5 coin, weight kept
+    negatives 1/rate — per event_type the kept count and the
+    weight-sum estimate of the ORIGINAL row count (unbiased: the
+    est_rows column is what any weighted aggregate over the sample
+    reconstructs).  Pure map + one agg; weights are exact decimals
+    (1/0.1 = 10.0) so the weight sum is integer-valued and
+    engine-exact."""
+    from fmx.operators.sampling import negative_downsample
+
+    ev = T(spark, sf, "events")
+    kept = negative_downsample(
+        ev, (F.col("event_type") == "purchase"), rate=NDS_RATE,
+        id_col="event_id", tag="negds", seed=11)
+    return (kept.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum((F.col("weight") == 1.0).cast("long"))
+                 .cast("bigint").alias("n_pos"),
+                 F.sum("weight").cast("bigint").alias("est_rows")))

@@ -1485,3 +1485,50 @@ def retrieval_triplets(spark, sf):
                     F.col("neg_id").cast("bigint").alias("neg_id"),
                     "neg_cos",
                     (F.col("pos_cos") - F.col("neg_cos")).alias("margin")))
+
+
+@query(
+    "ann_hamming_topk",
+    oracle=f"""
+    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1
+                           AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    words AS (SELECT vec_id,
+                     sum(CASE WHEN pos < 32 AND x >= 0
+                              THEN (1::BIGINT << pos) ELSE 0 END) AS lo,
+                     sum(CASE WHEN pos >= 32 AND x >= 0
+                              THEN (1::BIGINT << (pos - 32))
+                              ELSE 0 END) AS hi
+              FROM ex GROUP BY vec_id),
+    qw AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM words
+           WHERE vec_id < {N_QUERIES}),
+    ham AS (SELECT query_id, w.vec_id,
+                   bit_count(xor(w.lo, qlo))
+                       + bit_count(xor(w.hi, qhi)) AS hamming
+            FROM words w CROSS JOIN qw
+            WHERE w.vec_id <> query_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(hamming AS BIGINT) AS hamming,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, vec_id) AS BIGINT)
+               AS rank
+    FROM ham QUALIFY rank <= {K}
+    """)
+def ann_hamming_topk(spark, sf):
+    """Binary sign-sketch ANN (fmx.operators.similarity.
+    sign_sketch_topk): embeddings quantize to 64 sign bits packed
+    into two BIGINT words, candidates rank by Hamming distance
+    (bit_count of xor) — the 64x-compressed retrieval path next to
+    PQ/IVF/LSH, entirely INTEGER arithmetic so both engines agree
+    bit-for-bit with no rounding anywhere.  The sketch relation is 16
+    bytes/vector (the point: it fits serving memory at 10^9 scale);
+    one packing agg per side, broadcast query cross, bounded ranking
+    window."""
+    emb = T(spark, sf, "embeddings")
+    out = S.sign_sketch_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                           "vec_id", "embedding", k=K, dim=DIM)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "hamming", "rank")

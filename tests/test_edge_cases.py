@@ -254,7 +254,8 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
              "sample_group_kfold", "text_zipf_slope",
              "ts_theilsen_trend", "graph_clustering_coefficient",
              "profile_null_patterns", "feat_decayed_counts",
-             "multimodal_chunk_manifest", "retrieval_triplets"]
+             "multimodal_chunk_manifest", "retrieval_triplets",
+             "ann_hamming_topk", "sample_negative_downsample"]
     ALL = Q.all_queries()
 
     def snap():

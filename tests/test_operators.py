@@ -2401,3 +2401,41 @@ def test_decayed_counts_weights(spark):
            .agg(F.round(F.sum(F.col("n") * F.col("w")), 6).alias("dc"))
            .collect()}
     assert got["fresh"] == 4.0 and got["stale"] == 0.0
+
+
+def test_sign_sketch_hamming_known(spark):
+    """Hand-checkable sketches: identical vectors at hamming 0,
+    a one-bit flip at hamming 1, all-opposite at hamming = dim."""
+    from fmx.operators.similarity import sign_sketch_topk
+
+    vs = [(0, [1.0, 1.0, 1.0, 1.0]),
+          (1, [1.0, 1.0, 1.0, 1.0]),       # same signs as 0
+          (2, [1.0, 1.0, 1.0, -1.0]),      # one flip
+          (3, [-1.0, -1.0, -1.0, -1.0])]   # all flipped
+    df = spark.createDataFrame(vs, "vec_id long, emb array<float>")
+    out = sign_sketch_topk(df, df.filter(F.col("vec_id") == 0),
+                           "vec_id", "emb", k=4, dim=4)
+    got = {r.vec_id: (r.hamming, r.rank) for r in out.collect()}
+    assert got[1] == (0, 1) and got[2] == (1, 2) and got[3] == (4, 3)
+
+
+def test_negative_downsample_unbiased_and_deterministic(spark):
+    """All positives kept; weighted negative count estimates the
+    original within sampling error; the coin is reproducible."""
+    from fmx.operators.sampling import negative_downsample
+
+    rows = [(i, 1 if i % 100 == 0 else 0) for i in range(10000)]
+    df = spark.createDataFrame(rows, "id long, y int")
+    kept = negative_downsample(df, "y", rate=0.1, id_col="id")
+    n_pos = kept.filter(F.col("y") == 1).count()
+    assert n_pos == 100                        # every positive kept
+    est = (kept.filter(F.col("y") == 0)
+           .agg(F.sum("weight")).first()[0])
+    assert abs(est - 9900) / 9900 < 0.1        # unbiased within noise
+    again = negative_downsample(df, "y", rate=0.1, id_col="id").count()
+    assert again == kept.count()               # md5 coin reproducible
+    # NULL label = negative: subject to the coin, weighted 10
+    dfn = spark.createDataFrame([(1, None), (2, 1)], "id long, y int")
+    kn = negative_downsample(dfn, "y", rate=1.0, id_col="id").collect()
+    w = {r.id: r.weight for r in kn}
+    assert w[2] == 1.0 and w[1] == 1.0 / 1.0

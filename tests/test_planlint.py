@@ -89,6 +89,7 @@ _ALLOWED = {
         # broadcast 1-row scalar / bounded centroid / query-set crosses
         "agg_incremental_merge", "ann_cosine_topk", "ann_eval_pq_vs_exact",
         "ann_eval_ndcg",
+        "ann_hamming_topk",         # broadcast query-sketch cross
         "ann_hybrid_rrf", "ann_ivf_cell_histogram", "ann_ivf_topk",
         "ann_ivf_topk_fixed", "ann_ivfpq_rerank", "ann_ivfpq_topk",
         "copurchase_pmi", "dedup_semantic",
@@ -147,6 +148,7 @@ _ALLOWED = {
         "profile_chi2_lang_source", "rolling_7d_active_users",
         "rolling_7d_hll_users",
         "sample_interleaved_order",
+        "sample_negative_downsample",  # filter on the md5 keep-coin
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_boilerplate_strip",
         "text_ngram_novelty", "text_template_clusters",
