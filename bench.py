@@ -77,24 +77,31 @@ def main() -> None:
     # variance on identical code exceeds 2x (r03's apparent +23% train
     # "regression" was this noise; nothing in the r03 diff touches the
     # training path)
-    train_sec = float("inf")
+    train_runs = []
     for _ in range(2):
         t0 = time.perf_counter()
         model = est.fit(train)
         # force the final lazy param tables so the measured time
         # includes every training job
         model.strength.count(), model.factors.count()
-        train_sec = min(train_sec, round(time.perf_counter() - t0, 3))
+        train_runs.append(round(time.perf_counter() - t0, 3))
+    train_runs.sort()
+
+    # training rows carry min/median like the query rows (r7 verdict
+    # #3): a single cold number mixes codegen compilation + machine
+    # drift into one uninterpretable figure — r7's 11.7->18.3s sf0.01
+    # "swing" against a FASTER sf0.1 run was exactly that noise.
+    training = {"fm_train_sgd_3iter_sf0.01":
+                {"min": train_runs[0],
+                 "median": train_runs[len(train_runs) // 2]}}
 
     # second training row at the BENCH scale factor (r6 verdict #7):
     # tracks how the SGD loop scales with data volume round-over-round.
-    # One timed fit — codegen for every plan shape in the loop is
-    # already warm from the sf0.01 fits above, so a single run is
-    # attributable (the cold-fit noise the best-of-2 guards against is
-    # paid already).  Skipped when the bench SF dir IS the fixed train
-    # dir: the key would collide and the single warm run would
-    # silently overwrite the best-of-2 number.
-    training = {"fm_train_sgd_3iter_sf0.01": train_sec}
+    # Best-of-2 warm runs — codegen for every plan shape in the loop is
+    # already compiled by the sf0.01 fits above, so both runs are
+    # attributable.  Skipped when the bench SF dir IS the fixed train
+    # dir: the key would collide and the warm runs would silently
+    # overwrite the cold-start-inclusive number.
     bench_key = ("fm_train_sgd_3iter_"
                  + (os.path.basename(sf_dir.rstrip("/")) or "bench"))
     if os.path.realpath(sf_dir) != os.path.realpath(train_dir):
@@ -103,10 +110,15 @@ def main() -> None:
         train_sf = emb_sf.withColumn(
             "label",
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
-        t0 = time.perf_counter()
-        model_sf = est.fit(train_sf)
-        model_sf.strength.count(), model_sf.factors.count()
-        training[bench_key] = round(time.perf_counter() - t0, 3)
+        sf_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            model_sf = est.fit(train_sf)
+            model_sf.strength.count(), model_sf.factors.count()
+            sf_runs.append(round(time.perf_counter() - t0, 3))
+        sf_runs.sort()
+        training[bench_key] = {"min": sf_runs[0],
+                               "median": sf_runs[len(sf_runs) // 2]}
 
     # DuckDB comparator: the reference publishes no benchmark numbers
     # (BASELINE.md), so the external wall-time yardstick is the oracle

@@ -309,8 +309,12 @@ def id_gap_registers(df: DataFrame, id_col: str,
     ids are excluded (no position on the id line), and ids are
     DEDUPLICATED first: n must count distinct positions on the id
     line or duplicate deliveries would mask real holes (inflated n
-    cancels missing ids in the fold's subtraction).  The distinct is
-    bucket-local (same key), so it adds no extra exchange."""
+    cancels missing ids in the fold's subtraction).  The distinct
+    hash-partitions on _id while the groupBy keys on floor(_id /
+    bucket) — different partitionings — so it DOES cost one extra
+    exchange, but that exchange is bounded by distinct-id cardinality
+    after partial (map-side) aggregation, and correctness requires
+    it."""
     return (df.filter(F.col(id_col).isNotNull())
             .select(F.col(id_col).alias("_id")).distinct()
             .groupBy(F.floor(F.col("_id") / int(bucket)).alias("bucket"))

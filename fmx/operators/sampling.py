@@ -581,10 +581,20 @@ def negative_downsample(df: DataFrame, label_col, rate: float = 0.1,
 
     Pure map: one coin + one filter, no shuffle, no state; rows with
     NULL labels are treated as negatives (they carry no positive
-    evidence).  Returns the kept rows plus a ``weight`` column."""
+    evidence), and NULL-id negatives coalesce into a deterministic
+    sentinel coin (like target_encode_kfold) rather than silently
+    dropping — a NULL md5 coin would never satisfy ``u < rate`` and
+    bias the 1/rate-weighted estimate.  Returns the kept rows plus a
+    ``weight`` column."""
+    rate = float(rate)
+    if not (0.0 < rate <= 1.0):
+        raise ValueError(f"negative_downsample: rate must be in (0, 1], "
+                         f"got {rate}")
     y = F.col(label_col) if isinstance(label_col, str) else label_col
     pos = F.coalesce(y.cast("boolean"), F.lit(False))
-    u = hash_uniform01(id_col, tag, seed)
-    kept = df.filter(pos | (u < float(rate)))
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    u = hash_uniform01(F.coalesce(idc.cast("string"), F.lit("__null__")),
+                       tag, seed)
+    kept = df.filter(pos | (u < rate))
     return kept.withColumn(
         "weight", F.when(pos, F.lit(1.0)).otherwise(F.lit(1.0 / rate)))

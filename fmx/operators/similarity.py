@@ -1076,13 +1076,19 @@ def sign_sketch_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     per candidate instead of 8*dim, and the per-query top-k is the
     usual bounded ranking window over (hamming, id).  Two words keep
     every shift < 32 (bit 63 would overflow signed BIGINT).  At 10^9
-    vectors the sketch table IS the index — rebuild is one scan."""
+    vectors the sketch table IS the index — rebuild is one scan.
+
+    Only the first 64 dimensions are sketched: the posexplode is
+    filtered to ``pos < 64`` so longer vectors have their tail dims
+    EXPLICITLY ignored (truncation sketch) rather than silently
+    wrapping shifts into the wrong word."""
     if dim > 64:
         raise ValueError("sign_sketch_topk packs at most 64 dims")
 
     def _words(df: DataFrame, out_id: str) -> DataFrame:
-        ex = df.select(F.col(id_col).alias(out_id),
-                       F.posexplode(vec_col).alias("pos", "x"))
+        ex = (df.select(F.col(id_col).alias(out_id),
+                        F.posexplode(vec_col).alias("pos", "x"))
+              .filter(F.col("pos") < 64))
         bit = (F.col("x") >= 0).cast("long")
         # F.shiftleft takes a python-int bit count; the SQL form takes
         # a column

@@ -3142,8 +3142,11 @@ def graph_assortativity(spark, sf):
     edge list — positive means hubs prefer hubs (social-graph shape),
     negative means hub-to-leaf (star shape); decides whether degree
     is a useful stratification key.  One degree agg (node grain) +
-    two broadcast joins onto the edge list + one corr agg — nothing
-    beyond node/edge grain shuffles."""
+    two joins onto the edge list + one corr agg — nothing beyond
+    node/edge grain shuffles.  The degree relation is NODE-grain (grows
+    with the corpus), so the join strategy is left to AQE: at sf<=1 it
+    auto-broadcasts, at 100 TB it falls back to a shuffle hash join
+    instead of OOMing on a forced broadcast."""
     e = _copurchase_edges(spark, sf)
     und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
            .unionByName(e.select(F.col("dst").alias("node"),
@@ -3153,8 +3156,7 @@ def graph_assortativity(spark, sf):
     db = deg.withColumnsRenamed({"node": "nbr", "d": "db"})
     from fmx.operators.profiling import safe_corr
 
-    j = (und.join(F.broadcast(da), "node")
-         .join(F.broadcast(db), "nbr"))
+    j = und.join(da, "node").join(db, "nbr")
     # safe_corr: ANSI-mode corr throws DIVIDE_BY_ZERO on a regular
     # (zero-degree-variance) graph; NULL is the defined answer
     return j.agg(F.count("*").cast(BIG).alias("n_edge_ends"),
@@ -3236,8 +3238,15 @@ def graph_connected_components(spark, sf):
     size.  Exact for every node within distance 3 of its component's
     minimum; never merges distinct components.  The replayable
     sibling of the dedup stack's converge-with-Observation
-    connected_components (reference fm_spark has no graph stack; this
-    is the engine-capability family).  Per round: one equi-join + one
+    connected_components — THAT is the documented scale path when the
+    converged answer is required (unknown/large diameter):
+    fmx.operators.dedup.connected_components iterates to a fixed
+    point with a same-job Observation stop, and
+    tests/test_operators.py::test_min_label_rounds_matches_converged
+    proves the bounded-round result here EQUALS the converged one on
+    the sf0.01 co-purchase graph (its diameter is small).  (Reference
+    fm_spark has no graph stack; this is the engine-capability
+    family.)  Per round: one equi-join + one
     map-side-combinable min-agg + one survivor left join, with lazy
     localCheckpoints truncating lineage — the oracle unrolls the
     three rounds."""
@@ -3604,11 +3613,12 @@ def graph_clustering_coefficient(spark, sf):
            .unionByName(e.select(F.col("dst").alias("node"),
                                  F.col("src").alias("nbr"))))
     deg = und.groupBy("node").agg(F.count("*").alias("d"))
-    # sum the (always even) BIGINT d*(d-1) and halve AFTER: the sum
-    # stays integer-exact past 2^53 wedges, where summing per-term
-    # float halves would not (the checksum_registers lesson)
-    wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1))
-                      / F.lit(2)).cast("bigint").alias("wedges"))
+    # sum the (always even) BIGINT d*(d-1) and halve AFTER with integer
+    # `div`: the whole pipeline stays BIGINT, exact past 2^53 wedges —
+    # `/ 2` would round-trip through a double and lose low bits there,
+    # diverging from the oracle's integer `//`
+    wedges = deg.agg(F.expr("sum(d * (d - 1)) div 2")
+                     .cast("bigint").alias("wedges"))
     tri = triangle_count(e)
     return (tri.crossJoin(F.broadcast(wedges))
             .select(F.col("triangles").cast(BIG).alias("triangles"),

@@ -783,7 +783,9 @@ def sample_group_kfold(spark, sf):
                  .alias("n_groups")))
 
 
-_NDS_U = _U.format(tag="negds", seed=11, col="event_id")
+# coalesce matches negative_downsample's NULL-id sentinel coin
+_NDS_U = _U.format(tag="negds", seed=11,
+                   col="coalesce(CAST(event_id AS VARCHAR), '__null__')")
 NDS_RATE = 0.1
 
 

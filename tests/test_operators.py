@@ -2104,6 +2104,32 @@ def test_min_label_rounds_bounded_semantics(spark):
     assert got4 == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_min_label_rounds_matches_converged(spark):
+    """The bounded-round (rounds=3) components the
+    graph_connected_components query ships EQUAL the dedup stack's
+    converge-with-Observation connected_components on the real sf0.01
+    co-purchase graph — the diameter there is small, so the distance-3
+    contract already reaches every component minimum.  This is the
+    documented hand-off: bounded rounds for replayable oracles,
+    fmx.operators.dedup.connected_components as the scale path when
+    the converged answer is required (r7 verdict #5)."""
+    from fmx.operators.dedup import connected_components
+    from fmx.operators.graph import min_label_rounds
+    from fmx.queries.analytics import _copurchase_edges
+
+    edges = _copurchase_edges(spark, "/root/testdata/sf0.01")
+    bounded = {(r.node, r.label)
+               for r in min_label_rounds(edges, rounds=3).collect()}
+    pairs = edges.select(F.col("src").alias("id_a"),
+                         F.col("dst").alias("id_b"))
+    ids = (edges.select(F.col("src").alias("node"))
+           .unionByName(edges.select(F.col("dst").alias("node")))
+           .distinct())
+    converged = {(r.node, r.cluster_id) for r in
+                 connected_components(pairs, ids, "node").collect()}
+    assert bounded == converged
+
+
 def test_readability_known_values(spark):
     """Hand-computed Flesch on a 3-word sentence, and the >= 1 clamps
     on a degenerate doc."""
