@@ -17,7 +17,7 @@ __all__ = [
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
     "bm25_topk", "cluster_terms", "boilerplate_strip", "bpe_pair_counts",
-    "readability", "charset_profile",
+    "readability", "charset_profile", "pmi_bigrams", "gopher_filters",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -718,3 +718,98 @@ def charset_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         _ratio("[A-Z]").alias("upper_ratio"),
         _ratio(" ").alias("space_ratio"),
         _ratio("[A-Za-z]").alias("alpha_ratio"))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str, k: int = 20,
+                min_count: int = 5) -> DataFrame:
+    """Top-k adjacent-token bigrams by frequency with pointwise mutual
+    information: pmi = ln(p(a,b) / (p(a) p(b))) computed from
+    integer-exact corpus counts (c_ab, c_a, c_b, total tokens T, total
+    bigrams B) — the collocation detector ("new york" vs "the the")
+    used to pick multiword vocabulary entries and to audit template
+    artifacts that raw pair counts (bpe_pair_counts — character-level,
+    frequency-only) cannot separate from genuinely associated pairs.
+
+    Scale shapes: bigram expansion is a MAP-side array zip (slice +
+    arrays_zip per document — no position self-join, no shuffle at
+    token grain); the (a, b) agg and the unigram agg are map-side
+    combinable; the two unigram joins run on the vocabulary-bounded
+    bigram relation, never the corpus; top-k is
+    TakeOrderedAndProject.  Everything entering ln() is an exact
+    BIGINT, so the only cross-engine noise is the final libm ln —
+    rounded to 6 decimals (the accepted residual; the sf0.1 sweep is
+    the detector).
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = df.select(arr.alias("_t")).filter(F.size("_t") >= 2)
+    big = (toks.select(F.explode(F.arrays_zip(
+        F.slice("_t", 1, F.size("_t") - 1),
+        F.slice("_t", 2, F.size("_t") - 1))).alias("_p"))
+        .select(F.col("_p.0").alias("a"), F.col("_p.1").alias("b")))
+    cab = big.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    uni = (df.select(F.explode(arr).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c")))
+    totals = uni.agg(F.sum("c").alias("_T"), F.lit(0).alias("_z")) \
+        .crossJoin(F.broadcast(big.agg(F.count("*").alias("_B"))))
+    scored = (cab.filter(F.col("cab") >= int(min_count))
+              .join(uni.withColumnsRenamed({"tok": "a", "c": "ca"}), "a")
+              .join(uni.withColumnsRenamed({"tok": "b", "c": "cb"}), "b")
+              .crossJoin(F.broadcast(totals))
+              .select("a", "b", F.col("cab").cast("bigint").alias("cab"),
+                      F.round(F.log((F.col("cab").cast("double")
+                                     * F.col("_T") * F.col("_T"))
+                                    / (F.col("_B").cast("double")
+                                       * F.col("ca") * F.col("cb"))), 6)
+                      .alias("pmi")))
+    top = scored.orderBy(F.col("cab").desc(), "a", "b").limit(int(k))
+    w = Window.orderBy(F.col("cab").desc(), "a", "b")
+    return top.select("a", "b", "cab", "pmi",
+                      F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def gopher_filters(df: DataFrame, id_col: str, text_col: str,
+                   min_words: int = 20, max_words: int = 90,
+                   min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                   min_alpha_ratio: float = 0.8,
+                   max_digit_ratio: float = 0.3,
+                   min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, MassiveText) rule-bundle quality
+    filter: per-document boolean verdicts for the five classic
+    repetition-free rules — word-count bounds, mean-word-length
+    bounds, alphabetic-word ratio, digit-character ratio, and
+    distinct-stopword presence — plus the conjunction ``passed``.
+    Unlike quality_score (a continuous ranking signal), this is the
+    hard gate stage of a pretraining pipeline: each rule is
+    independently auditable and the pass-rate per rule is the
+    corpus-health readout.
+
+    ONE projection pass: every rule is a map-side expression over the
+    split-token array (no explode, no shuffle, no UDF); thresholds
+    compare doubles derived from exact integer counts.  Defaults are
+    tuned to this corpus's 10-99-word synthetic documents; production
+    MassiveText bounds are (50, 100000) words.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    nw = F.size(arr)
+    mwl = (F.aggregate(arr, F.lit(0).cast("bigint"),
+                       lambda a, x: a + F.length(x)).cast("double")
+           / nw)
+    alpha = (F.size(F.filter(arr, lambda x: x.rlike("[a-zA-Z]")))
+             .cast("double") / nw)
+    digits = (F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+              .cast("double")
+              / F.length(text_col))
+    stops = F.size(F.array_intersect(
+        F.array_distinct(arr),
+        F.array(*[F.lit(s) for s in STOPWORDS["en"]])))
+    r_wc = (nw >= int(min_words)) & (nw <= int(max_words))
+    r_mwl = (mwl >= float(min_mean_wl)) & (mwl <= float(max_mean_wl))
+    r_alpha = alpha >= float(min_alpha_ratio)
+    r_digit = digits < float(max_digit_ratio)
+    r_stop = stops >= int(min_stopwords)
+    return df.select(
+        F.col(id_col), nw.cast("bigint").alias("n_words"),
+        r_wc.alias("rule_word_count"), r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_ratio"), r_digit.alias("rule_digit_ratio"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_digit & r_stop).alias("passed"))

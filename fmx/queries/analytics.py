@@ -3715,3 +3715,237 @@ def feat_decayed_counts(spark, sf):
             .agg(F.sum("n").cast("bigint").alias("n_total"),
                  F.round(F.sum(F.col("n") * F.col("w")), 6)
                  .alias("decayed_count")))
+
+
+@query(
+    "event_new_vs_returning",
+    oracle="""
+    WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    daily AS (SELECT d,
+                     count(*) AS n_active,
+                     sum(CASE WHEN first_day = d THEN 1 ELSE 0 END) AS n_new
+              FROM act JOIN fs USING (user_id) GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """)
+def event_new_vs_returning(spark, sf):
+    """Daily new vs returning active users plus the cumulative
+    distinct-user curve: first-seen day per user (one user-grain
+    min-agg), distinct (day, user) activity, a day-grain split of
+    active into new (first_day = day) / returning, and a running sum
+    of new users — which IS the cumulative count of distinct users
+    ever seen, computed without any expanding count-distinct window
+    (every user increments exactly once, on their first day).  The
+    growth-accounting readout (is DAU growth acquisition or
+    retention?).  Shapes: two user/day-grain hash-aggs + one equi-join
+    + a DAY-GRAIN running-sum window (bounded rows — the date-grain
+    pre-agg discipline)."""
+    ev = T(spark, sf, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"))
+    act = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    daily = (act.join(fs, "user_id")
+             .groupBy("d")
+             .agg(F.count("*").alias("n_active"),
+                  F.sum((F.col("first_day") == F.col("d")).cast("long"))
+                  .alias("n_new")))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_active").cast(BIG).alias("n_active"),
+        F.col("n_new").cast(BIG).alias("n_new"),
+        (F.col("n_active") - F.col("n_new")).cast(BIG)
+        .alias("n_returning"),
+        F.sum("n_new").over(w).cast(BIG).alias("cum_users")))
+
+
+@query(
+    "event_transition_entropy",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                            AS prev_type
+                 FROM events),
+    trans AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type),
+    pt AS (SELECT prev_type, next_type, n,
+                  sum(n) OVER (PARTITION BY prev_type) AS t
+           FROM trans),
+    per AS (SELECT prev_type, max(t) AS t,
+                   -sum((n * 1.0 / t) * ln(n * 1.0 / t)) AS h
+            FROM pt GROUP BY prev_type)
+    SELECT prev_type,
+           CAST(t AS BIGINT) AS n_transitions,
+           round(h, 6) AS entropy_nats,
+           round(h / ln(2.0), 6) AS entropy_bits
+    FROM per
+    """)
+def event_transition_entropy(spark, sf):
+    """Per-state entropy of the first-order Markov transition
+    distribution (how predictable is the NEXT event given the
+    current one): H(next | prev = s) in nats and bits — the
+    sequence-predictability readout that the raw transition matrix
+    (event_transition_matrix) doesn't summarize; low-entropy states
+    are templated flows, high-entropy states are branch points.  One
+    lag window per user (single shuffle), a transition-grain hash-agg
+    (#types^2 rows), then entropy on that tiny relation.  Counts are
+    integer-exact; the only float is the final ln, rounded at 6."""
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count("*").alias("n")))
+    wt = Window.partitionBy("prev_type")
+    p = F.col("n") * 1.0 / F.sum("n").over(wt)
+    per = (trans.withColumn("_term", -p * F.log(p))
+           .groupBy("prev_type")
+           .agg(F.sum("n").alias("t"), F.sum("_term").alias("h")))
+    return per.select(
+        "prev_type", F.col("t").cast(BIG).alias("n_transitions"),
+        F.round("h", 6).alias("entropy_nats"),
+        F.round(F.col("h") / F.log(F.lit(2.0)), 6).alias("entropy_bits"))
+
+
+@query(
+    "feat_target_rate_curve",
+    oracle="""
+    WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          AS value_cents,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS y
+               FROM events WHERE value IS NOT NULL),
+    c AS (SELECT quantile_cont(value_cents, 0.1) AS q1,
+                 quantile_cont(value_cents, 0.2) AS q2,
+                 quantile_cont(value_cents, 0.3) AS q3,
+                 quantile_cont(value_cents, 0.4) AS q4,
+                 quantile_cont(value_cents, 0.5) AS q5,
+                 quantile_cont(value_cents, 0.6) AS q6,
+                 quantile_cont(value_cents, 0.7) AS q7,
+                 quantile_cont(value_cents, 0.8) AS q8,
+                 quantile_cont(value_cents, 0.9) AS q9
+          FROM v),
+    b AS (SELECT y, value_cents,
+                 CASE WHEN value_cents >= q1 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q2 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q3 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q4 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q5 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q6 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q7 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q8 THEN 1 ELSE 0 END
+               + CASE WHEN value_cents >= q9 THEN 1 ELSE 0 END AS bucket
+          FROM v, c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(sum(y) * 1.0 / count(*), 6) AS rate,
+           CAST(min(value_cents) AS BIGINT) AS min_cents,
+           CAST(max(value_cents) AS BIGINT) AS max_cents
+    FROM b GROUP BY bucket
+    """)
+def feat_target_rate_curve(spark, sf):
+    """Target-rate curve over feature deciles: bucket event value
+    (integer cents — the engine-exact cutpoint discipline of
+    feat_quantile_bins) into 10 equal-frequency bins via ONE
+    broadcast exact-percentile agg, then the purchase rate per bin —
+    the monotonicity / partial-dependence audit that decides whether
+    a numeric feature is predictive and which direction, before any
+    model is trained.  Shapes: one 1-row percentile agg broadcast
+    over the scan (no sort), one bin-grain hash-agg (10 rows); every
+    division is count/count at emit."""
+    from fmx.operators.features import quantile_bucketize
+
+    v = (T(spark, sf, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                 .alias("value_cents"),
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("y")))
+    b = quantile_bucketize(v, "value_cents",
+                           quantiles=tuple(i / 10 for i in range(1, 10)))
+    return (b.groupBy(F.col("bucket").cast(BIG).alias("bucket"))
+            .agg(F.count("*").cast(BIG).alias("n"),
+                 F.sum("y").cast(BIG).alias("n_pos"),
+                 F.round(F.sum("y") * 1.0 / F.count("*"), 6).alias("rate"),
+                 F.min("value_cents").cast(BIG).alias("min_cents"),
+                 F.max("value_cents").cast(BIG).alias("max_cents")))
+
+
+@query(
+    "dq_amount_reconciliation",
+    oracle="""
+    WITH li AS (SELECT l_orderkey,
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                         AS BIGINT))
+                           * (100 + CAST(floor(l_tax * 100 + 0.5)
+                                         AS BIGINT))) AS calc_micro
+                FROM lineitem GROUP BY l_orderkey),
+    j AS (SELECT o.o_orderkey,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 10000
+                     AS tot_micro,
+                 li.calc_micro
+          FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN calc_micro IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_lineitems,
+           CAST(sum(CASE WHEN tot_micro = calc_micro THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN abs(tot_micro - calc_micro) <= 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1c,
+           CAST(max(abs(tot_micro - calc_micro)) // 10000 AS BIGINT)
+               AS max_abs_diff_cents,
+           CAST(sum(abs(tot_micro - calc_micro)) // 10000 AS BIGINT)
+               AS total_abs_diff_cents
+    FROM j
+    """)
+def dq_amount_reconciliation(spark, sf):
+    """Fact-vs-rollup reconciliation: does the order header total
+    equal the lineitem-derived total sum(extendedprice * (1-discount)
+    * (1+tax))?  The classic cross-table consistency gate between a
+    denormalized column and its source-of-truth detail — reported,
+    not asserted (this corpus does NOT reconcile; the report
+    quantifies by how much).  The entire comparison runs in INTEGER
+    micro-dollars: 2-decimal monetary doubles convert exactly to
+    cents, the per-line amount is cents*(100-disc)*(100+tax) — a
+    BIGINT — so sums, diffs and tolerance bands are engine-exact with
+    no float summation anywhere (the integer-cents discipline).
+    Shapes: one order-grain rollup of lineitem + one left join + one
+    global agg; NULL rollups surface as n_missing_lineitems instead
+    of vanishing."""
+    li = (T(spark, sf, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.sum(
+              F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(BIG)
+              * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast(BIG))
+              * (100 + F.floor(F.col("l_tax") * 100 + 0.5).cast(BIG)))
+              .alias("calc_micro")))
+    j = (T(spark, sf, "orders")
+         .select("o_orderkey",
+                 (F.floor(F.col("o_totalprice") * 100 + 0.5).cast(BIG)
+                  * 10000).alias("tot_micro"))
+         .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left"))
+    d = F.abs(F.col("tot_micro") - F.col("calc_micro"))
+    return j.agg(
+        F.count("*").cast(BIG).alias("n_orders"),
+        F.sum(F.col("calc_micro").isNull().cast("long")).cast(BIG)
+        .alias("n_missing_lineitems"),
+        F.sum((F.col("tot_micro") == F.col("calc_micro")).cast("long"))
+        .cast(BIG).alias("n_exact"),
+        F.sum((d <= 10000).cast("long")).cast(BIG).alias("n_within_1c"),
+        F.expr("max(abs(tot_micro - calc_micro)) div 10000").cast(BIG)
+        .alias("max_abs_diff_cents"),
+        F.expr("sum(abs(tot_micro - calc_micro)) div 10000").cast(BIG)
+        .alias("total_abs_diff_cents"))

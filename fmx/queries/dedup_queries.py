@@ -581,3 +581,68 @@ def leakage_split_overlap(spark, sf):
                         split, num_hashes=NUM_HASHES, bands=BANDS,
                         shingle_n=SHINGLE_N)
     return out.select("id_a", "id_b", "split_a", "split_b")
+
+
+@query(
+    "er_fuzzy_match",
+    oracle="""
+    WITH probes AS (
+      SELECT p_partkey AS probe_id,
+             concat(substring(p_name, 1, 1 + (p_partkey % 4)),
+                    substring(p_name, 3 + (p_partkey % 4),
+                              length(p_name))) AS probe_name
+      FROM part),
+    lb AS (SELECT probe_id, probe_name,
+                  substring(probe_name, 1, 1) AS bp,
+                  length(probe_name) // 4 AS bb
+           FROM probes),
+    rb AS (SELECT p_partkey AS part_id, p_name,
+                  substring(p_name, 1, 1) AS bp,
+                  length(p_name) // 4 AS bb
+           FROM part),
+    cand AS (SELECT lb.probe_id, lb.probe_name, rb.part_id, rb.p_name,
+                    levenshtein(lb.probe_name, rb.p_name) AS dist
+             FROM lb JOIN rb USING (bp, bb)),
+    ranked AS (SELECT *, count(*) OVER (PARTITION BY probe_id) AS n_cands,
+                      row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY dist, part_id) AS rn
+               FROM cand)
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(part_id AS BIGINT) AS part_id,
+           probe_name, p_name,
+           CAST(dist AS BIGINT) AS dist,
+           CAST(n_cands AS BIGINT) AS n_cands
+    FROM ranked WHERE rn = 1 AND dist <= 3
+    """)
+def er_fuzzy_match(spark, sf):
+    """Entity resolution by blocked fuzzy join
+    (fmx.operators.linkage.blocked_fuzzy_join): probe records are part
+    names with one deterministically dropped character (position
+    2 + partkey % 4 — in-plan corruption, so both engines derive the
+    same dirty corpus), matched back against the clean part table by
+    blocking on (first char, length // 4) and ranking in-block
+    Levenshtein distance.  One equi-join on the block key — never
+    all-pairs — then a per-probe WindowGroupLimit argmin; n_cands
+    exposes block fan-out, the knob that keeps 100 TB linkage an
+    ordinary shuffle join.  Probes whose corruption escapes the block
+    (length crossing a band boundary) are unmatched by design —
+    single-pass blocking recall, documented in the operator."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.linkage import blocked_fuzzy_join
+
+    part = T(spark, sf, "part")
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.expr("substring(p_name, 1, 1 + (p_partkey % 4))"),
+            F.expr("substring(p_name, CAST(3 + (p_partkey % 4) AS INT), "
+                   "length(p_name))")).alias("probe_name"))
+    out = blocked_fuzzy_join(
+        probes, part.select(F.col("p_partkey").alias("part_id"),
+                            F.col("p_name")),
+        "probe_id", "part_id", "probe_name", "p_name",
+        block_prefix=1, length_band=4, max_dist=3)
+    return out.select(F.col("probe_id").cast("bigint").alias("probe_id"),
+                      F.col("part_id").cast("bigint").alias("part_id"),
+                      "probe_name", "p_name", "dist", "n_cands")

@@ -1532,3 +1532,118 @@ def ann_hamming_topk(spark, sf):
     return out.select(F.col("query_id").cast("bigint").alias("query_id"),
                       F.col("vec_id").cast("bigint").alias("vec_id"),
                       "hamming", "rank")
+
+
+@query(
+    "ann_eval_hamming_vs_exact",
+    oracle=f"""
+    WITH {_EX},
+    words AS (SELECT vec_id,
+                     sum(CASE WHEN pos < 32 AND x >= 0
+                              THEN (1::BIGINT << pos) ELSE 0 END) AS lo,
+                     sum(CASE WHEN pos >= 32 AND x >= 0
+                              THEN (1::BIGINT << (pos - 32))
+                              ELSE 0 END) AS hi
+              FROM ex GROUP BY vec_id),
+    qw AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM words
+           WHERE vec_id < {N_QUERIES}),
+    pred AS (SELECT query_id, w.vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY bit_count(xor(w.lo, qlo))
+                                 + bit_count(xor(w.hi, qhi)), w.vec_id)
+                        AS rank
+             FROM words w CROSS JOIN qw
+             WHERE w.vec_id <> query_id
+             QUALIFY rank <= {K}),
+    xdots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     sum(q.x * c.x) AS dot
+              FROM ex q JOIN ex c ON q.pos = c.pos
+              WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+              GROUP BY q.vec_id, c.vec_id),
+    truth AS (SELECT query_id, xdots.vec_id FROM xdots
+              JOIN norms nq ON query_id = nq.vec_id
+              JOIN norms nc ON xdots.vec_id = nc.vec_id
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                                   xdots.vec_id) <= {K}),
+    tn AS (SELECT query_id, count(*) AS t_n FROM truth GROUP BY query_id),
+    hits AS (SELECT p.query_id, count(*) AS h, min(p.rank) AS fr
+             FROM pred p JOIN truth t
+               ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+             GROUP BY p.query_id),
+    per AS (SELECT coalesce(h, 0) * 1.0 / t_n AS recall,
+                   coalesce(1.0 / fr, 0.0) AS rr
+            FROM tn LEFT JOIN hits USING (query_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(recall), 6) AS recall_at_k,
+           round(avg(rr), 6) AS mrr
+    FROM per
+    """)
+def ann_eval_hamming_vs_exact(spark, sf):
+    """Retrieval-quality report of the 1-bit sign-sketch path
+    (ann_hamming_topk) against exact cosine: recall@5 + MRR — the
+    number that tells you what the 64x compression actually costs,
+    closing the eval family (IVF and PQ already have vs-exact rows).
+    Integer Hamming ranking on one side, the rounded-cosine exact
+    ranking on the other, then rank_eval's (query, id) equi-join of
+    two k-row relations — nothing rescans the corpus beyond the two
+    searches."""
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    pred = S.sign_sketch_topk(emb, q, "vec_id", "embedding", k=K, dim=DIM)
+    truth = S.cosine_topk(emb, q, "vec_id", "embedding", k=K)
+    return S.rank_eval(pred, truth, k=K)
+
+
+@query(
+    "emb_dim_whiten",
+    oracle="""
+    WITH ex AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+    stats AS (SELECT pos, count(*) AS n,
+                     round(avg(x), 6) AS m,
+                     round(stddev_samp(x), 6) AS s
+              FROM ex GROUP BY pos),
+    z AS (SELECT ex.pos, n, m, s,
+                 CASE WHEN s > 0 AND abs((x - m) / s) > 3.0
+                      THEN 1 ELSE 0 END AS clipped
+          FROM ex JOIN stats ON ex.pos = stats.pos)
+    SELECT CAST(pos AS BIGINT) AS i, CAST(max(n) AS BIGINT) AS n,
+           m AS mean, s AS std,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           round(sum(clipped) * 1.0 / max(n), 6) AS frac_clipped
+    FROM z GROUP BY pos, m, s
+    """)
+def emb_dim_whiten(spark, sf):
+    """Per-dimension whitening audit: mean/std per embedding
+    dimension plus how many values a standard z > 3 clip would
+    remove — the preprocessing decision (center? scale? clip?) made
+    before cosine/PQ indexing, where an unwhitened dominating
+    dimension silently owns every distance.  The mean/std are ROUNDED
+    to 6 decimals in BOTH engines BEFORE the z comparison
+    (derived-from-aggregate discipline: summation-order noise in
+    avg/stddev must not flip a threshold), after which x, m, s are
+    identical doubles in both engines and the comparison is exact.
+    Shapes: one explode + dim-grain agg (d rows) + broadcast join
+    back over the explode for the clip count — no row-grain
+    shuffle."""
+    ex = (T(spark, sf, "embeddings")
+          .select(F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("pos", "x")))
+    stats = ex.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("x"), 6).alias("m"),
+        F.round(F.stddev_samp("x"), 6).alias("s"))
+    z = ex.join(F.broadcast(stats), "pos")
+    clipped = F.when((F.col("s") > 0)
+                     & (F.abs((F.col("x") - F.col("m")) / F.col("s"))
+                        > 3.0), 1).otherwise(0)
+    return (z.groupBy("pos", "m", "s")
+            .agg(F.max("n").alias("n"), F.sum(clipped).alias("nc"))
+            .select(F.col("pos").cast("bigint").alias("i"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("m").alias("mean"), F.col("s").alias("std"),
+                    F.col("nc").cast("bigint").alias("n_clipped"),
+                    F.round(F.col("nc") * 1.0 / F.col("n"), 6)
+                    .alias("frac_clipped")))

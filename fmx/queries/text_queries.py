@@ -1235,3 +1235,287 @@ def multimodal_chunk_manifest(spark, sf):
             F.col("hx"),
             (F.col("idx") * CHUNK_BYTES * 2 + 1).cast("int"),
             (clen * 2).cast("int"))).alias("chunk_md5"))
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle="""
+    WITH toks AS (SELECT list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    big AS (SELECT t[i] AS a, t[i + 1] AS b
+            FROM toks, LATERAL (SELECT unnest(generate_series(1,
+                                len(t) - 1)) AS i) g
+            WHERE len(t) >= 2),
+    cab AS (SELECT a, b, count(*) AS cab FROM big GROUP BY a, b),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    u AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT (SELECT sum(c) FROM u) AS tot_t,
+                   (SELECT count(*) FROM big) AS tot_b),
+    scored AS (SELECT a, b, CAST(cab AS BIGINT) AS cab,
+                      round(ln((cab * 1.0 * tot_t * tot_t)
+                               / (tot_b * 1.0 * ua.c * ub.c)),
+                            6) AS pmi
+               FROM cab JOIN u ua ON cab.a = ua.tok
+                        JOIN u ub ON cab.b = ub.tok, tot
+               WHERE cab >= 5),
+    top AS (SELECT * FROM scored ORDER BY cab DESC, a, b LIMIT 20)
+    SELECT a, b, cab, pmi,
+           CAST(row_number() OVER (ORDER BY cab DESC, a, b) AS BIGINT)
+               AS rank
+    FROM top
+    """)
+def text_pmi_bigrams(spark, sf):
+    """Top-20 adjacent-token bigrams with pointwise mutual information
+    (fmx.operators.text.pmi_bigrams): collocation strength from
+    integer-exact corpus counts — separates genuinely associated
+    pairs from merely frequent ones (what bpe_pair_merges' raw
+    frequency cannot).  Bigram expansion is a map-side array zip (no
+    token-grain shuffle); unigram joins run on the vocabulary-bounded
+    pair relation; top-k is TakeOrderedAndProject.  Only the final
+    ln() is floating point, rounded at 6."""
+    return X.pmi_bigrams(T(spark, sf, "documents"), "text",
+                         k=20, min_count=5)
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    m AS (SELECT doc_id, len(t) AS nw,
+                 (SELECT sum(length(x)) FROM unnest(t) AS u(x)) * 1.0
+                     / len(t) AS mwl,
+                 len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                     * 1.0 / len(t) AS alpha,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                     / length(text) AS digits,
+                 len(list_intersect(list_distinct(t), {_EN})) AS stops
+          FROM base)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           (nw >= 20 AND nw <= 90) AS rule_word_count,
+           (mwl >= 3.0 AND mwl <= 10.0) AS rule_mean_word_len,
+           (alpha >= 0.8) AS rule_alpha_ratio,
+           (digits < 0.3) AS rule_digit_ratio,
+           (stops >= 2) AS rule_stopwords,
+           ((nw >= 20 AND nw <= 90) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND alpha >= 0.8 AND digits < 0.3 AND stops >= 2) AS passed
+    FROM m
+    """)
+def text_gopher_filters(spark, sf):
+    """Gopher-style rule-bundle quality gate
+    (fmx.operators.text.gopher_filters): per-document boolean
+    verdicts for word-count bounds, mean-word-length bounds,
+    alphabetic-word ratio, digit-character ratio, and stopword
+    presence, plus the conjunction — the hard-filter stage of a
+    pretraining pipeline, each rule independently auditable.  ONE
+    map-side projection pass: no explode, no shuffle, no UDF; all
+    thresholds compare doubles derived from exact integer counts."""
+    return X.gopher_filters(T(spark, sf, "documents"), "doc_id", "text")
+
+
+def _kappa_oracle() -> str:
+    score = {lang: f"len(list_filter(t, x -> list_contains({_SW[lang]}, x)))"
+                   " * 1.0 / len(t)"
+             for lang in X.STOPWORDS}
+    pred = f"""CASE WHEN {score['en']} >= {score['de']}
+                 AND {score['en']} >= {score['es']}
+                 AND {score['en']} >= {score['fr']} THEN 'en'
+                WHEN {score['de']} >= {score['es']}
+                 AND {score['de']} >= {score['fr']} THEN 'de'
+                WHEN {score['es']} >= {score['fr']} THEN 'es'
+                ELSE 'fr' END"""
+    return f"""
+    WITH base AS (SELECT doc_id, lang,
+                         string_split(text, ' ') AS t FROM documents),
+    p AS (SELECT lang AS true_lang, {pred} AS pred_lang FROM base),
+    cells AS (SELECT true_lang, pred_lang, count(*) AS n FROM p
+              GROUP BY true_lang, pred_lang),
+    nt AS (SELECT true_lang AS cls, sum(n) AS n_true FROM cells
+           GROUP BY true_lang),
+    np AS (SELECT pred_lang AS cls, sum(n) AS n_pred FROM cells
+           GROUP BY pred_lang),
+    tot AS (SELECT sum(n) AS n_all,
+                   sum(CASE WHEN true_lang = pred_lang THEN n
+                            ELSE 0 END) AS n_agree
+            FROM cells),
+    chance AS (SELECT sum(n_true * n_pred) AS s
+               FROM nt JOIN np USING (cls))
+    SELECT CAST(n_all AS BIGINT) AS n,
+           round(n_agree * 1.0 / n_all, 6) AS po,
+           round(s * 1.0 / (n_all * n_all), 6) AS pe,
+           round((n_agree * 1.0 / n_all - s * 1.0 / (n_all * n_all))
+                 / (1.0 - s * 1.0 / (n_all * n_all)), 6) AS kappa
+    FROM tot, chance
+    """
+
+
+@query("eval_cohen_kappa", oracle=_kappa_oracle())
+def eval_cohen_kappa(spark, sf):
+    """Cohen's kappa between the stopword language-ID heuristic and
+    the ground-truth lang column: chance-corrected agreement
+    (po - pe) / (1 - pe) — the scalar the confusion matrix
+    (eval_langid_confusion) doesn't give, and the standard metric for
+    auditing AGREEMENT between two labelers (model vs model, model vs
+    human raters) where raw accuracy is inflated by class imbalance.
+
+    Scale shape: one scan to (true, pred), one cells-grain hash-agg
+    (#classes^2 rows), marginals and the chance term computed on that
+    tiny relation — every division happens on integer-exact counts in
+    both engines, rounded at emit."""
+    docs = T(spark, sf, "documents")
+    pred = (X.language_id(docs, "doc_id", "text")
+            .select(F.col("doc_id").alias("_pid"), "pred_lang"))
+    p = (docs.select(F.col("doc_id"), F.col("lang").alias("true_lang"))
+         .join(pred, F.col("doc_id") == F.col("_pid"))
+         .select("true_lang", "pred_lang"))
+    cells = p.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n"))
+    nt = cells.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.sum("n").alias("n_true"))
+    np_ = cells.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("n_pred"))
+    tot = cells.agg(
+        F.sum("n").alias("n_all"),
+        F.sum(F.when(F.col("true_lang") == F.col("pred_lang"),
+                     F.col("n")).otherwise(F.lit(0))).alias("n_agree"))
+    chance = (nt.join(np_, "cls")
+              .agg(F.sum(F.col("n_true") * F.col("n_pred")).alias("s")))
+    po = F.col("n_agree") * 1.0 / F.col("n_all")
+    pe = F.col("s") * 1.0 / (F.col("n_all") * F.col("n_all"))
+    return (tot.crossJoin(F.broadcast(chance))
+            .select(F.col("n_all").cast("bigint").alias("n"),
+                    F.round(po, 6).alias("po"),
+                    F.round(pe, 6).alias("pe"),
+                    F.round((po - pe) / (F.lit(1.0) - pe), 6)
+                    .alias("kappa")))
+
+
+@query(
+    "multimodal_payload_entropy",
+    oracle="""
+    WITH pl AS (SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS bl
+                FROM documents WHERE octet_length(encode(text)) > 0),
+    by AS (SELECT doc_id, bl, substring(hx, i * 2 + 1, 2) AS byte
+           FROM pl, LATERAL (SELECT unnest(generate_series(0, bl - 1))
+                             AS i) g),
+    cnt AS (SELECT doc_id, bl, byte, count(*) AS c
+            FROM by GROUP BY doc_id, bl, byte),
+    ent AS (SELECT doc_id, max(bl) AS byte_len,
+                   count(*) AS distinct_bytes,
+                   -sum((c * 1.0 / bl) * ln(c * 1.0 / bl)) AS h
+            FROM cnt GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(byte_len AS BIGINT) AS byte_len,
+           CAST(distinct_bytes AS BIGINT) AS distinct_bytes,
+           round(h / ln(2.0), 6) AS entropy_bits
+    FROM ent
+    """)
+def multimodal_payload_entropy(spark, sf):
+    """Per-payload byte entropy WITHOUT decoding (the codec-free
+    discipline of the payload family): Shannon entropy of the byte
+    histogram over the hex rendering, in bits/byte — the
+    compressibility probe that flags already-compressed / encrypted
+    blobs (entropy near 8) vs text-like payloads (4-5) before any
+    expensive decode is attempted; the dedupe-or-skip router for a
+    100 TB blob store.  One per-byte explode bounded by byte_len, a
+    (doc, byte)-grain hash-agg with map-side combine (<= 256 rows per
+    doc survive), then a doc-grain entropy fold.  Counts are integer;
+    ln rounds at emit."""
+    mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")
+    pl = (mm.select("doc_id", F.hex("payload").alias("hx"),
+                    F.col("meta.byte_len").alias("bl"))
+          .filter(F.col("bl") > 0))
+    by = pl.select(
+        "doc_id", "bl", "hx",
+        F.explode(F.sequence(F.lit(0), F.col("bl") - 1)).alias("i")
+    ).select("doc_id", "bl",
+             F.substring("hx", F.col("i") * 2 + 1, F.lit(2)).alias("byte"))
+    cnt = (by.groupBy("doc_id", "byte")
+           .agg(F.max("bl").alias("bl"), F.count("*").alias("c")))
+    p = F.col("c") * 1.0 / F.col("bl")
+    return (cnt.withColumn("_t", -p * F.log(p))
+            .groupBy("doc_id")
+            .agg(F.max("bl").alias("byte_len"),
+                 F.count("*").alias("distinct_bytes"),
+                 F.sum("_t").alias("h"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("byte_len").cast("bigint").alias("byte_len"),
+                    F.col("distinct_bytes").cast("bigint")
+                    .alias("distinct_bytes"),
+                    F.round(F.col("h") / F.log(F.lit(2.0)), 6)
+                    .alias("entropy_bits")))
+
+
+def _mcnemar_oracle() -> str:
+    score = {lang: f"len(list_filter(t, x -> list_contains({_SW[lang]}, x)))"
+                   " * 1.0 / len(t)"
+             for lang in X.STOPWORDS}
+    pred = f"""CASE WHEN {score['en']} >= {score['de']}
+                 AND {score['en']} >= {score['es']}
+                 AND {score['en']} >= {score['fr']} THEN 'en'
+                WHEN {score['de']} >= {score['es']}
+                 AND {score['de']} >= {score['fr']} THEN 'de'
+                WHEN {score['es']} >= {score['fr']} THEN 'es'
+                ELSE 'fr' END"""
+    return f"""
+    WITH base AS (SELECT doc_id, lang,
+                         string_split(text, ' ') AS t FROM documents),
+    p AS (SELECT CASE WHEN {pred} = lang THEN 1 ELSE 0 END AS a_ok,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b_ok
+          FROM base),
+    agg AS (SELECT count(*) AS n, sum(a_ok) AS na, sum(b_ok) AS nb,
+                   sum(CASE WHEN a_ok = 1 AND b_ok = 0
+                            THEN 1 ELSE 0 END) AS b,
+                   sum(CASE WHEN a_ok = 0 AND b_ok = 1
+                            THEN 1 ELSE 0 END) AS c
+            FROM p)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(na * 1.0 / n, 6) AS acc_model,
+           round(nb * 1.0 / n, 6) AS acc_baseline,
+           CAST(b AS BIGINT) AS b_discordant,
+           CAST(c AS BIGINT) AS c_discordant,
+           round((b - c) * (b - c) * 1.0 / nullif(b + c, 0), 6)
+               AS mcnemar_chi2
+    FROM agg
+    """
+
+
+@query("eval_mcnemar", oracle=_mcnemar_oracle())
+def eval_mcnemar(spark, sf):
+    """McNemar's paired test between the stopword language-ID and the
+    predict-the-majority-class baseline on the SAME documents: the
+    discordant counts b (model right, baseline wrong) and c (baseline
+    right, model wrong) and the chi-square statistic (b-c)^2/(b+c) —
+    the correct way to compare two classifiers evaluated on one test
+    set (unpaired accuracy comparison wastes the pairing and
+    overstates noise).  One scan to paired verdicts, ONE global agg;
+    every count is integer-exact, divisions happen at emit."""
+    docs = T(spark, sf, "documents")
+    pred = (X.language_id(docs, "doc_id", "text")
+            .select(F.col("doc_id").alias("_pid"), "pred_lang"))
+    p = (docs.select("doc_id", "lang")
+         .join(pred, F.col("doc_id") == F.col("_pid"))
+         .select((F.col("pred_lang") == F.col("lang"))
+                 .cast("long").alias("a_ok"),
+                 (F.col("lang") == "en").cast("long").alias("b_ok")))
+    agg = p.agg(
+        F.count("*").alias("n"), F.sum("a_ok").alias("na"),
+        F.sum("b_ok").alias("nb"),
+        F.sum(((F.col("a_ok") == 1) & (F.col("b_ok") == 0)).cast("long"))
+        .alias("b"),
+        F.sum(((F.col("a_ok") == 0) & (F.col("b_ok") == 1)).cast("long"))
+        .alias("c"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("na") * 1.0 / F.col("n"), 6).alias("acc_model"),
+        F.round(F.col("nb") * 1.0 / F.col("n"), 6).alias("acc_baseline"),
+        F.col("b").cast("bigint").alias("b_discordant"),
+        F.col("c").cast("bigint").alias("c_discordant"),
+        F.round((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
+                * 1.0 / F.nullif(F.col("b") + F.col("c"), F.lit(0)), 6)
+        .alias("mcnemar_chi2"))

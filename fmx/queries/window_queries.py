@@ -413,3 +413,37 @@ def w8_rolling_median(spark, sf):
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.col("n").cast(BIG).alias("n"),
         med.alias("med7_n"))
+
+
+@query(
+    "w9_percent_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           round(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY n, d), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY event_type
+                                   ORDER BY n, d), 6) AS cume
+    FROM daily
+    """)
+def w9_percent_rank(spark, sf):
+    """percent_rank + cume_dist of daily event volume within each
+    event type — "how unusual was this day" as a relative rank,
+    completing the ranking-window family (row_number/rank/ntile/lag
+    already covered in w3/w5/curriculum).  Both functions are exact
+    rational arithmetic over integer ranks — engine-identical before
+    the emit round.  Upstream grain is the daily hash-agg; windows
+    partition by event_type over calendar-bounded rows (never row
+    grain)."""
+    daily = (T(spark, sf, "events")
+             .groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("n", "d")
+    return daily.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast(BIG).alias("n"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))

@@ -2465,3 +2465,78 @@ def test_negative_downsample_unbiased_and_deterministic(spark):
     kn = negative_downsample(dfn, "y", rate=1.0, id_col="id").collect()
     w = {r.id: r.weight for r in kn}
     assert w[2] == 1.0 and w[1] == 1.0 / 1.0
+
+
+def test_blocked_fuzzy_join_known_values(spark):
+    """Hand-checked blocked match: in-block candidates rank by edit
+    distance with id ties, out-of-block typos are unmatched (the
+    documented single-pass blocking recall), and max_dist gates."""
+    from fmx.operators.linkage import blocked_fuzzy_join
+
+    right = spark.createDataFrame(
+        [(1, "red widget"), (2, "red widgets"), (3, "blue bolt")],
+        "rid long, name string")
+    left = spark.createDataFrame(
+        [(10, "red widgit"),    # 1 sub from 1, blocks with 1 (len 10//4=2)
+         (11, "xed widget"),    # first-char typo escapes the 'r' block
+         (12, "blue bolt")],    # exact
+        "lid long, pname string")
+    out = {r.lid: (r.rid, r.dist, r.n_cands) for r in blocked_fuzzy_join(
+        left, right, "lid", "rid", "pname", "name",
+        block_prefix=1, length_band=4, max_dist=3).collect()}
+    # "red widgets" (len 11 -> band 2) shares the block with "red
+    # widget" (len 10 -> band 2): 2 candidates, dist 1 vs 2, widget wins
+    assert out[10] == (1, 1, 2)
+    assert out[12] == (3, 0, 1)
+    assert 11 not in out             # blocking miss, by design
+
+    empty = spark.createDataFrame([], "lid long, pname string")
+    assert blocked_fuzzy_join(empty, right, "lid", "rid",
+                              "pname", "name").count() == 0
+
+
+def test_pmi_bigrams_known_values(spark):
+    """PMI from hand-computed counts: corpus 'a b' x3 + 'a c' x2 ->
+    bigram (a,b) has c_ab=3, c_a=5, c_b=3, T=10 tokens, B=5 bigrams;
+    pmi = ln(3*10*10 / (5*5*3)) = ln(4) for (a,b)."""
+    import math
+
+    from fmx.operators.text import pmi_bigrams
+
+    rows = [("a b",)] * 3 + [("a c",)] * 2
+    df = spark.createDataFrame(rows, "text string")
+    got = {(r.a, r.b): (r.cab, r.pmi) for r in
+           pmi_bigrams(df, "text", k=10, min_count=1).collect()}
+    assert got[("a", "b")][0] == 3
+    assert abs(got[("a", "b")][1] - round(math.log(4.0), 6)) < 1e-9
+    assert got[("a", "c")][0] == 2
+    # T=10, B=5, c_a=5, c_c=2: ln(2*10*10 / (5*5*2)) = ln(4)
+    assert abs(got[("a", "c")][1] - round(math.log(4.0), 6)) < 1e-9
+
+    empty = spark.createDataFrame([], "text string")
+    assert pmi_bigrams(empty, "text").count() == 0
+
+
+def test_gopher_filters_rules(spark):
+    """Each rule verdict on constructed documents: a clean passing doc,
+    a too-short doc, a digit-heavy doc, and a stopword-free doc."""
+    from fmx.operators.text import gopher_filters
+
+    # 36 words, mean word length 48/12 = 4.0, stopwords the/and/in
+    ok = "the little cats and their dogs sat down in that green field " * 3
+    df = spark.createDataFrame(
+        [(1, ok.strip()),
+         (2, "too short"),                      # word count fails
+         (3, ("the of 123456 7890123 456789 0123456 7890 12345 678901 "
+              "2345678 901234 567890 123456 789012 345678 901234 567890 "
+              "12 34 56")),                     # digit ratio fails
+         (4, "lorem ipsum dolor sit amet " * 5)],  # no en stopwords
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           gopher_filters(df, "doc_id", "text", min_words=10).collect()}
+    assert got[1].passed
+    assert not got[2].rule_word_count and not got[2].passed
+    assert not got[3].rule_digit_ratio and not got[3].passed
+    assert not got[4].rule_stopwords and not got[4].passed
+    # every doc keeps a verdict row (gate reports, it doesn't drop)
+    assert len(got) == 4

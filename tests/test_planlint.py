@@ -122,6 +122,10 @@ _ALLOWED = {
         "graph_pagerank_3iter", "profile_chi2_lang_source",
         "retrieval_hard_negatives",    # broadcast query-set cross
         "retrieval_triplets",          # broadcast query-set cross
+        "ann_eval_hamming_vs_exact",   # broadcast query-sketch/set crosses
+        "eval_cohen_kappa",            # 1-row chance-term broadcast
+        "feat_target_rate_curve",      # 1-row cutpoint broadcast
+        "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
         "profile_join_cardinality",
         "profile_key_skew", "rfm_segmentation", "sample_interleaved_order",
         "sample_class_balance",     # 1-row min-count broadcast
@@ -149,6 +153,8 @@ _ALLOWED = {
         "rolling_7d_hll_users",
         "sample_interleaved_order",
         "sample_negative_downsample",  # filter on the md5 keep-coin
+        "er_fuzzy_match",   # rank/dist filters on computed edit distance
+        "text_pmi_bigrams",  # min_count filter on aggregated pair counts
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_boilerplate_strip",
         "text_ngram_novelty", "text_template_clusters",
@@ -180,6 +186,8 @@ _ALLOWED = {
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
+        "text_pmi_bigrams",          # rank over the top-20 rows only
+        "event_new_vs_returning",    # running sum over day-grain rows
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
