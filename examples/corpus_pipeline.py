@@ -65,16 +65,21 @@ def main() -> None:
 
     # 1. quality + entropy + language annotation (single-pass column
     #    expressions; entropy cuts both tails — repeated filler AND
-    #    base64/binary spill)
+    #    base64/binary spill), then the Gopher rule bundle as the hard
+    #    gate (each rule independently auditable — the continuous
+    #    quality score ranks, the rules gate)
     quality = X.quality_score(docs, "doc_id", "text")
     ent = X.char_entropy(docs, "doc_id", "text").select(
         "doc_id", "char_entropy")
     lang = X.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    rules = X.gopher_filters(docs, "doc_id", "text",
+                             min_words=10).select("doc_id", "passed")
     annotated = (docs.join(quality, "doc_id").join(ent, "doc_id")
-                 .join(lang, "doc_id"))
+                 .join(lang, "doc_id").join(rules, "doc_id"))
     kept = annotated.filter(
         (F.col("quality") >= 0.3)
-        & F.col("char_entropy").between(1.5, 6.5))
+        & F.col("char_entropy").between(1.5, 6.5)
+        & F.col("passed")).drop("passed")
     n1 = kept.count()
 
     # 2. exact dedup (md5 groupBy, keep min doc_id)
