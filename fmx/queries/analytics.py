@@ -12,6 +12,7 @@ from fmx.queries import query
 from fmx.sources import load_table as T
 
 BIG = "bigint"
+DEC = "decimal(38,0)"
 
 
 @query(
@@ -3949,3 +3950,465 @@ def dq_amount_reconciliation(spark, sf):
         .alias("max_abs_diff_cents"),
         F.expr("sum(abs(tot_micro - calc_micro)) div 10000").cast(BIG)
         .alias("total_abs_diff_cents"))
+
+
+@query(
+    "eval_spearman_corr",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+                          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events GROUP BY 1),
+    r AS (SELECT n, cents,
+                 2 * rank() OVER (ORDER BY n)
+                   + count(*) OVER (PARTITION BY n) - 1 AS rn,
+                 2 * rank() OVER (ORDER BY cents)
+                   + count(*) OVER (PARTITION BY cents) - 1 AS rc
+          FROM daily),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(rn) AS BIGINT) AS sx,
+                 CAST(sum(rc) AS BIGINT) AS sy,
+                 CAST(sum(rn * rn) AS BIGINT) AS sxx,
+                 CAST(sum(rc * rc) AS BIGINT) AS syy,
+                 CAST(sum(rn * rc) AS BIGINT) AS sxy,
+                 CAST(sum(n) AS HUGEINT) AS tn,
+                 CAST(sum(cents) AS HUGEINT) AS tc,
+                 CAST(sum(n * n) AS HUGEINT) AS tnn,
+                 CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+                     AS tcc,
+                 CAST(sum(n * cents) AS HUGEINT) AS tnc
+          FROM r)
+    SELECT k AS n_days,
+           round((k * sxy - sx * sy)
+                 / nullif(sqrt(1.0 * (k * sxx - sx * sx))
+                          * sqrt(1.0 * (k * syy - sy * sy)), 0.0), 6)
+               AS spearman_rho,
+           round((k * tnc - tn * tc)
+                 / nullif(sqrt(1.0 * (k * tnn - tn * tn))
+                          * sqrt(1.0 * (k * tcc - tc * tc)), 0.0), 6)
+               AS pearson_r
+    FROM m
+    """)
+def eval_spearman_corr(spark, sf):
+    """Spearman rank correlation (tie-aware, average ranks) next to
+    Pearson for the same pair of daily series — event volume vs
+    revenue.  Does more traffic mean more money MONOTONICALLY (rho)
+    vs LINEARLY (r)?  Engine-exactness: revenue goes integer at the
+    source (value is exactly 2-decimal -> cents bigint), average
+    ranks are kept integer by DOUBLING them (2*rank + ties - 1; the
+    affine map cancels in correlation), and both coefficients are
+    computed from exact integer moment sums (rank moments fit BIGINT
+    forever; cents-squared moments go DECIMAL(38,0) / HUGEINT so a
+    1000x revenue scale-up cannot overflow) with ONE double formula at
+    emit
+    (identical IEEE ops on identical integers -> identical doubles;
+    native corr() is avoided both because summation order varies and
+    because ANSI throws on zero variance — nullif guards it here).
+    Shapes: one day-grain hash-agg, two rank windows over
+    calendar-bounded rows, one global moment agg."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("cents")))
+    r = daily.select(
+        "n", "cents",
+        (2 * F.rank().over(Window.orderBy("n"))
+         + F.count("*").over(Window.partitionBy("n")) - 1)
+        .cast(BIG).alias("rn"),
+        (2 * F.rank().over(Window.orderBy("cents"))
+         + F.count("*").over(Window.partitionBy("cents")) - 1)
+        .cast(BIG).alias("rc"))
+    m = r.agg(
+        F.count("*").cast(BIG).alias("k"),
+        F.sum("rn").cast(BIG).alias("sx"),
+        F.sum("rc").cast(BIG).alias("sy"),
+        F.sum(F.col("rn") * F.col("rn")).cast(BIG).alias("sxx"),
+        F.sum(F.col("rc") * F.col("rc")).cast(BIG).alias("syy"),
+        F.sum(F.col("rn") * F.col("rc")).cast(BIG).alias("sxy"),
+        F.sum("n").cast(DEC).alias("tn"),
+        F.sum("cents").cast(DEC).alias("tc"),
+        F.sum(F.col("n") * F.col("n")).cast(DEC).alias("tnn"),
+        F.sum(F.col("cents").cast(DEC) * F.col("cents")).cast(DEC)
+        .alias("tcc"),
+        F.sum(F.col("n") * F.col("cents")).cast(DEC).alias("tnc"))
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    kd = k.cast(DEC)
+    return m.select(
+        k.alias("n_days"),
+        F.round((k * F.col("sxy") - sx * sy)
+                / F.nullif(F.sqrt(1.0 * (k * F.col("sxx") - sx * sx))
+                           * F.sqrt(1.0 * (k * F.col("syy") - sy * sy)),
+                           F.lit(0.0)), 6).alias("spearman_rho"),
+        F.round((kd * F.col("tnc") - F.col("tn") * F.col("tc"))
+                .cast("double")
+                / F.nullif(
+                    F.sqrt((kd * F.col("tnn")
+                            - F.col("tn") * F.col("tn")).cast("double"))
+                    * F.sqrt((kd * F.col("tcc")
+                              - F.col("tc") * F.col("tc"))
+                             .cast("double")),
+                    F.lit(0.0)), 6).alias("pearson_r"))
+
+
+@query(
+    "feat_mutual_information",
+    oracle="""
+    WITH c AS (SELECT coalesce(source, '__null__') AS source,
+                      coalesce(lang, '__null__') AS lang,
+                      count(*) AS n
+               FROM documents GROUP BY 1, 2),
+    mx AS (SELECT source, CAST(sum(n) AS BIGINT) AS nx FROM c GROUP BY 1),
+    my AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ny FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+    mi AS (SELECT count(*) AS n_cells,
+                  sum((n * 1.0 / nt) * (ln(n * 1.0 / nt)
+                                        - ln(nx * 1.0 / nt)
+                                        - ln(ny * 1.0 / nt))) AS mi_nats
+           FROM c JOIN mx USING (source) JOIN my USING (lang)
+                CROSS JOIN tot),
+    hx AS (SELECT -sum((nx * 1.0 / nt) * ln(nx * 1.0 / nt)) AS h
+           FROM mx CROSS JOIN tot),
+    hy AS (SELECT -sum((ny * 1.0 / nt) * ln(ny * 1.0 / nt)) AS h
+           FROM my CROSS JOIN tot)
+    SELECT nt AS n_docs,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           round(mi_nats, 6) AS mi_nats,
+           round(mi_nats / ln(2.0), 6) AS mi_bits,
+           round(mi_nats / nullif(sqrt(hx.h * hy.h), 0.0), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot
+    """)
+def feat_mutual_information(spark, sf):
+    """Mutual information between two categorical columns (source x
+    lang) plus sqrt-normalized MI — the feature-selection readout
+    (does knowing the crawl source tell you the language?) that
+    Pearson-on-codes gets wrong for nominals.  MI terms use the
+    RATIO-ONLY form ln(p_xy) - ln(p_x) - ln(p_y): no nx*ny product,
+    so counts can reach 1e12 per cell without overflow.  Shapes: one
+    (x,y)-grain hash-agg (map-side combinable), two marginal re-aggs
+    of the CELL table (never a second scan), broadcast joins back
+    (cell/marginal relations are vocabulary-bounded), 1-row total
+    broadcasts.  Counts stay integer; ln rounds at emit (the entropy
+    precedent)."""
+    c = (T(spark, sf, "documents")
+         .select(F.coalesce("source", F.lit("__null__")).alias("source"),
+                 F.coalesce("lang", F.lit("__null__")).alias("lang"))
+         .groupBy("source", "lang").agg(F.count("*").alias("n")))
+    mx = c.groupBy("source").agg(F.sum("n").cast(BIG).alias("nx"))
+    my = c.groupBy("lang").agg(F.sum("n").cast(BIG).alias("ny"))
+    tot = c.agg(F.sum("n").cast(BIG).alias("nt"))
+    j = (c.join(F.broadcast(mx), "source").join(F.broadcast(my), "lang")
+         .crossJoin(F.broadcast(tot)))
+    nt = F.col("nt") * 1.0
+    term = (F.col("n") / nt) * (F.log(F.col("n") / nt)
+                                - F.log(F.col("nx") / nt)
+                                - F.log(F.col("ny") / nt))
+    mi = j.agg(F.count("*").cast(BIG).alias("n_cells"),
+               F.sum(term).alias("mi_nats"))
+    hx = (mx.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("nx") / nt)
+                       * F.log(F.col("nx") / nt))).alias("hx")))
+    hy = (my.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("ny") / nt)
+                       * F.log(F.col("ny") / nt))).alias("hy")))
+    return (mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("nt").alias("n_docs"),
+                    "n_cells",
+                    F.round("mi_nats", 6).alias("mi_nats"),
+                    F.round(F.col("mi_nats") / F.log(F.lit(2.0)), 6)
+                    .alias("mi_bits"),
+                    F.round(F.col("mi_nats")
+                            / F.nullif(F.sqrt(F.col("hx") * F.col("hy")),
+                                       F.lit(0.0)), 6).alias("nmi")))
+
+
+@query(
+    "event_kaplan_meier",
+    oracle="""
+    WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+                      max(CAST(ts AS DATE)) AS l,
+                      min(CASE WHEN event_type = 'error'
+                               THEN CAST(ts AS DATE) END) AS e
+               FROM events GROUP BY 1),
+    g AS (SELECT max(l) AS mx FROM u),
+    d AS (SELECT CASE WHEN e IS NOT NULL THEN date_diff('day', f, e)
+                      ELSE date_diff('day', f, mx) END AS dur,
+                 CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+          FROM u CROSS JOIN g),
+    tot AS (SELECT count(*) AS nu FROM d),
+    grain AS (SELECT dur, CAST(sum(obs) AS BIGINT) AS d_i,
+                     count(*) AS m
+              FROM d GROUP BY 1),
+    risk AS (SELECT dur, d_i,
+                    nu - coalesce(sum(m) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_i
+             FROM grain CROSS JOIN tot),
+    s AS (SELECT dur, d_i, n_i,
+                 sum(CASE WHEN d_i < n_i
+                          THEN ln(1.0 - d_i * 1.0 / n_i)
+                          ELSE 0.0 END)
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lse,
+                 max(CASE WHEN d_i >= n_i THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS z
+          FROM risk WHERE d_i > 0)
+    SELECT CAST(dur AS BIGINT) AS t_day,
+           CAST(n_i AS BIGINT) AS n_risk,
+           d_i AS n_events,
+           CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lse), 6) END
+               AS survival
+    FROM s
+    """)
+def event_kaplan_meier(spark, sf):
+    """Kaplan-Meier time-to-first-failure curve: days from a user's
+    first event to their first 'error', right-censoring users who
+    never error at the end of the observation window — the survival
+    readout (what fraction stays error-free past day t?) that a plain
+    duration histogram biases by counting the never-failed as failed.
+    Scale shape: one user-grain conditional-min agg collapses the
+    corpus to users, one DURATION-GRAIN agg bounds everything after by
+    the calendar (<= a few thousand rows forever); at-risk counts come
+    from a cumulative window over that bounded grain, and the survival
+    product is exp(running-sum(ln)) — ordered frames accumulate
+    sequentially, so both engines add the same doubles in the same
+    order.  A d_i = n_i step (everyone at risk exits) pins survival to
+    exactly 0 thereafter rather than routing ln(0) through either
+    engine."""
+    u = (T(spark, sf, "events")
+         .groupBy("user_id")
+         .agg(F.min(F.to_date("ts")).alias("f"),
+              F.max(F.to_date("ts")).alias("l"),
+              F.min(F.when(F.col("event_type") == "error",
+                           F.to_date("ts"))).alias("e")))
+    g = u.agg(F.max("l").alias("mx"))
+    d = (u.crossJoin(F.broadcast(g))
+         .select(F.when(F.col("e").isNotNull(),
+                        F.datediff("e", "f"))
+                 .otherwise(F.datediff("mx", "f")).alias("dur"),
+                 F.col("e").isNotNull().cast("int").alias("obs")))
+    tot = d.agg(F.count("*").alias("nu"))
+    grain = d.groupBy("dur").agg(F.sum("obs").cast(BIG).alias("d_i"),
+                                 F.count("*").alias("m"))
+    wprev = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (grain.crossJoin(F.broadcast(tot))
+            .select("dur", "d_i",
+                    (F.col("nu")
+                     - F.coalesce(F.sum("m").over(wprev), F.lit(0)))
+                    .alias("n_i"))
+            .filter(F.col("d_i") > 0))
+    wcum = (Window.orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = risk.select(
+        "dur", "d_i", "n_i",
+        F.sum(F.when(F.col("d_i") < F.col("n_i"),
+                     F.log(1.0 - F.col("d_i") * 1.0 / F.col("n_i")))
+              .otherwise(F.lit(0.0))).over(wcum).alias("lse"),
+        F.max((F.col("d_i") >= F.col("n_i")).cast("int"))
+        .over(wcum).alias("z"))
+    return s.select(
+        F.col("dur").cast(BIG).alias("t_day"),
+        F.col("n_i").cast(BIG).alias("n_risk"),
+        F.col("d_i").alias("n_events"),
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lse"), 6)).alias("survival"))
+
+
+@query(
+    "event_user_churn",
+    oracle="""
+    WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (SELECT min(d) AS mn, max(d) AS mx FROM b),
+    mid AS (SELECT mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER)
+                AS m FROM g),
+    u AS (SELECT user_id,
+                 max(CASE WHEN d <= m THEN 1 ELSE 0 END) AS h1,
+                 max(CASE WHEN d > m THEN 1 ELSE 0 END) AS h2
+          FROM b CROSS JOIN mid GROUP BY 1)
+    SELECT CAST(sum(h1) AS BIGINT) AS n_h1,
+           CAST(sum(h2) AS BIGINT) AS n_h2,
+           CAST(sum(h1 * h2) AS BIGINT) AS n_retained,
+           CAST(sum(h1 * (1 - h2)) AS BIGINT) AS n_churned,
+           CAST(sum((1 - h1) * h2) AS BIGINT) AS n_acquired,
+           round(sum(h1 * (1 - h2)) * 1.0 / nullif(sum(h1), 0), 6)
+               AS churn_rate,
+           round(sum(h1 * h2) * 1.0 / nullif(sum(h1), 0), 6)
+               AS retention_rate
+    FROM u
+    """)
+def event_user_churn(spark, sf):
+    """Period-over-period user churn: split the observed range at its
+    midpoint, classify every user as retained (active both halves),
+    churned (first half only), or acquired (second only) — the
+    domain-churn DQ check generalized to the user dimension, and the
+    one-number companion to the day-grain event_new_vs_returning
+    curve.  One user-grain conditional-max agg (two flags, no joins,
+    no distinct), one 1-row min/max broadcast; everything integer
+    until the two emit-time rate divisions."""
+    b = T(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d"))
+    g = b.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    mid = g.select(
+        F.expr("date_add(mn, cast(datediff(mx, mn) div 2 as int))")
+        .alias("m"))
+    u = (b.crossJoin(F.broadcast(mid))
+         .groupBy("user_id")
+         .agg(F.max((F.col("d") <= F.col("m")).cast("int")).alias("h1"),
+              F.max((F.col("d") > F.col("m")).cast("int")).alias("h2")))
+    h1, h2 = F.col("h1"), F.col("h2")
+    return u.agg(
+        F.sum(h1).cast(BIG).alias("n_h1"),
+        F.sum(h2).cast(BIG).alias("n_h2"),
+        F.sum(h1 * h2).cast(BIG).alias("n_retained"),
+        F.sum(h1 * (1 - h2)).cast(BIG).alias("n_churned"),
+        F.sum((1 - h1) * h2).cast(BIG).alias("n_acquired"),
+        F.round(F.sum(h1 * (1 - h2)) * 1.0
+                / F.nullif(F.sum(h1), F.lit(0)), 6).alias("churn_rate"),
+        F.round(F.sum(h1 * h2) * 1.0
+                / F.nullif(F.sum(h1), F.lit(0)), 6)
+        .alias("retention_rate"))
+
+
+@query(
+    "event_active_streaks",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                 FROM events),
+    r AS (SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY d) AS INTEGER)
+                     AS anchor
+          FROM act),
+    s AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY 1, 2),
+    per AS (SELECT user_id, max(len) AS longest,
+                   CAST(sum(len) AS BIGINT) AS n_days,
+                   count(*) AS n_streaks
+            FROM s GROUP BY 1)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(longest AS BIGINT) AS longest_streak,
+           n_days AS n_active_days,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+    FROM per ORDER BY longest DESC, user_id LIMIT 20
+    """)
+def event_active_streaks(spark, sf):
+    """Longest run of CONSECUTIVE active days per user
+    (gaps-and-islands: day minus per-user row_number is constant
+    within a run), top-20 streakiest users — the habit-strength
+    readout behind retention curves.  All windows are per-user
+    (partitioned, never global); the only global step is the final
+    top-k sort over the already-collapsed user grain, with user_id
+    breaking ties so LIMIT is deterministic.  Integer end to end."""
+    act = (T(spark, sf, "events")
+           .select("user_id", F.to_date("ts").alias("d")).distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = act.select(
+        "user_id", "d",
+        F.date_sub("d", F.row_number().over(w).cast("int"))
+        .alias("anchor"))
+    s = r.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    per = s.groupBy("user_id").agg(
+        F.max("len").alias("longest"),
+        F.sum("len").cast(BIG).alias("n_days"),
+        F.count("*").alias("n_streaks"))
+    return (per.select(
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.col("longest").cast(BIG).alias("longest_streak"),
+        F.col("n_days").alias("n_active_days"),
+        F.col("n_streaks").cast(BIG).alias("n_streaks"))
+        .orderBy(F.col("longest_streak").desc(), "user_id").limit(20))
+
+
+@query(
+    "event_weekly_stickiness",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                 FROM events),
+    dau AS (SELECT d, count(*) AS nd FROM act GROUP BY 1),
+    wk AS (SELECT date_trunc('week', d) AS w,
+                  CAST(sum(nd) AS BIGINT) AS s_dau,
+                  count(*) AS n_days
+           FROM dau GROUP BY 1),
+    wau AS (SELECT date_trunc('week', d) AS w,
+                   count(DISTINCT user_id) AS wau
+            FROM act GROUP BY 1)
+    SELECT strftime(CAST(w AS DATE), '%Y-%m-%d') AS week_start,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(wau AS BIGINT) AS wau,
+           round(s_dau * 1.0 / n_days, 6) AS avg_dau,
+           round(s_dau * 1.0 / (n_days * wau), 6) AS stickiness
+    FROM wk JOIN wau USING (w)
+    """)
+def event_weekly_stickiness(spark, sf):
+    """Weekly DAU/WAU stickiness (average daily actives as a share of
+    weekly actives, ISO weeks): the engagement-frequency ratio that
+    separates daily-habit products (-> 1) from once-a-week ones
+    (-> 1/7).  One distinct (user, day) projection feeds BOTH grains:
+    day-grain DAU counts re-agg to weeks (never a second scan of raw
+    events), the week-grain distinct only runs at (week, user).  All
+    counts integer; the two ratios divide integers once at emit."""
+    act = (T(spark, sf, "events")
+           .select("user_id", F.to_date("ts").alias("d")).distinct())
+    dau = act.groupBy("d").agg(F.count("*").alias("nd"))
+    wk = (dau.groupBy(F.date_trunc("week", "d").cast("date").alias("w"))
+          .agg(F.sum("nd").cast(BIG).alias("s_dau"),
+               F.count("*").alias("n_days")))
+    wau = (act.groupBy(F.date_trunc("week", "d").cast("date").alias("w"))
+           .agg(F.countDistinct("user_id").alias("wau")))
+    return (wk.join(wau, "w")
+            .select(F.date_format("w", "yyyy-MM-dd").alias("week_start"),
+                    F.col("n_days").cast(BIG).alias("n_days"),
+                    F.col("wau").cast(BIG).alias("wau"),
+                    F.round(F.col("s_dau") * 1.0 / F.col("n_days"), 6)
+                    .alias("avg_dau"),
+                    F.round(F.col("s_dau") * 1.0
+                            / (F.col("n_days") * F.col("wau")), 6)
+                    .alias("stickiness")))
+
+
+@query(
+    "feat_rare_category_collapse",
+    oracle="""
+    WITH k AS (SELECT concat(event_type, ':',
+                      coalesce(json_extract_string(props, '$.k'),
+                               '__null__')) AS cat
+               FROM events),
+    c AS (SELECT cat, count(*) AS n FROM k GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+    lab AS (SELECT CASE WHEN n * 10000 < 20 * nt
+                        THEN '__other__' ELSE cat END AS category,
+                   n,
+                   CASE WHEN n * 10000 < 20 * nt THEN 1 ELSE 0 END
+                       AS rare
+            FROM c CROSS JOIN tot)
+    SELECT category,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_source_categories,
+           CAST(max(rare) AS BIGINT) AS is_collapsed
+    FROM lab GROUP BY 1
+    """)
+def feat_rare_category_collapse(spark, sf):
+    """Rare-category collapse for a high-cardinality crossed feature
+    (event_type x props.k): crosses with support below 0.2% of total
+    fold into '__other__' — the vocabulary-control step before
+    one-hot / target encoding that stops a million-way cross from
+    becoming a million-column feature.  The rare test is the INTEGER
+    comparison n * 10000 < 20 * total (no rate division, no float
+    threshold -> engines agree bit-for-bit at any scale).  One
+    category-grain hash-agg, a 1-row total broadcast, one re-agg of
+    the bounded category relation."""
+    k = T(spark, sf, "events").select(
+        F.concat(F.col("event_type"), F.lit(":"),
+                 F.coalesce(F.get_json_object("props", "$.k"),
+                            F.lit("__null__"))).alias("cat"))
+    c = k.groupBy("cat").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast(BIG).alias("nt"))
+    rare = (F.col("n") * 10000) < (20 * F.col("nt"))
+    lab = (c.crossJoin(F.broadcast(tot))
+           .select(F.when(rare, F.lit("__other__"))
+                   .otherwise(F.col("cat")).alias("category"),
+                   "n", rare.cast("int").alias("rare")))
+    return lab.groupBy("category").agg(
+        F.sum("n").cast(BIG).alias("n_rows"),
+        F.count("*").cast(BIG).alias("n_source_categories"),
+        F.max("rare").cast(BIG).alias("is_collapsed"))

@@ -1519,3 +1519,105 @@ def eval_mcnemar(spark, sf):
         F.round((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
                 * 1.0 / F.nullif(F.col("b") + F.col("c"), F.lit(0)), 6)
         .alias("mcnemar_chi2"))
+
+
+@query(
+    "text_sentence_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> len(trim(s)) > 0) AS ss
+               FROM documents),
+    w AS (SELECT doc_id, len(ss) AS ns,
+                 list_transform(ss,
+                     s -> len(string_split_regex(trim(s), '\s+'))) AS wc
+          FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ns AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_sum(wc), 0) AS BIGINT) AS n_words,
+           round(coalesce(list_sum(wc), 0) * 1.0 / nullif(ns, 0), 6)
+               AS mean_sentence_words,
+           CAST(list_max(wc) AS BIGINT) AS max_sentence_words
+    FROM w
+    """)
+def text_sentence_stats(spark, sf):
+    """Sentence-grain shape statistics per document: sentence count
+    (split on [.!?]+ runs, whitespace-only segments dropped), total
+    and mean words per sentence, and the longest sentence — the
+    run-on / fragment detector between the word-grain text_stats and
+    the doc-grain readability score.  Pure array expressions (split /
+    filter / transform / aggregate) — per-row, no shuffle at all, no
+    UDF; whole-stage codegen end to end.  Counts integer; the single
+    mean divides at emit (nullif guards sentence-free docs)."""
+    ss = F.filter(F.split(F.col("text"), r"[.!?]+"),
+                  lambda s: F.length(F.trim(s)) > 0)
+    wc = F.transform(ss, lambda s: F.size(F.split(F.trim(s), r"\s+")))
+    base = T(spark, sf, "documents").select(
+        "doc_id", F.size(ss).alias("ns"), wc.alias("wc"))
+    nw = F.aggregate("wc", F.lit(0), lambda a, x: a + x)
+    return base.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("ns").cast("bigint").alias("n_sentences"),
+        nw.cast("bigint").alias("n_words"),
+        F.round(nw * 1.0 / F.nullif(F.col("ns"), F.lit(0)), 6)
+        .alias("mean_sentence_words"),
+        F.array_max("wc").cast("bigint").alias("max_sentence_words"))
+
+
+@query(
+    "multimodal_format_sniff",
+    oracle="""
+    WITH pl AS (SELECT doc_id,
+                       concat(CASE doc_id % 4
+                                WHEN 0 THEN '89504E47'
+                                WHEN 1 THEN 'FFD8FFE0'
+                                WHEN 2 THEN '52494646'
+                                ELSE '' END,
+                              upper(hex(encode(text)))) AS hx,
+                       octet_length(encode(text))
+                         + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 4 END
+                           AS bl
+                FROM documents),
+    cls AS (SELECT CASE WHEN hx LIKE '89504E47%' THEN 'png'
+                        WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+                        WHEN hx LIKE '52494646%' THEN 'riff'
+                        ELSE 'unknown' END AS format,
+                   bl
+            FROM pl)
+    SELECT format,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(bl) AS BIGINT) AS total_bytes,
+           CAST(min(bl) AS BIGINT) AS min_bytes,
+           CAST(max(bl) AS BIGINT) AS max_bytes
+    FROM cls GROUP BY 1
+    """)
+def multimodal_format_sniff(spark, sf):
+    """Container-format sniffing by MAGIC BYTES over opaque binary
+    payloads — the codec-free router that splits a mixed 100 TB blob
+    column into per-format processing paths (PNG / JPEG / RIFF /
+    unknown) without decoding anything: classify on hex(substring
+    (payload, 1, 4)), never on content.  Test payloads get a
+    deterministic magic header stamped by doc_id % 4 (the synthetic
+    corpus is all text; the header synthesis is hex-domain identical
+    in the oracle, the near-dup precedent).  One map-side projection
+    + a 4-row format-grain agg; payload bytes never leave the
+    executor."""
+    mm = M.attach_payload(T(spark, sf, "documents"), "doc_id", "text")
+    magic = (F.when(F.col("doc_id") % 4 == 0, F.lit("89504E47"))
+             .when(F.col("doc_id") % 4 == 1, F.lit("FFD8FFE0"))
+             .when(F.col("doc_id") % 4 == 2, F.lit("52494646"))
+             .otherwise(F.lit("")))
+    pl = mm.select(
+        F.concat(F.unhex(magic), F.col("payload")).alias("payload"))
+    hx8 = F.upper(F.hex(F.substring("payload", 1, 4)))
+    cls = pl.select(
+        F.when(hx8.startswith("89504E47"), F.lit("png"))
+        .when(hx8.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hx8.startswith("52494646"), F.lit("riff"))
+        .otherwise(F.lit("unknown")).alias("format"),
+        F.octet_length("payload").cast("bigint").alias("bl"))
+    return cls.groupBy("format").agg(
+        F.count("*").cast("bigint").alias("n_payloads"),
+        F.sum("bl").cast("bigint").alias("total_bytes"),
+        F.min("bl").cast("bigint").alias("min_bytes"),
+        F.max("bl").cast("bigint").alias("max_bytes"))

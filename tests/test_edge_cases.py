@@ -280,3 +280,48 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     bad = [n for n in names if a[n] != b[n]]
     assert not bad, bad
+
+
+def test_round8_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the round-8 additions: blocking
+    keys, PMI totals, kappa chance terms, KM risk sets, rank moments,
+    MI marginals, streak islands, collapse thresholds, magic-byte
+    stamps — pure functions of the data."""
+    import math
+
+    import fmx.queries as Q
+
+    names = ["er_fuzzy_match", "text_pmi_bigrams", "text_gopher_filters",
+             "eval_cohen_kappa", "eval_mcnemar", "event_new_vs_returning",
+             "event_transition_entropy", "feat_target_rate_curve",
+             "dq_amount_reconciliation", "ann_eval_hamming_vs_exact",
+             "emb_dim_whiten", "multimodal_payload_entropy",
+             "w9_percent_rank", "eval_spearman_corr",
+             "feat_mutual_information", "event_kaplan_meier",
+             "event_user_churn", "event_active_streaks",
+             "event_weekly_stickiness", "feat_rare_category_collapse",
+             "text_sentence_stats", "multimodal_format_sniff"]
+    ALL = Q.all_queries()
+
+    def snap():
+        out = {}
+        for n in names:
+            df = ALL[n].fn(spark, sf_dir).toPandas()
+            cols = sorted(df.columns)
+            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
+                          else (round(v, 9) if isinstance(v, float) else v)
+                          for v in row)
+                    for row in df[cols].itertuples(index=False)]
+            out[n] = sorted(rows, key=repr)
+        return out
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snap()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    bad = [n for n in names if a[n] != b[n]]
+    assert not bad, bad

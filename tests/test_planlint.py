@@ -124,6 +124,10 @@ _ALLOWED = {
         "retrieval_triplets",          # broadcast query-set cross
         "ann_eval_hamming_vs_exact",   # broadcast query-sketch/set crosses
         "eval_cohen_kappa",            # 1-row chance-term broadcast
+        "feat_mutual_information",     # 1-row total broadcast
+        "event_kaplan_meier",          # 1-row max-day + total broadcasts
+        "event_user_churn",            # 1-row midpoint broadcast
+        "feat_rare_category_collapse",  # 1-row total broadcast
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
         "profile_join_cardinality",
@@ -148,6 +152,7 @@ _ALLOWED = {
         "feat_target_encode_kfold",  # join key includes the md5 fold
         "feat_onehot_topk",          # rank filter on the vocab relation
         "event_interarrival_stats",  # filter on the computed lag gap
+        "event_weekly_stickiness",   # join-key null guard on date_trunc
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
         "rolling_7d_hll_users",
@@ -188,6 +193,8 @@ _ALLOWED = {
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
         "text_pmi_bigrams",          # rank over the top-20 rows only
         "event_new_vs_returning",    # running sum over day-grain rows
+        "eval_spearman_corr",        # ranks over calendar-bounded days
+        "event_kaplan_meier",        # cum-risk over duration-grain rows
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
