@@ -4412,3 +4412,152 @@ def feat_rare_category_collapse(spark, sf):
         F.sum("n").cast(BIG).alias("n_rows"),
         F.count("*").cast(BIG).alias("n_source_categories"),
         F.max("rare").cast(BIG).alias("is_collapsed"))
+
+
+@query(
+    "ts_business_day_lag",
+    oracle="""
+    WITH j AS (SELECT CAST(o.o_orderdate AS DATE) AS s,
+                      CAST(l.l_shipdate AS DATE) AS r
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey),
+    f AS (SELECT date_trunc('month', s) AS mon,
+                 ((date_diff('day', DATE '1990-01-01', r) // 7) * 5
+                  + least(date_diff('day', DATE '1990-01-01', r) % 7 + 1,
+                          5))
+                 - ((date_diff('day', DATE '1990-01-01', s) // 7) * 5
+                    + least(date_diff('day', DATE '1990-01-01', s) % 7
+                            + 1, 5)) AS bd
+          FROM j)
+    SELECT strftime(CAST(mon AS DATE), '%Y-%m-%d') AS order_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(bd) * 1.0 / count(*), 6) AS avg_business_days,
+           CAST(max(bd) AS BIGINT) AS max_business_days
+    FROM f GROUP BY 1
+    """)
+def ts_business_day_lag(spark, sf):
+    """Order-to-ship fulfillment lag in BUSINESS days (weekends
+    excluded) by order month — the SLA readout where calendar-day lag
+    (fulfillment_lag_quantiles) overstates weekend-spanning
+    fulfillment.  Weekday counting is CLOSED-FORM integer arithmetic:
+    f(d) = (days_since_Monday_epoch div 7) * 5 + least(dow + 1, 5)
+    counts weekdays up to d (epoch 1990-01-01 is a Monday, before all
+    TPC-H dates), and the lag is f(ship) - f(order) — no calendar
+    explode, no per-day join, identical integer formula in both
+    engines.  One fact-fact equi-join on the order key, one
+    month-grain agg; the single division happens at emit."""
+    def f_weekdays(c):
+        e = F.datediff(c.cast("date"),
+                       F.lit("1990-01-01").cast("date")).cast(BIG)
+        return (((e - e % 7) / 7).cast(BIG) * 5
+                + F.least(e % 7 + 1, F.lit(5).cast(BIG)))
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date").alias("mon"),
+        (f_weekdays(F.col("l_shipdate"))
+         - f_weekdays(F.col("o_orderdate"))).alias("bd"))
+    return j.groupBy("mon").agg(
+        F.count("*").cast(BIG).alias("n_items"),
+        F.round(F.sum("bd") * 1.0 / F.count("*"), 6)
+        .alias("avg_business_days"),
+        F.max("bd").cast(BIG).alias("max_business_days")
+    ).select(F.date_format("mon", "yyyy-MM-dd").alias("order_month"),
+             "n_items", "avg_business_days", "max_business_days")
+
+
+@query(
+    "eval_kendall_tau_topk",
+    oracle="""
+    WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    g AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+          FROM events),
+    mid AS (SELECT mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER)
+                AS m FROM g),
+    hv AS (SELECT user_id,
+                  sum(CASE WHEN CAST(ts AS DATE) <= m
+                           THEN 1 ELSE 0 END) AS h1,
+                  sum(CASE WHEN CAST(ts AS DATE) > m
+                           THEN 1 ELSE 0 END) AS h2
+           FROM events CROSS JOIN mid GROUP BY 1),
+    top AS (SELECT user_id, h1, h2 FROM hv JOIN u USING (user_id)
+            ORDER BY u.n DESC, user_id LIMIT 20),
+    pr AS (SELECT CASE WHEN a.h1 < b.h1 THEN -1
+                       WHEN a.h1 > b.h1 THEN 1 ELSE 0 END AS cx,
+                  CASE WHEN a.h2 < b.h2 THEN -1
+                       WHEN a.h2 > b.h2 THEN 1 ELSE 0 END AS cy
+           FROM top a JOIN top b ON a.user_id < b.user_id),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nc,
+                 CAST(sum(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nd,
+                 CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tx,
+                 CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ty
+          FROM pr)
+    SELECT n_pairs, nc AS n_concordant, nd AS n_discordant,
+           tx AS n_ties_h1, ty AS n_ties_h2,
+           round((nc - nd)
+                 / nullif(sqrt(1.0 * (n_pairs - tx))
+                          * sqrt(1.0 * (n_pairs - ty)), 0.0), 6)
+               AS tau_b
+    FROM m
+    """)
+def eval_kendall_tau_topk(spark, sf):
+    """Kendall tau-b rank stability of the top-20 heaviest users
+    across period halves: are the heavy hitters of the first half
+    still ranked the same in the second?  The drift readout for
+    mixture weights / per-key caps keyed on historical volume.
+    Tau's O(n^2) pair count is made exact AND cheap by bounding n
+    FIRST: the top-k selection is a TakeOrderedAndProject over the
+    user-grain agg, and only the 20-row relation self-crosses (190
+    pairs, constant at any corpus size).  Concordant / discordant /
+    tie counts are integers; tau_b's one double formula runs on
+    identical integers in both engines."""
+    ev = T(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    g = ev.agg(F.min(F.to_date("ts")).alias("mn"),
+               F.max(F.to_date("ts")).alias("mx"))
+    mid = g.select(
+        F.expr("date_add(mn, cast(datediff(mx, mn) div 2 as int))")
+        .alias("m"))
+    hv = (ev.select("user_id", F.to_date("ts").alias("d"))
+          .crossJoin(F.broadcast(mid))
+          .groupBy("user_id")
+          .agg(F.sum((F.col("d") <= F.col("m")).cast("long")).alias("h1"),
+               F.sum((F.col("d") > F.col("m")).cast("long")).alias("h2")))
+    top = (hv.join(u, "user_id")
+           .orderBy(F.col("n").desc(), "user_id").limit(20)
+           .select("user_id", "h1", "h2"))
+    a = top.select(F.col("user_id").alias("ida"),
+                   F.col("h1").alias("h1a"), F.col("h2").alias("h2a"))
+    b = top.select(F.col("user_id").alias("idb"),
+                   F.col("h1").alias("h1b"), F.col("h2").alias("h2b"))
+    pr = (a.crossJoin(b).filter(F.col("ida") < F.col("idb"))
+          .select(F.signum(F.col("h1a") - F.col("h1b")).cast("int")
+                  .alias("cx"),
+                  F.signum(F.col("h2a") - F.col("h2b")).cast("int")
+                  .alias("cy")))
+    m = pr.agg(
+        F.count("*").cast(BIG).alias("n_pairs"),
+        F.sum((F.col("cx") * F.col("cy") > 0).cast("long")).cast(BIG)
+        .alias("nc"),
+        F.sum((F.col("cx") * F.col("cy") < 0).cast("long")).cast(BIG)
+        .alias("nd"),
+        F.sum((F.col("cx") == 0).cast("long")).cast(BIG).alias("tx"),
+        F.sum((F.col("cy") == 0).cast("long")).cast(BIG).alias("ty"))
+    return m.select(
+        "n_pairs",
+        F.col("nc").alias("n_concordant"),
+        F.col("nd").alias("n_discordant"),
+        F.col("tx").alias("n_ties_h1"),
+        F.col("ty").alias("n_ties_h2"),
+        F.round((F.col("nc") - F.col("nd"))
+                / F.nullif(F.sqrt(1.0 * (F.col("n_pairs") - F.col("tx")))
+                           * F.sqrt(1.0 * (F.col("n_pairs")
+                                           - F.col("ty"))),
+                           F.lit(0.0)), 6).alias("tau_b"))

@@ -646,3 +646,76 @@ def er_fuzzy_match(spark, sf):
     return out.select(F.col("probe_id").cast("bigint").alias("probe_id"),
                       F.col("part_id").cast("bigint").alias("part_id"),
                       "probe_name", "p_name", "dist", "n_cands")
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH {_SHINGLES}, {_SIG},
+    banded AS (SELECT doc_id, j // {NUM_HASHES // BANDS} AS band,
+                      array_to_string(list(CAST(minhash AS VARCHAR)
+                                           ORDER BY j), ',') AS band_key
+               FROM sig GROUP BY doc_id, j // {NUM_HASHES // BANDS}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    est AS (SELECT c.id_a, c.id_b,
+                   CAST(sum(CASE WHEN sa.minhash = sb.minhash
+                            THEN 1 ELSE 0 END) AS BIGINT) AS m
+            FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                        JOIN sig sb ON sb.doc_id = c.id_b
+                                   AND sb.j = sa.j
+            GROUP BY 1, 2),
+    {_JACCARD_PAIRS}
+    SELECT CAST(e.id_a AS BIGINT) AS id_a,
+           CAST(e.id_b AS BIGINT) AS id_b,
+           e.m AS n_matching,
+           e.m / {NUM_HASHES}.0 AS est_jaccard,
+           round(coalesce(j.jaccard, 0.0), 6) AS exact_jaccard,
+           round(abs(e.m / {NUM_HASHES}.0
+                     - round(coalesce(j.jaccard, 0.0), 6)), 6)
+               AS abs_err
+    FROM est e LEFT JOIN jac j ON e.id_a = j.id_a AND e.id_b = j.id_b
+    """)
+def dedup_minhash_estimate_error(spark, sf):
+    """Estimator audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching slots / {NUM_HASHES}) side by side with the EXACT
+    shingle Jaccard and the absolute error — the calibration readout
+    that tells you whether 8 hashes are enough before trusting the
+    banding at corpus scale.  Candidates come from the banding
+    equi-join (never all-pairs); signatures join back per pair on
+    (doc, slot); the exact side reuses the max_df-guarded shingle
+    pair machinery, LEFT-joined so a false-positive candidate with
+    zero shared (kept) shingles reads as exact 0.  est is an exact
+    binary fraction (m/8); the exact Jaccard rounds to 6dp before
+    the error subtraction in both engines."""
+    from pyspark.sql import functions as F
+
+    docs = T(spark, sf, "documents")
+    cand = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                               num_hashes=NUM_HASHES, bands=BANDS,
+                               shingle_n=SHINGLE_N)
+    sig = D.minhash_signatures(docs, "doc_id", "text",
+                               num_hashes=NUM_HASHES,
+                               shingle_n=SHINGLE_N)
+    sa = sig.select(F.col("doc_id").alias("id_a"), "j",
+                    F.col("minhash").alias("ma"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), "j",
+                    F.col("minhash").alias("mb"))
+    est = (cand.join(sa, "id_a").join(sb, ["id_b", "j"])
+           .groupBy("id_a", "id_b")
+           .agg(F.sum((F.col("ma") == F.col("mb")).cast("long"))
+                .cast("bigint").alias("m")))
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                  n=SHINGLE_N, threshold=0.0)
+    j = F.round(F.coalesce(F.col("jaccard"), F.lit(0.0)), 6)
+    return (est.join(exact, ["id_a", "id_b"], "left")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    F.col("m").alias("n_matching"),
+                    (F.col("m") / float(NUM_HASHES)).alias("est_jaccard"),
+                    j.alias("exact_jaccard"),
+                    F.round(F.abs(F.col("m") / float(NUM_HASHES) - j), 6)
+                    .alias("abs_err")))

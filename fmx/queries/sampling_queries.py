@@ -828,3 +828,33 @@ def sample_negative_downsample(spark, sf):
                  F.sum((F.col("weight") == 1.0).cast("long"))
                  .cast("bigint").alias("n_pos"),
                  F.sum("weight").cast("bigint").alias("est_rows")))
+
+
+@query(
+    "sample_dup_aware_weights",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+    grp AS (SELECT ch, CAST(count(*) AS BIGINT) AS n
+            FROM h GROUP BY 1)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           n AS group_size,
+           round(1.0 / n, 6) AS weight
+    FROM h JOIN grp USING (ch)
+    """)
+def sample_dup_aware_weights(spark, sf):
+    """Duplicate-aware training weights: every document in an exact-
+    duplicate group (md5 content hash) gets weight 1/group_size, so a
+    page crawled 40 times contributes ONE document's worth of
+    gradient instead of 40 — the soft alternative to dropping
+    duplicates outright (keeps provenance diversity, kills the
+    memorization multiplier).  One hash-agg to group sizes + one
+    equi-join back on the content hash; unique docs stay at exactly
+    1.0, and the sum of weights equals the number of DISTINCT
+    contents by construction.  Integer until the one division."""
+    h = T(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("ch"))
+    grp = h.groupBy("ch").agg(F.count("*").cast("bigint").alias("n"))
+    return (h.join(grp, "ch")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("n").alias("group_size"),
+                    F.round(1.0 / F.col("n"), 6).alias("weight")))

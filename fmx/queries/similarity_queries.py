@@ -1647,3 +1647,167 @@ def emb_dim_whiten(spark, sf):
                     F.col("nc").cast("bigint").alias("n_clipped"),
                     F.round(F.col("nc") * 1.0 / F.col("n"), 6)
                     .alias("frac_clipped")))
+
+
+# The deterministic mini-Lloyd CTEs, shared by the purity eval below
+# (mirrors the emb_kmeans_assign oracle exactly: seed = 4 smallest ids,
+# one assign-recompute round, means and distances rounded to 6dp
+# before every downstream comparison).
+_KMEANS_CTES = """
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings),
+seeds AS (SELECT vec_id AS sid,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+c0 AS (SELECT s.cell, e.pos, e.x AS c
+       FROM ex e JOIN seeds s ON e.vec_id = s.sid),
+d1 AS (SELECT e.vec_id, c.cell,
+              round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+       FROM ex e JOIN c0 c ON e.pos = c.pos
+       GROUP BY e.vec_id, c.cell),
+a1 AS (SELECT vec_id, cell FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) = 1),
+c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS c
+       FROM ex e JOIN a1 a ON e.vec_id = a.vec_id
+       GROUP BY a.cell, e.pos),
+d2 AS (SELECT e.vec_id, c.cell,
+              round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+       FROM ex e JOIN c1 c ON e.pos = c.pos
+       GROUP BY e.vec_id, c.cell),
+a2 AS (SELECT vec_id, cell, dist FROM d2
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) = 1)
+"""
+
+
+@query(
+    "emb_cluster_purity",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    lab AS (SELECT a.cell, e.label
+            FROM a2 a JOIN embeddings e USING (vec_id)),
+    cl AS (SELECT cell, label, count(*) AS n FROM lab GROUP BY 1, 2),
+    tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_members
+            FROM cl GROUP BY 1),
+    maj AS (SELECT cell, label AS majority_label, n AS n_majority
+            FROM cl QUALIFY row_number() OVER (PARTITION BY cell
+                            ORDER BY n DESC, label) = 1)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           n_members,
+           CAST(majority_label AS BIGINT) AS majority_label,
+           CAST(n_majority AS BIGINT) AS n_majority,
+           round(n_majority * 1.0 / n_members, 6) AS purity
+    FROM maj JOIN tot USING (cell)
+    """)
+def emb_cluster_purity(spark, sf):
+    """Label purity of the deterministic k-means cells: per cell, the
+    share of members carrying the majority label — the external-
+    validation readout for semantic bucketing (do the geometric cells
+    line up with ground truth?) and the collapse alarm (every cell
+    majority-same-label = embeddings never separated the classes).
+    Reuses kmeans_assign (fmx.operators.similarity) verbatim, so the
+    oracle replays the identical rounded-means rounds; after
+    assignment everything is (cell, label)-grain — bounded by
+    k x #labels — with a per-cell majority window (label id breaks
+    count ties) and one integer division at emit."""
+    from fmx.operators.similarity import kmeans_assign
+    from pyspark.sql import Window
+
+    emb = T(spark, sf, "embeddings")
+    assign = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1)
+    lab = assign.select("vec_id", "cell").join(
+        emb.select("vec_id", "label"), "vec_id")
+    cl = lab.groupBy("cell", "label").agg(F.count("*").alias("n"))
+    tot = cl.groupBy("cell").agg(F.sum("n").cast("bigint")
+                                 .alias("n_members"))
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), "label")
+    maj = (cl.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("cell", F.col("label").alias("majority_label"),
+                   F.col("n").alias("n_majority")))
+    return (maj.join(tot, "cell")
+            .select(F.col("cell").cast("bigint").alias("cell"),
+                    "n_members",
+                    F.col("majority_label").cast("bigint")
+                    .alias("majority_label"),
+                    F.col("n_majority").cast("bigint").alias("n_majority"),
+                    F.round(F.col("n_majority") * 1.0
+                            / F.col("n_members"), 6).alias("purity")))
+
+
+N_HIST_SAMPLE = 48     # vec_id < 48: the fixed diagnostic sample
+N_HIST_BINS = 16       # over cosine range [-1, 1]; width 0.125 (exact)
+
+
+@query(
+    "emb_pairwise_cosine_histogram",
+    oracle=f"""
+    WITH {_EX},
+    dots AS (SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_HIST_SAMPLE}
+               AND c.vec_id < {N_HIST_SAMPLE}
+               AND q.vec_id < c.vec_id
+             GROUP BY 1, 2),
+    cosv AS (SELECT round(dot / nullif(na.nrm * nb.nrm, 0.0), 6) AS cos
+             FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                         JOIN norms nb ON d.id_b = nb.vec_id),
+    bins AS (SELECT least({N_HIST_BINS - 1},
+                          CAST(floor((cos + 1.0) * 8.0) AS BIGINT))
+                 AS bin
+             FROM cosv WHERE cos IS NOT NULL)
+    SELECT bin,
+           round(bin / 8.0 - 1.0, 6) AS bin_lo,
+           round((bin + 1) / 8.0 - 1.0, 6) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM bins GROUP BY 1
+    """)
+def emb_pairwise_cosine_histogram(spark, sf):
+    """Histogram of pairwise cosine similarity over a FIXED diagnostic
+    sample (the 48 smallest-id vectors, 1128 pairs) — the embedding-
+    collapse / anisotropy alarm: healthy corpora spread across bins,
+    collapsed encoders pile every pair near cos = 1.  The sample is
+    bounded by CONSTRUCTION (id cutoff, not a rate), so pair volume is
+    fixed at any corpus size — the scale path is choosing a bigger
+    constant, never an all-pairs join.  Cosines round to 6dp before
+    binning (summation-order discipline); bin edges are k/8 offsets —
+    exact binary fractions, so floor() sees identical doubles in both
+    engines.  Zero-norm guard drops NULL cosines explicitly in both
+    plans."""
+    emb = T(spark, sf, "embeddings").filter(
+        F.col("vec_id") < N_HIST_SAMPLE)
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x")) \
+            .withColumn("x", F.col("x").cast("double"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    q = ex.select(F.col("vec_id").alias("id_a"), "pos",
+                  F.col("x").alias("xa"))
+    c = ex.select(F.col("vec_id").alias("id_b"), "pos",
+                  F.col("x").alias("xb"))
+    dots = (q.join(c, "pos")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot")))
+    cosv = (dots
+            .join(norms.select(F.col("vec_id").alias("id_a"),
+                               F.col("nrm").alias("na")), "id_a")
+            .join(norms.select(F.col("vec_id").alias("id_b"),
+                               F.col("nrm").alias("nb")), "id_b")
+            .select(F.round(F.col("dot")
+                            / F.nullif(F.col("na") * F.col("nb"),
+                                       F.lit(0.0)), 6).alias("cos"))
+            .filter(F.col("cos").isNotNull()))
+    bins = cosv.select(
+        F.least(F.lit(N_HIST_BINS - 1),
+                F.floor((F.col("cos") + 1.0) * 8.0).cast("bigint"))
+        .alias("bin"))
+    return (bins.groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"))
+            .select("bin",
+                    F.round(F.col("bin") / 8.0 - 1.0, 6).alias("bin_lo"),
+                    F.round((F.col("bin") + 1) / 8.0 - 1.0, 6)
+                    .alias("bin_hi"),
+                    "n_pairs"))

@@ -300,7 +300,10 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
              "feat_mutual_information", "event_kaplan_meier",
              "event_user_churn", "event_active_streaks",
              "event_weekly_stickiness", "feat_rare_category_collapse",
-             "text_sentence_stats", "multimodal_format_sniff"]
+             "text_sentence_stats", "multimodal_format_sniff",
+             "emb_cluster_purity", "emb_pairwise_cosine_histogram",
+             "dedup_minhash_estimate_error", "ts_business_day_lag",
+             "eval_kendall_tau_topk", "sample_dup_aware_weights"]
     ALL = Q.all_queries()
 
     def snap():

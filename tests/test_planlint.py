@@ -128,6 +128,7 @@ _ALLOWED = {
         "event_kaplan_meier",          # 1-row max-day + total broadcasts
         "event_user_churn",            # 1-row midpoint broadcast
         "feat_rare_category_collapse",  # 1-row total broadcast
+        "eval_kendall_tau_topk",        # 20-row top-k self-cross
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
         "profile_join_cardinality",
@@ -153,6 +154,7 @@ _ALLOWED = {
         "feat_onehot_topk",          # rank filter on the vocab relation
         "event_interarrival_stats",  # filter on the computed lag gap
         "event_weekly_stickiness",   # join-key null guard on date_trunc
+        "sample_dup_aware_weights",  # join-key null guard on md5(text)
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
         "rolling_7d_hll_users",
@@ -188,6 +190,7 @@ _ALLOWED = {
         "feat_onehot_topk",         # rank over the bounded vocab relation
         "emb_outlier_distance",     # rank over the top-20 rows only
         "emb_kmeans_assign",        # rank over the k=4 seed rows only
+        "emb_cluster_purity",       # same k=4 seed window (reuses it)
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
