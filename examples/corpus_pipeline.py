@@ -72,8 +72,12 @@ def main() -> None:
     ent = X.char_entropy(docs, "doc_id", "text").select(
         "doc_id", "char_entropy")
     lang = X.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    # min/max_words widened to the synthetic corpus's 10-99-word range:
+    # the defaults (20/90) would silently drop both tails of LEGITIMATE
+    # docs here — the gate should catch junk, not the long tail
     rules = X.gopher_filters(docs, "doc_id", "text",
-                             min_words=10).select("doc_id", "passed")
+                             min_words=10,
+                             max_words=200).select("doc_id", "passed")
     annotated = (docs.join(quality, "doc_id").join(ent, "doc_id")
                  .join(lang, "doc_id").join(rules, "doc_id"))
     kept = annotated.filter(

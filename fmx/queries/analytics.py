@@ -3973,10 +3973,10 @@ def dq_amount_reconciliation(spark, sf):
                  CAST(sum(rn * rc) AS BIGINT) AS sxy,
                  CAST(sum(n) AS HUGEINT) AS tn,
                  CAST(sum(cents) AS HUGEINT) AS tc,
-                 CAST(sum(n * n) AS HUGEINT) AS tnn,
+                 CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS tnn,
                  CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
                      AS tcc,
-                 CAST(sum(n * cents) AS HUGEINT) AS tnc
+                 CAST(sum(CAST(n AS HUGEINT) * cents) AS HUGEINT) AS tnc
           FROM r)
     SELECT k AS n_days,
            round((k * sxy - sx * sy)
@@ -3998,9 +3998,10 @@ def eval_spearman_corr(spark, sf):
     ranks are kept integer by DOUBLING them (2*rank + ties - 1; the
     affine map cancels in correlation), and both coefficients are
     computed from exact integer moment sums (rank moments fit BIGINT
-    forever; cents-squared moments go DECIMAL(38,0) / HUGEINT so a
-    1000x revenue scale-up cannot overflow) with ONE double formula at
-    emit
+    forever; every raw-series product moment — n*n, n*cents,
+    cents*cents — multiplies and sums in DECIMAL(38,0) / HUGEINT so a
+    1000x traffic or revenue scale-up cannot overflow) with ONE double
+    formula at emit
     (identical IEEE ops on identical integers -> identical doubles;
     native corr() is avoided both because summation order varies and
     because ANSI throws on zero variance — nullif guards it here).
@@ -4028,10 +4029,11 @@ def eval_spearman_corr(spark, sf):
         F.sum(F.col("rn") * F.col("rc")).cast(BIG).alias("sxy"),
         F.sum("n").cast(DEC).alias("tn"),
         F.sum("cents").cast(DEC).alias("tc"),
-        F.sum(F.col("n") * F.col("n")).cast(DEC).alias("tnn"),
+        F.sum(F.col("n").cast(DEC) * F.col("n")).cast(DEC).alias("tnn"),
         F.sum(F.col("cents").cast(DEC) * F.col("cents")).cast(DEC)
         .alias("tcc"),
-        F.sum(F.col("n") * F.col("cents")).cast(DEC).alias("tnc"))
+        F.sum(F.col("n").cast(DEC) * F.col("cents")).cast(DEC)
+        .alias("tnc"))
     k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
     kd = k.cast(DEC)
     return m.select(
@@ -4369,7 +4371,7 @@ def event_weekly_stickiness(spark, sf):
 @query(
     "feat_rare_category_collapse",
     oracle="""
-    WITH k AS (SELECT concat(event_type, ':',
+    WITH k AS (SELECT concat(coalesce(event_type, '__null__'), ':',
                       coalesce(json_extract_string(props, '$.k'),
                                '__null__')) AS cat
                FROM events),
@@ -4398,7 +4400,7 @@ def feat_rare_category_collapse(spark, sf):
     category-grain hash-agg, a 1-row total broadcast, one re-agg of
     the bounded category relation."""
     k = T(spark, sf, "events").select(
-        F.concat(F.col("event_type"), F.lit(":"),
+        F.concat(F.coalesce("event_type", F.lit("__null__")), F.lit(":"),
                  F.coalesce(F.get_json_object("props", "$.k"),
                             F.lit("__null__"))).alias("cat"))
     c = k.groupBy("cat").agg(F.count("*").alias("n"))
@@ -4471,9 +4473,9 @@ def ts_business_day_lag(spark, sf):
 @query(
     "eval_kendall_tau_topk",
     oracle="""
-    WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-    g AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
-          FROM events),
+    WITH g AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                      max(CAST(ts AS DATE)) AS mx
+               FROM events),
     mid AS (SELECT mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER)
                 AS m FROM g),
     hv AS (SELECT user_id,
@@ -4482,8 +4484,8 @@ def ts_business_day_lag(spark, sf):
                   sum(CASE WHEN CAST(ts AS DATE) > m
                            THEN 1 ELSE 0 END) AS h2
            FROM events CROSS JOIN mid GROUP BY 1),
-    top AS (SELECT user_id, h1, h2 FROM hv JOIN u USING (user_id)
-            ORDER BY u.n DESC, user_id LIMIT 20),
+    top AS (SELECT user_id, h1, h2 FROM hv
+            ORDER BY h1 + h2 DESC, user_id LIMIT 20),
     pr AS (SELECT CASE WHEN a.h1 < b.h1 THEN -1
                        WHEN a.h1 > b.h1 THEN 1 ELSE 0 END AS cx,
                   CASE WHEN a.h2 < b.h2 THEN -1
@@ -4519,7 +4521,6 @@ def eval_kendall_tau_topk(spark, sf):
     tie counts are integers; tau_b's one double formula runs on
     identical integers in both engines."""
     ev = T(spark, sf, "events")
-    u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     g = ev.agg(F.min(F.to_date("ts")).alias("mn"),
                F.max(F.to_date("ts")).alias("mx"))
     mid = g.select(
@@ -4530,8 +4531,10 @@ def eval_kendall_tau_topk(spark, sf):
           .groupBy("user_id")
           .agg(F.sum((F.col("d") <= F.col("m")).cast("long")).alias("h1"),
                F.sum((F.col("d") > F.col("m")).cast("long")).alias("h2")))
-    top = (hv.join(u, "user_id")
-           .orderBy(F.col("n").desc(), "user_id").limit(20)
+    # total volume == h1 + h2 (every event's day falls in exactly one
+    # half), so the top-k sort key needs no second scan of events
+    top = (hv.orderBy((F.col("h1") + F.col("h2")).desc(), "user_id")
+           .limit(20)
            .select("user_id", "h1", "h2"))
     a = top.select(F.col("user_id").alias("ida"),
                    F.col("h1").alias("h1a"), F.col("h2").alias("h2a"))

@@ -1215,35 +1215,46 @@ def emb_outlier_distance(spark, sf):
                       "dist", "rank")
 
 
+# The deterministic mini-Lloyd CTEs (seed = 4 smallest ids, one
+# assign-recompute round, means and distances rounded to 6dp before
+# every downstream comparison) — the SINGLE source shared by the
+# assignment oracle (emb_kmeans_assign) and the purity eval
+# (emb_cluster_purity), so the replayed arithmetic cannot drift
+# between them.
+_KMEANS_CTES = """
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings),
+seeds AS (SELECT vec_id AS sid,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+c0 AS (SELECT s.cell, e.pos, e.x AS c
+       FROM ex e JOIN seeds s ON e.vec_id = s.sid),
+d1 AS (SELECT e.vec_id, c.cell,
+              round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+       FROM ex e JOIN c0 c ON e.pos = c.pos
+       GROUP BY e.vec_id, c.cell),
+a1 AS (SELECT vec_id, cell FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) = 1),
+c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS c
+       FROM ex e JOIN a1 a ON e.vec_id = a.vec_id
+       GROUP BY a.cell, e.pos),
+d2 AS (SELECT e.vec_id, c.cell,
+              round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+       FROM ex e JOIN c1 c ON e.pos = c.pos
+       GROUP BY e.vec_id, c.cell),
+a2 AS (SELECT vec_id, cell, dist FROM d2
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) = 1)
+"""
+
+
 @query(
     "emb_kmeans_assign",
     headline=True,
-    oracle="""
-    WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-                       CAST(unnest(embedding) AS DOUBLE) AS x
-                FROM embeddings),
-    seeds AS (SELECT vec_id AS sid,
-                     row_number() OVER (ORDER BY vec_id) - 1 AS cell
-              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
-    c0 AS (SELECT s.cell, e.pos, e.x AS c
-           FROM ex e JOIN seeds s ON e.vec_id = s.sid),
-    d1 AS (SELECT e.vec_id, c.cell,
-                  round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
-           FROM ex e JOIN c0 c ON e.pos = c.pos
-           GROUP BY e.vec_id, c.cell),
-    a1 AS (SELECT vec_id, cell FROM d1
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, cell) = 1),
-    c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS c
-           FROM ex e JOIN a1 a ON e.vec_id = a.vec_id
-           GROUP BY a.cell, e.pos),
-    d2 AS (SELECT e.vec_id, c.cell,
-                  round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
-           FROM ex e JOIN c1 c ON e.pos = c.pos
-           GROUP BY e.vec_id, c.cell),
-    a2 AS (SELECT vec_id, cell, dist FROM d2
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, cell) = 1)
+    oracle=f"""
+    WITH {_KMEANS_CTES}
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(cell AS BIGINT) AS cell,
            round(dist, 4) AS dist
@@ -1649,39 +1660,6 @@ def emb_dim_whiten(spark, sf):
                     .alias("frac_clipped")))
 
 
-# The deterministic mini-Lloyd CTEs, shared by the purity eval below
-# (mirrors the emb_kmeans_assign oracle exactly: seed = 4 smallest ids,
-# one assign-recompute round, means and distances rounded to 6dp
-# before every downstream comparison).
-_KMEANS_CTES = """
-ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-              CAST(unnest(embedding) AS DOUBLE) AS x
-       FROM embeddings),
-seeds AS (SELECT vec_id AS sid,
-                 row_number() OVER (ORDER BY vec_id) - 1 AS cell
-          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
-c0 AS (SELECT s.cell, e.pos, e.x AS c
-       FROM ex e JOIN seeds s ON e.vec_id = s.sid),
-d1 AS (SELECT e.vec_id, c.cell,
-              round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
-       FROM ex e JOIN c0 c ON e.pos = c.pos
-       GROUP BY e.vec_id, c.cell),
-a1 AS (SELECT vec_id, cell FROM d1
-       QUALIFY row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cell) = 1),
-c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS c
-       FROM ex e JOIN a1 a ON e.vec_id = a.vec_id
-       GROUP BY a.cell, e.pos),
-d2 AS (SELECT e.vec_id, c.cell,
-              round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
-       FROM ex e JOIN c1 c ON e.pos = c.pos
-       GROUP BY e.vec_id, c.cell),
-a2 AS (SELECT vec_id, cell, dist FROM d2
-       QUALIFY row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cell) = 1)
-"""
-
-
 @query(
     "emb_cluster_purity",
     oracle=f"""
@@ -1739,6 +1717,7 @@ def emb_cluster_purity(spark, sf):
 
 N_HIST_SAMPLE = 48     # vec_id < 48: the fixed diagnostic sample
 N_HIST_BINS = 16       # over cosine range [-1, 1]; width 0.125 (exact)
+_HIST_SCALE = N_HIST_BINS // 2   # bins per unit of cosine (span = 2)
 
 
 @query(
@@ -1756,12 +1735,12 @@ N_HIST_BINS = 16       # over cosine range [-1, 1]; width 0.125 (exact)
              FROM dots d JOIN norms na ON d.id_a = na.vec_id
                          JOIN norms nb ON d.id_b = nb.vec_id),
     bins AS (SELECT least({N_HIST_BINS - 1},
-                          CAST(floor((cos + 1.0) * 8.0) AS BIGINT))
-                 AS bin
+                          CAST(floor((cos + 1.0) * {_HIST_SCALE}.0)
+                               AS BIGINT)) AS bin
              FROM cosv WHERE cos IS NOT NULL)
     SELECT bin,
-           round(bin / 8.0 - 1.0, 6) AS bin_lo,
-           round((bin + 1) / 8.0 - 1.0, 6) AS bin_hi,
+           round(bin / {_HIST_SCALE}.0 - 1.0, 6) AS bin_lo,
+           round((bin + 1) / {_HIST_SCALE}.0 - 1.0, 6) AS bin_hi,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM bins GROUP BY 1
     """)
@@ -1802,12 +1781,14 @@ def emb_pairwise_cosine_histogram(spark, sf):
             .filter(F.col("cos").isNotNull()))
     bins = cosv.select(
         F.least(F.lit(N_HIST_BINS - 1),
-                F.floor((F.col("cos") + 1.0) * 8.0).cast("bigint"))
+                F.floor((F.col("cos") + 1.0) * float(_HIST_SCALE))
+                .cast("bigint"))
         .alias("bin"))
     return (bins.groupBy("bin")
             .agg(F.count("*").cast("bigint").alias("n_pairs"))
             .select("bin",
-                    F.round(F.col("bin") / 8.0 - 1.0, 6).alias("bin_lo"),
-                    F.round((F.col("bin") + 1) / 8.0 - 1.0, 6)
-                    .alias("bin_hi"),
+                    F.round(F.col("bin") / float(_HIST_SCALE) - 1.0, 6)
+                    .alias("bin_lo"),
+                    F.round((F.col("bin") + 1) / float(_HIST_SCALE)
+                            - 1.0, 6).alias("bin_hi"),
                     "n_pairs"))

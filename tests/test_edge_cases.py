@@ -101,19 +101,16 @@ def test_randomsplit_batches_disjoint_and_complete(spark):
     assert [set(r.id for r in b.collect()) for b in again] == ids
 
 
-def test_round5_queries_partition_invariant(spark, sf_dir):
-    """Results must be a pure function of the data, not of parallelism:
-    re-running under a different shuffle-partition count must produce
-    identical rows (catches order-dependent aggregates, unseeded
-    randomness, and rank ties broken by partition layout)."""
+def _assert_partition_invariant(spark, sf_dir, names):
+    """Shared net: re-run each named query under two different
+    shuffle-partition counts and require identical (column-name-sorted,
+    row-sorted, 9dp-rounded, NaN-normalized) results — catches
+    order-dependent aggregates, unseeded randomness, and rank ties
+    broken by partition layout."""
     import math
 
     import fmx.queries as Q
 
-    names = ["event_sessionization", "dedup_cross_corpus",
-             "web_domain_cap", "profile_robust_scale",
-             "sample_pack_manifest", "dedup_keep_longest",
-             "text_vocab_kl_by_source", "ann_ivf_cell_histogram"]
     ALL = Q.all_queries()
 
     def snap():
@@ -140,15 +137,23 @@ def test_round5_queries_partition_invariant(spark, sf_dir):
     assert not bad, bad
 
 
+def test_round5_queries_partition_invariant(spark, sf_dir):
+    """Results must be a pure function of the data, not of parallelism:
+    re-running under a different shuffle-partition count must produce
+    identical rows (catches order-dependent aggregates, unseeded
+    randomness, and rank ties broken by partition layout)."""
+    names = ["event_sessionization", "dedup_cross_corpus",
+             "web_domain_cap", "profile_robust_scale",
+             "sample_pack_manifest", "dedup_keep_longest",
+             "text_vocab_kl_by_source", "ann_ivf_cell_histogram"]
+    _assert_partition_invariant(spark, sf_dir, names)
+
+
 def test_round6_queries_partition_invariant(spark, sf_dir):
     """Same pure-function-of-the-data invariant for the round-6
     additions: LPA tie-breaks, Gramian partial-sum layout, power
     iteration, boilerplate reassembly order, BPE/jaccard rank ties,
     sketch register merges — none may depend on parallelism."""
-    import math
-
-    import fmx.queries as Q
-
     names = ["graph_label_propagation", "emb_gram_matrix",
              "emb_top_eigvec", "text_boilerplate_strip",
              "text_bpe_pair_merges", "graph_jaccard_neighbors",
@@ -165,30 +170,7 @@ def test_round6_queries_partition_invariant(spark, sf_dir):
              "emb_label_separation", "sample_neyman_allocation",
              "eval_langid_confusion", "sample_class_balance",
              "eval_pr_auc"]
-    ALL = Q.all_queries()
-
-    def snap():
-        out = {}
-        for n in names:
-            df = ALL[n].fn(spark, sf_dir).toPandas()
-            cols = sorted(df.columns)
-            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
-                          else (round(v, 9) if isinstance(v, float) else v)
-                          for v in row)
-                    for row in df[cols].itertuples(index=False)]
-            out[n] = sorted(rows, key=repr)
-        return out
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = snap()
-        spark.conf.set("spark.sql.shuffle.partitions", "13")
-        b = snap()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-    bad = [n for n in names if a[n] != b[n]]
-    assert not bad, bad
+    _assert_partition_invariant(spark, sf_dir, names)
 
 
 def test_round7_queries_partition_invariant(spark, sf_dir):
@@ -196,10 +178,6 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
     fold coins, percentile cutpoints, vocab rank ties, degree bins,
     freshness lags, range-search thresholds, CSV round-trip checksums
     — none may depend on parallelism."""
-    import math
-
-    import fmx.queries as Q
-
     names = ["s1_csv_roundtrip", "feat_frequency_encode",
              "feat_target_encode_kfold", "feat_quantile_bins",
              "feat_onehot_topk", "graph_degree_distribution",
@@ -211,40 +189,13 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
              "eval_confusion_at_threshold", "ts_weekday_hour_profile",
              "sample_epoch_shuffle", "graph_assortativity",
              "eval_brier_score", "multimodal_payload_near_dup"]
-    ALL = Q.all_queries()
-
-    def snap():
-        out = {}
-        for n in names:
-            df = ALL[n].fn(spark, sf_dir).toPandas()
-            cols = sorted(df.columns)
-            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
-                          else (round(v, 9) if isinstance(v, float) else v)
-                          for v in row)
-                    for row in df[cols].itertuples(index=False)]
-            out[n] = sorted(rows, key=repr)
-        return out
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = snap()
-        spark.conf.set("spark.sql.shuffle.partitions", "13")
-        b = snap()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-    bad = [n for n in names if a[n] != b[n]]
-    assert not bad, bad
+    _assert_partition_invariant(spark, sf_dir, names)
 
 
 def test_round7_session2_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the second round-7 batch: min-label
     rounds, entropy folds, EWMA lag chains, WoE totals, k-means
     argmins, grouped-AUC bins — pure functions of the data."""
-    import math
-
-    import fmx.queries as Q
-
     names = ["graph_connected_components", "profile_entropy",
              "dq_null_rate_drift", "text_readability", "ts_ewma",
              "feat_woe_encode", "eval_auc_by_group", "emb_kmeans_assign",
@@ -256,30 +207,7 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
              "profile_null_patterns", "feat_decayed_counts",
              "multimodal_chunk_manifest", "retrieval_triplets",
              "ann_hamming_topk", "sample_negative_downsample"]
-    ALL = Q.all_queries()
-
-    def snap():
-        out = {}
-        for n in names:
-            df = ALL[n].fn(spark, sf_dir).toPandas()
-            cols = sorted(df.columns)
-            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
-                          else (round(v, 9) if isinstance(v, float) else v)
-                          for v in row)
-                    for row in df[cols].itertuples(index=False)]
-            out[n] = sorted(rows, key=repr)
-        return out
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = snap()
-        spark.conf.set("spark.sql.shuffle.partitions", "13")
-        b = snap()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-    bad = [n for n in names if a[n] != b[n]]
-    assert not bad, bad
+    _assert_partition_invariant(spark, sf_dir, names)
 
 
 def test_round8_queries_partition_invariant(spark, sf_dir):
@@ -287,10 +215,6 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
     keys, PMI totals, kappa chance terms, KM risk sets, rank moments,
     MI marginals, streak islands, collapse thresholds, magic-byte
     stamps — pure functions of the data."""
-    import math
-
-    import fmx.queries as Q
-
     names = ["er_fuzzy_match", "text_pmi_bigrams", "text_gopher_filters",
              "eval_cohen_kappa", "eval_mcnemar", "event_new_vs_returning",
              "event_transition_entropy", "feat_target_rate_curve",
@@ -304,27 +228,4 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
              "emb_cluster_purity", "emb_pairwise_cosine_histogram",
              "dedup_minhash_estimate_error", "ts_business_day_lag",
              "eval_kendall_tau_topk", "sample_dup_aware_weights"]
-    ALL = Q.all_queries()
-
-    def snap():
-        out = {}
-        for n in names:
-            df = ALL[n].fn(spark, sf_dir).toPandas()
-            cols = sorted(df.columns)
-            rows = [tuple("NaN" if isinstance(v, float) and math.isnan(v)
-                          else (round(v, 9) if isinstance(v, float) else v)
-                          for v in row)
-                    for row in df[cols].itertuples(index=False)]
-            out[n] = sorted(rows, key=repr)
-        return out
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        a = snap()
-        spark.conf.set("spark.sql.shuffle.partitions", "13")
-        b = snap()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-    bad = [n for n in names if a[n] != b[n]]
-    assert not bad, bad
+    _assert_partition_invariant(spark, sf_dir, names)
