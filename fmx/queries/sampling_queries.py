@@ -858,3 +858,65 @@ def sample_dup_aware_weights(spark, sf):
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     F.col("n").alias("group_size"),
                     F.round(1.0 / F.col("n"), 6).alias("weight")))
+
+
+PPS_DRAWS = 20
+
+
+@query(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH c AS (SELECT concat(coalesce(event_type, '__null__'), ':',
+                      coalesce(json_extract_string(props, '$.k'),
+                               '__null__')) AS cat,
+                      count(*) AS n
+               FROM events GROUP BY 1),
+    cum AS (SELECT cat, CAST(n AS BIGINT) AS n,
+                   CAST(sum(n) OVER (ORDER BY cat
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM c),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+    sel AS (SELECT cat, n, cum,
+                   (cum * {PPS_DRAWS}) // nt
+                   - ((cum - n) * {PPS_DRAWS}) // nt AS n_draws
+            FROM cum CROSS JOIN tot)
+    SELECT cat AS category, n AS n_rows,
+           cum AS cum_rows,
+           CAST(n_draws AS BIGINT) AS n_draws
+    FROM sel WHERE n_draws >= 1
+    """)
+def sample_pps_systematic(spark, sf):
+    """Systematic probability-proportional-to-size sampling of
+    categories (PPS_DRAWS=20 over the event_type x props.k cross):
+    walk the cumulative-size axis and take a draw every total/20
+    rows, so a category's selection count is floor(cum*m/N) -
+    floor(prev_cum*m/N) — inclusion probability exactly proportional
+    to size, zero randomness, and categories larger than one stride
+    legitimately draw multiple times (the classic PPS-with-certainty
+    case, reported in n_draws).  The survey-sampling design primitive
+    next to Neyman allocation (variance-based) and temperature
+    mixture (power-law flattening).  INTEGER end to end: cum*m fits
+    BIGINT at any corpus below 9e18/m rows, and both engines agree
+    bit-for-bit.  One category-grain agg, a cumulative window over the
+    bounded category relation, a 1-row total broadcast."""
+    ev = T(spark, sf, "events").select(
+        F.concat(F.coalesce("event_type", F.lit("__null__")), F.lit(":"),
+                 F.coalesce(F.get_json_object("props", "$.k"),
+                            F.lit("__null__"))).alias("cat"))
+    c = ev.groupBy("cat").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+    w = Window.orderBy("cat").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = c.select("cat", F.col("n").cast("bigint").alias("n"),
+                   F.sum("n").over(w).cast("bigint").alias("cum"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("nt"))
+    sel = (cum.crossJoin(F.broadcast(tot))
+           .select("cat", "n", "cum",
+                   (F.expr(f"(cum * {PPS_DRAWS}) div nt")
+                    - F.expr(f"((cum - n) * {PPS_DRAWS}) div nt"))
+                   .cast("bigint").alias("n_draws")))
+    return (sel.filter(F.col("n_draws") >= 1)
+            .select(F.col("cat").alias("category"),
+                    F.col("n").alias("n_rows"),
+                    F.col("cum").alias("cum_rows"),
+                    "n_draws"))

@@ -1621,3 +1621,86 @@ def multimodal_format_sniff(spark, sf):
         F.sum("bl").cast("bigint").alias("total_bytes"),
         F.min("bl").cast("bigint").alias("min_bytes"),
         F.max("bl").cast("bigint").alias("max_bytes"))
+
+
+RAKE_MAX_LEN = 4     # longest candidate phrase (tokens)
+RAKE_TOP_K = 20
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    toks AS (SELECT doc_id, i AS pos, t[i] AS tok
+             FROM base, LATERAL (SELECT unnest(generate_series(1, len(t)))
+                                 AS i) g),
+    ns AS (SELECT doc_id, pos, tok FROM toks
+           WHERE NOT list_contains({_EN}, tok) AND tok <> ''),
+    isl AS (SELECT doc_id, pos, tok,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS anchor
+            FROM ns),
+    ph AS (SELECT doc_id, anchor,
+                  string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                  count(*) AS plen
+           FROM isl GROUP BY 1, 2 HAVING count(*) <= {RAKE_MAX_LEN}),
+    iw AS (SELECT doc_id, anchor, phrase, plen,
+                  unnest(string_split(phrase, ' ')) AS w
+           FROM ph),
+    ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(plen) AS BIGINT) AS deg
+           FROM iw GROUP BY 1),
+    sc AS (SELECT doc_id, anchor, phrase,
+                  sum(deg * 1.0 / freq) AS score
+           FROM iw JOIN ws USING (w) GROUP BY 1, 2, 3),
+    agg AS (SELECT phrase,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   round(max(score), 6) AS score
+            FROM sc GROUP BY 1)
+    SELECT phrase, n_occurrences, score
+    FROM agg ORDER BY score DESC, phrase LIMIT {RAKE_TOP_K}
+    """)
+def text_rake_keyphrases(spark, sf):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens (stopwords are the
+    delimiters), scored by sum over member words of degree/frequency —
+    degree rewards words that travel in long phrases, frequency
+    penalizes ubiquitous ones.  Top-20 corpus keyphrases, the
+    unsupervised topic probe next to TF-IDF (document-grain) and PMI
+    (bigram-grain).  Shapes: runs found with the gaps-and-islands
+    trick per document (pos - per-doc row_number; all windows
+    partitioned), phrases capped at 4 tokens, word stats aggregated
+    on the vocabulary-bounded word relation and joined back; deg/freq
+    stay integer, the per-phrase score (<= 4 rational terms) rounds
+    to 6dp before the rank, and the phrase string breaks rank ties so
+    LIMIT is deterministic in both engines."""
+    toks = (T(spark, sf, "documents")
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "tok")))
+    ns = toks.filter(~F.col("tok").isin(X.STOPWORDS["en"])
+                     & (F.col("tok") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = ns.select("doc_id", "pos", "tok",
+                    (F.col("pos") - F.row_number().over(w)).alias("anchor"))
+    ph = (isl.groupBy("doc_id", "anchor")
+          .agg(F.concat_ws(
+                   " ",
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "tok"))),
+                       lambda s: s["tok"])).alias("phrase"),
+               F.count("*").alias("plen"))
+          .filter(F.col("plen") <= RAKE_MAX_LEN))
+    iw = ph.select("doc_id", "anchor", "phrase", "plen",
+                   F.explode(F.split("phrase", " ")).alias("w"))
+    ws = iw.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"),
+                             F.sum("plen").cast("bigint").alias("deg"))
+    sc = (iw.join(ws, "w")
+          .groupBy("doc_id", "anchor", "phrase")
+          .agg(F.sum(F.col("deg") * 1.0 / F.col("freq")).alias("score")))
+    agg = (sc.groupBy("phrase")
+           .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                F.round(F.max("score"), 6).alias("score")))
+    return (agg.select("phrase", "n_occurrences", "score")
+            .orderBy(F.col("score").desc(), "phrase").limit(RAKE_TOP_K))

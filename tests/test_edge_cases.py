@@ -227,5 +227,6 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
              "text_sentence_stats", "multimodal_format_sniff",
              "emb_cluster_purity", "emb_pairwise_cosine_histogram",
              "dedup_minhash_estimate_error", "ts_business_day_lag",
-             "eval_kendall_tau_topk", "sample_dup_aware_weights"]
+             "eval_kendall_tau_topk", "sample_dup_aware_weights",
+             "sample_pps_systematic", "text_rake_keyphrases"]
     _assert_partition_invariant(spark, sf_dir, names)

@@ -129,6 +129,7 @@ _ALLOWED = {
         "event_user_churn",            # 1-row midpoint broadcast
         "feat_rare_category_collapse",  # 1-row total broadcast
         "eval_kendall_tau_topk",        # 20-row top-k self-cross
+        "sample_pps_systematic",        # 1-row total broadcast
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
         "profile_join_cardinality",
@@ -198,6 +199,7 @@ _ALLOWED = {
         "event_new_vs_returning",    # running sum over day-grain rows
         "eval_spearman_corr",        # ranks over calendar-bounded days
         "event_kaplan_meier",        # cum-risk over duration-grain rows
+        "sample_pps_systematic",     # cum-size over the category grain
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
