@@ -78,3 +78,15 @@ def test_monitoring_example_runs(tmp_path):
     assert "monitoring pass complete" in stdout
     assert "changed keys" in stdout and "srm:" in stdout
     assert "freshness:" in stdout
+
+
+def test_engagement_report_example_runs():
+    stdout = _run("engagement_report.py")
+    # every section reports
+    for marker in ("growth:", "stickiness:", "churn:", "survival",
+                   "streaks:", "transitions:"):
+        assert marker in stdout, marker
+    # the KM curve is monotone non-increasing in the printed head
+    import re
+    surv = [float(x) for x in re.findall(r"S\(\d+\)=([0-9.]+)", stdout)]
+    assert all(a >= b for a, b in zip(surv, surv[1:])), surv
