@@ -27,7 +27,8 @@ __all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
            "ivfpq_rerank_topk", "gram_matrix", "power_iteration_top_eig",
            "hard_negatives", "ndcg_eval", "range_search", "pca_project",
-           "centroid_distance_topk", "kmeans_assign", "truncation_fidelity",
+           "centroid_distance_topk", "kmeans_assign",
+           "kmeans_assign_margin", "truncation_fidelity",
            "sign_sketch_topk"]
 
 
@@ -959,6 +960,18 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
     tie-break, so the oracle replays every round exactly.  Seeding
     from ordered ids (not hashes) keeps init portable; at 100TB the
     take-k init is a TakeOrdered, never a full sort."""
+    d = _kmeans_final_distances(df, id_col, vec_col, k, iters)
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
+                            k: int, iters: int) -> DataFrame:
+    """The (id, cell, dist) relation of the FINAL mini-Lloyd round —
+    the single source behind kmeans_assign (argmin) and
+    kmeans_assign_margin (top-2 gap), so the replayed rounds cannot
+    drift between the two readouts."""
     ex = (df.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "x"))
           .withColumn("x", F.col("x").cast("double")))
     seeds = (df.select(id_col).orderBy(id_col).limit(int(k))
@@ -968,23 +981,44 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
     cents = (ex.join(F.broadcast(seeds), ex[id_col] == seeds["_sid"])
              .select("cell", "pos", F.col("x").alias("c")))
 
-    def _assign(cents_df: DataFrame) -> DataFrame:
-        d = (ex.join(F.broadcast(cents_df), "pos")
-             .groupBy(id_col, "cell")
-             .agg(F.round(F.sum((F.col("x") - F.col("c"))
-                                * (F.col("x") - F.col("c"))), 6)
-                  .alias("dist")))
+    def _dists(cents_df: DataFrame) -> DataFrame:
+        return (ex.join(F.broadcast(cents_df), "pos")
+                .groupBy(id_col, "cell")
+                .agg(F.round(F.sum((F.col("x") - F.col("c"))
+                                   * (F.col("x") - F.col("c"))), 6)
+                     .alias("dist")))
+
+    def _argmin(d: DataFrame) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy("dist", "cell")
         return (d.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
 
-    assign = _assign(cents)
+    d = _dists(cents)
     for _ in range(int(iters)):
-        cents = (ex.join(assign.select(id_col, "cell"), id_col)
+        cents = (ex.join(_argmin(d).select(id_col, "cell"), id_col)
                  .groupBy("cell", "pos")
                  .agg(F.round(F.avg("x"), 6).alias("c")))
-        assign = _assign(cents)
-    return assign
+        d = _dists(cents)
+    return d
+
+
+def kmeans_assign_margin(df: DataFrame, id_col: str, vec_col: str,
+                         k: int = 4, iters: int = 1) -> DataFrame:
+    """Assignment-confidence margin for the deterministic mini-Lloyd
+    cells: per id, the winning cell, its distance, and the gap to the
+    SECOND-best centroid — near-zero margin marks boundary vectors
+    whose cell flips under tiny perturbations (route those to exact
+    rerank; trust the bucket for the rest).  Returns (id, cell, d1,
+    d2) from the same final-round distance relation as
+    ``kmeans_assign``; the only window is the k-row per-id rank."""
+    d = _kmeans_final_distances(df, id_col, vec_col, k, iters)
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    rk = d.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 2)
+    return rk.groupBy(id_col).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("_rn") == 1, F.col("dist"))).alias("d1"),
+        F.max(F.when(F.col("_rn") == 2, F.col("dist"))).alias("d2"))
 
 
 def truncation_fidelity(corpus: DataFrame, queries: DataFrame,

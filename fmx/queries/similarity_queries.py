@@ -1792,3 +1792,44 @@ def emb_pairwise_cosine_histogram(spark, sf):
                     F.round((F.col("bin") + 1) / float(_HIST_SCALE)
                             - 1.0, 6).alias("bin_hi"),
                     "n_pairs"))
+
+
+@query(
+    "emb_assignment_margin",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    rk AS (SELECT vec_id, cell, dist,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+           FROM d2),
+    two AS (SELECT vec_id,
+                   max(CASE WHEN rn = 1 THEN cell END) AS cell,
+                   max(CASE WHEN rn = 1 THEN dist END) AS d1,
+                   max(CASE WHEN rn = 2 THEN dist END) AS d2
+            FROM rk WHERE rn <= 2 GROUP BY vec_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cell AS BIGINT) AS cell,
+           round(d1, 4) AS dist_best,
+           round(d2 - d1, 4) AS margin
+    FROM two
+    """)
+def emb_assignment_margin(spark, sf):
+    """Assignment-confidence margin for the deterministic k-means
+    cells: per vector, the gap between the best and second-best
+    centroid distance — near-zero margin marks boundary vectors whose
+    cell flips under tiny perturbations (route those to exact rerank;
+    trust the bucket for the rest).  The confidence companion to
+    emb_kmeans_assign, sharing the SAME rounded-means rounds (the
+    single-source _KMEANS_CTES), so the two oracles cannot drift.
+    The only window is the k-row per-vector rank; distances are
+    rounded to 6dp upstream and the margin subtracts two already-
+    rounded doubles (identical in both engines) before the 4dp emit."""
+    from fmx.operators.similarity import kmeans_assign_margin
+
+    emb = T(spark, sf, "embeddings")
+    two = kmeans_assign_margin(emb, "vec_id", "embedding", k=4, iters=1)
+    return two.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round("d1", 4).alias("dist_best"),
+        F.round(F.col("d2") - F.col("d1"), 4).alias("margin"))

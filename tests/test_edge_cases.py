@@ -228,5 +228,6 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
              "emb_cluster_purity", "emb_pairwise_cosine_histogram",
              "dedup_minhash_estimate_error", "ts_business_day_lag",
              "eval_kendall_tau_topk", "sample_dup_aware_weights",
-             "sample_pps_systematic", "text_rake_keyphrases"]
+             "sample_pps_systematic", "text_rake_keyphrases",
+             "emb_assignment_margin"]
     _assert_partition_invariant(spark, sf_dir, names)

@@ -192,6 +192,7 @@ _ALLOWED = {
         "emb_outlier_distance",     # rank over the top-20 rows only
         "emb_kmeans_assign",        # rank over the k=4 seed rows only
         "emb_cluster_purity",       # same k=4 seed window (reuses it)
+        "emb_assignment_margin",    # same k=4 seed window (reuses it)
         "profile_key_skew", "rfm_segmentation", "sample_curriculum_ntile",
         "sample_interleaved_order", "sample_pareto_frontier",
         "text_bm25_topk", "text_bpe_pair_merges", "text_vocab_topk",
