@@ -2540,3 +2540,69 @@ def test_gopher_filters_rules(spark):
     assert not got[4].rule_stopwords and not got[4].passed
     # every doc keeps a verdict row (gate reports, it doesn't drop)
     assert len(got) == 4
+
+
+def test_kmeans_margin_consistent_with_assign(spark, sf_dir):
+    """The margin readout must agree with the assignment on every id
+    (same final-round distances), margins are non-negative, and d1 is
+    the assignment's distance."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.similarity import (kmeans_assign,
+                                          kmeans_assign_margin)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1)
+    m = kmeans_assign_margin(emb, "vec_id", "embedding", k=4, iters=1)
+    j = (a.select("vec_id", F.col("cell").alias("ca"),
+                  F.col("dist").alias("da"))
+         .join(m, "vec_id"))
+    n = j.count()
+    assert n == emb.count()
+    assert j.filter(F.col("ca") != F.col("cell")).count() == 0
+    assert j.filter(F.col("da") != F.col("d1")).count() == 0
+    assert j.filter(F.col("d2") < F.col("d1")).count() == 0
+
+
+def test_pps_systematic_draw_budget(spark, sf_dir):
+    """Systematic PPS hands out EXACTLY the configured number of draws
+    (the floor-difference telescoping sum), and every selected category
+    has n_draws >= 1."""
+    import fmx.queries as Q
+    from fmx.queries.sampling_queries import PPS_DRAWS
+
+    out = Q.all_queries()["sample_pps_systematic"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert sum(r.n_draws for r in rows) == PPS_DRAWS
+    assert all(r.n_draws >= 1 for r in rows)
+
+
+def test_rake_phrases_exclude_stopwords(spark, sf_dir):
+    """RAKE candidate phrases are stopword-delimited runs: no phrase
+    may contain an English stopword, and scores are positive."""
+    import fmx.queries as Q
+    from fmx.operators.text import STOPWORDS
+
+    rows = Q.all_queries()["text_rake_keyphrases"].fn(
+        spark, sf_dir).collect()
+    assert rows, "no keyphrases extracted"
+    sw = set(STOPWORDS["en"])
+    for r in rows:
+        assert not (set(r.phrase.split(" ")) & sw), r.phrase
+        assert r.score > 0.0
+        assert r.n_occurrences >= 1
+
+
+def test_dup_aware_weights_sum_to_distinct_contents(spark, sf_dir):
+    """sum(weight) == number of distinct contents — the invariant a
+    downstream mixture planner asserts before trusting the weights."""
+    from pyspark.sql import functions as F
+
+    import fmx.queries as Q
+
+    out = Q.all_queries()["sample_dup_aware_weights"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    total_w = out.agg(F.sum("weight")).collect()[0][0]
+    # weights are rounded to 6dp, so allow rounding slack per group
+    assert abs(total_w - n_distinct) < 1e-3 * n_distinct + 0.01
