@@ -4564,3 +4564,83 @@ def eval_kendall_tau_topk(spark, sf):
                            * F.sqrt(1.0 * (F.col("n_pairs")
                                            - F.col("ty"))),
                            F.lit(0.0)), 6).alias("tau_b"))
+
+
+def _stickiness_hll_oracle() -> str:
+    from fmx.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
+    wb = 60 - HLL_B + 1
+
+    def est(s: str, n: str) -> str:
+        return (f"CASE WHEN {HLL_ALPHA * HLL_M * HLL_M}"
+                f" / ({s} + ({HLL_M} - {n})) <= {2.5 * HLL_M}"
+                f" AND {HLL_M} - {n} > 0"
+                f" THEN {float(HLL_M)} * ln({float(HLL_M)}"
+                f" / ({HLL_M} - {n}))"
+                f" ELSE {HLL_ALPHA * HLL_M * HLL_M}"
+                f" / ({s} + ({HLL_M} - {n})) END")
+
+    return f"""
+    WITH hashed AS (SELECT CAST(ts AS DATE) AS d,
+                           CAST(concat('0x', substring(md5(concat('hll:',
+                                CAST(user_id AS VARCHAR))), 1, 15))
+                                AS BIGINT) AS h
+                    FROM events),
+    regs AS (SELECT d, h % {HLL_M} AS j,
+                    max({wb} - length(bin(h >> {HLL_B}))) AS m
+             FROM hashed GROUP BY d, j),
+    dauf AS (SELECT d, CAST(round({est("s", "n")}) AS BIGINT) AS dau
+             FROM (SELECT d, sum(power(2.0, -m)) AS s, count(*) AS n
+                   FROM regs GROUP BY d)),
+    wkregs AS (SELECT date_trunc('week', d) AS w, j, max(m) AS m
+               FROM regs GROUP BY 1, 2),
+    wauf AS (SELECT w, CAST(round({est("s", "n")}) AS BIGINT) AS wau
+             FROM (SELECT w, sum(power(2.0, -m)) AS s, count(*) AS n
+                   FROM wkregs GROUP BY w)),
+    wk AS (SELECT date_trunc('week', d) AS w,
+                  CAST(sum(dau) AS BIGINT) AS s_dau,
+                  count(*) AS n_days
+           FROM dauf GROUP BY 1)
+    SELECT strftime(CAST(wk.w AS DATE), '%Y-%m-%d') AS week_start,
+           CAST(n_days AS BIGINT) AS n_days,
+           wau AS wau_est,
+           round(s_dau * 1.0 / n_days, 6) AS avg_dau_est,
+           round(s_dau * 1.0 / (n_days * wau), 6) AS stickiness_est
+    FROM wk JOIN wauf ON wk.w = wauf.w
+    """
+
+
+@query("stickiness_from_hll_registers", oracle=_stickiness_hll_oracle())
+def stickiness_from_hll_registers(spark, sf):
+    """Weekly DAU/WAU stickiness from MERGEABLE HLL registers — the
+    sketch twin of event_weekly_stickiness and the lambda-architecture
+    shape: ONE day-grain register table (64 small ints per day,
+    persistable, streaming-updatable via the existing HLL register
+    twin) answers BOTH grains — fold per day for DAU, merge
+    register-wise max day->week and fold for WAU — so the raw (user,
+    day) relation is touched exactly once at any corpus size.
+    Post-register work is days x 64 rows forever.  The md5 register
+    arithmetic is engine-portable, so the oracle replays the sketch
+    EXACTLY (the estimate is compared, not an approximation band)."""
+    from fmx.operators.sketches import hll_fold, hll_registers
+
+    ev = (T(spark, sf, "events")
+          .select("user_id", F.to_date("ts").alias("d")))
+    regs = hll_registers(ev, "d", "user_id")
+    dau = hll_fold(regs, "d").withColumnRenamed("approx_distinct", "dau")
+    wk_regs = (regs.groupBy(F.date_trunc("week", "d").cast("date")
+                            .alias("w"), "_j")
+               .agg(F.max("m").alias("m")))
+    wau = (hll_fold(wk_regs, "w")
+           .withColumnRenamed("approx_distinct", "wau"))
+    wk = (dau.groupBy(F.date_trunc("week", "d").cast("date").alias("w"))
+          .agg(F.sum("dau").cast(BIG).alias("s_dau"),
+               F.count("*").alias("n_days")))
+    return (wk.join(wau, "w")
+            .select(F.date_format("w", "yyyy-MM-dd").alias("week_start"),
+                    F.col("n_days").cast(BIG).alias("n_days"),
+                    F.col("wau").alias("wau_est"),
+                    F.round(F.col("s_dau") * 1.0 / F.col("n_days"), 6)
+                    .alias("avg_dau_est"),
+                    F.round(F.col("s_dau") * 1.0
+                            / (F.col("n_days") * F.col("wau")), 6)
+                    .alias("stickiness_est")))

@@ -229,5 +229,5 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
              "dedup_minhash_estimate_error", "ts_business_day_lag",
              "eval_kendall_tau_topk", "sample_dup_aware_weights",
              "sample_pps_systematic", "text_rake_keyphrases",
-             "emb_assignment_margin"]
+             "emb_assignment_margin", "stickiness_from_hll_registers"]
     _assert_partition_invariant(spark, sf_dir, names)

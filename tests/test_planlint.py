@@ -156,6 +156,7 @@ _ALLOWED = {
         "event_interarrival_stats",  # filter on the computed lag gap
         "event_weekly_stickiness",   # join-key null guard on date_trunc
         "sample_dup_aware_weights",  # join-key null guard on md5(text)
+        "stickiness_from_hll_registers",  # join-key guard on date_trunc
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
         "rolling_7d_hll_users",
