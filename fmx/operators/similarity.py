@@ -961,9 +961,17 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
     from ordered ids (not hashes) keeps init portable; at 100TB the
     take-k init is a TakeOrdered, never a full sort."""
     d = _kmeans_final_distances(df, id_col, vec_col, k, iters)
+    return _rank_cells(d, id_col).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _rank_cells(d: DataFrame, id_col: str) -> DataFrame:
+    """Rank the (id, cell, dist) relation per id on (dist, cell) — the
+    ONE assignment tie-break rule, shared by kmeans_assign (keep rank
+    1), the per-round argmin inside _kmeans_final_distances, and
+    kmeans_assign_margin (ranks 1-2).  Change the rule here and every
+    readout moves together."""
     w = Window.partitionBy(id_col).orderBy("dist", "cell")
-    return (d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    return d.withColumn("_rn", F.row_number().over(w))
 
 
 def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
@@ -988,14 +996,11 @@ def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
                                    * (F.col("x") - F.col("c"))), 6)
                      .alias("dist")))
 
-    def _argmin(d: DataFrame) -> DataFrame:
-        w = Window.partitionBy(id_col).orderBy("dist", "cell")
-        return (d.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
-
     d = _dists(cents)
     for _ in range(int(iters)):
-        cents = (ex.join(_argmin(d).select(id_col, "cell"), id_col)
+        assign = (_rank_cells(d, id_col)
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        cents = (ex.join(assign.select(id_col, "cell"), id_col)
                  .groupBy("cell", "pos")
                  .agg(F.round(F.avg("x"), 6).alias("c")))
         d = _dists(cents)
@@ -1012,9 +1017,7 @@ def kmeans_assign_margin(df: DataFrame, id_col: str, vec_col: str,
     d2) from the same final-round distance relation as
     ``kmeans_assign``; the only window is the k-row per-id rank."""
     d = _kmeans_final_distances(df, id_col, vec_col, k, iters)
-    w = Window.partitionBy(id_col).orderBy("dist", "cell")
-    rk = d.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= 2)
+    rk = _rank_cells(d, id_col).filter(F.col("_rn") <= 2)
     return rk.groupBy(id_col).agg(
         F.max(F.when(F.col("_rn") == 1, F.col("cell"))).alias("cell"),
         F.max(F.when(F.col("_rn") == 1, F.col("dist"))).alias("d1"),

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["hist_quantiles", "hist_quantiles_sql",
            "hist_fixed_registers", "hist_fixed_fold", "psi_from_registers",
            "hll_distinct", "hll_registers", "hll_fold", "hll_overlap",
+           "hll_hash_sql", "hll_rank_sql", "hll_est_sql",
            "HLL_B", "HLL_M", "HLL_ALPHA",
            "cms_state", "cms_estimate", "CMS_D", "CMS_W",
            "bloom_bits", "bloom_probe", "BLOOM_M", "BLOOM_K"]
@@ -219,30 +220,50 @@ def bloom_sql(value_col: str, build: str, probe: str, key_cols: str,
     """
 
 
+
+
+def hll_hash_sql(value_col: str, tag: str = "hll") -> str:
+    """The engine-portable 60-bit md5 hash as DuckDB SQL — single
+    source for every HLL oracle (hll_sql here plus the analytics
+    register readouts); change the tag format or hash slice HERE."""
+    return (f"CAST(concat('0x', substring(md5(concat('{tag}:', "
+            f"CAST({value_col} AS VARCHAR))), 1, 15)) AS BIGINT)")
+
+
+def hll_rank_sql(h: str = "h") -> str:
+    """The register max-rank expression as DuckDB SQL (mirrors
+    hll_registers' conv/length trick)."""
+    return f"{_WBITS + 1} - length(bin({h} >> {HLL_B}))"
+
+
+def hll_est_sql(s: str = "s", n: str = "n") -> str:
+    """The register-fold cardinality estimate CASE as DuckDB SQL
+    (small-range linear-counting correction included) — mirrors
+    hll_fold exactly."""
+    return (f"CASE WHEN {HLL_ALPHA * HLL_M * HLL_M}"
+            f" / ({s} + ({HLL_M} - {n})) <= {2.5 * HLL_M}"
+            f" AND {HLL_M} - {n} > 0"
+            f" THEN {float(HLL_M)} * ln({float(HLL_M)}"
+            f" / ({HLL_M} - {n}))"
+            f" ELSE {HLL_ALPHA * HLL_M * HLL_M}"
+            f" / ({s} + ({HLL_M} - {n})) END")
+
+
 def hll_sql(group_col: str, value_col: str, table: str,
             tag: str = "hll") -> str:
-    """The identical HLL as DuckDB SQL (oracle side)."""
+    """The identical HLL as DuckDB SQL (oracle side), assembled from
+    the shared fragment helpers above."""
     return f"""
-    hashed AS (SELECT {group_col},
-                      CAST(concat('0x', substring(md5(concat('{tag}:',
-                          CAST({value_col} AS VARCHAR))), 1, 15)) AS BIGINT)
-                          AS h
+    hashed AS (SELECT {group_col}, {hll_hash_sql(value_col, tag)} AS h
                FROM {table}),
     regs AS (SELECT {group_col}, h % {HLL_M} AS j,
-                    max({_WBITS + 1} - length(bin(h >> {HLL_B}))) AS m
+                    max({hll_rank_sql()}) AS m
              FROM hashed GROUP BY {group_col}, j),
     folded AS (SELECT {group_col}, sum(power(2.0, -m)) AS s,
                       count(*) AS n
                FROM regs GROUP BY {group_col})
     SELECT {group_col},
-           CAST(round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M}
-                                / (s + ({HLL_M} - n)) <= {2.5 * HLL_M}
-                            AND {HLL_M} - n > 0
-                       THEN {float(HLL_M)} * ln({float(HLL_M)}
-                                                / ({HLL_M} - n))
-                       ELSE {HLL_ALPHA * HLL_M * HLL_M}
-                            / (s + ({HLL_M} - n)) END) AS BIGINT)
-               AS approx_distinct
+           CAST(round({hll_est_sql()}) AS BIGINT) AS approx_distinct
     FROM folded
     """
 

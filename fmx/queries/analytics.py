@@ -2138,19 +2138,14 @@ def dq_table_diff_drilldown(spark, sf):
 
 
 def _rolling_hll_oracle() -> str:
-    from fmx.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
-    wb = 60 - HLL_B + 1
-    est = (f"CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / (s + ({HLL_M} - n))"
-           f" <= {2.5 * HLL_M} AND {HLL_M} - n > 0"
-           f" THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n))"
-           f" ELSE {HLL_ALPHA * HLL_M * HLL_M} / (s + ({HLL_M} - n)) END")
+    from fmx.operators.sketches import (HLL_M, hll_est_sql, hll_hash_sql,
+                                        hll_rank_sql)
+    est = hll_est_sql("s", "n")
     return f"""
     WITH rd AS (SELECT d, h % {HLL_M} AS j,
-                       max({wb} - length(bin(h >> {HLL_B}))) AS m
+                       max({hll_rank_sql()}) AS m
                 FROM (SELECT CAST(ts AS DATE) AS d,
-                             CAST(concat('0x', substring(md5(concat('hll:',
-                                  CAST(user_id AS VARCHAR))), 1, 15))
-                                  AS BIGINT) AS h
+                             {hll_hash_sql("user_id")} AS h
                       FROM events)
                 GROUP BY d, j),
     days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
@@ -4567,33 +4562,22 @@ def eval_kendall_tau_topk(spark, sf):
 
 
 def _stickiness_hll_oracle() -> str:
-    from fmx.operators.sketches import HLL_ALPHA, HLL_B, HLL_M
-    wb = 60 - HLL_B + 1
-
-    def est(s: str, n: str) -> str:
-        return (f"CASE WHEN {HLL_ALPHA * HLL_M * HLL_M}"
-                f" / ({s} + ({HLL_M} - {n})) <= {2.5 * HLL_M}"
-                f" AND {HLL_M} - {n} > 0"
-                f" THEN {float(HLL_M)} * ln({float(HLL_M)}"
-                f" / ({HLL_M} - {n}))"
-                f" ELSE {HLL_ALPHA * HLL_M * HLL_M}"
-                f" / ({s} + ({HLL_M} - {n})) END")
-
+    from fmx.operators.sketches import (HLL_M, hll_est_sql, hll_hash_sql,
+                                        hll_rank_sql)
+    est = hll_est_sql("s", "n")
     return f"""
     WITH hashed AS (SELECT CAST(ts AS DATE) AS d,
-                           CAST(concat('0x', substring(md5(concat('hll:',
-                                CAST(user_id AS VARCHAR))), 1, 15))
-                                AS BIGINT) AS h
+                           {hll_hash_sql("user_id")} AS h
                     FROM events),
     regs AS (SELECT d, h % {HLL_M} AS j,
-                    max({wb} - length(bin(h >> {HLL_B}))) AS m
+                    max({hll_rank_sql()}) AS m
              FROM hashed GROUP BY d, j),
-    dauf AS (SELECT d, CAST(round({est("s", "n")}) AS BIGINT) AS dau
+    dauf AS (SELECT d, CAST(round({est}) AS BIGINT) AS dau
              FROM (SELECT d, sum(power(2.0, -m)) AS s, count(*) AS n
                    FROM regs GROUP BY d)),
     wkregs AS (SELECT date_trunc('week', d) AS w, j, max(m) AS m
                FROM regs GROUP BY 1, 2),
-    wauf AS (SELECT w, CAST(round({est("s", "n")}) AS BIGINT) AS wau
+    wauf AS (SELECT w, CAST(round({est}) AS BIGINT) AS wau
              FROM (SELECT w, sum(power(2.0, -m)) AS s, count(*) AS n
                    FROM wkregs GROUP BY w)),
     wk AS (SELECT date_trunc('week', d) AS w,

@@ -1635,12 +1635,14 @@ RAKE_TOP_K = 20
     toks AS (SELECT doc_id, i AS pos, t[i] AS tok
              FROM base, LATERAL (SELECT unnest(generate_series(1, len(t)))
                                  AS i) g),
-    ns AS (SELECT doc_id, pos, tok FROM toks
-           WHERE NOT list_contains({_EN}, tok) AND tok <> ''),
-    isl AS (SELECT doc_id, pos, tok,
-                   pos - row_number() OVER (PARTITION BY doc_id
-                                            ORDER BY pos) AS anchor
-            FROM ns),
+    ne AS (SELECT doc_id, tok,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY pos) AS seq
+           FROM toks WHERE tok <> ''),
+    isl AS (SELECT doc_id, seq AS pos, tok,
+                   seq - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY seq) AS anchor
+            FROM ne WHERE NOT list_contains({_EN}, tok)),
     ph AS (SELECT doc_id, anchor,
                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
                   count(*) AS plen
@@ -1678,11 +1680,17 @@ def text_rake_keyphrases(spark, sf):
     toks = (T(spark, sf, "documents")
             .select("doc_id", F.posexplode(F.split("text", " "))
                     .alias("pos", "tok")))
-    ns = toks.filter(~F.col("tok").isin(X.STOPWORDS["en"])
-                     & (F.col("tok") != ""))
+    # renumber over NON-EMPTY tokens first: a run of spaces produces
+    # empty tokens whose raw positions would otherwise split a phrase
+    # run in two (the 'machine  learning' double-space case)
     w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = ns.select("doc_id", "pos", "tok",
-                    (F.col("pos") - F.row_number().over(w)).alias("anchor"))
+    ne = (toks.filter(F.col("tok") != "")
+          .select("doc_id", "tok", F.row_number().over(w).alias("seq")))
+    ws_ = Window.partitionBy("doc_id").orderBy("seq")
+    isl = (ne.filter(~F.col("tok").isin(X.STOPWORDS["en"]))
+           .select("doc_id", F.col("seq").alias("pos"), "tok",
+                   (F.col("seq") - F.row_number().over(ws_))
+                   .alias("anchor")))
     ph = (isl.groupBy("doc_id", "anchor")
           .agg(F.concat_ws(
                    " ",
