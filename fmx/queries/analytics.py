@@ -4628,3 +4628,124 @@ def stickiness_from_hll_registers(spark, sf):
                     F.round(F.col("s_dau") * 1.0
                             / (F.col("n_days") * F.col("wau")), 6)
                     .alias("stickiness_est")))
+
+
+@query(
+    "event_burstiness",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS HUGEINT) AS s,
+                 CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
+          FROM daily GROUP BY 1)
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS n_events,
+           round(s * 1.0 / k, 6) AS mean_daily,
+           round((k * ss - s * s) * 1.0 / (k * s), 6) AS fano_factor
+    FROM m
+    """)
+def event_burstiness(spark, sf):
+    """Burstiness (Fano factor: variance-to-mean ratio of DAILY counts)
+    per event type — the dispersion readout that separates steady
+    Poisson-like traffic (F ~ 1) from bursty incident-driven types
+    (F >> 1) and throttled/quota'd ones (F < 1); the
+    capacity-planning companion to the trailing-anomaly detector.
+    Fano is computed from exact integer moment sums in one double
+    formula: (k*ss - s^2) / (k*s) — population variance over mean
+    with no intermediate float accumulation; the product moments
+    multiply and sum in DECIMAL(38,0)/HUGEINT (the spearman lesson)
+    so daily counts of 1e8+ cannot overflow.  One (type, day)-grain
+    hash-agg, one type-grain moment fold."""
+    daily = (T(spark, sf, "events")
+             .groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count("*").alias("n")))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast(BIG).alias("k"),
+        F.sum("n").cast(DEC).alias("s"),
+        F.sum(F.col("n").cast(DEC) * F.col("n")).cast(DEC).alias("ss"))
+    k, s, ss = F.col("k"), F.col("s"), F.col("ss")
+    return m.select(
+        "event_type",
+        k.alias("n_days"),
+        s.cast(BIG).alias("n_events"),
+        F.round(s.cast("double") / k, 6).alias("mean_daily"),
+        F.round((k.cast(DEC) * ss - s * s).cast("double")
+                / (k.cast(DEC) * s).cast("double"), 6)
+        .alias("fano_factor"))
+
+
+@query(
+    "dq_schema_drift",
+    oracle="""
+    WITH a AS (SELECT column_name,
+                      CASE column_type
+                        WHEN 'BIGINT' THEN 'bigint'
+                        WHEN 'INTEGER' THEN 'int'
+                        WHEN 'DOUBLE' THEN 'double'
+                        WHEN 'VARCHAR' THEN 'string'
+                        WHEN 'DATE' THEN 'date'
+                        WHEN 'TIMESTAMP' THEN 'timestamp'
+                        ELSE lower(column_type) END AS t
+               FROM (DESCRIBE SELECT * FROM orders)),
+    b AS (SELECT column_name,
+                 CASE column_type
+                   WHEN 'BIGINT' THEN 'bigint'
+                   WHEN 'INTEGER' THEN 'int'
+                   WHEN 'DOUBLE' THEN 'double'
+                   WHEN 'VARCHAR' THEN 'string'
+                   WHEN 'DATE' THEN 'date'
+                   WHEN 'TIMESTAMP' THEN 'timestamp'
+                   ELSE lower(column_type) END AS t
+          FROM (DESCRIBE SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+                       o_orderdate,
+                       CAST(NULL AS VARCHAR) AS o_channel
+                FROM orders))
+    SELECT coalesce(a.column_name, b.column_name) AS column_name,
+           a.t AS type_a,
+           b.t AS type_b,
+           CASE WHEN b.column_name IS NULL THEN 'dropped'
+                WHEN a.column_name IS NULL THEN 'added'
+                WHEN a.t <> b.t THEN 'type_changed'
+                ELSE 'same' END AS status
+    FROM a FULL OUTER JOIN b ON a.column_name = b.column_name
+    """)
+def dq_schema_drift(spark, sf):
+    """Schema-evolution gate between two table snapshots: per column,
+    added / dropped / type_changed / same — the contract check a
+    100 TB lake runs BEFORE any data-level diff, since a silent
+    type widening or dropped column breaks every downstream reader
+    regardless of row values.  The 'next snapshot' here is a
+    deterministic variant of orders (totalprice widened to string,
+    o_orderpriority dropped, o_channel added) so both engines derive
+    the SAME two schemas.  Pure metadata: the comparison runs on the
+    StructType / DESCRIBE output — #columns rows, zero data scanned
+    (column pruning has nothing to prune; no scan exists at all on
+    the Spark side).  Type names normalize to Spark's simpleString
+    vocabulary in the oracle."""
+    a_df = T(spark, sf, "orders")
+    b_df = a_df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        "o_orderdate",
+        F.lit(None).cast("string").alias("o_channel"))
+    a_rows = [(f.name, f.dataType.simpleString()) for f in a_df.schema]
+    b_rows = [(f.name, f.dataType.simpleString()) for f in b_df.schema]
+    a = spark.createDataFrame(a_rows, "column_name string, t string")
+    b = spark.createDataFrame(b_rows, "column_name string, t string")
+    j = (a.withColumnRenamed("t", "type_a")
+         .join(b.withColumnRenamed("t", "type_b")
+               .withColumnRenamed("column_name", "cb"),
+               F.col("column_name") == F.col("cb"), "full_outer"))
+    return j.select(
+        F.coalesce("column_name", "cb").alias("column_name"),
+        "type_a", "type_b",
+        F.when(F.col("cb").isNull(), F.lit("dropped"))
+        .when(F.col("column_name").isNull(), F.lit("added"))
+        .when(F.col("type_a") != F.col("type_b"),
+              F.lit("type_changed"))
+        .otherwise(F.lit("same")).alias("status"))
