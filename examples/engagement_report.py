@@ -8,6 +8,7 @@ growth/data team pulls, composed from engine analytics operators:
   4. reliability: Kaplan-Meier time-to-first-error survival
   5. habit strength: longest consecutive-day activity streaks
   6. predictability: per-state Markov transition entropy
+  7. traffic shape: Fano-factor burstiness per event type
 
 Every stage is a registered, DuckDB-oracled query — the report is
 pure composition, one lazy plan per section.
@@ -25,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import fmx
 from fmx.queries.analytics import (
     event_active_streaks,
+    event_burstiness,
     event_kaplan_meier,
     event_new_vs_returning,
     event_transition_entropy,
@@ -77,6 +79,12 @@ def main() -> None:
         print(f"transitions: from {r['prev_type']:<9} "
               f"H={r['entropy_bits']:.3f} bits "
               f"over {r['n_transitions']} transitions")
+
+    # 7. traffic shape — F ~ 1 Poisson-steady, >> 1 bursty, < 1 throttled
+    for r in event_burstiness(spark, sf_dir).orderBy("event_type").collect():
+        print(f"burstiness: {r['event_type']:<9} "
+              f"fano={r['fano_factor']:.3f} "
+              f"(mean {r['mean_daily']:.1f}/day over {r['n_days']} days)")
 
     spark.stop()
 

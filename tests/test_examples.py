@@ -84,7 +84,7 @@ def test_engagement_report_example_runs():
     stdout = _run("engagement_report.py")
     # every section reports
     for marker in ("growth:", "stickiness:", "churn:", "survival",
-                   "streaks:", "transitions:"):
+                   "streaks:", "transitions:", "burstiness:"):
         assert marker in stdout, marker
     # the KM curve is monotone non-increasing in the printed head
     import re
