@@ -1671,7 +1671,8 @@ def text_rake_keyphrases(spark, sf):
     penalizes ubiquitous ones.  Top-20 corpus keyphrases, the
     unsupervised topic probe next to TF-IDF (document-grain) and PMI
     (bigram-grain).  Shapes: runs found with the gaps-and-islands
-    trick per document (pos - per-doc row_number; all windows
+    trick per document (non-empty-token seq minus per-doc row_number,
+    so whitespace runs never split a phrase; all windows
     partitioned), phrases capped at 4 tokens, word stats aggregated
     on the vocabulary-bounded word relation and joined back; deg/freq
     stay integer, the per-phrase score (<= 4 rational terms) rounds
