@@ -139,7 +139,7 @@ _PRIORITY = [
     # (Window full at 50.  r9 STOCK: TPC-H q4, q12, q13, q14, q17,
     # q18, q19, q22, text_redaction, text_repetition, emb_quantize —
     # the remaining entries whose latest driver row is r02 — plus the
-    # 34 round-8 additions (never driver-checked, all oracled and
+    # 35 round-8 additions (never driver-checked, all oracled and
     # two-SF-green this round): er_fuzzy_match, text_pmi_bigrams,
     # text_gopher_filters, eval_cohen_kappa, eval_mcnemar,
     # event_new_vs_returning, event_transition_entropy,
@@ -155,8 +155,9 @@ _PRIORITY = [
     # sample_dup_aware_weights, sample_pps_systematic,
     # text_rake_keyphrases, emb_assignment_margin,
     # stickiness_from_hll_registers, event_burstiness,
-    # dq_schema_drift = 45 slots; 11 + 34 = 45, so the r9 window has
-    # 5 free slots — fill them with the then-oldest evidence.  Prior rotation history lives
+    # dq_schema_drift, eval_wilcoxon_signed_rank = 46 slots;
+    # 11 + 35 = 46, so the r9 window has 4 free slots — fill them
+    # with the then-oldest evidence.  Prior rotation history lives
     # in git: the r7 window at commit a192c46, r6 at 5207f57^, r5 at
     # ded7618.  Everything rotated out is r4+-green and remains covered
     # by the sf0.001+sf0.01(+sf0.1) oracle harness every round; bench

@@ -4749,3 +4749,76 @@ def dq_schema_drift(spark, sf):
         .when(F.col("type_a") != F.col("type_b"),
               F.lit("type_changed"))
         .otherwise(F.lit("same")).alias("status"))
+
+
+@query(
+    "eval_wilcoxon_signed_rank",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                          sum(CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END) AS a,
+                          sum(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END) AS b
+                   FROM events GROUP BY 1),
+    diffs AS (SELECT a - b AS dd, abs(a - b) AS ad
+              FROM daily WHERE a <> b),
+    r AS (SELECT dd,
+                 2 * rank() OVER (ORDER BY ad)
+                   + count(*) OVER (PARTITION BY ad) - 1 AS r2
+          FROM diffs),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END)
+                      AS BIGINT) AS w2p,
+                 CAST(sum(CASE WHEN dd < 0 THEN r2 ELSE 0 END)
+                      AS BIGINT) AS w2m
+          FROM r)
+    SELECT n AS n_pairs,
+           round(w2p / 2.0, 6) AS w_plus,
+           round(w2m / 2.0, 6) AS w_minus,
+           round((w2p - (n * (n + 1) / 2.0))
+                 / nullif(sqrt(n * (n + 1) * (2 * n + 1) / 6.0), 0.0), 6)
+               AS z_approx
+    FROM m
+    """)
+def eval_wilcoxon_signed_rank(spark, sf):
+    """Wilcoxon signed-rank test on the paired daily series (views vs
+    clicks per day): W+ / W- and the normal approximation z — the
+    nonparametric paired comparison that completes the test family
+    (McNemar for paired binary, KS for distributions, this for paired
+    continuous/count) without assuming normality of the differences.
+    Zero-difference days drop per the classic procedure; |diff| ranks
+    are tie-aware average ranks kept INTEGER by doubling (the
+    eval_spearman_corr trick), so W accumulates exactly and both
+    engines agree bit-for-bit until the single z formula at emit
+    (identical IEEE ops on identical integers; note 2*W+ has mean
+    n(n+1)/2 doubled, so z divides the HALVED statistic).  One
+    day-grain conditional agg, one rank window over calendar-bounded
+    rows, one moment fold."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.sum((F.col("event_type") == "view").cast("long"))
+                  .alias("a"),
+                  F.sum((F.col("event_type") == "click").cast("long"))
+                  .alias("b")))
+    diffs = (daily.filter(F.col("a") != F.col("b"))
+             .select((F.col("a") - F.col("b")).alias("dd"),
+                     F.abs(F.col("a") - F.col("b")).alias("ad")))
+    r = diffs.select(
+        "dd",
+        (2 * F.rank().over(Window.orderBy("ad"))
+         + F.count("*").over(Window.partitionBy("ad")) - 1)
+        .cast(BIG).alias("r2"))
+    m = r.agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum(F.when(F.col("dd") > 0, F.col("r2")).otherwise(F.lit(0)))
+        .cast(BIG).alias("w2p"),
+        F.sum(F.when(F.col("dd") < 0, F.col("r2")).otherwise(F.lit(0)))
+        .cast(BIG).alias("w2m"))
+    n = F.col("n")
+    return m.select(
+        n.alias("n_pairs"),
+        F.round(F.col("w2p") / 2.0, 6).alias("w_plus"),
+        F.round(F.col("w2m") / 2.0, 6).alias("w_minus"),
+        F.round((F.col("w2p") - (n * (n + 1) / 2.0))
+                / F.nullif(F.sqrt(n * (n + 1) * (2 * n + 1) / 6.0),
+                           F.lit(0.0)), 6).alias("z_approx"))

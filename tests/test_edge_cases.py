@@ -230,5 +230,6 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
              "eval_kendall_tau_topk", "sample_dup_aware_weights",
              "sample_pps_systematic", "text_rake_keyphrases",
              "emb_assignment_margin", "stickiness_from_hll_registers",
-             "event_burstiness", "dq_schema_drift"]
+             "event_burstiness", "dq_schema_drift",
+             "eval_wilcoxon_signed_rank"]
     _assert_partition_invariant(spark, sf_dir, names)

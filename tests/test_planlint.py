@@ -200,6 +200,7 @@ _ALLOWED = {
         "text_pmi_bigrams",          # rank over the top-20 rows only
         "event_new_vs_returning",    # running sum over day-grain rows
         "eval_spearman_corr",        # ranks over calendar-bounded days
+        "eval_wilcoxon_signed_rank",  # ranks over calendar-bounded days
         "event_kaplan_meier",        # cum-risk over duration-grain rows
         "sample_pps_systematic",     # cum-size over the category grain
     },
