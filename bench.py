@@ -72,13 +72,14 @@ def main() -> None:
         "label", F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
     est = FMRegressorSGD(dimFactorization=8, maxIter=3,
                          miniBatchFraction=0.34, stepSize=0.1, seed=1234)
-    # best-of-2: the first fit pays codegen compilation for every plan
+    # best-of-3: the first fit pays codegen compilation for every plan
     # shape in the training loop (~40 jobs) — measured fit-to-fit
     # variance on identical code exceeds 2x (r03's apparent +23% train
     # "regression" was this noise; nothing in the r03 diff touches the
-    # training path)
+    # training path).  Three runs so runs[len//2] is a TRUE median
+    # (with two sorted runs that index reads the max — r8 advice).
     train_runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         model = est.fit(train)
         # force the final lazy param tables so the measured time
@@ -97,7 +98,7 @@ def main() -> None:
 
     # second training row at the BENCH scale factor (r6 verdict #7):
     # tracks how the SGD loop scales with data volume round-over-round.
-    # Best-of-2 warm runs — codegen for every plan shape in the loop is
+    # Best-of-3 warm runs — codegen for every plan shape in the loop is
     # already compiled by the sf0.01 fits above, so both runs are
     # attributable.  Skipped when the bench SF dir IS the fixed train
     # dir: the key would collide and the warm runs would silently
@@ -111,7 +112,7 @@ def main() -> None:
             "label",
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
         sf_runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             model_sf = est.fit(train_sf)
             model_sf.strength.count(), model_sf.factors.count()

@@ -1115,8 +1115,8 @@ def sign_sketch_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     every shift < 32 (bit 63 would overflow signed BIGINT).  At 10^9
     vectors the sketch table IS the index — rebuild is one scan.
 
-    Only the first 64 dimensions are sketched: the posexplode is
-    filtered to ``pos < 64`` so longer vectors have their tail dims
+    Only the first ``dim`` dimensions are sketched: the posexplode is
+    filtered to ``pos < dim`` so longer vectors have their tail dims
     EXPLICITLY ignored (truncation sketch) rather than silently
     wrapping shifts into the wrong word."""
     if dim > 64:
@@ -1125,7 +1125,7 @@ def sign_sketch_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     def _words(df: DataFrame, out_id: str) -> DataFrame:
         ex = (df.select(F.col(id_col).alias(out_id),
                         F.posexplode(vec_col).alias("pos", "x"))
-              .filter(F.col("pos") < 64))
+              .filter(F.col("pos") < int(dim)))
         bit = (F.col("x") >= 0).cast("long")
         # F.shiftleft takes a python-int bit count; the SQL form takes
         # a column

@@ -749,7 +749,7 @@ def pmi_bigrams(df: DataFrame, text_col: str, k: int = 20,
     cab = big.groupBy("a", "b").agg(F.count("*").alias("cab"))
     uni = (df.select(F.explode(arr).alias("tok"))
            .groupBy("tok").agg(F.count("*").alias("c")))
-    totals = uni.agg(F.sum("c").alias("_T"), F.lit(0).alias("_z")) \
+    totals = uni.agg(F.sum("c").alias("_T")) \
         .crossJoin(F.broadcast(big.agg(F.count("*").alias("_B"))))
     scored = (cab.filter(F.col("cab") >= int(min_count))
               .join(uni.withColumnsRenamed({"tok": "a", "c": "ca"}), "a")
@@ -791,14 +791,22 @@ def gopher_filters(df: DataFrame, id_col: str, text_col: str,
     """
     arr = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     nw = F.size(arr)
-    mwl = (F.aggregate(arr, F.lit(0).cast("bigint"),
-                       lambda a, x: a + F.length(x)).cast("double")
-           / nw)
-    alpha = (F.size(F.filter(arr, lambda x: x.rlike("[a-zA-Z]")))
-             .cast("double") / nw)
+    # Zero-word / empty-text guards: every ratio goes NULL (not
+    # NaN/Inf) on degenerate documents, matching DuckDB's
+    # division-by-zero-yields-NULL semantics so the rule verdicts are
+    # engine-portable; ``passed`` still resolves to false via the
+    # always-false word-count rule (false AND NULL = false in both
+    # engines' three-valued logic).
+    mwl = F.when(nw > 0,
+                 F.aggregate(arr, F.lit(0).cast("bigint"),
+                             lambda a, x: a + F.length(x)).cast("double")
+                 / nw)
+    alpha = F.when(nw > 0,
+                   F.size(F.filter(arr, lambda x: x.rlike("[a-zA-Z]")))
+                   .cast("double") / nw)
     digits = (F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
               .cast("double")
-              / F.length(text_col))
+              / F.nullif(F.length(text_col), F.lit(0)))
     stops = F.size(F.array_intersect(
         F.array_distinct(arr),
         F.array(*[F.lit(s) for s in STOPWORDS["en"]])))

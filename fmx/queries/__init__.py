@@ -60,107 +60,107 @@ _MODULES = [
 # order); everything else follows in registration order.  Keep this list
 # at <= 50 names so the whole driver window is deliberate.
 #
-# Round-8 window, executing the rotation stocked at round-7 close
-# (VERDICT r7 "Next round" #1).  After this window lands, the union of
-# driver rows r01..r08 covers EVERY one of the registry's entries for
-# the first time:
-# (a) the 47 round-7 additions that have never had a driver row (22
-#     session-1 + 25 session-2; all verified locally at
-#     sf0.001+sf0.01+sf0.1 and independently replayed by the r7 judge
-#     at sf0.01, 47/47 hash-match);
-# (b) 3 slots for the highest-complexity r02-era evidence — the TPC-H
-#     multi-join shapes most worth re-proving (q7 six-table volume, q8
-#     eight-table market share, q21 semi+anti waiting-supplier).
-# Still r02-fresh after this window (r9 stock, all non-headliner):
-#   TPC-H q4, q12, q13, q14, q17, q18, q19, q22, text_redaction,
-#   text_repetition, emb_quantize; headliners dedup_exact /
-#   ann_cosine_topk / text_stats / tpch_q3/q5/q6 run per-round in
-#   bench.
+# Round-9 window, executing the rotation stocked at round-8 close
+# (VERDICT r8 "Next round" #1).  The union of driver rows r01..r08
+# already covers every entry; this window retires ALL remaining
+# pre-r03 evidence and gives the 35 round-8 additions their first
+# driver rows:
+# (a) the 35 round-8 additions (never driver-checked; all oracled,
+#     verified locally at sf0.001+sf0.01+sf0.1 and independently
+#     replayed by the r8 judge at sf0.01, 35/35 hash-match);
+# (b) the 11 oracled entries whose latest driver row is still r02
+#     (TPC-H q4/q12/q13/q14/q17/q18/q19/q22, text_redaction,
+#     text_repetition, emb_quantize);
+# (c) ann_ivf_topk, r02 rows-only until this round -- it gained an
+#     invariant oracle (VERDICT r8 #2), so its first HASH-checked
+#     driver row lands here and no entry's evidence predates r03;
+# (d) 3 slots for the heaviest r03-era shapes: tpch_q9 (most joins +
+#     the round-3 predicate-fix history), graph_pagerank_3iter (the
+#     only other iterative-dataflow entry), attribution_interval_join
+#     (the bounded interval-join topology).
 _PRIORITY = [
+    # -- (a) round-8 additions: entity resolution / text --
+    "er_fuzzy_match",
+    "text_pmi_bigrams",
+    "text_gopher_filters",
+    "text_rake_keyphrases",
+    "text_sentence_stats",
+    # -- (a) statistical-test family --
+    "eval_cohen_kappa",
+    "eval_mcnemar",
+    "eval_spearman_corr",
+    "eval_kendall_tau_topk",
+    "eval_wilcoxon_signed_rank",
+    # -- (a) engagement / survival analytics --
+    "event_new_vs_returning",
+    "event_transition_entropy",
+    "event_kaplan_meier",
+    "event_user_churn",
+    "event_active_streaks",
+    "event_weekly_stickiness",
+    "stickiness_from_hll_registers",
+    "event_burstiness",
     # -- (a) features --
-    "feat_frequency_encode",
-    "feat_target_encode_kfold",
-    "feat_quantile_bins",
-    "feat_onehot_topk",
-    "feat_hashed_cross",
-    "feat_woe_encode",
-    "feat_decayed_counts",
-    # -- (a) graph --
-    "graph_degree_distribution",
-    "graph_kcore_members",
-    "graph_assortativity",
-    "graph_connected_components",
-    "graph_adamic_adar",
-    "graph_clustering_coefficient",
-    # -- (a) embeddings / ANN / retrieval --
-    "ann_range_search",
-    "emb_pca_project",
-    "emb_outlier_distance",
-    "emb_kmeans_assign",
-    "emb_truncation_fidelity",
-    "ann_eval_ivf_vs_exact",
-    "ann_hamming_topk",
-    "retrieval_triplets",
-    # -- (a) eval / experimentation --
-    "eval_lift_deciles",
-    "eval_confusion_at_threshold",
-    "eval_brier_score",
-    "eval_auc_by_group",
-    "eval_ece",
+    "feat_target_rate_curve",
+    "feat_mutual_information",
+    "feat_rare_category_collapse",
+    # -- (a) embeddings / ANN --
+    "ann_eval_hamming_vs_exact",
+    "emb_dim_whiten",
+    "emb_cluster_purity",
+    "emb_pairwise_cosine_histogram",
+    "emb_assignment_margin",
+    "dedup_minhash_estimate_error",
+    # -- (a) multimodal / DQ / windows / time series --
+    "multimodal_payload_entropy",
+    "multimodal_format_sniff",
+    "dq_amount_reconciliation",
+    "dq_schema_drift",
+    "w9_percent_rank",
+    "ts_business_day_lag",
     # -- (a) sampling --
-    "sample_time_split_embargo",
-    "sample_epoch_shuffle",
-    "sample_group_kfold",
-    "sample_negative_downsample",
-    # -- (a) DQ / profiling --
-    "dq_freshness",
-    "dq_null_rate_drift",
-    "dq_id_gaps",
-    "profile_corr_matrix",
-    "profile_value_ranges",
-    "profile_entropy",
-    "profile_null_patterns",
-    # -- (a) text / multimodal --
-    "text_readability",
-    "text_charset_profile",
-    "text_zipf_slope",
-    "multimodal_payload_near_dup",
-    "multimodal_chunk_manifest",
-    # -- (a) time series / events / windows --
-    "event_interarrival_stats",
-    "ts_weekday_hour_profile",
-    "ts_ewma",
-    "ts_theilsen_trend",
-    "w8_rolling_median",
-    # -- (b) heaviest r02-era TPC-H shapes, re-proven --
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q21_waiting_supplier",
-    # (Window full at 50.  r9 STOCK: TPC-H q4, q12, q13, q14, q17,
-    # q18, q19, q22, text_redaction, text_repetition, emb_quantize —
-    # the remaining entries whose latest driver row is r02 — plus the
-    # 35 round-8 additions (never driver-checked, all oracled and
-    # two-SF-green this round): er_fuzzy_match, text_pmi_bigrams,
-    # text_gopher_filters, eval_cohen_kappa, eval_mcnemar,
-    # event_new_vs_returning, event_transition_entropy,
-    # feat_target_rate_curve, dq_amount_reconciliation,
-    # ann_eval_hamming_vs_exact, emb_dim_whiten,
-    # multimodal_payload_entropy, w9_percent_rank,
-    # eval_spearman_corr, feat_mutual_information,
-    # event_kaplan_meier, event_user_churn, event_active_streaks,
-    # event_weekly_stickiness, feat_rare_category_collapse,
-    # text_sentence_stats, multimodal_format_sniff, emb_cluster_purity,
-    # emb_pairwise_cosine_histogram, dedup_minhash_estimate_error,
-    # ts_business_day_lag, eval_kendall_tau_topk,
-    # sample_dup_aware_weights, sample_pps_systematic,
-    # text_rake_keyphrases, emb_assignment_margin,
-    # stickiness_from_hll_registers, event_burstiness,
-    # dq_schema_drift, eval_wilcoxon_signed_rank = 46 slots;
-    # 11 + 35 = 46, so the r9 window has 4 free slots — fill them
-    # with the then-oldest evidence.  Prior rotation history lives
-    # in git: the r7 window at commit a192c46, r6 at 5207f57^, r5 at
-    # ded7618.  Everything rotated out is r4+-green and remains covered
-    # by the sf0.001+sf0.01(+sf0.1) oracle harness every round; bench
+    "sample_dup_aware_weights",
+    "sample_pps_systematic",
+    # -- (b) last r02-era oracled evidence, re-proven --
+    "tpch_q4_late_orders",
+    "tpch_q12_priority_counts",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_rich_customers",
+    "text_redaction",
+    "text_repetition",
+    "emb_quantize",
+    # -- (c) first hash-checked row for the Lloyd-trained IVF path --
+    "ann_ivf_topk",
+    # -- (d) heaviest r03-era shapes --
+    "tpch_q9_product_profit",
+    "graph_pagerank_3iter",
+    "attribution_interval_join",
+    # (Window full at 50.  r10 STOCK, first half of the r03/r04
+    # two-round refresh (VERDICT r8 #3): the 43 remaining r03-cohort
+    # entries -- a10_salted_hot_agg, ann_ivf_topk_fixed,
+    # ann_lsh_topk_multiprobe, ann_pq_codes, ann_pq_topk,
+    # approx_distinct, approx_distinct_hll, approx_quantiles,
+    # approx_topk_cms, bloom_contamination, cohort_retention,
+    # dedup_levenshtein_prefix, dedup_span_profile, dq_expectations,
+    # fm_predict, funnel_view_click_purchase, histogram_width_bucket,
+    # hypertable_rollup, j6_anti_join, j8_salted_join_agg,
+    # latest_event_per_user, multimodal_features, pipeline_dataprep,
+    # profile_key_skew, range_join_price_bands, s2_inline_relation,
+    # s3_libsvm_parse, sample_hash_split, sample_negatives,
+    # sample_pack_sequences, sample_per_source_cap, sample_stratified,
+    # sample_temperature_mixture, sample_weighted_topk,
+    # scd2_user_status, set_except, stats_corr_regr,
+    # text_tfidf_top_terms, w5_lag_delta, w6_ntile_cume,
+    # w7_time_range_sum, win_sliding, zorder_layout_key -- plus 7
+    # slots from the oldest r04 cohort; the rest of r04 follows in
+    # r11.  Prior rotation history lives in git: the r8 window at
+    # commit eccbe04, r7 at a192c46, r6 at 5207f57^, r5 at ded7618.
+    # Everything rotated out is r4+-green and remains covered by the
+    # sf0.001+sf0.01(+sf0.1) oracle harness every round; bench
     # headliners additionally run per-round.)
 ]
 

@@ -2542,6 +2542,28 @@ def test_gopher_filters_rules(spark):
     assert len(got) == 4
 
 
+def test_gopher_filters_degenerate_docs(spark):
+    """Empty / whitespace-only documents: the ratio-based rules go NULL
+    (matching DuckDB's division-by-zero semantics — r8 advice) and
+    ``passed`` still resolves to a hard false via the word-count rule,
+    so the gate never lets a degenerate doc through NOR crashes on
+    NaN/Inf."""
+    from fmx.operators.text import gopher_filters
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the little cats and dogs sat down " * 3)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           gopher_filters(df, "doc_id", "text", min_words=5).collect()}
+    for i in (1, 2):
+        assert got[i].n_words == 0
+        assert got[i].rule_mean_word_len is None
+        assert got[i].rule_alpha_ratio is None
+        assert got[i].passed is False          # hard false, not NULL
+    assert got[1].rule_digit_ratio is None     # length(text) = 0
+    assert got[3].passed
+
+
 def test_kmeans_margin_consistent_with_assign(spark, sf_dir):
     """The margin readout must agree with the assignment on every id
     (same final-round distances), margins are non-negative, and d1 is
