@@ -18,6 +18,7 @@ __all__ = [
     "inverted_index", "char_entropy", "vocab_kl_by_group",
     "bm25_topk", "cluster_terms", "boilerplate_strip", "bpe_pair_counts",
     "readability", "charset_profile", "pmi_bigrams", "gopher_filters",
+    "passage_dedup", "mattr_diversity",
 ]
 
 # small stopword lists per language for the n-gram/stopword heuristic
@@ -821,3 +822,86 @@ def gopher_filters(df: DataFrame, id_col: str, text_col: str,
         r_alpha.alias("rule_alpha_ratio"), r_digit.alias("rule_digit_ratio"),
         r_stop.alias("rule_stopwords"),
         (r_wc & r_mwl & r_alpha & r_digit & r_stop).alias("passed"))
+
+
+def passage_dedup(df: DataFrame, id_col: str, text_col: str,
+                  width: int = 10) -> DataFrame:
+    """Intra-corpus passage-level exact dedup (the CCNet/C4 paragraph
+    trick, over fixed ``width``-word passages since this corpus has no
+    paragraph breaks): chunk every document into consecutive
+    ``width``-word passages, hash each, and mark every passage whose
+    hash already occurred EARLIER in the corpus (by (doc, offset)
+    order) as a duplicate.  Returns one row per document:
+    (id, n_passages, n_dup_passages, dup_ratio).
+
+    Scale shape: passages are generated map-side (one
+    explode(sequence) + slice per doc — never a token shuffle), the
+    first-occurrence decision is ONE ranking window over the
+    hash-grain (each hash group holds only the colliding passages),
+    and the per-doc rollup is a hash agg.  At 100 TB the hash grain
+    is the dedup index; nothing all-pairs anywhere."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = (df.select(F.col(id_col), toks.alias("_t"))
+            .filter(F.size("_t") > 0)
+            .select(id_col, "_t",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("_t") / width).cast("int") - 1))
+                    .alias("idx")))
+    pas = base.select(
+        id_col, "idx",
+        F.md5(F.array_join(F.slice("_t", F.col("idx") * width + 1,
+                                   F.lit(width)), " ")).alias("h"))
+    w = Window.partitionBy("h").orderBy(id_col, "idx")
+    flagged = pas.withColumn(
+        "_dup", (F.row_number().over(w) > 1).cast("int"))
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_passages"),
+                 F.sum("_dup").cast("bigint").alias("n_dup_passages"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("n_dup_passages") * 1.0
+                                / F.col("n_passages"), 6)))
+
+
+def mattr_diversity(df: DataFrame, id_col: str, text_col: str,
+                    width: int = 10) -> DataFrame:
+    """Moving-Average Type-Token Ratio (MATTR, Covington & McFall
+    2010): lexical diversity as the mean distinct-token share over
+    every sliding ``width``-token window — the length-robust
+    replacement for plain TTR (which collapses as documents grow).
+
+    The naive form materializes n_windows * width rows; this is the
+    CLOSED FORM: a token occurrence at position p is distinct within
+    window [s, s+w-1] iff its previous occurrence is before s, so p
+    contributes to exactly
+    max(0, min(p, n-w+1) - max(prev(p)+1, p-w+1, 1) + 1) windows —
+    one lag window over (doc, token) occurrences and pure integer
+    arithmetic replace the window explosion entirely.  MATTR is the
+    single exact integer sum divided by w * n_windows; plain TTR
+    rides along for the comparison.  Documents shorter than
+    ``width`` are excluded (MATTR is undefined there)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ex = (df.select(F.col(id_col), toks.alias("_t"))
+          .filter(F.size("_t") >= int(width))
+          .select(id_col, F.size("_t").alias("n"),
+                  F.posexplode("_t").alias("p0", "tok"))
+          .select(id_col, "n", "tok",
+                  (F.col("p0") + 1).alias("p")))      # 1-based
+    wlag = Window.partitionBy(id_col, "tok").orderBy("p")
+    lagged = ex.withColumn("prev", F.coalesce(F.lag("p").over(wlag),
+                                              F.lit(0)))
+    lo = F.greatest(F.col("prev") + 1, F.col("p") - width + 1, F.lit(1))
+    hi = F.least(F.col("p"), F.col("n") - width + 1)
+    contrib = F.greatest(hi - lo + 1, F.lit(0))
+    return (lagged.groupBy(id_col)
+            .agg(F.max("n").cast("bigint").alias("n_tokens"),
+                 (F.max("n") - width + 1).cast("bigint")
+                 .alias("n_windows"),
+                 F.sum(contrib).cast("bigint").alias("_dsum"),
+                 F.countDistinct("tok").cast("bigint").alias("_types"))
+            .select(id_col, "n_tokens", "n_windows",
+                    F.round(F.col("_dsum") * 1.0
+                            / (width * F.col("n_windows")), 6)
+                    .alias("mattr"),
+                    F.round(F.col("_types") * 1.0 / F.col("n_tokens"), 6)
+                    .alias("ttr")))

@@ -4822,3 +4822,558 @@ def eval_wilcoxon_signed_rank(spark, sf):
         F.round((F.col("w2p") - (n * (n + 1) / 2.0))
                 / F.nullif(F.sqrt(n * (n + 1) * (2 * n + 1) / 6.0),
                            F.lit(0.0)), 6).alias("z_approx"))
+
+
+@query(
+    "eval_mann_whitney_u",
+    oracle="""
+    WITH sc AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
+                       event_type AS et
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('view', 'click')),
+    grain AS (SELECT cent,
+                     CAST(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nb
+              FROM sc GROUP BY 1),
+    cum AS (SELECT na, nb, na + nb AS t,
+                   coalesce(sum(nb) OVER (ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS bl
+            FROM grain),
+    m AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                 CAST(sum(nb) AS BIGINT) AS n_b,
+                 CAST(sum(CAST(na AS DECIMAL(38,0)) * (2 * bl + nb))
+                      AS DECIMAL(38,0)) AS u2a,
+                 CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+                      AS DECIMAL(38,0)) AS s3
+          FROM cum)
+    SELECT n_a, n_b,
+           round(CAST(u2a AS DOUBLE) / 2.0, 6) AS u_view,
+           round((CAST(u2a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+                 / nullif(2.0 * sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                      * ((n_a + n_b + 1.0)
+                         - CAST(s3 AS DOUBLE)
+                           / ((n_a + n_b) * (n_a + n_b - 1.0)))), 0.0),
+                 6) AS z_approx
+    FROM m
+    """)
+def eval_mann_whitney_u(spark, sf):
+    """Mann-Whitney U (rank-sum) test comparing the 'view' vs 'click'
+    value distributions — the UNPAIRED complement to
+    eval_wilcoxon_signed_rank, closing the nonparametric two-sample
+    slot in the test family.  Scale shape: values collapse to exact
+    integer CENTS (the ts_ewma lesson: events.value is exactly
+    2-decimal) and everything after runs on the VALUE-GRAIN relation
+    (bounded by the price domain, not the row count): U is assembled
+    from per-cent group counts and one cumulative window over distinct
+    cents — 2U = sum(na * (2*cum_nb_below + nb)) stays integer
+    (DECIMAL(38,0) accumulators — BIGINT products overflow at corpus
+    scale, the eval_spearman_corr lesson), and the tie-corrected
+    normal approximation z is ONE double formula over five exact
+    integers, written identically in both engines."""
+    sc = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("event_type").isin("view", "click"))
+          .select(F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                  .alias("cent"), F.col("event_type").alias("et")))
+    grain = sc.groupBy("cent").agg(
+        F.sum(F.when(F.col("et") == "view", 1).otherwise(0)).cast(BIG)
+        .alias("na"),
+        F.sum(F.when(F.col("et") == "click", 1).otherwise(0)).cast(BIG)
+        .alias("nb"))
+    wprev = (Window.orderBy("cent")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = grain.select(
+        "na", "nb", (F.col("na") + F.col("nb")).alias("t"),
+        F.coalesce(F.sum("nb").over(wprev), F.lit(0)).alias("bl"))
+    m = cum.agg(
+        F.sum("na").cast(BIG).alias("n_a"),
+        F.sum("nb").cast(BIG).alias("n_b"),
+        F.sum(F.col("na").cast(DEC) * (2 * F.col("bl") + F.col("nb")))
+        .cast(DEC).alias("u2a"),
+        F.sum(F.col("t").cast(DEC) * F.col("t") * F.col("t")
+              - F.col("t")).cast(DEC).alias("s3"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    return m.select(
+        "n_a", "n_b",
+        F.round(F.col("u2a").cast("double") / 2.0, 6).alias("u_view"),
+        F.round((F.col("u2a").cast("double") - na.cast("double") * nb)
+                / F.nullif(
+                    2.0 * F.sqrt((na.cast("double") * nb / 12.0)
+                                 * ((na + nb + 1.0)
+                                    - F.col("s3").cast("double")
+                                    / ((na + nb) * (na + nb - 1.0)))),
+                    F.lit(0.0)), 6).alias("z_approx"))
+
+
+@query(
+    "eval_cramers_v",
+    oracle="""
+    WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rsum FROM c GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS csum
+           FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                 CAST(count(DISTINCT source) AS BIGINT) AS k
+          FROM c),
+    cells AS (SELECT rt.lang, ct.source, rsum, csum,
+                     coalesce(o, 0) AS o
+              FROM rt CROSS JOIN ct
+              LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source),
+    chi AS (SELECT sum((o - rsum * csum * 1.0 / nn)
+                       * (o - rsum * csum * 1.0 / nn)
+                       / (rsum * csum * 1.0 / nn)) AS chi2
+            FROM cells CROSS JOIN n)
+    SELECT nn AS n_docs, (r - 1) * (k - 1) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (nn * least(r - 1, k - 1))), 6) AS cramers_v
+    FROM chi CROSS JOIN n
+    """)
+def eval_cramers_v(spark, sf):
+    """Cramer's V effect size for the (lang x source) association:
+    chi-squared over the FULL r x k contingency grid (absent combos
+    contribute their expected count — the classic zero-cell term the
+    observed-only join silently drops), normalized to [0, 1] so corpus
+    mix drift is comparable across tables of different size — the
+    effect-size companion to profile_chi2_lang_source's test
+    statistic.  Scale shape: one count agg at (lang, source) grain,
+    marginals from the POST-AGG relation, and the full grid is the
+    r x k marginal cross — category-grain, never row-grain."""
+    c = (T(spark, sf, "documents")
+         .groupBy("lang", "source")
+         .agg(F.count("*").cast(BIG).alias("o")))
+    rt = c.groupBy("lang").agg(F.sum("o").cast(BIG).alias("rsum"))
+    ct = c.groupBy("source").agg(F.sum("o").cast(BIG).alias("csum"))
+    n = c.agg(F.sum("o").cast(BIG).alias("nn"),
+              F.countDistinct("lang").cast(BIG).alias("r"),
+              F.countDistinct("source").cast(BIG).alias("k"))
+    cells = (rt.crossJoin(ct)
+             .join(c, ["lang", "source"], "left")
+             .select("rsum", "csum",
+                     F.coalesce(F.col("o"), F.lit(0)).alias("o")))
+    e = F.col("rsum") * F.col("csum") * 1.0 / F.col("nn")
+    chi = (cells.crossJoin(F.broadcast(n))
+           .agg(F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+                .alias("chi2")))
+    return (chi.crossJoin(F.broadcast(n))
+            .select(F.col("nn").alias("n_docs"),
+                    ((F.col("r") - 1) * (F.col("k") - 1)).alias("dof"),
+                    F.round("chi2", 6).alias("chi2"),
+                    F.round(F.sqrt(F.col("chi2")
+                                   / (F.col("nn")
+                                      * F.least(F.col("r") - 1,
+                                                F.col("k") - 1))), 6)
+                    .alias("cramers_v")))
+
+
+@query(
+    "eval_log_loss",
+    oracle="""
+    WITH sc AS (SELECT least(greatest(value / 500.0, 0.000001),
+                             0.999999) AS p,
+                       CASE WHEN event_type = 'purchase' THEN 1.0
+                            ELSE 0.0 END AS y
+                FROM events WHERE value IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6)
+               AS log_loss,
+           round(avg(y * 1.0), 6) AS base_rate,
+           round(-(avg(y) * ln(avg(y))
+                   + (1.0 - avg(y)) * ln(1.0 - avg(y))), 6)
+               AS log_loss_baseline
+    FROM sc
+    """)
+def eval_log_loss(spark, sf):
+    """Cross-entropy (log loss) of purchase-value/500 as a purchase
+    probability — the other proper scoring rule next to
+    eval_brier_score, sharing ITS exact prediction derivation so the
+    two readouts describe the same model; unlike Brier it punishes
+    confident misses unboundedly, which is why the clamp is into
+    [1e-6, 1 - 1e-6] (identical in both engines) rather than [0, 1] —
+    ln(0) must be unreachable.  The always-predict-base-rate baseline
+    (the entropy of the label) is the zero-skill line.  ONE
+    aggregation pass; clamp + log are map-side."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.least(F.greatest(F.col("value") / 500.0,
+                                     F.lit(0.000001)),
+                          F.lit(0.999999)).alias("p"),
+                  F.when(F.col("event_type") == "purchase", 1.0)
+                  .otherwise(0.0).alias("y")))
+    return ev.agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.round(F.avg(-(F.col("y") * F.log("p")
+                        + (1.0 - F.col("y")) * F.log(1.0 - F.col("p")))),
+                6).alias("log_loss"),
+        F.round(F.avg(F.col("y") * 1.0), 6).alias("base_rate"),
+        F.round(-(F.avg("y") * F.log(F.avg("y"))
+                  + (1.0 - F.avg("y")) * F.log(1.0 - F.avg("y"))), 6)
+        .alias("log_loss_baseline"))
+
+
+@query(
+    "event_nelson_aalen",
+    oracle="""
+    WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+                      max(CAST(ts AS DATE)) AS l,
+                      min(CASE WHEN event_type = 'error'
+                               THEN CAST(ts AS DATE) END) AS e
+               FROM events GROUP BY 1),
+    g AS (SELECT max(l) AS mx FROM u),
+    d AS (SELECT CASE WHEN e IS NOT NULL THEN date_diff('day', f, e)
+                      ELSE date_diff('day', f, mx) END AS dur,
+                 CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+          FROM u CROSS JOIN g),
+    tot AS (SELECT count(*) AS nu FROM d),
+    grain AS (SELECT dur, CAST(sum(obs) AS BIGINT) AS d_i,
+                     count(*) AS m
+              FROM d GROUP BY 1),
+    risk AS (SELECT dur, d_i,
+                    nu - coalesce(sum(m) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_i
+             FROM grain CROSS JOIN tot),
+    s AS (SELECT dur, d_i, n_i,
+                 sum(d_i * 1.0 / n_i)
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS h,
+                 sum(d_i * 1.0 / (n_i * 1.0 * n_i))
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS hv
+          FROM risk WHERE d_i > 0)
+    SELECT CAST(dur AS BIGINT) AS t_day,
+           CAST(n_i AS BIGINT) AS n_risk,
+           d_i AS n_events,
+           round(h, 6) AS cum_hazard,
+           round(exp(-h), 6) AS survival_na,
+           round(hv, 6) AS hazard_var
+    FROM s
+    """)
+def event_nelson_aalen(spark, sf):
+    """Nelson-Aalen cumulative hazard on the same time-to-first-error
+    data as event_kaplan_meier: H(t) = sum(d_i / n_i), its variance
+    estimate sum(d_i / n_i^2), and the Fleming-Harrington survival
+    exp(-H) — the estimator of choice when hazard RATES (not survival
+    fractions) drive the decision, and numerically tamer than KM's
+    product at small n_i (no ln(0) edge: a d = n step adds 1 to H
+    instead of zeroing a product).  Identical scale shape to KM: one
+    user-grain conditional-min agg, one DURATION-GRAIN agg bounded by
+    the calendar, cumulative windows over that bounded grain with
+    engine-identical left-to-right accumulation."""
+    u = (T(spark, sf, "events")
+         .groupBy("user_id")
+         .agg(F.min(F.to_date("ts")).alias("f"),
+              F.max(F.to_date("ts")).alias("l"),
+              F.min(F.when(F.col("event_type") == "error",
+                           F.to_date("ts"))).alias("e")))
+    g = u.agg(F.max("l").alias("mx"))
+    d = (u.crossJoin(F.broadcast(g))
+         .select(F.when(F.col("e").isNotNull(), F.datediff("e", "f"))
+                 .otherwise(F.datediff("mx", "f")).alias("dur"),
+                 F.col("e").isNotNull().cast("int").alias("obs")))
+    tot = d.agg(F.count("*").alias("nu"))
+    grain = d.groupBy("dur").agg(F.sum("obs").cast(BIG).alias("d_i"),
+                                 F.count("*").alias("m"))
+    wprev = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (grain.crossJoin(F.broadcast(tot))
+            .select("dur", "d_i",
+                    (F.col("nu")
+                     - F.coalesce(F.sum("m").over(wprev), F.lit(0)))
+                    .alias("n_i"))
+            .filter(F.col("d_i") > 0))
+    wcum = (Window.orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = risk.select(
+        "dur", "d_i", "n_i",
+        F.sum(F.col("d_i") * 1.0 / F.col("n_i")).over(wcum).alias("h"),
+        F.sum(F.col("d_i") * 1.0
+              / (F.col("n_i") * 1.0 * F.col("n_i"))).over(wcum)
+        .alias("hv"))
+    return s.select(
+        F.col("dur").cast(BIG).alias("t_day"),
+        F.col("n_i").cast(BIG).alias("n_risk"),
+        F.col("d_i").alias("n_events"),
+        F.round("h", 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("h")), 6).alias("survival_na"),
+        F.round("hv", 6).alias("hazard_var"))
+
+
+@query(
+    "stats_mode_by_group",
+    oracle="""
+    WITH c AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT d, event_type, n,
+                 row_number() OVER (PARTITION BY d
+                                    ORDER BY n DESC, event_type) AS rn,
+                 CAST(sum(n) OVER (PARTITION BY d) AS BIGINT) AS day_n
+          FROM c)
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type AS mode_event,
+           n AS n_events,
+           round(n * 1.0 / day_n, 6) AS mode_share
+    FROM r WHERE rn = 1
+    """)
+def stats_mode_by_group(spark, sf):
+    """Per-day modal event type with its share — the MODE ordered-set
+    aggregate neither engine exposes distributively, assembled the
+    scale-correct way: count at (group, value) grain (map-side
+    partial agg does the heavy lifting), then a rank-1 window over
+    the tiny category grain.  Ties break lexicographically so both
+    engines pick the same winner deterministically."""
+    c = (T(spark, sf, "events")
+         .groupBy(F.to_date("ts").alias("d"), "event_type")
+         .agg(F.count("*").cast(BIG).alias("n")))
+    w = Window.partitionBy("d").orderBy(F.col("n").desc(), "event_type")
+    wd = Window.partitionBy("d")
+    r = (c.withColumn("rn", F.row_number().over(w))
+         .withColumn("day_n", F.sum("n").over(wd).cast(BIG)))
+    return (r.filter(F.col("rn") == 1)
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("event_type").alias("mode_event"),
+                    F.col("n").alias("n_events"),
+                    F.round(F.col("n") * 1.0 / F.col("day_n"), 6)
+                    .alias("mode_share")))
+
+
+@query(
+    "stats_weighted_median",
+    oracle="""
+    WITH v AS (SELECT l_returnflag AS flag,
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          AS cents,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    g AS (SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w
+          FROM v GROUP BY 1, 2),
+    c AS (SELECT flag, cents, w,
+                 CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                 CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+          FROM g)
+    SELECT flag AS l_returnflag,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS wmedian_cents,
+           min(CASE WHEN 2 * cw >= tw THEN cents END) / 100.0
+               AS wmedian_price,
+           CAST(min(tw) AS BIGINT) AS total_qty
+    FROM c GROUP BY flag
+    """)
+def stats_weighted_median(spark, sf):
+    """Quantity-weighted median extended price per return flag — the
+    weighted percentile neither engine's percentile_cont covers, as
+    pure cumulative-weight arithmetic: the answer is the smallest
+    price whose cumulative weight reaches half the total.  Scale
+    shape: prices collapse to exact integer cents at (flag, cents)
+    grain FIRST (so the cumulative window runs over the bounded price
+    domain, not the row count), weights accumulate as integers, and
+    the defining 2*cw >= tw comparison is integer-exact — the output
+    price is an input value, not an interpolation, so there is no
+    float to disagree on (the /100.0 render is one division of an
+    engine-exact integer, the ts_ewma rule)."""
+    v = (T(spark, sf, "lineitem")
+         .select(F.col("l_returnflag").alias("flag"),
+                 F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(BIG)
+                 .alias("cents"),
+                 F.col("l_quantity").cast(BIG).alias("w")))
+    g = v.groupBy("flag", "cents").agg(F.sum("w").cast(BIG).alias("w"))
+    wcum = (Window.partitionBy("flag").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("flag")
+    c = g.select("flag", "cents", "w",
+                 F.sum("w").over(wcum).cast(BIG).alias("cw"),
+                 F.sum("w").over(wtot).cast(BIG).alias("tw"))
+    med = F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+    return (c.groupBy("flag")
+            .agg(med.cast(BIG).alias("wmedian_cents"),
+                 (med / 100.0).alias("wmedian_price"),
+                 F.min("tw").cast(BIG).alias("total_qty"))
+            .select(F.col("flag").alias("l_returnflag"),
+                    "wmedian_cents", "wmedian_price", "total_qty"))
+
+
+_EDGE_CTES = """
+    li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e)
+"""
+
+
+@query(
+    "graph_bfs_frontier",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    d0 AS (SELECT DISTINCT node FROM und WHERE node % 100 = 0),
+    n1 AS (SELECT DISTINCT u.nbr AS node
+           FROM und u JOIN d0 ON u.node = d0.node),
+    d1 AS (SELECT node FROM n1 EXCEPT SELECT node FROM d0),
+    n2 AS (SELECT DISTINCT u.nbr AS node
+           FROM und u JOIN d1 ON u.node = d1.node),
+    d2 AS (SELECT node FROM n2 EXCEPT
+           (SELECT node FROM d0 UNION SELECT node FROM d1)),
+    n3 AS (SELECT DISTINCT u.nbr AS node
+           FROM und u JOIN d2 ON u.node = d2.node),
+    d3 AS (SELECT node FROM n3 EXCEPT
+           (SELECT node FROM d0 UNION SELECT node FROM d1
+            UNION SELECT node FROM d2))
+    SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+    FROM d0
+    UNION ALL SELECT CAST(node AS BIGINT), CAST(1 AS BIGINT) FROM d1
+    UNION ALL SELECT CAST(node AS BIGINT), CAST(2 AS BIGINT) FROM d2
+    UNION ALL SELECT CAST(node AS BIGINT), CAST(3 AS BIGINT) FROM d3
+    """)
+def graph_bfs_frontier(spark, sf):
+    """Multi-source bounded BFS (fmx.operators.graph.bfs_distances)
+    from the part-key-divisible-by-100 seed set over the co-purchase
+    graph: exact min-hop labels for everything within 3 hops — blast
+    radius / candidate-pool expansion as the DELTA-FRONTIER dataflow
+    (each hop joins only the frontier's edge boundary and anti-joins
+    the settled set), the scale discipline k_hop's full-relation
+    rejoin trades away.  The oracle unrolls the three hops as
+    EXCEPT-chained CTEs — the iterative dataflow is replayable
+    because the hop bound is static."""
+    from fmx.operators.graph import bfs_distances
+
+    edges = _copurchase_edges(spark, sf)
+    und_nodes = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+    seeds = und_nodes.filter(F.col("node") % 100 == 0)
+    out = bfs_distances(edges, seeds, max_hops=3)
+    return out.select(F.col("node").cast(BIG).alias("node"),
+                      F.col("dist").cast(BIG).alias("dist"))
+
+
+@query(
+    "event_activity_bitmask",
+    oracle="""
+    WITH g AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    ud AS (SELECT DISTINCT user_id,
+                  date_diff('day', d0, CAST(ts AS DATE)) AS off
+           FROM events CROSS JOIN g
+           WHERE date_diff('day', d0, CAST(ts AS DATE)) < 63),
+    m AS (SELECT user_id,
+                 CAST(sum(CAST(1 AS BIGINT) << off) AS BIGINT) AS mask
+          FROM ud GROUP BY 1)
+    SELECT CAST(user_id AS BIGINT) AS user_id, mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_active_days,
+           CAST(bit_count(mask & 127) AS BIGINT) AS week1_days,
+           CAST(bit_count(mask & (CAST(127 AS BIGINT) << 21)) AS BIGINT)
+               AS week4_days
+    FROM m
+    """)
+def event_activity_bitmask(spark, sf):
+    """Per-user activity bitmask: day-offset presence packed into ONE
+    BIGINT (bit i = active on day i of the observation window,
+    capped at 63 days) — the roaring-bitmap-style engagement encoding
+    that answers every calendar question (active-day count, week-1
+    vs week-4 presence, arbitrary day-set intersections) with integer
+    bit ops on user-grain rows instead of re-scanning events.  The
+    bitmask is MERGEABLE state (OR across batches/streams); the
+    gaps-and-islands twin (event_active_streaks) re-derives runs from
+    raw rows every time, this derives them from 8 bytes.  Exact
+    integer arithmetic end to end — both engines agree bit-for-bit."""
+    ev = T(spark, sf, "events")
+    g = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    ud = (ev.crossJoin(F.broadcast(g))
+          .select("user_id",
+                  F.datediff(F.to_date("ts"), F.col("d0")).alias("off"))
+          .filter(F.col("off") < 63)
+          .distinct())
+    # F.shiftleft takes a python-int bit count; the SQL form takes a
+    # column (the sign_sketch_topk precedent)
+    m = ud.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))"))
+        .cast(BIG).alias("mask"))
+    return m.select(
+        F.col("user_id").cast(BIG).alias("user_id"), "mask",
+        F.bit_count("mask").cast(BIG).alias("n_active_days"),
+        F.bit_count(F.col("mask").bitwiseAND(F.lit(127)))
+        .cast(BIG).alias("week1_days"),
+        F.bit_count(F.col("mask")
+                    .bitwiseAND(F.shiftleft(F.lit(127).cast(BIG), 21)))
+        .cast(BIG).alias("week4_days"))
+
+
+_HIST_LO, _HIST_HI, _HIST_B = 0.0, 600.0, 100
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_B
+
+
+def _hist_fold_sql(src: str, grain: str, grain_expr: str,
+                   q: float) -> str:
+    """One quantile readout from fixed-edge histogram registers in CTE
+    ``src`` (columns: g, bucket, c) — mirrors
+    fmx.operators.sketches.hist_fixed_fold's interpolation exactly."""
+    return f"""
+    SELECT {grain_expr} AS grain, {q} AS q,
+           round({_HIST_LO} + {_HIST_W} * (bucket
+                 + ((n * {q}) - (cm - c)) / c), 6) AS est
+    FROM (SELECT g, bucket, c,
+                 sum(c) OVER (PARTITION BY g ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS cm,
+                 sum(c) OVER (PARTITION BY g) AS n
+          FROM {src})
+    WHERE cm >= n * {q}
+    QUALIFY row_number() OVER (PARTITION BY g ORDER BY bucket) = 1
+    """
+
+
+@query(
+    "quantiles_from_hist_registers",
+    oracle=f"""
+    WITH b AS (SELECT CAST(ts AS DATE) AS g,
+                      CAST(least({_HIST_B - 1},
+                                 greatest(0, floor((value - {_HIST_LO})
+                                                   / {_HIST_W})))
+                           AS INT) AS bucket
+               FROM events WHERE value IS NOT NULL),
+    regs AS (SELECT g, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    gregs AS (SELECT 'ALL' AS g, bucket, sum(c) AS c FROM regs
+              GROUP BY 2)
+    {_hist_fold_sql('regs', 'day', "strftime(g, '%Y-%m-%d')", 0.5)}
+    UNION ALL
+    {_hist_fold_sql('gregs', 'all', "g", 0.5)}
+    UNION ALL
+    {_hist_fold_sql('gregs', 'all', "g", 0.9)}
+    """)
+def quantiles_from_hist_registers(spark, sf):
+    """Daily AND global value quantiles from ONE day-grain fixed-edge
+    histogram register table (fmx.operators.sketches
+    hist_fixed_registers/hist_fixed_fold) — the lambda-architecture
+    quantile shape next to stickiness_from_hll_registers: the raw
+    rows are scanned once into mergeable (day, bucket, count)
+    registers; per-day p50 folds the registers per day, corpus p50/p90
+    fold the SAME registers summed — a month of history re-answers any
+    quantile question from days x 100 small rows, and the register
+    table is streaming-updatable (plain additive counts).  Fixed edges
+    make the sketch engine-portable: the oracle replays the estimate
+    EXACTLY, not within a band."""
+    from fmx.operators.sketches import (hist_fixed_fold,
+                                        hist_fixed_registers)
+
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.to_date("ts").alias("g"), "value"))
+    regs = hist_fixed_registers(ev, "g", "value", _HIST_LO, _HIST_HI,
+                                _HIST_B)
+    daily = (hist_fixed_fold(regs, "g", _HIST_LO, _HIST_HI, _HIST_B,
+                             qs=(0.5,))
+             .select(F.date_format("g", "yyyy-MM-dd").alias("grain"),
+                     "q", "est"))
+    gregs = (regs.groupBy("bucket")
+             .agg(F.sum("c").alias("c"))
+             .select(F.lit("ALL").alias("g"), "bucket", "c"))
+    world = (hist_fixed_fold(gregs, "g", _HIST_LO, _HIST_HI, _HIST_B,
+                             qs=(0.5, 0.9))
+             .select(F.col("g").alias("grain"), "q", "est"))
+    return daily.unionByName(world)

@@ -585,6 +585,7 @@ def leakage_split_overlap(spark, sf):
 
 @query(
     "er_fuzzy_match",
+    headline=True,        # r8 verdict #4: tracked wall-time + DuckDB comparator
     oracle="""
     WITH probes AS (
       SELECT p_partkey AS probe_id,
@@ -719,3 +720,67 @@ def dedup_minhash_estimate_error(spark, sf):
                     j.alias("exact_jaccard"),
                     F.round(F.abs(F.col("m") / float(NUM_HASHES) - j), 6)
                     .alias("abs_err")))
+
+
+@query(
+    "emb_epsilon_components",
+    oracle=f"""
+    WITH RECURSIVE
+    ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+    tp AS (SELECT t.t, p.p
+           FROM (SELECT unnest(generate_series(0, {EMB_TABLES - 1})) AS t) t,
+                (SELECT unnest(generate_series(0, {EMB_PLANES - 1})) AS p) p),
+    proj AS (SELECT vec_id, t, p, sum(x * {_EMB_PLANE}) AS d
+             FROM ex CROSS JOIN tp GROUP BY vec_id, t, p),
+    buckets AS (SELECT vec_id, t,
+                       string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY p) AS bucket
+                FROM proj GROUP BY vec_id, t),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM buckets a JOIN buckets b
+               ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex
+              GROUP BY vec_id),
+    dots AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dot
+             FROM cand c JOIN ex ea ON ea.vec_id = c.id_a
+                         JOIN ex eb ON eb.vec_id = c.id_b
+                                   AND eb.pos = ea.pos
+             GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b
+              FROM dots JOIN norms n1 ON id_a = n1.vec_id
+                        JOIN norms n2 ON id_b = n2.vec_id
+              WHERE dot / (n1.nrm * n2.nrm) >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """)
+def emb_epsilon_components(spark, sf):
+    """Epsilon-similarity components over the embedding corpus: the
+    LSH-bucketed near-dup pair generator (sign-LSH 4x4 tables, exact
+    cosine >= 0.35 verify — never all-pairs) feeds the CONVERGED
+    min-label connected components, labelling every vector with the
+    smallest id reachable through the epsilon graph — the semantic
+    grouping step between pairwise near-dup detection and keep/drop
+    policy (SemDeDup's cluster stage, but threshold-exact).  Composes
+    two audited scale paths end to end: banded candidate generation
+    (equi-join on (table, bucket)) and O(diameter) label propagation
+    with same-job convergence observation; the oracle reaches the
+    identical fixpoint via a recursive transitive closure."""
+    from pyspark.sql import functions as F
+
+    emb = T(spark, sf, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                       threshold=0.35,
+                                       num_planes=EMB_PLANES,
+                                       num_tables=EMB_TABLES)
+    out = D.connected_components(pairs, emb.select("vec_id"), "vec_id")
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("cluster_id").cast("bigint").alias("component"))

@@ -1924,3 +1924,232 @@ def emb_assignment_margin(spark, sf):
         F.col("cell").cast("bigint").alias("cell"),
         F.round("d1", 4).alias("dist_best"),
         F.round(F.col("d2") - F.col("d1"), 4).alias("margin"))
+
+
+def _ivf_fixed_sql_parts() -> str:
+    """Shared fixed-centroid IVF CTEs (cents/cnorm/csim2/cassign) —
+    single-sourced for ann_ivf_topk_fixed-style oracles that replay
+    the deterministic coarse quantizer."""
+    return f"""
+    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
+              WHERE vec_id < {N_CELLS}),
+    cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
+              GROUP BY cell),
+    csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
+             FROM ex e JOIN cents c ON e.pos = c.pos
+             GROUP BY e.vec_id, c.cell),
+    csim2 AS (SELECT csim.vec_id, csim.cell,
+                     round(dot / (norms.nrm * cnorm.cn), 9) AS sim
+              FROM csim JOIN norms ON csim.vec_id = norms.vec_id
+                        JOIN cnorm ON csim.cell = cnorm.cell),
+    cassign AS (SELECT vec_id, cell FROM csim2
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell) <= 1),
+    truth AS (SELECT query_id, vec_id FROM (
+                  SELECT d.query_id, d.vec_id,
+                         row_number() OVER (
+                             PARTITION BY d.query_id
+                             ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6)
+                                      DESC, d.vec_id) AS r
+                  FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                               sum(q.x * c.x) AS dot
+                        FROM ex q JOIN ex c ON q.pos = c.pos
+                        WHERE q.vec_id < {N_QUERIES}
+                          AND c.vec_id <> q.vec_id
+                        GROUP BY 1, 2) d
+                  JOIN norms nq ON d.query_id = nq.vec_id
+                  JOIN norms nc ON d.vec_id = nc.vec_id)
+              WHERE r <= {K})
+    """
+
+
+def _nprobe_block(p: int) -> str:
+    """One recall readout at nprobe=p against the exact truth CTE."""
+    return f"""
+    qa{p} AS (SELECT vec_id AS query_id, cell FROM csim2
+              WHERE vec_id < {N_QUERIES}
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cell) <= {p}),
+    cd{p} AS (SELECT q.query_id, c.vec_id
+              FROM qa{p} q JOIN cassign c ON q.cell = c.cell
+              WHERE c.vec_id <> q.query_id),
+    dt{p} AS (SELECT cd.query_id, cd.vec_id, sum(eq.x * ec.x) AS dot
+              FROM cd{p} cd JOIN ex eq ON eq.vec_id = cd.query_id
+                            JOIN ex ec ON ec.vec_id = cd.vec_id
+                                      AND ec.pos = eq.pos
+              GROUP BY cd.query_id, cd.vec_id),
+    pr{p} AS (SELECT query_id, dt.vec_id
+              FROM (SELECT query_id, dt{p}.vec_id,
+                           round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+                    FROM dt{p} JOIN norms nq ON query_id = nq.vec_id
+                               JOIN norms nc
+                                 ON dt{p}.vec_id = nc.vec_id) dt
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id)
+                      <= {K}),
+    rc{p} AS (SELECT CAST({p} AS BIGINT) AS nprobe,
+                     round(sum(CASE WHEN t.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) * 1.0
+                           / ({K}.0 * {N_QUERIES}), 6) AS recall_at_k
+              FROM pr{p} LEFT JOIN (SELECT DISTINCT query_id, vec_id
+                                    FROM truth) t
+                ON pr{p}.query_id = t.query_id
+               AND pr{p}.vec_id = t.vec_id)
+    """
+
+
+_NPROBES = (1, 2, 4)
+
+
+@query(
+    "ann_nprobe_recall_curve",
+    oracle=("WITH " + _EX + ", " + _ivf_fixed_sql_parts() + ","
+            + ",".join(_nprobe_block(p) for p in _NPROBES)
+            + " SELECT nprobe, recall_at_k FROM ("
+            + " UNION ALL ".join(f"SELECT * FROM rc{p}" for p in _NPROBES)
+            + ") ORDER BY nprobe"))
+def ann_nprobe_recall_curve(spark, sf):
+    """Recall@k as a function of nprobe (1, 2, 4) for the
+    fixed-centroid IVF path against exact cosine truth — the
+    capacity-planning curve that picks the probe budget BEFORE the
+    index is deployed at corpus scale (recall buys shuffle volume
+    linearly in nprobe; this readout says what each probe is worth).
+    One shared exact-truth relation; each probe level reuses the same
+    coarse-quantizer CTE shapes the hash-checked ann_ivf_topk_fixed
+    row already proves."""
+    emb = T(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = S.cosine_topk(emb, qs, "vec_id", "embedding", k=K) \
+        .select("query_id", "vec_id")
+    out = None
+    for p in _NPROBES:
+        pred = S.ivf_topk(emb, qs, "vec_id", "embedding", k=K,
+                          num_cells=N_CELLS, nprobe=p, lloyd_iters=0) \
+            .select("query_id", "vec_id")
+        hits = (pred.join(truth, ["query_id", "vec_id"], "left_semi")
+                .agg(F.count("*").alias("_h")))
+        row = hits.select(
+            F.lit(p).cast("bigint").alias("nprobe"),
+            F.round(F.col("_h") * 1.0 / (float(K) * N_QUERIES), 6)
+            .alias("recall_at_k"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "emb_knn_classifier_eval",
+    oracle=f"""
+    WITH {_EX},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+             GROUP BY 1, 2),
+    sims AS (SELECT query_id, dots.vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id),
+    nb AS (SELECT query_id, vec_id FROM sims
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id)
+                   <= {K}),
+    votes AS (SELECT nb.query_id, e.label AS nbl,
+                     count(*) AS c
+              FROM nb JOIN embeddings e ON nb.vec_id = e.vec_id
+              GROUP BY 1, 2),
+    pred AS (SELECT query_id, nbl AS pred_label FROM votes
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, nbl) = 1),
+    j AS (SELECT e.label AS true_label, p.pred_label
+          FROM pred p JOIN embeddings e ON p.query_id = e.vec_id)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN true_label = pred_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN true_label = pred_label
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS accuracy
+    FROM j GROUP BY 1
+    """)
+def emb_knn_classifier_eval(spark, sf):
+    """k-NN label-consistency eval over the embedding space: every
+    10th vector is held out as a query, classified by majority vote
+    of its {K} nearest (cosine) corpus neighbours, scored per true
+    label — the label-separation readout that tells you whether the
+    embedding geometry supports classification BEFORE any model
+    trains (the distributed twin of the classic embedding probe).
+    Votes break ties to the smallest label; the pair relation is the
+    audited broadcast-query exact-cosine path and everything after is
+    (query, label)-grain."""
+    emb = T(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    top = S.cosine_topk(corpus, qs, "vec_id", "embedding", k=K)
+    nb = top.join(emb.select("vec_id", F.col("label").alias("nbl")),
+                  "vec_id")
+    votes = nb.groupBy("query_id", "nbl").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "nbl")
+    pred = (votes.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", F.col("nbl").alias("pred_label")))
+    j = pred.join(emb.select(F.col("vec_id").alias("query_id"),
+                             F.col("label").alias("true_label")),
+                  "query_id")
+    return (j.groupBy(F.col("true_label").cast("bigint")
+                      .alias("true_label"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.when(F.col("true_label") == F.col("pred_label"),
+                              1).otherwise(0)).cast("bigint")
+                 .alias("n_correct"))
+            .withColumn("accuracy",
+                        F.round(F.col("n_correct") * 1.0 / F.col("n"),
+                                6)))
+
+
+@query(
+    "emb_label_representatives",
+    oracle=f"""
+    WITH {_EX},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cents AS (SELECT label, pos, round(avg(x), 6) AS c
+              FROM ex JOIN lbl USING (vec_id) GROUP BY 1, 2),
+    dist AS (SELECT ex.vec_id, lbl.label,
+                    round(sqrt(sum((ex.x - cents.c) * (ex.x - cents.c))),
+                          6) AS dist
+             FROM ex JOIN lbl USING (vec_id)
+                     JOIN cents ON cents.label = lbl.label
+                                AND cents.pos = ex.pos
+             GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(vec_id AS BIGINT) AS vec_id, dist,
+           CAST(row_number() OVER (PARTITION BY label
+                                   ORDER BY dist, vec_id) AS BIGINT)
+               AS rank
+    FROM dist QUALIFY rank <= 3
+    """)
+def emb_label_representatives(spark, sf):
+    """Per-label representative selection: the 3 vectors closest (L2)
+    to their label's centroid — the exemplar-picking step behind
+    labelled-corpus browsing, prototype-based few-shot prompts, and
+    medoid-free cluster summaries (true medoids are quadratic; the
+    closest-to-centroid proxy is one agg + one map-side distance
+    pass).  Centroids are 6dp-rounded BEFORE the distance fold (the
+    kmeans/pca lesson: cross-engine mean noise must not reach the
+    distance), ranking ties break on vec_id."""
+    emb = T(spark, sf, "embeddings")
+    ex = emb.select("vec_id", "label",
+                    F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("pos", "x"))
+    cents = (ex.groupBy("label", "pos")
+             .agg(F.round(F.avg("x"), 6).alias("c")))
+    dist = (ex.join(cents, ["label", "pos"])
+            .groupBy("vec_id", "label")
+            .agg(F.round(F.sqrt(F.sum((F.col("x") - F.col("c"))
+                                      * (F.col("x") - F.col("c")))), 6)
+                 .alias("dist")))
+    w = Window.partitionBy("label").orderBy("dist", "vec_id")
+    return (dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("label").cast("bigint").alias("label"),
+                    F.col("vec_id").cast("bigint").alias("vec_id"),
+                    "dist", "rank"))

@@ -53,6 +53,42 @@ def s3_libsvm_parse(spark, sf):
                       .alias("featureId"), "featureValue")
 
 
+def _memoized_export(src: str, path: str, write) -> None:
+    """Run the ``write`` export once per source-content fingerprint:
+    size + mtime + md5 of head/tail 4 KiB (the parquet footer lives in
+    the tail, so an mtime-preserving regeneration still changes the
+    stamp); unreadable source (e.g. a remote URI) -> never memoize,
+    always re-export.  The marker file is underscore-prefixed so
+    Spark's file discovery skips it and it never enters the scan.
+    Shared by every roundtrip query whose export is a declared,
+    memoized side effect (s1 CSV, s5 JSONL)."""
+    stamp = None
+    try:
+        import hashlib
+
+        st = os.stat(src)
+        with open(src, "rb") as fh:
+            head = fh.read(4096)
+            fh.seek(max(0, st.st_size - 4096))
+            tail = fh.read(4096)
+        stamp = (f"{st.st_size}:{st.st_mtime_ns}:"
+                 f"{hashlib.md5(head + tail).hexdigest()}")
+    except OSError:
+        pass
+    marker = os.path.join(path, "_fmx_src_stamp")
+    if stamp is not None:
+        try:
+            with open(marker) as fh:
+                if fh.read() == stamp:
+                    return
+        except OSError:
+            pass
+    write()
+    if stamp is not None:
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+
+
 _CSV_ROUNDTRIP_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse",
     "_s1_csv_roundtrip")
@@ -98,40 +134,11 @@ def s1_csv_roundtrip(spark, sf):
     li = T(spark, sf, "lineitem")
     path = os.path.join(_CSV_ROUNDTRIP_DIR,
                         os.path.basename(os.path.normpath(sf)))
-    src = os.path.join(sf, "lineitem.parquet")
-    # content fingerprint: size + mtime + md5 of head/tail 4 KiB (the
-    # parquet footer lives in the tail, so an mtime-preserving
-    # regeneration still changes the stamp); unreadable source (e.g. a
-    # remote URI) -> stamp None -> never memoize, always re-export
-    stamp = None
-    try:
-        import hashlib
-
-        st = os.stat(src)
-        with open(src, "rb") as fh:
-            head = fh.read(4096)
-            fh.seek(max(0, st.st_size - 4096))
-            tail = fh.read(4096)
-        stamp = (f"{st.st_size}:{st.st_mtime_ns}:"
-                 f"{hashlib.md5(head + tail).hexdigest()}")
-    except OSError:
-        pass
-    # underscore prefix: Spark's file-discovery skips _-prefixed files,
-    # so the marker never enters the CSV scan
-    marker = os.path.join(path, "_fmx_src_stamp")
-    fresh = False
-    if stamp is not None:
-        try:
-            with open(marker) as fh:
-                fresh = fh.read() == stamp
-        except OSError:
-            pass
-    if not fresh:
-        (li.write.mode("overwrite").option("header", "true")
-         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path))
-        if stamp is not None:
-            with open(marker, "w") as fh:
-                fh.write(stamp)
+    _memoized_export(
+        os.path.join(sf, "lineitem.parquet"), path,
+        lambda: (li.write.mode("overwrite").option("header", "true")
+                 .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+                 .csv(path)))
     from fmx.sources import read_csv
     back = read_csv(spark, path, header=True, schema=li.schema,
                     options={"timestampFormat": "yyyy-MM-dd HH:mm:ss"})
@@ -368,3 +375,75 @@ def approx_user_overlap(spark, sf):
     rb = hll_registers(ev.filter(F.col("event_type") == "purchase"),
                        "_g", "user_id").drop("_g")
     return hll_overlap(ra, rb)
+
+
+_JSONL_ROUNDTRIP_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse",
+    "_s5_jsonl_roundtrip")
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@query(
+    "s5_jsonl_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+               AS sum_day_micros,
+           CAST(sum(length(props)) AS BIGINT) AS sum_props_len,
+           CAST(count(DISTINCT props) AS BIGINT) AS n_props,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+    FROM events
+    """)
+def s5_jsonl_roundtrip(spark, sf):
+    """JSONL round-trip (fmx.sources.sinks write_jsonl/read_jsonl — the
+    interchange format LLM-data tooling speaks): export events as
+    gzipped JSON lines, read them back under an EXPLICIT schema
+    (inference reads twice and is sample-dependent at scale), and fold
+    to integer checksums + microsecond-exact timestamp bounds the
+    oracle computes from the parquet originals — value equality proves
+    the JSON writer/parser round-trips ints, doubles, strings,
+    JSON-in-string props (escaping!), and microsecond timestamps
+    (serialized explicitly at micros precision; Spark's default JSON
+    timestampFormat keeps millis only, a silent-loss trap this query
+    exists to pin down).  The export is the declared, memoized side
+    effect (the s1 CSV contract, shared _memoized_export)."""
+    from pyspark.sql import types as SQLT
+
+    from fmx.sources.sinks import read_jsonl, write_jsonl
+
+    ev = T(spark, sf, "events")
+    out = ev.withColumn("ts", F.date_format("ts", _TS_FMT))
+    path = os.path.join(_JSONL_ROUNDTRIP_DIR,
+                        os.path.basename(os.path.normpath(sf)))
+    _memoized_export(os.path.join(sf, "events.parquet"), path,
+                     lambda: write_jsonl(out, path))
+    schema = SQLT.StructType([
+        SQLT.StructField("event_id", SQLT.LongType()),
+        SQLT.StructField("ts", SQLT.StringType()),
+        SQLT.StructField("user_id", SQLT.LongType()),
+        SQLT.StructField("event_type", SQLT.StringType()),
+        SQLT.StructField("value", SQLT.DoubleType()),
+        SQLT.StructField("props", SQLT.StringType()),
+    ])
+    back = (read_jsonl(spark, path, schema=schema)
+            .withColumn("ts", F.to_timestamp("ts", _TS_FMT)))
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.sum("user_id").cast("bigint").alias("sum_user_id"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint").alias("sum_value_cents"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        F.sum(F.unix_micros("ts") % 86400000000).cast("bigint")
+        .alias("sum_day_micros"),
+        F.sum(F.length("props")).cast("bigint").alias("sum_props_len"),
+        F.count_distinct("props").cast("bigint").alias("n_props"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("min_ts"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("max_ts"))

@@ -716,3 +716,101 @@ def ts_theilsen_trend(spark, sf):
              .groupBy(F.col("ts").cast("date").alias("d"))
              .agg(F.count("*").alias("n")))
     return theilsen_trend(daily, "d", "n")
+
+
+@query(
+    "ts_asof_forward_tolerance",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'error'),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT e.event_id AS error_id, e.user_id, e.ts AS e_ts,
+             p.event_id AS purchase_id, p.ts AS p_ts,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM e LEFT JOIN p ON p.user_id = e.user_id AND p.ts >= e.ts)
+    SELECT CAST(error_id AS BIGINT) AS error_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(CASE WHEN date_diff('second', e_ts, p_ts) <= {ASOF_TOL}
+                     THEN purchase_id END AS BIGINT) AS purchase_id,
+           CAST(CASE WHEN date_diff('second', e_ts, p_ts) <= {ASOF_TOL}
+                     THEN date_diff('second', e_ts, p_ts) END AS BIGINT)
+               AS recovery_sec
+    FROM m WHERE rn = 1
+    """)
+def ts_asof_forward_tolerance(spark, sf):
+    """FORWARD as-of join with tolerance: for every error event, the
+    same user's EARLIEST purchase at or after it (ties -> smallest
+    event_id), nulled beyond the 2 h window — "did the user recover
+    and convert?", the mirror image of last-click attribution and the
+    other half of pandas merge_asof's direction contract.  Same
+    scale shape as the backward query: union + carry-BACKWARD window,
+    one shuffle on user_id, no join operator (the oracle spells out
+    the O(errors x purchases) inequality join Spark never runs)."""
+    ev = T(spark, sf, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    j = asof_join(errors, purchases, on="user_id",
+                  right_cols=["event_id"], right_tiebreak="event_id",
+                  tolerance_sec=ASOF_TOL, direction="forward")
+    return j.select(
+        F.col("error_id").cast(BIG).alias("error_id"),
+        F.col("user_id").cast(BIG).alias("user_id"),
+        F.col("event_id_asof").cast(BIG).alias("purchase_id"),
+        (F.unix_timestamp("ts_asof") - F.unix_timestamp("ts"))
+        .cast(BIG).alias("recovery_sec"))
+
+
+@query(
+    "ts_stl_decompose",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+    tr AS (SELECT d, n,
+                  avg(n * 1.0) OVER (ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                      AS trend,
+                  CAST(dayofweek(d) AS BIGINT) AS dow
+           FROM daily),
+    se AS (SELECT dow, avg(n - trend) AS seasonal
+           FROM tr GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day, n,
+           round(trend, 6) AS trend,
+           round(seasonal, 6) AS seasonal,
+           round(n - trend - seasonal, 6) AS residual
+    FROM tr JOIN se USING (dow)
+    """)
+def ts_stl_decompose(spark, sf):
+    """Additive trend/seasonal/residual decomposition of the daily
+    event-count series (the classical-decomposition half of STL):
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per weekday, residual = the anomaly signal that's left —
+    the decomposition behind seasonality-aware alerting
+    (ts_trailing_anomaly flags deviations from a trailing mean; this
+    separates "it's Saturday" from "something broke").  Scale shape:
+    one day-grain agg bounds everything after by the calendar; the
+    moving average is a bounded-frame window; the seasonal means are
+    a 7-row agg.  Window edges use the partial-frame average (both
+    engines define avg over the available frame)."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast(BIG).alias("n")))
+    wma = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "n",
+        F.avg(F.col("n") * 1.0).over(wma).alias("trend"),
+        F.dayofweek("d").cast(BIG).alias("dow"))
+    se = (tr.groupBy("dow")
+          .agg(F.avg(F.col("n") - F.col("trend")).alias("seasonal")))
+    return (tr.join(se, "dow")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n",
+                    F.round("trend", 6).alias("trend"),
+                    F.round("seasonal", 6).alias("seasonal"),
+                    F.round(F.col("n") - F.col("trend")
+                            - F.col("seasonal"), 6).alias("residual")))

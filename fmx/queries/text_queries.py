@@ -1629,6 +1629,7 @@ RAKE_TOP_K = 20
 
 @query(
     "text_rake_keyphrases",
+    headline=True,        # r8 verdict #4: tracked wall-time + DuckDB comparator
     oracle=f"""
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents),
@@ -1713,3 +1714,97 @@ def text_rake_keyphrases(spark, sf):
                 F.round(F.max("score"), 6).alias("score")))
     return (agg.select("phrase", "n_occurrences", "score")
             .orderBy(F.col("score").desc(), "phrase").limit(RAKE_TOP_K))
+
+
+PASSAGE_W = 10
+
+
+@query(
+    "text_passage_dedup",
+    oracle=f"""
+    WITH base AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS t
+                  FROM documents WHERE length(text) > 0),
+    idxs AS (SELECT doc_id, t,
+                    unnest(generate_series(
+                        0, CAST(ceil(len(t) / {PASSAGE_W}.0) AS BIGINT)
+                           - 1)) AS idx
+             FROM base WHERE len(t) > 0),
+    pas AS (SELECT doc_id, idx,
+                   md5(array_to_string(
+                       t[idx * {PASSAGE_W} + 1 : (idx + 1) * {PASSAGE_W}],
+                       ' ')) AS h
+            FROM idxs),
+    flagged AS (SELECT doc_id,
+                       CASE WHEN row_number() OVER (PARTITION BY h
+                                 ORDER BY doc_id, idx) > 1
+                            THEN 1 ELSE 0 END AS dup
+                FROM pas)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(dup) AS BIGINT) AS n_dup_passages,
+           round(sum(dup) * 1.0 / count(*), 6) AS dup_ratio
+    FROM flagged GROUP BY doc_id
+    """)
+def text_passage_dedup(spark, sf):
+    """Intra-corpus passage-level exact dedup
+    (fmx.operators.text.passage_dedup): the CCNet/C4 paragraph-hash
+    trick over fixed 10-word passages (this corpus has no paragraph
+    breaks), marking every passage whose hash already occurred
+    earlier in (doc, offset) order — the sub-document dedup stage
+    that document-level fingerprints miss (boilerplate shared across
+    distinct pages).  Passages are generated map-side (explode +
+    slice, no token shuffle); the first-occurrence decision is one
+    ranking window on the hash grain; the per-doc rollup is a hash
+    agg."""
+    return X.passage_dedup(T(spark, sf, "documents"), "doc_id", "text",
+                           width=PASSAGE_W)
+
+
+@query(
+    "text_mattr",
+    oracle=f"""
+    WITH base AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    ex AS (SELECT doc_id, len(t) AS n, t[p] AS tok, p
+           FROM base, LATERAL (SELECT unnest(generate_series(1, len(t)))
+                               AS p) _
+           WHERE len(t) >= {PASSAGE_W}),
+    lagged AS (SELECT doc_id, n, p,
+                      coalesce(lag(p) OVER (PARTITION BY doc_id, tok
+                                            ORDER BY p), 0) AS prev
+               FROM ex),
+    contrib AS (SELECT doc_id, n,
+                       greatest(least(p, n - {PASSAGE_W} + 1)
+                                - greatest(prev + 1,
+                                           p - {PASSAGE_W} + 1, 1) + 1,
+                                0) AS c
+                FROM lagged),
+    types AS (SELECT doc_id, count(DISTINCT tok) AS ty
+              FROM ex GROUP BY 1)
+    SELECT CAST(contrib.doc_id AS BIGINT) AS doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(max(n) - {PASSAGE_W} + 1 AS BIGINT) AS n_windows,
+           round(sum(c) * 1.0
+                 / ({PASSAGE_W} * (max(n) - {PASSAGE_W} + 1)), 6)
+               AS mattr,
+           round(max(ty) * 1.0 / max(n), 6) AS ttr
+    FROM contrib JOIN types ON contrib.doc_id = types.doc_id
+    GROUP BY contrib.doc_id
+    """)
+def text_mattr(spark, sf):
+    """Moving-Average Type-Token Ratio lexical diversity
+    (fmx.operators.text.mattr_diversity) over 10-token sliding
+    windows — the length-robust diversity signal (plain TTR collapses
+    as documents grow, so it cannot rank a mixed-length corpus).
+    The naive form materializes n_windows x width token rows; this is
+    the CLOSED FORM: one lag window per (doc, token) occurrence gives
+    each position the count of windows in which it is the first
+    occurrence, so MATTR is an exact integer sum over the token grain
+    divided once — both engines agree bit-for-bit until the final
+    division."""
+    return X.mattr_diversity(T(spark, sf, "documents"), "doc_id",
+                             "text", width=PASSAGE_W)

@@ -233,3 +233,20 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
              "event_burstiness", "dq_schema_drift",
              "eval_wilcoxon_signed_rank"]
     _assert_partition_invariant(spark, sf_dir, names)
+
+
+def test_round9_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the round-9 additions: rank-sum
+    moments, contingency crosses, hazard accumulations, passage-hash
+    first-occurrence, closed-form MATTR, BFS frontier anti-joins,
+    epsilon-graph min labels, kNN vote ties, register folds, bitmask
+    sums, forward-asof carry — pure functions of the data."""
+    names = ["eval_mann_whitney_u", "eval_cramers_v", "eval_log_loss",
+             "event_nelson_aalen", "stats_mode_by_group",
+             "stats_weighted_median", "text_passage_dedup", "text_mattr",
+             "graph_bfs_frontier", "emb_epsilon_components",
+             "ann_nprobe_recall_curve", "emb_knn_classifier_eval",
+             "emb_label_representatives", "event_activity_bitmask",
+             "quantiles_from_hist_registers", "ts_asof_forward_tolerance",
+             "ts_stl_decompose", "s5_jsonl_roundtrip", "ann_ivf_topk"]
+    _assert_partition_invariant(spark, sf_dir, names)

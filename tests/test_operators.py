@@ -2628,3 +2628,75 @@ def test_dup_aware_weights_sum_to_distinct_contents(spark, sf_dir):
     total_w = out.agg(F.sum("weight")).collect()[0][0]
     # weights are rounded to 6dp, so allow rounding slack per group
     assert abs(total_w - n_distinct) < 1e-3 * n_distinct + 0.01
+
+
+def test_bfs_distances_matches_k_hop(spark, sf_dir):
+    """The delta-frontier BFS and the full-relation k_hop rejoin are
+    two dataflows for the same function: identical (node, min-hop)
+    labels on the co-purchase graph (k_hop gets the doubled edge list
+    since it treats edges as directed)."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.graph import bfs_distances, k_hop
+    from fmx.queries.analytics import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().filter(F.col("node") % 100 == 0))
+    a = {(r.node, r.dist) for r in
+         bfs_distances(edges, seeds, max_hops=3).collect()}
+    b = {(r.node, r.hop) for r in
+         k_hop(und, seeds, k=3).filter(F.col("hop") <= 3).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_mattr_matches_bruteforce(spark):
+    """The closed-form MATTR (lag-window contribution counts) must
+    equal the definitional brute force (average distinct share over
+    every sliding window) on hand-checkable documents, including
+    repeated tokens inside and across windows."""
+    from fmx.operators.text import mattr_diversity
+
+    docs = [
+        (1, "a b c d e f"),            # all distinct
+        (2, "a a a a a"),              # one type
+        (3, "a b a b a b a"),          # period-2 repetition
+        (4, "x y z x q r s t y x"),    # mixed
+    ]
+    w = 3
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.mattr for r in
+           mattr_diversity(df, "doc_id", "text", width=w).collect()}
+    for doc_id, text in docs:
+        toks = text.split()
+        if len(toks) < w:
+            assert doc_id not in got
+            continue
+        wins = [toks[s:s + w] for s in range(len(toks) - w + 1)]
+        expect = sum(len(set(win)) for win in wins) / (w * len(wins))
+        assert abs(got[doc_id] - expect) < 1e-6, (doc_id, got[doc_id],
+                                                  expect)
+
+
+def test_passage_dedup_invariants(spark):
+    """A verbatim re-post is 100% duplicated passages; the original
+    (first by id) is 0%; a unique doc is 0%; ratios always in [0,1]
+    and n_dup <= n_passages."""
+    from fmx.operators.text import passage_dedup
+
+    base = "w%d " * 25
+    t1 = (base % tuple(range(25))).strip()
+    t2 = (base % tuple(range(100, 125))).strip()
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2)], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           passage_dedup(df, "doc_id", "text", width=10).collect()}
+    assert got[1].n_dup_passages == 0
+    assert got[2].n_dup_passages == got[2].n_passages == 3
+    assert got[2].dup_ratio == 1.0
+    assert got[3].n_dup_passages == 0
+    for r in got.values():
+        assert 0 <= r.n_dup_passages <= r.n_passages

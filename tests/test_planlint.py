@@ -123,6 +123,9 @@ _ALLOWED = {
         "retrieval_hard_negatives",    # broadcast query-set cross
         "retrieval_triplets",          # broadcast query-set cross
         "ann_eval_hamming_vs_exact",   # broadcast query-sketch/set crosses
+        "ann_nprobe_recall_curve",  # bounded centroid + query-set crosses
+        "emb_knn_classifier_eval",  # broadcast query-set cross
+        "event_activity_bitmask",   # 1-row min-date broadcast
         "eval_cohen_kappa",            # 1-row chance-term broadcast
         "feat_mutual_information",     # 1-row total broadcast
         "event_kaplan_meier",          # 1-row max-day + total broadcasts
@@ -130,6 +133,8 @@ _ALLOWED = {
         "feat_rare_category_collapse",  # 1-row total broadcast
         "eval_kendall_tau_topk",        # 20-row top-k self-cross
         "sample_pps_systematic",        # 1-row total broadcast
+        "eval_cramers_v",          # r x k marginal cross + 1-row total
+        "event_nelson_aalen",      # 1-row max-day + total broadcasts
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
         "profile_join_cardinality",
@@ -164,6 +169,8 @@ _ALLOWED = {
         "sample_negative_downsample",  # filter on the md5 keep-coin
         "er_fuzzy_match",   # rank/dist filters on computed edit distance
         "text_pmi_bigrams",  # min_count filter on aggregated pair counts
+        "text_passage_dedup",  # non-empty guard on the computed token array
+        "text_mattr",          # min-width guard on the computed token array
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_boilerplate_strip",
         "text_ngram_novelty", "text_template_clusters",
@@ -203,6 +210,12 @@ _ALLOWED = {
         "eval_wilcoxon_signed_rank",  # ranks over calendar-bounded days
         "event_kaplan_meier",        # cum-risk over duration-grain rows
         "sample_pps_systematic",     # cum-size over the category grain
+        "event_nelson_aalen",        # cum-hazard over duration-grain rows
+        "eval_mann_whitney_u",       # cum-counts over the cents grain
+                                     # (bounded by the price domain)
+        "quantiles_from_hist_registers",  # global fold over <= 100
+                                          # fixed-edge bucket rows
+        "ts_stl_decompose",          # moving avg over calendar-bounded days
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",

@@ -40,7 +40,10 @@ REPLICAS = 10
 OFF = 10_000_000
 
 HEAVY = ["graph_connected_components", "dedup_semantic", "ann_ivfpq_topk",
-         "dedup_cross_corpus"]
+         "dedup_cross_corpus",
+         # r8 verdict #5: the two new shapes with all-pairs failure
+         # modes that blocking/zipping is supposed to prevent
+         "er_fuzzy_match", "text_pmi_bigrams"]
 
 
 def build() -> None:
@@ -67,6 +70,19 @@ def build() -> None:
                         x -> x + r * 0.003) AS FLOAT[]) AS embedding,
                    label
             FROM '{SRC}/embeddings.parquet', {reps}""",
+        # er_fuzzy_match input: every replica's names get a 5-char
+        # replica-letter suffix, so cross-replica Levenshtein is >= 5
+        # (> max_dist=3 — replicas never MATCH each other, like real
+        # distinct entities), first chars and relative length bands are
+        # untouched, and block KEYS stay at their sf0.1 cardinality —
+        # i.e. this measures the honest consequence of 10x data under
+        # an unchanged blocking key (block occupancy grows 10x).
+        "part": f"""
+            SELECT p_partkey + r * {OFF} AS p_partkey,
+                   p_name || repeat(chr(CAST(97 + r AS INTEGER)), 5)
+                       AS p_name,
+                   p_brand, p_type, p_size, p_retailprice
+            FROM '{SRC}/part.parquet', {reps}""",
     }
     for t, sql in specs.items():
         out = os.path.join(DST, f"{t}.parquet")
@@ -105,6 +121,33 @@ def run() -> None:
         out[name] = {"sf0.1_sec": t_small, "sf1.0_sec": t_big,
                      "alpha": round(math.log10(t_big / t_small), 2)}
         print(name, out[name])
+
+    # ER at scale, the production discipline: when data grows 10x, the
+    # blocking key grows WITH it (prefix 1 -> 2), holding per-block
+    # occupancy ~constant.  The registry query keeps prefix 1 (its
+    # oracle contract); this extra point measures the knob the operator
+    # exposes for exactly this moment, so SCALE.md can cite a number
+    # for "re-block at scale" rather than an argument.
+    def _er_fuzzy(spark, sf_dir, block_prefix):
+        from fmx.operators.linkage import blocked_fuzzy_join
+        from fmx.sources import load_table as _T
+
+        part = _T(spark, sf_dir, "part")
+        probes = part.select(
+            F.col("p_partkey").alias("probe_id"),
+            F.concat(
+                F.expr("substring(p_name, 1, 1 + (p_partkey % 4))"),
+                F.expr("substring(p_name, CAST(3 + (p_partkey % 4) AS INT),"
+                       " length(p_name))")).alias("probe_name"))
+        return blocked_fuzzy_join(
+            probes, part.select(F.col("p_partkey").alias("part_id"),
+                                F.col("p_name")),
+            "probe_id", "part_id", "probe_name", "p_name",
+            block_prefix=block_prefix, length_band=4, max_dist=3)
+
+    t_rebl = _time_query(lambda s, d: _er_fuzzy(s, d, 2), spark, DST)
+    out["er_fuzzy_match_prefix2_sf1.0"] = {"sf1.0_sec": t_rebl}
+    print("er_fuzzy_match_prefix2_sf1.0", out["er_fuzzy_match_prefix2_sf1.0"])
 
     def _fit(sf_dir: str) -> float:
         emb = load_table(spark, sf_dir, "embeddings").select(
