@@ -24,7 +24,7 @@ __all__ = [
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
     "minhash_cross_pairs", "dedup_keep_best", "containment_pairs",
-    "split_leakage",
+    "split_leakage", "weighted_jaccard_pairs",
 ]
 
 
@@ -786,3 +786,52 @@ def split_leakage(df: DataFrame, id_col: str, text_col: str,
             .join(splits.select(F.col("_sid").alias("id_b"),
                                 F.col("_sp").alias("split_b")), "id_b")
             .filter(F.col("split_a") != F.col("split_b")))
+
+
+def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 3, threshold: float = 0.2,
+                           max_df: int | None = 1000) -> DataFrame:
+    """IDF-weighted n-gram Jaccard next to the plain one: every shingle
+    carries weight ln(N/df), so boilerplate shingles (high df) barely
+    count and rare content dominates — the reweighting that separates
+    "two docs share a template" from "two docs share CONTENT" before a
+    keep/drop decision.  Returns (id_a, id_b, jaccard,
+    weighted_jaccard) for pairs with PLAIN jaccard >= threshold (the
+    same candidate set as ngram_jaccard_pairs, so the two scores are
+    directly comparable row for row).
+
+    Scale shape: identical to the plain scorer — shingle equi-join
+    with the max_df hot-key guard, plus one shingle-grain df agg and a
+    broadcast 1-row corpus size.  IDF weights are 6dp-rounded BEFORE
+    any summation (the kmeans lesson: both engines must sum identical
+    doubles), and every per-doc/per-pair weight sum is a hash agg."""
+    sh = word_shingles(df, id_col, text_col, n=n, max_df=max_df)
+    nd = sh.agg(F.countDistinct(id_col).alias("_nd"))
+    idf = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+           .crossJoin(F.broadcast(nd))
+           .select("shingle",
+                   F.round(F.log(F.col("_nd") * 1.0 / F.col("_df")), 6)
+                   .alias("w")))
+    shw = sh.join(idf, "shingle")
+    sizes = shw.groupBy(id_col).agg(F.count("*").alias("n_sh"),
+                                    F.sum("w").alias("ws"))
+    a = shw.select(F.col(id_col).alias("id_a"), "shingle", "w")
+    b = shw.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("i"), F.sum("w").alias("iw")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("na"), F.col("ws").alias("wa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("nb"), F.col("ws").alias("wb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    (F.col("i")
+                     / (F.col("na") + F.col("nb") - F.col("i")))
+                    .alias("jaccard"),
+                    (F.col("iw")
+                     / (F.col("wa") + F.col("wb") - F.col("iw")))
+                    .alias("weighted_jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -5377,3 +5377,341 @@ def quantiles_from_hist_registers(spark, sf):
                              qs=(0.5, 0.9))
              .select(F.col("g").alias("grain"), "q", "est"))
     return daily.unionByName(world)
+
+
+@query(
+    "event_diff_in_diff",
+    oracle="""
+    WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT min(d) AS mn, max(d) AS mx FROM b),
+    mid AS (SELECT mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER)
+                AS m FROM g),
+    cells AS (SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+                     CASE WHEN d > m THEN 1 ELSE 0 END AS post,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS s
+              FROM b CROSS JOIN mid GROUP BY 1, 2),
+    w AS (SELECT max(CASE WHEN treat = 1 AND post = 1
+                          THEN s * 1.0 / n END) AS tp,
+                 max(CASE WHEN treat = 1 AND post = 0
+                          THEN s * 1.0 / n END) AS tq,
+                 max(CASE WHEN treat = 0 AND post = 1
+                          THEN s * 1.0 / n END) AS cp,
+                 max(CASE WHEN treat = 0 AND post = 0
+                          THEN s * 1.0 / n END) AS cq,
+                 CAST(sum(n) AS BIGINT) AS n_events
+          FROM cells)
+    SELECT n_events,
+           round(tq / 100.0, 6) AS treat_pre,
+           round(tp / 100.0, 6) AS treat_post,
+           round(cq / 100.0, 6) AS ctrl_pre,
+           round(cp / 100.0, 6) AS ctrl_post,
+           round(((tp - tq) - (cp - cq)) / 100.0, 6) AS did_estimate
+    FROM w
+    """)
+def event_diff_in_diff(spark, sf):
+    """Difference-in-differences estimate of the (synthetic,
+    user-parity-assigned) treatment effect on mean event value:
+    (treated post - pre) minus (control post - pre) over the
+    observation window split at its midpoint — the workhorse causal
+    readout when randomization happened at a time boundary.  Scale
+    shape: ONE conditional agg to 4 (treat, post) cells of exact
+    integer-cents sums (the ts_ewma rule — means become doubles in
+    one division at emit, both engines identical); assignment is
+    user_id parity so both engines derive the same cohorts."""
+    b = (T(spark, sf, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", F.to_date("ts").alias("d"),
+                 F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                 .alias("cents")))
+    g = b.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    mid = g.select(F.date_add("mn", (F.datediff("mx", "mn") / 2)
+                              .cast("int")).alias("m"))
+    cells = (b.crossJoin(F.broadcast(mid))
+             .groupBy((F.col("user_id") % 2).cast(BIG).alias("treat"),
+                      F.when(F.col("d") > F.col("m"), 1).otherwise(0)
+                      .alias("post"))
+             .agg(F.count("*").cast(BIG).alias("n"),
+                  F.sum("cents").cast(BIG).alias("s")))
+    mean = F.col("s") * 1.0 / F.col("n")
+    w = cells.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), mean))
+        .alias("tp"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), mean))
+        .alias("tq"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), mean))
+        .alias("cp"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), mean))
+        .alias("cq"),
+        F.sum("n").cast(BIG).alias("n_events"))
+    return w.select(
+        "n_events",
+        F.round(F.col("tq") / 100.0, 6).alias("treat_pre"),
+        F.round(F.col("tp") / 100.0, 6).alias("treat_post"),
+        F.round(F.col("cq") / 100.0, 6).alias("ctrl_pre"),
+        F.round(F.col("cp") / 100.0, 6).alias("ctrl_post"),
+        F.round(((F.col("tp") - F.col("tq"))
+                 - (F.col("cp") - F.col("cq"))) / 100.0, 6)
+        .alias("did_estimate"))
+
+
+@query(
+    "event_cuped_adjustment",
+    oracle="""
+    WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT min(d) AS mn, max(d) AS mx FROM b),
+    mid AS (SELECT mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER)
+                AS m FROM g),
+    u AS (SELECT user_id,
+                 CAST(sum(CASE WHEN d <= m THEN cents ELSE 0 END)
+                      AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN d > m THEN cents ELSE 0 END)
+                      AS BIGINT) AS y
+          FROM b CROSS JOIN mid GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS sy,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                     AS sxx,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                     AS sxy,
+                 CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                     AS syy
+          FROM u)
+    SELECT n AS n_users,
+           round((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx),
+                 6) AS theta,
+           round(((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(syy AS DOUBLE) * n
+                       - CAST(sy AS DOUBLE) * sy)), 6)
+               AS variance_reduction
+    FROM m
+    """)
+def event_cuped_adjustment(spark, sf):
+    """CUPED pre-period adjustment readout: theta = cov(X, Y)/var(X)
+    for per-user pre-period spend X vs post-period spend Y, plus the
+    variance reduction it buys (= rho^2, the whole point of CUPED:
+    shipping adjusted metrics shrinks experiment runtimes by exactly
+    this factor).  Scale shape: one user-grain conditional agg, then
+    ONE moment fold in DECIMAL(38,0) (integer cents products — BIGINT
+    overflows at corpus scale, the eval_spearman_corr lesson); theta
+    and rho^2 are single double formulas over six exact integers,
+    written identically in both engines."""
+    b = (T(spark, sf, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", F.to_date("ts").alias("d"),
+                 F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                 .alias("cents")))
+    g = b.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    mid = g.select(F.date_add("mn", (F.datediff("mx", "mn") / 2)
+                              .cast("int")).alias("m"))
+    u = (b.crossJoin(F.broadcast(mid))
+         .groupBy("user_id")
+         .agg(F.sum(F.when(F.col("d") <= F.col("m"), F.col("cents"))
+                    .otherwise(0)).cast(BIG).alias("x"),
+              F.sum(F.when(F.col("d") > F.col("m"), F.col("cents"))
+                    .otherwise(0)).cast(BIG).alias("y")))
+    m = u.agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast(DEC).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast(DEC).alias("sy"),
+        F.sum(F.col("x").cast(DEC) * F.col("x")).cast(DEC).alias("sxx"),
+        F.sum(F.col("x").cast(DEC) * F.col("y")).cast(DEC).alias("sxy"),
+        F.sum(F.col("y").cast(DEC) * F.col("y")).cast(DEC).alias("syy"))
+    n = F.col("n")
+    cxy = F.col("sxy").cast("double") * n - F.col("sx").cast("double") * F.col("sy")
+    vx = F.col("sxx").cast("double") * n - F.col("sx").cast("double") * F.col("sx")
+    vy = F.col("syy").cast("double") * n - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        n.alias("n_users"),
+        F.round(cxy / vx, 6).alias("theta"),
+        F.round((cxy * cxy) / (vx * vy), 6).alias("variance_reduction"))
+
+
+FLEISS_R = 5    # raters = the five Gopher rules
+
+
+@query(
+    "eval_fleiss_kappa",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), x -> x <> '')
+                          AS tk
+               FROM documents),
+    votes AS (SELECT doc_id,
+                 CAST(CAST(len(tk) >= 20 AND len(tk) <= 90 AS INT)
+                 + CAST((SELECT sum(length(x)) FROM unnest(tk) AS u(x))
+                        * 1.0 / len(tk) BETWEEN 3.0 AND 10.0 AS INT)
+                 + CAST(len(list_filter(tk,
+                            x -> regexp_matches(x, '[a-zA-Z]')))
+                        * 1.0 / len(tk) >= 0.8 AS INT)
+                 + CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        * 1.0 / length(text) < 0.3 AS INT)
+                 + CAST(len(list_intersect(list_distinct(tk),
+                            ['the', 'a', 'of', 'and', 'to', 'in', 'is']))
+                        >= 2 AS INT) AS BIGINT) AS np
+              FROM t WHERE len(tk) > 0),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(np) AS BIGINT) AS sp,
+                 CAST(sum(np * np) AS BIGINT) AS spp
+          FROM votes)
+    SELECT n AS n_subjects,
+           round((2.0 * spp - 2.0 * {FLEISS_R} * sp
+                  + n * {FLEISS_R * FLEISS_R} - n * {FLEISS_R})
+                 / (n * {FLEISS_R * (FLEISS_R - 1)}), 6) AS p_bar,
+           round((sp * 1.0 / (n * {FLEISS_R}))
+                 * (sp * 1.0 / (n * {FLEISS_R}))
+                 + (1.0 - sp * 1.0 / (n * {FLEISS_R}))
+                 * (1.0 - sp * 1.0 / (n * {FLEISS_R})), 6) AS p_e,
+           round(((2.0 * spp - 2.0 * {FLEISS_R} * sp
+                   + n * {FLEISS_R * FLEISS_R} - n * {FLEISS_R})
+                  / (n * {FLEISS_R * (FLEISS_R - 1)})
+                  - ((sp * 1.0 / (n * {FLEISS_R}))
+                     * (sp * 1.0 / (n * {FLEISS_R}))
+                     + (1.0 - sp * 1.0 / (n * {FLEISS_R}))
+                     * (1.0 - sp * 1.0 / (n * {FLEISS_R}))))
+                 / (1.0 - ((sp * 1.0 / (n * {FLEISS_R}))
+                           * (sp * 1.0 / (n * {FLEISS_R}))
+                           + (1.0 - sp * 1.0 / (n * {FLEISS_R}))
+                           * (1.0 - sp * 1.0 / (n * {FLEISS_R})))), 6)
+               AS fleiss_kappa
+    FROM m
+    """)
+def eval_fleiss_kappa(spark, sf):
+    """Fleiss' kappa treating the five Gopher quality rules as five
+    binary raters of every document: do the rules AGREE beyond
+    chance, or is the bundle five re-skins of one signal / five
+    independent coins?  (The inter-rater-reliability slot in the test
+    family — Cohen's kappa compares 2 raters, this generalizes to r.)
+    Exact integer moments: per-doc pass-count np (one projection —
+    the gopher_filters expressions), then n / sum(np) / sum(np^2)
+    determine P_bar, P_e and kappa in closed form, one double formula
+    over three integers written identically in both engines."""
+    from fmx.operators.text import gopher_filters
+
+    docs = T(spark, sf, "documents")
+    v = gopher_filters(docs, "doc_id", "text").filter(F.col("n_words") > 0)
+    np_ = sum(F.col(c).cast("int")
+              for c in ["rule_word_count", "rule_mean_word_len",
+                        "rule_alpha_ratio", "rule_digit_ratio",
+                        "rule_stopwords"]).cast(BIG)
+    m = (v.select(np_.alias("np"))
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.sum("np").cast(BIG).alias("sp"),
+              F.sum(F.col("np") * F.col("np")).cast(BIG).alias("spp")))
+    r = FLEISS_R
+    n, sp, spp = F.col("n"), F.col("sp"), F.col("spp")
+    p_bar = ((2.0 * spp - 2.0 * r * sp + n * (r * r) - n * r)
+             / (n * (r * (r - 1))))
+    pp = sp * 1.0 / (n * r)
+    p_e = pp * pp + (1.0 - pp) * (1.0 - pp)
+    return m.select(
+        n.alias("n_subjects"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"))
+
+
+@query(
+    "graph_harmonic_centrality_2hop",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d1
+            FROM und GROUP BY node),
+    two AS (SELECT DISTINCT a.node AS node, b.nbr AS far
+            FROM und a JOIN und b ON a.nbr = b.node
+            WHERE b.nbr <> a.node),
+    strict2 AS (SELECT t.node, t.far FROM two t
+                LEFT JOIN und u ON u.node = t.node AND u.nbr = t.far
+                WHERE u.node IS NULL),
+    n2 AS (SELECT node, CAST(count(*) AS BIGINT) AS d2
+           FROM strict2 GROUP BY node)
+    SELECT CAST(deg.node AS BIGINT) AS node, d1,
+           coalesce(d2, 0) AS d2,
+           d1 + coalesce(d2, 0) / 2.0 AS harmonic_2hop
+    FROM deg LEFT JOIN n2 ON deg.node = n2.node
+    """)
+def graph_harmonic_centrality_2hop(spark, sf):
+    """Two-hop-bounded harmonic centrality over the co-purchase graph:
+    sum of 1/dist to every node within 2 hops (= degree + half the
+    strict-2-hop neighborhood) — the locality-bounded centrality that
+    ranks influence WITHOUT an all-pairs shortest path (unbounded
+    harmonic centrality is O(V*E); bounding at 2 keeps it the same
+    wedge join the triangle/Adamic-Adar family already pays, with the
+    identical degree-cap escape hatch).  Exact integer counts; the
+    single /2.0 is exact binary."""
+    e = _copurchase_edges(spark, sf)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionByName(e.select(F.col("dst").alias("node"),
+                                 F.col("src").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").cast(BIG).alias("d1"))
+    two = (und.alias("a")
+           .join(und.alias("b"), F.col("a.nbr") == F.col("b.node"))
+           .filter(F.col("b.nbr") != F.col("a.node"))
+           .select(F.col("a.node").alias("node"),
+                   F.col("b.nbr").alias("far"))
+           .distinct())
+    strict2 = two.join(und.select(F.col("node"), F.col("nbr").alias("far")),
+                       ["node", "far"], "left_anti")
+    n2 = strict2.groupBy("node").agg(F.count("*").cast(BIG).alias("d2"))
+    return (deg.join(n2, "node", "left")
+            .select(F.col("node").cast(BIG).alias("node"), "d1",
+                    F.coalesce("d2", F.lit(0)).cast(BIG).alias("d2"),
+                    (F.col("d1") + F.coalesce("d2", F.lit(0)) / 2.0)
+                    .alias("harmonic_2hop")))
+
+
+@query(
+    "event_lorenz_curve",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT u.*, ntile(10) OVER (ORDER BY n, user_id) AS decile,
+                 CAST(sum(n) OVER () AS BIGINT) AS total
+          FROM u),
+    d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(n) AS BIGINT) AS n_events,
+                 CAST(min(total) AS BIGINT) AS total
+          FROM t GROUP BY 1)
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_events,
+           round(n_events * 1.0 / total, 6) AS share,
+           round(sum(n_events) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) * 1.0 / total, 6)
+               AS cum_share
+    FROM d
+    """)
+def event_lorenz_curve(spark, sf):
+    """Lorenz concentration curve of event volume over users: decile
+    shares (users ranked by activity ascending, ties on user_id) and
+    the cumulative share — the "top decile produces X% of traffic"
+    readout behind sampling caps and abuse thresholds, the curve the
+    binned Gini (profile_gini_binned) summarizes to one number.
+    Scale shape: user-grain agg first, one ntile window over the
+    user grain, integer sums everywhere, one division per emitted
+    row."""
+    u = (T(spark, sf, "events")
+         .groupBy("user_id").agg(F.count("*").cast(BIG).alias("n")))
+    wt = Window.orderBy("n", "user_id")
+    wall = Window.partitionBy()
+    t = u.select("n", F.ntile(10).over(wt).alias("decile"),
+                 F.sum("n").over(wall).cast(BIG).alias("total"))
+    d = t.groupBy("decile").agg(F.count("*").cast(BIG).alias("n_users"),
+                                F.sum("n").cast(BIG).alias("n_events"),
+                                F.min("total").cast(BIG).alias("total"))
+    wcum = (Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return d.select(
+        F.col("decile").cast(BIG).alias("decile"), "n_users", "n_events",
+        F.round(F.col("n_events") * 1.0 / F.col("total"), 6)
+        .alias("share"),
+        F.round(F.sum("n_events").over(wcum) * 1.0 / F.col("total"), 6)
+        .alias("cum_share"))

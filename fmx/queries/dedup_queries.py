@@ -784,3 +784,48 @@ def emb_epsilon_components(spark, sf):
     out = D.connected_components(pairs, emb.select("vec_id"), "vec_id")
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.col("cluster_id").cast("bigint").alias("component"))
+
+
+@query(
+    "dedup_weighted_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= {MAX_DF}),
+    shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+    nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM shf),
+    idf AS (SELECT shingle, round(ln(ndocs * 1.0 / count(*)), 6) AS w
+            FROM shf CROSS JOIN nd GROUP BY shingle, ndocs),
+    shw AS (SELECT shf.doc_id, shf.shingle, idf.w
+            FROM shf JOIN idf USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh, sum(w) AS ws
+              FROM shw GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS i, sum(a.w) AS iw
+              FROM shw a JOIN shw b ON a.shingle = b.shingle
+                                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6) AS jaccard,
+           round(iw / (s1.ws + s2.ws - iw), 6) AS weighted_jaccard
+    FROM inter JOIN sizes s1 ON id_a = s1.doc_id
+               JOIN sizes s2 ON id_b = s2.doc_id
+    WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.2
+    """)
+def dedup_weighted_jaccard(spark, sf):
+    """IDF-weighted 3-gram Jaccard beside the plain score for every
+    near-dup candidate pair (fmx.operators.dedup
+    weighted_jaccard_pairs): rare-content overlap vs template overlap
+    — pairs whose weighted score collapses relative to the plain one
+    are boilerplate twins, not content twins, and a dedup policy can
+    keep them.  Same shingle equi-join + max_df quadratic guard as
+    dedup_ngram_jaccard; IDF weights 6dp-rounded before summation so
+    both engines fold identical doubles."""
+    from pyspark.sql import functions as F
+    out = D.weighted_jaccard_pairs(T(spark, sf, "documents"),
+                                   "doc_id", "text", n=SHINGLE_N,
+                                   threshold=0.2, max_df=MAX_DF)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"),
+                      F.round("weighted_jaccard", 6)
+                      .alias("weighted_jaccard"))

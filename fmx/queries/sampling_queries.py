@@ -4,6 +4,7 @@ identical md5-derived coins (see fmx.operators.sampling)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fmx.operators import sampling as SMP
@@ -920,3 +921,48 @@ def sample_pps_systematic(spark, sf):
                     F.col("n").alias("n_rows"),
                     F.col("cum").alias("cum_rows"),
                     "n_draws"))
+
+
+N_SKFOLDS = 5
+
+
+@query(
+    "sample_stratified_kfold",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, lang,
+                      {_U.format(tag='skf', seed=SEED, col='doc_id')} AS u
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY u, doc_id) AS rn
+          FROM u),
+    f AS (SELECT lang, CAST((rn - 1) % {N_SKFOLDS} AS BIGINT) AS fold,
+                 doc_id
+          FROM r)
+    SELECT lang, fold, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc
+    FROM f GROUP BY 1, 2
+    """)
+def sample_stratified_kfold(spark, sf):
+    """Stratified k-fold assignment (k={N_SKFOLDS}, strata = lang):
+    documents are shuffled WITHIN their stratum by a seeded md5 coin
+    and dealt round-robin, so every fold holds each language in
+    proportion (class-balanced CV — plain hash-mod folds drift on
+    small strata; sample_group_kfold prevents leakage, this prevents
+    imbalance).  Emitted at (lang, fold) grain with id checksums so
+    the oracle verifies the exact assignment, not just the counts.
+    Scale note: the rank window is per-stratum; for strata too large
+    to sort, swap in the hash-mod approximation — the curve of this
+    query is the evidence for when that trade is safe."""
+    docs = T(spark, sf, "documents")
+    u = docs.select("doc_id", "lang",
+                    SMP.hash_uniform01("doc_id", "skf", SEED).alias("u"))
+    w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    f = u.select("lang", "doc_id",
+                 ((F.row_number().over(w) - 1) % N_SKFOLDS).cast("bigint")
+                 .alias("fold"))
+    return (f.groupBy("lang", "fold")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.min("doc_id").cast("bigint").alias("min_doc"),
+                 F.sum("doc_id").cast("bigint").alias("sum_doc")))

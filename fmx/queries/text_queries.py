@@ -12,6 +12,7 @@ from fmx.queries import query
 from fmx.sources import load_table as T
 
 _EN = "['" + "', '".join(X.STOPWORDS["en"]) + "']"
+BIG = "bigint"
 _SW = {lang: "['" + "', '".join(ws) + "']" for lang, ws in X.STOPWORDS.items()}
 
 
@@ -1808,3 +1809,114 @@ def text_mattr(spark, sf):
     division."""
     return X.mattr_diversity(T(spark, sf, "documents"), "doc_id",
                              "text", width=PASSAGE_W)
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle="""
+    WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1),
+    ranked AS (SELECT c,
+                      row_number() OVER (ORDER BY c DESC, tok) AS r,
+                      CAST(sum(c) OVER () AS BIGINT) AS total,
+                      CAST(count(*) OVER () AS BIGINT) AS v
+               FROM vocab),
+    cum AS (SELECT r, total, v,
+                   CAST(sum(c) OVER (ORDER BY r
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+            FROM ranked)
+    SELECT CAST(k AS BIGINT) AS top_k,
+           CAST(max(CASE WHEN r <= k THEN cm END) AS BIGINT)
+               AS tokens_covered,
+           CAST(min(total) AS BIGINT) AS total_tokens,
+           round(max(CASE WHEN r <= k THEN cm END) * 1.0 / min(total), 6)
+               AS coverage
+    FROM cum CROSS JOIN (SELECT unnest([5, 10, 25]) AS k)
+    WHERE k <= v
+    GROUP BY k
+    """)
+def text_vocab_coverage_curve(spark, sf):
+    """Vocabulary coverage curve: what fraction of the corpus's token
+    MASS the top-5/10/25 most frequent types cover (levels sized to
+    this corpus's 31-type synthetic vocabulary; production corpora use
+    10/100/1000... — the shape is identical) — the
+    tokenizer-budget readout (how big a vocab buys how much coverage,
+    the integral view of the Zipf slope).  Scale shape: one explode +
+    token hash-agg (map-side combinable), then every window runs on
+    the VOCAB grain; integer cumulative sums, one division per
+    emitted row.  Rank ties break on the token string."""
+    toks = (T(spark, sf, "documents")
+            .select(F.explode(F.filter(F.split(F.col("text"), " "),
+                                       lambda x: x != "")).alias("tok")))
+    vocab = toks.groupBy("tok").agg(F.count("*").cast(BIG).alias("c"))
+    wr = Window.orderBy(F.col("c").desc(), "tok")
+    wall = Window.partitionBy()
+    ranked = vocab.select(
+        "c", F.row_number().over(wr).alias("r"),
+        F.sum("c").over(wall).cast(BIG).alias("total"),
+        F.count("*").over(wall).cast(BIG).alias("v"))
+    wcum = (Window.orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = ranked.select("r", "total", "v",
+                        F.sum("c").over(wcum).cast(BIG).alias("cm"))
+    ks = F.broadcast(
+        cum.sparkSession.createDataFrame([(5,), (10,), (25,)],
+                                         "k int"))
+    return (cum.crossJoin(ks)
+            .filter(F.col("k") <= F.col("v"))
+            .groupBy(F.col("k").cast(BIG).alias("top_k"))
+            .agg(F.max(F.when(F.col("r") <= F.col("k"), F.col("cm")))
+                 .cast(BIG).alias("tokens_covered"),
+                 F.min("total").cast(BIG).alias("total_tokens"))
+            .withColumn("coverage",
+                        F.round(F.col("tokens_covered") * 1.0
+                                / F.col("total_tokens"), 6)))
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH toks AS (SELECT source,
+                         unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS tok
+                  FROM documents),
+    vocab AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS hapax_vocab_share,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / sum(c), 6) AS hapax_mass_share
+    FROM vocab GROUP BY source
+    """)
+def text_hapax_ratio(spark, sf):
+    """Hapax legomena profile per source: how much of each source's
+    vocabulary (and token mass) occurs exactly once — the
+    productivity/noise signal that separates organic long-tail text
+    (hapax-rich) from template/boilerplate factories (hapax-poor),
+    and the empirical check on the Zipf tail the slope extrapolates.
+    One explode + (source, token) hash-agg, then a source-grain
+    rollup — integer counts, two divisions at emit."""
+    toks = (T(spark, sf, "documents")
+            .select("source",
+                    F.explode(F.filter(F.split(F.col("text"), " "),
+                                       lambda x: x != "")).alias("tok")))
+    vocab = (toks.groupBy("source", "tok")
+             .agg(F.count("*").cast(BIG).alias("c")))
+    return (vocab.groupBy("source")
+            .agg(F.count("*").cast(BIG).alias("vocab_size"),
+                 F.sum("c").cast(BIG).alias("n_tokens"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(BIG)
+                 .alias("n_hapax"))
+            .select("source", "vocab_size", "n_tokens", "n_hapax",
+                    F.round(F.col("n_hapax") * 1.0 / F.col("vocab_size"),
+                            6).alias("hapax_vocab_share"),
+                    F.round(F.col("n_hapax") * 1.0 / F.col("n_tokens"),
+                            6).alias("hapax_mass_share")))

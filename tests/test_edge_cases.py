@@ -250,3 +250,17 @@ def test_round9_queries_partition_invariant(spark, sf_dir):
              "quantiles_from_hist_registers", "ts_asof_forward_tolerance",
              "ts_stl_decompose", "s5_jsonl_roundtrip", "ann_ivf_topk"]
     _assert_partition_invariant(spark, sf_dir, names)
+
+
+def test_round9_session1b_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the second round-9 batch: DiD cell
+    means, CUPED decimal moments, Fleiss vote counts, wedge-join
+    2-hop sets, ntile decile ties, vocab-rank cumsums, IDF-weighted
+    shingle sums, per-stratum fold deals — pure functions of the
+    data."""
+    names = ["event_diff_in_diff", "event_cuped_adjustment",
+             "eval_fleiss_kappa", "graph_harmonic_centrality_2hop",
+             "event_lorenz_curve", "text_vocab_coverage_curve",
+             "text_hapax_ratio", "dedup_weighted_jaccard",
+             "sample_stratified_kfold"]
+    _assert_partition_invariant(spark, sf_dir, names)

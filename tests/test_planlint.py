@@ -135,6 +135,10 @@ _ALLOWED = {
         "sample_pps_systematic",        # 1-row total broadcast
         "eval_cramers_v",          # r x k marginal cross + 1-row total
         "event_nelson_aalen",      # 1-row max-day + total broadcasts
+        "event_diff_in_diff",      # 1-row midpoint broadcast
+        "event_cuped_adjustment",  # 1-row midpoint broadcast
+        "dedup_weighted_jaccard",  # 1-row corpus-size broadcast (IDF)
+        "text_vocab_coverage_curve",  # 3-row top-k-level broadcast
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
         "profile_join_cardinality",
@@ -171,6 +175,7 @@ _ALLOWED = {
         "text_pmi_bigrams",  # min_count filter on aggregated pair counts
         "text_passage_dedup",  # non-empty guard on the computed token array
         "text_mattr",          # min-width guard on the computed token array
+        "eval_fleiss_kappa",   # n_words>0 guard on the computed rule relation
         "sample_stratified", "sample_temperature_mixture",
         "sample_token_budget_mix", "text_boilerplate_strip",
         "text_ngram_novelty", "text_template_clusters",
@@ -216,6 +221,9 @@ _ALLOWED = {
         "quantiles_from_hist_registers",  # global fold over <= 100
                                           # fixed-edge bucket rows
         "ts_stl_decompose",          # moving avg over calendar-bounded days
+        "event_lorenz_curve",        # ntile over the user grain (the
+                                     # documented concentration readout)
+        "text_vocab_coverage_curve",  # rank/cumsum over the vocab grain
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",

@@ -41,9 +41,14 @@ OFF = 10_000_000
 
 HEAVY = ["graph_connected_components", "dedup_semantic", "ann_ivfpq_topk",
          "dedup_cross_corpus",
-         # r8 verdict #5: the two new shapes with all-pairs failure
-         # modes that blocking/zipping is supposed to prevent
-         "er_fuzzy_match", "text_pmi_bigrams"]
+         # r8 verdict #5 (half): pmi's zip-based bigram build must not
+         # go all-pairs; er_fuzzy_match gets its own protocol below —
+         # at 10x under an UNCHANGED 1-char blocking key the full
+         # query is the measured cliff (>60 min wall; candidate pairs
+         # grow ~100x), so the experiment measures the candidate
+         # explosion exactly and times the DOCUMENTED fix (prefix-2
+         # re-blocking) instead of burning an hour proving a hang
+         "text_pmi_bigrams"]
 
 
 def build() -> None:
@@ -123,11 +128,14 @@ def run() -> None:
         print(name, out[name])
 
     # ER at scale, the production discipline: when data grows 10x, the
-    # blocking key grows WITH it (prefix 1 -> 2), holding per-block
-    # occupancy ~constant.  The registry query keeps prefix 1 (its
-    # oracle contract); this extra point measures the knob the operator
-    # exposes for exactly this moment, so SCALE.md can cite a number
-    # for "re-block at scale" rather than an argument.
+    # blocking key must grow WITH it (prefix 1 -> 2) to hold per-block
+    # occupancy ~constant.  Three measurements tell the whole story:
+    # (1) the full prefix-1 query at sf0.1 (the registry contract);
+    # (2) the CANDIDATE-PAIR count under prefix-1 at both scales — the
+    #     exact integer that explodes ~100x when the key stays fixed
+    #     (the full prefix-1 query at sf1.0 is a measured >60-min
+    #     straggler; the count proves WHY without burning the hour);
+    # (3) the full query at sf1.0 under prefix-2 — the fix, timed.
     def _er_fuzzy(spark, sf_dir, block_prefix):
         from fmx.operators.linkage import blocked_fuzzy_join
         from fmx.sources import load_table as _T
@@ -145,9 +153,34 @@ def run() -> None:
             "probe_id", "part_id", "probe_name", "p_name",
             block_prefix=block_prefix, length_band=4, max_dist=3)
 
+    def _er_cand_count(spark, sf_dir, block_prefix) -> int:
+        from fmx.sources import load_table as _T
+
+        part = _T(spark, sf_dir, "part")
+        lb = part.select(
+            F.expr("substring(p_name, 1, %d)" % block_prefix).alias("bp"),
+            (F.length("p_name") / 4).cast("bigint").alias("bb"))
+        blocks = lb.groupBy("bp", "bb").agg(F.count("*").alias("c"))
+        # probes and corpus share the block distribution, so candidate
+        # pairs = sum(c * c) over blocks (length-band drift from the
+        # 1-char corruption shifts a minority of probes one band)
+        return blocks.agg(F.sum(F.col("c") * F.col("c"))
+                          .alias("p")).collect()[0]["p"]
+
+    t_small = _time_query(lambda s, d: _er_fuzzy(s, d, 1), spark, SRC)
+    cand_small = _er_cand_count(spark, SRC, 1)
+    cand_big = _er_cand_count(spark, DST, 1)
     t_rebl = _time_query(lambda s, d: _er_fuzzy(s, d, 2), spark, DST)
-    out["er_fuzzy_match_prefix2_sf1.0"] = {"sf1.0_sec": t_rebl}
-    print("er_fuzzy_match_prefix2_sf1.0", out["er_fuzzy_match_prefix2_sf1.0"])
+    cand_rebl = _er_cand_count(spark, DST, 2)
+    out["er_fuzzy_match"] = {
+        "sf0.1_sec_prefix1": t_small,
+        "cand_pairs_sf0.1_prefix1": int(cand_small),
+        "cand_pairs_sf1.0_prefix1": int(cand_big),
+        "cand_alpha_prefix1": round(
+            math.log10(cand_big / cand_small), 2),
+        "sf1.0_sec_prefix2": t_rebl,
+        "cand_pairs_sf1.0_prefix2": int(cand_rebl)}
+    print("er_fuzzy_match", out["er_fuzzy_match"])
 
     def _fit(sf_dir: str) -> float:
         emb = load_table(spark, sf_dir, "embeddings").select(
