@@ -363,10 +363,14 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
                    .select("node", F.col("label").alias("_l0"),
                            F.least("label", F.coalesce("nmin", "label"))
                            .alias("_l1")))
-        # pointer jump: one indirection through the current label table
-        # (every label IS a node id, so the inner join is total)
-        parent = stepped.select(F.col("node").alias("_pn"),
-                                F.col("_l1").alias("_pl"))
+        # pointer jump: one indirection through the PREVIOUS round's
+        # label table (already localCheckpointed, so this side costs a
+        # cached scan — jumping through `stepped` itself would plan the
+        # expensive neighbor-min join twice per round).  Every label IS
+        # a node id, so the inner join is total; prev labels are
+        # min-monotone and component-internal, so the shortcut is safe.
+        parent = labels.select(F.col("node").alias("_pn"),
+                               F.col("label").alias("_pl"))
         new_label = F.least("_l1", "_pl")
         obs = Observation()
         updated = (stepped

@@ -37,13 +37,23 @@ def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
     number of in-block candidates actually compared, the knob to
     watch when tuning blocking selectivity.
 
-    Shapes: two map-side block-key projections, ONE equi-join on
-    (prefix, band) — the only shuffle that grows with data — a
-    per-left-row WindowGroupLimit for the argmin, no cartesian
-    anywhere.  Recall is bounded by blocking: a typo inside the first
-    ``block_prefix`` chars or a length change past ``length_band``
-    escapes the block (the standard multi-pass fix is a union of
-    independent blocking passes, each an equi-join).
+    Shapes — CANONICALIZE-THEN-MATCH (the round-9 upgrade): both sides
+    first collapse to their DISTINCT (block, name) grain, Levenshtein
+    runs once per distinct name pair inside a block, and the verdicts
+    fan back to rows through plain equi-joins.  On mostly-unique names
+    this costs one extra hash-agg and changes nothing; on
+    low-cardinality dirty keys (the common case for titles, vendor
+    strings, product names — this repo's 10x experiment measured a
+    >60-minute row-grain straggler collapsing to seconds) the distance
+    work scales with DISTINCT-name pairs instead of row pairs.  The
+    output contract is unchanged row for row: ``n_cands`` still counts
+    candidate ROWS (reconstructed exactly from per-name multiplicities)
+    and ties still resolve to the smallest right id (the per-name min
+    id stands in for its rows — the same global minimum).  Recall is
+    bounded by blocking: a typo inside the first ``block_prefix`` chars
+    or a length change past ``length_band`` escapes the block (the
+    standard multi-pass fix is a union of independent blocking passes,
+    each an equi-join).
     """
     lb = left.select(
         F.col(left_id).alias("_lid"), F.col(left_name).alias("_lname"),
@@ -53,13 +63,20 @@ def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
         F.col(right_id).alias("_rid"), F.col(right_name).alias("_rname"),
         F.substring(right_name, 1, block_prefix).alias("_bp"),
         F.floor(F.length(right_name) / length_band).alias("_bb"))
-    cand = (lb.join(rb, ["_bp", "_bb"])
+    ld = lb.select("_bp", "_bb", "_lname").distinct()
+    rd = (rb.groupBy("_bp", "_bb", "_rname")
+          .agg(F.min("_rid").alias("_rid"), F.count("*").alias("_rcnt")))
+    cand = (ld.join(rd, ["_bp", "_bb"])
             .withColumn("dist", F.levenshtein("_lname", "_rname")))
-    w = Window.partitionBy("_lid")
-    wr = Window.partitionBy("_lid").orderBy("dist", "_rid")
-    return (cand.withColumn("n_cands", F.count("*").over(w))
+    w = Window.partitionBy("_bp", "_bb", "_lname")
+    wr = (Window.partitionBy("_bp", "_bb", "_lname")
+          .orderBy("dist", "_rid"))
+    best = (cand.withColumn("n_cands", F.sum("_rcnt").over(w))
             .withColumn("_rn", F.row_number().over(wr))
             .filter((F.col("_rn") == 1) & (F.col("dist") <= int(max_dist)))
+            .select("_bp", "_bb", "_lname", "_rid", "_rname", "dist",
+                    "n_cands"))
+    return (lb.join(best, ["_bp", "_bb", "_lname"])
             .select(F.col("_lid").alias(left_id),
                     F.col("_rid").alias(right_id),
                     F.col("_lname").alias(left_name),

@@ -480,6 +480,22 @@ def _copurchase_edges(spark, sf, cap: int = 32):
             .select("src", "dst").distinct())
 
 
+# The SQL twin of _copurchase_edges (same 32-item basket cap and tie
+# order) — single-sourced so the graph oracles can never drift from
+# the Spark-side edge set.
+_EDGE_CTES = """
+    li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS (SELECT l_orderkey, l_partkey FROM li0
+           QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) <= 32),
+    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    und AS (SELECT src AS node, dst AS nbr FROM e
+            UNION ALL SELECT dst AS node, src AS nbr FROM e)
+"""
+
+
 @query(
     "copurchase_topk",
     oracle="""
@@ -1874,16 +1890,8 @@ def profile_benford_first_digit(spark, sf):
 
 @query(
     "graph_label_propagation",
-    oracle="""
-    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    li AS (SELECT l_orderkey, l_partkey FROM li0
-           QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_partkey) <= 32),
-    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey),
-    und AS (SELECT src AS node, dst AS nbr FROM e
-            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    oracle=f"""
+    WITH {_EDGE_CTES},
     l0 AS (SELECT DISTINCT node, node AS label FROM und),
     m1 AS (SELECT u.node, l.label, count(*) AS c
            FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY u.node, l.label),
@@ -2027,16 +2035,8 @@ def feat_target_encode_loo(spark, sf):
 
 @query(
     "graph_jaccard_neighbors",
-    oracle="""
-    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    li AS (SELECT l_orderkey, l_partkey FROM li0
-           QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_partkey) <= 32),
-    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey),
-    und AS (SELECT src AS node, dst AS nbr FROM e
-            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    oracle=f"""
+    WITH {_EDGE_CTES},
     deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
     com AS (SELECT u1.node AS a, u2.node AS b, count(*) AS common
             FROM und u1 JOIN und u2 ON u1.nbr = u2.nbr
@@ -3116,16 +3116,8 @@ def sample_epoch_shuffle(spark, sf):
 
 @query(
     "graph_assortativity",
-    oracle="""
-    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    li AS (SELECT l_orderkey, l_partkey FROM li0
-           QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_partkey) <= 32),
-    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey),
-    und AS (SELECT src AS node, dst AS nbr FROM e
-            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    oracle=f"""
+    WITH {_EDGE_CTES},
     deg AS (SELECT node, count(*) AS d FROM und GROUP BY node)
     SELECT CAST(count(*) AS BIGINT) AS n_edge_ends,
            round(corr(da.d, db.d), 6) AS assortativity
@@ -3196,16 +3188,8 @@ def eval_brier_score(spark, sf):
 @query(
     "graph_connected_components",
     headline=True,
-    oracle="""
-    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    li AS (SELECT l_orderkey, l_partkey FROM li0
-           QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_partkey) <= 32),
-    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey),
-    und AS (SELECT src AS node, dst AS nbr FROM e
-            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    oracle=f"""
+    WITH {_EDGE_CTES},
     l0 AS (SELECT DISTINCT node, node AS label FROM und),
     m1 AS (SELECT u.node, min(l.label) AS nmin
            FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY u.node),
@@ -3525,16 +3509,8 @@ def eval_ece(spark, sf):
 
 @query(
     "graph_adamic_adar",
-    oracle="""
-    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    li AS (SELECT l_orderkey, l_partkey FROM li0
-           QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_partkey) <= 32),
-    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey),
-    und AS (SELECT src AS node, dst AS nbr FROM e
-            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    oracle=f"""
+    WITH {_EDGE_CTES},
     deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
     pz AS (SELECT u1.node AS a, u2.node AS b, u1.nbr AS z
            FROM und u1 JOIN und u2 ON u1.nbr = u2.nbr
@@ -3571,16 +3547,8 @@ def graph_adamic_adar(spark, sf):
 
 @query(
     "graph_clustering_coefficient",
-    oracle="""
-    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    li AS (SELECT l_orderkey, l_partkey FROM li0
-           QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_partkey) <= 32),
-    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey),
-    und AS (SELECT src AS node, dst AS nbr FROM e
-            UNION ALL SELECT dst AS node, src AS nbr FROM e),
+    oracle=f"""
+    WITH {_EDGE_CTES},
     deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
     wedges AS (SELECT sum(d * (d - 1)) // 2 AS w FROM deg),
     mid AS (SELECT src AS b, dst AS c FROM e),
@@ -5196,18 +5164,6 @@ def stats_weighted_median(spark, sf):
                     "wmedian_cents", "wmedian_price", "total_qty"))
 
 
-_EDGE_CTES = """
-    li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    li AS (SELECT l_orderkey, l_partkey FROM li0
-           QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_partkey) <= 32),
-    e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                             AND a.l_partkey < b.l_partkey),
-    und AS (SELECT src AS node, dst AS nbr FROM e
-            UNION ALL SELECT dst AS node, src AS nbr FROM e)
-"""
-
 
 @query(
     "graph_bfs_frontier",
@@ -5309,8 +5265,7 @@ _HIST_LO, _HIST_HI, _HIST_B = 0.0, 600.0, 100
 _HIST_W = (_HIST_HI - _HIST_LO) / _HIST_B
 
 
-def _hist_fold_sql(src: str, grain: str, grain_expr: str,
-                   q: float) -> str:
+def _hist_fold_sql(src: str, grain_expr: str, q: float) -> str:
     """One quantile readout from fixed-edge histogram registers in CTE
     ``src`` (columns: g, bucket, c) — mirrors
     fmx.operators.sketches.hist_fixed_fold's interpolation exactly."""
@@ -5340,11 +5295,11 @@ def _hist_fold_sql(src: str, grain: str, grain_expr: str,
     regs AS (SELECT g, bucket, count(*) AS c FROM b GROUP BY 1, 2),
     gregs AS (SELECT 'ALL' AS g, bucket, sum(c) AS c FROM regs
               GROUP BY 2)
-    {_hist_fold_sql('regs', 'day', "strftime(g, '%Y-%m-%d')", 0.5)}
+    {_hist_fold_sql('regs', "strftime(g, '%Y-%m-%d')", 0.5)}
     UNION ALL
-    {_hist_fold_sql('gregs', 'all', "g", 0.5)}
+    {_hist_fold_sql('gregs', "g", 0.5)}
     UNION ALL
-    {_hist_fold_sql('gregs', 'all', "g", 0.9)}
+    {_hist_fold_sql('gregs', "g", 0.9)}
     """)
 def quantiles_from_hist_registers(spark, sf):
     """Daily AND global value quantiles from ONE day-grain fixed-edge

@@ -178,11 +178,7 @@ def ann_lsh_topk_multiprobe(spark, sf):
 N_CELLS = 8
 N_PROBE = 2
 
-
-@query(
-    "ann_ivf_topk_fixed",
-    oracle=f"""
-    WITH {_EX},
+_IVF_COARSE = f"""
     cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
               WHERE vec_id < {N_CELLS}),
     cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
@@ -196,7 +192,14 @@ N_PROBE = 2
                         JOIN cnorm ON csim.cell = cnorm.cell),
     cassign AS (SELECT vec_id, cell FROM csim2
                 QUALIFY row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY sim DESC, cell) <= 1),
+                                           ORDER BY sim DESC, cell) <= 1)
+"""
+
+
+@query(
+    "ann_ivf_topk_fixed",
+    oracle=f"""
+    WITH {_EX}, {_IVF_COARSE},
     qassign AS (SELECT vec_id AS query_id, cell FROM csim2
                 WHERE vec_id < {N_QUERIES}
                 QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -1927,24 +1930,10 @@ def emb_assignment_margin(spark, sf):
 
 
 def _ivf_fixed_sql_parts() -> str:
-    """Shared fixed-centroid IVF CTEs (cents/cnorm/csim2/cassign) —
-    single-sourced for ann_ivf_topk_fixed-style oracles that replay
-    the deterministic coarse quantizer."""
-    return f"""
-    cents AS (SELECT vec_id AS cell, pos, x AS cx FROM ex
-              WHERE vec_id < {N_CELLS}),
-    cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cents
-              GROUP BY cell),
-    csim AS (SELECT e.vec_id, c.cell, sum(e.x * c.cx) AS dot
-             FROM ex e JOIN cents c ON e.pos = c.pos
-             GROUP BY e.vec_id, c.cell),
-    csim2 AS (SELECT csim.vec_id, csim.cell,
-                     round(dot / (norms.nrm * cnorm.cn), 9) AS sim
-              FROM csim JOIN norms ON csim.vec_id = norms.vec_id
-                        JOIN cnorm ON csim.cell = cnorm.cell),
-    cassign AS (SELECT vec_id, cell FROM csim2
-                QUALIFY row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY sim DESC, cell) <= 1),
+    """The shared coarse-quantizer CTEs (_IVF_COARSE — the SAME text
+    the hash-checked ann_ivf_topk_fixed oracle uses, so the two can
+    never diverge) plus the exact-cosine truth relation."""
+    return _IVF_COARSE + f""",
     truth AS (SELECT query_id, vec_id FROM (
                   SELECT d.query_id, d.vec_id,
                          row_number() OVER (

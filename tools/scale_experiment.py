@@ -127,59 +127,34 @@ def run() -> None:
                      "alpha": round(math.log10(t_big / t_small), 2)}
         print(name, out[name])
 
-    # ER at scale, the production discipline: when data grows 10x, the
-    # blocking key must grow WITH it (prefix 1 -> 2) to hold per-block
-    # occupancy ~constant.  Three measurements tell the whole story:
-    # (1) the full prefix-1 query at sf0.1 (the registry contract);
-    # (2) the CANDIDATE-PAIR count under prefix-1 at both scales — the
-    #     exact integer that explodes ~100x when the key stays fixed
-    #     (the full prefix-1 query at sf1.0 is a measured >60-min
-    #     straggler; the count proves WHY without burning the hour);
-    # (3) the full query at sf1.0 under prefix-2 — the fix, timed.
-    def _er_fuzzy(spark, sf_dir, block_prefix):
-        from fmx.operators.linkage import blocked_fuzzy_join
-        from fmx.sources import load_table as _T
+    # ER at scale: the r9 canonicalize-then-match upgrade made the
+    # full query measurable at 10x (the row-grain plan was a measured
+    # >60-minute straggler: this corpus has ~80 distinct names over
+    # 20k rows, so row-pair candidates explode 100x — 4.1e9 pairs —
+    # while distinct-name pairs stay tiny).  Report the measured time
+    # at both scales PLUS the exact row-pair count that the old plan
+    # would have Levenshteined, so the ledger shows both the cliff
+    # and why the shipped plan doesn't fall off it.
+    fn = specs["er_fuzzy_match"].fn
+    t_small = _time_query(fn, spark, SRC)
+    t_big = _time_query(fn, spark, DST)
 
-        part = _T(spark, sf_dir, "part")
-        probes = part.select(
-            F.col("p_partkey").alias("probe_id"),
-            F.concat(
-                F.expr("substring(p_name, 1, 1 + (p_partkey % 4))"),
-                F.expr("substring(p_name, CAST(3 + (p_partkey % 4) AS INT),"
-                       " length(p_name))")).alias("probe_name"))
-        return blocked_fuzzy_join(
-            probes, part.select(F.col("p_partkey").alias("part_id"),
-                                F.col("p_name")),
-            "probe_id", "part_id", "probe_name", "p_name",
-            block_prefix=block_prefix, length_band=4, max_dist=3)
-
-    def _er_cand_count(spark, sf_dir, block_prefix) -> int:
+    def _row_pairs(spark, sf_dir) -> int:
         from fmx.sources import load_table as _T
 
         part = _T(spark, sf_dir, "part")
         lb = part.select(
-            F.expr("substring(p_name, 1, %d)" % block_prefix).alias("bp"),
+            F.expr("substring(p_name, 1, 1)").alias("bp"),
             (F.length("p_name") / 4).cast("bigint").alias("bb"))
         blocks = lb.groupBy("bp", "bb").agg(F.count("*").alias("c"))
-        # probes and corpus share the block distribution, so candidate
-        # pairs = sum(c * c) over blocks (length-band drift from the
-        # 1-char corruption shifts a minority of probes one band)
         return blocks.agg(F.sum(F.col("c") * F.col("c"))
                           .alias("p")).collect()[0]["p"]
 
-    t_small = _time_query(lambda s, d: _er_fuzzy(s, d, 1), spark, SRC)
-    cand_small = _er_cand_count(spark, SRC, 1)
-    cand_big = _er_cand_count(spark, DST, 1)
-    t_rebl = _time_query(lambda s, d: _er_fuzzy(s, d, 2), spark, DST)
-    cand_rebl = _er_cand_count(spark, DST, 2)
     out["er_fuzzy_match"] = {
-        "sf0.1_sec_prefix1": t_small,
-        "cand_pairs_sf0.1_prefix1": int(cand_small),
-        "cand_pairs_sf1.0_prefix1": int(cand_big),
-        "cand_alpha_prefix1": round(
-            math.log10(cand_big / cand_small), 2),
-        "sf1.0_sec_prefix2": t_rebl,
-        "cand_pairs_sf1.0_prefix2": int(cand_rebl)}
+        "sf0.1_sec": t_small, "sf1.0_sec": t_big,
+        "alpha": round(math.log10(t_big / t_small), 2),
+        "row_pairs_sf0.1": int(_row_pairs(spark, SRC)),
+        "row_pairs_sf1.0": int(_row_pairs(spark, DST))}
     print("er_fuzzy_match", out["er_fuzzy_match"])
 
     def _fit(sf_dir: str) -> float:
