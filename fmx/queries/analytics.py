@@ -5670,3 +5670,69 @@ def event_lorenz_curve(spark, sf):
         .alias("share"),
         F.round(F.sum("n_events").over(wcum) * 1.0 / F.col("total"), 6)
         .alias("cum_share"))
+
+
+Z_ALPHA = 1.9599639845400545   # two-sided 0.05
+Z_BETA = 0.8416212335729143    # power 0.80
+
+
+@query(
+    "eval_power_analysis",
+    oracle=f"""
+    WITH g AS (SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS k
+               FROM events GROUP BY 1),
+    w AS (SELECT max(CASE WHEN grp = 0 THEN k * 1.0 / n END) AS p1,
+                 max(CASE WHEN grp = 1 THEN k * 1.0 / n END) AS p2,
+                 CAST(sum(k) AS BIGINT) AS k_all,
+                 CAST(sum(n) AS BIGINT) AS n_all
+          FROM g)
+    SELECT round(p1, 6) AS rate_ctrl,
+           round(p2, 6) AS rate_treat,
+           round(p2 - p1, 6) AS observed_delta,
+           CAST(ceil(
+               ({Z_ALPHA} * sqrt(2.0 * (k_all * 1.0 / n_all)
+                                 * (1.0 - k_all * 1.0 / n_all))
+                + {Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               * ({Z_ALPHA} * sqrt(2.0 * (k_all * 1.0 / n_all)
+                                   * (1.0 - k_all * 1.0 / n_all))
+                  + {Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               / nullif((p2 - p1) * (p2 - p1), 0.0)) AS BIGINT)
+               AS n_per_arm
+    FROM w
+    """)
+def eval_power_analysis(spark, sf):
+    """Two-proportion power analysis seeded from the observed data:
+    the per-arm sample size needed to detect the currently-observed
+    purchase-rate delta between the parity cohorts at alpha = 0.05
+    (two-sided) and power 0.80 — the "how long must this experiment
+    run" readout that completes the experimentation family (SRM ->
+    A/B -> DiD -> CUPED -> THIS).  Rates come from one conditional
+    agg of exact integer counts; the classic closed form
+    n = (z_a*sqrt(2 p̄q̄) + z_b*sqrt(p1q1 + p2q2))^2 / (p1-p2)^2 is a
+    single double formula with literal z constants, written
+    identically in both engines (NULL when the arms are exactly
+    tied)."""
+    g = (T(spark, sf, "events")
+         .groupBy((F.col("user_id") % 2).cast(BIG).alias("grp"))
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast(BIG).alias("k")))
+    rate = F.col("k") * 1.0 / F.col("n")
+    w = g.agg(F.max(F.when(F.col("grp") == 0, rate)).alias("p1"),
+              F.max(F.when(F.col("grp") == 1, rate)).alias("p2"),
+              F.sum("k").cast(BIG).alias("k_all"),
+              F.sum("n").cast(BIG).alias("n_all"))
+    pbar = F.col("k_all") * 1.0 / F.col("n_all")
+    p1, p2 = F.col("p1"), F.col("p2")
+    num = (Z_ALPHA * F.sqrt(2.0 * pbar * (1.0 - pbar))
+           + Z_BETA * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+    return w.select(
+        F.round(p1, 6).alias("rate_ctrl"),
+        F.round(p2, 6).alias("rate_treat"),
+        F.round(p2 - p1, 6).alias("observed_delta"),
+        F.ceil(num * num
+               / F.nullif((p2 - p1) * (p2 - p1), F.lit(0.0)))
+        .cast(BIG).alias("n_per_arm"))

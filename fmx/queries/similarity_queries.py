@@ -2142,3 +2142,54 @@ def emb_label_representatives(spark, sf):
             .select(F.col("label").cast("bigint").alias("label"),
                     F.col("vec_id").cast("bigint").alias("vec_id"),
                     "dist", "rank"))
+
+
+@query(
+    "emb_collapse_score",
+    oracle=f"""
+    WITH {_EX},
+    unit AS (SELECT e.vec_id, e.pos, e.x / n.nrm AS u
+             FROM ex e JOIN norms n ON e.vec_id = n.vec_id
+             WHERE n.nrm > 0),
+    s AS (SELECT pos, round(sum(u), 6) AS su,
+                 count(DISTINCT vec_id) AS n
+          FROM unit GROUP BY pos),
+    m AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                 sum(su * su) AS rr FROM s)
+    SELECT n AS n_vectors,
+           round(sqrt(rr) / n, 6) AS mean_resultant_length,
+           round(1.0 - sqrt(rr) / n, 6) AS spherical_variance
+    FROM m
+    """)
+def emb_collapse_score(spark, sf):
+    """Embedding-collapse diagnostic via directional statistics: the
+    mean resultant length R = |sum of unit vectors| / n — R near 1
+    means the embeddings have collapsed to a cone (the classic
+    anisotropy failure that silently kills cosine retrieval and
+    contrastive training), R near 0 means directions spread over the
+    sphere; spherical variance 1-R is the one-number health gauge to
+    alert on per model push.  ONE pass: normalize map-side, a d-row
+    (pos) sum agg, a d-term fold — no pairs, no windows, O(corpus)
+    forever.  Per-dimension sums are 6dp-rounded before the square
+    fold (the pca/kmeans cross-engine rule)."""
+    emb = T(spark, sf, "embeddings")
+    ex = emb.select("vec_id",
+                    F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("pos", "x"))
+    norms = (ex.groupBy("vec_id")
+             .agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+             .filter(F.col("nrm") > 0))
+    unit = (ex.join(norms, "vec_id")
+            .select("vec_id", "pos", (F.col("x") / F.col("nrm"))
+                    .alias("u")))
+    s = (unit.groupBy("pos")
+         .agg(F.round(F.sum("u"), 6).alias("su"),
+              F.countDistinct("vec_id").alias("n")))
+    m = s.agg(F.max("n").cast("bigint").alias("n"),
+              F.sum(F.col("su") * F.col("su")).alias("rr"))
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.round(F.sqrt("rr") / F.col("n"), 6)
+        .alias("mean_resultant_length"),
+        F.round(1.0 - F.sqrt("rr") / F.col("n"), 6)
+        .alias("spherical_variance"))

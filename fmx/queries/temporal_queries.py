@@ -814,3 +814,68 @@ def ts_stl_decompose(spark, sf):
                     F.round("seasonal", 6).alias("seasonal"),
                     F.round(F.col("n") - F.col("trend")
                             - F.col("seasonal"), 6).alias("residual")))
+
+
+@query(
+    "ts_stl_anomaly",
+    oracle="""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+    tr AS (SELECT d, n,
+                  avg(n * 1.0) OVER (ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                      AS trend,
+                  CAST(dayofweek(d) AS BIGINT) AS dow
+           FROM daily),
+    se AS (SELECT dow, avg(n - trend) AS seasonal
+           FROM tr GROUP BY 1),
+    res AS (SELECT d, n, round(n - trend - seasonal, 6) AS resid
+            FROM tr JOIN se USING (dow)),
+    mad AS (SELECT median(abs(resid - (SELECT median(resid) FROM res)))
+                AS m,
+                   (SELECT median(resid) FROM res) AS med
+            FROM res)
+    SELECT strftime(d, '%Y-%m-%d') AS day, n, resid,
+           round((resid - med) / nullif(1.4826 * m, 0.0), 6)
+               AS robust_z,
+           CAST(abs(resid - med) > 3 * 1.4826 * m AS BOOLEAN)
+               AS is_anomaly
+    FROM res CROSS JOIN mad
+    """)
+def ts_stl_anomaly(spark, sf):
+    """Seasonality-aware anomaly flags: the ts_stl_decompose residual
+    scored by robust z (median/MAD with the 1.4826 normal-consistency
+    constant) — the alert stage the decomposition exists for,
+    separating "it's Saturday" (seasonal), "traffic is growing"
+    (trend), and "something broke" (|robust z| > 3).  All day-grain;
+    the MAD is two exact medians over calendar-bounded rows
+    (percentile on <= thousands of rows forever), broadcast back as
+    one row."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast(BIG).alias("n")))
+    wma = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "n", F.avg(F.col("n") * 1.0).over(wma).alias("trend"),
+        F.dayofweek("d").cast(BIG).alias("dow"))
+    se = (tr.groupBy("dow")
+          .agg(F.avg(F.col("n") - F.col("trend")).alias("seasonal")))
+    res = (tr.join(se, "dow")
+           .select("d", "n",
+                   F.round(F.col("n") - F.col("trend")
+                           - F.col("seasonal"), 6).alias("resid")))
+    med = res.agg(F.expr("percentile(resid, 0.5)").alias("med"))
+    mad = (res.crossJoin(F.broadcast(med))
+           .select("med", F.abs(F.col("resid") - F.col("med"))
+                   .alias("_ad"))
+           .agg(F.expr("percentile(_ad, 0.5)").alias("m"),
+                F.first("med").alias("med")))
+    return (res.crossJoin(F.broadcast(mad))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "n", "resid",
+                    F.round((F.col("resid") - F.col("med"))
+                            / F.nullif(1.4826 * F.col("m"), F.lit(0.0)),
+                            6).alias("robust_z"),
+                    (F.abs(F.col("resid") - F.col("med"))
+                     > 3 * 1.4826 * F.col("m")).alias("is_anomaly")))

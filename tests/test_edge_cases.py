@@ -262,5 +262,6 @@ def test_round9_session1b_queries_partition_invariant(spark, sf_dir):
              "eval_fleiss_kappa", "graph_harmonic_centrality_2hop",
              "event_lorenz_curve", "text_vocab_coverage_curve",
              "text_hapax_ratio", "dedup_weighted_jaccard",
-             "sample_stratified_kfold"]
+             "sample_stratified_kfold", "emb_collapse_score",
+             "ts_stl_anomaly", "eval_power_analysis"]
     _assert_partition_invariant(spark, sf_dir, names)

@@ -137,6 +137,7 @@ _ALLOWED = {
         "event_nelson_aalen",      # 1-row max-day + total broadcasts
         "event_diff_in_diff",      # 1-row midpoint broadcast
         "event_cuped_adjustment",  # 1-row midpoint broadcast
+        "ts_stl_anomaly",          # 1-row median/MAD broadcasts
         "dedup_weighted_jaccard",  # 1-row corpus-size broadcast (IDF)
         "text_vocab_coverage_curve",  # 3-row top-k-level broadcast
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
@@ -221,6 +222,7 @@ _ALLOWED = {
         "quantiles_from_hist_registers",  # global fold over <= 100
                                           # fixed-edge bucket rows
         "ts_stl_decompose",          # moving avg over calendar-bounded days
+        "ts_stl_anomaly",            # same decomposition windows
         "event_lorenz_curve",        # ntile over the user grain (the
                                      # documented concentration readout)
         "text_vocab_coverage_curve",  # rank/cumsum over the vocab grain
