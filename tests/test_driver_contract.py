@@ -21,9 +21,9 @@ def test_queries_and_oracles_align(spark):
     # the non-oracled set is exactly the declared non-SQL ops
     # (dedup_clusters gained a recursive-CTE oracle in round 2;
     # multimodal_features gained a byte-histogram oracle in round 3;
-    # ann_pq_trained gained an invariant oracle in round 6)
-    assert set(qs) - set(osql) == {
-        "ann_ivf_topk", "approx_distinct", "approx_quantiles"}
+    # ann_pq_trained gained an invariant oracle in round 6;
+    # ann_ivf_topk gained an invariant oracle in round 9)
+    assert set(qs) - set(osql) == {"approx_distinct", "approx_quantiles"}
     # callables, not results
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
