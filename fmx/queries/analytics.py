@@ -5736,3 +5736,102 @@ def eval_power_analysis(spark, sf):
         F.ceil(num * num
                / F.nullif((p2 - p1) * (p2 - p1), F.lit(0.0)))
         .cast(BIG).alias("n_per_arm"))
+
+
+@query(
+    "profile_boxplot_stats",
+    oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    q AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 quantile_cont(cents, 0.25) AS q1,
+                 quantile_cont(cents, 0.50) AS q2,
+                 quantile_cont(cents, 0.75) AS q3
+          FROM v GROUP BY 1),
+    f AS (SELECT *, q3 - q1 AS iqr FROM q)
+    SELECT f.event_type, n,
+           round(q1 / 100.0, 6) AS q1,
+           round(q2 / 100.0, 6) AS median,
+           round(q3 / 100.0, 6) AS q3,
+           round(iqr / 100.0, 6) AS iqr,
+           CAST(sum(CASE WHEN cents < q1 - 1.5 * iqr
+                          OR cents > q3 + 1.5 * iqr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f JOIN v ON f.event_type = v.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """)
+def profile_boxplot_stats(spark, sf):
+    """Per-event-type boxplot profile: exact interpolated quartiles,
+    IQR, and the Tukey-fence outlier count — the five-number summary
+    a dashboard wants per category before anyone trusts a mean.
+    Scale shape: quantiles run on exact integer CENTS (the ts_ewma
+    rule: interpolation (a + theta*(b-a)) on identical integers is
+    the identical double in both engines, then ONE /100.0 render);
+    the outlier pass is a second conditional agg against the
+    broadcast category-grain quartile relation."""
+    v = (T(spark, sf, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                 .alias("cents")))
+    q = (v.groupBy("event_type")
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.percentile("cents", F.lit(0.25)).alias("q1"),
+              F.percentile("cents", F.lit(0.50)).alias("q2"),
+              F.percentile("cents", F.lit(0.75)).alias("q3"))
+         .withColumn("iqr", F.col("q3") - F.col("q1")))
+    out = (v.join(F.broadcast(q), "event_type")
+           .groupBy("event_type", "n", "q1", "q2", "q3", "iqr")
+           .agg(F.sum(F.when((F.col("cents")
+                              < F.col("q1") - 1.5 * F.col("iqr"))
+                             | (F.col("cents")
+                                > F.col("q3") + 1.5 * F.col("iqr")), 1)
+                      .otherwise(0)).cast(BIG).alias("n_outliers")))
+    return out.select(
+        "event_type", "n",
+        F.round(F.col("q1") / 100.0, 6).alias("q1"),
+        F.round(F.col("q2") / 100.0, 6).alias("median"),
+        F.round(F.col("q3") / 100.0, 6).alias("q3"),
+        F.round(F.col("iqr") / 100.0, 6).alias("iqr"),
+        "n_outliers")
+
+
+@query(
+    "feat_cyclical_encode",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           -- DuckDB dayofweek is 0-6 (Sun=0); Spark's is 1-7 (Sun=1)
+           CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           round(sin(2 * pi() * hour(ts) / 24.0), 6) AS hour_sin,
+           round(cos(2 * pi() * hour(ts) / 24.0), 6) AS hour_cos,
+           round(sin(2 * pi() * dayofweek(ts) / 7.0), 6) AS dow_sin,
+           round(cos(2 * pi() * dayofweek(ts) / 7.0), 6) AS dow_cos
+    FROM events WHERE event_id < 500
+    """)
+def feat_cyclical_encode(spark, sf):
+    """Cyclical time features: hour-of-day and day-of-week projected
+    onto the unit circle (sin/cos pairs) so midnight sits next to
+    23:00 and Sunday next to Monday — the standard fix for feeding
+    periodic calendar fields to distance-based models where ordinal
+    encodings tear the cycle at the wrap point.  Pure map-side
+    projection (no shuffle at all); the angle arithmetic is written
+    identically in both engines and 6dp-rounded (libm sin/cos agree
+    far past 6 decimals on identical doubles).  Sliced to the first
+    500 events — the feature shape is per-row, the check doesn't need
+    the corpus."""
+    import math
+    ev = T(spark, sf, "events").filter(F.col("event_id") < 500)
+    two_pi = 2 * math.pi
+    hr = F.hour("ts")
+    dow = F.dayofweek("ts")
+    return ev.select(
+        F.col("event_id").cast(BIG).alias("event_id"),
+        hr.cast(BIG).alias("hr"),
+        dow.cast(BIG).alias("dow"),
+        F.round(F.sin(two_pi * hr / 24.0), 6).alias("hour_sin"),
+        F.round(F.cos(two_pi * hr / 24.0), 6).alias("hour_cos"),
+        F.round(F.sin(two_pi * (dow - 1) / 7.0), 6).alias("dow_sin"),
+        F.round(F.cos(two_pi * (dow - 1) / 7.0), 6).alias("dow_cos"))

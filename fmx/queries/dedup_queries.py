@@ -829,3 +829,80 @@ def dedup_weighted_jaccard(spark, sf):
                       F.round("jaccard", 6).alias("jaccard"),
                       F.round("weighted_jaccard", 6)
                       .alias("weighted_jaccard"))
+
+
+def _band_block(b: int) -> str:
+    """Banding CTEs for a (bands=b, rows=NUM_HASHES//b) config over the
+    shared ``sig`` relation, plus its candidate set scored against the
+    exact Jaccard relation."""
+    r = NUM_HASHES // b
+    return f"""
+    banded{b} AS (SELECT doc_id, j // {r} AS band,
+                         array_to_string(list(CAST(minhash AS VARCHAR)
+                                              ORDER BY j), ',')
+                             AS band_key
+                  FROM sig GROUP BY doc_id, j // {r}),
+    cand{b} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded{b} a JOIN banded{b} b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+    sc{b} AS (SELECT CAST({b} AS BIGINT) AS bands,
+                     CAST({r} AS BIGINT) AS rows_per_band,
+                     CAST(count(*) AS BIGINT) AS n_candidates,
+                     CAST(sum(CASE WHEN coalesce(j.jaccard, 0.0) >= 0.2
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_true,
+                     round(sum(CASE WHEN coalesce(j.jaccard, 0.0) >= 0.2
+                                    THEN 1 ELSE 0 END) * 1.0
+                           / nullif(count(*), 0), 6) AS precision
+              FROM cand{b} c LEFT JOIN jac j
+                ON c.id_a = j.id_a AND c.id_b = j.id_b)
+    """
+
+
+_TUNE_BANDS = (2, 4, 8)
+
+
+@query(
+    "dedup_minhash_band_tuning",
+    oracle=("WITH " + _SHINGLES + ", " + _SIG + ", " + _JACCARD_PAIRS
+            + "," + ",".join(_band_block(b) for b in _TUNE_BANDS)
+            + " SELECT * FROM ("
+            + " UNION ALL ".join(f"SELECT * FROM sc{b}"
+                                 for b in _TUNE_BANDS)
+            + ") ORDER BY bands"))
+def dedup_minhash_band_tuning(spark, sf):
+    """LSH band-tuning curve: candidate volume and precision (share of
+    candidates with exact 3-gram Jaccard >= 0.2) for every (bands,
+    rows-per-band) factorization of the 8-slot signature — 2x4 / 4x2
+    / 8x1.  More bands = higher recall + more candidates; this is the
+    capacity-planning readout that picks the banding BEFORE the
+    banded equi-join runs at corpus scale (candidate count IS the
+    shuffle bill).  One signature relation feeds all three configs;
+    the exact-Jaccard scorer reuses the max_df-guarded shingle pair
+    machinery; counts are exact integers with one division at emit."""
+    from pyspark.sql import functions as F
+
+    docs = T(spark, sf, "documents")
+    jac = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=SHINGLE_N,
+                                threshold=0.0, max_df=MAX_DF) \
+        .select("id_a", "id_b", "jaccard")
+    out = None
+    for b in _TUNE_BANDS:
+        cand = D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                   num_hashes=NUM_HASHES, bands=b,
+                                   shingle_n=SHINGLE_N)
+        scored = (cand.join(jac, ["id_a", "id_b"], "left")
+                  .agg(F.count("*").cast("bigint").alias("n_candidates"),
+                       F.sum(F.when(F.coalesce("jaccard", F.lit(0.0))
+                                    >= 0.2, 1).otherwise(0))
+                       .cast("bigint").alias("n_true")))
+        row = scored.select(
+            F.lit(b).cast("bigint").alias("bands"),
+            F.lit(NUM_HASHES // b).cast("bigint").alias("rows_per_band"),
+            "n_candidates", "n_true",
+            F.round(F.col("n_true") * 1.0
+                    / F.nullif(F.col("n_candidates"), F.lit(0)), 6)
+            .alias("precision"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -447,3 +447,46 @@ def w9_percent_rank(spark, sf):
         F.col("n").cast(BIG).alias("n"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+@query(
+    "w10_cumulative_distinct_users",
+    oracle="""
+    WITH fo AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+                FROM events GROUP BY 1),
+    firsts AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users
+               FROM fo GROUP BY 1),
+    days AS (SELECT CAST(ts AS DATE) AS d,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day, n_events,
+           CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY days.d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM days LEFT JOIN firsts ON days.d = firsts.d
+    """)
+def w10_cumulative_distinct_users(spark, sf):
+    """Cumulative distinct users per day — the running COUNT(DISTINCT)
+    no engine supports directly over a window, via the classic
+    first-occurrence decomposition: a user contributes exactly once,
+    on their first-seen day, so the cumulative distinct count is a
+    plain running SUM of per-day first-timer counts.  Scale shape:
+    one user-grain min agg + one day-grain agg + a cumulative window
+    over calendar-bounded rows — the naive windowed set-union would
+    carry every user id in window state."""
+    ev = T(spark, sf, "events")
+    fo = (ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d")))
+    firsts = fo.groupBy("d").agg(F.count("*").cast(BIG)
+                                 .alias("new_users"))
+    days = (ev.groupBy(F.to_date("ts").alias("d"))
+            .agg(F.count("*").cast(BIG).alias("n_events")))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (days.join(firsts, "d", "left")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "n_events",
+                    F.coalesce("new_users", F.lit(0)).cast(BIG)
+                    .alias("new_users"),
+                    F.sum(F.coalesce("new_users", F.lit(0))).over(w)
+                    .cast(BIG).alias("cumulative_users")))

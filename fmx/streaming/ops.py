@@ -690,3 +690,32 @@ def stream_idgap_registers(rows: DataFrame, id_col: str,
             .groupBy(F.floor(F.col(id_col) / int(bucket)).alias("bucket"))
             .agg(F.count("*").alias("n"), F.min(id_col).alias("mn"),
                  F.max(id_col).alias("mx")))
+
+
+def stream_activity_registers(events: DataFrame,
+                              anchor: str = "2024-01-01") -> DataFrame:
+    """Streaming engagement state: (user_id, day-offset) presence
+    registers relative to a FIXED anchor date — the incremental half
+    of the activity bitmask (event_activity_bitmask derives the anchor
+    from the batch min date; a stream cannot, so the anchor is
+    configuration).  State is bounded by users x 63 rows forever and
+    the merge is idempotent presence (any positive count), so batches,
+    streams, and backfills union losslessly.  Fold with
+    :func:`activity_mask_fold` wherever the bitmask is consumed."""
+    off = F.datediff(F.to_date("ts"), F.lit(anchor).cast("date"))
+    return (events
+            .filter((off >= 0) & (off < 63))
+            .groupBy("user_id", off.alias("off"))
+            .agg(F.count("*").alias("c")))
+
+
+def activity_mask_fold(regs: DataFrame) -> DataFrame:
+    """Fold (user_id, off) presence registers into the packed BIGINT
+    activity bitmask + bit_count readout — stateless, user-grain,
+    identical arithmetic to the batch event_activity_bitmask query."""
+    return (regs.groupBy("user_id")
+            .agg(F.sum(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))"))
+                .cast("bigint").alias("mask"))
+            .withColumn("n_active_days",
+                        F.bit_count("mask").cast("bigint")))

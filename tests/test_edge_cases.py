@@ -263,5 +263,7 @@ def test_round9_session1b_queries_partition_invariant(spark, sf_dir):
              "event_lorenz_curve", "text_vocab_coverage_curve",
              "text_hapax_ratio", "dedup_weighted_jaccard",
              "sample_stratified_kfold", "emb_collapse_score",
-             "ts_stl_anomaly", "eval_power_analysis"]
+             "ts_stl_anomaly", "eval_power_analysis",
+             "w10_cumulative_distinct_users", "profile_boxplot_stats",
+             "dedup_minhash_band_tuning", "feat_cyclical_encode"]
     _assert_partition_invariant(spark, sf_dir, names)

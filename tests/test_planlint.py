@@ -223,6 +223,7 @@ _ALLOWED = {
                                           # fixed-edge bucket rows
         "ts_stl_decompose",          # moving avg over calendar-bounded days
         "ts_stl_anomaly",            # same decomposition windows
+        "w10_cumulative_distinct_users",  # running sum over day-grain rows
         "event_lorenz_curve",        # ntile over the user grain (the
                                      # documented concentration readout)
         "text_vocab_coverage_curve",  # rank/cumsum over the vocab grain

@@ -828,3 +828,27 @@ def test_stream_idgap_registers_live_trigger_monotonic(spark):
             prev = cur
     finally:
         q.stop()
+
+
+def test_stream_activity_registers_fold_matches_batch(spark, sf_dir):
+    """The streaming (user, day-offset) presence state folded into
+    bitmasks must equal the batch activity-bitmask query exactly when
+    the stream's anchor is the batch min date (presence registers are
+    idempotent, so incremental maintenance is lossless)."""
+    import fmx.queries as Q
+    from fmx.streaming.ops import activity_mask_fold
+
+    anchor = str(load_table(spark, sf_dir, "events")
+                 .agg(F.min(F.to_date("ts"))).collect()[0][0])
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(
+        S.stream_activity_registers(events, anchor=anchor),
+        "act_regs", "complete")
+    folded = {r.user_id: (r.mask, r.n_active_days)
+              for r in activity_mask_fold(spark.table("act_regs"))
+              .collect()}
+    batch = {r.user_id: (r.mask, r.n_active_days)
+             for r in Q.all_queries()["event_activity_bitmask"]
+             .fn(spark, sf_dir).collect()}
+    assert folded == batch and folded
+    q.stop()
