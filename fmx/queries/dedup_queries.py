@@ -884,14 +884,35 @@ def dedup_minhash_band_tuning(spark, sf):
     from pyspark.sql import functions as F
 
     docs = T(spark, sf, "documents")
+    # ONE signature relation feeds all three configs (lazy
+    # localCheckpoint: without it each union branch re-derives the
+    # shingle scan + signature agg — measured 114 HashAggregates and
+    # zero ReusedExchange in the naive per-config plan); the exact
+    # scorer is shared the same way
+    sig = D.minhash_signatures(docs, "doc_id", "text",
+                               num_hashes=NUM_HASHES,
+                               shingle_n=SHINGLE_N) \
+        .localCheckpoint(eager=False)
     jac = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=SHINGLE_N,
                                 threshold=0.0, max_df=MAX_DF) \
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard").localCheckpoint(eager=False)
     out = None
     for b in _TUNE_BANDS:
-        cand = D.minhash_lsh_pairs(docs, "doc_id", "text",
-                                   num_hashes=NUM_HASHES, bands=b,
-                                   shingle_n=SHINGLE_N)
+        r = NUM_HASHES // b
+        banded = (sig.groupBy("doc_id",
+                              (F.col("j") / r).cast("int").alias("band"))
+                  .agg(F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("j", "minhash"))),
+                          lambda s: s["minhash"].cast("string")), ",")
+                      .alias("band_key")))
+        cand = (banded.alias("a")
+                .join(banded.alias("b"), ["band", "band_key"])
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b"))
+                .distinct())
         scored = (cand.join(jac, ["id_a", "id_b"], "left")
                   .agg(F.count("*").cast("bigint").alias("n_candidates"),
                        F.sum(F.when(F.coalesce("jaccard", F.lit(0.0))

@@ -766,12 +766,12 @@ def ts_asof_forward_tolerance(spark, sf):
         .cast(BIG).alias("recovery_sec"))
 
 
-@query(
-    "ts_stl_decompose",
-    oracle="""
-    WITH daily AS (SELECT CAST(ts AS DATE) AS d,
-                          CAST(count(*) AS BIGINT) AS n
-                   FROM events GROUP BY 1),
+# The SQL twin of _stl_parts — single-sourced so the anomaly scorer can
+# never drift from the decomposition it cites.
+_STL_CTES = """
+    daily AS (SELECT CAST(ts AS DATE) AS d,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
     tr AS (SELECT d, n,
                   avg(n * 1.0) OVER (ORDER BY d
                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
@@ -780,6 +780,31 @@ def ts_asof_forward_tolerance(spark, sf):
            FROM daily),
     se AS (SELECT dow, avg(n - trend) AS seasonal
            FROM tr GROUP BY 1)
+"""
+
+
+def _stl_parts(spark, sf):
+    """Shared classical-decomposition dataflow: the (tr, se) relations
+    — day-grain counts with the centered 7-day trend and per-weekday
+    seasonal means — used by ts_stl_decompose (readout) and
+    ts_stl_anomaly (robust-z scorer)."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast(BIG).alias("n")))
+    wma = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "n", F.avg(F.col("n") * 1.0).over(wma).alias("trend"),
+        F.dayofweek("d").cast(BIG).alias("dow"))
+    se = (tr.groupBy("dow")
+          .agg(F.avg(F.col("n") - F.col("trend")).alias("seasonal")))
+    return tr, se
+
+
+
+@query(
+    "ts_stl_decompose",
+    oracle=f"""
+    WITH {_STL_CTES}
     SELECT strftime(d, '%Y-%m-%d') AS day, n,
            round(trend, 6) AS trend,
            round(seasonal, 6) AS seasonal,
@@ -798,16 +823,7 @@ def ts_stl_decompose(spark, sf):
     moving average is a bounded-frame window; the seasonal means are
     a 7-row agg.  Window edges use the partial-frame average (both
     engines define avg over the available frame)."""
-    daily = (T(spark, sf, "events")
-             .groupBy(F.to_date("ts").alias("d"))
-             .agg(F.count("*").cast(BIG).alias("n")))
-    wma = Window.orderBy("d").rowsBetween(-3, 3)
-    tr = daily.select(
-        "d", "n",
-        F.avg(F.col("n") * 1.0).over(wma).alias("trend"),
-        F.dayofweek("d").cast(BIG).alias("dow"))
-    se = (tr.groupBy("dow")
-          .agg(F.avg(F.col("n") - F.col("trend")).alias("seasonal")))
+    tr, se = _stl_parts(spark, sf)
     return (tr.join(se, "dow")
             .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n",
                     F.round("trend", 6).alias("trend"),
@@ -818,18 +834,8 @@ def ts_stl_decompose(spark, sf):
 
 @query(
     "ts_stl_anomaly",
-    oracle="""
-    WITH daily AS (SELECT CAST(ts AS DATE) AS d,
-                          CAST(count(*) AS BIGINT) AS n
-                   FROM events GROUP BY 1),
-    tr AS (SELECT d, n,
-                  avg(n * 1.0) OVER (ORDER BY d
-                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-                      AS trend,
-                  CAST(dayofweek(d) AS BIGINT) AS dow
-           FROM daily),
-    se AS (SELECT dow, avg(n - trend) AS seasonal
-           FROM tr GROUP BY 1),
+    oracle=f"""
+    WITH {_STL_CTES},
     res AS (SELECT d, n, round(n - trend - seasonal, 6) AS resid
             FROM tr JOIN se USING (dow)),
     mad AS (SELECT median(abs(resid - (SELECT median(resid) FROM res)))
@@ -852,15 +858,7 @@ def ts_stl_anomaly(spark, sf):
     the MAD is two exact medians over calendar-bounded rows
     (percentile on <= thousands of rows forever), broadcast back as
     one row."""
-    daily = (T(spark, sf, "events")
-             .groupBy(F.to_date("ts").alias("d"))
-             .agg(F.count("*").cast(BIG).alias("n")))
-    wma = Window.orderBy("d").rowsBetween(-3, 3)
-    tr = daily.select(
-        "d", "n", F.avg(F.col("n") * 1.0).over(wma).alias("trend"),
-        F.dayofweek("d").cast(BIG).alias("dow"))
-    se = (tr.groupBy("dow")
-          .agg(F.avg(F.col("n") - F.col("trend")).alias("seasonal")))
+    tr, se = _stl_parts(spark, sf)
     res = (tr.join(se, "dow")
            .select("d", "n",
                    F.round(F.col("n") - F.col("trend")

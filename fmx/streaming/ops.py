@@ -712,9 +712,13 @@ def stream_activity_registers(events: DataFrame,
 def activity_mask_fold(regs: DataFrame) -> DataFrame:
     """Fold (user_id, off) presence registers into the packed BIGINT
     activity bitmask + bit_count readout — stateless, user-grain,
-    identical arithmetic to the batch event_activity_bitmask query."""
+    identical arithmetic to the batch event_activity_bitmask query.
+    The fold aggregates with bit_or, NOT sum: presence registers union
+    across snapshots (batch + stream + backfill may each carry the
+    same (user, off) row), and OR of the same bit is idempotent where
+    a sum would carry into the WRONG bit."""
     return (regs.groupBy("user_id")
-            .agg(F.sum(F.expr(
+            .agg(F.bit_or(F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))"))
                 .cast("bigint").alias("mask"))
             .withColumn("n_active_days",

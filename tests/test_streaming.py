@@ -844,8 +844,12 @@ def test_stream_activity_registers_fold_matches_batch(spark, sf_dir):
     q = _run_to_memory(
         S.stream_activity_registers(events, anchor=anchor),
         "act_regs", "complete")
+    regs = spark.table("act_regs")
+    # fold a UNION of two snapshots: presence registers must merge
+    # idempotently (bit_or), not additively — a duplicated (user, off)
+    # row under sum would carry into the wrong bit
     folded = {r.user_id: (r.mask, r.n_active_days)
-              for r in activity_mask_fold(spark.table("act_regs"))
+              for r in activity_mask_fold(regs.unionByName(regs))
               .collect()}
     batch = {r.user_id: (r.mask, r.n_active_days)
              for r in Q.all_queries()["event_activity_bitmask"]
