@@ -79,74 +79,77 @@ _MODULES = [
 #     only other iterative-dataflow entry), attribution_interval_join
 #     (the bounded interval-join topology).
 _PRIORITY = [
-    # -- (a) round-8 additions: entity resolution / text --
-    "er_fuzzy_match",
-    "text_pmi_bigrams",
-    "text_gopher_filters",
-    "text_rake_keyphrases",
-    "text_sentence_stats",
-    # -- (a) statistical-test family --
-    "eval_cohen_kappa",
-    "eval_mcnemar",
-    "eval_spearman_corr",
-    "eval_kendall_tau_topk",
-    "eval_wilcoxon_signed_rank",
-    # -- (a) engagement / survival analytics --
-    "event_new_vs_returning",
-    "event_transition_entropy",
-    "event_kaplan_meier",
-    "event_user_churn",
-    "event_active_streaks",
-    "event_weekly_stickiness",
-    "stickiness_from_hll_registers",
-    "event_burstiness",
-    # -- (a) features --
-    "feat_target_rate_curve",
-    "feat_mutual_information",
-    "feat_rare_category_collapse",
-    # -- (a) embeddings / ANN --
-    "ann_eval_hamming_vs_exact",
-    "emb_dim_whiten",
-    "emb_cluster_purity",
-    "emb_pairwise_cosine_histogram",
-    "emb_assignment_margin",
-    "dedup_minhash_estimate_error",
-    # -- (a) multimodal / DQ / windows / time series --
-    "multimodal_payload_entropy",
-    "multimodal_format_sniff",
-    "dq_amount_reconciliation",
-    "dq_schema_drift",
-    "w9_percent_rank",
-    "ts_business_day_lag",
-    # -- (a) sampling --
-    "sample_dup_aware_weights",
-    "sample_pps_systematic",
-    # -- (b) last r02-era oracled evidence, re-proven --
-    "tpch_q4_late_orders",
-    "tpch_q12_priority_counts",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_rich_customers",
-    "text_redaction",
-    "text_repetition",
-    "emb_quantize",
-    # -- (c) first hash-checked row for the Lloyd-trained IVF path --
-    "ann_ivf_topk",
-    # -- (d) heaviest r03-era shapes --
-    "tpch_q9_product_profit",
-    "graph_pagerank_3iter",
-    "attribution_interval_join",
-    # (Window full at 50.  r10 STOCK, first half of the r03/r04
-    # two-round refresh (VERDICT r8 #3): the 43 remaining r03-cohort
-    # entries -- a10_salted_hot_agg, ann_ivf_topk_fixed,
-    # ann_lsh_topk_multiprobe, ann_pq_codes, ann_pq_topk,
-    # approx_distinct, approx_distinct_hll, approx_quantiles,
-    # approx_topk_cms, bloom_contamination, cohort_retention,
-    # dedup_levenshtein_prefix, dedup_span_profile, dq_expectations,
-    # fm_predict, funnel_view_click_purchase, histogram_width_bucket,
+    # Round-10 window, executing VERDICT r9 "Next round" #1: the 34
+    # round-9 additions (the ONLY never-driver-checked entries left;
+    # all oracled, green locally at sf0.001+sf0.01+sf0.1) plus the 16
+    # oldest-evidence rows.  After this round the union of driver rows
+    # r01..r10 covers all registry entries AND no entry's latest
+    # evidence predates r03.
+    # -- (a) r9 additions: statistical tests / experimentation --
+    "eval_mann_whitney_u",
+    "eval_cramers_v",
+    "eval_log_loss",
+    "eval_fleiss_kappa",
+    "eval_power_analysis",
+    "stats_mode_by_group",
+    "stats_weighted_median",
+    # -- (a) r9 additions: events / time series --
+    "event_nelson_aalen",
+    "event_activity_bitmask",
+    "event_cuped_adjustment",
+    "event_diff_in_diff",
+    "event_lorenz_curve",
+    "quantiles_from_hist_registers",
+    "ts_asof_forward_tolerance",
+    "ts_stl_decompose",
+    "ts_stl_anomaly",
+    "w10_cumulative_distinct_users",
+    "profile_boxplot_stats",
+    "feat_cyclical_encode",
+    # -- (a) r9 additions: text --
+    "text_passage_dedup",
+    "text_mattr",
+    "text_vocab_coverage_curve",
+    "text_hapax_ratio",
+    # -- (a) r9 additions: graph / embeddings / ANN / dedup --
+    "graph_bfs_frontier",
+    "graph_harmonic_centrality_2hop",
+    "emb_epsilon_components",
+    "emb_knn_classifier_eval",
+    "emb_label_representatives",
+    "emb_collapse_score",
+    "ann_nprobe_recall_curve",
+    "dedup_weighted_jaccard",
+    "dedup_minhash_band_tuning",
+    # -- (a) r9 additions: sources / sampling --
+    "s5_jsonl_roundtrip",
+    "sample_stratified_kfold",
+    # -- (b) the 6 rows whose latest driver row is still r02 (bench
+    #    headliners every round, but hash-evidence is stale) --
+    "ann_cosine_topk",
+    "dedup_exact",
+    "text_stats",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    # -- (b) 10 oldest r03-cohort entries (alphabetical from the r8
+    #    stock list, skipping the two rows-only engine-private
+    #    sketches approx_distinct/approx_quantiles whose oracled twin
+    #    approx_distinct_hll takes their slot) --
+    "a10_salted_hot_agg",
+    "ann_ivf_topk_fixed",
+    "ann_lsh_topk_multiprobe",
+    "ann_pq_codes",
+    "ann_pq_topk",
+    "approx_distinct_hll",
+    "approx_topk_cms",
+    "bloom_contamination",
+    "cohort_retention",
+    "dedup_levenshtein_prefix",
+    # (Window full at 50.  r11 STOCK: the remaining 33 r03-cohort
+    # entries -- approx_distinct, approx_quantiles (rows-only),
+    # dedup_span_profile, dq_expectations, fm_predict,
+    # funnel_view_click_purchase, histogram_width_bucket,
     # hypertable_rollup, j6_anti_join, j8_salted_join_agg,
     # latest_event_per_user, multimodal_features, pipeline_dataprep,
     # profile_key_skew, range_join_price_bands, s2_inline_relation,
@@ -155,13 +158,13 @@ _PRIORITY = [
     # sample_temperature_mixture, sample_weighted_topk,
     # scd2_user_status, set_except, stats_corr_regr,
     # text_tfidf_top_terms, w5_lag_delta, w6_ntile_cume,
-    # w7_time_range_sum, win_sliding, zorder_layout_key -- plus 7
+    # w7_time_range_sum, win_sliding, zorder_layout_key -- plus 17
     # slots from the oldest r04 cohort; the rest of r04 follows in
-    # r11.  Prior rotation history lives in git: the r8 window at
-    # commit eccbe04, r7 at a192c46, r6 at 5207f57^, r5 at ded7618.
-    # Everything rotated out is r4+-green and remains covered by the
-    # sf0.001+sf0.01(+sf0.1) oracle harness every round; bench
-    # headliners additionally run per-round.)
+    # r12.  Prior rotation history lives in git: the r9 window at
+    # commit 379fa18^, r8 at eccbe04, r7 at a192c46, r6 at 5207f57^,
+    # r5 at ded7618.  Everything rotated out is r4+-green and remains
+    # covered by the sf0.001+sf0.01(+sf0.1) oracle harness every
+    # round; bench headliners additionally run per-round.)
 ]
 
 
