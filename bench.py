@@ -121,6 +121,37 @@ def main() -> None:
         training[bench_key] = {"min": sf_runs[0],
                                "median": sf_runs[len(sf_runs) // 2]}
 
+    # CrossValidator row (r9 verdict #5): the reference's only
+    # end-to-end app is CrossValidator + RegressionEvaluator over the
+    # FM estimator (FactorizationMachinesSample.scala:50-63), and the
+    # Params/copy/transformSchema path it exercises is otherwise
+    # invisible to the bench.  2 folds x 1-point grid + the final
+    # refit = 3 fits at maxIter=1 — cheap, but any regression in
+    # copy()/fit-loop setup multiplies by 3 and moves this row.  Warm
+    # (plan shapes compiled by the fits above); 3 runs for a true
+    # median, same as every training row.
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    cv_est = FMRegressorSGD(dimFactorization=8, maxIter=1,
+                            miniBatchFraction=0.34, stepSize=0.1,
+                            seed=1234)
+    cv = CrossValidator(
+        estimator=cv_est,
+        estimatorParamMaps=ParamGridBuilder()
+            .addGrid(cv_est.regParam, [0.0]).build(),
+        evaluator=RegressionEvaluator(metricName="mae"),
+        numFolds=2, seed=42)
+    cv_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cv_model = cv.fit(train)
+        cv_model.bestModel.strength.count()
+        cv_runs.append(round(time.perf_counter() - t0, 3))
+    cv_runs.sort()
+    training["fm_cv_2fold_sf0.01"] = {"min": cv_runs[0],
+                                      "median": cv_runs[len(cv_runs) // 2]}
+
     # DuckDB comparator: the reference publishes no benchmark numbers
     # (BASELINE.md), so the external wall-time yardstick is the oracle
     # engine itself — each headline query's DuckDB oracle SQL, same

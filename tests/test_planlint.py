@@ -173,6 +173,7 @@ _ALLOWED = {
         "sample_interleaved_order",
         "sample_negative_downsample",  # filter on the md5 keep-coin
         "er_fuzzy_match",   # rank/dist filters on computed edit distance
+        "er_fuzzy_match_multipass",  # same computed-dist filters, unioned passes
         "text_pmi_bigrams",  # min_count filter on aggregated pair counts
         "text_passage_dedup",  # non-empty guard on the computed token array
         "text_mattr",          # min-width guard on the computed token array
