@@ -54,6 +54,7 @@ _MODULES = [
     "fmx.queries.relational",
     "fmx.queries.relational2",
     "fmx.queries.web_queries",
+    "fmx.queries.stats_queries",
 ]
 
 # Names listed here are emitted FIRST by all_queries()/queries() (in this

@@ -5835,3 +5835,134 @@ def feat_cyclical_encode(spark, sf):
         F.round(F.cos(two_pi * hr / 24.0), 6).alias("hour_cos"),
         F.round(F.sin(two_pi * (dow - 1) / 7.0), 6).alias("dow_sin"),
         F.round(F.cos(two_pi * (dow - 1) / 7.0), 6).alias("dow_cos"))
+
+
+@query(
+    "graph_hits_3iter",
+    oracle="""
+    WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    -- unnormalized integer HITS: h0 = 1, a_i = E'h_{i-1}, h_i = E a_i.
+    a1 AS (SELECT s, CAST(count(*) AS DECIMAL(38,0)) AS v
+           FROM e GROUP BY s),
+    h1 AS (SELECT c, CAST(sum(v) AS DECIMAL(38,0)) AS v
+           FROM e JOIN a1 USING (s) GROUP BY c),
+    a2 AS (SELECT s, CAST(sum(v) AS DECIMAL(38,0)) AS v
+           FROM e JOIN h1 USING (c) GROUP BY s),
+    h2 AS (SELECT c, CAST(sum(v) AS DECIMAL(38,0)) AS v
+           FROM e JOIN a2 USING (s) GROUP BY c),
+    a3 AS (SELECT s, CAST(sum(v) AS DECIMAL(38,0)) AS v
+           FROM e JOIN h2 USING (c) GROUP BY s),
+    h3 AS (SELECT c, CAST(sum(v) AS DECIMAL(38,0)) AS v
+           FROM e JOIN a3 USING (s) GROUP BY c),
+    ranked AS (
+      SELECT 'authority' AS side, s AS node, v,
+             CAST(sum(v) OVER () AS DECIMAL(38,0)) AS tot,
+             row_number() OVER (ORDER BY v DESC, s) AS rk
+      FROM a3
+      UNION ALL
+      SELECT 'hub' AS side, c AS node, v,
+             CAST(sum(v) OVER () AS DECIMAL(38,0)) AS tot,
+             row_number() OVER (ORDER BY v DESC, c) AS rk
+      FROM h3)
+    SELECT side, CAST(node AS BIGINT) AS node,
+           round(CAST(v AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS score,
+           CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 10
+    """)
+def graph_hits_3iter(spark, sf):
+    """HITS hubs/authorities, 3 power iterations on the directed
+    customer -> supplier purchase graph (who buys from whom, via
+    lineitem x orders).  The iterates stay UNNORMALIZED — h0 = 1 makes
+    every a_i/h_i an exact INTEGER walk count (a_i = paths of length
+    2i-1 ending at s), so cross-engine float drift is structurally
+    impossible inside the loop; sum-normalization happens ONCE at the
+    end as a single division of exact integers.  Each iteration is one
+    equi-join + groupBy (the standard distributed HITS step — at scale
+    the edge list is hash-partitioned on the join key and iterations
+    reuse that shuffle); DECIMAL(38,0) accumulators because walk
+    counts grow like deg^3."""
+    e = (T(spark, sf, "lineitem")
+         .join(T(spark, sf, "orders"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+         .distinct())
+    a = e.groupBy("s").agg(F.count("*").cast(DEC).alias("v"))
+    for _ in range(2):
+        h = (e.join(a, "s").groupBy("c")
+             .agg(F.sum("v").cast(DEC).alias("v")))
+        a = (e.join(h, "c").groupBy("s")
+             .agg(F.sum("v").cast(DEC).alias("v")))
+    h = (e.join(a, "s").groupBy("c")
+         .agg(F.sum("v").cast(DEC).alias("v")))
+
+    def _top(df, side, idcol):
+        wt = Window.partitionBy()
+        wr = Window.orderBy(F.col("v").desc(), F.col("node"))
+        return (df.select(F.lit(side).alias("side"),
+                          F.col(idcol).alias("node"), "v")
+                .withColumn("tot", F.sum("v").over(wt).cast(DEC))
+                .withColumn("rk", F.row_number().over(wr))
+                .filter(F.col("rk") <= 10))
+
+    ranked = _top(a, "authority", "s").unionAll(_top(h, "hub", "c"))
+    return ranked.select(
+        "side", F.col("node").cast(BIG).alias("node"),
+        F.round(F.col("v").cast("double") / F.col("tot").cast("double"), 6)
+        .alias("score"),
+        F.col("rk").cast(BIG).alias("rank"))
+
+
+@query(
+    "graph_rectangle_count",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    wedge AS (SELECT a.nbr AS u, b.nbr AS v,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM und a JOIN und b
+                ON a.node = b.node AND a.nbr < b.nbr
+              GROUP BY 1, 2),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY node)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT)
+               AS n_wedges,
+           CAST((SELECT count(*) FROM wedge WHERE cn >= 2) AS BIGINT)
+               AS n_copaired,
+           CAST((SELECT sum(cn * (cn - 1) / 2) FROM wedge) AS BIGINT)
+               AS n_rectangles
+    """)
+def graph_rectangle_count(spark, sf):
+    """4-cycle (rectangle) census of the co-purchase graph: for every
+    unordered endpoint pair (u, v), cn = |common neighbors| comes from
+    ONE wedge equi-join on the center node, and rectangles = sum
+    C(cn, 2) — the closed form that never enumerates 4-node subgraphs
+    (the same count-don't-materialize discipline as
+    graph_triangle_count one size up).  Wedge fan-out is center-degree
+    bounded; at 100 TB the standard mitigation is the same degree cap
+    the basket queries apply at ingest (_capped_baskets)."""
+    und = _copurchase_edges(spark, sf)
+    und = (und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionAll(und.select(F.col("dst").alias("node"),
+                                F.col("src").alias("nbr"))))
+    a, b = und.alias("a"), und.alias("b")
+    wedge = (a.join(b, (F.col("a.node") == F.col("b.node"))
+                    & (F.col("a.nbr") < F.col("b.nbr")))
+             .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+             .agg(F.count("*").cast(BIG).alias("cn")))
+    deg = und.groupBy("node").agg(F.count("*").cast(BIG).alias("d"))
+    nn = deg.agg(F.count("*").cast(BIG).alias("n_nodes"),
+                 F.sum(F.col("d") * (F.col("d") - 1) / 2).cast(BIG)
+                 .alias("n_wedges"))
+    ne = _copurchase_edges(spark, sf).agg(
+        F.count("*").cast(BIG).alias("n_edges"))
+    rect = wedge.agg(
+        F.sum(F.when(F.col("cn") >= 2, 1).otherwise(0)).cast(BIG)
+        .alias("n_copaired"),
+        F.sum(F.col("cn") * (F.col("cn") - 1) / 2).cast(BIG)
+        .alias("n_rectangles"))
+    return (nn.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(rect))
+            .select("n_nodes", "n_edges", "n_wedges", "n_copaired",
+                    "n_rectangles"))

@@ -486,3 +486,63 @@ def dq_expectations(spark, sf):
         "price_positive": F.col("l_extendedprice") > 0,
         "shipdate_present": F.col("l_shipdate").isNotNull(),
     })
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (SELECT 'o_orderkey->o_custkey' AS fd, o_orderkey AS det,
+                        CAST(count(DISTINCT o_custkey) AS BIGINT) AS v,
+                        CAST(count(*) AS BIGINT) AS nr
+                 FROM orders GROUP BY 1, 2),
+    fd2 AS (SELECT 'p_brand->p_type' AS fd, p_brand AS det,
+                   CAST(count(DISTINCT p_type) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS nr
+            FROM part GROUP BY 1, 2),
+    fd3 AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+                   CAST(o_custkey AS VARCHAR) AS det,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS nr
+            FROM orders GROUP BY 1, 2),
+    u AS (SELECT fd, CAST(det AS VARCHAR) AS det, v, nr FROM fd1
+          UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3)
+    SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+           CAST(max(v) AS BIGINT) AS max_variants,
+           CAST(sum(CASE WHEN v > 1 THEN nr ELSE 0 END) AS BIGINT)
+               AS n_rows_in_violation
+    FROM u GROUP BY fd ORDER BY fd
+    """)
+def dq_functional_dependency(spark, sf):
+    """Functional-dependency audit — does A determine B?  One
+    groupBy(A) + count(DISTINCT B) per candidate FD, unioned into a
+    per-FD violation report (keys with >1 dependent variant, the worst
+    key's variant count, and the row mass sitting on violating keys).
+    The audited set spans one FD that must HOLD (o_orderkey ->
+    o_custkey: a key constraint, so n_violating_keys == 0 is the
+    pass condition dq_key_uniqueness can't express) and two expected
+    to fail on independent synthetic columns.  Each FD is a single
+    shuffle on the determinant; no joins, no windows."""
+
+    def audit(df, fd, det, dep):
+        return (df.groupBy(F.col(det).cast("string").alias("det"))
+                .agg(F.count_distinct(F.col(dep)).cast(BIG).alias("v"),
+                     F.count("*").cast(BIG).alias("nr"))
+                .select(F.lit(fd).alias("fd"), "det", "v", "nr"))
+
+    orders = T(spark, sf, "orders")
+    part = T(spark, sf, "part")
+    u = (audit(orders, "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+         .unionAll(audit(part, "p_brand->p_type", "p_brand", "p_type"))
+         .unionAll(audit(orders, "o_custkey->o_orderpriority",
+                         "o_custkey", "o_orderpriority")))
+    return (u.groupBy("fd")
+            .agg(F.count("*").cast(BIG).alias("n_keys"),
+                 F.sum(F.when(F.col("v") > 1, 1).otherwise(0)).cast(BIG)
+                 .alias("n_violating_keys"),
+                 F.max("v").cast(BIG).alias("max_variants"),
+                 F.sum(F.when(F.col("v") > 1, F.col("nr")).otherwise(0))
+                 .cast(BIG).alias("n_rows_in_violation"))
+            .orderBy("fd"))

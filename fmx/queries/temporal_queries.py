@@ -877,3 +877,77 @@ def ts_stl_anomaly(spark, sf):
                             6).alias("robust_z"),
                     (F.abs(F.col("resid") - F.col("med"))
                      > 3 * 1.4826 * F.col("m")).alias("is_anomaly")))
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    s AS (SELECT a.et,
+                 CAST(sum(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.et = b.et AND a.day < b.day
+          GROUP BY a.et),
+    ties AS (SELECT et,
+                    CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)
+                             * (2 * t + 5)) AS DECIMAL(38,0)) AS tt
+             FROM (SELECT et, x, count(*) AS t FROM daily GROUP BY 1, 2)
+             GROUP BY et),
+    n AS (SELECT et, CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY et)
+    SELECT n.et AS event_type, nd AS n_days, s_stat,
+           round((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)
+                  - CAST(tt AS DOUBLE)) / 18.0, 6) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1.0) ELSE
+                      CASE WHEN s_stat < 0 THEN (s_stat + 1.0)
+                           ELSE 0.0 END END
+                 / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)
+                         - CAST(tt AS DOUBLE)) / 18.0), 6) AS z_stat
+    FROM n JOIN s USING (et) JOIN ties USING (et)
+    ORDER BY event_type
+    """)
+def ts_mann_kendall(spark, sf):
+    """Mann-Kendall trend test on each event type's DAILY value total:
+    S = sum over day pairs of sign(x_j - x_i), tie-corrected variance,
+    continuity-corrected z — the standard nonparametric 'is this
+    series trending' test (vs ts_theilsen_trend's slope ESTIMATE; this
+    is the significance half).  The pair join runs at the DAY grain
+    (30 days -> 435 pairs per type, a constant at any SF — aggregate
+    first, O(n^2) the bounded series, never the raw rows); totals are
+    exact integer cents so sign() never sees double noise."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col("a.et") == F.col("b.et"))
+                & (F.col("a.day") < F.col("b.day")))
+         .groupBy(F.col("a.et").alias("et"))
+         .agg(F.sum(F.when(F.col("b.x") > F.col("a.x"), 1)
+                    .when(F.col("b.x") < F.col("a.x"), -1)
+                    .otherwise(0)).cast(BIG).alias("s_stat")))
+    DEC = "decimal(38,0)"
+    ties = (daily.groupBy("et", "x").agg(F.count("*").alias("t"))
+            .groupBy("et")
+            .agg(F.sum(F.col("t").cast(DEC) * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).cast(DEC).alias("tt")))
+    n = daily.groupBy("et").agg(F.count("*").cast(BIG).alias("nd"))
+    m = n.join(s, "et").join(ties, "et")
+    nd, s_, tt = (F.col("nd").cast("double"), F.col("s_stat"),
+                  F.col("tt").cast("double"))
+    var_s = (nd * (nd - 1) * (2 * nd + 5) - tt) / 18.0
+    zraw = (F.when(s_ > 0, s_ - 1.0)
+            .when(s_ < 0, s_ + 1.0).otherwise(0.0)) / F.sqrt(var_s)
+    return (m.select(F.col("et").alias("event_type"),
+                     F.col("nd").alias("n_days"), "s_stat",
+                     F.round(var_s, 6).alias("var_s"),
+                     F.round(zraw, 6).alias("z_stat"))
+            .orderBy("event_type"))
