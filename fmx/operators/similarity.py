@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from fmx.core import linalg as L
 
-__all__ = ["cosine_topk", "random_projection_lsh", "lsh_topk", "ivf_topk",
+__all__ = ["cosine_topk", "mips_topk", "jl_project",
+           "random_projection_lsh", "lsh_topk", "ivf_topk",
            "normalize_embeddings", "quantize_embeddings",
            "pq_codebook", "pq_codebook_trained", "pq_encode", "pq_topk",
            "pq_rerank_topk", "rank_eval", "ivfpq_topk", "rrf_fuse",
@@ -83,6 +84,58 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                                              F.col(id_col))
     return (sim.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def mips_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+              vec_col: str, k: int = 5,
+              query_id: str = "query_id") -> DataFrame:
+    """Exact maximum-inner-product top-k: (query_id, id, dot, rank).
+
+    The UNNORMALIZED retrieval mode (recommendation scores, learned
+    late-interaction scores) — cosine's ranking is wrong when vector
+    magnitude carries signal.  Same broadcast-queries/stream-corpus
+    shape as cosine_topk; dot is rounded 6dp before ranking so ties
+    resolve identically in any engine.  Scale path: MIPS reduces to
+    cosine ANN by the standard augmentation x -> [x, sqrt(M^2-|x|^2)],
+    q -> [q, 0] (M = max corpus norm), after which every bucketed
+    index in this module (LSH / IVF / PQ) serves it — the brute-force
+    form here is the rerank/oracle baseline."""
+    q = F.broadcast(queries.select(F.col(id_col).alias(query_id),
+                                   F.col(vec_col).alias("_qv")))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    pairs = (c.crossJoin(q)
+             .filter(F.col(id_col) != F.col(query_id))
+             .select(query_id, id_col,
+                     F.round(L.vec_dot("_qv", "_cv"), 6).alias("dot")))
+    w = Window.partitionBy(query_id).orderBy(F.col("dot").desc(),
+                                             F.col(id_col))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def jl_project(df: DataFrame, id_col: str, vec_col: str,
+               out_dims: int = 8) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dims``
+    dimensions using the SAME md5-derived hyperplanes as the sign-LSH
+    bucketer (single-sourced via _plane_component) — but emitting the
+    REAL-VALUED projections as features (long format: id, p,
+    projection) instead of thresholding to bits.  Same long-format
+    shape as random_projection_lsh: explode to (id, pos, x), one
+    hash-agg per vector; the plane component is a pure function of
+    (p, pos) so nothing joins in."""
+    ex = _as_double(df, vec_col).select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "x"))
+    projs = [
+        F.round(F.sum(F.col("x") * _plane_component(p, F.col("pos"))), 6)
+        .alias(f"_d{p}") for p in range(out_dims)]
+    wide = ex.groupBy(id_col).agg(*projs)
+    pairs = F.array(*[
+        F.struct(F.lit(p).cast("bigint").alias("p"),
+                 F.col(f"_d{p}").alias("projection"))
+        for p in range(out_dims)])
+    return (wide.select(id_col, F.explode(pairs).alias("_e"))
+            .select(id_col, F.col("_e.p").alias("p"),
+                    F.col("_e.projection").alias("projection")))
 
 
 def _plane_component(p: int, i, table: int | None = None) -> F.Column:

@@ -4088,10 +4088,49 @@ def feat_mutual_information(spark, sf):
                                        F.lit(0.0)), 6).alias("nmi")))
 
 
-@query(
-    "event_kaplan_meier",
-    oracle="""
-    WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+def _km_surv(spark, sf):
+    """Spark twin of _KM_CTES: the cumulative Kaplan-Meier relation
+    (dur, d_i, n_i, lse, z) shared by event_kaplan_meier and
+    event_survival_rmst."""
+    u = (T(spark, sf, "events")
+         .groupBy("user_id")
+         .agg(F.min(F.to_date("ts")).alias("f"),
+              F.max(F.to_date("ts")).alias("l"),
+              F.min(F.when(F.col("event_type") == "error",
+                           F.to_date("ts"))).alias("e")))
+    g = u.agg(F.max("l").alias("mx"))
+    d = (u.crossJoin(F.broadcast(g))
+         .select(F.when(F.col("e").isNotNull(),
+                        F.datediff("e", "f"))
+                 .otherwise(F.datediff("mx", "f")).alias("dur"),
+                 F.col("e").isNotNull().cast("int").alias("obs")))
+    tot = d.agg(F.count("*").alias("nu"))
+    grain = d.groupBy("dur").agg(F.sum("obs").cast(BIG).alias("d_i"),
+                                 F.count("*").alias("m"))
+    wprev = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (grain.crossJoin(F.broadcast(tot))
+            .select("dur", "d_i",
+                    (F.col("nu")
+                     - F.coalesce(F.sum("m").over(wprev), F.lit(0)))
+                    .alias("n_i"))
+            .filter(F.col("d_i") > 0))
+    wcum = (Window.orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return risk.select(
+        "dur", "d_i", "n_i",
+        F.sum(F.when(F.col("d_i") < F.col("n_i"),
+                     F.log(1.0 - F.col("d_i") * 1.0 / F.col("n_i")))
+              .otherwise(F.lit(0.0))).over(wcum).alias("lse"),
+        F.max((F.col("d_i") >= F.col("n_i")).cast("int"))
+        .over(wcum).alias("z"))
+
+
+# Kaplan-Meier survival dataflow, single-sourced (SQL twin of
+# _km_surv below) so event_kaplan_meier (curve readout) and
+# event_survival_rmst (area under it) can never drift apart.
+_KM_CTES = """
+    u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
                       max(CAST(ts AS DATE)) AS l,
                       min(CASE WHEN event_type = 'error'
                                THEN CAST(ts AS DATE) END) AS e
@@ -4118,6 +4157,13 @@ def feat_mutual_information(spark, sf):
                  max(CASE WHEN d_i >= n_i THEN 1 ELSE 0 END)
                      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS z
           FROM risk WHERE d_i > 0)
+"""
+
+
+@query(
+    "event_kaplan_meier",
+    oracle=f"""
+    WITH {_KM_CTES}
     SELECT CAST(dur AS BIGINT) AS t_day,
            CAST(n_i AS BIGINT) AS n_risk,
            d_i AS n_events,
@@ -4140,38 +4186,7 @@ def event_kaplan_meier(spark, sf):
     order.  A d_i = n_i step (everyone at risk exits) pins survival to
     exactly 0 thereafter rather than routing ln(0) through either
     engine."""
-    u = (T(spark, sf, "events")
-         .groupBy("user_id")
-         .agg(F.min(F.to_date("ts")).alias("f"),
-              F.max(F.to_date("ts")).alias("l"),
-              F.min(F.when(F.col("event_type") == "error",
-                           F.to_date("ts"))).alias("e")))
-    g = u.agg(F.max("l").alias("mx"))
-    d = (u.crossJoin(F.broadcast(g))
-         .select(F.when(F.col("e").isNotNull(),
-                        F.datediff("e", "f"))
-                 .otherwise(F.datediff("mx", "f")).alias("dur"),
-                 F.col("e").isNotNull().cast("int").alias("obs")))
-    tot = d.agg(F.count("*").alias("nu"))
-    grain = d.groupBy("dur").agg(F.sum("obs").cast(BIG).alias("d_i"),
-                                 F.count("*").alias("m"))
-    wprev = (Window.orderBy("dur")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    risk = (grain.crossJoin(F.broadcast(tot))
-            .select("dur", "d_i",
-                    (F.col("nu")
-                     - F.coalesce(F.sum("m").over(wprev), F.lit(0)))
-                    .alias("n_i"))
-            .filter(F.col("d_i") > 0))
-    wcum = (Window.orderBy("dur")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    s = risk.select(
-        "dur", "d_i", "n_i",
-        F.sum(F.when(F.col("d_i") < F.col("n_i"),
-                     F.log(1.0 - F.col("d_i") * 1.0 / F.col("n_i")))
-              .otherwise(F.lit(0.0))).over(wcum).alias("lse"),
-        F.max((F.col("d_i") >= F.col("n_i")).cast("int"))
-        .over(wcum).alias("z"))
+    s = _km_surv(spark, sf)
     return s.select(
         F.col("dur").cast(BIG).alias("t_day"),
         F.col("n_i").cast(BIG).alias("n_risk"),
@@ -5898,13 +5913,16 @@ def graph_hits_3iter(spark, sf):
          .agg(F.sum("v").cast(DEC).alias("v")))
 
     def _top(df, side, idcol):
-        wt = Window.partitionBy()
+        # sum-normalizer as a 1-row broadcast (never a global window
+        # over the node grain); rank window runs over the top-10 rows
+        # only (TakeOrderedAndProject feeds it)
+        tot = df.agg(F.sum("v").cast(DEC).alias("tot"))
         wr = Window.orderBy(F.col("v").desc(), F.col("node"))
         return (df.select(F.lit(side).alias("side"),
                           F.col(idcol).alias("node"), "v")
-                .withColumn("tot", F.sum("v").over(wt).cast(DEC))
-                .withColumn("rk", F.row_number().over(wr))
-                .filter(F.col("rk") <= 10))
+                .orderBy(F.col("v").desc(), F.col("node")).limit(10)
+                .crossJoin(F.broadcast(tot))
+                .withColumn("rk", F.row_number().over(wr)))
 
     ranked = _top(a, "authority", "s").unionAll(_top(h, "hub", "c"))
     return ranked.select(
@@ -5966,3 +5984,162 @@ def graph_rectangle_count(spark, sf):
     return (nn.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(rect))
             .select("n_nodes", "n_edges", "n_wedges", "n_copaired",
                     "n_rectangles"))
+
+
+@query(
+    "graph_edge_embeddedness",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    wedge AS (SELECT a.nbr AS u, b.nbr AS v,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM und a JOIN und b
+                ON a.node = b.node AND a.nbr < b.nbr
+              GROUP BY 1, 2),
+    emb AS (SELECT e.src, e.dst, coalesce(w.cn, 0) AS cn
+            FROM e LEFT JOIN wedge w ON e.src = w.u AND e.dst = w.v)
+    SELECT CAST(cn AS BIGINT) AS embeddedness,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           (cn = 0) AS is_local_bridge
+    FROM emb GROUP BY cn ORDER BY cn
+    """)
+def graph_edge_embeddedness(spark, sf):
+    """Edge embeddedness census: for every co-purchase edge, how many
+    common neighbors its endpoints share (Granovetter tie strength —
+    embeddedness 0 marks LOCAL BRIDGES, the weak ties whose removal
+    pushes the endpoints beyond distance 2; high embeddedness marks
+    redundant intra-community edges that graph sparsification drops
+    first).  Reuses the rectangle census's wedge equi-join, LEFT-joined
+    back to the edge list so zero-common-neighbor edges survive, then
+    collapses to the bounded (embeddedness -> edge count) histogram —
+    edge-grain work, aggregated before anything leaves the shuffle."""
+    e = _copurchase_edges(spark, sf)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionAll(e.select(F.col("dst").alias("node"),
+                              F.col("src").alias("nbr"))))
+    a, b = und.alias("a"), und.alias("b")
+    wedge = (a.join(b, (F.col("a.node") == F.col("b.node"))
+                    & (F.col("a.nbr") < F.col("b.nbr")))
+             .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+             .agg(F.count("*").cast(BIG).alias("cn")))
+    emb = (e.join(wedge, (F.col("src") == F.col("u"))
+                  & (F.col("dst") == F.col("v")), "left")
+           .select(F.coalesce(F.col("cn"), F.lit(0)).alias("cn")))
+    return (emb.groupBy(F.col("cn").cast(BIG).alias("embeddedness"))
+            .agg(F.count("*").cast(BIG).alias("n_edges"))
+            .withColumn("is_local_bridge", F.col("embeddedness") == 0)
+            .orderBy("embeddedness"))
+
+
+@query(
+    "event_survival_rmst",
+    oracle=f"""
+    WITH {_KM_CTES},
+    curve AS (SELECT dur,
+                     CASE WHEN z = 1 THEN 0.0
+                          ELSE round(exp(lse), 6) END AS surv,
+                     lead(dur) OVER (ORDER BY dur) AS nxt
+              FROM s),
+    segs AS (SELECT sum(surv * (least(coalesce(nxt, 14), 14) - dur))
+                 AS tail_area,
+                    CAST(count(*) AS BIGINT) AS n_steps,
+                    least(min(dur), 14) AS head_area
+             FROM curve WHERE dur < 14),
+    at_tau AS (SELECT coalesce(arg_max(surv, dur), 1.0) AS s_tau
+               FROM curve WHERE dur <= 14)
+    SELECT CAST(14 AS BIGINT) AS tau, n_steps,
+           round(head_area + coalesce(tail_area, 0.0), 6) AS rmst,
+           round(s_tau, 6) AS survival_at_tau
+    FROM segs CROSS JOIN at_tau
+    """)
+def event_survival_rmst(spark, sf):
+    """Restricted mean survival time to tau = 14 days — the area under
+    the SAME Kaplan-Meier curve event_kaplan_meier renders
+    (single-sourced via _km_surv/_KM_CTES), the one-number
+    'error-free days per user in the first two weeks' effect measure
+    that hazard ratios can't give when proportional hazards fail.
+    The step integral is exact: survival is ROUNDED AT 6 first (the
+    round-before-reuse rule, so both engines integrate the identical
+    step heights), each step spans [dur, min(next_dur, tau)), and the
+    pre-first-event segment carries survival 1.  All work after the
+    user-grain agg runs on the duration grain (calendar-bounded)."""
+    TAU = 14
+    s = _km_surv(spark, sf)
+    wl = Window.orderBy("dur")
+    curve = s.select(
+        "dur",
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lse"), 6)).alias("surv"),
+        F.lead("dur").over(wl).alias("nxt"))
+    below = curve.filter(F.col("dur") < TAU)
+    segs = below.agg(
+        F.sum(F.col("surv")
+              * (F.least(F.coalesce(F.col("nxt"), F.lit(TAU)),
+                         F.lit(TAU)) - F.col("dur"))).alias("tail_area"),
+        F.count("*").cast(BIG).alias("n_steps"),
+        F.least(F.min("dur"), F.lit(TAU)).alias("head_area"))
+    at_tau = (curve.filter(F.col("dur") <= TAU)
+              .agg(F.coalesce(F.max_by("surv", "dur"), F.lit(1.0))
+                   .alias("s_tau")))
+    return (segs.crossJoin(F.broadcast(at_tau))
+            .select(F.lit(TAU).cast(BIG).alias("tau"), "n_steps",
+                    F.round(F.col("head_area")
+                            + F.coalesce(F.col("tail_area"), F.lit(0.0)),
+                            6).alias("rmst"),
+                    F.round(F.col("s_tau"), 6).alias("survival_at_tau")))
+
+
+@query(
+    "event_uplift_by_decile",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                      max(CASE WHEN event_type = 'click' THEN 1
+                               ELSE 0 END) AS t,
+                      max(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END) AS y
+               FROM events GROUP BY user_id),
+    dec AS (SELECT t, y,
+                   ntile(10) OVER (ORDER BY n_events DESC, user_id)
+                       AS decile
+            FROM u)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(sum(t) AS BIGINT) AS n_treated,
+           CAST(sum(t * y) AS BIGINT) AS x_treated,
+           CAST(sum(1 - t) AS BIGINT) AS n_control,
+           CAST(sum((1 - t) * y) AS BIGINT) AS x_control,
+           round(CAST(sum(t * y) AS DOUBLE) / nullif(sum(t), 0)
+                 - CAST(sum((1 - t) * y) AS DOUBLE)
+                   / nullif(sum(1 - t), 0), 6) AS uplift
+    FROM dec GROUP BY decile ORDER BY decile
+    """)
+def event_uplift_by_decile(spark, sf):
+    """Uplift (incremental purchase rate) by activity decile: users
+    ranked by event volume, split treated (ever clicked) vs control,
+    per-decile difference of purchase rates — the decile table under
+    a Qini curve, the standard 'where does the treatment actually
+    move behavior' readout.  One user-grain agg; the ntile runs over
+    the user grain (the same documented concentration-readout window
+    as event_lorenz_curve — at scale swap for ntile-by-quantile
+    cutpoints); rates are exact-integer divisions."""
+    u = (T(spark, sf, "events")
+         .groupBy("user_id")
+         .agg(F.count("*").cast(BIG).alias("n_events"),
+              F.max(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("t"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("y")))
+    dec = u.select(
+        "t", "y",
+        F.ntile(10).over(Window.orderBy(F.col("n_events").desc(),
+                                        "user_id")).alias("decile"))
+    t, y = F.col("t"), F.col("y")
+    return (dec.groupBy(F.col("decile").cast(BIG).alias("decile"))
+            .agg(F.sum(t).cast(BIG).alias("n_treated"),
+                 F.sum(t * y).cast(BIG).alias("x_treated"),
+                 F.sum(1 - t).cast(BIG).alias("n_control"),
+                 F.sum((1 - t) * y).cast(BIG).alias("x_control"),
+                 F.round(F.sum(t * y).cast("double")
+                         / F.nullif(F.sum(t), F.lit(0))
+                         - F.sum((1 - t) * y).cast("double")
+                         / F.nullif(F.sum(1 - t), F.lit(0)), 6)
+                 .alias("uplift"))
+            .orderBy("decile"))

@@ -796,16 +796,19 @@ def dedup_minhash_estimate_error(spark, sf):
                     .alias("abs_err")))
 
 
-@query(
-    "emb_epsilon_components",
-    oracle=f"""
+def _eps_components_sql(planes: int) -> str:
+    """Oracle for the epsilon-components dataflow at a given LSH plane
+    count — single-sourced so emb_epsilon_components (4 planes) and
+    emb_epsilon_components_scaled (8 planes, the 10x-sized variant)
+    replay the identical pipeline."""
+    return f"""
     WITH RECURSIVE
     ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                   CAST(unnest(embedding) AS DOUBLE) AS x
            FROM embeddings),
     tp AS (SELECT t.t, p.p
            FROM (SELECT unnest(generate_series(0, {EMB_TABLES - 1})) AS t) t,
-                (SELECT unnest(generate_series(0, {EMB_PLANES - 1})) AS p) p),
+                (SELECT unnest(generate_series(0, {planes - 1})) AS p) p),
     proj AS (SELECT vec_id, t, p, sum(x * {_EMB_PLANE}) AS d
              FROM ex CROSS JOIN tp GROUP BY vec_id, t, p),
     buckets AS (SELECT vec_id, t,
@@ -835,7 +838,15 @@ def dedup_minhash_estimate_error(spark, sf):
     SELECT CAST(node AS BIGINT) AS vec_id,
            CAST(min(r) AS BIGINT) AS component
     FROM reach GROUP BY node
-    """)
+    """
+
+
+EMB_EPS_PLANES_SCALED = 8   # 4 + log2(10x): see the query docstring
+
+
+@query(
+    "emb_epsilon_components",
+    oracle=_eps_components_sql(EMB_PLANES))
 def emb_epsilon_components(spark, sf):
     """Epsilon-similarity components over the embedding corpus: the
     LSH-bucketed near-dup pair generator (sign-LSH 4x4 tables, exact
@@ -858,6 +869,39 @@ def emb_epsilon_components(spark, sf):
     out = D.connected_components(pairs, emb.select("vec_id"), "vec_id")
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.col("cluster_id").cast("bigint").alias("component"))
+
+
+@query(
+    "emb_epsilon_components_scaled",
+    oracle=_eps_components_sql(EMB_EPS_PLANES_SCALED))
+def emb_epsilon_components_scaled(spark, sf):
+    """emb_epsilon_components with the LSH tables SIZED FOR 10x THE
+    CORPUS: 8 planes per table instead of 4 (VERDICT r9 #3 — the
+    fix-or-explain for the measured 10x cliff).  Why: with p planes a
+    table has 2^p buckets, so occupancy — and the candidate equi-join's
+    per-bucket quadratic cost — grows linearly with corpus size when p
+    is FIXED.  Measured on the 10x replica corpus: 4 planes sends
+    bucket-mate pairs 0.51M -> 53.4M (104x, max occupancy 184 -> 2299)
+    and the full query past 40 minutes; adding log2(10) ~ 4 planes
+    restores the sf0.1 operating point (10x @ 8 planes: 4.2M pairs,
+    max occupancy 277 ~ sf0.1 @ 4 planes' 184).  The sizing rule is
+    planes = p0 + log2(n/n0); recall at the verify threshold falls with
+    p (sign-LSH serves loose epsilon poorly — the dense-radius scale
+    path is the trained-quantizer cell route, dedup_semantic), which is
+    why this is a SEPARATE query and not a silent retune: the candidate
+    set, hence the epsilon graph, is a declared parameter of the
+    operator.  SCALE.md round-10 carries the measured table."""
+    from pyspark.sql import functions as F
+
+    emb = T(spark, sf, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                       threshold=0.35,
+                                       num_planes=EMB_EPS_PLANES_SCALED,
+                                       num_tables=EMB_TABLES)
+    out = D.connected_components(pairs, emb.select("vec_id"), "vec_id")
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("cluster_id").cast("bigint").alias("component"))
+
 
 
 @query(

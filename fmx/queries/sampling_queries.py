@@ -966,3 +966,87 @@ def sample_stratified_kfold(spark, sf):
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.min("doc_id").cast("bigint").alias("min_doc"),
                  F.sum("doc_id").cast("bigint").alias("sum_doc")))
+
+
+# Poisson(1) inverse-CDF thresholds as DECIMAL LITERALS: both engines
+# parse the identical decimal string to the identical double, so the
+# md5 coin comparison below can never disagree (computing exp(-1)/k!
+# at runtime could differ by 1 ulp between libm and java.lang.Math).
+_POIS = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+         0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+         0.999916758850712, 0.9999897508033253]
+_PB_B = 16          # bootstrap replicates
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {_PB_B - 1})) AS b),
+    draws AS (
+      SELECT event_type AS et, b,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
+             {_U.format(tag='pboot', seed=SEED,
+                        col="concat(event_id, ':', b)")} AS u
+      FROM events CROSS JOIN reps
+      WHERE value IS NOT NULL),
+    wtd AS (SELECT et, b, cent,
+                   CASE {' '.join(f"WHEN u < {t} THEN {k}"
+                                  for k, t in enumerate(_POIS))}
+                        ELSE 8 END AS w
+            FROM draws),
+    means AS (SELECT et, b,
+                     CAST(sum(CAST(w AS DECIMAL(38,0)) * cent)
+                          AS DOUBLE)
+                     / (100.0 * sum(w)) AS m
+              FROM wtd GROUP BY et, b
+              HAVING sum(w) > 0)
+    SELECT et AS event_type,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round(avg(m), 6) AS boot_mean,
+           round(sqrt(avg(m * m) - avg(m) * avg(m)), 6) AS boot_se,
+           round(min(m), 6) AS boot_min,
+           round(max(m), 6) AS boot_max
+    FROM means GROUP BY et ORDER BY et
+    """)
+def sample_poisson_bootstrap(spark, sf):
+    """Poisson bootstrap of each event type's mean value: the
+    SCALABLE bootstrap — instead of resampling n rows B times
+    (impossible distributed: needs global n and coordinated draws),
+    every row independently receives a Poisson(1) replicate weight,
+    which converges to multinomial resampling at corpus n.  Weights
+    come from the md5 coin through LITERAL inverse-CDF thresholds (so
+    DuckDB replays them bit-for-bit); every replicate mean is one
+    exact-integer division (cents x integer weights); the B=16
+    replicate spread gives the bootstrap mean/SE/range per group.
+    One map-side explode of the replicate array + one groupBy — no
+    per-replicate pass over the data."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("et"), "event_id",
+                  F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                  .alias("cent")))
+    draws = (ev.withColumn("b", F.explode(F.sequence(
+                 F.lit(0), F.lit(_PB_B - 1))))
+             .withColumn("u", SMP.hash_uniform01(
+                 F.concat(F.col("event_id").cast("string"), F.lit(":"),
+                          F.col("b").cast("string")), "pboot", SEED)))
+    w = F.lit(8)
+    for k, t in reversed(list(enumerate(_POIS))):
+        w = F.when(F.col("u") < t, F.lit(k)).otherwise(w)
+    DEC = "decimal(38,0)"
+    means = (draws.withColumn("w", w)
+             .groupBy("et", "b")
+             .agg((F.sum(F.col("w").cast(DEC) * F.col("cent"))
+                   .cast("double")
+                   / (100.0 * F.sum("w"))).alias("m"),
+                  F.sum("w").alias("_sw"))
+             .filter(F.col("_sw") > 0))
+    m = F.col("m")
+    return (means.groupBy(F.col("et").alias("event_type"))
+            .agg(F.count("*").cast("bigint").alias("n_replicates"),
+                 F.round(F.avg(m), 6).alias("boot_mean"),
+                 F.round(F.sqrt(F.avg(m * m) - F.avg(m) * F.avg(m)), 6)
+                 .alias("boot_se"),
+                 F.round(F.min(m), 6).alias("boot_min"),
+                 F.round(F.max(m), 6).alias("boot_max"))
+            .orderBy("event_type"))

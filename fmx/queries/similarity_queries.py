@@ -2193,3 +2193,62 @@ def emb_collapse_score(spark, sf):
         .alias("mean_resultant_length"),
         F.round(1.0 - F.sqrt("rr") / F.col("n"), 6)
         .alias("spherical_variance"))
+
+
+@query(
+    "ann_mips_topk",
+    oracle=f"""
+    WITH {_EX},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    round(sum(q.x * c.x), 6) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, dot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM dots QUALIFY rank <= {K}
+    """)
+def ann_mips_topk(spark, sf):
+    """Exact maximum-inner-product top-k (fmx.operators.similarity
+    .mips_topk) — the unnormalized retrieval mode recommendation and
+    late-interaction scores need, where cosine's magnitude-blindness
+    ranks wrong.  Brute-force baseline form (broadcast queries x
+    streamed corpus); the documented scale path is the standard
+    MIPS -> cosine augmentation after which the LSH/IVF/PQ buckets in
+    this family serve it."""
+    emb = T(spark, sf, "embeddings")
+    out = S.mips_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                      "vec_id", "embedding", k=K)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "dot",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "emb_jl_projection",
+    oracle=f"""
+    WITH {_EX},
+    planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+    proj AS (SELECT vec_id, p, round(sum(x * {_PLANE}), 6) AS projection
+             FROM ex CROSS JOIN planes GROUP BY vec_id, p)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(p AS BIGINT) AS p,
+           projection
+    FROM proj
+    """)
+def emb_jl_projection(spark, sf):
+    """Johnson-Lindenstrauss projection of every embedding to 8
+    md5-derived random directions (fmx.operators.similarity.jl_project)
+    — the dimensionality-REDUCTION twin of ann_lsh_buckets (same
+    single-sourced hyperplanes, real values kept instead of sign
+    bits): the cheap dense feature for downstream distance sketches
+    when 64 dims is 8x too many.  Long format, one hash-agg, no
+    shuffle beyond it; DuckDB replays the planes bit-for-bit from the
+    same md5."""
+    out = S.jl_project(T(spark, sf, "embeddings"), "vec_id", "embedding",
+                       out_dims=8)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("p").cast("bigint").alias("p"), "projection")

@@ -314,3 +314,297 @@ def stats_trimmed_mean(spark, sf):
                  F.round(F.sum(F.col("cent").cast(DEC)).cast("double")
                          / (F.count("*") * 100.0), 6).alias("trimmed_mean"))
             .orderBy("et"))
+
+
+_PT_B = 32           # randomization-test replicates
+_PT_U = ("(CAST(concat('0x', substring(md5(concat('permtest:42:', "
+         "CAST(concat(event_id, ':', b) AS VARCHAR))), 1, 15)) AS BIGINT)"
+         " / 1152921504606846976.0)")
+
+
+@query(
+    "eval_permutation_test",
+    oracle=f"""
+    WITH {_SC},
+    ab AS (SELECT et, cent, event_id FROM sc
+           WHERE et IN ('view', 'click')),
+    obs AS (SELECT CAST(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN et = 'view' THEN cent ELSE 0 END)
+                        AS DECIMAL(38,0)) AS s_a,
+                   CAST(sum(CASE WHEN et = 'click' THEN cent ELSE 0 END)
+                        AS DECIMAL(38,0)) AS s_b
+            FROM ab),
+    reps AS (SELECT unnest(generate_series(0, {_PT_B - 1})) AS b),
+    flips AS (SELECT b,
+                     CASE WHEN {_PT_U} < 0.5 THEN 'A' ELSE 'B' END AS g,
+                     cent
+              FROM ab CROSS JOIN reps),
+    rmeans AS (SELECT b,
+                      CAST(sum(CASE WHEN g = 'A' THEN cent ELSE 0 END)
+                           AS DOUBLE)
+                      / nullif(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END),
+                               0)
+                      - CAST(sum(CASE WHEN g = 'B' THEN cent ELSE 0 END)
+                             AS DOUBLE)
+                        / nullif(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END),
+                                 0) AS diff
+               FROM flips GROUP BY b)
+    SELECT n_a, n_b,
+           round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 / 100.0, 6) AS obs_diff,
+           CAST({_PT_B} AS BIGINT) AS n_replicates,
+           CAST(sum(CASE WHEN abs(diff) >=
+                         abs(CAST(s_a AS DOUBLE) / n_a
+                             - CAST(s_b AS DOUBLE) / n_b)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           round((sum(CASE WHEN abs(diff) >=
+                           abs(CAST(s_a AS DOUBLE) / n_a
+                               - CAST(s_b AS DOUBLE) / n_b)
+                           THEN 1 ELSE 0 END) + 1.0) / ({_PT_B} + 1.0),
+                 6) AS p_value
+    FROM rmeans CROSS JOIN obs
+    GROUP BY n_a, n_b, s_a, s_b
+    """)
+def eval_permutation_test(spark, sf):
+    """Randomization test for the view-vs-click mean-value difference:
+    B=32 md5-coin label reshuffles, each replicate's group-mean
+    difference compared against the observed one; p = (extreme+1)/
+    (B+1) — the distribution-free complement to eval_mann_whitney_u
+    (tests the MEAN, assumes nothing about shape).  Every replicate
+    mean is an exact-integer division (cents / count), so the
+    |diff| >= |obs| comparison is bit-deterministic cross-engine; the
+    replicate fan-out is one map-side array explode, one groupBy(b) —
+    no per-replicate pass."""
+    from fmx.operators.sampling import hash_uniform01
+
+    ab = (_sc(spark, sf)
+          .filter(F.col("et").isin("view", "click")))
+    obs = ab.agg(
+        F.sum(F.when(F.col("et") == "view", 1).otherwise(0)).cast(BIG)
+        .alias("n_a"),
+        F.sum(F.when(F.col("et") == "click", 1).otherwise(0)).cast(BIG)
+        .alias("n_b"),
+        F.sum(F.when(F.col("et") == "view", F.col("cent")).otherwise(0))
+        .cast(DEC).alias("s_a"),
+        F.sum(F.when(F.col("et") == "click", F.col("cent")).otherwise(0))
+        .cast(DEC).alias("s_b"))
+    flips = (ab.withColumn("b", F.explode(F.sequence(
+                 F.lit(0), F.lit(_PT_B - 1))))
+             .withColumn("u", hash_uniform01(
+                 F.concat(F.col("event_id").cast("string"), F.lit(":"),
+                          F.col("b").cast("string")), "permtest", 42))
+             .select("b", F.when(F.col("u") < 0.5, "A").otherwise("B")
+                     .alias("g"), "cent"))
+    rmeans = flips.groupBy("b").agg(
+        (F.sum(F.when(F.col("g") == "A", F.col("cent")).otherwise(0))
+         .cast("double")
+         / F.nullif(F.sum(F.when(F.col("g") == "A", 1).otherwise(0)),
+                    F.lit(0))
+         - F.sum(F.when(F.col("g") == "B", F.col("cent")).otherwise(0))
+         .cast("double")
+         / F.nullif(F.sum(F.when(F.col("g") == "B", 1).otherwise(0)),
+                    F.lit(0))).alias("diff"))
+    d0 = (F.col("s_a").cast("double") / F.col("n_a")
+          - F.col("s_b").cast("double") / F.col("n_b"))
+    ext = F.sum(F.when(F.abs(F.col("diff")) >= F.abs(d0), 1)
+                .otherwise(0))
+    return (rmeans.crossJoin(F.broadcast(obs))
+            .groupBy("n_a", "n_b", "s_a", "s_b")
+            .agg(ext.cast(BIG).alias("n_extreme"))
+            .select("n_a", "n_b",
+                    F.round(d0 / 100.0, 6).alias("obs_diff"),
+                    F.lit(_PT_B).cast(BIG).alias("n_replicates"),
+                    "n_extreme",
+                    F.round((F.col("n_extreme") + 1.0) / (_PT_B + 1.0), 6)
+                    .alias("p_value")))
+
+
+@query(
+    "eval_proportions_ztest",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      max(CASE WHEN event_type = 'click' THEN 1
+                               ELSE 0 END) AS clicked,
+                      max(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END) AS purchased
+               FROM events GROUP BY user_id, date_trunc('day', ts)),
+    m AS (SELECT CAST(sum(clicked) AS BIGINT) AS n1,
+                 CAST(sum(clicked * purchased) AS BIGINT) AS x1,
+                 CAST(sum(1 - clicked) AS BIGINT) AS n2,
+                 CAST(sum((1 - clicked) * purchased) AS BIGINT) AS x2
+          FROM u)
+    SELECT n1, x1, n2, x2,
+           round(CAST(x1 AS DOUBLE) / nullif(n1, 0), 6) AS p1,
+           round(CAST(x2 AS DOUBLE) / nullif(n2, 0), 6) AS p2,
+           round((CAST(x1 AS DOUBLE) / nullif(n1, 0)
+                  - CAST(x2 AS DOUBLE) / nullif(n2, 0))
+                 / nullif(sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / nullif(n1, 0) + 1.0 / nullif(n2, 0))),
+                          0.0), 6) AS z_stat
+    FROM m
+    """)
+def eval_proportions_ztest(spark, sf):
+    """Two-proportion z-test at the (user, day) grain: do user-days
+    with a click convert to purchase at a different rate than
+    click-free user-days?  The TEST that eval_power_analysis sizes
+    for — pooled-variance z over four exact integers (one unit-grain
+    agg, one scalar agg, one double formula).  Unit = user-day, not
+    user, because at ~66 events/user EVERY user eventually clicks
+    (the degenerate-control lesson: pick the experiment unit where
+    the control arm exists)."""
+    ev = T(spark, sf, "events")
+    u = ev.groupBy("user_id", F.date_trunc("day", "ts")).agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("clicked"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("purchased"))
+    m = u.agg(
+        F.sum("clicked").cast(BIG).alias("n1"),
+        F.sum(F.col("clicked") * F.col("purchased")).cast(BIG).alias("x1"),
+        F.sum(1 - F.col("clicked")).cast(BIG).alias("n2"),
+        F.sum((1 - F.col("clicked")) * F.col("purchased")).cast(BIG)
+        .alias("x2"))
+    n1, x1 = F.col("n1"), F.col("x1")
+    n2, x2 = F.col("n2"), F.col("x2")
+    p1 = x1.cast("double") / F.nullif(n1, F.lit(0))
+    p2 = x2.cast("double") / F.nullif(n2, F.lit(0))
+    pp = (x1 + x2).cast("double") / (n1 + n2)
+    return m.select(
+        "n1", "x1", "n2", "x2",
+        F.round(p1, 6).alias("p1"), F.round(p2, 6).alias("p2"),
+        F.round((p1 - p2) / F.nullif(
+            F.sqrt(pp * (1.0 - pp)
+                   * (1.0 / F.nullif(n1, F.lit(0))
+                      + 1.0 / F.nullif(n2, F.lit(0)))), F.lit(0.0)), 6)
+        .alias("z_stat"))
+
+
+@query(
+    "stats_grubbs_test",
+    oracle=f"""
+    WITH {_SC},
+    m AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS s,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent)
+                      AS DECIMAL(38,0)) AS q,
+                 CAST(max(cent) AS BIGINT) AS mx,
+                 CAST(min(cent) AS BIGINT) AS mn
+          FROM sc GROUP BY et)
+    SELECT et AS event_type, n,
+           round((mx - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)), 6) AS g_max,
+           round((CAST(s AS DOUBLE) / n - mn)
+                 / sqrt((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)), 6) AS g_min
+    FROM m ORDER BY event_type
+    """)
+def stats_grubbs_test(spark, sf):
+    """Grubbs' outlier statistic per event_type: G = (extreme - mean)
+    / s for both tails — the single-most-extreme-value test that
+    complements profile_zscore_outliers' per-row flags with the
+    one-number 'is the worst point statistically surprising' readout.
+    One groupBy collecting five integer moments; G is one double
+    formula."""
+    m = _sc(spark, sf).groupBy("et").agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum(F.col("cent").cast(DEC)).cast(DEC).alias("s"),
+        F.sum(F.col("cent").cast(DEC) * F.col("cent")).cast(DEC)
+        .alias("q"),
+        F.max("cent").cast(BIG).alias("mx"),
+        F.min("cent").cast(BIG).alias("mn"))
+    n = F.col("n")
+    s, q = F.col("s").cast("double"), F.col("q").cast("double")
+    sd = F.sqrt((q - s * s / n) / (n - 1))
+    return (m.select(F.col("et").alias("event_type"), "n",
+                     F.round((F.col("mx") - s / n) / sd, 6).alias("g_max"),
+                     F.round((s / n - F.col("mn")) / sd, 6).alias("g_min"))
+            .orderBy("event_type"))
+
+
+@query(
+    "stats_jarque_bera",
+    oracle=f"""
+    WITH {_SC},
+    m AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS s,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent)
+                      AS DECIMAL(38,0)) AS q,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent * cent)
+                      AS DECIMAL(38,0)) AS c3,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent * cent
+                          * cent) AS DECIMAL(38,0)) AS c4
+          FROM sc GROUP BY et),
+    mom AS (SELECT et, n,
+                   CAST(s AS DOUBLE) / n AS mu,
+                   CAST(q AS DOUBLE) / n AS r2,
+                   CAST(c3 AS DOUBLE) / n AS r3,
+                   CAST(c4 AS DOUBLE) / n AS r4
+            FROM m),
+    cm AS (SELECT et, n,
+                  r2 - mu * mu AS m2,
+                  r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                  r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                     - 3.0 * mu * mu * mu * mu AS m4
+           FROM mom)
+    SELECT et AS event_type, n,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2), 6) AS kurtosis,
+           round(n / 6.0 * ((m3 / (m2 * sqrt(m2)))
+                            * (m3 / (m2 * sqrt(m2)))
+                            + (m4 / (m2 * m2) - 3.0)
+                              * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+               AS jb_stat
+    FROM cm ORDER BY event_type
+    """)
+def stats_jarque_bera(spark, sf):
+    """Jarque-Bera normality test per event_type: skewness and excess
+    kurtosis from raw integer power sums (cents^1..^4 ride
+    DECIMAL(38,0) — cent^4 overflows BIGINT at ~2k rows), converted to
+    central moments by the standard expansion written IDENTICALLY in
+    both engines, then JB = n/6 (S^2 + (K-3)^2/4).  One scan, one
+    5-accumulator agg per group, three double formulas — the
+    distribution-shape gate a value column crosses before z-score
+    thresholds mean anything."""
+    cd = F.col("cent").cast(DEC)
+    m = _sc(spark, sf).groupBy("et").agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum(cd).cast(DEC).alias("s"),
+        F.sum(cd * F.col("cent")).cast(DEC).alias("q"),
+        F.sum(cd * F.col("cent") * F.col("cent")).cast(DEC).alias("c3"),
+        F.sum(cd * F.col("cent") * F.col("cent") * F.col("cent"))
+        .cast(DEC).alias("c4"))
+    n = F.col("n")
+    mu = F.col("s").cast("double") / n
+    r2 = F.col("q").cast("double") / n
+    r3 = F.col("c3").cast("double") / n
+    r4 = F.col("c4").cast("double") / n
+    mom = m.select("et", "n", mu.alias("mu"), r2.alias("r2"),
+                   r3.alias("r3"), r4.alias("r4"))
+    mu, r2 = F.col("mu"), F.col("r2")
+    r3, r4 = F.col("r3"), F.col("r4")
+    cm = mom.select(
+        "et", "n",
+        (r2 - mu * mu).alias("m2"),
+        (r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu).alias("m3"),
+        (r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+         - 3.0 * mu * mu * mu * mu).alias("m4"))
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    return (cm.select(F.col("et").alias("event_type"), "n",
+                      F.round(skew, 6).alias("skewness"),
+                      F.round(kurt, 6).alias("kurtosis"),
+                      F.round(F.col("n") / 6.0
+                              * (skew * skew
+                                 + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6)
+                      .alias("jb_stat"))
+            .orderBy("event_type"))

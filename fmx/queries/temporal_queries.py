@@ -951,3 +951,246 @@ def ts_mann_kendall(spark, sf):
                      F.round(var_s, 6).alias("var_s"),
                      F.round(zraw, 6).alias("z_stat"))
             .orderBy("event_type"))
+
+
+@query(
+    "ts_pacf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    lagd AS (SELECT et, x,
+                    lag(x, 1) OVER (PARTITION BY et ORDER BY day) AS l1,
+                    lag(x, 2) OVER (PARTITION BY et ORDER BY day) AS l2
+             FROM daily),
+    m AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                     AS q,
+                 CAST(sum(CASE WHEN l1 IS NOT NULL
+                          THEN CAST(x AS DECIMAL(38,0)) * l1 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS p1,
+                 CAST(sum(CASE WHEN l2 IS NOT NULL
+                          THEN CAST(x AS DECIMAL(38,0)) * l2 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS p2,
+                 CAST(sum(CASE WHEN l1 IS NOT NULL THEN l1 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS h1,
+                 CAST(sum(CASE WHEN l1 IS NOT NULL THEN x ELSE 0 END)
+                      AS DECIMAL(38,0)) AS t1,
+                 CAST(sum(CASE WHEN l2 IS NOT NULL THEN l2 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS h2,
+                 CAST(sum(CASE WHEN l2 IS NOT NULL THEN x ELSE 0 END)
+                      AS DECIMAL(38,0)) AS t2
+          FROM lagd GROUP BY et),
+    r AS (SELECT et, n,
+                 ((CAST(n AS DOUBLE) * n) * CAST(p1 AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                    * (CAST(h1 AS DOUBLE) + CAST(t1 AS DOUBLE))
+                  + (CAST(n AS DOUBLE) - 1)
+                    * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * n) * CAST(q AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS r1,
+                 ((CAST(n AS DOUBLE) * n) * CAST(p2 AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                    * (CAST(h2 AS DOUBLE) + CAST(t2 AS DOUBLE))
+                  + (CAST(n AS DOUBLE) - 2)
+                    * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * n) * CAST(q AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS r2
+          FROM m)
+    SELECT et AS event_type, n AS n_days,
+           round(r1, 6) AS pacf_1,
+           round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS pacf_2
+    FROM r ORDER BY event_type
+    """)
+def ts_pacf(spark, sf):
+    """Partial autocorrelation at lags 1 and 2 of each type's daily
+    value series via the Durbin-Levinson closed form (phi_11 = r1,
+    phi_22 = (r2 - r1^2)/(1 - r1^2)) — the AR-order diagnostic
+    ts_autocorrelation (plain ACF) can't give: PACF cuts off at the
+    true AR lag.  r_k is assembled from exact DECIMAL(38,0) moments
+    (sum, sum-sq, lag cross-products, head/tail sums) with the
+    full-series-mean estimator written as ONE double expression with
+    identical parenthesization in both engines; the lag windows run
+    per type over the calendar-bounded day grain."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    DEC = "decimal(38,0)"
+    w = Window.partitionBy("et").orderBy("day")
+    lagd = daily.select(
+        "et", "x", F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", 2).over(w).alias("l2"))
+    xd = F.col("x").cast(DEC)
+
+    def _msum(expr):
+        return F.sum(expr).cast(DEC)
+
+    m = lagd.groupBy("et").agg(
+        F.count("*").cast(BIG).alias("n"),
+        _msum(xd).alias("s"),
+        _msum(xd * F.col("x")).alias("q"),
+        _msum(F.when(F.col("l1").isNotNull(), xd * F.col("l1"))
+              .otherwise(F.lit(0))).alias("p1"),
+        _msum(F.when(F.col("l2").isNotNull(), xd * F.col("l2"))
+              .otherwise(F.lit(0))).alias("p2"),
+        _msum(F.when(F.col("l1").isNotNull(), F.col("l1"))
+              .otherwise(F.lit(0))).alias("h1"),
+        _msum(F.when(F.col("l1").isNotNull(), F.col("x"))
+              .otherwise(F.lit(0))).alias("t1"),
+        _msum(F.when(F.col("l2").isNotNull(), F.col("l2"))
+              .otherwise(F.lit(0))).alias("h2"),
+        _msum(F.when(F.col("l2").isNotNull(), F.col("x"))
+              .otherwise(F.lit(0))).alias("t2"))
+    nd = F.col("n").cast("double")
+    sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
+
+    def _r(p, h, t, k):
+        return (((nd * F.col("n")) * p.cast("double")
+                 - (nd * sd) * (h.cast("double") + t.cast("double"))
+                 + (nd - k) * (sd * sd))
+                / ((nd * F.col("n")) * qd - nd * (sd * sd)))
+
+    r = m.select("et", "n",
+                 _r(F.col("p1"), F.col("h1"), F.col("t1"), 1).alias("r1"),
+                 _r(F.col("p2"), F.col("h2"), F.col("t2"), 2).alias("r2"))
+    r1, r2 = F.col("r1"), F.col("r2")
+    return (r.select(F.col("et").alias("event_type"),
+                     F.col("n").alias("n_days"),
+                     F.round(r1, 6).alias("pacf_1"),
+                     F.round((r2 - r1 * r1) / (1.0 - r1 * r1), 6)
+                     .alias("pacf_2"))
+            .orderBy("event_type"))
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle=f"""
+    WITH {_STL_CTES},
+    parts AS (SELECT n, trend, seasonal,
+                     n - trend - seasonal AS resid
+              FROM tr JOIN se USING (dow))
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(greatest(0.0, 1.0 -
+                 (avg(resid * resid) - avg(resid) * avg(resid))
+                 / nullif(avg((seasonal + resid) * (seasonal + resid))
+                          - avg(seasonal + resid) * avg(seasonal + resid),
+                          0.0)), 6) AS seasonal_strength,
+           round(greatest(0.0, 1.0 -
+                 (avg(resid * resid) - avg(resid) * avg(resid))
+                 / nullif(avg((trend + resid) * (trend + resid))
+                          - avg(trend + resid) * avg(trend + resid),
+                          0.0)), 6) AS trend_strength
+    FROM parts
+    """)
+def ts_seasonal_strength(spark, sf):
+    """Seasonal and trend strength of the daily event-count series
+    (Hyndman's F_s = 1 - Var(R)/Var(S+R), F_t = 1 - Var(R)/Var(T+R))
+    computed from the SAME single-sourced decomposition as
+    ts_stl_decompose / ts_stl_anomaly — the one-number 'is this series
+    worth deseasonalizing' readout that decides whether the
+    seasonality-aware anomaly path applies.  All inputs are the
+    calendar-bounded day-grain relation; variances are the identical
+    avg-of-squares expression in both engines, rounded at the end."""
+    tr, se = _stl_parts(spark, sf)
+    parts = (tr.join(se, "dow")
+             .select("n", "trend", "seasonal",
+                     (F.col("n") - F.col("trend") - F.col("seasonal"))
+                     .alias("resid")))
+
+    def _var(c):
+        return F.avg(c * c) - F.avg(c) * F.avg(c)
+
+    resid = F.col("resid")
+    sr = F.col("seasonal") + resid
+    tre = F.col("trend") + resid
+    return parts.agg(
+        F.count("*").cast(BIG).alias("n_days"),
+        F.round(F.greatest(F.lit(0.0),
+                           1.0 - _var(resid) / F.nullif(_var(sr),
+                                                        F.lit(0.0))), 6)
+        .alias("seasonal_strength"),
+        F.round(F.greatest(F.lit(0.0),
+                           1.0 - _var(resid) / F.nullif(_var(tre),
+                                                        F.lit(0.0))), 6)
+        .alias("trend_strength"))
+
+
+# Twiddle factors for the day-of-series DFT as DECIMAL LITERALS — both
+# engines parse the identical strings to identical doubles, so the only
+# cross-engine noise is group-sum order (absorbed by the output round).
+_COS7 = [1.0, 0.6234898018587336, -0.22252093395631434, -0.900968867902419, -0.9009688679024191, -0.2225209339563146, 0.6234898018587334]
+_SIN7 = [0.0, 0.7818314824680298, 0.9749279121818236, 0.43388373911755823, -0.433883739117558, -0.9749279121818236, -0.7818314824680299]
+_COS14 = [1.0, 0.9009688679024191, 0.6234898018587336, 0.22252093395631445, -0.22252093395631434, -0.6234898018587335, -0.900968867902419, -1.0, -0.9009688679024191, -0.6234898018587337, -0.2225209339563146, 0.22252093395631334, 0.6234898018587334, 0.9009688679024194]
+_SIN14 = [0.0, 0.4338837391175581, 0.7818314824680298, 0.9749279121818236, 0.9749279121818236, 0.7818314824680299, 0.43388373911755823, 1.2246467991473532e-16, -0.433883739117558, -0.7818314824680297, -0.9749279121818236, -0.9749279121818238, -0.7818314824680299, -0.4338837391175575]
+
+
+def _case_lit(col, vals):
+    expr = F.lit(0.0)
+    for j, v in enumerate(vals):
+        expr = F.when(col == j, F.lit(v)).otherwise(expr)
+    return expr
+
+
+@query(
+    "ts_periodogram_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    idx AS (SELECT x, row_number() OVER (ORDER BY day) - 1 AS t
+            FROM daily),
+    terms AS (
+      SELECT 7 AS period,
+             CAST(x AS DOUBLE) * CAST((CASE WHEN (t % 7) = 0 THEN 1.0 WHEN (t % 7) = 1 THEN 0.6234898018587336 WHEN (t % 7) = 2 THEN -0.22252093395631434 WHEN (t % 7) = 3 THEN -0.900968867902419 WHEN (t % 7) = 4 THEN -0.9009688679024191 WHEN (t % 7) = 5 THEN -0.2225209339563146 WHEN (t % 7) = 6 THEN 0.6234898018587334 ELSE 0.0 END) AS DOUBLE) AS xc, CAST(x AS DOUBLE) * CAST((CASE WHEN (t % 7) = 0 THEN 0.0 WHEN (t % 7) = 1 THEN 0.7818314824680298 WHEN (t % 7) = 2 THEN 0.9749279121818236 WHEN (t % 7) = 3 THEN 0.43388373911755823 WHEN (t % 7) = 4 THEN -0.433883739117558 WHEN (t % 7) = 5 THEN -0.9749279121818236 WHEN (t % 7) = 6 THEN -0.7818314824680299 ELSE 0.0 END) AS DOUBLE) AS xs
+      FROM idx
+      UNION ALL
+      SELECT 14 AS period,
+             CAST(x AS DOUBLE) * CAST((CASE WHEN (t % 14) = 0 THEN 1.0 WHEN (t % 14) = 1 THEN 0.9009688679024191 WHEN (t % 14) = 2 THEN 0.6234898018587336 WHEN (t % 14) = 3 THEN 0.22252093395631445 WHEN (t % 14) = 4 THEN -0.22252093395631434 WHEN (t % 14) = 5 THEN -0.6234898018587335 WHEN (t % 14) = 6 THEN -0.900968867902419 WHEN (t % 14) = 7 THEN -1.0 WHEN (t % 14) = 8 THEN -0.9009688679024191 WHEN (t % 14) = 9 THEN -0.6234898018587337 WHEN (t % 14) = 10 THEN -0.2225209339563146 WHEN (t % 14) = 11 THEN 0.22252093395631334 WHEN (t % 14) = 12 THEN 0.6234898018587334 WHEN (t % 14) = 13 THEN 0.9009688679024194 ELSE 0.0 END) AS DOUBLE) AS xc, CAST(x AS DOUBLE) * CAST((CASE WHEN (t % 14) = 0 THEN 0.0 WHEN (t % 14) = 1 THEN 0.4338837391175581 WHEN (t % 14) = 2 THEN 0.7818314824680298 WHEN (t % 14) = 3 THEN 0.9749279121818236 WHEN (t % 14) = 4 THEN 0.9749279121818236 WHEN (t % 14) = 5 THEN 0.7818314824680299 WHEN (t % 14) = 6 THEN 0.43388373911755823 WHEN (t % 14) = 7 THEN 1.2246467991473532e-16 WHEN (t % 14) = 8 THEN -0.433883739117558 WHEN (t % 14) = 9 THEN -0.7818314824680297 WHEN (t % 14) = 10 THEN -0.9749279121818236 WHEN (t % 14) = 11 THEN -0.9749279121818238 WHEN (t % 14) = 12 THEN -0.7818314824680299 WHEN (t % 14) = 13 THEN -0.4338837391175575 ELSE 0.0 END) AS DOUBLE) AS xs
+      FROM idx),
+    pw AS (SELECT period, sum(xc) AS c, sum(xs) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM terms GROUP BY period)
+    SELECT CAST(period AS BIGINT) AS period, n AS n_days,
+           round(2.0 * (c * c + s * s) / n, 4) AS power
+    FROM pw ORDER BY period
+    """)
+def ts_periodogram_dow(spark, sf):
+    """Single-frequency periodogram of the daily event-count series at
+    the weekly and biweekly periods: power = 2|sum x_t e^(-2 pi i
+    t/p)|^2 / n — the frequency-domain 'is there a 7-day cycle' test
+    behind ts_stl_decompose's seasonal model choice.  The DFT twiddle
+    factors are LITERAL doubles keyed on t mod p (cos/sin computed at
+    authoring time — runtime libm trig could differ by 1 ulp between
+    engines); the series index comes from one rank over the
+    calendar-bounded day grain."""
+    daily = (T(spark, sf, "events")
+             .groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").cast(BIG).alias("x")))
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t"))
+
+    def _terms(p, cos, sin):
+        return idx.select(
+            F.lit(p).alias("period"),
+            (F.col("x") * _case_lit(F.col("t") % p, cos)).alias("xc"),
+            (F.col("x") * _case_lit(F.col("t") % p, sin)).alias("xs"))
+
+    terms = _terms(7, _COS7, _SIN7).unionAll(_terms(14, _COS14, _SIN14))
+    pw = terms.groupBy("period").agg(
+        F.sum("xc").alias("c"), F.sum("xs").alias("s"),
+        F.count("*").cast(BIG).alias("n"))
+    return (pw.select(F.col("period").cast(BIG).alias("period"),
+                      F.col("n").alias("n_days"),
+                      F.round(2.0 * (F.col("c") * F.col("c")
+                                     + F.col("s") * F.col("s"))
+                              / F.col("n"), 4).alias("power"))
+            .orderBy("period"))

@@ -1920,3 +1920,146 @@ def text_hapax_ratio(spark, sf):
                             6).alias("hapax_vocab_share"),
                     F.round(F.col("n_hapax") * 1.0 / F.col("n_tokens"),
                             6).alias("hapax_mass_share")))
+
+
+@query(
+    "text_bigram_lm_ppl",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS t
+                  FROM documents),
+    big AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+            FROM toks, LATERAL (SELECT unnest(generate_series(1,
+                                len(t) - 1)) AS i) g
+            WHERE len(t) >= 2),
+    cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+            FROM big GROUP BY a, b),
+    hist AS (SELECT a, CAST(count(*) AS BIGINT) AS ch
+             FROM big GROUP BY a),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    lp AS (SELECT big.doc_id,
+                  ln((cab.cab + 1.0) / (hist.ch + v.v)) AS l
+           FROM big JOIN cab USING (a, b)
+                    JOIN hist USING (a)
+                    CROSS JOIN v)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-sum(l) / count(*)), 4) AS ppl
+    FROM lp GROUP BY doc_id
+    """)
+def text_bigram_lm_ppl(spark, sf):
+    """Per-document perplexity under an add-one-smoothed corpus BIGRAM
+    language model — the sequence-aware upgrade of text_perplexity's
+    unigram scorer (template/boilerplate docs score near 1, shuffled
+    or out-of-domain text blows up).  P(b|a) = (c_ab+1)/(c_a+V) with
+    history counts c_a = sum_b c_ab, so every probability is a ratio
+    of exact integers; the per-doc ln-sum is the only float (rounded
+    at 4, the text_pmi precedent).  Shapes: bigram expansion is the
+    map-side array zip; the model join runs bigram-grain against the
+    vocabulary-bounded count relations (broadcastable at any corpus
+    size: |V|^2 tops)."""
+    d = T(spark, sf, "documents")
+    arr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = d.select("doc_id", arr.alias("_t"))
+    big = (toks.filter(F.size("_t") >= 2)
+           .select("doc_id", F.explode(F.arrays_zip(
+               F.slice("_t", 1, F.size("_t") - 1),
+               F.slice("_t", 2, F.size("_t") - 1))).alias("_p"))
+           .select("doc_id", F.col("_p.0").alias("a"),
+                   F.col("_p.1").alias("b")))
+    cab = big.groupBy("a", "b").agg(F.count("*").cast(BIG).alias("cab"))
+    hist = big.groupBy("a").agg(F.count("*").cast(BIG).alias("ch"))
+    v = (toks.select(F.explode("_t").alias("tok"))
+         .agg(F.count_distinct("tok").cast(BIG).alias("v")))
+    lp = (big.join(cab, ["a", "b"]).join(hist, "a")
+          .crossJoin(F.broadcast(v))
+          .select("doc_id",
+                  F.log((F.col("cab") + 1.0) / (F.col("ch") + F.col("v")))
+                  .alias("l")))
+    return (lp.groupBy("doc_id")
+            .agg(F.count("*").cast(BIG).alias("n_bigrams"),
+                 F.round(F.exp(-F.sum("l") / F.count("*")), 4).alias("ppl"))
+            .select(F.col("doc_id").cast(BIG).alias("doc_id"),
+                    "n_bigrams", "ppl"))
+
+
+@query(
+    "text_burrows_delta",
+    oracle="""
+    WITH toks AS (SELECT source, unnest(list_filter(
+                      string_split(text, ' '), x -> x <> '')) AS tok
+                  FROM documents),
+    n_sw AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+             FROM toks GROUP BY 1, 2),
+    t_s AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+            FROM toks GROUP BY 1),
+    w AS (SELECT tok FROM (
+            SELECT tok, sum(n) AS c FROM n_sw GROUP BY tok
+            ORDER BY c DESC, tok LIMIT 20)),
+    grid AS (SELECT t_s.source, w.tok, t_s.t,
+                    coalesce(n_sw.n, 0) AS n
+             FROM t_s CROSS JOIN w
+             LEFT JOIN n_sw ON n_sw.source = t_s.source
+                           AND n_sw.tok = w.tok),
+    f AS (SELECT source, tok, CAST(n AS DOUBLE) / t AS f FROM grid),
+    st AS (SELECT tok, avg(f) AS mu,
+                  sqrt(avg(f * f) - avg(f) * avg(f)) AS sg
+           FROM f GROUP BY tok),
+    z AS (SELECT f.source, f.tok,
+                 round((f.f - st.mu) / nullif(st.sg, 0.0), 8) AS z
+          FROM f JOIN st USING (tok)),
+    delta AS (SELECT a.source AS source_a, b.source AS source_b,
+                     round(avg(abs(a.z - b.z)), 6) AS delta
+              FROM z a JOIN z b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, delta,
+           CAST(row_number() OVER (ORDER BY delta, source_a, source_b)
+                AS BIGINT) AS rank
+    FROM delta QUALIFY rank <= 10
+    """)
+def text_burrows_delta(spark, sf):
+    """Burrows' Delta stylometry between sources: z-score each
+    source's relative frequency of the top-20 corpus words against the
+    across-source mean/std, then Delta(a,b) = mean |z_a - z_b| — the
+    classical authorship-attribution distance, here auditing which
+    corpus sources share a template/register (low delta = near-clone
+    wording mix).  The z grid is (sources x 20 words) — bounded by
+    construction regardless of corpus size; z is rounded at 8 BEFORE
+    the pair differencing (the emb_pca round-before-reuse rule) and
+    the pair join runs on that tiny grid, never on rows."""
+    d = T(spark, sf, "documents")
+    arr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = d.select("source", F.explode(arr).alias("tok"))
+    n_sw = toks.groupBy("source", "tok").agg(
+        F.count("*").cast(BIG).alias("n"))
+    t_s = toks.groupBy("source").agg(F.count("*").cast(BIG).alias("t"))
+    w = (n_sw.groupBy("tok").agg(F.sum("n").alias("c"))
+         .orderBy(F.col("c").desc(), "tok").limit(20).select("tok"))
+    grid = (t_s.crossJoin(F.broadcast(w))
+            .join(n_sw, ["source", "tok"], "left")
+            .select("source", "tok", "t",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    f = grid.select("source", "tok",
+                    (F.col("n").cast("double") / F.col("t")).alias("f"))
+    st = f.groupBy("tok").agg(
+        F.avg("f").alias("mu"),
+        F.sqrt(F.avg(F.col("f") * F.col("f"))
+               - F.avg("f") * F.avg("f")).alias("sg"))
+    z = (f.join(st, "tok")
+         .select("source", "tok",
+                 F.round((F.col("f") - F.col("mu"))
+                         / F.nullif(F.col("sg"), F.lit(0.0)), 8)
+                 .alias("z")))
+    a, b = z.alias("a"), z.alias("b")
+    delta = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.round(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6)
+                  .alias("delta")))
+    wr = Window.orderBy("delta", "source_a", "source_b")
+    return (delta.withColumn("rank", F.row_number().over(wr).cast(BIG))
+            .filter(F.col("rank") <= 10))

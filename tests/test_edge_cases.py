@@ -271,7 +271,18 @@ def test_round9_session1b_queries_partition_invariant(spark, sf_dir):
 
 def test_round10_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the round-10 additions: unioned
-    blocking passes deduplicate to the same candidate set at any
-    parallelism — pure functions of the data."""
-    names = ["er_fuzzy_match_multipass"]
+    blocking passes, integer moment formulas, midrank sums, walk
+    counts, wedge censuses, FD variant counts, md5 projections and
+    Poisson replicate weights — pure functions of the data."""
+    names = ["er_fuzzy_match_multipass", "eval_anova_f",
+             "eval_kruskal_wallis", "eval_cochran_q", "stats_theil_index",
+             "stats_trimmed_mean", "ts_mann_kendall", "graph_hits_3iter",
+             "graph_rectangle_count", "dq_functional_dependency",
+             "ann_mips_topk", "emb_jl_projection", "text_bigram_lm_ppl",
+             "text_burrows_delta", "sample_poisson_bootstrap",
+             "eval_permutation_test", "eval_proportions_ztest",
+             "ts_pacf", "ts_seasonal_strength", "graph_edge_embeddedness",
+             "stats_grubbs_test", "stats_jarque_bera",
+             "ts_periodogram_dow", "event_survival_rmst",
+             "event_uplift_by_decile", "emb_epsilon_components_scaled"]
     _assert_partition_invariant(spark, sf_dir, names)

@@ -125,10 +125,18 @@ _ALLOWED = {
         "ann_eval_hamming_vs_exact",   # broadcast query-sketch/set crosses
         "ann_nprobe_recall_curve",  # bounded centroid + query-set crosses
         "emb_knn_classifier_eval",  # broadcast query-set cross
+        "ann_mips_topk",            # broadcast query-set cross
+        "eval_kruskal_wallis",      # 1-row tie-term broadcast
+        "graph_hits_3iter",         # 1-row sum-normalizer broadcasts
+        "graph_rectangle_count",    # 1-row census-aggregate broadcasts
+        "text_bigram_lm_ppl",       # 1-row vocab-size broadcast
+        "text_burrows_delta",       # 20-row top-word-grid broadcast
+        "eval_permutation_test",    # 1-row observed-stat broadcast
         "event_activity_bitmask",   # 1-row min-date broadcast
         "eval_cohen_kappa",            # 1-row chance-term broadcast
         "feat_mutual_information",     # 1-row total broadcast
         "event_kaplan_meier",          # 1-row max-day + total broadcasts
+        "event_survival_rmst",         # same KM crosses + 1-row S(tau)
         "event_user_churn",            # 1-row midpoint broadcast
         "feat_rare_category_collapse",  # 1-row total broadcast
         "eval_kendall_tau_topk",        # 20-row top-k self-cross
@@ -216,6 +224,10 @@ _ALLOWED = {
         "eval_spearman_corr",        # ranks over calendar-bounded days
         "eval_wilcoxon_signed_rank",  # ranks over calendar-bounded days
         "event_kaplan_meier",        # cum-risk over duration-grain rows
+        "event_survival_rmst",       # same duration-grain windows
+        "ts_periodogram_dow",        # rank over calendar-bounded days
+        "event_uplift_by_decile",    # ntile over the user grain (the
+                                     # documented decile readout)
         "sample_pps_systematic",     # cum-size over the category grain
         "event_nelson_aalen",        # cum-hazard over duration-grain rows
         "eval_mann_whitney_u",       # cum-counts over the cents grain
@@ -228,6 +240,10 @@ _ALLOWED = {
         "event_lorenz_curve",        # ntile over the user grain (the
                                      # documented concentration readout)
         "text_vocab_coverage_curve",  # rank/cumsum over the vocab grain
+        "eval_kruskal_wallis",       # cum-counts over the cents grain
+                                     # (bounded by the price domain)
+        "graph_hits_3iter",          # rank over the top-10 rows only
+        "text_burrows_delta",        # rank over the source-pair grain
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",

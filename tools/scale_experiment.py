@@ -105,7 +105,9 @@ def _time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
     return round(best, 3)
 
 
-def run() -> None:
+def run(names=None) -> None:
+    """names: optional subset of registry queries to time instead of the
+    full HEAVY protocol (skips the ER and training extras)."""
     import fmx
     from pyspark.sql import functions as F
 
@@ -119,13 +121,19 @@ def run() -> None:
                           shuffle_partitions=int(cpus))
     specs = all_queries()
     out: dict[str, dict] = {}
-    for name in HEAVY:
+    for name in (names or HEAVY):
         fn = specs[name].fn
         t_small = _time_query(fn, spark, SRC)
         t_big = _time_query(fn, spark, DST)
         out[name] = {"sf0.1_sec": t_small, "sf1.0_sec": t_big,
                      "alpha": round(math.log10(t_big / t_small), 2)}
         print(name, out[name])
+
+    if names:
+        print(json.dumps({"scale_experiment": out,
+                          "replicas": REPLICAS, "src": SRC, "dst": DST}))
+        spark.stop()
+        return
 
     # ER at scale: the r9 canonicalize-then-match upgrade made the
     # full query measurable at 10x (the row-grain plan was a measured
@@ -188,11 +196,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--run", action="store_true")
+    ap.add_argument("--names", default=None,
+                    help="comma-separated registry queries to time "
+                         "instead of the HEAVY protocol")
     args = ap.parse_args()
     if args.build:
         build()
     if args.run:
-        run()
+        run([n for n in args.names.split(",") if n] if args.names else None)
     if not (args.build or args.run):
         print(__doc__)
 
