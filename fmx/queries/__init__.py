@@ -147,25 +147,36 @@ _PRIORITY = [
     "bloom_contamination",
     "cohort_retention",
     "dedup_levenshtein_prefix",
-    # (Window full at 50.  r11 STOCK: the remaining 33 r03-cohort
-    # entries -- approx_distinct, approx_quantiles (rows-only),
-    # dedup_span_profile, dq_expectations, fm_predict,
-    # funnel_view_click_purchase, histogram_width_bucket,
-    # hypertable_rollup, j6_anti_join, j8_salted_join_agg,
-    # latest_event_per_user, multimodal_features, pipeline_dataprep,
-    # profile_key_skew, range_join_price_bands, s2_inline_relation,
-    # s3_libsvm_parse, sample_hash_split, sample_negatives,
-    # sample_pack_sequences, sample_per_source_cap, sample_stratified,
-    # sample_temperature_mixture, sample_weighted_topk,
-    # scd2_user_status, set_except, stats_corr_regr,
-    # text_tfidf_top_terms, w5_lag_delta, w6_ntile_cume,
-    # w7_time_range_sum, win_sliding, zorder_layout_key -- plus 17
-    # slots from the oldest r04 cohort; the rest of r04 follows in
-    # r12.  Prior rotation history lives in git: the r9 window at
-    # commit 379fa18^, r8 at eccbe04, r7 at a192c46, r6 at 5207f57^,
-    # r5 at ded7618.  Everything rotated out is r4+-green and remains
-    # covered by the sf0.001+sf0.01(+sf0.1) oracle harness every
-    # round; bench headliners additionally run per-round.)
+    # (Window full at 50.  r11 STOCK, in priority order: (a) the 26
+    # round-10 additions, never driver-checked -- er_fuzzy_match_multipass,
+    # eval_anova_f, eval_kruskal_wallis, eval_cochran_q,
+    # stats_theil_index, stats_trimmed_mean, ts_mann_kendall,
+    # graph_hits_3iter, graph_rectangle_count, dq_functional_dependency,
+    # ann_mips_topk, emb_jl_projection, text_bigram_lm_ppl,
+    # text_burrows_delta, sample_poisson_bootstrap,
+    # eval_permutation_test, eval_proportions_ztest, ts_pacf,
+    # ts_seasonal_strength, graph_edge_embeddedness, stats_grubbs_test,
+    # stats_jarque_bera, ts_periodogram_dow, event_survival_rmst,
+    # event_uplift_by_decile, emb_epsilon_components_scaled; (b) 24
+    # slots from the oldest remaining r03 cohort (alphabetical from:
+    # approx_distinct, approx_quantiles (rows-only), dedup_span_profile,
+    # dq_expectations, fm_predict, funnel_view_click_purchase,
+    # histogram_width_bucket, hypertable_rollup, j6_anti_join,
+    # j8_salted_join_agg, latest_event_per_user, multimodal_features,
+    # pipeline_dataprep, profile_key_skew, range_join_price_bands,
+    # s2_inline_relation, s3_libsvm_parse, sample_hash_split,
+    # sample_negatives, sample_pack_sequences, sample_per_source_cap,
+    # sample_stratified, sample_temperature_mixture,
+    # sample_weighted_topk, scd2_user_status, set_except,
+    # stats_corr_regr, text_tfidf_top_terms, w5_lag_delta,
+    # w6_ntile_cume, w7_time_range_sum, win_sliding,
+    # zorder_layout_key); the r03 remainder + r04 follow in r12.
+    # Prior rotation history lives in git: the r10 window at commit
+    # 3b0aaef, r9 at 379fa18^, r8 at eccbe04, r7 at a192c46, r6 at
+    # 5207f57^, r5 at ded7618.  Everything rotated out is r4+-green
+    # and remains covered by the sf0.001+sf0.01(+sf0.1) oracle
+    # harness every round; bench headliners additionally run
+    # per-round.)
 ]
 
 

@@ -875,22 +875,26 @@ def emb_epsilon_components(spark, sf):
     "emb_epsilon_components_scaled",
     oracle=_eps_components_sql(EMB_EPS_PLANES_SCALED))
 def emb_epsilon_components_scaled(spark, sf):
-    """emb_epsilon_components with the LSH tables SIZED FOR 10x THE
-    CORPUS: 8 planes per table instead of 4 (VERDICT r9 #3 — the
+    """emb_epsilon_components with the LSH tables RE-SIZED FOR SCALE:
+    8 planes per table instead of 4 (VERDICT r9 #3 — the
     fix-or-explain for the measured 10x cliff).  Why: with p planes a
-    table has 2^p buckets, so occupancy — and the candidate equi-join's
-    per-bucket quadratic cost — grows linearly with corpus size when p
-    is FIXED.  Measured on the 10x replica corpus: 4 planes sends
-    bucket-mate pairs 0.51M -> 53.4M (104x, max occupancy 184 -> 2299)
-    and the full query past 40 minutes; adding log2(10) ~ 4 planes
-    restores the sf0.1 operating point (10x @ 8 planes: 4.2M pairs,
-    max occupancy 277 ~ sf0.1 @ 4 planes' 184).  The sizing rule is
-    planes = p0 + log2(n/n0); recall at the verify threshold falls with
-    p (sign-LSH serves loose epsilon poorly — the dense-radius scale
-    path is the trained-quantizer cell route, dedup_semantic), which is
-    why this is a SEPARATE query and not a silent retune: the candidate
-    set, hence the epsilon graph, is a declared parameter of the
-    operator.  SCALE.md round-10 carries the measured table."""
+    table has 2^p buckets, so bucket-mate candidate pairs grow as
+    n^2/2^p when p is FIXED.  Measured on the 10x replica corpus: 4
+    planes sends candidates 0.51M -> 53.4M (104x, max occupancy
+    184 -> 2299) and the full query from 121 s past 40 MINUTES; at 8
+    planes the same corpus costs 1061 s (4.2M candidates) and the
+    sizing-rule endpoint p = p0 + 2*log2(n/n0) ~ 11 planes costs
+    530 s (0.83M candidates ~ the sf0.1 operating point) — the
+    quadratic law needs TWO planes per doubling to hold candidates
+    flat.  Every added plane multiplies per-table recall by
+    (1-theta/pi) ~ 0.62 at this loose threshold, so sign-LSH
+    fundamentally cannot serve dense-radius grouping at scale — the
+    documented scale path is the trained-quantizer cell route
+    (dedup_semantic, alpha 0.48); 8 planes is the recall-conscious
+    middle step this registry ships.  A SEPARATE query, not a silent
+    retune: the candidate set, hence the epsilon graph, is a declared
+    parameter of the operator.  SCALE.md round-10 carries the full
+    measured table."""
     from pyspark.sql import functions as F
 
     emb = T(spark, sf, "embeddings")
