@@ -6026,8 +6026,7 @@ def graph_edge_embeddedness(spark, sf):
            .select(F.coalesce(F.col("cn"), F.lit(0)).alias("cn")))
     return (emb.groupBy(F.col("cn").cast(BIG).alias("embeddedness"))
             .agg(F.count("*").cast(BIG).alias("n_edges"))
-            .withColumn("is_local_bridge", F.col("embeddedness") == 0)
-            .orderBy("embeddedness"))
+            .withColumn("is_local_bridge", F.col("embeddedness") == 0))
 
 
 @query(
@@ -6141,5 +6140,4 @@ def event_uplift_by_decile(spark, sf):
                          / F.nullif(F.sum(t), F.lit(0))
                          - F.sum((1 - t) * y).cast("double")
                          / F.nullif(F.sum(1 - t), F.lit(0)), 6)
-                 .alias("uplift"))
-            .orderBy("decile"))
+                 .alias("uplift")))

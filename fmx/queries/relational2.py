@@ -544,5 +544,4 @@ def dq_functional_dependency(spark, sf):
                  .alias("n_violating_keys"),
                  F.max("v").cast(BIG).alias("max_variants"),
                  F.sum(F.when(F.col("v") > 1, F.col("nr")).otherwise(0))
-                 .cast(BIG).alias("n_rows_in_violation"))
-            .orderBy("fd"))
+                 .cast(BIG).alias("n_rows_in_violation")))

@@ -1048,5 +1048,4 @@ def sample_poisson_bootstrap(spark, sf):
                  F.round(F.sqrt(F.avg(m * m) - F.avg(m) * F.avg(m)), 6)
                  .alias("boot_se"),
                  F.round(F.min(m), 6).alias("boot_min"),
-                 F.round(F.max(m), 6).alias("boot_max"))
-            .orderBy("event_type"))
+                 F.round(F.max(m), 6).alias("boot_max")))

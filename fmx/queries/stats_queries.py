@@ -273,8 +273,7 @@ def stats_theil_index(spark, sf):
             .groupBy("et", "n")
             .agg(F.round(F.sum("txy") / F.col("n"), 6).alias("theil_t"),
                  F.round(F.sum("lxy") / F.col("n"), 6).alias("theil_l"))
-            .select("et", "n", "theil_t", "theil_l")
-            .orderBy("et"))
+            .select("et", "n", "theil_t", "theil_l"))
 
 
 @query(
@@ -312,8 +311,7 @@ def stats_trimmed_mean(spark, sf):
             .agg(F.any_value("n").cast(BIG).alias("n_total"),
                  F.count("*").cast(BIG).alias("n_used"),
                  F.round(F.sum(F.col("cent").cast(DEC)).cast("double")
-                         / (F.count("*") * 100.0), 6).alias("trimmed_mean"))
-            .orderBy("et"))
+                         / (F.count("*") * 100.0), 6).alias("trimmed_mean")))
 
 
 _PT_B = 32           # randomization-test replicates
@@ -525,8 +523,7 @@ def stats_grubbs_test(spark, sf):
     sd = F.sqrt((q - s * s / n) / (n - 1))
     return (m.select(F.col("et").alias("event_type"), "n",
                      F.round((F.col("mx") - s / n) / sd, 6).alias("g_max"),
-                     F.round((s / n - F.col("mn")) / sd, 6).alias("g_min"))
-            .orderBy("event_type"))
+                     F.round((s / n - F.col("mn")) / sd, 6).alias("g_min")))
 
 
 @query(
@@ -606,5 +603,4 @@ def stats_jarque_bera(spark, sf):
                       F.round(F.col("n") / 6.0
                               * (skew * skew
                                  + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6)
-                      .alias("jb_stat"))
-            .orderBy("event_type"))
+                      .alias("jb_stat")))

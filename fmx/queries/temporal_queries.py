@@ -949,8 +949,7 @@ def ts_mann_kendall(spark, sf):
     return (m.select(F.col("et").alias("event_type"),
                      F.col("nd").alias("n_days"), "s_stat",
                      F.round(var_s, 6).alias("var_s"),
-                     F.round(zraw, 6).alias("z_stat"))
-            .orderBy("event_type"))
+                     F.round(zraw, 6).alias("z_stat")))
 
 
 @query(
@@ -1066,8 +1065,7 @@ def ts_pacf(spark, sf):
                      F.col("n").alias("n_days"),
                      F.round(r1, 6).alias("pacf_1"),
                      F.round((r2 - r1 * r1) / (1.0 - r1 * r1), 6)
-                     .alias("pacf_2"))
-            .orderBy("event_type"))
+                     .alias("pacf_2")))
 
 
 @query(
@@ -1192,5 +1190,4 @@ def ts_periodogram_dow(spark, sf):
                       F.col("n").alias("n_days"),
                       F.round(2.0 * (F.col("c") * F.col("c")
                                      + F.col("s") * F.col("s"))
-                              / F.col("n"), 4).alias("power"))
-            .orderBy("period"))
+                              / F.col("n"), 4).alias("power")))

@@ -182,6 +182,8 @@ _ALLOWED = {
         "sample_negative_downsample",  # filter on the md5 keep-coin
         "er_fuzzy_match",   # rank/dist filters on computed edit distance
         "er_fuzzy_match_multipass",  # same computed-dist filters, unioned passes
+        "emb_jl_projection",   # generator null-guard on the vector array
+        "text_bigram_lm_ppl",  # generator null-guard on the token arrays
         "text_pmi_bigrams",  # min_count filter on aggregated pair counts
         "text_passage_dedup",  # non-empty guard on the computed token array
         "text_mattr",          # min-width guard on the computed token array
@@ -226,6 +228,7 @@ _ALLOWED = {
         "event_kaplan_meier",        # cum-risk over duration-grain rows
         "event_survival_rmst",       # same duration-grain windows
         "ts_periodogram_dow",        # rank over calendar-bounded days
+        "ts_seasonal_strength",      # same STL day-grain windows
         "event_uplift_by_decile",    # ntile over the user grain (the
                                      # documented decile readout)
         "sample_pps_systematic",     # cum-size over the category grain
