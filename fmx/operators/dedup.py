@@ -24,7 +24,7 @@ __all__ = [
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
     "minhash_cross_pairs", "dedup_keep_best", "containment_pairs",
-    "split_leakage", "weighted_jaccard_pairs",
+    "split_leakage", "weighted_jaccard_pairs", "allpairs_prefix_jaccard",
 ]
 
 
@@ -838,4 +838,88 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     (F.col("iw")
                      / (F.col("wa") + F.col("wb") - F.col("iw")))
                     .alias("weighted_jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3,
+                            threshold: float = 0.4) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold via prefix filtering
+    (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search";
+    the MapReduce formulation is Vernica et al., SIGMOD'10).  Returns
+    (id_a, id_b, jaccard) with id_a < id_b — the same contract as
+    ``ngram_jaccard_pairs``, but with a different scale/recall trade:
+    the plain scorer bounds its shingle self-join with the ``max_df``
+    hot-key guard, which silently DROPS pairs whose overlap lives in
+    hot shingles; prefix filtering bounds the join with zero recall
+    loss.
+
+    Why it is exact: order the corpus vocabulary rarest-first by
+    (document frequency, shingle) — a total order that needs NO global
+    rank materialization, the tuple itself is the sort key — and let
+    each document index only its first ``p = s - ceil(t*s) + 1``
+    shingles under that order (s = distinct-shingle count).  For any
+    pair with Jaccard >= t, the intersection has at least
+    ``t/(1+t) * (sa+sb) >= t*sa`` shingles (using the size bound
+    ``sb >= t*sa`` implied by J <= min/max), while a document's
+    non-prefix suffix holds only ``ceil(t*s) - 1 < t*s`` of them — so
+    the pair MUST collide on a prefix shingle of each side and survives
+    candidate generation; an exact Jaccard verify then removes false
+    candidates.  Skew note: prefix shingles are by construction the
+    RAREST in the corpus, so the candidate equi-join is anti-skewed —
+    the hot shingles that force ``max_df`` guards elsewhere never enter
+    the index.
+
+    Shapes: one df agg on the shingle grain, one per-doc window
+    (partitioned by doc — never global) to take the p rarest shingles,
+    one candidate equi-join on prefix shingle + distinct, and a verify
+    join that fans candidate pairs back over their full shingle sets
+    (bounded: |candidates| * doc size).  At 100 TB every stage is an
+    ordinary shuffle on shingle or doc id.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n, max_df=None)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    shf = sh.join(dfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    ranked = shf.select(id_col, "shingle",
+                        F.row_number().over(w).alias("_rn"),
+                        F.count("*").over(
+                            Window.partitionBy(id_col)).alias("_s"))
+    # p = s - floor(t*s) + 1 rarest shingles form the prefix index.
+    # floor (not the canonical ceil) keeps every FP rounding error on
+    # the SAFE side: p >= s - ceil(t*s) + 1 always, so a float blip can
+    # only lengthen the prefix (more candidates), never break exactness
+    # the way an over-ceiled 0.4*25 = 10.000000000000002 would.
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_s") - F.floor(F.lit(threshold)
+                                              * F.col("_s")) + 1)
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle",
+                      F.col("_s").alias("sa"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle",
+                      F.col("_s").alias("sb"))
+    cands = (a.join(b, "shingle")
+             .filter((F.col("id_a") < F.col("id_b"))
+                     # -1e-9: J = min/max = t exactly IS attainable
+                     # (containment at size ratio t); the epsilon keeps
+                     # FP-up products from dropping that legal boundary
+                     & (F.least("sa", "sb")
+                        >= threshold * F.greatest("sa", "sb") - 1e-9))
+             .select("id_a", "id_b", "sa", "sb")
+             .distinct())
+    # exact verify: fan each candidate pair over id_a's shingle set and
+    # count matches in id_b's — inner join, pairs sharing nothing drop
+    fa = sh.select(F.col(id_col).alias("id_a"),
+                   F.col("shingle").alias("_sha"))
+    fb = sh.select(F.col(id_col).alias("_idb"),
+                   F.col("shingle").alias("_shb"))
+    inter = (cands.join(fa, "id_a")
+             .join(fb, (F.col("_sha") == F.col("_shb"))
+                   & (F.col("_idb") == F.col("id_b")))
+             .groupBy("id_a", "id_b", "sa", "sb")
+             .agg(F.count("*").alias("i")))
+    return (inter
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"),
+                    (F.col("i") / (F.col("sa") + F.col("sb")
+                                   - F.col("i"))).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_join", "blocked_fuzzy_join_multipass"]
+__all__ = ["blocked_fuzzy_join", "blocked_fuzzy_join_multipass",
+           "fellegi_sunter_weights"]
 
 
 def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
@@ -152,3 +153,58 @@ def blocked_fuzzy_join_multipass(left: DataFrame, right: DataFrame,
                     F.col("_rname").alias(right_name),
                     F.col("dist").cast("bigint").alias("dist"),
                     F.col("n_cands").cast("bigint").alias("n_cands")))
+
+
+def fellegi_sunter_weights(cands: DataFrame, agree_cols: list[str],
+                           label_col: str,
+                           smoothing: float = 0.5) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage weights (Fellegi & Sunter,
+    JASA 1969 — the model behind Splink/RecordLinkage toolkits) over a
+    labeled candidate-pair relation: estimate per-field agreement
+    probabilities among matches (m_k) and non-matches (u_k), then score
+    every agreement PATTERN with the log-likelihood-ratio weight
+    sum_k log2(m_k/u_k | agree) / log2((1-m_k)/(1-u_k) | disagree).
+
+    ``cands`` must already be BLOCKED (the linkage scale rule at the
+    top of this module — candidates meet through an equi-join, never
+    all-pairs) and carry 0/1 ``agree_cols`` plus a 0/1 ``label_col``
+    (truth for supervised m/u estimation; unsupervised EM fits the
+    same model when labels are unavailable).  Estimates are
+    Laplace-smoothed ((c + smoothing)/(n + 2*smoothing)) so a field
+    that is pure inside one class (e.g. a unique name tail that NEVER
+    agrees between non-matches) cannot produce log2(0) infinities.
+
+    Returns one row per observed agreement pattern: (pattern,
+    <agree_cols...>, n_pairs, n_true, weight) — at most 2^k rows.
+
+    Shapes: two hash aggs over the candidate relation (the 1-row m/u
+    stats and the pattern counts) + a broadcast cross-join of the
+    1-row stats onto the <=2^k pattern rows; per-pair scoring at
+    serving time is the same broadcast join applied map-side, so 100
+    TB of candidates never shuffles on anything but the block key that
+    built them.
+    """
+    lbl = F.col(label_col)
+    stats = cands.agg(
+        *[e for c in agree_cols for e in (
+            ((F.sum(F.col(c) * lbl) + F.lit(smoothing))
+             / (F.sum(lbl) + F.lit(2 * smoothing))).alias(f"_m_{c}"),
+            ((F.sum(F.col(c) * (1 - lbl)) + F.lit(smoothing))
+             / (F.sum(1 - lbl) + F.lit(2 * smoothing))).alias(f"_u_{c}"),
+        )])
+    patterns = (cands.groupBy(*agree_cols)
+                .agg(F.count("*").alias("n_pairs"),
+                     F.sum(lbl).alias("n_true")))
+    weight = None
+    for c in agree_cols:
+        m, u = F.col(f"_m_{c}"), F.col(f"_u_{c}")
+        term = F.when(F.col(c) == 1, F.log2(m / u)) \
+                .otherwise(F.log2((1 - m) / (1 - u)))
+        weight = term if weight is None else weight + term
+    return (patterns.crossJoin(F.broadcast(stats))
+            .select(F.concat_ws("", *[F.col(c).cast("string")
+                                      for c in agree_cols]).alias("pattern"),
+                    *agree_cols,
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("n_true").cast("bigint").alias("n_true"),
+                    weight.alias("weight")))

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "range_join", "gap_fill", "sessionize",
-           "interval_merge", "time_weighted_avg", "theilsen_trend", "ewma"]
+           "interval_merge", "time_weighted_avg", "theilsen_trend", "ewma",
+           "holt_linear"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -373,3 +374,61 @@ def theilsen_trend(df: DataFrame, ts_col: str, value_col) -> DataFrame:
         F.count("*").cast("bigint").alias("n_points"),
         F.percentile("r", F.lit(0.5)).alias("intercept")
     ).select("n_points", "n_pairs", "slope", "intercept")
+
+
+def holt_linear(df: DataFrame, key_cols: list[str], ts_col: str,
+                value_col: str, alpha: float = 0.5,
+                beta: float = 0.3) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key — the
+    two-state recursion EWMA cannot express (level AND trend evolve
+    together):
+
+        l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    with the classic init l_1 = x_1, b_1 = x_2 - x_1.  Returns one row
+    per key: (keys..., n_points, level, trend, forecast_1 = level +
+    trend) — the 1-step-ahead forecast that seeds capacity planning
+    and anomaly bands on trending series.
+
+    Shapes: one hash agg collects each key's series (collect_list of
+    (ts, x) structs, array_sort — CALENDAR-BOUNDED by contract: feed
+    this daily/hourly rollups, never raw events; the array is then
+    days-per-key long, not rows-per-key), and the recursion runs as a
+    single ``aggregate`` higher-order fold — whole-stage-codegen
+    JVM arithmetic, no Python, no window, no shuffle beyond the one
+    hash agg.  Every coefficient is a Python float literal baked into
+    the plan and the fold associates left-to-right, so any engine
+    (the DuckDB oracle replays it via a recursive CTE) reproduces the
+    IEEE arithmetic bit-for-bit; keys with fewer than 2 points are
+    dropped (the init needs two).
+    """
+    a, b = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - b
+    lnew = f"({a!r} * x + {oma!r} * (acc.l + acc.b))"
+    fold = (
+        "aggregate("
+        "  slice(_vs, 3, greatest(size(_vs) - 2, 0)),"
+        "  named_struct('l', CAST(element_at(_vs, 1) AS DOUBLE),"
+        "               'b', CAST(element_at(_vs, 2)"
+        "                         - element_at(_vs, 1) AS DOUBLE)),"
+        "  (acc, x) -> named_struct("
+        f"     'l', {lnew},"
+        f"     'b', {b!r} * ({lnew} - acc.l) + {omb!r} * acc.b))")
+    series = (df.groupBy(*key_cols)
+              .agg(F.array_sort(
+                       F.collect_list(F.struct(
+                           F.col(ts_col).alias("t"),
+                           F.col(value_col).cast("double").alias("x"))))
+                   .alias("_arr"))
+              .select(*key_cols,
+                      F.expr("transform(_arr, s -> s.x)").alias("_vs"))
+              .filter(F.size("_vs") >= 2))
+    return (series
+            .select(*key_cols,
+                    F.size("_vs").cast("bigint").alias("n_points"),
+                    F.expr(fold).alias("_hw"))
+            .select(*key_cols, "n_points",
+                    F.col("_hw.l").alias("level"),
+                    F.col("_hw.b").alias("trend"),
+                    (F.col("_hw.l") + F.col("_hw.b")).alias("forecast_1")))

@@ -114,6 +114,45 @@ def dedup_minhash_lsh_pairs(spark, sf):
                                shingle_n=SHINGLE_N)
 
 
+APSS_T = 0.4
+
+@query(
+    "dedup_allpairs_exact",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   i * 1.0 / (s1.n_sh + s2.n_sh - i) AS jaccard
+            FROM inter JOIN sizes s1 ON id_a = s1.doc_id
+                       JOIN sizes s2 ON id_b = s2.doc_id)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM jac WHERE jaccard >= {APSS_T}
+    """)
+def dedup_allpairs_exact(spark, sf):
+    """EXACT all-pairs 3-gram Jaccard >= 0.4 via prefix filtering
+    (fmx.operators.dedup.allpairs_prefix_jaccard — Bayardo WWW'07 /
+    Vernica SIGMOD'10): documents index only their p = s - floor(t*s)
+    + 1 RAREST shingles under a global (df, shingle) order, qualifying
+    pairs provably collide in that index, and an exact verify removes
+    false candidates.  The oracle is the NAIVE unbounded algorithm —
+    hash-equality against it is the exactness proof, which is the
+    whole point: dedup_ngram_jaccard's max_df guard bounds its join by
+    silently dropping hot-shingle pairs, this one bounds the join with
+    zero recall loss (and anti-skews it: prefix shingles are the
+    corpus's rarest, so no hot keys enter the candidate join)."""
+    from pyspark.sql import functions as F
+    out = D.allpairs_prefix_jaccard(T(spark, sf, "documents"),
+                                    "doc_id", "text",
+                                    n=SHINGLE_N, threshold=APSS_T)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -721,6 +760,116 @@ def er_fuzzy_match_multipass(spark, sf):
     return out.select(F.col("probe_id").cast("bigint").alias("probe_id"),
                       F.col("part_id").cast("bigint").alias("part_id"),
                       "probe_name", "p_name", "dist", "n_cands")
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_id,
+             (c_nationkey + CASE WHEN c_custkey % 5 = 0
+                                 THEN 1 ELSE 0 END) % 25 AS nation_p,
+             CASE WHEN c_custkey % 7 = 0 THEN reverse(c_mktsegment)
+                  ELSE c_mktsegment END AS seg_p,
+             CAST(floor(c_acctbal / 500.0) AS BIGINT)
+               + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS band_p,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN reverse(substring(c_name, length(c_name) - 1, 2))
+                  ELSE substring(c_name, length(c_name) - 1, 2)
+             END AS tail_p
+      FROM customer),
+    clean AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
+             substring(c_name, length(c_name) - 1, 2) AS tail
+      FROM customer),
+    cand AS (
+      SELECT CASE WHEN p.seg_p = c.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
+             CASE WHEN p.band_p = c.band THEN 1 ELSE 0 END AS a_band,
+             CASE WHEN p.tail_p = c.tail THEN 1 ELSE 0 END AS a_tail,
+             CASE WHEN p.probe_id = c.c_custkey THEN 1 ELSE 0 END AS lbl
+      FROM probes p JOIN clean c ON p.nation_p = c.c_nationkey),
+    mu AS (
+      SELECT (sum(a_seg * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_seg,
+             (sum(a_seg * (1 - lbl)) + 0.5) * 1.0
+               / (sum(1 - lbl) + 1.0) AS u_seg,
+             (sum(a_band * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_band,
+             (sum(a_band * (1 - lbl)) + 0.5) * 1.0
+               / (sum(1 - lbl) + 1.0) AS u_band,
+             (sum(a_tail * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_tail,
+             (sum(a_tail * (1 - lbl)) + 0.5) * 1.0
+               / (sum(1 - lbl) + 1.0) AS u_tail
+      FROM cand),
+    pat AS (
+      SELECT a_seg, a_band, a_tail,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(lbl) AS BIGINT) AS n_true
+      FROM cand GROUP BY 1, 2, 3)
+    SELECT concat(CAST(a_seg AS VARCHAR), CAST(a_band AS VARCHAR),
+                  CAST(a_tail AS VARCHAR)) AS pattern,
+           CAST(a_seg AS INT) AS a_seg, CAST(a_band AS INT) AS a_band,
+           CAST(a_tail AS INT) AS a_tail, n_pairs, n_true,
+           round(CASE WHEN a_seg = 1 THEN log2(m_seg / u_seg)
+                      ELSE log2((1 - m_seg) / (1 - u_seg)) END
+               + CASE WHEN a_band = 1 THEN log2(m_band / u_band)
+                      ELSE log2((1 - m_band) / (1 - u_band)) END
+               + CASE WHEN a_tail = 1 THEN log2(m_tail / u_tail)
+                      ELSE log2((1 - m_tail) / (1 - u_tail)) END,
+                 6) AS weight
+    FROM pat, mu
+    """)
+def er_fellegi_sunter(spark, sf):
+    """Fellegi-Sunter probabilistic record linkage
+    (fmx.operators.linkage.fellegi_sunter_weights): probe records are
+    customers with deterministic key-derived corruption on four fields
+    (nation +1 for custkey%5, segment reversed for %7, balance band +1
+    for %3, name tail reversed for %11 — in-plan corruption, so both
+    engines derive the same dirty corpus), blocked back against the
+    clean table on the (noisy) nation key.  Per-field agreement
+    probabilities m_k (among true pairs) and u_k (among in-block
+    impostors) are Laplace-smoothed and every agreement pattern gets
+    its log2 likelihood-ratio weight — the score that turns "3 of 4
+    fields agree" into a calibrated match/no-match decision.  Two hash
+    aggs + a 1-row broadcast; blocking recall (nation corruption
+    escapes the block) is the documented single-pass bound."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.linkage import fellegi_sunter_weights
+
+    cust = T(spark, sf, "customer")
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        ((F.col("c_nationkey")
+          + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)) % 25)
+        .alias("nation_p"),
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg_p"),
+        (F.floor(F.col("c_acctbal") / 500.0).cast("bigint")
+         + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
+        .alias("band_p"),
+        F.when(F.col("c_custkey") % 11 == 0,
+               F.reverse(F.expr("substring(c_name, length(c_name)-1, 2)")))
+        .otherwise(F.expr("substring(c_name, length(c_name)-1, 2)"))
+        .alias("tail_p"))
+    clean = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("band"),
+        F.expr("substring(c_name, length(c_name)-1, 2)").alias("tail"))
+    cands = (probes.join(clean,
+                         probes["nation_p"] == clean["c_nationkey"])
+             .select((F.col("seg_p") == F.col("c_mktsegment"))
+                     .cast("int").alias("a_seg"),
+                     (F.col("band_p") == F.col("band"))
+                     .cast("int").alias("a_band"),
+                     (F.col("tail_p") == F.col("tail"))
+                     .cast("int").alias("a_tail"),
+                     (F.col("probe_id") == F.col("c_custkey"))
+                     .cast("int").alias("lbl")))
+    out = fellegi_sunter_weights(cands, ["a_seg", "a_band", "a_tail"],
+                                 "lbl")
+    return out.select("pattern", "a_seg", "a_band", "a_tail",
+                      "n_pairs", "n_true",
+                      F.round("weight", 6).alias("weight"))
 
 
 @query(

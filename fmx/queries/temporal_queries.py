@@ -684,6 +684,63 @@ def ts_ewma(spark, sf):
 
 
 @query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c,
+             count(value) AS nv
+      FROM events GROUP BY 1, 2 HAVING count(value) > 0),
+    dv AS (SELECT event_type, c / (100.0 * nv) AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY d) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM daily),
+    rec AS (
+      SELECT a.event_type, 2 AS rn, a.n,
+             a.v AS l, b.v - a.v AS b
+      FROM dv a JOIN dv b ON b.event_type = a.event_type AND b.rn = 2
+      WHERE a.rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, r.n,
+             0.5 * d.v + 0.5 * (r.l + r.b) AS l,
+             0.3 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l)
+               + 0.7 * r.b AS b
+      FROM rec r JOIN dv d ON d.event_type = r.event_type
+                          AND d.rn = r.rn + 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_points, l AS level,
+           b AS trend, l + b AS forecast_1
+    FROM rec WHERE rn = n
+    """)
+def ts_holt_linear(spark, sf):
+    """Holt double exponential smoothing of daily mean event value per
+    type (fmx.operators.temporal.holt_linear, alpha=0.5 beta=0.3):
+    level AND trend evolve per the coupled recursion, yielding the
+    1-step forecast a flat EWMA biases low on trending series.  The
+    recursion is a single ``aggregate`` higher-order fold over the
+    calendar-bounded daily series (collect_list at the days-per-type
+    grain, never raw events) — no window, no Python, one hash agg.
+    Engine-exactness: daily means use the integer-cent discipline
+    (ts_ewma's lesson) and the fold is literal-coefficient IEEE
+    arithmetic replayed by the oracle's recursive CTE, so outputs ship
+    UNROUNDED.  (The oracle deliberately avoids DuckDB list_reduce:
+    with a struct accumulator its second field evaluates against a
+    stale copy of the first — the recursive CTE replays the coupled
+    recursion unambiguously.)"""
+    from fmx.operators.temporal import holt_linear
+
+    daily = (T(spark, sf, "events")
+             .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100)
+                        .cast("bigint")).alias("c"),
+                  F.count("value").alias("nv"))
+             .filter(F.col("nv") > 0))
+    dv = daily.select("event_type", "d",
+                      (F.col("c") / (100.0 * F.col("nv"))).alias("v"))
+    return holt_linear(dv, ["event_type"], "d", "v", alpha=0.5, beta=0.3)
+
+
+@query(
     "ts_theilsen_trend",
     oracle="""
     WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n

@@ -284,5 +284,9 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
              "ts_pacf", "ts_seasonal_strength", "graph_edge_embeddedness",
              "stats_grubbs_test", "stats_jarque_bera",
              "ts_periodogram_dow", "event_survival_rmst",
-             "event_uplift_by_decile", "emb_epsilon_components_scaled"]
+             "event_uplift_by_decile", "emb_epsilon_components_scaled",
+             # second round-10 batch: prefix-filter candidate joins,
+             # smoothed m/u ratios, higher-order-fold recursions
+             "dedup_allpairs_exact", "er_fellegi_sunter",
+             "ts_holt_linear"]
     _assert_partition_invariant(spark, sf_dir, names)

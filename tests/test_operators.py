@@ -2727,3 +2727,85 @@ def test_passage_dedup_invariants(spark):
     assert got[3].n_dup_passages == 0
     for r in got.values():
         assert 0 <= r.n_dup_passages <= r.n_passages
+
+
+def test_allpairs_prefix_matches_naive_exactly(spark, sf_dir):
+    """Exactness proof at operator grain: prefix filtering returns the
+    SAME pair set and scores as the unbounded naive scorer (max_df=None)
+    on the real corpus — zero recall loss, which is the property the
+    max_df-guarded scorer cannot offer."""
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {(r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in D.allpairs_prefix_jaccard(
+                docs, "doc_id", "text", n=3, threshold=0.4).collect()}
+    naive = {(r.id_a, r.id_b): round(r.jaccard, 9)
+             for r in D.ngram_jaccard_pairs(
+                 docs, "doc_id", "text", n=3, threshold=0.4,
+                 max_df=None).collect()}
+    assert fast == naive and len(fast) > 0
+
+
+def test_allpairs_prefix_boundary_pair_survives(spark):
+    """A containment pair at EXACTLY size ratio t (J = min/max = t) must
+    survive the size filter and the prefix index — the FP boundary the
+    epsilon guard exists for (0.4 * 25 = 10.000000000000002 as doubles
+    would otherwise drop a legal pair)."""
+    small = " ".join(f"w{i}" for i in range(12))          # 10 shingles
+    big = " ".join(f"w{i}" for i in range(12)) + " " + \
+        " ".join(f"x{i}" for i in range(15))              # 25 shingles
+    df = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    out = D.allpairs_prefix_jaccard(df, "doc_id", "text",
+                                    n=3, threshold=0.4).collect()
+    assert len(out) == 1
+    assert abs(out[0].jaccard - 0.4) < 1e-12
+
+
+def test_fellegi_sunter_weights_separate_and_stay_finite(spark):
+    """On a planted corpus where one field is PURE inside a class
+    (tail never agrees between non-matches), smoothing keeps every
+    pattern weight finite, all-agree outscores all-disagree, and m/u
+    estimates reproduce the planted rates."""
+    import math
+
+    from fmx.operators.linkage import fellegi_sunter_weights
+    rows = []
+    for i in range(200):
+        # true pair: fields agree except band for i % 4 == 0
+        rows.append((1, 1 if i % 4 else 0, 1, 1))
+        # impostor pair: seg agrees 1 in 5, band 1 in 10, tail never
+        rows.append((1 if i % 5 else 0, 1 if i % 10 else 0, 0, 0))
+    cands = spark.createDataFrame(rows, ["a_seg", "a_band", "a_tail", "lbl"])
+    out = {r.pattern: r for r in fellegi_sunter_weights(
+        cands, ["a_seg", "a_band", "a_tail"], "lbl").collect()}
+    assert all(math.isfinite(r.weight) for r in out.values())
+    assert out["111"].weight > 0 > out["000"].weight
+    assert out["111"].n_true == 150 and out["101"].n_true == 50
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """The aggregate() fold replays the textbook recursion exactly,
+    rows arriving in any order (array_sort owns the ordering)."""
+    import random
+    rnd = random.Random(7)
+    series = [(i, 10.0 + 0.5 * i + rnd.uniform(-1, 1)) for i in range(40)]
+    l, b = series[0][1], series[1][1] - series[0][1]
+    for _, x in series[2:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (ln - l) + 0.7 * b
+        l = ln
+    rows = [("k", t, x) for t, x in series]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    from fmx.operators.temporal import holt_linear
+    out = holt_linear(df, ["k"], "t", "x", alpha=0.5, beta=0.3).collect()
+    assert len(out) == 1
+    assert out[0].level == l and out[0].trend == b
+    assert out[0].forecast_1 == l + b and out[0].n_points == 40
+
+
+def test_holt_linear_drops_singleton_keys(spark):
+    from fmx.operators.temporal import holt_linear
+    df = spark.createDataFrame([("a", 1, 5.0), ("b", 1, 1.0),
+                                ("b", 2, 2.0)], ["k", "t", "x"])
+    out = holt_linear(df, ["k"], "t", "x").collect()
+    assert {r.k for r in out} == {"b"}

@@ -147,6 +147,7 @@ _ALLOWED = {
         "event_cuped_adjustment",  # 1-row midpoint broadcast
         "ts_stl_anomaly",          # 1-row median/MAD broadcasts
         "dedup_weighted_jaccard",  # 1-row corpus-size broadcast (IDF)
+        "er_fellegi_sunter",       # 1-row m/u-stats broadcast onto <=2^k patterns
         "text_vocab_coverage_curve",  # 3-row top-k-level broadcast
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
@@ -174,6 +175,7 @@ _ALLOWED = {
         "event_interarrival_stats",  # filter on the computed lag gap
         "event_weekly_stickiness",   # join-key null guard on date_trunc
         "sample_dup_aware_weights",  # join-key null guard on md5(text)
+        "er_fellegi_sunter",         # join-key null guard on computed nation_p
         "stickiness_from_hll_registers",  # join-key guard on date_trunc
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
