@@ -16,7 +16,8 @@ __all__ = [
     "repetition_stats", "chunk_tokens", "redact_text", "STOPWORDS",
     "tfidf_top_terms", "bigram_perplexity", "hashed_linear_score",
     "inverted_index", "char_entropy", "vocab_kl_by_group",
-    "bm25_topk", "cluster_terms", "boilerplate_strip", "bpe_pair_counts",
+    "bm25_topk", "dirichlet_ql_topk", "cluster_terms",
+    "boilerplate_strip", "bpe_pair_counts",
     "readability", "charset_profile", "pmi_bigrams", "gopher_filters",
     "passage_dedup", "mattr_diversity",
 ]
@@ -905,3 +906,77 @@ def mattr_diversity(df: DataFrame, id_col: str, text_col: str,
                     .alias("mattr"),
                     F.round(F.col("_types") * 1.0 / F.col("n_tokens"), 6)
                     .alias("ttr")))
+
+
+def dirichlet_ql_topk(docs: DataFrame, id_col: str, text_col: str,
+                      queries: DataFrame, qid_col: str = "qid",
+                      qtoken_col: str = "token", qtf_col: str = "qtf",
+                      mu: float = 100.0, k: int = 5) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    SIGIR'01) — the language-model scoring function next to BM25's
+    tf-idf one, and MULTI-QUERY: ``queries`` is a (qid, token, qtf)
+    relation, so one plan scores every query at once instead of one
+    job per query.
+
+        score(q,d) = sum_t qtf_t * ln( (tf_td + mu*P(t|C)) / (dl_d + mu) )
+
+    The dense formula ranges over ALL query terms including those
+    ABSENT from d (tf = 0 still contributes the smoothing mass), which
+    naively breaks sparse evaluation.  The standard decomposition
+    restores it:
+
+        score = sum_t qtf_t*ln(mu*P_t)                 [per-query const]
+              + sum_{t in d AND q} qtf_t*(ln(tf + mu*P_t) - ln(mu*P_t))
+              - (sum_t qtf_t) * ln(dl_d + mu)          [per-doc length]
+
+    so the only per-(query, doc) work is the sparse postings equi-join
+    — the same inverted-index shape as bm25_topk, and the candidate
+    set (docs sharing >= 1 query term) is the usual retrieval
+    contract.  Collection stats (cf_t, total tokens) are one corpus
+    agg; every ln(...) summand is rounded to 9dp BEFORE summation (the
+    weighted-jaccard discipline: both engines must sum identical
+    doubles) and the final score to 6dp, ranked (score desc, doc id)
+    with row_number <= k per query.  At 100 TB: postings join keyed on
+    token, per-query windows (queries are the partition key — never
+    global), collection stats broadcast.
+    """
+    mu = float(mu)
+    toks = (docs.select(F.col(id_col), F.explode(_toks(text_col))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("_tf"))
+    cf = toks.groupBy("token").agg(F.count("*").alias("_cf"))
+    total = toks.agg(F.count("*").alias("_c"))
+    q = (queries.select(F.col(qid_col).alias("_qid"),
+                        F.col(qtoken_col).alias("token"),
+                        F.col(qtf_col).alias("_qtf"))
+         .join(F.broadcast(cf), "token", "inner")
+         .crossJoin(F.broadcast(total)))
+    # ln(mu * P_t): P_t = cf/C as one double expression, rounded 9dp
+    lp = F.round(F.log(F.lit(mu) * F.col("_cf") / F.col("_c")), 9)
+    qstats = (q.select("_qid", "token", "_qtf", lp.alias("_lp"))
+              .groupBy("_qid")
+              .agg(F.sum(F.col("_qtf") * F.col("_lp")).alias("_qconst"),
+                   F.sum("_qtf").alias("_qlen")))
+    qterms = q.select("_qid", "token", "_qtf",
+                      (F.lit(mu) * F.col("_cf") / F.col("_c"))
+                      .alias("_mup"), lp.alias("_lp"))
+    delta = (qterms.join(tf, "token")
+             .select("_qid", F.col(id_col),
+                     (F.col("_qtf")
+                      * F.round(F.log(F.col("_tf") + F.col("_mup"))
+                                - F.col("_lp"), 9)).alias("_d"))
+             .groupBy("_qid", id_col)
+             .agg(F.sum("_d").alias("_dsum")))
+    scored = (delta.join(dl, id_col)
+              .join(F.broadcast(qstats), "_qid")
+              .select("_qid", F.col(id_col),
+                      F.round(F.col("_qconst") + F.col("_dsum")
+                              - F.col("_qlen")
+                              * F.round(F.log(F.col("_dl") + F.lit(mu)),
+                                        9), 6).alias("score")))
+    w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(F.col("_qid").alias(qid_col), id_col, "score", "rank"))

@@ -147,7 +147,7 @@ _PRIORITY = [
     "bloom_contamination",
     "cohort_retention",
     "dedup_levenshtein_prefix",
-    # (Window full at 50.  r11 STOCK, in priority order: (a) the 29
+    # (Window full at 50.  r11 STOCK, in priority order: (a) the 31
     # round-10 additions, never driver-checked -- er_fuzzy_match_multipass,
     # eval_anova_f, eval_kruskal_wallis, eval_cochran_q,
     # stats_theil_index, stats_trimmed_mean, ts_mann_kendall,
@@ -158,8 +158,9 @@ _PRIORITY = [
     # ts_seasonal_strength, graph_edge_embeddedness, stats_grubbs_test,
     # stats_jarque_bera, ts_periodogram_dow, event_survival_rmst,
     # event_uplift_by_decile, emb_epsilon_components_scaled,
-    # dedup_allpairs_exact, er_fellegi_sunter, ts_holt_linear
-    # (29 round-10 additions total); (b) 21
+    # dedup_allpairs_exact, er_fellegi_sunter, ts_holt_linear,
+    # stats_benjamini_hochberg, retrieval_query_likelihood
+    # (31 round-10 additions total); (b) 19
     # slots from the oldest remaining r03 cohort (alphabetical from:
     # approx_distinct, approx_quantiles (rows-only), dedup_span_profile,
     # dq_expectations, fm_predict, funnel_view_click_purchase,

@@ -604,3 +604,117 @@ def stats_jarque_bera(spark, sf):
                               * (skew * skew
                                  + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6)
                       .alias("jb_stat")))
+
+
+def _two_sided_p_sql(z: str) -> str:
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) via the
+    Abramowitz-Stegun 26.2.17 rational approximation (|err| < 7.5e-8),
+    written with only *, +, abs, exp and decimal literals so the
+    IDENTICAL expression string parses and evaluates in Spark SQL and
+    DuckDB — the closed-form normal tail neither engine ships as a
+    builtin.  0.3989422804014327 is 1/sqrt(2*pi)."""
+    a = f"abs({z})"
+    k = f"(1.0 / (1.0 + 0.2316419 * {a}))"
+    poly = (f"({k} * (0.31938153 + {k} * (-0.356563782 + {k} * "
+            f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))")
+    pdf = f"(0.3989422804014327 * exp(-0.5 * {a} * {a}))"
+    return f"least(1.0, 2.0 * {pdf} * {poly})"
+
+
+_BH_CELLS = """
+    cents AS (SELECT event_type AS et, dayofweek(ts) + 1 AS dow,
+                     CAST(round(value * 100) AS BIGINT) AS cent
+              FROM events WHERE value IS NOT NULL),
+    cell AS (SELECT et, dow, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(cent) AS DECIMAL(38,0)) AS s1,
+                    CAST(sum(cent * cent) AS DECIMAL(38,0)) AS s2
+             FROM cents GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(s1) AS DECIMAL(38,0)) AS ts1,
+                   CAST(sum(s2) AS DECIMAL(38,0)) AS ts2,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM cell),
+    zed AS (SELECT et, dow, n, m,
+                   round((CAST(s1 AS DOUBLE) / n
+                          - CAST(ts1 AS DOUBLE) / tn)
+                         / sqrt((CAST(ts2 AS DOUBLE) / tn
+                                 - (CAST(ts1 AS DOUBLE) / tn)
+                                   * (CAST(ts1 AS DOUBLE) / tn)) / n),
+                         6) AS z
+            FROM cell, tot),
+    pv AS (SELECT et, dow, n, m, z, round({P}, 9) AS p FROM zed),
+    ranked AS (SELECT *, CAST(row_number() OVER
+                                (ORDER BY p, et, dow) AS BIGINT) AS rk
+               FROM pv),
+    adj AS (SELECT *, round(least(min(p * m / rk) OVER
+                                    (ORDER BY rk DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 1.0), 9) AS p_adj
+            FROM ranked)
+"""
+
+
+@query(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH {_BH_CELLS.replace("{P}", _two_sided_p_sql("z"))}
+    SELECT et AS event_type, CAST(dow AS BIGINT) AS dow, n,
+           z, p, rk AS p_rank, p_adj,
+           CAST(CASE WHEN p_adj <= 0.1 THEN 1 ELSE 0 END AS INT)
+             AS rejected
+    FROM adj
+    """)
+def stats_benjamini_hochberg(spark, sf):
+    """Benjamini-Hochberg FDR correction over a 35-test battery (every
+    event_type x weekday cell's mean-vs-global z-test): the multiple-
+    testing step every experimentation platform runs before declaring
+    winners, here with p-values from the shared Abramowitz-Stegun
+    normal-tail fragment (_two_sided_p_sql — the SAME expression
+    string evaluates in both engines) and the step-up adjustment
+    p_adj_i = min_{{j>=i}} p_j * m / j as a reverse running min.
+    Engine-exactness: z is one double formula over exact integer-cent
+    moments, rounded BEFORE the p transform; BH ranks on the rounded p
+    with a total (p, et, dow) order.  The two global windows run over
+    the CELL grain (35 = 5 types x 7 weekdays rows, data-independent
+    at scale) — the battery relation, not the event stream."""
+    events = T(spark, sf, "events")
+    cents = (events.filter(F.col("value").isNotNull())
+             .select(F.col("event_type").alias("et"),
+                     F.dayofweek("ts").alias("dow"),
+                     F.round(F.col("value") * 100)
+                     .cast("bigint").alias("cent")))
+    cell = (cents.groupBy("et", "dow")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("cent").cast("decimal(38,0)").alias("s1"),
+                 F.sum(F.col("cent") * F.col("cent"))
+                 .cast("decimal(38,0)").alias("s2")))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("tn"),
+                   F.sum("s1").cast("decimal(38,0)").alias("ts1"),
+                   F.sum("s2").cast("decimal(38,0)").alias("ts2"),
+                   F.count("*").cast("bigint").alias("m"))
+    zed = (cell.crossJoin(F.broadcast(tot))
+           .select("et", "dow", "n", "m",
+                   F.round((F.col("s1").cast("double") / F.col("n")
+                            - F.col("ts1").cast("double") / F.col("tn"))
+                           / F.sqrt((F.col("ts2").cast("double")
+                                     / F.col("tn")
+                                     - (F.col("ts1").cast("double")
+                                        / F.col("tn"))
+                                     * (F.col("ts1").cast("double")
+                                        / F.col("tn"))) / F.col("n")),
+                           6).alias("z")))
+    pv = zed.withColumn("p", F.round(F.expr(_two_sided_p_sql("z")), 9))
+    ranked = pv.withColumn(
+        "rk", F.row_number().over(Window.orderBy("p", "et", "dow"))
+        .cast("bigint"))
+    wrev = (Window.orderBy(F.desc("rk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    adj = ranked.withColumn(
+        "p_adj",
+        F.round(F.least(F.min(F.col("p") * F.col("m") / F.col("rk"))
+                        .over(wrev), F.lit(1.0)), 9))
+    return adj.select(F.col("et").alias("event_type"),
+                      F.col("dow").cast("bigint").alias("dow"), "n",
+                      "z", "p", F.col("rk").alias("p_rank"), "p_adj",
+                      F.when(F.col("p_adj") <= 0.1, 1).otherwise(0)
+                      .cast("int").alias("rejected"))

@@ -732,6 +732,74 @@ def text_bm25_topk(spark, sf):
 
 
 @query(
+    "retrieval_query_likelihood",
+    oracle="""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tk2 GROUP BY doc_id),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tk2
+           GROUP BY doc_id, token),
+    cf AS (SELECT token, count(*) AS cf FROM tk2 GROUP BY token),
+    tot AS (SELECT count(*) AS c FROM tk2),
+    qraw AS (SELECT doc_id AS qid,
+                    unnest((string_split(text, ' '))[1:5]) AS token
+             FROM documents WHERE doc_id % 97 = 0),
+    q AS (SELECT qid, token, count(*) AS qtf FROM qraw
+          WHERE token <> '' GROUP BY 1, 2),
+    qj AS (SELECT q.qid, q.token, q.qtf,
+                  round(ln(30.0 * cf.cf / tot.c), 9) AS lp,
+                  30.0 * cf.cf / tot.c AS mup
+           FROM q JOIN cf USING (token) CROSS JOIN tot),
+    qs AS (SELECT qid, sum(qtf * lp) AS qconst, sum(qtf) AS qlen
+           FROM qj GROUP BY qid),
+    dlt AS (SELECT qj.qid, tf.doc_id,
+                   sum(qj.qtf * round(ln(tf.tf + qj.mup) - qj.lp, 9))
+                     AS dsum
+            FROM qj JOIN tf USING (token) GROUP BY 1, 2),
+    sc AS (SELECT dlt.qid, dlt.doc_id,
+                  round(qs.qconst + dlt.dsum
+                        - qs.qlen * round(ln(dl.dl + 30.0), 9), 6)
+                    AS score
+           FROM dlt JOIN dl USING (doc_id) JOIN qs USING (qid))
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+           score,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM sc QUALIFY rank <= 5
+    """)
+def retrieval_query_likelihood(spark, sf):
+    """Dirichlet-smoothed query-likelihood retrieval
+    (fmx.operators.text.dirichlet_ql_topk, mu=30, k=5), MULTI-QUERY:
+    every 97th document's first 5 tokens form a query, and ONE plan
+    scores the whole query set via the sparse decomposition (per-query
+    smoothing constant + postings-join delta - per-doc length term) —
+    the language-model ranking function beside text_bm25_topk's tf-idf
+    one, and the second lexical leg for ann_hybrid_rrf-style fusion.
+    (On THIS synthetic corpus — ~80-word near-uniform vocabulary —
+    every query token is common, so the smoothing/length terms rightly
+    dominate and the source doc holds no special rank: the oracle hash
+    certifies the scoring math, not retrieval quality, which needs the
+    discriminative vocabularies real corpora have.)  Per-term ln
+    summands round to 9dp before summation, scores to 6dp before the
+    per-query (score desc, doc_id) rank."""
+    docs = T(spark, sf, "documents")
+    queries = (docs.filter(F.col("doc_id") % 97 == 0)
+               .select(F.col("doc_id").alias("qid"),
+                       F.explode(F.expr("slice(split(text, ' '), 1, 5)"))
+                       .alias("token"))
+               .filter(F.col("token") != "")
+               .groupBy("qid", "token").agg(F.count("*").alias("qtf")))
+    out = X.dirichlet_ql_topk(docs, "doc_id", "text", queries,
+                              "qid", "token", "qtf", mu=30.0, k=5)
+    return out.select(F.col("qid").cast("bigint").alias("qid"),
+                      F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
     "text_cluster_terms",
     oracle="""
     WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token

@@ -286,7 +286,9 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
              "ts_periodogram_dow", "event_survival_rmst",
              "event_uplift_by_decile", "emb_epsilon_components_scaled",
              # second round-10 batch: prefix-filter candidate joins,
-             # smoothed m/u ratios, higher-order-fold recursions
+             # smoothed m/u ratios, higher-order-fold recursions,
+             # reverse-running-min step-up, postings-join LM scoring
              "dedup_allpairs_exact", "er_fellegi_sunter",
-             "ts_holt_linear"]
+             "ts_holt_linear", "stats_benjamini_hochberg",
+             "retrieval_query_likelihood"]
     _assert_partition_invariant(spark, sf_dir, names)

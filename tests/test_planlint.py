@@ -148,6 +148,8 @@ _ALLOWED = {
         "ts_stl_anomaly",          # 1-row median/MAD broadcasts
         "dedup_weighted_jaccard",  # 1-row corpus-size broadcast (IDF)
         "er_fellegi_sunter",       # 1-row m/u-stats broadcast onto <=2^k patterns
+        "stats_benjamini_hochberg",  # 1-row global-moments broadcast
+        "retrieval_query_likelihood",  # 1-row corpus-total broadcast
         "text_vocab_coverage_curve",  # 3-row top-k-level broadcast
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
@@ -249,6 +251,9 @@ _ALLOWED = {
                                      # (bounded by the price domain)
         "graph_hits_3iter",          # rank over the top-10 rows only
         "text_burrows_delta",        # rank over the source-pair grain
+        "stats_benjamini_hochberg",  # BH rank + reverse running min over
+                                     # the 35-row test battery (5 types
+                                     # x 7 weekdays, data-independent)
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
