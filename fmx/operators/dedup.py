@@ -25,6 +25,7 @@ __all__ = [
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
     "minhash_cross_pairs", "dedup_keep_best", "containment_pairs",
     "split_leakage", "weighted_jaccard_pairs", "allpairs_prefix_jaccard",
+    "allpairs_prefix_jaccard_canonical",
 ]
 
 
@@ -923,3 +924,64 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
                     (F.col("i") / (F.col("sa") + F.col("sb")
                                    - F.col("i"))).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
+                                      text_col: str, n: int = 3,
+                                      threshold: float = 0.4) -> DataFrame:
+    """CANONICALIZE-THEN-MATCH form of ``allpairs_prefix_jaccard`` —
+    the round-9 blocked-fuzzy-join rewrite reapplied to exact APSS.
+    Jaccard is a function of the shingle SET, so exact-duplicate texts
+    are interchangeable: collapse the corpus to one representative per
+    distinct text (md5 groupBy — the dedup_exact shuffle), run prefix-
+    filtered APSS on representatives only, then fan verdicts back to
+    row grain through plain equi-joins: cross-group pairs lift to
+    every member combination, and groups of m > 1 duplicates
+    contribute their C(m, 2) within-group pairs at jaccard = 1.0.  The
+    output is ROW-IDENTICAL to the uncanonicalized operator (same
+    (id_a, id_b, jaccard) set — the oracle-hash proves it); the
+    candidate join now scales with DISTINCT-text pairs instead of doc
+    pairs.  This round's 10x experiment measured why that matters:
+    verbatim duplication inflates prefix-candidate volume
+    quadratically (574k -> 64.8M candidates, alpha 1.32), which is
+    also the standard pipeline argument for running exact dedup BEFORE
+    any near-dup pass.
+
+    Exactness guards: a within-group pair exists in the original
+    output only if the shared text HAS shingles (< n tokens yields
+    none and can never pair), so empty-shingle groups emit nothing;
+    cross-group ids re-order through least/greatest to preserve the
+    id_a < id_b contract.
+    """
+    canon = df.select(F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_text"),
+                      F.md5(F.col(text_col)).alias("_h"))
+    groups = canon.groupBy("_h").agg(F.min("_id").alias("_rep"),
+                                     F.count("*").alias("_m"))
+    reps = (canon.join(groups, "_h")
+            .filter(F.col("_id") == F.col("_rep"))
+            .select(F.col("_rep").alias("_rid"), "_text"))
+    rp = allpairs_prefix_jaccard(reps, "_rid", "_text",
+                                 n=n, threshold=threshold)
+    mem = canon.join(groups, "_h").select("_rep", "_id")
+    ma = mem.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ia"))
+    mb = mem.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_ib"))
+    cross = (rp.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("_ia", "_ib").cast("bigint").alias("id_a"),
+                     F.greatest("_ia", "_ib").cast("bigint").alias("id_b"),
+                     "jaccard"))
+    # within-group pairs: identical shingle sets, J = 1.0 — but only
+    # for texts that HAVE shingles (the < n-token guard above)
+    shingled = (word_shingles(reps, "_rid", "_text", n=n)
+                .select(F.col("_rid").alias("_rep")).distinct())
+    dup = (mem.join(shingled, "_rep")
+           .withColumnRenamed("_id", "_ia"))
+    within = (dup.join(mem.join(shingled, "_rep")
+                       .withColumnRenamed("_id", "_ib"), "_rep")
+              .filter(F.col("_ia") < F.col("_ib"))
+              .select(F.col("_ia").cast("bigint").alias("id_a"),
+                      F.col("_ib").cast("bigint").alias("id_b"),
+                      F.lit(1.0).alias("jaccard")))
+    if threshold > 1.0:
+        return cross
+    return cross.unionAll(within)

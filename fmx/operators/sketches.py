@@ -28,7 +28,8 @@ __all__ = ["hist_quantiles", "hist_quantiles_sql",
            "hll_hash_sql", "hll_rank_sql", "hll_est_sql",
            "HLL_B", "HLL_M", "HLL_ALPHA",
            "cms_state", "cms_estimate", "CMS_D", "CMS_W",
-           "bloom_bits", "bloom_probe", "BLOOM_M", "BLOOM_K"]
+           "bloom_bits", "bloom_probe", "BLOOM_M", "BLOOM_K",
+           "kmv_intersection", "KMV_K", "KMV_M"]
 
 HLL_B = 6                 # register index bits
 HLL_M = 1 << HLL_B        # 64 registers
@@ -493,3 +494,68 @@ def hll_overlap(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
         F.round(eu).cast("bigint").alias("n_union"),
         F.round(inter).cast("bigint").alias("n_intersect"),
         F.round(F.round(inter) / F.round(eu), 6).alias("jaccard"))
+
+
+KMV_K = 32                       # sketch size (k minimum values)
+KMV_M = float(1 << 60)           # hash domain: 15 hex chars = 60 bits
+
+
+def kmv_intersection(a: DataFrame, b: DataFrame, value_col: str,
+                     k: int = KMV_K, tag: str = "kmv") -> DataFrame:
+    """Theta-sketch-style INTERSECTION cardinality from two KMV
+    (k-minimum-values) sketches (Beyer et al., SIGMOD'07; the
+    DataSketches theta family): each side keeps its ``k`` smallest
+    distinct 60-bit md5 hashes, theta = min of the two per-side
+    thresholds (a side's k-th minimum when saturated, else the full
+    hash domain M), and
+
+        |A intersect B|  ~=  |{h in S_A ^ S_B : h < theta}| * M / theta
+
+    — the direct common-hash count that ``hll_overlap``'s
+    inclusion-exclusion cannot match for small intersections of large
+    sets (HLL subtracts two big noisy estimates; KMV counts shared
+    evidence).  When NEITHER side saturates, theta = M and the
+    estimate is exactly the true intersection — the sketch degrades to
+    the exact set, a property the oracle exercises at small SF.
+
+    Returns one row: (n_a, n_b, exact_common, kmv_estimate,
+    theta_saturated).  exact_common is the eval readout (same contract
+    as dedup_minhash_estimate_error: at 100 TB you ship only the
+    sketch path — per-side top-k runs as per-partition k-row heaps
+    (TakeOrderedAndProject), the state is k numbers per side, and
+    sketches merge by keeping the k smallest of the union).
+    Deterministic: md5 arithmetic replayed identically by any engine.
+    """
+    k = int(k)
+    da = a.select(F.col(value_col).alias("_v")).distinct()
+    db = b.select(F.col(value_col).alias("_v")).distinct()
+    ha = da.select(_md5_long(F.col("_v"), f"{tag}:").alias("h"))
+    hb = db.select(_md5_long(F.col("_v"), f"{tag}:").alias("h"))
+    sa, sb = ha.orderBy("h").limit(k), hb.orderBy("h").limit(k)
+    tha = sa.agg(
+        F.when(F.count("*") >= k, F.max("h").cast("double"))
+        .otherwise(F.lit(KMV_M)).alias("_tha"))
+    thb = sb.agg(
+        F.when(F.count("*") >= k, F.max("h").cast("double"))
+        .otherwise(F.lit(KMV_M)).alias("_thb"))
+    th = (tha.crossJoin(F.broadcast(thb))
+          .select(F.least("_tha", "_thb").alias("_theta")))
+    common = (sa.join(sb, "h")
+              .crossJoin(F.broadcast(th))
+              .filter(F.col("h") < F.col("_theta"))
+              .agg(F.count("*").alias("_c")))   # count-only: an empty
+    # intersection must not null out theta, which re-enters below
+    na = da.agg(F.count("*").cast("bigint").alias("n_a"))
+    nb = db.agg(F.count("*").cast("bigint").alias("n_b"))
+    exact = (da.join(db, "_v")
+             .agg(F.count("*").cast("bigint").alias("exact_common")))
+    est = F.round(F.col("_c") * F.lit(KMV_M) / F.col("_theta")) \
+           .cast("bigint")
+    return (na.crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(common))
+            .crossJoin(F.broadcast(th))
+            .select("n_a", "n_b", "exact_common",
+                    est.alias("kmv_estimate"),
+                    F.when(F.col("_theta") < F.lit(KMV_M), 1).otherwise(0)
+                    .cast("int").alias("theta_saturated")))

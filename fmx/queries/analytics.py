@@ -5986,6 +5986,74 @@ def graph_rectangle_count(spark, sf):
                     "n_rectangles"))
 
 
+RECT_CAP = 64
+
+
+@query(
+    "graph_rectangle_count_capped",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    undc AS (SELECT node, nbr FROM und
+             QUALIFY row_number() OVER (PARTITION BY node
+                                        ORDER BY nbr) <= {RECT_CAP}),
+    wedge AS (SELECT a.nbr AS u, b.nbr AS v,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM undc a JOIN undc b
+                ON a.node = b.node AND a.nbr < b.nbr
+              GROUP BY 1, 2),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM undc GROUP BY node)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM undc) AS BIGINT) AS n_adj,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT)
+               AS n_wedges,
+           CAST((SELECT count(*) FROM wedge WHERE cn >= 2) AS BIGINT)
+               AS n_copaired,
+           CAST((SELECT sum(cn * (cn - 1) / 2) FROM wedge) AS BIGINT)
+               AS n_rectangles
+    """)
+def graph_rectangle_count_capped(spark, sf):
+    """Degree-capped rectangle census — the DECLARED 100 TB scale path
+    for graph_rectangle_count (the emb_epsilon_components_scaled
+    pattern: a re-parameterized variant, not a silent retune).  The
+    exact census costs Theta(wedges) = sum C(deg, 2); this round's 10x
+    experiment measured wedges growing 148M -> 1.48B (exactly linear,
+    but a >90-min local straggler — SCALE.md round-10 table), so the
+    shipping mitigation bounds per-center fan-out FIRST: each center
+    keeps its RECT_CAP=64 smallest-id neighbors (deterministic, one
+    per-node window — never global), making wedge volume <=
+    nodes * C(cap, 2) by construction.  Semantics: the EXACT census of
+    the capped adjacency subgraph (a deterministic subgraph statistic
+    and a lower bound on the full census — exact wherever deg <= cap),
+    the same contract as the 32-item basket cap already applied at
+    ingest."""
+    und = _copurchase_edges(spark, sf)
+    und = (und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionAll(und.select(F.col("dst").alias("node"),
+                                F.col("src").alias("nbr"))))
+    wcap = Window.partitionBy("node").orderBy("nbr")
+    undc = (und.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= RECT_CAP).drop("_rn"))
+    a, b = undc.alias("a"), undc.alias("b")
+    wedge = (a.join(b, (F.col("a.node") == F.col("b.node"))
+                    & (F.col("a.nbr") < F.col("b.nbr")))
+             .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+             .agg(F.count("*").cast(BIG).alias("cn")))
+    deg = undc.groupBy("node").agg(F.count("*").cast(BIG).alias("d"))
+    nn = deg.agg(F.count("*").cast(BIG).alias("n_nodes"),
+                 F.sum(F.col("d") * (F.col("d") - 1) / 2).cast(BIG)
+                 .alias("n_wedges"))
+    na = undc.agg(F.count("*").cast(BIG).alias("n_adj"))
+    rect = wedge.agg(
+        F.sum(F.when(F.col("cn") >= 2, 1).otherwise(0)).cast(BIG)
+        .alias("n_copaired"),
+        F.sum(F.col("cn") * (F.col("cn") - 1) / 2).cast(BIG)
+        .alias("n_rectangles"))
+    return (nn.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(rect))
+            .select("n_nodes", "n_adj", "n_wedges", "n_copaired",
+                    "n_rectangles"))
+
+
 @query(
     "graph_edge_embeddedness",
     oracle=f"""

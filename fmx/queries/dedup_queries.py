@@ -118,6 +118,8 @@ APSS_T = 0.4
 
 @query(
     "dedup_allpairs_exact",
+    headline=True,   # r10: exact-APSS flagship — prefix-filter plan vs
+                     # the naive unbounded join the oracle spells out
     oracle=f"""
     WITH {_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -149,6 +151,44 @@ def dedup_allpairs_exact(spark, sf):
     out = D.allpairs_prefix_jaccard(T(spark, sf, "documents"),
                                     "doc_id", "text",
                                     n=SHINGLE_N, threshold=APSS_T)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "dedup_allpairs_canonical",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   i * 1.0 / (s1.n_sh + s2.n_sh - i) AS jaccard
+            FROM inter JOIN sizes s1 ON id_a = s1.doc_id
+                       JOIN sizes s2 ON id_b = s2.doc_id)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM jac WHERE jaccard >= {APSS_T}
+    """)
+def dedup_allpairs_canonical(spark, sf):
+    """Canonicalize-then-match exact APSS
+    (fmx.operators.dedup.allpairs_prefix_jaccard_canonical): collapse
+    exact-duplicate texts to one representative (md5 groupBy), run the
+    prefix-filtered all-pairs join on representatives only, and fan
+    verdicts back to row grain — within-group duplicate pairs re-enter
+    at jaccard = 1.0, cross-group pairs lift through member equi-joins.
+    The oracle is IDENTICAL to dedup_allpairs_exact's naive unbounded
+    SQL: hash-equality proves the rewrite returns the same rows while
+    its candidate join scales with DISTINCT texts (this round's 10x
+    experiment measured the uncanonicalized candidate volume growing
+    574k -> 64.8M, alpha 1.32, under verbatim duplication — and why
+    exact dedup runs before near-dup in every production pipeline)."""
+    from pyspark.sql import functions as F
+    out = D.allpairs_prefix_jaccard_canonical(
+        T(spark, sf, "documents"), "doc_id", "text",
+        n=SHINGLE_N, threshold=APSS_T)
     return out.select("id_a", "id_b",
                       F.round("jaccard", 6).alias("jaccard"))
 
@@ -857,6 +897,119 @@ def er_fellegi_sunter(spark, sf):
         F.expr("substring(c_name, length(c_name)-1, 2)").alias("tail"))
     cands = (probes.join(clean,
                          probes["nation_p"] == clean["c_nationkey"])
+             .select((F.col("seg_p") == F.col("c_mktsegment"))
+                     .cast("int").alias("a_seg"),
+                     (F.col("band_p") == F.col("band"))
+                     .cast("int").alias("a_band"),
+                     (F.col("tail_p") == F.col("tail"))
+                     .cast("int").alias("a_tail"),
+                     (F.col("probe_id") == F.col("c_custkey"))
+                     .cast("int").alias("lbl")))
+    out = fellegi_sunter_weights(cands, ["a_seg", "a_band", "a_tail"],
+                                 "lbl")
+    return out.select("pattern", "a_seg", "a_band", "a_tail",
+                      "n_pairs", "n_true",
+                      F.round("weight", 6).alias("weight"))
+
+
+@query(
+    "er_fellegi_sunter_scaled",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_id,
+             (c_nationkey + CASE WHEN c_custkey % 5 = 0
+                                 THEN 1 ELSE 0 END) % 25 AS nation_p,
+             CASE WHEN c_custkey % 7 = 0 THEN reverse(c_mktsegment)
+                  ELSE c_mktsegment END AS seg_p,
+             CAST(floor(c_acctbal / 500.0) AS BIGINT)
+               + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS band_p,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN reverse(substring(c_name, length(c_name) - 1, 2))
+                  ELSE substring(c_name, length(c_name) - 1, 2)
+             END AS tail_p
+      FROM customer),
+    clean AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
+             substring(c_name, length(c_name) - 1, 2) AS tail
+      FROM customer),
+    cand AS (
+      SELECT CASE WHEN p.seg_p = c.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
+             CASE WHEN p.band_p = c.band THEN 1 ELSE 0 END AS a_band,
+             CASE WHEN p.tail_p = c.tail THEN 1 ELSE 0 END AS a_tail,
+             CASE WHEN p.probe_id = c.c_custkey THEN 1 ELSE 0 END AS lbl
+      FROM probes p JOIN clean c ON p.nation_p = c.c_nationkey
+                                AND p.tail_p = c.tail),
+    mu AS (
+      SELECT (sum(a_seg * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_seg,
+             (sum(a_seg * (1 - lbl)) + 0.5) * 1.0
+               / (sum(1 - lbl) + 1.0) AS u_seg,
+             (sum(a_band * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_band,
+             (sum(a_band * (1 - lbl)) + 0.5) * 1.0
+               / (sum(1 - lbl) + 1.0) AS u_band,
+             (sum(a_tail * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_tail,
+             (sum(a_tail * (1 - lbl)) + 0.5) * 1.0
+               / (sum(1 - lbl) + 1.0) AS u_tail
+      FROM cand),
+    pat AS (
+      SELECT a_seg, a_band, a_tail,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(lbl) AS BIGINT) AS n_true
+      FROM cand GROUP BY 1, 2, 3)
+    SELECT concat(CAST(a_seg AS VARCHAR), CAST(a_band AS VARCHAR),
+                  CAST(a_tail AS VARCHAR)) AS pattern,
+           CAST(a_seg AS INT) AS a_seg, CAST(a_band AS INT) AS a_band,
+           CAST(a_tail AS INT) AS a_tail, n_pairs, n_true,
+           round(CASE WHEN a_seg = 1 THEN log2(m_seg / u_seg)
+                      ELSE log2((1 - m_seg) / (1 - u_seg)) END
+               + CASE WHEN a_band = 1 THEN log2(m_band / u_band)
+                      ELSE log2((1 - m_band) / (1 - u_band)) END
+               + CASE WHEN a_tail = 1 THEN log2(m_tail / u_tail)
+                      ELSE log2((1 - m_tail) / (1 - u_tail)) END,
+                 6) AS weight
+    FROM pat, mu
+    """)
+def er_fellegi_sunter_scaled(spark, sf):
+    """The DECLARED scale variant of er_fellegi_sunter (the
+    emb_epsilon_components_scaled pattern): this round's 10x
+    experiment measured the nation-only block at alpha 1.82 (3.3 s ->
+    222 s — nation cardinality is FIXED at 25, so in-block pairs grow
+    n^2/25; same sizing law as epsilon-LSH planes: block count must
+    track n^2).  The composite block key (nation_p, tail_p) multiplies
+    block cardinality by the ~100-value name tail, cutting candidate
+    pairs 100x at any n.  Two declared consequences, both textbook
+    Fellegi-Sunter: recall now also loses tail-corrupted probes
+    (custkey%11 — single-pass blocking recall, fixable by a second
+    pass on another key), and the tail field becomes near-degenerate
+    EVIDENCE (u_tail ~ 1 inside tail-blocked candidates; Laplace
+    smoothing keeps its weight finite and near zero) — blocking on a
+    field spends its discriminating power, which is why production
+    linkage blocks on one key and scores on the OTHERS."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.linkage import fellegi_sunter_weights
+
+    cust = T(spark, sf, "customer")
+    tail = F.expr("substring(c_name, length(c_name)-1, 2)")
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        ((F.col("c_nationkey")
+          + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)) % 25)
+        .alias("nation_p"),
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg_p"),
+        (F.floor(F.col("c_acctbal") / 500.0).cast("bigint")
+         + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
+        .alias("band_p"),
+        F.when(F.col("c_custkey") % 11 == 0, F.reverse(tail))
+        .otherwise(tail).alias("tail_p"))
+    clean = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("band"),
+        tail.alias("tail"))
+    cands = (probes.join(clean,
+                         (probes["nation_p"] == clean["c_nationkey"])
+                         & (probes["tail_p"] == clean["tail"]))
              .select((F.col("seg_p") == F.col("c_mktsegment"))
                      .cast("int").alias("a_seg"),
                      (F.col("band_p") == F.col("band"))

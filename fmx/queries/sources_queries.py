@@ -262,6 +262,64 @@ def approx_distinct_hll(spark, sf):
     return hll_distinct(T(spark, sf, "events"), "event_type", "user_id")
 
 
+def _kmv_oracle() -> str:
+    from fmx.operators.sketches import KMV_K, KMV_M
+    m = repr(KMV_M)
+    h = ("CAST(concat('0x', substring(md5(concat('kmv:', "
+         "CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)")
+    return f"""
+    WITH ua AS (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'click'),
+    ub AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase'),
+    ha AS (SELECT {h} AS h FROM ua),
+    hb AS (SELECT {h} AS h FROM ub),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+    tha AS (SELECT CASE WHEN count(*) >= {KMV_K}
+                        THEN CAST(max(h) AS DOUBLE)
+                        ELSE {m} END AS th FROM sa),
+    thb AS (SELECT CASE WHEN count(*) >= {KMV_K}
+                        THEN CAST(max(h) AS DOUBLE)
+                        ELSE {m} END AS th FROM sb),
+    th AS (SELECT least(tha.th, thb.th) AS theta FROM tha, thb),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS c
+          FROM sa JOIN sb USING (h), th WHERE h < th.theta),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ua),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM ub),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_common
+           FROM ua JOIN ub USING (user_id))
+    SELECT n_a, n_b, exact_common,
+           CAST(round(c * {m} / theta) AS BIGINT) AS kmv_estimate,
+           CAST(CASE WHEN theta < {m} THEN 1 ELSE 0 END AS INT)
+             AS theta_saturated
+    FROM na, nb, ex, c, th
+    """
+
+
+@query("sketch_kmv_intersection", oracle=_kmv_oracle())
+def sketch_kmv_intersection(spark, sf):
+    """Theta-sketch-style intersection cardinality of click-users x
+    purchase-users from two k=32 KMV sketches
+    (fmx.operators.sketches.kmv_intersection): each side keeps its k
+    smallest md5 hashes (per-partition heaps — TakeOrderedAndProject,
+    never a global sort), theta = min of the per-side thresholds, and
+    the estimate counts COMMON hashes below theta scaled by M/theta —
+    the direct shared-evidence count that HLL inclusion-exclusion
+    (`stickiness_from_hll_registers`'s trick) cannot match for small
+    intersections of large sets.  Unsaturated sides degrade to exact
+    sets (theta = M), which the sf0.001 run exercises; exact_common is
+    the eval readout, dropped at 100 TB where only the k-number-per-
+    side state ships and merges."""
+    from fmx.operators.sketches import kmv_intersection
+
+    ev = T(spark, sf, "events")
+    return kmv_intersection(
+        ev.filter(F.col("event_type") == "click").select("user_id"),
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id")
+
+
 def _hist_quantile_oracle() -> str:
     from fmx.operators.sketches import hist_quantiles_sql
     return ("WITH src AS (SELECT l_returnflag, l_extendedprice "
@@ -384,9 +442,10 @@ _JSONL_ROUNDTRIP_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
-@query(
-    "s5_jsonl_roundtrip",
-    oracle="""
+# shared roundtrip checksum contract: the oracle folds the parquet
+# ORIGINALS, the Spark side folds the re-read export — value equality
+# proves the format round-trips every column type (s5 JSONL, s6 ORC)
+_EVENTS_CHECKSUM_ORACLE = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(event_id) AS BIGINT) AS sum_event_id,
            CAST(sum(user_id) AS BIGINT) AS sum_user_id,
@@ -400,7 +459,29 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
            strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
     FROM events
-    """)
+    """
+
+
+def _events_checksum_agg(back):
+    """Spark twin of _EVENTS_CHECKSUM_ORACLE over a re-read export."""
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.sum("user_id").cast("bigint").alias("sum_user_id"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint").alias("sum_value_cents"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        F.sum(F.unix_micros("ts") % 86400000000).cast("bigint")
+        .alias("sum_day_micros"),
+        F.sum(F.length("props")).cast("bigint").alias("sum_props_len"),
+        F.count_distinct("props").cast("bigint").alias("n_props"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("min_ts"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("max_ts"))
+
+
+@query(
+    "s5_jsonl_roundtrip",
+    oracle=_EVENTS_CHECKSUM_ORACLE)
 def s5_jsonl_roundtrip(spark, sf):
     """JSONL round-trip (fmx.sources.sinks write_jsonl/read_jsonl — the
     interchange format LLM-data tooling speaks): export events as
@@ -434,16 +515,31 @@ def s5_jsonl_roundtrip(spark, sf):
     ])
     back = (read_jsonl(spark, path, schema=schema)
             .withColumn("ts", F.to_timestamp("ts", _TS_FMT)))
-    return back.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.sum("event_id").cast("bigint").alias("sum_event_id"),
-        F.sum("user_id").cast("bigint").alias("sum_user_id"),
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
-        .cast("bigint").alias("sum_value_cents"),
-        F.count_distinct("event_type").cast("bigint").alias("n_types"),
-        F.sum(F.unix_micros("ts") % 86400000000).cast("bigint")
-        .alias("sum_day_micros"),
-        F.sum(F.length("props")).cast("bigint").alias("sum_props_len"),
-        F.count_distinct("props").cast("bigint").alias("n_props"),
-        F.date_format(F.min("ts"), _TS_FMT).alias("min_ts"),
-        F.date_format(F.max("ts"), _TS_FMT).alias("max_ts"))
+    return _events_checksum_agg(back)
+
+
+_ORC_ROUNDTRIP_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse",
+    "_s6_orc_roundtrip")
+
+
+@query(
+    "s6_orc_roundtrip",
+    oracle=_EVENTS_CHECKSUM_ORACLE)
+def s6_orc_roundtrip(spark, sf):
+    """ORC round-trip: export events to ORC (the columnar format the
+    Hive/Trino side of a lakehouse still speaks), read it back, and
+    fold to the same integer checksums + microsecond timestamp bounds
+    the oracle computes from the parquet originals — value equality
+    proves ORC round-trips longs, doubles, strings, and
+    MICROSECOND-precision timestamps natively (no string re-encoding
+    needed, unlike s5's JSONL where the default format silently keeps
+    millis).  The read needs no schema argument: ORC embeds its schema
+    in the file footer, so there is no inference pass to go wrong.
+    Same declared, memoized export side effect as s1/s5."""
+    ev = T(spark, sf, "events")
+    path = os.path.join(_ORC_ROUNDTRIP_DIR,
+                        os.path.basename(os.path.normpath(sf)))
+    _memoized_export(os.path.join(sf, "events.parquet"), path,
+                     lambda: ev.write.mode("overwrite").orc(path))
+    return _events_checksum_agg(spark.read.orc(path))

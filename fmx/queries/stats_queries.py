@@ -718,3 +718,120 @@ def stats_benjamini_hochberg(spark, sf):
                       "z", "p", F.col("rk").alias("p_rank"), "p_adj",
                       F.when(F.col("p_adj") <= 0.1, 1).otherwise(0)
                       .cast("int").alias("rejected"))
+
+
+MSPRT_TAU2 = 0.0001      # mixture prior variance (tau = 0.01)
+
+
+@query(
+    "eval_msprt_always_valid",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(user_id % 2 AS INT) AS v,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    cum AS (SELECT day, v,
+                   sum(n) OVER (PARTITION BY v ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cn,
+                   sum(x) OVER (PARTITION BY v ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cx
+            FROM daily),
+    wide AS (SELECT a.day,
+                    CAST(a.cn AS BIGINT) AS n1, CAST(a.cx AS BIGINT) AS x1,
+                    CAST(b.cn AS BIGINT) AS n2, CAST(b.cx AS BIGINT) AS x2
+             FROM cum a JOIN cum b ON a.day = b.day
+             WHERE a.v = 1 AND b.v = 0),
+    lr AS (SELECT day, n1, x1, n2, x2,
+                  round(least(1.0, 1.0 / (
+                    sqrt(((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                          * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                          * (1.0 / n1 + 1.0 / n2))
+                         / (((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                             * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                             * (1.0 / n1 + 1.0 / n2)) + {MSPRT_TAU2}))
+                    * exp((CAST(x1 AS DOUBLE) / n1
+                           - CAST(x2 AS DOUBLE) / n2)
+                          * (CAST(x1 AS DOUBLE) / n1
+                             - CAST(x2 AS DOUBLE) / n2)
+                          * {MSPRT_TAU2}
+                          / (2.0 * ((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                                    * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                                             / (n1 + n2))
+                                    * (1.0 / n1 + 1.0 / n2))
+                             * (((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                                 * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                                          / (n1 + n2))
+                                 * (1.0 / n1 + 1.0 / n2))
+                                + {MSPRT_TAU2}))))), 9) AS p_inst
+           FROM wide)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n1, x1, n2, x2, p_inst,
+           round(min(p_inst) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW), 9) AS p_always,
+           CAST(CASE WHEN min(p_inst) OVER (ORDER BY day
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND CURRENT ROW)
+                          <= 0.05
+                     THEN 1 ELSE 0 END AS INT) AS significant
+    FROM lr
+    """)
+def eval_msprt_always_valid(spark, sf):
+    """Always-valid sequential A/B inference via the mixture SPRT
+    (Johari et al., KDD'17 "Peeking at A/B Tests" — the math behind
+    Optimizely's Stats Engine): user-parity variants, daily CUMULATIVE
+    conversion counts, the normal-mixture likelihood ratio
+
+        LR_t = sqrt(V/(V + tau^2)) * exp(theta^2 tau^2 / (2V(V + tau^2)))
+
+    (theta = p1 - p2, V = pooled p(1-p)(1/n1 + 1/n2), tau^2 = 1e-4),
+    and the always-valid p-value as the RUNNING MIN of 1/LR — the
+    quantity that stays a valid p-value no matter how often the
+    experimenter peeks, unlike the fixed-horizon z-test
+    (eval_proportions_ztest) it complements.  Cumulative counts are
+    exact-integer windows per variant; the LR is one double formula
+    over them written identically in both engines, rounded to 9dp
+    BEFORE the running min so the min ranks identical doubles.  The
+    day-grain windows are calendar-bounded (the cusum discipline)."""
+    events = T(spark, sf, "events")
+    daily = (events.groupBy(F.col("ts").cast("date").alias("day"),
+                            (F.col("user_id") % 2).cast("int").alias("v"))
+             .agg(F.count("*").cast(BIG).alias("n"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast(BIG).alias("x")))
+    wcum = (Window.partitionBy("v").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = daily.select("day", "v",
+                       F.sum("n").over(wcum).alias("cn"),
+                       F.sum("x").over(wcum).alias("cx"))
+    a = (cum.filter(F.col("v") == 1)
+         .select("day", F.col("cn").cast(BIG).alias("n1"),
+                 F.col("cx").cast(BIG).alias("x1")))
+    b = (cum.filter(F.col("v") == 0)
+         .select("day", F.col("cn").cast(BIG).alias("n2"),
+                 F.col("cx").cast(BIG).alias("x2")))
+    wide = a.join(b, "day")
+    pp = F.col("x1").cast("double") + F.col("x2")
+    nn = F.col("n1") + F.col("n2")
+    pbar = pp / nn
+    v = pbar * (1.0 - pbar) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    theta = (F.col("x1").cast("double") / F.col("n1")
+             - F.col("x2").cast("double") / F.col("n2"))
+    tau2 = F.lit(MSPRT_TAU2)
+    lr = (F.sqrt(v / (v + tau2))
+          * F.exp(theta * theta * tau2 / (2.0 * v * (v + tau2))))
+    inst = wide.select("day", "n1", "x1", "n2", "x2",
+                       F.round(F.least(F.lit(1.0), 1.0 / lr), 9)
+                       .alias("p_inst"))
+    wrun = (Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = F.min("p_inst").over(wrun)
+    return inst.select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                       "n1", "x1", "n2", "x2", "p_inst",
+                       F.round(run, 9).alias("p_always"),
+                       F.when(run <= 0.05, 1).otherwise(0)
+                       .cast("int").alias("significant"))

@@ -290,5 +290,8 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
              # reverse-running-min step-up, postings-join LM scoring
              "dedup_allpairs_exact", "er_fellegi_sunter",
              "ts_holt_linear", "stats_benjamini_hochberg",
-             "retrieval_query_likelihood"]
+             "retrieval_query_likelihood", "sketch_kmv_intersection",
+             "eval_msprt_always_valid", "s6_orc_roundtrip",
+             "dedup_allpairs_canonical", "graph_rectangle_count_capped",
+             "er_fellegi_sunter_scaled"]
     _assert_partition_invariant(spark, sf_dir, names)

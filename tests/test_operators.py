@@ -2809,3 +2809,67 @@ def test_holt_linear_drops_singleton_keys(spark):
                                 ("b", 2, 2.0)], ["k", "t", "x"])
     out = holt_linear(df, ["k"], "t", "x").collect()
     assert {r.k for r in out} == {"b"}
+
+
+def test_kmv_intersection_exact_when_unsaturated(spark):
+    """Below k distinct values per side, theta stays at the full hash
+    domain and the estimate IS the exact intersection."""
+    from fmx.operators.sketches import kmv_intersection
+    a = spark.createDataFrame([(i,) for i in range(20)], ["u"])
+    b = spark.createDataFrame([(i,) for i in range(10, 40)], ["u"])
+    r = kmv_intersection(a, b, "u", k=64).collect()[0]
+    assert (r.n_a, r.n_b) == (20, 30)
+    assert r.exact_common == 10 and r.kmv_estimate == 10
+    assert r.theta_saturated == 0
+
+
+def test_kmv_intersection_saturated_estimate_in_range(spark):
+    """Saturated sketches estimate a planted 50% overlap of 4000-element
+    sets within the expected k=32 error band (and never negative)."""
+    from fmx.operators.sketches import kmv_intersection
+    a = spark.createDataFrame([(i,) for i in range(4000)], ["u"])
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], ["u"])
+    r = kmv_intersection(a, b, "u", k=32).collect()[0]
+    assert r.theta_saturated == 1 and r.exact_common == 2000
+    # c ~ Binomial(k, 1/3) at theta: generous 4-sigma band on the scale-up
+    assert 0 < r.kmv_estimate < 3 * r.exact_common
+
+
+def test_kmv_empty_intersection_is_zero_not_null(spark):
+    from fmx.operators.sketches import kmv_intersection
+    a = spark.createDataFrame([(i,) for i in range(100)], ["u"])
+    b = spark.createDataFrame([(i,) for i in range(1000, 1100)], ["u"])
+    r = kmv_intersection(a, b, "u", k=16).collect()[0]
+    assert r.exact_common == 0 and r.kmv_estimate == 0
+
+
+def test_allpairs_canonical_row_identical_with_duplicates(spark, sf_dir):
+    """Canonicalize-then-match returns EXACTLY the plain operator's rows
+    on a corpus salted with verbatim duplicates — the within-group
+    J=1.0 re-entry and the cross-group lift both exercised."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    dups = docs.limit(30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        "lang", "source", "n_chars")
+    corpus = docs.unionAll(dups).select("doc_id", "text")
+    plain = {(r.id_a, r.id_b): round(r.jaccard, 9)
+             for r in D.allpairs_prefix_jaccard(
+                 corpus, "doc_id", "text", n=3, threshold=0.4).collect()}
+    canon = {(r.id_a, r.id_b): round(r.jaccard, 9)
+             for r in D.allpairs_prefix_jaccard_canonical(
+                 corpus, "doc_id", "text", n=3, threshold=0.4).collect()}
+    assert canon == plain
+    assert any(abs(j - 1.0) < 1e-12 for j in canon.values())  # dup pairs
+
+
+def test_allpairs_canonical_short_text_guard(spark):
+    """Duplicate texts with fewer than n tokens have no shingles and
+    must NOT pair — the original operator never emits them."""
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"),
+         (3, "a proper longer document text"),
+         (4, "a proper longer document text")],
+        ["doc_id", "text"])
+    out = D.allpairs_prefix_jaccard_canonical(
+        df, "doc_id", "text", n=3, threshold=0.4).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(3, 4)}

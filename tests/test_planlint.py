@@ -148,8 +148,12 @@ _ALLOWED = {
         "ts_stl_anomaly",          # 1-row median/MAD broadcasts
         "dedup_weighted_jaccard",  # 1-row corpus-size broadcast (IDF)
         "er_fellegi_sunter",       # 1-row m/u-stats broadcast onto <=2^k patterns
+        "er_fellegi_sunter_scaled",  # same 1-row m/u broadcast
         "stats_benjamini_hochberg",  # 1-row global-moments broadcast
         "retrieval_query_likelihood",  # 1-row corpus-total broadcast
+        "sketch_kmv_intersection",   # 1-row sketch-stat broadcasts (theta,
+                                     # counts) assembled into the 1-row readout
+        "graph_rectangle_count_capped",  # 1-row census-aggregate broadcasts
         "text_vocab_coverage_curve",  # 3-row top-k-level broadcast
         "feat_target_rate_curve",      # 1-row cutpoint broadcast
         "text_pmi_bigrams",            # 1-row token/bigram-total broadcast
@@ -178,6 +182,8 @@ _ALLOWED = {
         "event_weekly_stickiness",   # join-key null guard on date_trunc
         "sample_dup_aware_weights",  # join-key null guard on md5(text)
         "er_fellegi_sunter",         # join-key null guard on computed nation_p
+        "er_fellegi_sunter_scaled",  # same guard, composite block key
+        "dedup_allpairs_canonical",  # join-key guard on md5(text) canonical ids
         "stickiness_from_hll_registers",  # join-key guard on date_trunc
         "j8_salted_join_agg", "multimodal_frame_sample",
         "profile_chi2_lang_source", "rolling_7d_active_users",
@@ -254,6 +260,8 @@ _ALLOWED = {
         "stats_benjamini_hochberg",  # BH rank + reverse running min over
                                      # the 35-row test battery (5 types
                                      # x 7 weekdays, data-independent)
+        "eval_msprt_always_valid",   # running min over day-grain rows
+                                     # (calendar-bounded, cusum style)
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",

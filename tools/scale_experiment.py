@@ -88,6 +88,24 @@ def build() -> None:
                        AS p_name,
                    p_brand, p_type, p_size, p_retailprice
             FROM '{SRC}/part.parquet', {reps}""",
+        # graph_hits_3iter input: keys shift together so the
+        # customer->supplier purchase graph stays replica-disjoint
+        "orders": f"""
+            SELECT o_orderkey + r * {OFF} AS o_orderkey,
+                   o_custkey + r * {OFF} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM '{SRC}/orders.parquet', {reps}""",
+        # er_fellegi_sunter input: custkeys shift, but nation /
+        # segment / acctbal / name text are kept VERBATIM — nation
+        # cardinality does not scale with data (the real-world trap),
+        # so replica rows mix inside nation blocks and the experiment
+        # measures the honest quadratic consequence of a fixed-
+        # cardinality blocking key at 10x
+        "customer": f"""
+            SELECT c_custkey + r * {OFF} AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM '{SRC}/customer.parquet', {reps}""",
     }
     for t, sql in specs.items():
         out = os.path.join(DST, f"{t}.parquet")
