@@ -367,3 +367,39 @@ def test_feature_encoders_broadcast_key_table(spark, sf_dir):
              ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in fplan
     assert "SortMergeJoin" not in fplan
+
+
+def test_allpairs_prefix_no_cartesian_no_python(spark, sf_dir):
+    """The exact-APSS headliner must stay an equi-join pipeline: the
+    candidate and verify joins key on shingle / doc id (never a
+    cartesian), the per-doc prefix window is partitioned, and nothing
+    falls off the codegen path into Python."""
+    plan = _plan(spark, sf_dir, "dedup_allpairs_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_allpairs_canonical_same_guarantees(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_allpairs_canonical")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_holt_fold_stays_jvm_side(spark, sf_dir):
+    """The Holt recursion is a single aggregate() higher-order fold:
+    one hash aggregation (collect_list), no window, no Python."""
+    plan = _plan(spark, sf_dir, "ts_holt_linear")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_kmv_topk_uses_per_partition_heaps(spark, sf_dir):
+    """Each KMV sketch's k smallest hashes must come from
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    plan = _plan(spark, sf_dir, "sketch_kmv_intersection")
+    assert "TakeOrderedAndProject" in plan
+    # no standalone global Sort — the registry-wide linter would flag
+    # one as global-sort; this pin keeps the failure local to the query
+    assert "Sort [h" not in plan
