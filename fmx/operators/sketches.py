@@ -29,7 +29,7 @@ __all__ = ["hist_quantiles", "hist_quantiles_sql",
            "HLL_B", "HLL_M", "HLL_ALPHA",
            "cms_state", "cms_estimate", "CMS_D", "CMS_W",
            "bloom_bits", "bloom_probe", "BLOOM_M", "BLOOM_K",
-           "kmv_intersection", "KMV_K", "KMV_M"]
+           "kmv_intersection", "kmv_state", "kmv_merge", "KMV_K", "KMV_M"]
 
 HLL_B = 6                 # register index bits
 HLL_M = 1 << HLL_B        # 64 registers
@@ -559,3 +559,24 @@ def kmv_intersection(a: DataFrame, b: DataFrame, value_col: str,
                     est.alias("kmv_estimate"),
                     F.when(F.col("_theta") < F.lit(KMV_M), 1).otherwise(0)
                     .cast("int").alias("theta_saturated")))
+
+
+def kmv_state(df: DataFrame, value_col: str, k: int = KMV_K,
+              tag: str = "kmv") -> DataFrame:
+    """The KMV sketch STATE for one set: its ``k`` smallest distinct
+    60-bit hashes, as a k-row relation (h) — the persistable,
+    MERGEABLE artifact behind :func:`kmv_intersection`.  Merge rule:
+    the sketch of a union is the k smallest of the union of sketches
+    (``kmv_merge``), so per-partition / per-day / per-batch states
+    fold without revisiting raw data — the same register discipline as
+    hll_registers/cms_state/bloom_bits."""
+    return (df.select(_md5_long(F.col(value_col), f"{tag}:").alias("h"))
+            .distinct().orderBy("h").limit(int(k)))
+
+
+def kmv_merge(states: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Fold any number of unioned KMV states into one: distinct
+    (duplicate hashes across states collapse — they ARE the same
+    element), then the k smallest again.  Associative and commutative;
+    kmv_merge(kmv_state(A) U kmv_state(B)) == kmv_state(A U B)."""
+    return states.select("h").distinct().orderBy("h").limit(int(k))

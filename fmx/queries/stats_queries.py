@@ -835,3 +835,71 @@ def eval_msprt_always_valid(spark, sf):
                        F.round(run, 9).alias("p_always"),
                        F.when(run <= 0.05, 1).otherwise(0)
                        .cast("int").alias("significant"))
+
+
+@query(
+    "stats_p_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(x) AS BIGINT) AS tx FROM daily)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, x,
+           round(CAST(x AS DOUBLE) / n, 6) AS p,
+           round(CAST(tx AS DOUBLE) / tn, 6) AS p_bar,
+           round(CAST(tx AS DOUBLE) / tn
+                 + 3.0 * sqrt((CAST(tx AS DOUBLE) / tn)
+                              * (1.0 - CAST(tx AS DOUBLE) / tn) / n),
+                 6) AS ucl,
+           round(greatest(0.0, CAST(tx AS DOUBLE) / tn
+                 - 3.0 * sqrt((CAST(tx AS DOUBLE) / tn)
+                              * (1.0 - CAST(tx AS DOUBLE) / tn) / n)),
+                 6) AS lcl,
+           CAST(CASE WHEN CAST(x AS DOUBLE) / n
+                          > CAST(tx AS DOUBLE) / tn
+                            + 3.0 * sqrt((CAST(tx AS DOUBLE) / tn)
+                                         * (1.0 - CAST(tx AS DOUBLE) / tn)
+                                         / n)
+                       OR CAST(x AS DOUBLE) / n
+                          < CAST(tx AS DOUBLE) / tn
+                            - 3.0 * sqrt((CAST(tx AS DOUBLE) / tn)
+                                         * (1.0 - CAST(tx AS DOUBLE) / tn)
+                                         / n)
+                     THEN 1 ELSE 0 END AS INT) AS out_of_control
+    FROM daily, tot
+    """)
+def stats_p_chart(spark, sf):
+    """Shewhart p-chart of the daily purchase proportion — the SPC
+    control chart a data-quality monitor runs over ingest streams:
+    centerline p_bar from the full window, 3-sigma binomial limits
+    per day (wider on thin days — the variable-n p-chart, not the
+    fixed-limit np-chart), and an out_of_control flag per point.
+    One day-grain hash agg + a 1-row totals broadcast; limits and
+    flags are single double formulas over exact integer counts
+    (flag comparisons run on UNROUNDED doubles built identically in
+    both engines — rounding first would move points at the limit)."""
+    events = T(spark, sf, "events")
+    daily = (events.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").cast(BIG).alias("n"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast(BIG).alias("x")))
+    tot = daily.agg(F.sum("n").cast(BIG).alias("tn"),
+                    F.sum("x").cast(BIG).alias("tx"))
+    pbar = F.col("tx").cast("double") / F.col("tn")
+    sig = F.sqrt(pbar * (1.0 - pbar) / F.col("n"))
+    p = F.col("x").cast("double") / F.col("n")
+    return (daily.crossJoin(F.broadcast(tot))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n", "x",
+                    F.round(p, 6).alias("p"),
+                    F.round(pbar, 6).alias("p_bar"),
+                    F.round(pbar + 3.0 * sig, 6).alias("ucl"),
+                    F.round(F.greatest(F.lit(0.0), pbar - 3.0 * sig), 6)
+                    .alias("lcl"),
+                    F.when((p > pbar + 3.0 * sig)
+                           | (p < pbar - 3.0 * sig), 1).otherwise(0)
+                    .cast("int").alias("out_of_control")))

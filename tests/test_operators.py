@@ -2873,3 +2873,18 @@ def test_allpairs_canonical_short_text_guard(spark):
     out = D.allpairs_prefix_jaccard_canonical(
         df, "doc_id", "text", n=3, threshold=0.4).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(3, 4)}
+
+
+def test_kmv_state_fold_matches_batch(spark):
+    """Mergeability (the register-family contract): folding per-shard
+    KMV states equals the sketch of the full set — for shards that
+    OVERLAP (shared elements collapse by hash identity)."""
+    from fmx.operators.sketches import kmv_merge, kmv_state
+    a = spark.createDataFrame([(i,) for i in range(0, 600)], ["u"])
+    b = spark.createDataFrame([(i,) for i in range(400, 1000)], ["u"])
+    full = spark.createDataFrame([(i,) for i in range(1000)], ["u"])
+    folded = kmv_merge(kmv_state(a, "u", k=24).unionAll(
+        kmv_state(b, "u", k=24)), k=24)
+    batch = kmv_state(full, "u", k=24)
+    assert sorted(r.h for r in folded.collect()) == \
+        sorted(r.h for r in batch.collect())

@@ -150,6 +150,9 @@ _ALLOWED = {
         "er_fellegi_sunter",       # 1-row m/u-stats broadcast onto <=2^k patterns
         "er_fellegi_sunter_scaled",  # same 1-row m/u broadcast
         "stats_benjamini_hochberg",  # 1-row global-moments broadcast
+        "stats_p_chart",             # 1-row totals broadcast
+        "text_heaps_law",            # 1-row corpus-size + 1-row OLS broadcasts
+                                     # + the 10x10 decile cumulative join
         "retrieval_query_likelihood",  # 1-row corpus-total broadcast
         "sketch_kmv_intersection",   # 1-row sketch-stat broadcasts (theta,
                                      # counts) assembled into the 1-row readout
