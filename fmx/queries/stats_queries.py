@@ -903,3 +903,101 @@ def stats_p_chart(spark, sf):
                     F.when((p > pbar + 3.0 * sig)
                            | (p < pbar - 3.0 * sig), 1).otherwise(0)
                     .cast("int").alias("out_of_control")))
+
+
+def _upper_tail_p_sql(z: str) -> str:
+    """One-sided normal tail P(Z > z) for a SIGNED z, built from the
+    same Abramowitz-Stegun fragment as _two_sided_p_sql (which handles
+    |z| only): reflect for negative z."""
+    a = f"abs({z})"
+    k = f"(1.0 / (1.0 + 0.2316419 * {a}))"
+    poly = (f"({k} * (0.31938153 + {k} * (-0.356563782 + {k} * "
+            f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))")
+    tail = f"((0.3989422804014327 * exp(-0.5 * {a} * {a})) * {poly})"
+    return f"(CASE WHEN {z} >= 0.0 THEN {tail} ELSE 1.0 - {tail} END)"
+
+
+TOST_MARGIN = 0.02       # equivalence margin on the rate difference
+
+
+@query(
+    "eval_tost_equivalence",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(user_id % 2 AS INT) AS v,
+             CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS hit
+      FROM events WHERE value IS NOT NULL),
+    agg AS (SELECT event_type,
+                   CAST(sum(v) AS BIGINT) AS n1,
+                   CAST(sum(v * hit) AS BIGINT) AS x1,
+                   CAST(sum(1 - v) AS BIGINT) AS n2,
+                   CAST(sum((1 - v) * hit) AS BIGINT) AS x2
+            FROM base GROUP BY event_type),
+    zs AS (SELECT event_type, n1, x1, n2, x2,
+                  round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2
+                         + {TOST_MARGIN})
+                        / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                               * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                               * (1.0 / n1 + 1.0 / n2)), 6) AS z_lo,
+                  round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2
+                         - {TOST_MARGIN})
+                        / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                               * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                               * (1.0 / n1 + 1.0 / n2)), 6) AS z_hi
+           FROM agg),
+    ps AS (SELECT event_type, n1, x1, n2, x2, z_lo, z_hi,
+                  round({{P_LO}}, 9) AS p_lo,
+                  round(1.0 - {{P_HI_LOWER}}, 9) AS p_hi
+           FROM zs)
+    SELECT event_type, n1, x1, n2, x2, z_lo, z_hi, p_lo, p_hi,
+           round(greatest(p_lo, p_hi), 9) AS p_tost,
+           CAST(CASE WHEN greatest(p_lo, p_hi) < 0.05
+                     THEN 1 ELSE 0 END AS INT) AS equivalent
+    FROM ps
+    """.replace("{P_LO}", _upper_tail_p_sql("z_lo"))
+       .replace("{P_HI_LOWER}", _upper_tail_p_sql("z_hi")))
+def eval_tost_equivalence(spark, sf):
+    """TOST equivalence test (two one-sided z-tests, Schuirmann 1987)
+    per event type: is the user-parity variants' difference in
+    P(value >= 50) inside +-0.02?  The NON-inferiority complement to
+    the difference tests — a launch gate asks "provably no worse", not
+    "not provably different" (an underpowered z-test passes the latter
+    for free).  p_lo rejects theta <= -margin (upper tail at z_lo),
+    p_hi rejects theta >= +margin (lower tail at z_hi), and
+    p_tost = max of the two: equivalence at alpha=0.05 iff both reject.
+    Counts are exact integers; z's round at 6dp before the shared
+    Abramowitz-Stegun tail fragment (same parse in both engines)."""
+    events = T(spark, sf, "events")
+    base = (events.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    (F.col("user_id") % 2).cast("int").alias("v"),
+                    F.when(F.col("value") >= 50.0, 1).otherwise(0)
+                    .alias("hit")))
+    agg = (base.groupBy("event_type")
+           .agg(F.sum("v").cast(BIG).alias("n1"),
+                F.sum(F.col("v") * F.col("hit")).cast(BIG).alias("x1"),
+                F.sum(1 - F.col("v")).cast(BIG).alias("n2"),
+                F.sum((1 - F.col("v")) * F.col("hit")).cast(BIG)
+                .alias("x2")))
+    pp = F.col("x1").cast("double") + F.col("x2")
+    nn = F.col("n1") + F.col("n2")
+    pbar = pp / nn
+    se = F.sqrt(pbar * (1.0 - pbar)
+                * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    theta = (F.col("x1").cast("double") / F.col("n1")
+             - F.col("x2").cast("double") / F.col("n2"))
+    zs = agg.select("event_type", "n1", "x1", "n2", "x2",
+                    F.round((theta + TOST_MARGIN) / se, 6).alias("z_lo"),
+                    F.round((theta - TOST_MARGIN) / se, 6).alias("z_hi"))
+    ps = zs.select("event_type", "n1", "x1", "n2", "x2", "z_lo", "z_hi",
+                   F.round(F.expr(_upper_tail_p_sql("z_lo")), 9)
+                   .alias("p_lo"),
+                   F.round(1.0 - F.expr(_upper_tail_p_sql("z_hi")), 9)
+                   .alias("p_hi"))
+    return ps.select("event_type", "n1", "x1", "n2", "x2",
+                     "z_lo", "z_hi", "p_lo", "p_hi",
+                     F.round(F.greatest("p_lo", "p_hi"), 9)
+                     .alias("p_tost"),
+                     F.when(F.greatest("p_lo", "p_hi") < 0.05, 1)
+                     .otherwise(0).cast("int").alias("equivalent"))

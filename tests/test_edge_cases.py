@@ -293,5 +293,6 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
              "retrieval_query_likelihood", "sketch_kmv_intersection",
              "eval_msprt_always_valid", "s6_orc_roundtrip",
              "dedup_allpairs_canonical", "graph_rectangle_count_capped",
-             "er_fellegi_sunter_scaled", "stats_p_chart", "text_heaps_law"]
+             "er_fellegi_sunter_scaled", "stats_p_chart", "text_heaps_law",
+             "eval_tost_equivalence"]
     _assert_partition_invariant(spark, sf_dir, names)
