@@ -723,3 +723,60 @@ def activity_mask_fold(regs: DataFrame) -> DataFrame:
                 .cast("bigint").alias("mask"))
             .withColumn("n_active_days",
                         F.bit_count("mask").cast("bigint")))
+
+
+KMV_STREAM_SCHEMA = StructType([
+    StructField("group", StringType()),
+    StructField("h", LongType()),
+])
+_KMV_STATE = StructType([
+    StructField("hs", StringType()),   # comma-joined sorted hashes —
+    # scalar state round-trips losslessly (array-typed state columns
+    # arrow-copy fine but a flat string keeps the tuple contract dumb)
+])
+
+
+def stream_kmv_state(events: DataFrame, group_col: str, value_col: str,
+                     k: int | None = None, tag: str = "kmv") -> DataFrame:
+    """Streaming KMV cardinality/intersection state per group: the k
+    smallest distinct 60-bit hashes, maintained with
+    ``applyInPandasWithState`` — per-group state is <= k longs FOREVER
+    (each batch merges its hashes and re-prunes to the k minimum), the
+    bounded-memory property none of the pure-agg register twins can
+    provide for a top-k-of-distinct state.  Extends the mergeable-
+    register family with its fourth merge law: HLL (max),
+    hist/CMS/checksum (sum), Bloom (or), KMV (min-k).
+
+    Emits the group's CURRENT sketch (one row per retained hash) each
+    batch the group appears in; downstream, two groups' snapshots feed
+    the same theta-intersection math as the batch
+    ``fmx.operators.sketches.kmv_intersection`` (merge rule
+    ``kmv_merge``: k smallest of the union — associative, so batch,
+    stream, and cross-day states all fold)."""
+    from fmx.operators.sketches import KMV_K, _md5_long
+
+    kk = int(k if k is not None else KMV_K)
+    hashed = (events.filter(F.col(value_col).isNotNull())
+              .select(F.col(group_col).cast("string").alias("group"),
+                      _md5_long(F.col(value_col), f"{tag}:").alias("h")))
+
+    def upd(key: Any, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        cur: set[int] = set()
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                cur.update(int(x) for x in blob.split(","))
+        for pdf in pdfs:
+            cur.update(int(x) for x in pdf["h"])
+        best = sorted(cur)[:kk]
+        state.update((",".join(str(x) for x in best),))
+        yield pd.DataFrame({"group": [key[0]] * len(best), "h": best})
+
+    return (hashed.groupBy("group")
+            .applyInPandasWithState(
+                upd,
+                outputStructType=KMV_STREAM_SCHEMA,
+                stateStructType=_KMV_STATE,
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

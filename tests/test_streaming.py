@@ -856,3 +856,33 @@ def test_stream_activity_registers_fold_matches_batch(spark, sf_dir):
              .fn(spark, sf_dir).collect()}
     assert folded == batch and folded
     q.stop()
+
+
+def test_stream_kmv_state_fold_matches_batch(spark, sf_dir):
+    """The streaming min-k register state (k smallest distinct hashes
+    per group, bounded forever) must equal the batch KMV sketch per
+    group — the fourth merge law of the register family (min-k)."""
+    from pyspark.sql import Window
+
+    from fmx.operators.sketches import KMV_K, _md5_long
+
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(
+        S.stream_kmv_state(events, "event_type", "user_id"),
+        "kmv_state", "update")
+    streamed = {}
+    for r in spark.table("kmv_state").collect():
+        streamed.setdefault(r.group, set()).add(r.h)
+
+    batch_src = (load_table(spark, sf_dir, "events")
+                 .filter(F.col("user_id").isNotNull())
+                 .select(F.col("event_type").alias("group"),
+                         _md5_long(F.col("user_id"), "kmv:").alias("h"))
+                 .distinct())
+    w = Window.partitionBy("group").orderBy("h")
+    batch = {}
+    for r in (batch_src.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= KMV_K).collect()):
+        batch.setdefault(r.group, set()).add(r.h)
+    assert streamed == batch and len(batch) == 5
+    q.stop()
