@@ -147,7 +147,7 @@ _PRIORITY = [
     "bloom_contamination",
     "cohort_retention",
     "dedup_levenshtein_prefix",
-    # (Window full at 50.  r11 STOCK, in priority order: (a) the 40
+    # (Window full at 50.  r11 STOCK, in priority order: (a) the 42
     # round-10 additions, never driver-checked -- er_fuzzy_match_multipass,
     # eval_anova_f, eval_kruskal_wallis, eval_cochran_q,
     # stats_theil_index, stats_trimmed_mean, ts_mann_kendall,
@@ -163,8 +163,8 @@ _PRIORITY = [
     # sketch_kmv_intersection, s6_orc_roundtrip, eval_msprt_always_valid,
     # dedup_allpairs_canonical, graph_rectangle_count_capped,
     # er_fellegi_sunter_scaled, stats_p_chart, text_heaps_law,
-    # eval_tost_equivalence
-    # (40 round-10 additions total); (b) 10
+    # eval_tost_equivalence, stats_brown_forsythe, stats_friedman_test
+    # (42 round-10 additions total); (b) 8
     # slots from the oldest remaining r03 cohort (alphabetical from:
     # approx_distinct, approx_quantiles (rows-only), dedup_span_profile,
     # dq_expectations, fm_predict, funnel_view_click_purchase,

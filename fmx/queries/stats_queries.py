@@ -1001,3 +1001,160 @@ def eval_tost_equivalence(spark, sf):
                      .alias("p_tost"),
                      F.when(F.greatest("p_lo", "p_hi") < 0.05, 1)
                      .otherwise(0).cast("int").alias("equivalent"))
+
+
+@query(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH cents AS (SELECT event_type AS et,
+                          CAST(round(value * 100) AS BIGINT) AS cent
+                   FROM events WHERE value IS NOT NULL),
+    med AS (SELECT et, quantile_cont(cent, 0.5) AS m FROM cents
+            GROUP BY et),
+    dev AS (SELECT c.et, abs(c.cent - med.m) AS z
+            FROM cents c JOIN med ON c.et = med.et),
+    grp AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                   sum(z) AS sz, sum(z * z) AS szz
+            FROM dev GROUP BY et),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(sz) AS tsz FROM grp),
+    parts AS (SELECT
+                sum(n * ((sz / n) - (tsz / tn)) * ((sz / n) - (tsz / tn)))
+                  AS between_ss,
+                sum(szz - (sz * sz) / n) AS within_ss
+              FROM grp, tot)
+    SELECT k AS n_groups, tn AS n_obs,
+           round(((tn - k) * 1.0 / (k - 1))
+                 * between_ss / within_ss, 6) AS w_stat,
+           CAST(k - 1 AS BIGINT) AS df1, CAST(tn - k AS BIGINT) AS df2
+    FROM parts, tot
+    """)
+def stats_brown_forsythe(spark, sf):
+    """Brown-Forsythe test (Levene with MEDIAN centers — the robust
+    default) for variance homogeneity across event types: the
+    assumption check that gates ANOVA/t-tests (eval_anova_f assumes
+    equal variances; this is the test that says whether it may).
+    W = ((N-k)/(k-1)) * sum n_i (zbar_i - zbar)^2 / sum (z - zbar_i)^2
+    over absolute deviations from per-group medians.  Engine
+    exactness: values fold to integer cents; the median of integers
+    interpolates to exact .5 halves in both engines, so every |x - m|
+    is an exactly-representable half-integer and the group sums are
+    exact doubles; W is one double formula over them, rounded 6dp.
+    Two hash aggs + a per-group median (cents-grain percentile) + a
+    1-row totals broadcast."""
+    events = T(spark, sf, "events")
+    cents = (events.filter(F.col("value").isNotNull())
+             .select(F.col("event_type").alias("et"),
+                     F.round(F.col("value") * 100)
+                     .cast("bigint").alias("cent")))
+    med = cents.groupBy("et").agg(
+        F.percentile("cent", F.lit(0.5)).alias("m"))
+    dev = (cents.join(med, "et")
+           .select("et", F.abs(F.col("cent") - F.col("m")).alias("z")))
+    grp = dev.groupBy("et").agg(F.count("*").cast(BIG).alias("n"),
+                                F.sum("z").alias("sz"),
+                                F.sum(F.col("z") * F.col("z"))
+                                .alias("szz"))
+    tot = grp.agg(F.sum("n").cast(BIG).alias("tn"),
+                  F.count("*").cast(BIG).alias("k"),
+                  F.sum("sz").alias("tsz"))
+    j = grp.crossJoin(F.broadcast(tot))
+    zbar_i = F.col("sz") / F.col("n")
+    zbar = F.col("tsz") / F.col("tn")
+    parts = j.agg(
+        F.sum(F.col("n") * (zbar_i - zbar) * (zbar_i - zbar))
+        .alias("between_ss"),
+        F.sum(F.col("szz") - (F.col("sz") * F.col("sz")) / F.col("n"))
+        .alias("within_ss"),
+        F.min("k").alias("k"), F.min("tn").alias("tn"))
+    return parts.select(
+        F.col("k").alias("n_groups"), F.col("tn").alias("n_obs"),
+        F.round(((F.col("tn") - F.col("k")) * 1.0 / (F.col("k") - 1))
+                * F.col("between_ss") / F.col("within_ss"), 6)
+        .alias("w_stat"),
+        (F.col("k") - 1).cast(BIG).alias("df1"),
+        (F.col("tn") - F.col("k")).cast(BIG).alias("df2"))
+
+
+@query(
+    "stats_friedman_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS et,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c,
+             count(value) AS nv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    full_blocks AS (SELECT day FROM daily GROUP BY day
+                    HAVING count(*) = (SELECT count(DISTINCT event_type)
+                                       FROM events)),
+    m AS (SELECT d.day, d.et, d.c * 1.0 / (100.0 * d.nv) AS v
+          FROM daily d JOIN full_blocks USING (day)),
+    rk AS (SELECT day, et,
+                  CAST(row_number() OVER (PARTITION BY day
+                                          ORDER BY v, et) AS BIGINT) AS r
+           FROM m),
+    rs AS (SELECT et, CAST(sum(r) AS BIGINT) AS rsum,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM rk GROUP BY et),
+    dims AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                    CAST(min(n) AS BIGINT) AS nb FROM rs)
+    SELECT et, rsum,
+           round(CAST(rsum AS DOUBLE) / nb, 6) AS mean_rank,
+           nb AS n_blocks, k AS n_treatments,
+           round(12.0 / (nb * k * (k + 1))
+                 * (SELECT sum(CAST(rsum AS DOUBLE) * rsum) FROM rs)
+                 - 3.0 * nb * (k + 1), 6) AS chi2
+    FROM rs, dims
+    """)
+def stats_friedman_test(spark, sf):
+    """Friedman rank test — the repeated-measures complement to
+    eval_kruskal_wallis: does any event type's daily mean value
+    consistently outrank the others WITHIN each day (days are blocks,
+    types are treatments — blocking removes day-level noise the
+    independent-samples test would eat)?  chi2 = 12/(nk(k+1)) sum R_j^2
+    - 3n(k+1) over within-day ranks.  Daily means use the integer-cent
+    discipline; ranks order by (v, event_type) — v's are rationals
+    computed identically in both engines, and the name tiebreak makes
+    the rank total (exact ties between two types' daily means are
+    possible in principle; the declared convention keeps both engines
+    identical, and with 5 distinct types the statistic's distribution
+    is unaffected at this grain).  Only COMPLETE blocks (all k types
+    present that day) enter, per the classical design.  One day-grain
+    agg + per-day windows (partitioned, never global)."""
+    events = T(spark, sf, "events")
+    k_types = events.select("event_type").distinct()
+    daily = (events.filter(F.col("value").isNotNull())
+             .groupBy(F.col("ts").cast("date").alias("day"),
+                      F.col("event_type").alias("et"))
+             .agg(F.sum(F.round(F.col("value") * 100)
+                        .cast("bigint")).alias("c"),
+                  F.count("value").alias("nv")))
+    kcnt = k_types.agg(F.count("*").alias("_k"))
+    full = (daily.groupBy("day").agg(F.count("*").alias("_c"))
+            .crossJoin(F.broadcast(kcnt))
+            .filter(F.col("_c") == F.col("_k")).select("day"))
+    m = (daily.join(full, "day")
+         .select("day", "et",
+                 (F.col("c") * 1.0 / (100.0 * F.col("nv"))).alias("v")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("day").orderBy("v", "et")
+    rk = m.select("day", "et",
+                  F.row_number().over(w).cast("bigint").alias("r"))
+    rs = rk.groupBy("et").agg(F.sum("r").cast(BIG).alias("rsum"),
+                              F.count("*").cast(BIG).alias("n"))
+    dims = rs.agg(F.count("*").cast(BIG).alias("k"),
+                  F.min("n").cast(BIG).alias("nb"))
+    ssum = rs.agg(F.sum(F.col("rsum").cast("double") * F.col("rsum"))
+                  .alias("_ss"))
+    return (rs.crossJoin(F.broadcast(dims))
+            .crossJoin(F.broadcast(ssum))
+            .select("et", "rsum",
+                    F.round(F.col("rsum").cast("double") / F.col("nb"), 6)
+                    .alias("mean_rank"),
+                    F.col("nb").alias("n_blocks"),
+                    F.col("k").alias("n_treatments"),
+                    F.round(12.0 / (F.col("nb") * F.col("k")
+                                    * (F.col("k") + 1)) * F.col("_ss")
+                            - 3.0 * F.col("nb") * (F.col("k") + 1), 6)
+                    .alias("chi2")))

@@ -294,5 +294,6 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
              "eval_msprt_always_valid", "s6_orc_roundtrip",
              "dedup_allpairs_canonical", "graph_rectangle_count_capped",
              "er_fellegi_sunter_scaled", "stats_p_chart", "text_heaps_law",
-             "eval_tost_equivalence"]
+             "eval_tost_equivalence", "stats_brown_forsythe",
+             "stats_friedman_test"]
     _assert_partition_invariant(spark, sf_dir, names)

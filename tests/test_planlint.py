@@ -151,6 +151,8 @@ _ALLOWED = {
         "er_fellegi_sunter_scaled",  # same 1-row m/u broadcast
         "stats_benjamini_hochberg",  # 1-row global-moments broadcast
         "stats_p_chart",             # 1-row totals broadcast
+        "stats_brown_forsythe",      # 1-row totals broadcast
+        "stats_friedman_test",       # 1-row k-count/dims broadcasts
         "text_heaps_law",            # 1-row corpus-size + 1-row OLS broadcasts
                                      # + the 10x10 decile cumulative join
         "retrieval_query_likelihood",  # 1-row corpus-total broadcast
