@@ -956,8 +956,7 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
     canon = df.select(F.col(id_col).alias("_id"),
                       F.col(text_col).alias("_text"),
                       F.md5(F.col(text_col)).alias("_h"))
-    groups = canon.groupBy("_h").agg(F.min("_id").alias("_rep"),
-                                     F.count("*").alias("_m"))
+    groups = canon.groupBy("_h").agg(F.min("_id").alias("_rep"))
     reps = (canon.join(groups, "_h")
             .filter(F.col("_id") == F.col("_rep"))
             .select(F.col("_rep").alias("_rid"), "_text"))
@@ -971,13 +970,15 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
                      F.greatest("_ia", "_ib").cast("bigint").alias("id_b"),
                      "jaccard"))
     # within-group pairs: identical shingle sets, J = 1.0 — but only
-    # for texts that HAVE shingles (the < n-token guard above)
-    shingled = (word_shingles(reps, "_rid", "_text", n=n)
-                .select(F.col("_rid").alias("_rep")).distinct())
-    dup = (mem.join(shingled, "_rep")
-           .withColumnRenamed("_id", "_ia"))
-    within = (dup.join(mem.join(shingled, "_rep")
-                       .withColumnRenamed("_id", "_ib"), "_rep")
+    # for texts that HAVE shingles (the < n-token guard above).  A
+    # shingle-bearing text has >= n tokens, which the cheap length
+    # test below decides WITHOUT re-shingling the representative
+    # corpus (the plain operator above already pays that pass once).
+    shingled = (reps.filter(F.size(F.split("_text", " ")) >= n)
+                .select(F.col("_rid").alias("_rep")))
+    dupm = mem.join(shingled, "_rep")
+    within = (dupm.withColumnRenamed("_id", "_ia")
+              .join(dupm.withColumnRenamed("_id", "_ib"), "_rep")
               .filter(F.col("_ia") < F.col("_ib"))
               .select(F.col("_ia").cast("bigint").alias("id_a"),
                       F.col("_ib").cast("bigint").alias("id_b"),

@@ -527,11 +527,14 @@ def kmv_intersection(a: DataFrame, b: DataFrame, value_col: str,
     Deterministic: md5 arithmetic replayed identically by any engine.
     """
     k = int(k)
-    da = a.select(F.col(value_col).alias("_v")).distinct()
-    db = b.select(F.col(value_col).alias("_v")).distinct()
-    ha = da.select(_md5_long(F.col("_v"), f"{tag}:").alias("h"))
-    hb = db.select(_md5_long(F.col("_v"), f"{tag}:").alias("h"))
-    sa, sb = ha.orderBy("h").limit(k), hb.orderBy("h").limit(k)
+    da = (a.select(F.col(value_col).alias("_v"))
+          .filter(F.col("_v").isNotNull()).distinct())
+    db = (b.select(F.col(value_col).alias("_v"))
+          .filter(F.col("_v").isNotNull()).distinct())
+    # the sketches ARE kmv_state of each side — one definition of
+    # "the KMV sketch of a set" (state, merge, and intersection agree)
+    sa = kmv_state(da, "_v", k=k, tag=tag)
+    sb = kmv_state(db, "_v", k=k, tag=tag)
     tha = sa.agg(
         F.when(F.count("*") >= k, F.max("h").cast("double"))
         .otherwise(F.lit(KMV_M)).alias("_tha"))
@@ -569,8 +572,11 @@ def kmv_state(df: DataFrame, value_col: str, k: int = KMV_K,
     the sketch of a union is the k smallest of the union of sketches
     (``kmv_merge``), so per-partition / per-day / per-batch states
     fold without revisiting raw data — the same register discipline as
-    hll_registers/cms_state/bloom_bits."""
-    return (df.select(_md5_long(F.col(value_col), f"{tag}:").alias("h"))
+    hll_registers/cms_state/bloom_bits.  NULL values carry no identity
+    and are excluded (a NULL hash would otherwise sort FIRST and
+    permanently occupy a sketch slot — the md5 coin family rule)."""
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(_md5_long(F.col(value_col), f"{tag}:").alias("h"))
             .distinct().orderBy("h").limit(int(k)))
 
 
@@ -579,4 +585,5 @@ def kmv_merge(states: DataFrame, k: int = KMV_K) -> DataFrame:
     (duplicate hashes across states collapse — they ARE the same
     element), then the k smallest again.  Associative and commutative;
     kmv_merge(kmv_state(A) U kmv_state(B)) == kmv_state(A U B)."""
-    return states.select("h").distinct().orderBy("h").limit(int(k))
+    return (states.select("h").filter(F.col("h").isNotNull())
+            .distinct().orderBy("h").limit(int(k)))

@@ -802,10 +802,12 @@ def er_fuzzy_match_multipass(spark, sf):
                       "probe_name", "p_name", "dist", "n_cands")
 
 
-@query(
-    "er_fellegi_sunter",
-    oracle="""
-    WITH probes AS (
+# Fellegi-Sunter shared corpus: probes are customers with deterministic
+# key-derived corruption on four fields; `clean` is the original table.
+# One definition for both the baseline and the scaled variant — only
+# the candidate block-join condition differs.
+_FS_CORPUS = """
+    probes AS (
       SELECT c_custkey AS probe_id,
              (c_nationkey + CASE WHEN c_custkey % 5 = 0
                                  THEN 1 ELSE 0 END) % 25 AS nation_p,
@@ -822,13 +824,19 @@ def er_fuzzy_match_multipass(spark, sf):
       SELECT c_custkey, c_nationkey, c_mktsegment,
              CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
              substring(c_name, length(c_name) - 1, 2) AS tail
-      FROM customer),
+      FROM customer)
+"""
+
+
+def _fs_oracle(block_cond: str) -> str:
+    return f"""
+    WITH {_FS_CORPUS},
     cand AS (
       SELECT CASE WHEN p.seg_p = c.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
              CASE WHEN p.band_p = c.band THEN 1 ELSE 0 END AS a_band,
              CASE WHEN p.tail_p = c.tail THEN 1 ELSE 0 END AS a_tail,
              CASE WHEN p.probe_id = c.c_custkey THEN 1 ELSE 0 END AS lbl
-      FROM probes p JOIN clean c ON p.nation_p = c.c_nationkey),
+      FROM probes p JOIN clean c ON {block_cond}),
     mu AS (
       SELECT (sum(a_seg * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_seg,
              (sum(a_seg * (1 - lbl)) + 0.5) * 1.0
@@ -857,134 +865,14 @@ def er_fuzzy_match_multipass(spark, sf):
                       ELSE log2((1 - m_tail) / (1 - u_tail)) END,
                  6) AS weight
     FROM pat, mu
-    """)
-def er_fellegi_sunter(spark, sf):
-    """Fellegi-Sunter probabilistic record linkage
-    (fmx.operators.linkage.fellegi_sunter_weights): probe records are
-    customers with deterministic key-derived corruption on four fields
-    (nation +1 for custkey%5, segment reversed for %7, balance band +1
-    for %3, name tail reversed for %11 — in-plan corruption, so both
-    engines derive the same dirty corpus), blocked back against the
-    clean table on the (noisy) nation key.  Per-field agreement
-    probabilities m_k (among true pairs) and u_k (among in-block
-    impostors) are Laplace-smoothed and every agreement pattern gets
-    its log2 likelihood-ratio weight — the score that turns "3 of 4
-    fields agree" into a calibrated match/no-match decision.  Two hash
-    aggs + a 1-row broadcast; blocking recall (nation corruption
-    escapes the block) is the documented single-pass bound."""
-    from pyspark.sql import functions as F
-
-    from fmx.operators.linkage import fellegi_sunter_weights
-
-    cust = T(spark, sf, "customer")
-    probes = cust.select(
-        F.col("c_custkey").alias("probe_id"),
-        ((F.col("c_nationkey")
-          + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)) % 25)
-        .alias("nation_p"),
-        F.when(F.col("c_custkey") % 7 == 0, F.reverse("c_mktsegment"))
-        .otherwise(F.col("c_mktsegment")).alias("seg_p"),
-        (F.floor(F.col("c_acctbal") / 500.0).cast("bigint")
-         + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
-        .alias("band_p"),
-        F.when(F.col("c_custkey") % 11 == 0,
-               F.reverse(F.expr("substring(c_name, length(c_name)-1, 2)")))
-        .otherwise(F.expr("substring(c_name, length(c_name)-1, 2)"))
-        .alias("tail_p"))
-    clean = cust.select(
-        "c_custkey", "c_nationkey", "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("band"),
-        F.expr("substring(c_name, length(c_name)-1, 2)").alias("tail"))
-    cands = (probes.join(clean,
-                         probes["nation_p"] == clean["c_nationkey"])
-             .select((F.col("seg_p") == F.col("c_mktsegment"))
-                     .cast("int").alias("a_seg"),
-                     (F.col("band_p") == F.col("band"))
-                     .cast("int").alias("a_band"),
-                     (F.col("tail_p") == F.col("tail"))
-                     .cast("int").alias("a_tail"),
-                     (F.col("probe_id") == F.col("c_custkey"))
-                     .cast("int").alias("lbl")))
-    out = fellegi_sunter_weights(cands, ["a_seg", "a_band", "a_tail"],
-                                 "lbl")
-    return out.select("pattern", "a_seg", "a_band", "a_tail",
-                      "n_pairs", "n_true",
-                      F.round("weight", 6).alias("weight"))
+    """
 
 
-@query(
-    "er_fellegi_sunter_scaled",
-    oracle="""
-    WITH probes AS (
-      SELECT c_custkey AS probe_id,
-             (c_nationkey + CASE WHEN c_custkey % 5 = 0
-                                 THEN 1 ELSE 0 END) % 25 AS nation_p,
-             CASE WHEN c_custkey % 7 = 0 THEN reverse(c_mktsegment)
-                  ELSE c_mktsegment END AS seg_p,
-             CAST(floor(c_acctbal / 500.0) AS BIGINT)
-               + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS band_p,
-             CASE WHEN c_custkey % 11 = 0
-                  THEN reverse(substring(c_name, length(c_name) - 1, 2))
-                  ELSE substring(c_name, length(c_name) - 1, 2)
-             END AS tail_p
-      FROM customer),
-    clean AS (
-      SELECT c_custkey, c_nationkey, c_mktsegment,
-             CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
-             substring(c_name, length(c_name) - 1, 2) AS tail
-      FROM customer),
-    cand AS (
-      SELECT CASE WHEN p.seg_p = c.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
-             CASE WHEN p.band_p = c.band THEN 1 ELSE 0 END AS a_band,
-             CASE WHEN p.tail_p = c.tail THEN 1 ELSE 0 END AS a_tail,
-             CASE WHEN p.probe_id = c.c_custkey THEN 1 ELSE 0 END AS lbl
-      FROM probes p JOIN clean c ON p.nation_p = c.c_nationkey
-                                AND p.tail_p = c.tail),
-    mu AS (
-      SELECT (sum(a_seg * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_seg,
-             (sum(a_seg * (1 - lbl)) + 0.5) * 1.0
-               / (sum(1 - lbl) + 1.0) AS u_seg,
-             (sum(a_band * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_band,
-             (sum(a_band * (1 - lbl)) + 0.5) * 1.0
-               / (sum(1 - lbl) + 1.0) AS u_band,
-             (sum(a_tail * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_tail,
-             (sum(a_tail * (1 - lbl)) + 0.5) * 1.0
-               / (sum(1 - lbl) + 1.0) AS u_tail
-      FROM cand),
-    pat AS (
-      SELECT a_seg, a_band, a_tail,
-             CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(sum(lbl) AS BIGINT) AS n_true
-      FROM cand GROUP BY 1, 2, 3)
-    SELECT concat(CAST(a_seg AS VARCHAR), CAST(a_band AS VARCHAR),
-                  CAST(a_tail AS VARCHAR)) AS pattern,
-           CAST(a_seg AS INT) AS a_seg, CAST(a_band AS INT) AS a_band,
-           CAST(a_tail AS INT) AS a_tail, n_pairs, n_true,
-           round(CASE WHEN a_seg = 1 THEN log2(m_seg / u_seg)
-                      ELSE log2((1 - m_seg) / (1 - u_seg)) END
-               + CASE WHEN a_band = 1 THEN log2(m_band / u_band)
-                      ELSE log2((1 - m_band) / (1 - u_band)) END
-               + CASE WHEN a_tail = 1 THEN log2(m_tail / u_tail)
-                      ELSE log2((1 - m_tail) / (1 - u_tail)) END,
-                 6) AS weight
-    FROM pat, mu
-    """)
-def er_fellegi_sunter_scaled(spark, sf):
-    """The DECLARED scale variant of er_fellegi_sunter (the
-    emb_epsilon_components_scaled pattern): this round's 10x
-    experiment measured the nation-only block at alpha 1.82 (3.3 s ->
-    222 s — nation cardinality is FIXED at 25, so in-block pairs grow
-    n^2/25; same sizing law as epsilon-LSH planes: block count must
-    track n^2).  The composite block key (nation_p, tail_p) multiplies
-    block cardinality by the ~100-value name tail, cutting candidate
-    pairs 100x at any n.  Two declared consequences, both textbook
-    Fellegi-Sunter: recall now also loses tail-corrupted probes
-    (custkey%11 — single-pass blocking recall, fixable by a second
-    pass on another key), and the tail field becomes near-degenerate
-    EVIDENCE (u_tail ~ 1 inside tail-blocked candidates; Laplace
-    smoothing keeps its weight finite and near zero) — blocking on a
-    field spends its discriminating power, which is why production
-    linkage blocks on one key and scores on the OTHERS."""
+def _fs_query(spark, sf, scaled: bool):
+    """Shared Spark builder: corrupted probes + clean side + blocked
+    agreement vectors, then fellegi_sunter_weights.  ``scaled`` adds
+    the name tail to the block key (the n^2-law fix measured in
+    SCALE.md round-10 session 2)."""
     from pyspark.sql import functions as F
 
     from fmx.operators.linkage import fellegi_sunter_weights
@@ -1007,9 +895,10 @@ def er_fellegi_sunter_scaled(spark, sf):
         "c_custkey", "c_nationkey", "c_mktsegment",
         F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("band"),
         tail.alias("tail"))
-    cands = (probes.join(clean,
-                         (probes["nation_p"] == clean["c_nationkey"])
-                         & (probes["tail_p"] == clean["tail"]))
+    cond = probes["nation_p"] == clean["c_nationkey"]
+    if scaled:
+        cond = cond & (probes["tail_p"] == clean["tail"])
+    cands = (probes.join(clean, cond)
              .select((F.col("seg_p") == F.col("c_mktsegment"))
                      .cast("int").alias("a_seg"),
                      (F.col("band_p") == F.col("band"))
@@ -1023,6 +912,53 @@ def er_fellegi_sunter_scaled(spark, sf):
     return out.select("pattern", "a_seg", "a_band", "a_tail",
                       "n_pairs", "n_true",
                       F.round("weight", 6).alias("weight"))
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle=_fs_oracle("p.nation_p = c.c_nationkey"))
+def er_fellegi_sunter(spark, sf):
+    """Fellegi-Sunter probabilistic record linkage
+    (fmx.operators.linkage.fellegi_sunter_weights): probe records are
+    customers with deterministic key-derived corruption on four fields
+    (nation +1 for custkey%5, segment reversed for %7, balance band +1
+    for %3, name tail reversed for %11 — in-plan corruption, so both
+    engines derive the same dirty corpus), blocked back against the
+    clean table on the (noisy) nation key.  Per-field agreement
+    probabilities m_k (among true pairs) and u_k (among in-block
+    impostors) are Laplace-smoothed and every agreement pattern gets
+    its log2 likelihood-ratio weight — the score that turns "3 of 4
+    fields agree" into a calibrated match/no-match decision.  Two hash
+    aggs + a 1-row broadcast; blocking recall (nation corruption
+    escapes the block) is the documented single-pass bound.  Corpus,
+    builder, and oracle are single-sourced with the scaled variant
+    (_fs_query/_fs_oracle) — only the block key differs."""
+    return _fs_query(spark, sf, scaled=False)
+
+
+@query(
+    "er_fellegi_sunter_scaled",
+    oracle=_fs_oracle("p.nation_p = c.c_nationkey"
+                      " AND p.tail_p = c.tail"))
+def er_fellegi_sunter_scaled(spark, sf):
+    """The DECLARED scale variant of er_fellegi_sunter (the
+    emb_epsilon_components_scaled pattern): this round's 10x
+    experiment measured the nation-only block at alpha 1.82 (3.3 s ->
+    222 s — nation cardinality is FIXED at 25, so in-block pairs grow
+    n^2/25; same sizing law as epsilon-LSH planes: block count must
+    track n^2).  The composite block key (nation_p, tail_p) multiplies
+    block cardinality by the ~100-value name tail, cutting candidate
+    pairs 100x at any n (measured alpha 0.40, 222 s -> 4.1 s).  Two
+    declared consequences, both textbook Fellegi-Sunter: recall now
+    also loses tail-corrupted probes (custkey%11 — single-pass
+    blocking recall, fixable by a second pass on another key), and the
+    tail field becomes near-degenerate EVIDENCE (u_tail ~ 1 inside
+    tail-blocked candidates; Laplace smoothing keeps its weight finite
+    and near zero) — blocking on a field spends its discriminating
+    power, which is why production linkage blocks on one key and
+    scores on the OTHERS.  Single-sourced with the baseline
+    (_fs_query/_fs_oracle)."""
+    return _fs_query(spark, sf, scaled=True)
 
 
 @query(

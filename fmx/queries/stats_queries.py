@@ -606,19 +606,27 @@ def stats_jarque_bera(spark, sf):
                       .alias("jb_stat")))
 
 
-def _two_sided_p_sql(z: str) -> str:
-    """Two-sided normal p-value 2*(1 - Phi(|z|)) via the
-    Abramowitz-Stegun 26.2.17 rational approximation (|err| < 7.5e-8),
-    written with only *, +, abs, exp and decimal literals so the
-    IDENTICAL expression string parses and evaluates in Spark SQL and
-    DuckDB — the closed-form normal tail neither engine ships as a
-    builtin.  0.3989422804014327 is 1/sqrt(2*pi)."""
+def _abs_tail_sql(z: str) -> str:
+    """THE Abramowitz-Stegun 26.2.17 normal-tail fragment
+    P(Z > |z|), |err| < 7.5e-8, written with only *, +, abs, exp and
+    decimal literals so the IDENTICAL expression string parses and
+    evaluates in Spark SQL and DuckDB — the closed-form normal tail
+    neither engine ships as a builtin.  0.3989422804014327 is
+    1/sqrt(2*pi).  Single source for every p-value family here
+    (two-sided: BH; one-sided: TOST) — the five polynomial constants
+    exist in exactly one place."""
     a = f"abs({z})"
     k = f"(1.0 / (1.0 + 0.2316419 * {a}))"
     poly = (f"({k} * (0.31938153 + {k} * (-0.356563782 + {k} * "
             f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))")
     pdf = f"(0.3989422804014327 * exp(-0.5 * {a} * {a}))"
-    return f"least(1.0, 2.0 * {pdf} * {poly})"
+    return f"({pdf} * {poly})"
+
+
+def _two_sided_p_sql(z: str) -> str:
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) from the shared
+    Abramowitz-Stegun tail fragment (_abs_tail_sql)."""
+    return f"least(1.0, 2.0 * {_abs_tail_sql(z)})"
 
 
 _BH_CELLS = """
@@ -906,14 +914,10 @@ def stats_p_chart(spark, sf):
 
 
 def _upper_tail_p_sql(z: str) -> str:
-    """One-sided normal tail P(Z > z) for a SIGNED z, built from the
-    same Abramowitz-Stegun fragment as _two_sided_p_sql (which handles
-    |z| only): reflect for negative z."""
-    a = f"abs({z})"
-    k = f"(1.0 / (1.0 + 0.2316419 * {a}))"
-    poly = (f"({k} * (0.31938153 + {k} * (-0.356563782 + {k} * "
-            f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))")
-    tail = f"((0.3989422804014327 * exp(-0.5 * {a} * {a})) * {poly})"
+    """One-sided normal tail P(Z > z) for a SIGNED z, from the shared
+    Abramowitz-Stegun fragment (_abs_tail_sql handles |z| only):
+    reflect for negative z."""
+    tail = _abs_tail_sql(z)
     return f"(CASE WHEN {z} >= 0.0 THEN {tail} ELSE 1.0 - {tail} END)"
 
 

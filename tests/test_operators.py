@@ -2888,3 +2888,17 @@ def test_kmv_state_fold_matches_batch(spark):
     batch = kmv_state(full, "u", k=24)
     assert sorted(r.h for r in folded.collect()) == \
         sorted(r.h for r in batch.collect())
+
+
+def test_kmv_null_values_carry_no_identity(spark):
+    """A NULL value must not occupy a sketch slot (NULL hashes sort
+    first under Spark's ascending order) nor count as an element."""
+    from fmx.operators.sketches import kmv_intersection, kmv_state
+    a = spark.createDataFrame([(None,)] + [(i,) for i in range(10)],
+                              "u int")
+    b = spark.createDataFrame([(None,)] + [(i,) for i in range(5, 15)],
+                              "u int")
+    st = kmv_state(a, "u", k=8).collect()
+    assert all(r.h is not None for r in st) and len(st) == 8
+    r = kmv_intersection(a, b, "u", k=64).collect()[0]
+    assert (r.n_a, r.n_b, r.exact_common, r.kmv_estimate) == (10, 10, 5, 5)
