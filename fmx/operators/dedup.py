@@ -53,6 +53,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                  F.count("*").alias("dup_count")))
 
 
+def shingle_bearing(text_col: str, n: int = 3):
+    """Column predicate: True iff ``word_shingles`` emits at least one
+    shingle for this text.  This is THE single source of that rule —
+    it mirrors word_shingles' tokenization exactly (split on a single
+    space; empty tokens count) and its ``size(t) >= n`` guard.  Any
+    consumer that needs "does this doc shingle?" (e.g. the canonical
+    APSS within-group fan-out) must use this helper, never re-derive
+    the predicate inline: a tokenization change here and in
+    word_shingles together keeps the row-identical contract; a drifted
+    copy would silently emit J=1.0 pairs the plain operator never
+    produces."""
+    return F.size(F.split(F.col(text_col), " ")) >= n
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                   max_df: int | None = None,
                   distinct: bool = True) -> DataFrame:
@@ -970,11 +984,12 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
                      F.greatest("_ia", "_ib").cast("bigint").alias("id_b"),
                      "jaccard"))
     # within-group pairs: identical shingle sets, J = 1.0 — but only
-    # for texts that HAVE shingles (the < n-token guard above).  A
-    # shingle-bearing text has >= n tokens, which the cheap length
-    # test below decides WITHOUT re-shingling the representative
-    # corpus (the plain operator above already pays that pass once).
-    shingled = (reps.filter(F.size(F.split("_text", " ")) >= n)
+    # for texts that HAVE shingles (the < n-token guard above).  The
+    # shared shingle_bearing predicate decides that WITHOUT
+    # re-shingling the representative corpus (the plain operator above
+    # already pays that pass once) and cannot drift from
+    # word_shingles' tokenization.
+    shingled = (reps.filter(shingle_bearing("_text", n))
                 .select(F.col("_rid").alias("_rep")))
     dupm = mem.join(shingled, "_rep")
     within = (dupm.withColumnRenamed("_id", "_ia")

@@ -184,6 +184,9 @@ def fellegi_sunter_weights(cands: DataFrame, agree_cols: list[str],
     TB of candidates never shuffles on anything but the block key that
     built them.
     """
+    if not agree_cols:
+        raise ValueError("agree_cols must be non-empty — the FS weight "
+                         "is a sum over agreement fields")
     lbl = F.col(label_col)
     stats = cands.agg(
         *[e for c in agree_cols for e in (

@@ -16,6 +16,11 @@ Conventions that make the driver's hash-compare deterministic:
   there (DuckDB re-renders decimally, Spark rounds the binary double;
   see cohort_ltv_curve) — keep the arithmetic integer (cents, div)
   and divide by a power of ten at the very end;
+- rounded doubles that can land exactly on zero (sin/cos at the zero
+  crossings, differences of equal values) get ``+ 0.0`` appended on
+  BOTH sides: DuckDB's round keeps IEEE -0.0 while Spark's BigDecimal
+  HALF_UP has no negative zero — same value, different hash bytes
+  (the r10 feat_cyclical_encode red row); ``-0.0 + 0.0 = +0.0``;
 - timestamps/dates are emitted as formatted strings (session tz = UTC);
 - LIMIT queries carry a total ORDER BY (unique key suffix).
 """
@@ -80,109 +85,88 @@ _MODULES = [
 #     only other iterative-dataflow entry), attribution_interval_join
 #     (the bounded interval-join topology).
 _PRIORITY = [
-    # Round-10 window, executing VERDICT r9 "Next round" #1: the 34
-    # round-9 additions (the ONLY never-driver-checked entries left;
-    # all oracled, green locally at sf0.001+sf0.01+sf0.1) plus the 16
-    # oldest-evidence rows.  After this round the union of driver rows
-    # r01..r10 covers all registry entries AND no entry's latest
-    # evidence predates r03.
-    # -- (a) r9 additions: statistical tests / experimentation --
-    "eval_mann_whitney_u",
-    "eval_cramers_v",
-    "eval_log_loss",
-    "eval_fleiss_kappa",
-    "eval_power_analysis",
-    "stats_mode_by_group",
-    "stats_weighted_median",
-    # -- (a) r9 additions: events / time series --
-    "event_nelson_aalen",
-    "event_activity_bitmask",
-    "event_cuped_adjustment",
-    "event_diff_in_diff",
-    "event_lorenz_curve",
-    "quantiles_from_hist_registers",
-    "ts_asof_forward_tolerance",
-    "ts_stl_decompose",
-    "ts_stl_anomaly",
-    "w10_cumulative_distinct_users",
-    "profile_boxplot_stats",
+    # Round-11 window, executing VERDICT r10 "Next round" #1/#2: the
+    # fixed feat_cyclical_encode (the one red r10 row — signed-zero
+    # normalization, verified byte-exact at 3 SFs this round), the 42
+    # round-10 additions (the only never-driver-checked entries; all
+    # oracled, green locally at sf0.001+sf0.01+sf0.1), and 7 slots of
+    # the oldest remaining r03 cohort.
+    # -- the r10 red row, fixed --
     "feat_cyclical_encode",
-    # -- (a) r9 additions: text --
-    "text_passage_dedup",
-    "text_mattr",
-    "text_vocab_coverage_curve",
-    "text_hapax_ratio",
-    # -- (a) r9 additions: graph / embeddings / ANN / dedup --
-    "graph_bfs_frontier",
-    "graph_harmonic_centrality_2hop",
-    "emb_epsilon_components",
-    "emb_knn_classifier_eval",
-    "emb_label_representatives",
-    "emb_collapse_score",
-    "ann_nprobe_recall_curve",
-    "dedup_weighted_jaccard",
-    "dedup_minhash_band_tuning",
-    # -- (a) r9 additions: sources / sampling --
-    "s5_jsonl_roundtrip",
-    "sample_stratified_kfold",
-    # -- (b) the 6 rows whose latest driver row is still r02 (bench
-    #    headliners every round, but hash-evidence is stale) --
-    "ann_cosine_topk",
-    "dedup_exact",
-    "text_stats",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    # -- (b) 10 oldest r03-cohort entries (alphabetical from the r8
+    # -- (a) r10 additions: linkage / dedup / ER --
+    "er_fuzzy_match_multipass",
+    "er_fellegi_sunter",
+    "er_fellegi_sunter_scaled",
+    "er_fellegi_sunter_multipass",   # r11 addition (verdict #4)
+    "dedup_allpairs_exact",
+    "dedup_allpairs_canonical",
+    # -- (a) r10 additions: statistical tests / experimentation --
+    "eval_anova_f",
+    "eval_kruskal_wallis",
+    "eval_cochran_q",
+    "eval_proportions_ztest",
+    "eval_permutation_test",
+    "eval_msprt_always_valid",
+    "eval_tost_equivalence",
+    "stats_theil_index",
+    "stats_trimmed_mean",
+    "stats_grubbs_test",
+    "stats_jarque_bera",
+    "stats_benjamini_hochberg",
+    "stats_p_chart",
+    "stats_brown_forsythe",
+    "stats_friedman_test",
+    # -- (a) r10 additions: time series / events --
+    "ts_mann_kendall",
+    "ts_pacf",
+    "ts_seasonal_strength",
+    "ts_periodogram_dow",
+    "ts_holt_linear",
+    "event_survival_rmst",
+    "event_uplift_by_decile",
+    # -- (a) r10 additions: graph / embeddings / ANN --
+    "graph_hits_3iter",
+    "graph_rectangle_count",
+    "graph_rectangle_count_capped",
+    "graph_edge_embeddedness",
+    "ann_mips_topk",
+    "emb_jl_projection",
+    "emb_epsilon_components_scaled",
+    # -- (a) r10 additions: text / retrieval / sketches / sources --
+    "text_bigram_lm_ppl",
+    "text_burrows_delta",
+    "text_heaps_law",
+    "retrieval_query_likelihood",
+    "sketch_kmv_intersection",
+    "sample_poisson_bootstrap",
+    "dq_functional_dependency",
+    "s6_orc_roundtrip",
+    # -- (b) 7 oldest r03-cohort entries (alphabetical from the r10
     #    stock list, skipping the two rows-only engine-private
-    #    sketches approx_distinct/approx_quantiles whose oracled twin
-    #    approx_distinct_hll takes their slot) --
-    "a10_salted_hot_agg",
-    "ann_ivf_topk_fixed",
-    "ann_lsh_topk_multiprobe",
-    "ann_pq_codes",
-    "ann_pq_topk",
-    "approx_distinct_hll",
-    "approx_topk_cms",
-    "bloom_contamination",
-    "cohort_retention",
-    "dedup_levenshtein_prefix",
-    # (Window full at 50.  r11 STOCK, in priority order: (a) the 42
-    # round-10 additions, never driver-checked -- er_fuzzy_match_multipass,
-    # eval_anova_f, eval_kruskal_wallis, eval_cochran_q,
-    # stats_theil_index, stats_trimmed_mean, ts_mann_kendall,
-    # graph_hits_3iter, graph_rectangle_count, dq_functional_dependency,
-    # ann_mips_topk, emb_jl_projection, text_bigram_lm_ppl,
-    # text_burrows_delta, sample_poisson_bootstrap,
-    # eval_permutation_test, eval_proportions_ztest, ts_pacf,
-    # ts_seasonal_strength, graph_edge_embeddedness, stats_grubbs_test,
-    # stats_jarque_bera, ts_periodogram_dow, event_survival_rmst,
-    # event_uplift_by_decile, emb_epsilon_components_scaled,
-    # dedup_allpairs_exact, er_fellegi_sunter, ts_holt_linear,
-    # stats_benjamini_hochberg, retrieval_query_likelihood,
-    # sketch_kmv_intersection, s6_orc_roundtrip, eval_msprt_always_valid,
-    # dedup_allpairs_canonical, graph_rectangle_count_capped,
-    # er_fellegi_sunter_scaled, stats_p_chart, text_heaps_law,
-    # eval_tost_equivalence, stats_brown_forsythe, stats_friedman_test
-    # (42 round-10 additions total); (b) 8
-    # slots from the oldest remaining r03 cohort (alphabetical from:
-    # approx_distinct, approx_quantiles (rows-only), dedup_span_profile,
-    # dq_expectations, fm_predict, funnel_view_click_purchase,
-    # histogram_width_bucket, hypertable_rollup, j6_anti_join,
-    # j8_salted_join_agg, latest_event_per_user, multimodal_features,
-    # pipeline_dataprep, profile_key_skew, range_join_price_bands,
-    # s2_inline_relation, s3_libsvm_parse, sample_hash_split,
-    # sample_negatives, sample_pack_sequences, sample_per_source_cap,
-    # sample_stratified, sample_temperature_mixture,
-    # sample_weighted_topk, scd2_user_status, set_except,
-    # stats_corr_regr, text_tfidf_top_terms, w5_lag_delta,
-    # w6_ntile_cume, w7_time_range_sum, win_sliding,
-    # zorder_layout_key); the r03 remainder + r04 follow in r12.
-    # Prior rotation history lives in git: the r10 window at commit
-    # 3b0aaef, r9 at 379fa18^, r8 at eccbe04, r7 at a192c46, r6 at
-    # 5207f57^, r5 at ded7618.  Everything rotated out is r4+-green
-    # and remains covered by the sf0.001+sf0.01(+sf0.1) oracle
-    # harness every round; bench headliners additionally run
+    #    sketches approx_distinct/approx_quantiles — their oracled
+    #    twin approx_distinct_hll got its row in r10) --
+    "dedup_span_profile",
+    "dq_expectations",
+    "fm_predict",
+    "funnel_view_click_purchase",
+    "histogram_width_bucket",
+    "hypertable_rollup",
+    # (Window full at 50.  r12 STOCK, in priority order: (a) any
+    # round-11 additions (never driver-checked); (b) the r03/r04
+    # remainder, alphabetical: j6_anti_join, j8_salted_join_agg,
+    # latest_event_per_user, multimodal_features, pipeline_dataprep,
+    # profile_key_skew, range_join_price_bands, s2_inline_relation,
+    # s3_libsvm_parse, sample_hash_split, sample_negatives,
+    # sample_pack_sequences, sample_per_source_cap, sample_stratified,
+    # sample_temperature_mixture, sample_weighted_topk,
+    # scd2_user_status, set_except, stats_corr_regr,
+    # text_tfidf_top_terms, w5_lag_delta, w6_ntile_cume,
+    # w7_time_range_sum, win_sliding, zorder_layout_key.
+    # Prior rotation history lives in git: the r11 window at this
+    # commit, r10 at 3b0aaef, r9 at 379fa18^, r8 at eccbe04, r7 at
+    # a192c46, r6 at 5207f57^, r5 at ded7618.  Everything rotated out
+    # is r4+-green and remains covered by the sf0.001+sf0.01(+sf0.1)
+    # oracle harness every round; bench headliners additionally run
     # per-round.)
 ]
 

@@ -5820,10 +5820,14 @@ def profile_boxplot_stats(spark, sf):
            CAST(hour(ts) AS BIGINT) AS hr,
            -- DuckDB dayofweek is 0-6 (Sun=0); Spark's is 1-7 (Sun=1)
            CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-           round(sin(2 * pi() * hour(ts) / 24.0), 6) AS hour_sin,
-           round(cos(2 * pi() * hour(ts) / 24.0), 6) AS hour_cos,
-           round(sin(2 * pi() * dayofweek(ts) / 7.0), 6) AS dow_sin,
-           round(cos(2 * pi() * dayofweek(ts) / 7.0), 6) AS dow_cos
+           -- "+ 0.0" collapses IEEE signed zero: DuckDB's round keeps
+           -- -0.0 at the cosine zero crossings (e.g. hour 18 cos rounds
+           -- -1.84e-16 to -0.0) while Spark's BigDecimal HALF_UP has no
+           -- negative zero; -0.0 + 0.0 = +0.0 on both engines.
+           round(sin(2 * pi() * hour(ts) / 24.0), 6) + 0.0 AS hour_sin,
+           round(cos(2 * pi() * hour(ts) / 24.0), 6) + 0.0 AS hour_cos,
+           round(sin(2 * pi() * dayofweek(ts) / 7.0), 6) + 0.0 AS dow_sin,
+           round(cos(2 * pi() * dayofweek(ts) / 7.0), 6) + 0.0 AS dow_cos
     FROM events WHERE event_id < 500
     """)
 def feat_cyclical_encode(spark, sf):
@@ -5834,9 +5838,12 @@ def feat_cyclical_encode(spark, sf):
     encodings tear the cycle at the wrap point.  Pure map-side
     projection (no shuffle at all); the angle arithmetic is written
     identically in both engines and 6dp-rounded (libm sin/cos agree
-    far past 6 decimals on identical doubles).  Sliced to the first
-    500 events — the feature shape is per-row, the check doesn't need
-    the corpus."""
+    far past 6 decimals on identical doubles); each rounded value gets
+    ``+ 0.0`` appended on BOTH sides to collapse IEEE signed zero at
+    the zero crossings (DuckDB round keeps -0.0, Spark's BigDecimal
+    HALF_UP emits +0.0 — same value, different hash bytes; the r10
+    driver red row).  Sliced to the first 500 events — the feature
+    shape is per-row, the check doesn't need the corpus."""
     import math
     ev = T(spark, sf, "events").filter(F.col("event_id") < 500)
     two_pi = 2 * math.pi
@@ -5846,10 +5853,12 @@ def feat_cyclical_encode(spark, sf):
         F.col("event_id").cast(BIG).alias("event_id"),
         hr.cast(BIG).alias("hr"),
         dow.cast(BIG).alias("dow"),
-        F.round(F.sin(two_pi * hr / 24.0), 6).alias("hour_sin"),
-        F.round(F.cos(two_pi * hr / 24.0), 6).alias("hour_cos"),
-        F.round(F.sin(two_pi * (dow - 1) / 7.0), 6).alias("dow_sin"),
-        F.round(F.cos(two_pi * (dow - 1) / 7.0), 6).alias("dow_cos"))
+        (F.round(F.sin(two_pi * hr / 24.0), 6) + 0.0).alias("hour_sin"),
+        (F.round(F.cos(two_pi * hr / 24.0), 6) + 0.0).alias("hour_cos"),
+        (F.round(F.sin(two_pi * (dow - 1) / 7.0), 6) + 0.0)
+        .alias("dow_sin"),
+        (F.round(F.cos(two_pi * (dow - 1) / 7.0), 6) + 0.0)
+        .alias("dow_cos"))
 
 
 @query(

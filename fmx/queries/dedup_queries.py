@@ -118,8 +118,11 @@ APSS_T = 0.4
 
 @query(
     "dedup_allpairs_exact",
-    headline=True,   # r10: exact-APSS flagship — prefix-filter plan vs
-                     # the naive unbounded join the oracle spells out
+    # NOT a headliner since r11: this is the explicitly-labeled
+    # research tool (prefix filter on raw rows).  The 10x experiment
+    # measured its candidate join growing 574k -> 64.8M (alpha 1.32)
+    # under verbatim duplication; dedup_allpairs_canonical is the
+    # row-identical pipeline default and carries the bench flag.
     oracle=f"""
     WITH {_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -157,6 +160,9 @@ def dedup_allpairs_exact(spark, sf):
 
 @query(
     "dedup_allpairs_canonical",
+    headline=True,   # r11: the exact-APSS flagship and pipeline
+                     # default — canonicalize-then-match (alpha -0.06
+                     # at 10x vs 1.32 for the uncanonicalized form)
     oracle=f"""
     WITH {_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -818,25 +824,44 @@ _FS_CORPUS = """
              CASE WHEN c_custkey % 11 = 0
                   THEN reverse(substring(c_name, length(c_name) - 1, 2))
                   ELSE substring(c_name, length(c_name) - 1, 2)
-             END AS tail_p
+             END AS tail_p,
+             -- mid: the two digits BEFORE the tail — never corrupted,
+             -- the independent second blocking key of the multipass
+             -- variant (union-of-passes recall fix)
+             substring(c_name, length(c_name) - 3, 2) AS mid_p
       FROM customer),
     clean AS (
       SELECT c_custkey, c_nationkey, c_mktsegment,
              CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
-             substring(c_name, length(c_name) - 1, 2) AS tail
+             substring(c_name, length(c_name) - 1, 2) AS tail,
+             substring(c_name, length(c_name) - 3, 2) AS mid
       FROM customer)
 """
 
 
-def _fs_oracle(block_cond: str) -> str:
-    return f"""
-    WITH {_FS_CORPUS},
-    cand AS (
+# agreement flags + label, computed from a (p, c) join row — shared by
+# every FS oracle variant so the scoring arithmetic cannot drift
+_FS_FLAGS = """
       SELECT CASE WHEN p.seg_p = c.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
              CASE WHEN p.band_p = c.band THEN 1 ELSE 0 END AS a_band,
              CASE WHEN p.tail_p = c.tail THEN 1 ELSE 0 END AS a_tail,
              CASE WHEN p.probe_id = c.c_custkey THEN 1 ELSE 0 END AS lbl
-      FROM probes p JOIN clean c ON {block_cond}),
+"""
+
+
+def _fs_oracle(block_cond: str) -> str:
+    return _fs_oracle_from_cand(f"""
+    cand AS ({_FS_FLAGS}
+      FROM probes p JOIN clean c ON {block_cond})""")
+
+
+def _fs_oracle_from_cand(cand_cte: str) -> str:
+    """Full FS oracle from a candidate CTE named ``cand`` producing
+    (a_seg, a_band, a_tail, lbl) rows; the m/u estimation, pattern agg
+    and log2 weight tail is single-sourced here for every variant."""
+    return f"""
+    WITH {_FS_CORPUS},
+    {cand_cte},
     mu AS (
       SELECT (sum(a_seg * lbl) + 0.5) * 1.0 / (sum(lbl) + 1.0) AS m_seg,
              (sum(a_seg * (1 - lbl)) + 0.5) * 1.0
@@ -868,17 +893,21 @@ def _fs_oracle(block_cond: str) -> str:
     """
 
 
-def _fs_query(spark, sf, scaled: bool):
+def _fs_query(spark, sf, mode: str):
     """Shared Spark builder: corrupted probes + clean side + blocked
-    agreement vectors, then fellegi_sunter_weights.  ``scaled`` adds
-    the name tail to the block key (the n^2-law fix measured in
-    SCALE.md round-10 session 2)."""
+    agreement vectors, then fellegi_sunter_weights.  ``mode``:
+    "base" blocks on nation only (the measured n^2/25 trap), "scaled"
+    adds the name tail to the block key (the n^2-law fix measured in
+    SCALE.md round-10 session 2), "multipass" unions two independent
+    block passes — (nation, tail) plus (mid, band) — and dedups pairs
+    before scoring (the single-pass-recall fix, r10 verdict #4)."""
     from pyspark.sql import functions as F
 
     from fmx.operators.linkage import fellegi_sunter_weights
 
     cust = T(spark, sf, "customer")
     tail = F.expr("substring(c_name, length(c_name)-1, 2)")
+    mid = F.expr("substring(c_name, length(c_name)-3, 2)")
     probes = cust.select(
         F.col("c_custkey").alias("probe_id"),
         ((F.col("c_nationkey")
@@ -890,23 +919,40 @@ def _fs_query(spark, sf, scaled: bool):
          + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
         .alias("band_p"),
         F.when(F.col("c_custkey") % 11 == 0, F.reverse(tail))
-        .otherwise(tail).alias("tail_p"))
+        .otherwise(tail).alias("tail_p"),
+        mid.alias("mid_p"))
     clean = cust.select(
         "c_custkey", "c_nationkey", "c_mktsegment",
         F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("band"),
-        tail.alias("tail"))
-    cond = probes["nation_p"] == clean["c_nationkey"]
-    if scaled:
-        cond = cond & (probes["tail_p"] == clean["tail"])
-    cands = (probes.join(clean, cond)
-             .select((F.col("seg_p") == F.col("c_mktsegment"))
-                     .cast("int").alias("a_seg"),
-                     (F.col("band_p") == F.col("band"))
-                     .cast("int").alias("a_band"),
-                     (F.col("tail_p") == F.col("tail"))
-                     .cast("int").alias("a_tail"),
-                     (F.col("probe_id") == F.col("c_custkey"))
-                     .cast("int").alias("lbl")))
+        tail.alias("tail"), mid.alias("mid"))
+    if mode == "multipass":
+        # union of two independent equi-join passes at PAIR grain,
+        # dedup, then re-attach both sides to compute agreement flags
+        # once per surviving pair — the blocked_fuzzy_join_multipass
+        # shape applied to FS candidate generation
+        p1 = (probes.join(clean,
+                          (probes["nation_p"] == clean["c_nationkey"])
+                          & (probes["tail_p"] == clean["tail"]))
+              .select("probe_id", "c_custkey"))
+        p2 = (probes.join(clean,
+                          (probes["mid_p"] == clean["mid"])
+                          & (probes["band_p"] == clean["band"]))
+              .select("probe_id", "c_custkey"))
+        joined = (p1.unionAll(p2).distinct()
+                  .join(probes, "probe_id").join(clean, "c_custkey"))
+    else:
+        cond = probes["nation_p"] == clean["c_nationkey"]
+        if mode == "scaled":
+            cond = cond & (probes["tail_p"] == clean["tail"])
+        joined = probes.join(clean, cond)
+    cands = joined.select((F.col("seg_p") == F.col("c_mktsegment"))
+                          .cast("int").alias("a_seg"),
+                          (F.col("band_p") == F.col("band"))
+                          .cast("int").alias("a_band"),
+                          (F.col("tail_p") == F.col("tail"))
+                          .cast("int").alias("a_tail"),
+                          (F.col("probe_id") == F.col("c_custkey"))
+                          .cast("int").alias("lbl"))
     out = fellegi_sunter_weights(cands, ["a_seg", "a_band", "a_tail"],
                                  "lbl")
     return out.select("pattern", "a_seg", "a_band", "a_tail",
@@ -933,7 +979,7 @@ def er_fellegi_sunter(spark, sf):
     escapes the block) is the documented single-pass bound.  Corpus,
     builder, and oracle are single-sourced with the scaled variant
     (_fs_query/_fs_oracle) — only the block key differs."""
-    return _fs_query(spark, sf, scaled=False)
+    return _fs_query(spark, sf, "base")
 
 
 @query(
@@ -957,8 +1003,48 @@ def er_fellegi_sunter_scaled(spark, sf):
     and near zero) — blocking on a field spends its discriminating
     power, which is why production linkage blocks on one key and
     scores on the OTHERS.  Single-sourced with the baseline
-    (_fs_query/_fs_oracle)."""
-    return _fs_query(spark, sf, scaled=True)
+    (_fs_query/_fs_oracle).  The declared recall loss (tail-corrupted
+    probes escape the composite block) is fixed by
+    er_fellegi_sunter_multipass."""
+    return _fs_query(spark, sf, "scaled")
+
+
+@query(
+    "er_fellegi_sunter_multipass",
+    oracle=_fs_oracle_from_cand(f"""
+    pairs AS (
+      SELECT p.probe_id, c.c_custkey
+      FROM probes p JOIN clean c
+        ON p.nation_p = c.c_nationkey AND p.tail_p = c.tail
+      UNION
+      SELECT p.probe_id, c.c_custkey
+      FROM probes p JOIN clean c
+        ON p.mid_p = c.mid AND p.band_p = c.band),
+    cand AS ({_FS_FLAGS}
+      FROM pairs pr JOIN probes p ON pr.probe_id = p.probe_id
+                    JOIN clean c ON pr.c_custkey = c.c_custkey)"""))
+def er_fellegi_sunter_multipass(spark, sf):
+    """Multi-pass Fellegi-Sunter (r10 verdict #4): the scaled variant's
+    composite (nation, tail) block loses every tail-corrupted probe
+    (custkey%11) AND still loses the nation-corrupted ones (custkey%5)
+    — single-pass blocking recall.  The standard fix, mirrored from
+    blocked_fuzzy_join_multipass: a UNION of independent blocking
+    passes, each an ordinary equi-join, deduplicated at pair grain
+    before scoring.  Pass 1 = (nation_p, tail_p); pass 2 = (mid_p,
+    band_p), where ``mid`` is the two name digits BEFORE the tail — a
+    never-corrupted, ~100-value key independent of pass 1's fields.  A
+    true pair is recovered iff it survives EITHER pass, so the
+    residual loss is only probes corrupted on a field of BOTH passes:
+    (nation %5 or tail %11) AND band %3 — measured in
+    tests/test_linkage_multipass.py as the exact recall ledger.  Both
+    passes keep the scaled variant's bounded-block property (~2500 and
+    ~2400 block values); the union + distinct adds one shuffle at pair
+    grain, never a cross product.  m/u estimation and pattern weights
+    run over the UNIONED candidate relation (more impostor pairs than
+    either single pass — the u_k estimates tighten accordingly);
+    flags, corpus, and the weight tail are single-sourced with the
+    other two variants (_FS_CORPUS/_FS_FLAGS/_fs_oracle_from_cand)."""
+    return _fs_query(spark, sf, "multipass")
 
 
 @query(

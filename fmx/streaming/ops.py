@@ -727,12 +727,16 @@ def activity_mask_fold(regs: DataFrame) -> DataFrame:
 
 KMV_STREAM_SCHEMA = StructType([
     StructField("group", StringType()),
+    StructField("ver", LongType()),    # per-group snapshot version —
+    # consumers MUST select the max-ver snapshot per group (see
+    # stream_kmv_state docstring)
     StructField("h", LongType()),
 ])
 _KMV_STATE = StructType([
     StructField("hs", StringType()),   # comma-joined sorted hashes —
     # scalar state round-trips losslessly (array-typed state columns
     # arrow-copy fine but a flat string keeps the tuple contract dumb)
+    StructField("ver", LongType()),    # snapshot counter
 ])
 
 
@@ -747,9 +751,19 @@ def stream_kmv_state(events: DataFrame, group_col: str, value_col: str,
     register family with its fourth merge law: HLL (max),
     hist/CMS/checksum (sum), Bloom (or), KMV (min-k).
 
-    Emits the group's CURRENT sketch (one row per retained hash) each
-    batch the group appears in; downstream, two groups' snapshots feed
-    the same theta-intersection math as the batch
+    Emits the group's CURRENT sketch (one row per retained hash,
+    stamped with a per-group snapshot ``ver``) each batch the group
+    appears in.  **Snapshot contract**: with append-style sinks
+    (memory sink, files) earlier emissions persist, so a consumer that
+    unions ALL output rows gets a SUPERSET of the sketch — hashes
+    evicted by later batches linger from older snapshots.  Consumers
+    must take only the latest snapshot per group: filter to
+    ``ver = max(ver) OVER (PARTITION BY group)`` (or join against
+    ``groupBy(group).agg(max(ver))``).  The two-batch eviction test
+    (tests/test_streaming.py::test_stream_kmv_state_two_batch_eviction)
+    pins exactly this: batch-2 snapshots evict batch-1 hashes, the
+    naive union does not.  Downstream, two groups' latest snapshots
+    feed the same theta-intersection math as the batch
     ``fmx.operators.sketches.kmv_intersection`` (merge rule
     ``kmv_merge``: k smallest of the union — associative, so batch,
     stream, and cross-day states all fold)."""
@@ -763,15 +777,18 @@ def stream_kmv_state(events: DataFrame, group_col: str, value_col: str,
     def upd(key: Any, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
         cur: set[int] = set()
+        ver = 0
         if state.exists:
-            (blob,) = state.get
+            blob, ver = state.get
             if blob:
                 cur.update(int(x) for x in blob.split(","))
         for pdf in pdfs:
             cur.update(int(x) for x in pdf["h"])
         best = sorted(cur)[:kk]
-        state.update((",".join(str(x) for x in best),))
-        yield pd.DataFrame({"group": [key[0]] * len(best), "h": best})
+        ver = int(ver) + 1
+        state.update((",".join(str(x) for x in best), ver))
+        yield pd.DataFrame({"group": [key[0]] * len(best),
+                            "ver": [ver] * len(best), "h": best})
 
     return (hashed.groupBy("group")
             .applyInPandasWithState(

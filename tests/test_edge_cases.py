@@ -297,3 +297,9 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
              "eval_tost_equivalence", "stats_brown_forsythe",
              "stats_friedman_test"]
     _assert_partition_invariant(spark, sf_dir, names)
+
+
+def test_round11_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the round-11 additions."""
+    names = ["er_fellegi_sunter_multipass"]
+    _assert_partition_invariant(spark, sf_dir, names)

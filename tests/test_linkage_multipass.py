@@ -77,3 +77,44 @@ def test_multipass_recall_delta_sf001(spark):
     assert single == 1585
     assert multi == 1989
     assert multi > single            # the recall gain is real
+
+
+def test_fs_multipass_recall_ledger(spark):
+    """Exact recall accounting for the three FS blocking variants on
+    the sf0.01 customer corpus (r10 verdict #4): the corruption is
+    key-derived, so the set of recoverable true pairs is a closed-form
+    function of custkey divisibility — assert each variant's total
+    n_true equals its formula, and that multipass strictly dominates
+    scaled (recovering both the tail-corrupted %11 and the
+    nation-corrupted %5 probes unless band %3 is also corrupted)."""
+    import fmx.queries as Q
+
+    rows = (spark.read.parquet(f"{SF001}/customer.parquet")
+            .select("c_custkey",
+                    F.expr("substring(c_name, length(c_name)-1, 2)")
+                    .alias("tail")).collect())
+    # the %11 tail reversal is a NO-OP on palindromic tails ("00".."99")
+    # — those probes still carry the clean tail and block normally
+    pairs = [(r.c_custkey, r.tail == r.tail[::-1]) for r in rows]
+    want = {
+        # base: blocked on corrupted nation — lose %5
+        "er_fellegi_sunter": sum(1 for k, _ in pairs if k % 5),
+        # scaled: (nation, tail) — lose %5 or effectively-corrupted %11
+        "er_fellegi_sunter_scaled":
+            sum(1 for k, palin in pairs
+                if k % 5 and (k % 11 or palin)),
+        # multipass: pass1 (nation, tail) OR pass2 (mid, band) — lose
+        # only probes failing BOTH: pass1's loss set and band %3
+        "er_fellegi_sunter_multipass":
+            sum(1 for k, palin in pairs
+                if (k % 5 and (k % 11 or palin)) or k % 3),
+    }
+    got = {}
+    for name, expected in want.items():
+        out = Q.all_queries()[name].fn(spark, SF001)
+        got[name] = out.agg(F.sum("n_true")).collect()[0][0]
+        assert got[name] == expected, (name, got[name], expected)
+    assert (got["er_fellegi_sunter_multipass"]
+            > got["er_fellegi_sunter_scaled"])
+    assert (got["er_fellegi_sunter_multipass"]
+            > got["er_fellegi_sunter"])

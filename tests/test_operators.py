@@ -2902,3 +2902,35 @@ def test_kmv_null_values_carry_no_identity(spark):
     assert all(r.h is not None for r in st) and len(st) == 8
     r = kmv_intersection(a, b, "u", k=64).collect()[0]
     assert (r.n_a, r.n_b, r.exact_common, r.kmv_estimate) == (10, 10, 5, 5)
+
+
+def test_fellegi_sunter_empty_agree_cols_raises(spark):
+    """Contract error, not an opaque AttributeError three selects deep
+    (the r10 advice item)."""
+    import pytest as _pytest
+
+    from fmx.operators.linkage import fellegi_sunter_weights
+
+    cands = spark.createDataFrame([(1, 1)], "a int, label int")
+    with _pytest.raises(ValueError, match="agree_cols"):
+        fellegi_sunter_weights(cands, [], "label")
+
+
+def test_shingle_bearing_matches_word_shingles_emission(spark):
+    """The shared shingle_bearing predicate must agree with whether
+    word_shingles actually emits shingles, on every tokenization edge
+    case (empty string, whitespace runs producing empty tokens, exactly
+    n tokens, fewer than n) — the single-source guard the canonical
+    APSS within-group fan-out relies on."""
+    from fmx.operators.dedup import shingle_bearing, word_shingles
+
+    texts = ["", " ", "  ", "a", "a b", "a b c", "a  b", "a b c d",
+             " a b", "a b ", "x" * 50]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    for n in (2, 3):
+        emitted = {r.id for r in word_shingles(df, "id", "text", n=n)
+                   .select("id").distinct().collect()}
+        predicted = {r.id for r in
+                     df.filter(shingle_bearing("text", n)).collect()}
+        assert emitted == predicted, (n, emitted, predicted)

@@ -149,6 +149,7 @@ _ALLOWED = {
         "dedup_weighted_jaccard",  # 1-row corpus-size broadcast (IDF)
         "er_fellegi_sunter",       # 1-row m/u-stats broadcast onto <=2^k patterns
         "er_fellegi_sunter_scaled",  # same 1-row m/u broadcast
+        "er_fellegi_sunter_multipass",  # same 1-row m/u broadcast
         "stats_benjamini_hochberg",  # 1-row global-moments broadcast
         "stats_p_chart",             # 1-row totals broadcast
         "stats_brown_forsythe",      # 1-row totals broadcast

@@ -886,3 +886,72 @@ def test_stream_kmv_state_fold_matches_batch(spark, sf_dir):
         batch.setdefault(r.group, set()).add(r.h)
     assert streamed == batch and len(batch) == 5
     q.stop()
+
+
+def test_stream_kmv_state_two_batch_eviction(spark, tmp_path):
+    """Cross-batch KMV semantics (the r10 advice item): batch 2 must
+    EVICT batch-1 hashes from the per-group min-k state, the batch-2
+    snapshot must equal min-k over the UNION of both batches, and —
+    the documented snapshot contract — a consumer naively unioning all
+    memory-sink rows gets a strict SUPERSET of the sketch, while
+    selecting the max-``ver`` snapshot per group recovers it exactly."""
+    from fmx.operators.sketches import _md5_long
+
+    k = 4
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    def write_batch(vals, path):
+        # one flat parquet FILE per batch (pyarrow, not df.write which
+        # makes a directory the file stream source won't list)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({"g": ["g"] * len(vals), "v": vals}), path)
+
+    import os
+    os.makedirs(in_dir, exist_ok=True)
+
+    def run_once(name):
+        # foreachBatch, not the memory sink: only foreachBatch supports
+        # resuming from the shared checkpoint that carries the KMV state
+        # across the two availableNow runs
+        out: list = []
+
+        def sink(df, _bid):
+            out.extend(df.collect())
+
+        src = (spark.readStream.schema("g string, v string")
+               .option("maxFilesPerTrigger", "1000").parquet(in_dir))
+        q = (S.stream_kmv_state(src, "g", "v", k=k)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return out
+
+    b1 = [f"a{i}" for i in range(8)]
+    b2 = [f"b{i}" for i in range(24)]
+    write_batch(b1, f"{in_dir}/f1.parquet")
+    rows1 = run_once("kmv_2b_1")
+    write_batch(b2, f"{in_dir}/f2.parquet")
+    rows2 = run_once("kmv_2b_2")
+
+    def mink(vals):
+        return set(r.h for r in spark.createDataFrame(
+            [(v,) for v in vals], "v string")
+            .select(_md5_long(F.col("v"), "kmv:").alias("h"))
+            .orderBy("h").limit(k).collect())
+
+    snap1 = {r.h for r in rows1 if r.ver == 1}
+    snap2 = {r.h for r in rows2 if r.ver == 2}
+    assert snap1 == mink(b1)
+    assert snap2 == mink(b1 + b2)
+    evicted = snap1 - snap2
+    assert evicted, ("fixed inputs must evict at least one batch-1 hash; "
+                     "if this fires the test values need retuning")
+    # the documented trap: union-of-all-rows is a superset, max-ver exact
+    union_all = {r.h for r in rows1 + rows2}
+    assert union_all > snap2 and evicted <= union_all
+    latest = {r.h for r in rows1 + rows2
+              if r.ver == max(x.ver for x in rows1 + rows2)}
+    assert latest == snap2
