@@ -432,3 +432,79 @@ def holt_linear(df: DataFrame, key_cols: list[str], ts_col: str,
                     F.col("_hw.l").alias("level"),
                     F.col("_hw.b").alias("trend"),
                     (F.col("_hw.l") + F.col("_hw.b")).alias("forecast_1")))
+
+
+def holt_winters_additive(df: DataFrame, key_cols: list[str],
+                          ts_col: str, value_col: str, period: int = 7,
+                          alpha: float = 0.5, beta: float = 0.3,
+                          gamma: float = 0.2) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per key —
+    the seasonal extension of :func:`holt_linear` (level + trend +
+    a length-``period`` seasonal register):
+
+        l_t = a*(x_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+        s_t = g*(x_t - l_t) + (1-g)*s_{t-m}
+
+    Classic simple init over the first season: l_m = mean(x_1..x_m),
+    b_m = 0, s_i = x_i - l_m; the fold starts at t = m+1.  Returns one
+    row per key: (keys..., n_points, level, trend, season_next,
+    forecast_1 = level + trend + season_next) — the 1-step forecast a
+    trend-only Holt biases on day-of-week-seasonal series.
+
+    Same shapes and engine discipline as holt_linear: one hash agg
+    collects the CALENDAR-BOUNDED series, the recursion is a single
+    ``aggregate`` higher-order fold whose accumulator carries the
+    seasonal register as a rotating ARRAY field (head = s_{t-m},
+    rotate-and-append each step — bounded at ``period`` doubles
+    forever), every coefficient is a literal, and the level expression
+    is textually repeated inside the trend/season updates exactly as
+    the DuckDB recursive-CTE oracle repeats it (the list_reduce
+    stale-struct trap is avoided on both sides).  Keys with fewer
+    than period+1 points are dropped."""
+    a, b, g = float(alpha), float(beta), float(gamma)
+    m = int(period)
+    oma, omb, omg = 1.0 - a, 1.0 - b, 1.0 - g
+    lnew = (f"({a!r} * (x - element_at(acc.s, 1))"
+            f" + {oma!r} * (acc.l + acc.b))")
+    # explicit left-to-right parenthesization so both engines add the
+    # first season in the identical IEEE order
+    acc_sum = "element_at(_vs, 1)"
+    for i in range(2, m + 1):
+        acc_sum = f"({acc_sum} + element_at(_vs, {i}))"
+    l0 = f"(CAST({acc_sum} AS DOUBLE) / {float(m)!r})"
+    s0 = ("array(" + ", ".join(
+        [f"CAST(element_at(_vs, {i}) AS DOUBLE) - _l0"
+         for i in range(1, m + 1)]) + ")")
+    fold = (
+        "aggregate("
+        f"  slice(_vs, {m + 1}, greatest(size(_vs) - {m}, 0)),"
+        "  named_struct('l', _l0, 'b', CAST(0.0 AS DOUBLE),"
+        f"               's', {s0}),"
+        "  (acc, x) -> named_struct("
+        f"     'l', {lnew},"
+        f"     'b', {b!r} * ({lnew} - acc.l) + {omb!r} * acc.b,"
+        f"     's', concat(slice(acc.s, 2, {m - 1}),"
+        f"                 array({g!r} * (x - {lnew})"
+        f"                       + {omg!r} * element_at(acc.s, 1)))))")
+    series = (df.groupBy(*key_cols)
+              .agg(F.array_sort(
+                       F.collect_list(F.struct(
+                           F.col(ts_col).alias("t"),
+                           F.col(value_col).cast("double").alias("x"))))
+                   .alias("_arr"))
+              .select(*key_cols,
+                      F.expr("transform(_arr, s -> s.x)").alias("_vs"))
+              .filter(F.size("_vs") >= m + 1)
+              .withColumn("_l0", F.expr(l0)))
+    return (series
+            .select(*key_cols,
+                    F.size("_vs").cast("bigint").alias("n_points"),
+                    F.expr(fold).alias("_hw"))
+            .select(*key_cols, "n_points",
+                    F.col("_hw.l").alias("level"),
+                    F.col("_hw.b").alias("trend"),
+                    F.expr("element_at(_hw.s, 1)").alias("season_next"),
+                    (F.col("_hw.l") + F.col("_hw.b")
+                     + F.expr("element_at(_hw.s, 1)"))
+                    .alias("forecast_1")))

@@ -7,6 +7,8 @@ replayable in ANSI SQL so every operator carries a DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -514,6 +516,20 @@ def vocab_kl_by_group(df: DataFrame, group_col: str, text_col: str,
     restricted to the shared top-k support on BOTH sides, so P and Q
     are comparable by construction.
     """
+    dense, p, q = _vocab_dense_pq(df, group_col, text_col, k, alpha)
+    return (dense.groupBy(group_col)
+            .agg(F.first("_ng").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_rest")))
+
+
+def _vocab_dense_pq(df: DataFrame, group_col: str, text_col: str,
+                    k: int, alpha: float):
+    """Shared builder for the per-group vs rest-of-corpus unigram
+    comparison: the groups x top-k densified count relation plus the
+    Laplace-smoothed (p, q) probability column expressions — single
+    source for vocab_kl_by_group and vocab_js_by_group so the
+    smoothing and support can never drift between the two
+    divergences."""
     toks = (df.select(F.col(group_col), F.explode(_toks(text_col))
                       .alias("token"))
             .filter(F.col("token") != ""))
@@ -533,10 +549,32 @@ def vocab_kl_by_group(df: DataFrame, group_col: str, text_col: str,
     a = F.lit(float(alpha))
     ak = F.lit(float(alpha) * k)
     p = (F.col("_c") + a) / (F.col("_ng") + ak)
-    q = ((F.col("_ca") - F.col("_c")) + a) / ((F.col("_na") - F.col("_ng")) + ak)
+    q = (((F.col("_ca") - F.col("_c")) + a)
+         / ((F.col("_na") - F.col("_ng")) + ak))
+    return dense, p, q
+
+
+def vocab_js_by_group(df: DataFrame, group_col: str, text_col: str,
+                      k: int = 200, alpha: float = 0.5) -> DataFrame:
+    """Per-group Jensen-Shannon divergence vs the rest of the corpus
+    over the shared top-``k`` support — the SYMMETRIC, bounded
+    ([0, ln 2]) twin of :func:`vocab_kl_by_group`: KL blows up where
+    the group has mass the rest lacks (good for "who talks
+    differently", bad as a distance); JSD(P||Q) = (KL(P||M) +
+    KL(Q||M))/2 with M = (P+Q)/2 is finite, symmetric, and its square
+    root is a metric — the form mixture-weight solvers and corpus-
+    drift monitors want.  Returns (group, n_tokens, js_divergence,
+    js_normalized [/ln 2]).  Identical dense relation and smoothing as
+    the KL (single-sourced in _vocab_dense_pq); same shapes: explode,
+    TakeOrdered top-k, one (group, token) agg, tiny densify."""
+    dense, p, q = _vocab_dense_pq(df, group_col, text_col, k, alpha)
+    m = (p + q) / 2.0
+    jsd = F.sum(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m))
     return (dense.groupBy(group_col)
             .agg(F.first("_ng").cast("bigint").alias("n_tokens"),
-                 F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_rest")))
+                 F.round(jsd, 6).alias("js_divergence"),
+                 F.round(jsd / float(math.log(2.0)), 6)
+                 .alias("js_normalized")))
 
 
 def bm25_topk(df: DataFrame, id_col: str, text_col: str,

@@ -6218,3 +6218,81 @@ def event_uplift_by_decile(spark, sf):
                          - F.sum((1 - t) * y).cast("double")
                          / F.nullif(F.sum(1 - t), F.lit(0)), 6)
                  .alias("uplift")))
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle="""
+    WITH sc AS (SELECT least(greatest(CAST(floor(value * 100 + 0.5)
+                                           AS BIGINT), 0), 50000) AS pc,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL),
+    b AS (SELECT least(pc // 5000, 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS sp,
+                 CAST(sum(y) AS BIGINT) AS sy
+          FROM sc GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(sy) AS BIGINT) AS tsy
+            FROM b),
+    terms AS (
+      SELECT b.n, tot.nn, tot.tsy,
+             (CAST(sp AS DOUBLE) / (n * 50000.0)
+              - CAST(sy AS DOUBLE) / n)
+             * (CAST(sp AS DOUBLE) / (n * 50000.0)
+                - CAST(sy AS DOUBLE) / n) * n AS rel_t,
+             (CAST(sy AS DOUBLE) / n - CAST(tsy AS DOUBLE) / nn)
+             * (CAST(sy AS DOUBLE) / n - CAST(tsy AS DOUBLE) / nn) * n
+                 AS res_t
+      FROM b, tot)
+    SELECT CAST(max(nn) AS BIGINT) AS n,
+           round(sum(rel_t) / max(nn), 6) AS reliability,
+           round(sum(res_t) / max(nn), 6) AS resolution,
+           round((CAST(max(tsy) AS DOUBLE) / max(nn))
+                 * (1.0 - CAST(max(tsy) AS DOUBLE) / max(nn)), 6)
+               AS uncertainty
+    FROM terms
+    """)
+def eval_brier_decomposition(spark, sf):
+    """Murphy decomposition of the Brier score (reliability -
+    resolution + uncertainty) over 10 fixed probability bins of the
+    value/500 purchase-probability from eval_brier_score: reliability
+    penalizes bins whose mean forecast drifts from their observed
+    rate (calibration), resolution rewards bins whose observed rates
+    spread away from the base rate (discrimination), uncertainty is
+    the data's own o(1-o) floor.  Binning is pure integer arithmetic
+    (cents DIV 5000, the double->int cast trap avoided per the
+    exactness notes); per-bin forecast sums ride DECIMAL so each
+    term is one double formula from exact integers.  One hash agg to
+    10 bins + a broadcast 1-row total."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.least(F.greatest(F.floor(F.col("value") * 100 + 0.5)
+                                     .cast(BIG), F.lit(0)),
+                          F.lit(50000)).alias("pc"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    b = (ev.groupBy(F.least(F.expr("pc DIV 5000"), F.lit(9)).alias("bin"))
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.sum(F.col("pc").cast("decimal(38,0)"))
+              .cast("decimal(38,0)").alias("sp"),
+              F.sum("y").cast(BIG).alias("sy")))
+    tot = b.agg(F.sum("n").cast(BIG).alias("nn"),
+                F.sum("sy").cast(BIG).alias("tsy"))
+    n, nn = F.col("n"), F.col("nn")
+    pbar = F.col("sp").cast("double") / (n * 50000.0)
+    obar = F.col("sy").cast("double") / n
+    gbar = F.col("tsy").cast("double") / nn
+    terms = (b.crossJoin(F.broadcast(tot))
+             .select("n", "nn", "tsy",
+                     ((pbar - obar) * (pbar - obar) * n).alias("rel_t"),
+                     ((obar - gbar) * (obar - gbar) * n).alias("res_t")))
+    return terms.agg(
+        F.max("nn").cast(BIG).alias("n"),
+        F.round(F.sum("rel_t") / F.max("nn"), 6).alias("reliability"),
+        F.round(F.sum("res_t") / F.max("nn"), 6).alias("resolution"),
+        F.round((F.max("tsy").cast("double") / F.max("nn"))
+                * (1.0 - F.max("tsy").cast("double") / F.max("nn")), 6)
+        .alias("uncertainty"))

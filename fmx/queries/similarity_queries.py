@@ -2252,3 +2252,54 @@ def emb_jl_projection(spark, sf):
                        out_dims=8)
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                       F.col("p").cast("bigint").alias("p"), "projection")
+
+
+@query(
+    "emb_silhouette_simplified",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    rk AS (SELECT vec_id, cell, dist,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+           FROM d2),
+    m AS (SELECT vec_id,
+                 max(CASE WHEN rn = 1 THEN cell END) AS cell,
+                 round(sqrt(max(CASE WHEN rn = 1 THEN dist END)), 6) AS a,
+                 round(sqrt(max(CASE WHEN rn = 2 THEN dist END)), 6) AS b
+          FROM rk WHERE rn <= 2 GROUP BY vec_id),
+    s AS (SELECT cell,
+                 CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                      ELSE round((b - a) / greatest(a, b), 6) END AS s
+          FROM m)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 6) AS mean_silhouette
+    FROM s GROUP BY cell
+    """)
+def emb_silhouette_simplified(spark, sf):
+    """Simplified (centroid-based) silhouette per mini-Lloyd cluster:
+    s_i = (b - a)/max(a, b) with a = distance to the assigned centroid
+    and b = distance to the nearest OTHER centroid — the O(n*k)
+    clustering-quality readout that replaces the O(n^2) classical
+    silhouette's all-pairs distances (the only form that exists at
+    100 TB; same simplification scikit-learn documents for large n).
+    Composes fmx.operators.similarity.kmeans_assign_margin — the d1/d2
+    relation IS (a^2, b^2) — so the replayed Lloyd rounds are shared
+    verbatim with emb_kmeans_assign / emb_assignment_margin; sqrt
+    outputs round to 6dp in both engines before the ratio (transcend-
+    ental rule), and the zero-distance guard pins s = 0 identically.
+    One broadcast-centroid distance pass + a k-row ranking window +
+    one k-row agg."""
+    from fmx.operators.similarity import kmeans_assign_margin
+
+    emb = T(spark, sf, "embeddings")
+    m = kmeans_assign_margin(emb, "vec_id", "embedding", k=4, iters=1)
+    a = F.round(F.sqrt(F.col("d1")), 6)
+    b = F.round(F.sqrt(F.col("d2")), 6)
+    s = (m.select("cell",
+                  F.when(F.greatest(a, b) == 0.0, 0.0)
+                  .otherwise(F.round((b - a) / F.greatest(a, b), 6))
+                  .alias("s")))
+    return (s.groupBy(F.col("cell").cast("bigint").alias("cell"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg("s"), 6).alias("mean_silhouette")))

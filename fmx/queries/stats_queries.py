@@ -1162,3 +1162,411 @@ def stats_friedman_test(spark, sf):
                                     * (F.col("k") + 1)) * F.col("_ss")
                             - 3.0 * F.col("nb") * (F.col("k") + 1), 6)
                     .alias("chi2")))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: two-sample parametric inference, median/runs
+# nonparametrics, variance homogeneity (parametric twin), and effect-
+# size/concordance readouts.  Same engine discipline as above: exact
+# integer moments -> one double formula, shared A&S normal tail.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_welch_ttest",
+    oracle=f"""
+    WITH {_SC},
+    g AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS s,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent)
+                      AS DECIMAL(38,0)) AS q
+          FROM sc WHERE et IN ('view', 'click') GROUP BY et),
+    ab AS (SELECT
+             max(CASE WHEN et = 'view' THEN n END) AS n1,
+             max(CASE WHEN et = 'click' THEN n END) AS n2,
+             max(CASE WHEN et = 'view' THEN CAST(s AS DOUBLE) END) AS s1,
+             max(CASE WHEN et = 'click' THEN CAST(s AS DOUBLE) END) AS s2,
+             max(CASE WHEN et = 'view' THEN CAST(q AS DOUBLE) END) AS q1,
+             max(CASE WHEN et = 'click' THEN CAST(q AS DOUBLE) END) AS q2
+           FROM g),
+    v AS (SELECT n1, n2,
+                 s1 / n1 AS m1, s2 / n2 AS m2,
+                 (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+                 (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+          FROM ab),
+    t AS (SELECT n1, n2,
+                 round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+                 round((se1 + se2) * (se1 + se2)
+                       / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+                       4) AS df
+          FROM v)
+    SELECT n1, n2, t_stat, df,
+           round({_two_sided_p_sql("t_stat")}, 9) AS p_normal_approx
+    FROM t
+    """)
+def eval_welch_ttest(spark, sf):
+    """Welch's unequal-variance two-sample t (view vs click mean
+    value): the parametric complement to eval_mann_whitney_u /
+    eval_permutation_test on the same pairing.  Group moments (n, S,
+    Q) are exact integers; means, standard-error terms se_i = v_i/n_i,
+    t, and the Welch-Satterthwaite df are ONE double formula each,
+    written identically in both engines.  The p-value is the
+    large-sample normal approximation (df > 10^4 here, where t and z
+    are indistinguishable far past 9dp) through the shared
+    Abramowitz-Stegun tail — fed the ROUNDED t so both engines hash
+    identical inputs.  One 2-row hash agg + a 1-row pivot; nothing
+    scales with rows but the scan."""
+    g = (_sc(spark, sf).filter(F.col("et").isin("view", "click"))
+         .groupBy("et")
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.sum(F.col("cent").cast(DEC)).cast(DEC).alias("s"),
+              F.sum(F.col("cent").cast(DEC) * F.col("cent")).cast(DEC)
+              .alias("q")))
+    ab = g.agg(
+        F.max(F.when(F.col("et") == "view", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("et") == "click", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("et") == "view",
+                     F.col("s").cast("double"))).alias("s1"),
+        F.max(F.when(F.col("et") == "click",
+                     F.col("s").cast("double"))).alias("s2"),
+        F.max(F.when(F.col("et") == "view",
+                     F.col("q").cast("double"))).alias("q1"),
+        F.max(F.when(F.col("et") == "click",
+                     F.col("q").cast("double"))).alias("q2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = (F.col(c) for c in ("s1", "s2", "q1", "q2"))
+    v = ab.select(
+        "n1", "n2",
+        (s1 / n1).alias("m1"), (s2 / n2).alias("m2"),
+        ((q1 - s1 * s1 / n1) / (n1 - 1) / n1).alias("se1"),
+        ((q2 - s2 * s2 / n2) / (n2 - 1) / n2).alias("se2"))
+    se1, se2 = F.col("se1"), F.col("se2")
+    t = v.select(
+        "n1", "n2",
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 6)
+        .alias("t_stat"),
+        F.round((se1 + se2) * (se1 + se2)
+                / (se1 * se1 / (F.col("n1") - 1)
+                   + se2 * se2 / (F.col("n2") - 1)), 4).alias("df"))
+    return t.select(
+        "n1", "n2", "t_stat", "df",
+        F.round(F.expr(_two_sided_p_sql("t_stat")), 9)
+        .alias("p_normal_approx"))
+
+
+@query(
+    "stats_mood_median_test",
+    oracle=f"""
+    WITH {_SC},
+    tg AS (SELECT cent, CAST(count(*) AS BIGINT) AS t
+           FROM sc GROUP BY cent),
+    cum AS (SELECT cent,
+                   sum(t) OVER (ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cr
+            FROM tg),
+    med AS (SELECT min(cent) AS gm FROM cum
+            WHERE 2 * cr >= (SELECT count(*) FROM sc)),
+    cnt AS (SELECT et,
+                   CAST(sum(CASE WHEN cent > gm THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN cent < gm THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b
+            FROM sc, med GROUP BY et),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                   CAST(sum(b) AS BIGINT) AS tb FROM cnt)
+    SELECT et, a AS n_above, b AS n_below,
+           round((CAST(a AS DOUBLE)
+                  - CAST(a + b AS DOUBLE) * ta / (ta + tb))
+                 * (CAST(a AS DOUBLE)
+                    - CAST(a + b AS DOUBLE) * ta / (ta + tb))
+                 / (CAST(a + b AS DOUBLE) * ta / (ta + tb))
+               + (CAST(b AS DOUBLE)
+                  - CAST(a + b AS DOUBLE) * tb / (ta + tb))
+                 * (CAST(b AS DOUBLE)
+                    - CAST(a + b AS DOUBLE) * tb / (ta + tb))
+                 / (CAST(a + b AS DOUBLE) * tb / (ta + tb)), 6)
+               AS chi2_contrib
+    FROM cnt, tot
+    """)
+def stats_mood_median_test(spark, sf):
+    """Mood's median test across the five event types: count each
+    group's values strictly above / strictly below the GRAND median
+    and score the k x 2 table's chi-square contributions (values equal
+    to the median are excluded, the classical convention).  The grand
+    median is the exact lower median picked from the VALUE-GRAIN
+    cumulative (the eval_kruskal_wallis trick: the window runs over
+    ~2^16 distinct cents, never over rows, so the one global window is
+    data-independent at scale); above/below counts are pure integers
+    and each group's chi-square contribution is one double formula.
+    The robust, assumption-free sibling of eval_anova_f — sensitive
+    only to median shifts."""
+    sc = _sc(spark, sf)
+    tg = sc.groupBy("cent").agg(F.count("*").cast(BIG).alias("t"))
+    wcum = (Window.orderBy("cent")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = tg.agg(F.sum("t").alias("nn"))
+    cum = tg.select("cent", F.sum("t").over(wcum).alias("cr"))
+    med = (cum.crossJoin(F.broadcast(total))
+           .filter(2 * F.col("cr") >= F.col("nn"))
+           .agg(F.min("cent").alias("gm")))
+    cnt = (sc.crossJoin(F.broadcast(med))
+           .groupBy("et")
+           .agg(F.sum(F.when(F.col("cent") > F.col("gm"), 1)
+                      .otherwise(0)).cast(BIG).alias("a"),
+                F.sum(F.when(F.col("cent") < F.col("gm"), 1)
+                      .otherwise(0)).cast(BIG).alias("b")))
+    tot = cnt.agg(F.sum("a").cast(BIG).alias("ta"),
+                  F.sum("b").cast(BIG).alias("tb"))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = F.col("ta"), F.col("tb")
+    ea = (a + b) * ta / (ta + tb)
+    eb = (a + b) * tb / (ta + tb)
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select(F.col("et"), F.col("a").alias("n_above"),
+                    F.col("b").alias("n_below"),
+                    F.round((a - ea) * (a - ea) / ea
+                            + (b - eb) * (b - eb) / eb, 6)
+                    .alias("chi2_contrib")))
+
+
+@query(
+    "stats_runs_test",
+    oracle=f"""
+    WITH {_SC},
+    vg AS (SELECT et, cent, CAST(count(*) AS BIGINT) AS c
+           FROM sc GROUP BY 1, 2),
+    cum AS (SELECT et, cent,
+                   sum(c) OVER (PARTITION BY et ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cr,
+                   sum(c) OVER (PARTITION BY et) AS n
+            FROM vg),
+    med AS (SELECT et, min(cent) AS gm FROM cum
+            WHERE 2 * cr >= n GROUP BY et),
+    sg AS (SELECT sc.et, event_id,
+                  CASE WHEN cent > gm THEN 1 ELSE 0 END AS s
+           FROM sc JOIN med ON sc.et = med.et
+           WHERE cent <> gm),
+    rn AS (SELECT et, s,
+                  CASE WHEN lag(s) OVER (PARTITION BY et
+                                         ORDER BY event_id) IS NULL
+                            OR lag(s) OVER (PARTITION BY et
+                                            ORDER BY event_id) <> s
+                       THEN 1 ELSE 0 END AS brk
+           FROM sg),
+    agg AS (SELECT et,
+                   CAST(sum(s) AS BIGINT) AS n1,
+                   CAST(sum(1 - s) AS BIGINT) AS n2,
+                   CAST(sum(brk) AS BIGINT) AS runs
+            FROM rn GROUP BY et),
+    z AS (SELECT et, n1, n2, runs,
+                 round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                       / sqrt(2.0 * n1 * n2
+                              * (2.0 * n1 * n2 - n1 - n2)
+                              / (CAST(n1 + n2 AS DOUBLE)
+                                 * (n1 + n2) * (n1 + n2 - 1))), 6)
+                     AS z_stat
+          FROM agg)
+    SELECT et, n1, n2, runs, z_stat,
+           round({_two_sided_p_sql("z_stat")}, 9) AS p_value
+    FROM z
+    """)
+def stats_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test per event type: is the sequence of
+    above-median / below-median values (in event_id order) random, or
+    does it cluster/alternate?  The median is the per-group exact
+    lower median from the value-grain cumulative (ties with the
+    median excluded, classical convention); the run count is
+    1 + #(sign changes) via a lag window PARTITIONED by group (never
+    global); n1/n2/runs are exact integers and z is one double
+    formula through the shared normal tail.  The distribution-free
+    autocorrelation smoke test — the sequential complement to
+    ts_pacf's linear ACF."""
+    sc = _sc(spark, sf)
+    vg = sc.groupBy("et", "cent").agg(F.count("*").cast(BIG).alias("c"))
+    wc = (Window.partitionBy("et").orderBy("cent")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy("et")
+    cum = vg.select("et", "cent", F.sum("c").over(wc).alias("cr"),
+                    F.sum("c").over(wn).alias("n"))
+    med = (cum.filter(2 * F.col("cr") >= F.col("n"))
+           .groupBy("et").agg(F.min("cent").alias("gm")))
+    sg = (sc.join(med, "et")
+          .filter(F.col("cent") != F.col("gm"))
+          .select("et", "event_id",
+                  F.when(F.col("cent") > F.col("gm"), 1).otherwise(0)
+                  .alias("s")))
+    wl = Window.partitionBy("et").orderBy("event_id")
+    rn = sg.select(
+        "et", "s",
+        F.when(F.lag("s").over(wl).isNull()
+               | (F.lag("s").over(wl) != F.col("s")), 1).otherwise(0)
+        .alias("brk"))
+    agg = rn.groupBy("et").agg(
+        F.sum("s").cast(BIG).alias("n1"),
+        F.sum(1 - F.col("s")).cast(BIG).alias("n2"),
+        F.sum("brk").cast(BIG).alias("runs"))
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)))
+    z = agg.select("et", "n1", "n2", "runs",
+                   F.round((runs - mu) / F.sqrt(var), 6).alias("z_stat"))
+    return z.select("et", "n1", "n2", "runs", "z_stat",
+                    F.round(F.expr(_two_sided_p_sql("z_stat")), 9)
+                    .alias("p_value"))
+
+
+@query(
+    "stats_bartlett_test",
+    oracle=f"""
+    WITH {_SC},
+    g AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS s,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent)
+                      AS DECIMAL(38,0)) AS q
+          FROM sc GROUP BY et),
+    v AS (SELECT et, n,
+                 round(ln((CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                          / (n - 1)), 9) AS lnv,
+                 (CAST(q AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / (n - 1) AS var
+          FROM g),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nn,
+                 sum((n - 1) * var) AS pooled_num,
+                 sum((n - 1) * lnv) AS sum_lnv,
+                 sum(1.0 / (n - 1)) AS sum_inv
+          FROM v)
+    SELECT k, nn AS n,
+           round(((nn - k) * round(ln(pooled_num / (nn - k)), 9)
+                  - sum_lnv)
+                 / (1.0 + (sum_inv - 1.0 / (nn - k))
+                          / (3.0 * (k - 1))), 6) AS bartlett_stat
+    FROM m
+    """)
+def stats_bartlett_test(spark, sf):
+    """Bartlett's variance-homogeneity test across the five event
+    types — the PARAMETRIC twin of stats_brown_forsythe (more
+    powerful under normality, famously fragile to heavy tails; a
+    pipeline reports both and reads the disagreement as a
+    non-normality flag).  Per-group variances come from exact integer
+    moments; every transcendental (the per-group ln v_i and the
+    pooled ln) is rounded to 9dp in BOTH engines before entering the
+    statistic (the ts_ewma lesson — libm and DuckDB ln may disagree
+    in the last ulp), and the Bartlett correction C is one double
+    formula.  One 5-row hash agg + a 1-row combine."""
+    g = _sc(spark, sf).groupBy("et").agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum(F.col("cent").cast(DEC)).cast(DEC).alias("s"),
+        F.sum(F.col("cent").cast(DEC) * F.col("cent")).cast(DEC)
+        .alias("q"))
+    n = F.col("n")
+    var = ((F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / n)
+           / (n - 1))
+    v = g.select("et", "n", F.round(F.log(var), 9).alias("lnv"),
+                 var.alias("var"))
+    m = v.agg(F.count("*").cast(BIG).alias("k"),
+              F.sum("n").cast(BIG).alias("nn"),
+              F.sum((n - 1) * F.col("var")).alias("pooled_num"),
+              F.sum((n - 1) * F.col("lnv")).alias("sum_lnv"),
+              F.sum(1.0 / (n - 1)).alias("sum_inv"))
+    k, nn = F.col("k"), F.col("nn")
+    lnp = F.round(F.log(F.col("pooled_num") / (nn - k)), 9)
+    c = 1.0 + (F.col("sum_inv") - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    return m.select(
+        "k", F.col("nn").alias("n"),
+        F.round(((nn - k) * lnp - F.col("sum_lnv")) / c, 6)
+        .alias("bartlett_stat"))
+
+
+@query(
+    "stats_kendall_w",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS et,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c,
+             count(value) AS nv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    full_blocks AS (SELECT day FROM daily GROUP BY day
+                    HAVING count(*) = (SELECT count(DISTINCT event_type)
+                                       FROM events)),
+    m AS (SELECT d.day, d.et, d.c * 1.0 / (100.0 * d.nv) AS v
+          FROM daily d JOIN full_blocks USING (day)),
+    rk AS (SELECT day, et,
+                  CAST(row_number() OVER (PARTITION BY day
+                                          ORDER BY v, et) AS BIGINT) AS r
+           FROM m),
+    rs AS (SELECT et, CAST(sum(r) AS BIGINT) AS rsum,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM rk GROUP BY et),
+    dims AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                    CAST(min(n) AS BIGINT) AS nb,
+                    CAST(sum(CAST(rsum AS DECIMAL(38,0)) * rsum)
+                         AS DECIMAL(38,0)) AS ss
+             FROM rs)
+    SELECT nb AS n_blocks, k AS n_treatments,
+           round((12.0 * CAST(ss AS DOUBLE)
+                  - 3.0 * CAST(nb AS DOUBLE) * nb * k
+                    * (k + 1.0) * (k + 1.0))
+                 / (CAST(nb AS DOUBLE) * nb * k * (k * k - 1)), 6)
+               AS w_raw,
+           round((12.0 * CAST(ss AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) * nb * k * (k + 1))
+                  - 3.0 * nb * (k + 1))
+                 / (CAST(nb AS DOUBLE) * (k - 1)), 6) AS w
+    FROM dims
+    """)
+def stats_kendall_w(spark, sf):
+    """Kendall's coefficient of concordance W over the daily
+    event-type rank blocks — the EFFECT SIZE companion to
+    stats_friedman_test (chi2_F says "some type consistently
+    outranks"; W = chi2_F / (n(k-1)) in [0,1] says how strongly, 1 =
+    every day agrees on the full ordering).  Identical block/rank
+    construction as the Friedman query (complete blocks only, (v, et)
+    total order); rank sums are exact integers so W is one double
+    formula from DECIMAL moments.  The w_raw column carries the
+    classical direct form W = (12*sum R_j^2 - 3 n^2 k(k+1)^2) /
+    (n^2 k(k^2-1)) — the same value derived WITHOUT going through
+    chi2_F, a cross-check that the two algebraic routes agree."""
+    events = T(spark, sf, "events")
+    k_types = events.select("event_type").distinct()
+    daily = (events.filter(F.col("value").isNotNull())
+             .groupBy(F.col("ts").cast("date").alias("day"),
+                      F.col("event_type").alias("et"))
+             .agg(F.sum(F.round(F.col("value") * 100)
+                        .cast("bigint")).alias("c"),
+                  F.count("value").alias("nv")))
+    kcnt = k_types.agg(F.count("*").alias("_k"))
+    full = (daily.groupBy("day").agg(F.count("*").alias("_c"))
+            .crossJoin(F.broadcast(kcnt))
+            .filter(F.col("_c") == F.col("_k")).select("day"))
+    m = (daily.join(full, "day")
+         .select("day", "et",
+                 (F.col("c") * 1.0 / (100.0 * F.col("nv"))).alias("v")))
+    w_ = Window.partitionBy("day").orderBy("v", "et")
+    rk = m.select("day", "et",
+                  F.row_number().over(w_).cast("bigint").alias("r"))
+    rs = rk.groupBy("et").agg(F.sum("r").cast(BIG).alias("rsum"),
+                              F.count("*").cast(BIG).alias("n"))
+    dims = rs.agg(F.count("*").cast(BIG).alias("k"),
+                  F.min("n").cast(BIG).alias("nb"),
+                  F.sum(F.col("rsum").cast(DEC) * F.col("rsum"))
+                  .cast(DEC).alias("ss"))
+    k, nb = F.col("k"), F.col("nb")
+    ss = F.col("ss").cast("double")
+    nbd = nb.cast("double")
+    w_raw = ((12.0 * ss - 3.0 * nbd * nb * k * (k + 1.0) * (k + 1.0))
+             / (nbd * nb * k * (k * k - 1)))
+    w_main = ((12.0 * ss / (nbd * nb * k * (k + 1)) - 3.0 * nb * (k + 1))
+              / (nbd * (k - 1)))
+    return dims.select(F.col("nb").alias("n_blocks"),
+                       F.col("k").alias("n_treatments"),
+                       F.round(w_raw, 6).alias("w_raw"),
+                       F.round(w_main, 6).alias("w"))

@@ -1248,3 +1248,226 @@ def ts_periodogram_dow(spark, sf):
                       F.round(2.0 * (F.col("c") * F.col("c")
                                      + F.col("s") * F.col("s"))
                               / F.col("n"), 4).alias("power")))
+
+
+@query(
+    "ts_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    lagd AS (SELECT et, x,
+                    lag(x, 1) OVER (PARTITION BY et ORDER BY day) AS l1,
+                    lag(x, 2) OVER (PARTITION BY et ORDER BY day) AS l2,
+                    lag(x, 3) OVER (PARTITION BY et ORDER BY day) AS l3
+             FROM daily),
+    m AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                     AS q,
+                 CAST(sum(CASE WHEN l1 IS NOT NULL
+                          THEN CAST(x AS DECIMAL(38,0)) * l1 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS p1,
+                 CAST(sum(CASE WHEN l2 IS NOT NULL
+                          THEN CAST(x AS DECIMAL(38,0)) * l2 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS p2,
+                 CAST(sum(CASE WHEN l3 IS NOT NULL
+                          THEN CAST(x AS DECIMAL(38,0)) * l3 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS p3,
+                 CAST(sum(CASE WHEN l1 IS NOT NULL THEN l1 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS h1,
+                 CAST(sum(CASE WHEN l1 IS NOT NULL THEN x ELSE 0 END)
+                      AS DECIMAL(38,0)) AS t1,
+                 CAST(sum(CASE WHEN l2 IS NOT NULL THEN l2 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS h2,
+                 CAST(sum(CASE WHEN l2 IS NOT NULL THEN x ELSE 0 END)
+                      AS DECIMAL(38,0)) AS t2,
+                 CAST(sum(CASE WHEN l3 IS NOT NULL THEN l3 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS h3,
+                 CAST(sum(CASE WHEN l3 IS NOT NULL THEN x ELSE 0 END)
+                      AS DECIMAL(38,0)) AS t3
+          FROM lagd GROUP BY et),
+    r AS (SELECT et, n,
+                 round(((CAST(n AS DOUBLE) * n) * CAST(p1 AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                    * (CAST(h1 AS DOUBLE) + CAST(t1 AS DOUBLE))
+                  + (CAST(n AS DOUBLE) - 1)
+                    * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * n) * CAST(q AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS r1,
+                 round(((CAST(n AS DOUBLE) * n) * CAST(p2 AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                    * (CAST(h2 AS DOUBLE) + CAST(t2 AS DOUBLE))
+                  + (CAST(n AS DOUBLE) - 2)
+                    * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * n) * CAST(q AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS r2,
+                 round(((CAST(n AS DOUBLE) * n) * CAST(p3 AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                    * (CAST(h3 AS DOUBLE) + CAST(t3 AS DOUBLE))
+                  + (CAST(n AS DOUBLE) - 3)
+                    * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * n) * CAST(q AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS r3
+          FROM m)
+    SELECT et AS event_type, n AS n_days, r1, r2, r3,
+           round(CAST(n AS DOUBLE) * (n + 2)
+                 * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                    + r3 * r3 / (n - 3)), 6) AS q_lb
+    FROM r ORDER BY event_type
+    """)
+def ts_ljung_box(spark, sf):
+    """Ljung-Box portmanteau test at lags 1-3 of each type's daily
+    value series: Q = n(n+2) sum_k r_k^2/(n-k) — the "is there ANY
+    linear autocorrelation left" gate a forecasting pipeline runs on
+    model residuals (vs ts_pacf which diagnoses WHICH lag).  The r_k
+    reuse the exact-moment full-mean ACF estimator from ts_pacf (sum,
+    sum-sq, lag cross-products, head/tail edge sums — all
+    DECIMAL(38,0)) and are ROUNDED to 6dp in both engines before Q so
+    the engines square identical doubles.  One per-type lag window
+    over the day grain + one 5-row agg."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    DECL = "decimal(38,0)"
+    w = Window.partitionBy("et").orderBy("day")
+    lagd = daily.select(
+        "et", "x", F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", 2).over(w).alias("l2"),
+        F.lag("x", 3).over(w).alias("l3"))
+    xd = F.col("x").cast(DECL)
+
+    def _msum(expr):
+        return F.sum(expr).cast(DECL)
+
+    aggs = [F.count("*").cast(BIG).alias("n"),
+            _msum(xd).alias("s"), _msum(xd * F.col("x")).alias("q")]
+    for i in (1, 2, 3):
+        li = F.col(f"l{i}")
+        aggs += [
+            _msum(F.when(li.isNotNull(), xd * li).otherwise(F.lit(0)))
+            .alias(f"p{i}"),
+            _msum(F.when(li.isNotNull(), li).otherwise(F.lit(0)))
+            .alias(f"h{i}"),
+            _msum(F.when(li.isNotNull(), F.col("x")).otherwise(F.lit(0)))
+            .alias(f"t{i}")]
+    m = lagd.groupBy("et").agg(*aggs)
+    nd = F.col("n").cast("double")
+    sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
+    den = (nd * F.col("n")) * qd - nd * (sd * sd)
+
+    def _r(i):
+        pd_, hd, td = (F.col(f"p{i}").cast("double"),
+                       F.col(f"h{i}").cast("double"),
+                       F.col(f"t{i}").cast("double"))
+        num = ((nd * F.col("n")) * pd_ - (nd * sd) * (hd + td)
+               + (nd - i) * (sd * sd))
+        return F.round(num / den, 6).alias(f"r{i}")
+
+    r = m.select("et", "n", _r(1), _r(2), _r(3))
+    r1, r2, r3, n = F.col("r1"), F.col("r2"), F.col("r3"), F.col("n")
+    return r.select(F.col("et").alias("event_type"),
+                    F.col("n").alias("n_days"), "r1", "r2", "r3",
+                    F.round(n.cast("double") * (n + 2)
+                            * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                               + r3 * r3 / (n - 3)), 6).alias("q_lb"))
+
+
+@query(
+    "ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c,
+             count(value) AS nv
+      FROM events GROUP BY 1, 2 HAVING count(value) > 0),
+    dv AS (SELECT event_type, c / (100.0 * nv) AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY d) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM dv0),
+    dv0 AS (SELECT event_type, d, c, nv FROM daily),
+    init AS (
+      SELECT event_type, n, list(v ORDER BY rn) AS vs
+      FROM dv WHERE rn <= 7 AND n >= 8 GROUP BY event_type, n),
+    base AS (
+      SELECT event_type, 7 AS rn, n,
+             CAST(((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0 AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b,
+             [CAST(vs[1] AS DOUBLE)
+                - ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0,
+              CAST(vs[2] AS DOUBLE)
+                - ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0,
+              CAST(vs[3] AS DOUBLE)
+                - ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0,
+              CAST(vs[4] AS DOUBLE)
+                - ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0,
+              CAST(vs[5] AS DOUBLE)
+                - ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0,
+              CAST(vs[6] AS DOUBLE)
+                - ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0,
+              CAST(vs[7] AS DOUBLE)
+                - ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5])
+                    + vs[6]) + vs[7]) / 7.0] AS s
+      FROM init),
+    rec AS (
+      SELECT event_type, rn, n, l, b, s FROM base
+      UNION ALL
+      SELECT d.event_type, d.rn, r.n,
+             (0.5 * (d.v - r.s[1]) + 0.5 * (r.l + r.b)) AS l,
+             0.3 * ((0.5 * (d.v - r.s[1]) + 0.5 * (r.l + r.b)) - r.l)
+               + 0.7 * r.b AS b,
+             r.s[2:7]
+               || [0.2 * (d.v - (0.5 * (d.v - r.s[1])
+                                 + 0.5 * (r.l + r.b)))
+                   + 0.8 * r.s[1]] AS s
+      FROM rec r JOIN dv d ON d.event_type = r.event_type
+                          AND d.rn = r.rn + 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           l AS level, b AS trend, s[1] AS season_next,
+           l + b + s[1] AS forecast_1
+    FROM rec WHERE rn = n
+    """)
+def ts_holt_winters(spark, sf):
+    """Holt-Winters additive triple exponential smoothing of daily
+    mean event value per type (fmx.operators.temporal.
+    holt_winters_additive, alpha=0.5 beta=0.3 gamma=0.2, weekly
+    period 7): level, trend AND a rotating 7-slot day-of-week
+    seasonal register evolve together — the forecast ts_holt_linear
+    biases on seasonal series.  Same engine discipline as
+    ts_holt_linear: integer-cent daily means, one aggregate
+    higher-order fold with literal coefficients (the seasonal
+    register rides the accumulator as a rotate-and-append array —
+    bounded at 7 doubles forever), level expression textually
+    repeated in the trend/season updates on BOTH sides, outputs ship
+    UNROUNDED because the oracle's recursive CTE replays the IEEE
+    arithmetic bit-for-bit (multi-state recursion = recursive CTE,
+    never list_reduce — the documented DuckDB stale-struct trap)."""
+    from fmx.operators.temporal import holt_winters_additive
+
+    daily = (T(spark, sf, "events")
+             .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100)
+                        .cast("bigint")).alias("c"),
+                  F.count("value").alias("nv"))
+             .filter(F.col("nv") > 0))
+    dv = daily.select("event_type", "d",
+                      (F.col("c") / (100.0 * F.col("nv"))).alias("v"))
+    return holt_winters_additive(dv, ["event_type"], "d", "v",
+                                 period=7, alpha=0.5, beta=0.3,
+                                 gamma=0.2)

@@ -2219,3 +2219,49 @@ def text_heaps_law(spark, sf):
                     F.col("n_cum").alias("n_tokens"),
                     F.col("v_cum").alias("vocab"),
                     F.round("beta", 6).alias("heaps_beta")))
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT source, token FROM toks WHERE token <> ''),
+    allc AS (SELECT token, count(*) AS ca FROM tf GROUP BY token),
+    topk AS (SELECT token, ca FROM allc ORDER BY ca DESC, token LIMIT 200),
+    gc AS (SELECT tf.source, tf.token, count(*) AS c
+           FROM tf JOIN topk USING (token) GROUP BY tf.source, tf.token),
+    dense AS (
+      SELECT g.source, t.token, t.ca, coalesce(gc.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM documents) g
+      CROSS JOIN topk t
+      LEFT JOIN gc ON gc.source = g.source AND gc.token = t.token),
+    sized AS (
+      SELECT source, token, ca, c,
+             sum(c) OVER (PARTITION BY source) AS ng,
+             sum(c) OVER () AS na
+      FROM dense),
+    pq AS (
+      SELECT source, ng,
+             (c + 0.5) / (ng + 100.0) AS p,
+             ((ca - c) + 0.5) / ((na - ng) + 100.0) AS q
+      FROM sized)
+    SELECT source, CAST(first(ng) AS BIGINT) AS n_tokens,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+                     + 0.5 * q * ln(q / ((p + q) / 2.0))), 6)
+               AS js_divergence,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+                     + 0.5 * q * ln(q / ((p + q) / 2.0))) / ln(2), 6)
+               AS js_normalized
+    FROM pq GROUP BY source
+    """)
+def text_js_divergence(spark, sf):
+    """Per-source Jensen-Shannon divergence vs the rest of the corpus
+    (fmx.operators.text.vocab_js_by_group — top-200 tokens, Laplace
+    0.5): the symmetric, [0, ln 2]-bounded twin of
+    text_vocab_kl_by_source, sharing its dense relation and smoothing
+    through the single-sourced _vocab_dense_pq builder.  The number a
+    corpus-drift monitor thresholds (JSD is finite even on disjoint
+    support) and mixture solvers feed (sqrt JSD is a metric)."""
+    return X.vocab_js_by_group(T(spark, sf, "documents"), "source",
+                               "text", k=200, alpha=0.5)

@@ -300,6 +300,13 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
 
 
 def test_round11_queries_partition_invariant(spark, sf_dir):
-    """Parallelism invariance for the round-11 additions."""
-    names = ["er_fellegi_sunter_multipass"]
+    """Parallelism invariance for the round-11 additions: unioned FS
+    blocking passes, Welch/Bartlett/Mood/runs moments, concordance
+    ranks, Ljung-Box lag moments, Brier bin sums, centroid silhouette,
+    JS divergence term sums, and the Holt-Winters seasonal fold."""
+    names = ["er_fellegi_sunter_multipass", "eval_welch_ttest",
+             "stats_mood_median_test", "stats_runs_test",
+             "stats_bartlett_test", "stats_kendall_w", "ts_ljung_box",
+             "eval_brier_decomposition", "emb_silhouette_simplified",
+             "text_js_divergence", "ts_holt_winters"]
     _assert_partition_invariant(spark, sf_dir, names)

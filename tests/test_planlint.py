@@ -142,6 +142,11 @@ _ALLOWED = {
         "eval_kendall_tau_topk",        # 20-row top-k self-cross
         "sample_pps_systematic",        # 1-row total broadcast
         "eval_cramers_v",          # r x k marginal cross + 1-row total
+        "eval_brier_decomposition",  # 1-row base-rate broadcast onto
+                                     # the 10 fixed probability bins
+        "stats_mood_median_test",  # 1-row grand-median broadcast
+        "text_js_divergence",      # sources x top-k densify (same tiny
+                                   # cross as text_vocab_kl_by_source)
         "event_nelson_aalen",      # 1-row max-day + total broadcasts
         "event_diff_in_diff",      # 1-row midpoint broadcast
         "event_cuped_adjustment",  # 1-row midpoint broadcast
@@ -268,6 +273,10 @@ _ALLOWED = {
                                      # x 7 weekdays, data-independent)
         "eval_msprt_always_valid",   # running min over day-grain rows
                                      # (calendar-bounded, cusum style)
+        "stats_mood_median_test",    # cum-counts over the cents grain
+                                     # (bounded by the price domain)
+        "emb_silhouette_simplified",  # same k=4 seed window as
+                                      # emb_kmeans_assign (reuses it)
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",

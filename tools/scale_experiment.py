@@ -106,6 +106,17 @@ def build() -> None:
             SELECT c_custkey + r * {OFF} AS c_custkey,
                    c_name, c_nationkey, c_acctbal, c_mktsegment
             FROM '{SRC}/customer.parquet', {reps}""",
+        # events (r11: the resample-fan-out experiments —
+        # eval_permutation_test / sample_poisson_bootstrap): event and
+        # user keys shift so md5(event_id:b) replicate coins are FRESH
+        # per replica (10x independent draws, the honest weak-scaling
+        # shape); ts/value/type/props verbatim — 10x rows from the
+        # same distribution
+        "events": f"""
+            SELECT event_id + r * {OFF} AS event_id, ts,
+                   user_id + r * {OFF} AS user_id,
+                   event_type, value, props
+            FROM '{SRC}/events.parquet', {reps}""",
     }
     for t, sql in specs.items():
         out = os.path.join(DST, f"{t}.parquet")
