@@ -1570,3 +1570,115 @@ def stats_kendall_w(spark, sf):
                        F.col("k").alias("n_treatments"),
                        F.round(w_raw, 6).alias("w_raw"),
                        F.round(w_main, 6).alias("w"))
+
+
+@query(
+    "eval_chisq_gof_dow",
+    oracle="""
+    WITH d AS (SELECT event_type AS et, dayofweek(ts) + 1 AS dow
+               FROM events),
+    c AS (SELECT et, dow, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+    t AS (SELECT et, CAST(sum(n) AS BIGINT) AS tn,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM c GROUP BY et)
+    SELECT c.et AS event_type, t.tn AS n, t.k AS n_cells,
+           round(sum((n - CAST(tn AS DOUBLE) / k)
+                     * (n - CAST(tn AS DOUBLE) / k)
+                     / (CAST(tn AS DOUBLE) / k)), 6) AS chi2_gof
+    FROM c JOIN t ON c.et = t.et
+    GROUP BY c.et, t.tn, t.k
+    """)
+def eval_chisq_gof_dow(spark, sf):
+    """Chi-square goodness-of-fit of each event type's day-of-week
+    distribution against uniform — the classic 'is traffic flat
+    across the week' gate (the categorical complement to
+    ts_periodogram_dow's spectral readout and the one-sample twin of
+    profile_chi2_lang_source's independence test).  Observed counts
+    are exact integers, the expected value n/k is one division, and
+    the statistic is a single double formula over the <= 7 cells per
+    type — two hash aggs, nothing else.  dow convention: Spark
+    dayofweek = DuckDB dayofweek + 1 (exactness notes)."""
+    d = (T(spark, sf, "events")
+         .select(F.col("event_type").alias("et"),
+                 F.dayofweek("ts").alias("dow")))
+    c = d.groupBy("et", "dow").agg(F.count("*").cast(BIG).alias("n"))
+    t = c.groupBy("et").agg(F.sum("n").cast(BIG).alias("tn"),
+                            F.count("*").cast(BIG).alias("k"))
+    e = F.col("tn").cast("double") / F.col("k")
+    return (c.join(t, "et")
+            .groupBy(F.col("et").alias("event_type"), "tn", "k")
+            .agg(F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e),
+                         6).alias("chi2_gof"))
+            .select("event_type", F.col("tn").alias("n"),
+                    F.col("k").alias("n_cells"), "chi2_gof"))
+
+
+@query(
+    "eval_cohens_d",
+    oracle=f"""
+    WITH {_SC},
+    g AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS s,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent)
+                      AS DECIMAL(38,0)) AS q
+          FROM sc WHERE et IN ('view', 'click') GROUP BY et),
+    ab AS (SELECT
+             max(CASE WHEN et = 'view' THEN n END) AS n1,
+             max(CASE WHEN et = 'click' THEN n END) AS n2,
+             max(CASE WHEN et = 'view' THEN CAST(s AS DOUBLE) END) AS s1,
+             max(CASE WHEN et = 'click' THEN CAST(s AS DOUBLE) END) AS s2,
+             max(CASE WHEN et = 'view' THEN CAST(q AS DOUBLE) END) AS q1,
+             max(CASE WHEN et = 'click' THEN CAST(q AS DOUBLE) END) AS q2
+           FROM g),
+    d AS (SELECT n1, n2,
+                 round((s1 / n1 - s2 / n2)
+                       / sqrt(((q1 - s1 * s1 / n1)
+                               + (q2 - s2 * s2 / n2))
+                              / (n1 + n2 - 2)), 6) AS cohens_d
+          FROM ab)
+    SELECT n1, n2, cohens_d,
+           round(cohens_d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+               AS hedges_g
+    FROM d
+    """)
+def eval_cohens_d(spark, sf):
+    """Cohen's d standardized effect size for the view-vs-click mean
+    value difference (pooled-SD form) plus the Hedges' g small-sample
+    correction d*(1 - 3/(4N-9)) — the magnitude readout the
+    significance tests (eval_welch_ttest, eval_mann_whitney_u) don't
+    give: at these row counts everything is 'significant', d says
+    whether it matters.  Same integer moments as the Welch query;
+    pooled variance ((Q1-S1^2/n1)+(Q2-S2^2/n2))/(n1+n2-2) and both
+    ratios are single double formulas; d is rounded to 6dp before the
+    g correction so both engines scale identical doubles."""
+    g = (_sc(spark, sf).filter(F.col("et").isin("view", "click"))
+         .groupBy("et")
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.sum(F.col("cent").cast(DEC)).cast(DEC).alias("s"),
+              F.sum(F.col("cent").cast(DEC) * F.col("cent")).cast(DEC)
+              .alias("q")))
+    ab = g.agg(
+        F.max(F.when(F.col("et") == "view", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("et") == "click", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("et") == "view",
+                     F.col("s").cast("double"))).alias("s1"),
+        F.max(F.when(F.col("et") == "click",
+                     F.col("s").cast("double"))).alias("s2"),
+        F.max(F.when(F.col("et") == "view",
+                     F.col("q").cast("double"))).alias("q1"),
+        F.max(F.when(F.col("et") == "click",
+                     F.col("q").cast("double"))).alias("q2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = (F.col(c) for c in ("s1", "s2", "q1", "q2"))
+    d = ab.select(
+        "n1", "n2",
+        F.round((s1 / n1 - s2 / n2)
+                / F.sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                         / (n1 + n2 - 2)), 6).alias("cohens_d"))
+    return d.select(
+        "n1", "n2", "cohens_d",
+        F.round(F.col("cohens_d")
+                * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+        .alias("hedges_g"))
