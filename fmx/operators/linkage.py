@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["blocked_fuzzy_join", "blocked_fuzzy_join_multipass",
-           "fellegi_sunter_weights"]
+           "fellegi_sunter_weights", "fellegi_sunter_em"]
 
 
 def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
@@ -211,3 +211,81 @@ def fellegi_sunter_weights(cands: DataFrame, agree_cols: list[str],
                     F.col("n_pairs").cast("bigint").alias("n_pairs"),
                     F.col("n_true").cast("bigint").alias("n_true"),
                     weight.alias("weight")))
+
+
+def fellegi_sunter_em(cands: DataFrame, agree_cols: list[str],
+                      iters: int = 2, init_lambda: float = 0.1,
+                      init_m: float = 0.9, init_u: float = 0.1
+                      ) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter estimation via EM over
+    agreement patterns (Winkler 1988; the fit loop behind Splink) —
+    the estimator :func:`fellegi_sunter_weights` needs when no labeled
+    pairs exist, which is the normal production case.
+
+    The mixture model: a candidate pair is a match with prior
+    ``lambda``; field k agrees with probability m_k among matches and
+    u_k among non-matches (conditional independence).  E-step gives
+    each agreement PATTERN its posterior match probability
+    w(pat) = lambda*P(pat|M) / (lambda*P(pat|M) + (1-lambda)*P(pat|U))
+    with P(pat|M) = prod_k m_k^a_k (1-m_k)^(1-a_k); M-step re-estimates
+    lambda, m_k, u_k as w-weighted pattern-count averages.  ``iters``
+    EM rounds are UNROLLED into the plan from literal inits — the
+    whole recursion runs on the <= 2^k-row pattern relation, so each
+    round is a tiny broadcast cross-join + one <= 2^k-row agg
+    regardless of candidate volume; 100 TB of candidates costs ONE
+    pattern-count shuffle, exactly like the supervised estimator.
+
+    Returns one row per observed pattern: (pattern, agree_cols...,
+    n_pairs, posterior_match [6dp], lambda_hat [6dp]).  Engine
+    exactness: every per-round estimate (lambda, m_k, u_k) and every
+    per-pattern posterior is rounded to 9dp before feeding the next
+    round, so both engines iterate on identical doubles (the
+    round-before-reuse rule); pattern counts are exact integers.
+    """
+    if not agree_cols:
+        raise ValueError("agree_cols must be non-empty")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    pat = cands.groupBy(*agree_cols).agg(
+        F.count("*").cast("bigint").alias("n_pairs"))
+
+    def posterior(lam, ms, us):
+        pm, pu = lam, (1.0 - lam) if isinstance(lam, float) else 1.0 - lam
+        for c, m, u in zip(agree_cols, ms, us):
+            a = F.col(c)
+            pm = pm * F.when(a == 1, m).otherwise(1.0 - m)
+            pu = pu * F.when(a == 1, u).otherwise(1.0 - u)
+        return F.round(pm / (pm + pu), 9)
+
+    lam = float(init_lambda)
+    ms = [float(init_m)] * len(agree_cols)
+    us = [float(init_u)] * len(agree_cols)
+    cur = pat.withColumn("_w", posterior(F.lit(lam),
+                                         [F.lit(x) for x in ms],
+                                         [F.lit(x) for x in us]))
+    for _ in range(int(iters) - 1):
+        n, w = F.col("n_pairs").cast("double"), F.col("_w")
+        aggs = [F.round(F.sum(n * w) / F.sum(n), 9).alias("_lam")]
+        for c in agree_cols:
+            a = F.col(c).cast("double")
+            aggs.append(F.round(F.sum(n * w * a) / F.sum(n * w), 9)
+                        .alias(f"_m_{c}"))
+            aggs.append(F.round(F.sum(n * (1.0 - w) * a)
+                                / F.sum(n * (1.0 - w)), 9)
+                        .alias(f"_u_{c}"))
+        st = cur.agg(*aggs)
+        cur = (pat.crossJoin(F.broadcast(st))
+               .withColumn("_w", posterior(
+                   F.col("_lam"),
+                   [F.col(f"_m_{c}") for c in agree_cols],
+                   [F.col(f"_u_{c}") for c in agree_cols])))
+    n, w = F.col("n_pairs").cast("double"), F.col("_w")
+    lam_out = (cur.agg(F.round(F.sum(n * w) / F.sum(n), 6)
+                       .alias("lambda_hat")))
+    return (cur.crossJoin(F.broadcast(lam_out))
+            .select(F.concat_ws("", *[F.col(c).cast("string")
+                                      for c in agree_cols])
+                    .alias("pattern"),
+                    *agree_cols, "n_pairs",
+                    F.round(F.col("_w"), 6).alias("posterior_match"),
+                    "lambda_hat"))

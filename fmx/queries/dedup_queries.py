@@ -1373,3 +1373,113 @@ def dedup_minhash_band_tuning(spark, sf):
             .alias("precision"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _fs_em_oracle() -> str:
+    """Unrolled 2-iteration EM oracle mirroring
+    fmx.operators.linkage.fellegi_sunter_em on the scaled-block
+    candidate relation: same literal inits (lambda 0.1, m 0.9, u 0.1),
+    same left-to-right product parenthesization, same 9dp
+    round-before-reuse on every per-round estimate and posterior."""
+    fields = ["a_seg", "a_band", "a_tail"]
+
+    def prod(expr0, per_field):
+        e = expr0
+        for f in fields:
+            e = f"({e} * {per_field(f)})"
+        return e
+
+    def post(lam, m, u):
+        pm = prod(f"({lam})",
+                  lambda f: (f"CASE WHEN {f} = 1 THEN {m(f)} "
+                             f"ELSE 1.0 - {m(f)} END"))
+        pu = prod(f"(1.0 - {lam})",
+                  lambda f: (f"CASE WHEN {f} = 1 THEN {u(f)} "
+                             f"ELSE 1.0 - {u(f)} END"))
+        return f"round({pm} / ({pm} + {pu}), 9)"
+
+    w1 = post("0.1", lambda f: "0.9", lambda f: "0.1")
+    w2 = post("lam", lambda f: f"m_{f}", lambda f: f"u_{f}")
+    mcols = ",\n             ".join(
+        f"round(sum((CAST(n_pairs AS DOUBLE) * w) * {f})"
+        f" / sum(CAST(n_pairs AS DOUBLE) * w), 9) AS m_{f},\n"
+        f"             round(sum((CAST(n_pairs AS DOUBLE) * (1.0 - w))"
+        f" * {f}) / sum(CAST(n_pairs AS DOUBLE) * (1.0 - w)), 9)"
+        f" AS u_{f}"
+        for f in fields)
+    return f"""
+    WITH {_FS_CORPUS},
+    cand AS ({_FS_FLAGS}
+      FROM probes p JOIN clean c
+        ON p.nation_p = c.c_nationkey AND p.tail_p = c.tail),
+    pat AS (SELECT a_seg, a_band, a_tail,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM cand GROUP BY 1, 2, 3),
+    it1 AS (SELECT *, {w1} AS w FROM pat),
+    mu AS (SELECT round(sum(CAST(n_pairs AS DOUBLE) * w)
+                        / sum(CAST(n_pairs AS DOUBLE)), 9) AS lam,
+             {mcols}
+           FROM it1),
+    it2 AS (SELECT pat.*, {w2} AS w FROM pat, mu),
+    lh AS (SELECT round(sum(CAST(n_pairs AS DOUBLE) * w)
+                        / sum(CAST(n_pairs AS DOUBLE)), 6)
+               AS lambda_hat
+           FROM it2)
+    SELECT concat(CAST(a_seg AS VARCHAR), CAST(a_band AS VARCHAR),
+                  CAST(a_tail AS VARCHAR)) AS pattern,
+           CAST(a_seg AS INT) AS a_seg, CAST(a_band AS INT) AS a_band,
+           CAST(a_tail AS INT) AS a_tail, n_pairs,
+           round(w, 6) AS posterior_match, lambda_hat
+    FROM it2, lh
+    """
+
+
+@query("er_fellegi_sunter_em", oracle=_fs_em_oracle())
+def er_fellegi_sunter_em(spark, sf):
+    """UNSUPERVISED Fellegi-Sunter via EM
+    (fmx.operators.linkage.fellegi_sunter_em, 2 unrolled rounds,
+    Winkler 1988 — the fit loop behind Splink): estimates the match
+    prior lambda and per-field m/u agreement probabilities from the
+    agreement-pattern counts ALONE — no labels, which is the normal
+    production linkage case (the supervised er_fellegi_sunter keeps
+    its labeled m/u as the calibration reference).  Candidates come
+    from the same scaled composite block (nation, tail) as
+    er_fellegi_sunter_scaled over the shared corrupted-probe corpus;
+    EM runs entirely on the <= 8-row pattern relation, so estimation
+    costs one pattern-count shuffle at any corpus size.  Every
+    per-round estimate and posterior is rounded to 9dp on both sides
+    before reuse (the round-before-reuse rule); the output posterior
+    and lambda are 6dp."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.linkage import fellegi_sunter_em
+
+    cust = T(spark, sf, "customer")
+    tail = F.expr("substring(c_name, length(c_name)-1, 2)")
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        ((F.col("c_nationkey")
+          + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)) % 25)
+        .alias("nation_p"),
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg_p"),
+        (F.floor(F.col("c_acctbal") / 500.0).cast("bigint")
+         + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
+        .alias("band_p"),
+        F.when(F.col("c_custkey") % 11 == 0, F.reverse(tail))
+        .otherwise(tail).alias("tail_p"))
+    clean = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("band"),
+        tail.alias("tail"))
+    cands = (probes.join(clean,
+                         (probes["nation_p"] == clean["c_nationkey"])
+                         & (probes["tail_p"] == clean["tail"]))
+             .select((F.col("seg_p") == F.col("c_mktsegment"))
+                     .cast("int").alias("a_seg"),
+                     (F.col("band_p") == F.col("band"))
+                     .cast("int").alias("a_band"),
+                     (F.col("tail_p") == F.col("tail"))
+                     .cast("int").alias("a_tail")))
+    return fellegi_sunter_em(cands, ["a_seg", "a_band", "a_tail"],
+                             iters=2)

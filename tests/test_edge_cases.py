@@ -309,5 +309,6 @@ def test_round11_queries_partition_invariant(spark, sf_dir):
              "stats_bartlett_test", "stats_kendall_w", "ts_ljung_box",
              "eval_brier_decomposition", "emb_silhouette_simplified",
              "text_js_divergence", "ts_holt_winters",
-             "eval_chisq_gof_dow", "eval_cohens_d"]
+             "eval_chisq_gof_dow", "eval_cohens_d",
+             "er_fellegi_sunter_em"]
     _assert_partition_invariant(spark, sf_dir, names)

@@ -155,6 +155,8 @@ _ALLOWED = {
         "er_fellegi_sunter",       # 1-row m/u-stats broadcast onto <=2^k patterns
         "er_fellegi_sunter_scaled",  # same 1-row m/u broadcast
         "er_fellegi_sunter_multipass",  # same 1-row m/u broadcast
+        "er_fellegi_sunter_em",    # 1-row EM-state broadcasts onto the
+                                   # <=2^k pattern rows (one per round)
         "stats_benjamini_hochberg",  # 1-row global-moments broadcast
         "stats_p_chart",             # 1-row totals broadcast
         "stats_brown_forsythe",      # 1-row totals broadcast
@@ -194,6 +196,7 @@ _ALLOWED = {
         "sample_dup_aware_weights",  # join-key null guard on md5(text)
         "er_fellegi_sunter",         # join-key null guard on computed nation_p
         "er_fellegi_sunter_scaled",  # same guard, composite block key
+        "er_fellegi_sunter_em",      # same guard, same composite key
         "dedup_allpairs_canonical",  # join-key guard on md5(text) canonical ids
         "stickiness_from_hll_registers",  # join-key guard on date_trunc
         "j8_salted_join_agg", "multimodal_frame_sample",
