@@ -90,3 +90,9 @@ def test_engagement_report_example_runs():
     import re
     surv = [float(x) for x in re.findall(r"S\(\d+\)=([0-9.]+)", stdout)]
     assert all(a >= b for a, b in zip(surv, surv[1:])), surv
+
+
+def test_entity_resolution_example_runs():
+    stdout = _run("entity_resolution.py")
+    assert "EM pattern posteriors" in stdout
+    assert "precision=" in stdout
