@@ -403,3 +403,25 @@ def test_kmv_topk_uses_per_partition_heaps(spark, sf_dir):
     # no standalone global Sort — the registry-wide linter would flag
     # one as global-sort; this pin keeps the failure local to the query
     assert "Sort [h" not in plan
+
+
+def test_fs_multipass_union_of_equi_joins(spark, sf_dir):
+    """The multipass FS candidate topology: a UNION of block
+    equi-joins deduplicated at pair grain — never a cartesian, and
+    the EM/weights stats stay a 1-row broadcast (the only
+    BroadcastNestedLoopJoin allowed is the deliberate 1-row
+    stats-onto-patterns cross; pattern rows are <= 2^k)."""
+    for name in ("er_fellegi_sunter_multipass", "er_fellegi_sunter_em"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_holt_winters_fold_stays_jvm_side(spark, sf_dir):
+    """The triple-state seasonal recursion is still ONE aggregate()
+    fold: one hash aggregation, no window, no Python — the seasonal
+    register rides the accumulator array, not a lag window."""
+    plan = _plan(spark, sf_dir, "ts_holt_winters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
