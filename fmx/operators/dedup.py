@@ -892,7 +892,15 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
     (bounded: |candidates| * doc size).  At 100 TB every stage is an
     ordinary shuffle on shingle or doc id.
     """
-    sh = word_shingles(df, id_col, text_col, n=n, max_df=None)
+    # Materialize the shingle relation ONCE (lazy localCheckpoint —
+    # the graph-rounds lineage-cut pattern): four consumers read it
+    # (document frequency, the per-doc ranking, candidate generation,
+    # and the verify arrays), and without the cut Catalyst re-derives
+    # the explode+distinct subplan for each — measured as 12 parquet
+    # scans / 18 explodes in the sf0.1 bench plan, the headliner's
+    # actual cost, not the joins.
+    sh = word_shingles(df, id_col, text_col, n=n,
+                       max_df=None).localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     shf = sh.join(dfreq, "shingle")
     w = Window.partitionBy(id_col).orderBy("_df", "shingle")
@@ -921,17 +929,26 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
                         >= threshold * F.greatest("sa", "sb") - 1e-9))
              .select("id_a", "id_b", "sa", "sb")
              .distinct())
-    # exact verify: fan each candidate pair over id_a's shingle set and
-    # count matches in id_b's — inner join, pairs sharing nothing drop
-    fa = sh.select(F.col(id_col).alias("id_a"),
-                   F.col("shingle").alias("_sha"))
-    fb = sh.select(F.col(id_col).alias("_idb"),
-                   F.col("shingle").alias("_shb"))
-    inter = (cands.join(fa, "id_a")
-             .join(fb, (F.col("_sha") == F.col("_shb"))
-                   & (F.col("_idb") == F.col("id_b")))
-             .groupBy("id_a", "id_b", "sa", "sb")
-             .agg(F.count("*").alias("i")))
+    # exact verify: attach each side's FULL shingle set as a sorted
+    # array (one per-doc agg — bounded by doc length, the same
+    # contract as every collect_list-per-doc here) and count the
+    # intersection map-side with array_intersect.  This replaced the
+    # r10 fan-out verify (explode candidates over id_a's shingles,
+    # join on (shingle, id_b)): that shape materialized
+    # |cands| x doc-size intermediate rows through two shuffles,
+    # measured as the bench headliner's dominant cost at sf0.1; the
+    # array verify is two id-equi-joins plus a codegen intersect —
+    # same exact counts, no pair fan-out.
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("shingle")).alias("_set"))
+    inter = (cands
+             .join(sets.select(F.col(id_col).alias("id_a"),
+                               F.col("_set").alias("_seta")), "id_a")
+             .join(sets.select(F.col(id_col).alias("id_b"),
+                               F.col("_set").alias("_setb")), "id_b")
+             .select("id_a", "id_b", "sa", "sb",
+                     F.size(F.array_intersect("_seta", "_setb"))
+                     .alias("i")))
     return (inter
             .select(F.col("id_a").cast("bigint").alias("id_a"),
                     F.col("id_b").cast("bigint").alias("id_b"),
@@ -967,9 +984,13 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
     cross-group ids re-order through least/greatest to preserve the
     id_a < id_b contract.
     """
+    # same lineage-cut as the plain operator's shingle relation: canon
+    # feeds three consumers (groups, reps, member fan-back) and would
+    # otherwise re-scan + re-hash the corpus for each
     canon = df.select(F.col(id_col).alias("_id"),
                       F.col(text_col).alias("_text"),
-                      F.md5(F.col(text_col)).alias("_h"))
+                      F.md5(F.col(text_col)).alias("_h")
+                      ).localCheckpoint(eager=False)
     groups = canon.groupBy("_h").agg(F.min("_id").alias("_rep"))
     reps = (canon.join(groups, "_h")
             .filter(F.col("_id") == F.col("_rep"))
