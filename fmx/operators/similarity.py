@@ -635,10 +635,17 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     # corpus assignment: argmax as a map-side-combinable struct agg
     csims = cell_sims(corpus, id_col)
+    # lineage-cut (lazy): the corpus assignment feeds the residual
+    # chain, which is evaluated once to materialize the codebook and
+    # once for the encode pass — without the cut the whole
+    # scan+argmax chain re-derives per consumer (32 parquet scans in
+    # the sf0.1 bench plan).  Corpus-grain, 2 columns — the cheapest
+    # relation on this path to pin
     cassign = (csims.groupBy(id_col)
                .agg(F.max(F.struct(F.col("_sim"),
                                    (-F.col("_cell")).alias("nc"))).alias("_m"))
-               .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell")))
+               .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell"))
+               .localCheckpoint(eager=False))
     # query probing: top-nprobe cells (query side is small; window fine)
     qsims = cell_sims(queries, query_id)
     wq = Window.partitionBy(query_id).orderBy(F.col("_sim").desc(),
@@ -672,9 +679,14 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     rex = residual_sub(corpus, id_col, id_col, cassign)
     # shared residual codebook: residual subvectors of the first
     # num_codes corpus vectors (w.r.t. their own cells)
+    # eager lineage-cut: the codebook is m x num_codes x dsub rows
+    # (tiny, broadcast on both uses) but derives from the FULL
+    # residual chain — without the cut that chain re-runs for the
+    # corpus encode AND the query distance table
     cb = (rex.filter(F.col(id_col) < num_codes)
           .select("sub", F.col(id_col).cast("int").alias("code"),
-                  "spos", F.col("rx").alias("cbx")))
+                  "spos", F.col("rx").alias("cbx"))
+          .localCheckpoint(eager=True))
     d2 = (rex.join(F.broadcast(cb), ["sub", "spos"])
           .groupBy(id_col, "_cell", "sub", "code")
           .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9)
@@ -1053,9 +1065,14 @@ def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
     for _ in range(int(iters)):
         assign = (_rank_cells(d, id_col)
                   .filter(F.col("_rn") == 1).drop("_rn"))
+        # eager lineage-cut per round (the pq_train pattern): the
+        # recomputed k x dim centroid relation is tiny but derives
+        # from the full assign chain — without the cut the final
+        # distance pass re-derives every prior round per consumer
         cents = (ex.join(assign.select(id_col, "cell"), id_col)
                  .groupBy("cell", "pos")
-                 .agg(F.round(F.avg("x"), 6).alias("c")))
+                 .agg(F.round(F.avg("x"), 6).alias("c"))
+                 .localCheckpoint(eager=True))
         d = _dists(cents)
     return d
 
