@@ -1682,3 +1682,64 @@ def eval_cohens_d(spark, sf):
         F.round(F.col("cohens_d")
                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
         .alias("hedges_g"))
+
+
+@query(
+    "stats_gini_exact",
+    oracle=f"""
+    WITH {_SC},
+    vg AS (SELECT et, cent, CAST(count(*) AS BIGINT) AS t
+           FROM sc GROUP BY 1, 2),
+    cum AS (SELECT et, cent, t,
+                   coalesce(sum(t) OVER (PARTITION BY et ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS bl
+            FROM vg),
+    g AS (SELECT et,
+                 CAST(sum(t) AS BIGINT) AS n,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * t)
+                      AS DECIMAL(38,0)) AS s,
+                 -- sum of rank*x over the tie run: ranks bl+1..bl+t
+                 -- sum to t*(2*bl + t + 1)/2 — exact integers
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * t
+                          * (2 * bl + t + 1)) AS DECIMAL(38,0)) AS rs2
+          FROM cum GROUP BY et)
+    SELECT et AS event_type, n,
+           round(CAST(s AS DOUBLE) / (100.0 * n), 6) AS mean_value,
+           round((CAST(rs2 AS DOUBLE) - (CAST(n AS DOUBLE) + 1)
+                  * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+    FROM g
+    """)
+def stats_gini_exact(spark, sf):
+    """EXACT Gini coefficient of each event type's value distribution
+    — the unbinned twin of profile_gini_binned (256 fixed bins
+    approximate; this is the rank formula G = (2 sum i*x_(i) -
+    (n+1) sum x) / (n sum x) computed exactly): concentration of
+    spend the way economists define it, no binning error.  The rank
+    sums come from the VALUE-GRAIN cumulative (the
+    eval_kruskal_wallis trick — the window runs over the bounded
+    cents domain, never rows; tied values contribute rank-run sums
+    t*(2*bl+t+1)/2 in closed form, and 2*sum(i*x) rides a
+    DECIMAL(38,0) as cent*t*(2bl+t+1)).  One value-grain agg + one
+    bounded window + a 5-row agg; two double divisions at the end."""
+    sc = _sc(spark, sf)
+    vg = sc.groupBy("et", "cent").agg(F.count("*").cast(BIG).alias("t"))
+    wcum = (Window.partitionBy("et").orderBy("cent")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = vg.select("et", "cent", "t",
+                    F.coalesce(F.sum("t").over(wcum), F.lit(0))
+                    .alias("bl"))
+    g = cum.groupBy("et").agg(
+        F.sum("t").cast(BIG).alias("n"),
+        F.sum(F.col("cent").cast(DEC) * F.col("t")).cast(DEC).alias("s"),
+        F.sum(F.col("cent").cast(DEC) * F.col("t")
+              * (2 * F.col("bl") + F.col("t") + 1)).cast(DEC)
+        .alias("rs2"))
+    n = F.col("n")
+    s, rs2 = F.col("s").cast("double"), F.col("rs2").cast("double")
+    return g.select(
+        F.col("et").alias("event_type"), "n",
+        F.round(s / (100.0 * n), 6).alias("mean_value"),
+        F.round((rs2 - (n.cast("double") + 1) * s)
+                / (n.cast("double") * s), 6).alias("gini"))

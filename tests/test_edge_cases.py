@@ -311,5 +311,6 @@ def test_round11_queries_partition_invariant(spark, sf_dir):
              "text_js_divergence", "ts_holt_winters",
              "eval_chisq_gof_dow", "eval_cohens_d",
              "er_fellegi_sunter_em",
-             "graph_harmonic_centrality_2hop_capped"]
+             "graph_harmonic_centrality_2hop_capped",
+             "stats_gini_exact"]
     _assert_partition_invariant(spark, sf_dir, names)
