@@ -1743,3 +1743,118 @@ def stats_gini_exact(spark, sf):
         F.round(s / (100.0 * n), 6).alias("mean_value"),
         F.round((rs2 - (n.cast("double") + 1) * s)
                 / (n.cast("double") * s), 6).alias("gini"))
+
+
+@query(
+    "eval_auc_delong",
+    oracle=f"""
+    WITH sc AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL),
+    vg AS (SELECT cent,
+                  CAST(sum(y) AS BIGINT) AS t1,
+                  CAST(sum(1 - y) AS BIGINT) AS t0
+           FROM sc GROUP BY cent),
+    cum AS (SELECT cent, t1, t0,
+                   coalesce(sum(t0) OVER (ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS bl0,
+                   coalesce(sum(t1) OVER (ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS bl1,
+                   sum(t1) OVER () AS tn1
+            FROM vg),
+    m AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+                 CAST(sum(t0) AS BIGINT) AS n0,
+                 -- positive placements: u_i = 2*negs_below + negs_tied
+                 CAST(sum(CAST(t1 AS DECIMAL(38,0)) * (2 * bl0 + t0))
+                      AS DECIMAL(38,0)) AS su,
+                 CAST(sum(CAST(t1 AS DECIMAL(38,0)) * (2 * bl0 + t0)
+                          * (2 * bl0 + t0)) AS DECIMAL(38,0)) AS su2,
+                 -- negative placements: v_j = 2*pos_above + pos_tied
+                 CAST(sum(CAST(t0 AS DECIMAL(38,0))
+                          * (2 * (tn1 - bl1 - t1) + t1))
+                      AS DECIMAL(38,0)) AS sv,
+                 CAST(sum(CAST(t0 AS DECIMAL(38,0))
+                          * (2 * (tn1 - bl1 - t1) + t1)
+                          * (2 * (tn1 - bl1 - t1) + t1))
+                      AS DECIMAL(38,0)) AS sv2
+          FROM cum),
+    a AS (SELECT n1, n0,
+                 round(CAST(su AS DOUBLE) / (2.0 * n1 * n0), 9) AS auc,
+                 round(sqrt(
+                   ((CAST(su2 AS DOUBLE) / (4.0 * n0 * n0)
+                     - n1 * (CAST(su AS DOUBLE) / (2.0 * n1 * n0))
+                          * (CAST(su AS DOUBLE) / (2.0 * n1 * n0)))
+                    / (n1 - 1)) / n1
+                   + ((CAST(sv2 AS DOUBLE) / (4.0 * n1 * n1)
+                       - n0 * (CAST(sv AS DOUBLE) / (2.0 * n1 * n0))
+                            * (CAST(sv AS DOUBLE) / (2.0 * n1 * n0)))
+                      / (n0 - 1)) / n0), 9) AS se
+          FROM m),
+    z AS (SELECT n1, n0, round(auc, 6) AS auc, round(se, 6) AS se_delong,
+                 round((auc - 0.5) / se, 6) AS z_vs_chance
+          FROM a)
+    SELECT n1 AS n_pos, n0 AS n_neg, auc, se_delong, z_vs_chance,
+           round({_two_sided_p_sql("z_vs_chance")}, 9) AS p_value
+    FROM z
+    """)
+def eval_auc_delong(spark, sf):
+    """AUC of value-as-purchase-score WITH its DeLong (1988) standard
+    error — the uncertainty readout eval_rank_auc's point estimate
+    lacks (two models' AUCs can't be compared without it).  Var(AUC)
+    = S10/n1 + S01/n0 from per-observation placement values; both
+    placement families reduce to exact integers at the VALUE GRAIN
+    (positive i: u_i = 2*negs_below + negs_tied, mean u/(2n0) = AUC;
+    negative j mirrored from above), so their sums and sums of
+    squares ride DECIMAL(38,0) through one bounded cents-domain
+    window, and AUC/SE/z are three double formulas.  AUC and SE round
+    to 9dp before z (round-before-reuse), z to 6dp before the shared
+    normal tail."""
+    sc = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                  .alias("cent"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    vg = sc.groupBy("cent").agg(F.sum("y").cast(BIG).alias("t1"),
+                                F.sum(1 - F.col("y")).cast(BIG)
+                                .alias("t0"))
+    wb = (Window.orderBy("cent")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy()
+    cum = vg.select(
+        "cent", "t1", "t0",
+        F.coalesce(F.sum("t0").over(wb), F.lit(0)).alias("bl0"),
+        F.coalesce(F.sum("t1").over(wb), F.lit(0)).alias("bl1"),
+        F.sum("t1").over(wall).alias("tn1"))
+    u = 2 * F.col("bl0") + F.col("t0")
+    v = 2 * (F.col("tn1") - F.col("bl1") - F.col("t1")) + F.col("t1")
+    m = cum.agg(
+        F.sum("t1").cast(BIG).alias("n1"),
+        F.sum("t0").cast(BIG).alias("n0"),
+        F.sum(F.col("t1").cast(DEC) * u).cast(DEC).alias("su"),
+        F.sum(F.col("t1").cast(DEC) * u * u).cast(DEC).alias("su2"),
+        F.sum(F.col("t0").cast(DEC) * v).cast(DEC).alias("sv"),
+        F.sum(F.col("t0").cast(DEC) * v * v).cast(DEC).alias("sv2"))
+    n1, n0 = F.col("n1"), F.col("n0")
+    su, su2 = F.col("su").cast("double"), F.col("su2").cast("double")
+    sv, sv2 = F.col("sv").cast("double"), F.col("sv2").cast("double")
+    auc = su / (2.0 * n1 * n0)
+    aucv = sv / (2.0 * n1 * n0)
+    s10 = (su2 / (4.0 * n0 * n0) - n1 * auc * auc) / (n1 - 1)
+    s01 = (sv2 / (4.0 * n1 * n1) - n0 * aucv * aucv) / (n0 - 1)
+    a = m.select("n1", "n0",
+                 F.round(auc, 9).alias("auc"),
+                 F.round(F.sqrt(s10 / n1 + s01 / n0), 9).alias("se"))
+    z = a.select("n1", "n0",
+                 F.round(F.col("auc"), 6).alias("auc"),
+                 F.round(F.col("se"), 6).alias("se_delong"),
+                 F.round((F.col("auc") - 0.5) / F.col("se"), 6)
+                 .alias("z_vs_chance"))
+    return z.select(F.col("n1").alias("n_pos"),
+                    F.col("n0").alias("n_neg"),
+                    "auc", "se_delong", "z_vs_chance",
+                    F.round(F.expr(_two_sided_p_sql("z_vs_chance")), 9)
+                    .alias("p_value"))

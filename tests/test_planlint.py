@@ -259,6 +259,8 @@ _ALLOWED = {
         "event_nelson_aalen",        # cum-hazard over duration-grain rows
         "eval_mann_whitney_u",       # cum-counts over the cents grain
                                      # (bounded by the price domain)
+        "eval_auc_delong",           # same bounded cents-grain cum
+                                     # window (placement values)
         "quantiles_from_hist_registers",  # global fold over <= 100
                                           # fixed-edge bucket rows
         "ts_stl_decompose",          # moving avg over calendar-bounded days
