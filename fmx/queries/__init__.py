@@ -153,7 +153,7 @@ _PRIORITY = [
     "hypertable_rollup",
     # (Window full at 50.  r12 STOCK, in priority order: (a) the 16
     # round-11 additions (never driver-checked; all oracled and
-    # byte-exact-verified at sf0.001+sf0.01 locally):
+    # byte-exact-verified at sf0.001+sf0.01+sf0.1 locally):
     # er_fellegi_sunter_em, eval_welch_ttest, stats_mood_median_test,
     # stats_runs_test, stats_bartlett_test, stats_kendall_w,
     # ts_ljung_box, eval_brier_decomposition,
