@@ -1858,3 +1858,104 @@ def eval_auc_delong(spark, sf):
                     "auc", "se_delong", "z_vs_chance",
                     F.round(F.expr(_two_sided_p_sql("z_vs_chance")), 9)
                     .alias("p_value"))
+
+
+@query(
+    "stats_quade_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS et,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c,
+             count(value) AS nv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    full_blocks AS (SELECT day FROM daily GROUP BY day
+                    HAVING count(*) = (SELECT count(DISTINCT event_type)
+                                       FROM events)),
+    m AS (SELECT d.day, d.et, d.c * 1.0 / (100.0 * d.nv) AS v
+          FROM daily d JOIN full_blocks USING (day)),
+    rk AS (SELECT day, et,
+                  CAST(row_number() OVER (PARTITION BY day
+                                          ORDER BY v, et) AS BIGINT) AS r
+           FROM m),
+    rng AS (SELECT day, max(v) - min(v) AS range FROM m GROUP BY day),
+    qw AS (SELECT day,
+                  CAST(row_number() OVER (ORDER BY range, day)
+                       AS BIGINT) AS q
+           FROM rng),
+    dims AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+                    CAST((SELECT count(DISTINCT et) FROM rk) AS BIGINT)
+                        AS k
+             FROM qw),
+    s AS (SELECT rk.et,
+                 CAST(q AS DOUBLE)
+                   * (r - (CAST(k AS DOUBLE) + 1) / 2) AS sij
+          FROM rk JOIN qw USING (day) CROSS JOIN dims),
+    per AS (SELECT et, sum(sij) AS si, sum(sij * sij) AS a_part
+            FROM s GROUP BY et),
+    tot AS (SELECT sum(a_part) AS a,
+                   sum(si * si) AS bsum,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM per)
+    SELECT per.et AS event_type,
+           round(per.si, 6) AS s_i,
+           dims.nb AS n_blocks,
+           round((CAST(dims.nb AS DOUBLE) - 1)
+                 * (tot.bsum / dims.nb)
+                 / (tot.a - tot.bsum / dims.nb), 6) AS quade_f
+    FROM per, tot, dims
+    """)
+def stats_quade_test(spark, sf):
+    """Quade test — the WEIGHTED repeated-measures rank test (Quade
+    1979), completing the within-block family (stats_friedman_test
+    treats every day equally; Quade weights each day by the rank of
+    its value RANGE, so days where treatments actually differ count
+    more — strictly more powerful at small k).  Blocks/ranks are the
+    Friedman construction verbatim; block weights Q_j rank the
+    within-day range with the (range, day) total order; S_ij =
+    Q_j*(r_ij - (k+1)/2) and the statistic F = (n-1)*B/(A-B) with
+    B = sum_i S_i^2/n, A = sum S_ij^2.  Ranks and weights are exact
+    integers; range is a same-formula double both engines derive
+    identically; per-type S_i and the F readout are single double
+    formulas.  The day-grain windows are calendar-bounded."""
+    events = T(spark, sf, "events")
+    k_types = events.select("event_type").distinct()
+    daily = (events.filter(F.col("value").isNotNull())
+             .groupBy(F.col("ts").cast("date").alias("day"),
+                      F.col("event_type").alias("et"))
+             .agg(F.sum(F.round(F.col("value") * 100)
+                        .cast("bigint")).alias("c"),
+                  F.count("value").alias("nv")))
+    kcnt = k_types.agg(F.count("*").alias("_k"))
+    full = (daily.groupBy("day").agg(F.count("*").alias("_c"))
+            .crossJoin(F.broadcast(kcnt))
+            .filter(F.col("_c") == F.col("_k")).select("day"))
+    m = (daily.join(full, "day")
+         .select("day", "et",
+                 (F.col("c") * 1.0 / (100.0 * F.col("nv"))).alias("v")))
+    wr = Window.partitionBy("day").orderBy("v", "et")
+    rk = m.select("day", "et",
+                  F.row_number().over(wr).cast(BIG).alias("r"))
+    rng = m.groupBy("day").agg((F.max("v") - F.min("v")).alias("range"))
+    wq = Window.orderBy("range", "day")
+    qw = rng.select("day", F.row_number().over(wq).cast(BIG).alias("q"))
+    dims = qw.agg(F.count("*").cast(BIG).alias("nb")).crossJoin(
+        F.broadcast(rk.agg(F.countDistinct("et").cast(BIG).alias("k"))))
+    s = (rk.join(qw, "day").crossJoin(F.broadcast(dims))
+         .select("et",
+                 (F.col("q").cast("double")
+                  * (F.col("r") - (F.col("k").cast("double") + 1) / 2))
+                 .alias("sij")))
+    per = s.groupBy("et").agg(F.sum("sij").alias("si"),
+                              F.sum(F.col("sij") * F.col("sij"))
+                              .alias("a_part"))
+    tot = per.agg(F.sum("a_part").alias("a"),
+                  F.sum(F.col("si") * F.col("si")).alias("bsum"))
+    nb = F.col("nb")
+    return (per.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(dims))
+            .select(F.col("et").alias("event_type"),
+                    F.round(F.col("si"), 6).alias("s_i"),
+                    F.col("nb").alias("n_blocks"),
+                    F.round((nb.cast("double") - 1)
+                            * (F.col("bsum") / nb)
+                            / (F.col("a") - F.col("bsum") / nb), 6)
+                    .alias("quade_f")))

@@ -145,6 +145,8 @@ _ALLOWED = {
         "eval_brier_decomposition",  # 1-row base-rate broadcast onto
                                      # the 10 fixed probability bins
         "stats_mood_median_test",  # 1-row grand-median broadcast
+        "stats_quade_test",        # 1-row dims/totals broadcasts onto
+                                   # the k-row per-type readout
         "text_js_divergence",      # sources x top-k densify (same tiny
                                    # cross as text_vocab_kl_by_source)
         "event_nelson_aalen",      # 1-row max-day + total broadcasts
@@ -261,6 +263,8 @@ _ALLOWED = {
                                      # (bounded by the price domain)
         "eval_auc_delong",           # same bounded cents-grain cum
                                      # window (placement values)
+        "stats_quade_test",          # block-weight rank over the
+                                     # calendar-bounded day grain
         "quantiles_from_hist_registers",  # global fold over <= 100
                                           # fixed-edge bucket rows
         "ts_stl_decompose",          # moving avg over calendar-bounded days
