@@ -151,7 +151,7 @@ _PRIORITY = [
     "funnel_view_click_purchase",
     "histogram_width_bucket",
     "hypertable_rollup",
-    # (Window full at 50.  r12 STOCK, in priority order: (a) the 17
+    # (Window full at 50.  r12 STOCK, in priority order: (a) the 18
     # round-11 additions (never driver-checked; all oracled and
     # byte-exact-verified at sf0.001+sf0.01+sf0.1 locally):
     # er_fellegi_sunter_em, eval_welch_ttest, stats_mood_median_test,
@@ -159,7 +159,7 @@ _PRIORITY = [
     # ts_ljung_box, eval_brier_decomposition,
     # emb_silhouette_simplified, text_js_divergence, ts_holt_winters,
     # eval_chisq_gof_dow, eval_cohens_d, stats_gini_exact,
-    # eval_auc_delong, stats_quade_test,
+    # eval_auc_delong, stats_quade_test, eval_hosmer_lemeshow,
     # graph_harmonic_centrality_2hop_capped;
     # (b) the r03/r04
     # remainder, alphabetical: j6_anti_join, j8_salted_join_agg,

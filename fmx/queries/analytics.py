@@ -6361,3 +6361,59 @@ def graph_harmonic_centrality_2hop_capped(spark, sf):
                     F.coalesce("d2", F.lit(0)).cast(BIG).alias("d2"),
                     (F.col("d1") + F.coalesce("d2", F.lit(0)) / 2.0)
                     .alias("harmonic_2hop")))
+
+
+@query(
+    "eval_hosmer_lemeshow",
+    oracle="""
+    WITH sc AS (SELECT least(greatest(CAST(floor(value * 100 + 0.5)
+                                           AS BIGINT), 0), 50000) AS pc,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL),
+    b AS (SELECT least(pc // 5000, 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS sp,
+                 CAST(sum(y) AS BIGINT) AS o
+          FROM sc GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n, o AS observed,
+           round(CAST(sp AS DOUBLE) / 50000.0, 6) AS expected,
+           round((o - CAST(sp AS DOUBLE) / 50000.0)
+                 * (o - CAST(sp AS DOUBLE) / 50000.0)
+                 / ((CAST(sp AS DOUBLE) / 50000.0)
+                    * (1.0 - CAST(sp AS DOUBLE) / (n * 50000.0))), 6)
+               AS hl_contrib
+    FROM b
+    """)
+def eval_hosmer_lemeshow(spark, sf):
+    """Hosmer-Lemeshow calibration goodness-of-fit over the same 10
+    fixed probability bins as eval_brier_decomposition: per bin,
+    observed positives O_b vs expected E_b = sum of forecast
+    probabilities, scored (O-E)^2 / (E*(1 - p_bar)) — the classical
+    'is the model calibrated' chi-square whose per-bin contributions
+    localize WHERE calibration breaks (the decomposition's
+    reliability says only how much).  Expected values ride
+    DECIMAL(38,0) forecast-cent sums (E_b = sp/50000 exactly); the
+    contribution is one double formula per bin.  One hash agg to 10
+    bins, nothing else."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.least(F.greatest(F.floor(F.col("value") * 100 + 0.5)
+                                     .cast(BIG), F.lit(0)),
+                          F.lit(50000)).alias("pc"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    b = (ev.groupBy(F.least(F.expr("pc DIV 5000"), F.lit(9)).alias("bin"))
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.sum(F.col("pc").cast("decimal(38,0)"))
+              .cast("decimal(38,0)").alias("sp"),
+              F.sum("y").cast(BIG).alias("o")))
+    e = F.col("sp").cast("double") / 50000.0
+    pbar = F.col("sp").cast("double") / (F.col("n") * 50000.0)
+    o = F.col("o")
+    return b.select(F.col("bin").cast(BIG).alias("bin"), "n",
+                    F.col("o").alias("observed"),
+                    F.round(e, 6).alias("expected"),
+                    F.round((o - e) * (o - e) / (e * (1.0 - pbar)), 6)
+                    .alias("hl_contrib"))

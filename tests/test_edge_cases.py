@@ -312,5 +312,6 @@ def test_round11_queries_partition_invariant(spark, sf_dir):
              "eval_chisq_gof_dow", "eval_cohens_d",
              "er_fellegi_sunter_em",
              "graph_harmonic_centrality_2hop_capped",
-             "stats_gini_exact", "eval_auc_delong", "stats_quade_test"]
+             "stats_gini_exact", "eval_auc_delong", "stats_quade_test",
+             "eval_hosmer_lemeshow"]
     _assert_partition_invariant(spark, sf_dir, names)
