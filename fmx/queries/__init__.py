@@ -16,6 +16,14 @@ Conventions that make the driver's hash-compare deterministic:
   there (DuckDB re-renders decimally, Spark rounds the binary double;
   see cohort_ltv_curve) — keep the arithmetic integer (cents, div)
   and divide by a power of ten at the very end;
+- sums of LARGE per-group doubles (term ulp exceeding the output
+  rounding quantum — e.g. S_g^2/n_g ~1e14 with ulp 0.03 rounded at
+  4dp) are partition-order dependent AND engine-round dependent; use
+  exact integer scaling instead: multiply by 10^k, exact floor-divmod
+  (Spark DECIMAL ``(x - x %% n)/n``; DuckDB ``CAST(x AS HUGEINT) //
+  n`` — DuckDB's DECIMAL division routes through DOUBLE past 2^53),
+  sum DECIMAL(38,0), divide by 10^k as the final double op
+  (eval_anova_f, reworked after the r11 vanilla-window rehearsal);
 - rounded doubles that can land exactly on zero (sin/cos at the zero
   crossings, differences of equal values) get ``+ 0.0`` appended on
   BOTH sides: DuckDB's round keeps IEEE -0.0 while Spark's BigDecimal

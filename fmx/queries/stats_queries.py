@@ -50,49 +50,94 @@ def _sc(spark, sf):
                  CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent)
                       AS DECIMAL(38,0)) AS q
           FROM sc GROUP BY et),
+    -- exact rational handling of S_g^2/n_g: DECIMAL divmod splits the
+    -- term into an exact integer quotient (sums ride DECIMAL(38,0))
+    -- and a small fraction r/n in [0,1) computed as ONE double from
+    -- SMALL exact integers, 9dp-rounded INTO a DECIMAL(38,9) so the
+    -- cross-group sum is exact and order-independent.  A plain double
+    -- sum of the raw terms (magnitude ~1e14 at sf0.1, ulp 0.03)
+    -- flipped ss_between's 4dp rounding between sessions with
+    -- different partition counts — the r11 vanilla-rehearsal catch.
+    -- exact floor division at 1e29 scale: DuckDB's DECIMAL "/" and
+    -- "//" route through DOUBLE past 2^53 (measured: wrong by 2.6e7
+    -- at 27 digits) — HUGEINT division is the exact path here; the
+    -- Spark twin's DECIMAL (s2x - s2x %% n)/n is exact natively
+    t AS (SELECT g.*,
+                 CAST(CAST(s * s AS DECIMAL(38,0)) * 1000000000
+                      AS HUGEINT) AS s2x
+          FROM g),
+    e AS (SELECT n, s, q,
+                 CAST(s2x // CAST(n AS HUGEINT) AS DECIMAL(38,0)) AS dx
+          FROM t),
     m AS (SELECT CAST(count(*) AS BIGINT) AS k,
                  CAST(sum(n) AS BIGINT) AS n,
                  CAST(sum(s) AS DECIMAL(38,0)) AS s,
                  CAST(sum(q) AS DECIMAL(38,0)) AS q,
-                 sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
-          FROM g)
+                 CAST(sum(dx) AS DECIMAL(38,0)) AS sbx
+          FROM e),
+    gr AS (SELECT m.*,
+                  CAST(CAST(s * s AS DECIMAL(38,0)) * 1000000000
+                       AS HUGEINT) AS gs2x
+           FROM m),
+    fin AS (SELECT k, n, q, sbx,
+                   CAST(gs2x // CAST(n AS HUGEINT) AS DECIMAL(38,0))
+                       AS gdx
+            FROM gr)
     SELECT k, n,
-           round(sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 4)
-               AS ss_between,
-           round(CAST(q AS DOUBLE) - sb, 4) AS ss_within,
-           round(((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                  / (k - 1))
-                 / ((CAST(q AS DOUBLE) - sb) / (n - k)), 6) AS f_stat
-    FROM m
+           CAST(sbx - gdx AS DOUBLE) / 1e9 AS ss_between,
+           CAST(q * 1000000000 - sbx AS DOUBLE) / 1e9 AS ss_within,
+           round((CAST(sbx - gdx AS DOUBLE) / 1e9 / (k - 1))
+                 / (CAST(q * 1000000000 - sbx AS DOUBLE) / 1e9
+                    / (n - k)), 6) AS f_stat
+    FROM fin
     """)
 def eval_anova_f(spark, sf):
     """One-way ANOVA F over the five event_type value distributions.
     Sum-of-squares identity form: SSW = Q - sum_g(S_g^2/n_g) and
     SSB = sum_g(S_g^2/n_g) - S^2/N need only the per-group integer
     moments (n, S=sum cents, Q=sum cents^2) — one groupBy + one 5-row
-    agg, no second pass over the data for deviations.  S_g^2 rides a
-    double (exact-integer operands, correctly-rounded division — the
-    identical expression in both engines); F is one double formula."""
+    agg, no second pass over the data for deviations.  Exact INTEGER
+    handling of S_g^2/n_g (the r11 vanilla-rehearsal lesson): a plain
+    double sum of the raw terms — magnitude ~1e14 at sf0.1, ulp 0.03 —
+    flipped ss_between's 4dp rounding between sessions with different
+    partition counts, and even a 9dp round-into-decimal of the r/n
+    fractions disagreed at decimal midpoints between engines.  So the
+    term is computed at a FIXED 1e9 integer scale with exact DECIMAL
+    floor division ((x - x %% n)/n — bit-identical divmod in both
+    engines, verified), every cross-group sum rides DECIMAL(38,0),
+    and the only doubles are the final cast of identical exact
+    integers and one division by 1e9 — identical IEEE ops on
+    identical inputs.  SS values are therefore 1e-9-floor-quantized
+    truths; F is one double formula over them."""
     g = _sc(spark, sf).groupBy("et").agg(
         F.count("*").cast(BIG).alias("n"),
         F.sum(F.col("cent").cast(DEC)).cast(DEC).alias("s"),
         F.sum(F.col("cent").cast(DEC) * F.col("cent")).cast(DEC)
         .alias("q"))
-    m = g.agg(
+    SCALE = 1_000_000_000
+
+    def fdiv_scaled(src, out):
+        s2x = ((F.col("s") * F.col("s")).cast(DEC)
+               * F.lit(SCALE)).cast(DEC)
+        return src.withColumn(
+            out, ((s2x - s2x % F.col("n")) / F.col("n")).cast(DEC))
+
+    e = fdiv_scaled(g, "dx")
+    m = e.agg(
         F.count("*").cast(BIG).alias("k"),
         F.sum("n").cast(BIG).alias("n"),
         F.sum("s").cast(DEC).alias("s"),
         F.sum("q").cast(DEC).alias("q"),
-        F.sum(F.col("s").cast("double") * F.col("s").cast("double")
-              / F.col("n")).alias("sb"))
+        F.sum("dx").cast(DEC).alias("sbx"))
+    fin = fdiv_scaled(m, "gdx")
     k, n = F.col("k"), F.col("n")
-    s, q, sb = F.col("s").cast("double"), F.col("q").cast("double"), F.col("sb")
-    ssb = sb - s * s / n
-    ssw = q - sb
-    return m.select(
+    ssb = (F.col("sbx") - F.col("gdx")).cast("double") / 1e9
+    ssw = ((F.col("q") * F.lit(SCALE)).cast(DEC)
+           - F.col("sbx")).cast("double") / 1e9
+    return fin.select(
         "k", "n",
-        F.round(ssb, 4).alias("ss_between"),
-        F.round(ssw, 4).alias("ss_within"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
         F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"))
 
 
