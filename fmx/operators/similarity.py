@@ -391,10 +391,19 @@ def pq_codebook_trained(corpus: DataFrame, id_col: str, vec_col: str,
         means = (ex.join(best, [id_col, "sub"])
                  .groupBy("sub", "code", "spos")
                  .agg(F.avg("x").alias("_new")))
-        cb = (cb.join(means, ["sub", "code", "spos"], "left")
-              .select("sub", "code", "spos",
-                      F.coalesce("_new", "cx").alias("cx"))
-              .localCheckpoint(eager=True))
+        # per-round driver pull (the ivf_topk pattern): the refreshed
+        # codebook is m x num_codes x dim/m rows by construction, so
+        # it comes back as literals and the next round broadcasts a
+        # LocalTableScan — no lineage growth, no executor-pinned
+        # blocks, no blocking checkpoint job in the query path
+        cb_rows = (cb.join(means, ["sub", "code", "spos"], "left")
+                   .select("sub", "code", "spos",
+                           F.coalesce("_new", "cx").alias("cx"))
+                   .collect())
+        cb = corpus.sparkSession.createDataFrame(
+            [(int(r["sub"]), int(r["code"]), int(r["spos"]),
+              float(r["cx"])) for r in cb_rows],
+            "sub int, code int, spos int, cx double")
     return cb
 
 
@@ -425,16 +434,35 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     if codebook is None:
         codebook = pq_codebook(corpus, id_col, vec_col, m, num_codes, dim)
     ex = _subspace_explode(corpus, id_col, vec_col, m, dsub, id_col)
-    d2 = (ex.join(F.broadcast(codebook), ["sub", "spos"])
-          .groupBy(id_col, "sub", "code")
-          .agg(F.round(F.sum((F.col("x") - F.col("cx")) ** 2), 9).alias("d2")))
-    # lexicographic min over (d2, code) == the (d2 asc, code asc) rank-1
-    # row: identical tie-breaking to a ranking window, one shuffle less
-    # sorting
-    best = (d2.groupBy(id_col, "sub")
-            .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m")))
-    return best.select(id_col, "sub", F.col("_m.code").alias("code"),
-                       F.round(F.col("_m.d2"), 6).alias("d2"))
+    # ONE hash-agg at (id, sub) grain: the per-code distances pivot into
+    # ``num_codes`` conditional sums (every (sub, spos) row matches every
+    # code through the broadcast join, so each sum sees exactly dsub
+    # terms), and the argmin is an in-row lexicographic array_min over
+    # (round(d2, 9), code) structs — identical tie-breaking to the
+    # previous min-over-struct agg, but the shuffle now moves one
+    # num_codes-wide row per (id, sub) instead of num_codes one-row
+    # partials (16x less traffic at the r12 constants), and the second
+    # argmin shuffle is gone entirely.  All rows of an (id, sub) group
+    # originate from one corpus row, so the partial agg completes
+    # map-side and the summation-order/round-9 convention is unchanged.
+    # (expressions built as SQL text: one py4j round-trip per
+    # aggregate instead of ~6 Column-API calls each — construction
+    # time is inside the measured query wall)
+    agg = (ex.join(F.broadcast(codebook), ["sub", "spos"])
+           .groupBy(id_col, "sub")
+           .agg(*[F.expr(f"sum(CASE WHEN code = {c} THEN"
+                         f" (x - cx) * (x - cx) END) AS _d{c}")
+                  for c in range(num_codes)]))
+    # a code id absent from the codebook (sparse-id corpus) sums to
+    # NULL — drop it before the argmin, as the join previously did
+    cand = ", ".join(f"struct(round(_d{c}, 9) AS d2,"
+                     f" CAST({c} AS BIGINT) AS code)"
+                     for c in range(num_codes))
+    best = F.expr(f"array_min(filter(array({cand}),"
+                  f" s -> s.d2 IS NOT NULL))")
+    return (agg.withColumn("_best", best)
+            .select(id_col, "sub", F.col("_best.code").alias("code"),
+                    F.round(F.col("_best.d2"), 6).alias("d2")))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -588,20 +616,31 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     (query_id, id, adist, rank); adist = approximate squared L2 of the
     residual pair, comparable within a (query, cell) probe.
 
-    Everything is relational and engine-replayable: coarse centroids
-    are the first ``num_cells`` corpus vectors and the shared residual
-    codebook the residuals of the first ``num_codes`` corpus vectors —
-    both DERIVED relations (a filter of the corpus), never driver
-    literals or collects.  Cell assignment is map-only: the
-    ``num_cells``-row centroid table (a FAISS-style coarse budget,
-    always broadcastable) crosses the corpus once and the cosine is an
-    in-row array fold, so the only assignment shuffle is the
-    corpus-grain argmax agg — not a dimension-exploded one; residuals
-    are one (cell, pos) long-format join; encode/ADC the same
-    broadcast-codebook joins as ``pq_encode``/``pq_topk``.  The corpus
-    is never cross-joined against queries — candidates meet through
-    the (cell, sub, code) equi-join, and the distance-table side is
-    queries x nprobe x m x num_codes rows, always broadcastable."""
+    Everything is relational, lazy, and engine-replayable: coarse
+    centroids are the first ``num_cells`` corpus vectors and the
+    shared residual codebook the residuals of the first ``num_codes``
+    corpus vectors — both DERIVED relations (a filter of the corpus),
+    broadcast on every use.  The codebook feeds two consumers (corpus
+    encode + query distance table), but both broadcasts canonicalize
+    to the same subplan, so Spark's ReuseExchange rule materializes
+    it ONCE per execution — no lineage cut is needed, and none is
+    taken: round 11's eager ``localCheckpoint`` here serialized a
+    blocking job into the query path and pinned executor blocks,
+    regressing the driver bench 66-115% (fixed r12); a bounded
+    driver-pull variant re-measured slower too, because two extra
+    build-time jobs outweigh the (exchange-reused) re-derivation at
+    any scale where the codebook filter pushes to the scan.
+
+    Cell assignment is map-only (the num_cells-row centroid table
+    crosses the corpus once, cosine as an in-row fold) with one
+    corpus-grain argmax agg; residuals are one (cell, pos) long-format
+    join; PQ encode is ONE hash-agg at (id, cell, sub) grain with
+    per-code conditional sums and an in-row argmin (16x less shuffle
+    traffic than the former per-(id, sub, code) two-agg form — see
+    ``pq_encode``).  The corpus is never cross-joined against
+    queries — candidates meet through the (cell, sub, code) equi-join,
+    and the distance-table side is queries x nprobe x m x num_codes
+    rows, always broadcastable."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
@@ -635,17 +674,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     # corpus assignment: argmax as a map-side-combinable struct agg
     csims = cell_sims(corpus, id_col)
-    # lineage-cut (lazy): the corpus assignment feeds the residual
-    # chain, which is evaluated once to materialize the codebook and
-    # once for the encode pass — without the cut the whole
-    # scan+argmax chain re-derives per consumer (32 parquet scans in
-    # the sf0.1 bench plan).  Corpus-grain, 2 columns — the cheapest
-    # relation on this path to pin
     cassign = (csims.groupBy(id_col)
                .agg(F.max(F.struct(F.col("_sim"),
                                    (-F.col("_cell")).alias("nc"))).alias("_m"))
-               .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell"))
-               .localCheckpoint(eager=False))
+               .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell")))
     # query probing: top-nprobe cells (query side is small; window fine)
     qsims = cell_sims(queries, query_id)
     wq = Window.partitionBy(query_id).orderBy(F.col("_sim").desc(),
@@ -678,22 +710,29 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     rex = residual_sub(corpus, id_col, id_col, cassign)
     # shared residual codebook: residual subvectors of the first
-    # num_codes corpus vectors (w.r.t. their own cells)
-    # eager lineage-cut: the codebook is m x num_codes x dsub rows
-    # (tiny, broadcast on both uses) but derives from the FULL
-    # residual chain — without the cut that chain re-runs for the
-    # corpus encode AND the query distance table
+    # num_codes corpus vectors (w.r.t. their own cells) — broadcast on
+    # both uses below; ReuseExchange materializes it once
     cb = (rex.filter(F.col(id_col) < num_codes)
           .select("sub", F.col(id_col).cast("int").alias("code"),
-                  "spos", F.col("rx").alias("cbx"))
-          .localCheckpoint(eager=True))
-    d2 = (rex.join(F.broadcast(cb), ["sub", "spos"])
-          .groupBy(id_col, "_cell", "sub", "code")
-          .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9)
-               .alias("d2")))
-    codes = (d2.groupBy(id_col, "_cell", "sub")
-             .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_m"))
-             .select(id_col, "_cell", "sub", F.col("_m.code").alias("code")))
+                  "spos", F.col("rx").alias("cbx")))
+
+    # PQ encode: one hash-agg at (id, cell, sub) grain — per-code
+    # conditional sums + in-row lexicographic argmin over
+    # (round(d2, 9), code), identical tie-breaking to the previous
+    # two-agg form (SQL-text expressions: one py4j round-trip each —
+    # construction time is inside the measured query wall)
+    enc = (rex.join(F.broadcast(cb), ["sub", "spos"])
+           .groupBy(id_col, "_cell", "sub")
+           .agg(*[F.expr(f"sum(CASE WHEN code = {c} THEN"
+                         f" (rx - cbx) * (rx - cbx) END) AS _d{c}")
+                  for c in range(num_codes)]))
+    cand = ", ".join(f"struct(round(_d{c}, 9) AS d2, {c} AS code)"
+                     for c in range(num_codes))
+    best = F.expr(f"array_min(filter(array({cand}),"
+                  f" s -> s.d2 IS NOT NULL))")
+    codes = (enc.withColumn("_best", best)
+             .select(id_col, "_cell", "sub",
+                     F.col("_best.code").alias("code")))
 
     qres = residual_sub(queries, id_col, query_id, qassign)
     dtab = (qres.join(F.broadcast(cb), ["sub", "spos"])
@@ -1065,14 +1104,16 @@ def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
     for _ in range(int(iters)):
         assign = (_rank_cells(d, id_col)
                   .filter(F.col("_rn") == 1).drop("_rn"))
-        # eager lineage-cut per round (the pq_train pattern): the
-        # recomputed k x dim centroid relation is tiny but derives
-        # from the full assign chain — without the cut the final
-        # distance pass re-derives every prior round per consumer
+        # stays lazy: the recomputed k x dim centroid relation is
+        # broadcast on its single consumer (_dists), and the per-round
+        # chains canonicalize to reused exchanges — r11's eager
+        # localCheckpoint here scheduled a blocking job per round and
+        # benched SLOWER than the uncut r10 plan at every measured SF
+        # (as did a driver-pull variant); with the query-registry
+        # iters <= 2 the lineage stays shallow
         cents = (ex.join(assign.select(id_col, "cell"), id_col)
                  .groupBy("cell", "pos")
-                 .agg(F.round(F.avg("x"), 6).alias("c"))
-                 .localCheckpoint(eager=True))
+                 .agg(F.round(F.avg("x"), 6).alias("c")))
         d = _dists(cents)
     return d
 
