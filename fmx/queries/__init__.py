@@ -93,98 +93,89 @@ _MODULES = [
 #     only other iterative-dataflow entry), attribution_interval_join
 #     (the bounded interval-join topology).
 _PRIORITY = [
-    # Round-11 window, executing VERDICT r10 "Next round" #1/#2: the
-    # fixed feat_cyclical_encode (the one red r10 row — signed-zero
-    # normalization, verified byte-exact at 3 SFs this round), the 42
-    # round-10 additions (the only never-driver-checked entries; all
-    # oracled, green locally at sf0.001+sf0.01+sf0.1), and 7 slots of
-    # the oldest remaining r03 cohort.
-    # -- the r10 red row, fixed --
-    "feat_cyclical_encode",
-    # -- (a) r10 additions: linkage / dedup / ER --
-    "er_fuzzy_match_multipass",
-    "er_fellegi_sunter",
-    "er_fellegi_sunter_scaled",
-    "er_fellegi_sunter_multipass",   # r11 addition (verdict #4)
-    "dedup_allpairs_exact",
-    "dedup_allpairs_canonical",
-    # -- (a) r10 additions: statistical tests / experimentation --
-    "eval_anova_f",
-    "eval_kruskal_wallis",
-    "eval_cochran_q",
-    "eval_proportions_ztest",
-    "eval_permutation_test",
-    "eval_msprt_always_valid",
-    "eval_tost_equivalence",
-    "stats_theil_index",
-    "stats_trimmed_mean",
-    "stats_grubbs_test",
-    "stats_jarque_bera",
-    "stats_benjamini_hochberg",
-    "stats_p_chart",
-    "stats_brown_forsythe",
-    "stats_friedman_test",
-    # -- (a) r10 additions: time series / events --
-    "ts_mann_kendall",
-    "ts_pacf",
-    "ts_seasonal_strength",
-    "ts_periodogram_dow",
-    "ts_holt_linear",
-    "event_survival_rmst",
-    "event_uplift_by_decile",
-    # -- (a) r10 additions: graph / embeddings / ANN --
-    "graph_hits_3iter",
-    "graph_rectangle_count",
-    "graph_rectangle_count_capped",
-    "graph_edge_embeddedness",
-    "ann_mips_topk",
-    "emb_jl_projection",
-    "emb_epsilon_components_scaled",
-    # -- (a) r10 additions: text / retrieval / sketches / sources --
-    "text_bigram_lm_ppl",
-    "text_burrows_delta",
-    "text_heaps_law",
-    "retrieval_query_likelihood",
-    "sketch_kmv_intersection",
-    "sample_poisson_bootstrap",
-    "dq_functional_dependency",
-    "s6_orc_roundtrip",
-    # -- (b) 7 oldest r03-cohort entries (alphabetical from the r10
-    #    stock list, skipping the two rows-only engine-private
-    #    sketches approx_distinct/approx_quantiles — their oracled
-    #    twin approx_distinct_hll got its row in r10) --
-    "dedup_span_profile",
-    "dq_expectations",
-    "fm_predict",
-    "funnel_view_click_purchase",
-    "histogram_width_bucket",
-    "hypertable_rollup",
-    # (Window full at 50.  r12 STOCK, in priority order: (a) the 18
+    # Round-12 window, executing VERDICT r11 "Next round" #2: the 18
     # round-11 additions (never driver-checked; all oracled and
-    # byte-exact-verified at sf0.001+sf0.01+sf0.1 locally):
-    # er_fellegi_sunter_em, eval_welch_ttest, stats_mood_median_test,
-    # stats_runs_test, stats_bartlett_test, stats_kendall_w,
-    # ts_ljung_box, eval_brier_decomposition,
-    # emb_silhouette_simplified, text_js_divergence, ts_holt_winters,
-    # eval_chisq_gof_dow, eval_cohens_d, stats_gini_exact,
-    # eval_auc_delong, stats_quade_test, eval_hosmer_lemeshow,
-    # graph_harmonic_centrality_2hop_capped;
-    # (b) the r03/r04
-    # remainder, alphabetical: j6_anti_join, j8_salted_join_agg,
-    # latest_event_per_user, multimodal_features, pipeline_dataprep,
-    # profile_key_skew, range_join_price_bands, s2_inline_relation,
-    # s3_libsvm_parse, sample_hash_split, sample_negatives,
-    # sample_pack_sequences, sample_per_source_cap, sample_stratified,
-    # sample_temperature_mixture, sample_weighted_topk,
-    # scd2_user_status, set_except, stats_corr_regr,
-    # text_tfidf_top_terms, w5_lag_delta, w6_ntile_cume,
-    # w7_time_range_sum, win_sliding, zorder_layout_key.
-    # Prior rotation history lives in git: the r11 window at this
-    # commit, r10 at 3b0aaef, r9 at 379fa18^, r8 at eccbe04, r7 at
-    # a192c46, r6 at 5207f57^, r5 at ded7618.  Everything rotated out
-    # is r4+-green and remains covered by the sf0.001+sf0.01(+sf0.1)
-    # oracle harness every round; bench headliners additionally run
-    # per-round.)
+    # byte-exact-verified at sf0.001+sf0.01+sf0.1 locally, commit
+    # 5ec0f90 + successors), the 25 entries whose latest driver row
+    # is still r03 (incl. pipeline_dataprep, the one r03 headliner),
+    # and 7 slots of the oldest r04 cohort (alphabetical,
+    # non-headliner).  After this window the driver union covers all
+    # 437 entries and no oracle-able entry's evidence predates r04.
+    # -- (a) r11 additions, never driver-checked --
+    "er_fellegi_sunter_em",
+    "eval_welch_ttest",
+    "stats_mood_median_test",
+    "stats_runs_test",
+    "stats_bartlett_test",
+    "stats_kendall_w",
+    "ts_ljung_box",
+    "eval_brier_decomposition",
+    "emb_silhouette_simplified",
+    "text_js_divergence",
+    "ts_holt_winters",
+    "eval_chisq_gof_dow",
+    "eval_cohens_d",
+    "stats_gini_exact",
+    "eval_auc_delong",
+    "stats_quade_test",
+    "eval_hosmer_lemeshow",
+    "graph_harmonic_centrality_2hop_capped",
+    # -- (b) r03-evidence cohort (oldest; skips the two rows-only
+    #    engine-private sketches approx_distinct/approx_quantiles,
+    #    whose oracled twins are driver-green r10) --
+    "j6_anti_join",
+    "j8_salted_join_agg",
+    "latest_event_per_user",
+    "multimodal_features",
+    "pipeline_dataprep",
+    "profile_key_skew",
+    "range_join_price_bands",
+    "s2_inline_relation",
+    "s3_libsvm_parse",
+    "sample_hash_split",
+    "sample_negatives",
+    "sample_pack_sequences",
+    "sample_per_source_cap",
+    "sample_stratified",
+    "sample_temperature_mixture",
+    "sample_weighted_topk",
+    "scd2_user_status",
+    "set_except",
+    "stats_corr_regr",
+    "text_tfidf_top_terms",
+    "w5_lag_delta",
+    "w6_ntile_cume",
+    "w7_time_range_sum",
+    "win_sliding",
+    "zorder_layout_key",
+    # -- (c) 7 oldest r04-cohort entries (alphabetical non-headliner) --
+    "a2_group_avg",
+    "a3_group_min_date",
+    "a5_collect_set_sorted",
+    "a6_global_sum",
+    "agg_count_distinct",
+    "agg_incremental_merge",
+    "agg_rollup",
+    # (Window full at 50.  r13 STOCK, in priority order: any r12
+    # additions, then the r04 remainder (alphabetical):
+    # a1_tpch_q1 (headliner), ann_pq_rerank (headliner),
+    # approx_quantiles_hist, bloom_prefilter_join, copurchase_topk,
+    # corpus_source_report, date_trunc_month, dq_psi_drift,
+    # event_transition_matrix, f1_explode_tokens, f3_clamp,
+    # j1_inner_join_agg (headliner), j2_left_join_coalesce,
+    # j3_left_join_fill, j4_full_outer_upsert, j5_semi_join,
+    # j7_broadcast_two_dims, json_extract, multimodal_frame_sample,
+    # p1_projection, p3_nullif_coalesce, p6_filter_group, percentiles,
+    # profile_mad_outliers, profile_zscore_outliers, regexp_funcs,
+    # rfm_segmentation, sample_length_buckets, seq_next_event_dataset,
+    # sort_limit_topk, string_funcs, text_inverted_index,
+    # text_perplexity, text_quality_classifier, tpch_q11/q15/q16/q20/q2.
+    # Prior rotation history lives in git: the r12 window at this
+    # commit, r11 at 5ba79ea^, r10 at 3b0aaef, r9 at 379fa18^, r8 at
+    # eccbe04, r7 at a192c46, r6 at 5207f57^, r5 at ded7618.
+    # Everything rotated out is r4+-green and remains covered by the
+    # sf0.001+sf0.01(+sf0.1) oracle harness every round; bench
+    # headliners additionally run per-round.)
 ]
 
 
