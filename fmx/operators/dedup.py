@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from fmx.core import linalg as L
 
 __all__ = [
-    "exact_dedup", "word_shingles", "hash64", "minhash_signatures",
+    "exact_dedup", "word_shingles", "shingle_array", "hash64",
+    "minhash_signatures",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash",
     "embedding_lsh_buckets", "embedding_near_dup_pairs",
     "incremental_dedup", "duplicate_spans", "semantic_dedup",
@@ -67,6 +68,29 @@ def shingle_bearing(text_col: str, n: int = 3):
     return F.size(F.split(F.col(text_col), " ")) >= n
 
 
+def shingle_array(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  distinct: bool = False) -> DataFrame:
+    """Per-document shingle ARRAY: (id, _sh array<string>) — the
+    in-row form of ``word_shingles`` and the single source of its
+    tokenization (split on a single space; ``size(t) >= n`` guard —
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty, so
+    an unguarded transform would fabricate shingles).
+
+    ``distinct=True`` applies set semantics IN-ROW (array_distinct) —
+    a map-only pass; consumers that need the exploded relation
+    globally deduplicated per (id, shingle) get the same rows either
+    way.  No explode until the caller asks for long format."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    arr = F.expr(
+        f"CASE WHEN size(t) >= {n} THEN"
+        f" transform(sequence(1, size(t) - {n - 1}),"
+        f"  i -> concat_ws(' ', slice(t, i, {n})))"
+        f" ELSE CAST(array() AS array<string>) END")
+    if distinct:
+        arr = F.array_distinct(arr)
+    return toks.select(id_col, arr.alias("_sh"))
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                   max_df: int | None = None,
                   distinct: bool = True) -> DataFrame:
@@ -80,17 +104,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     downstream shingle self-join skew-free at corpus scale (a shingle
     shared by 1M docs would otherwise produce 10¹² join rows).
     """
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
-    # NB: guard size(t) >= n — Spark's sequence(1, 0) yields a DESCENDING
-    # [1, 0], not empty, so an unguarded transform would fabricate shingles
-    sh = (toks
-          .select(id_col,
-                  F.explode(F.expr(
-                      f"CASE WHEN size(t) >= {n} THEN"
-                      f" transform(sequence(1, size(t) - {n - 1}),"
-                      f"  i -> concat_ws(' ', slice(t, i, {n})))"
-                      f" ELSE CAST(array() AS array<string>) END"))
-                  .alias("shingle")))
+    sh = (shingle_array(df, id_col, text_col, n=n)
+          .select(id_col, F.explode("_sh").alias("shingle")))
     if distinct:
         sh = sh.distinct()
     if max_df is not None:
@@ -857,8 +872,8 @@ def weighted_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
-                            n: int = 3,
-                            threshold: float = 0.4) -> DataFrame:
+                            n: int = 3, threshold: float = 0.4,
+                            materialize: bool = True) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold via prefix filtering
     (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search";
     the MapReduce formulation is Vernica et al., SIGMOD'10).  Returns
@@ -893,14 +908,24 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
     ordinary shuffle on shingle or doc id.
     """
     # Materialize the shingle relation ONCE (lazy localCheckpoint —
-    # the graph-rounds lineage-cut pattern): four consumers read it
-    # (document frequency, the per-doc ranking, candidate generation,
-    # and the verify arrays), and without the cut Catalyst re-derives
-    # the explode+distinct subplan for each — measured as 12 parquet
-    # scans / 18 explodes in the sf0.1 bench plan, the headliner's
-    # actual cost, not the joins.
-    sh = word_shingles(df, id_col, text_col, n=n,
-                       max_df=None).localCheckpoint(eager=False)
+    # Vernica et al.'s "materialize the tokenized corpus between jobs"
+    # step): four consumers read it (document frequency, the per-doc
+    # ranking, candidate generation, and the verify arrays), and
+    # without the cut Catalyst re-derives the explode+distinct subplan
+    # for each — measured as 12 parquet scans / 18 explodes in the
+    # sf0.1 bench plan.  100 TB contract (r12): the checkpoint pins
+    # the exploded corpus in executor MEMORY_AND_DISK and truncates
+    # lineage (non-recomputable on executor loss) — at cluster scale
+    # pass ``materialize=False``: every consumer then re-derives the
+    # tokenize pass map-only from the scan and the plan degrades to
+    # ordinary recomputable shuffles, trading ~2 extra scan-stage CPU
+    # passes for zero pinned storage.  (An r12 restructure that cut
+    # only bounded relations re-measured SLOWER at sf0.1 — the
+    # re-derived single-row-group tokenize single-threads; SCALE.md
+    # r12 records the variants.)
+    sh = word_shingles(df, id_col, text_col, n=n, max_df=None)
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     shf = sh.join(dfreq, "shingle")
     w = Window.partitionBy(id_col).orderBy("_df", "shingle")
@@ -984,17 +1009,21 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
     cross-group ids re-order through least/greatest to preserve the
     id_a < id_b contract.
     """
-    # same lineage-cut as the plain operator's shingle relation: canon
-    # feeds three consumers (groups, reps, member fan-back) and would
-    # otherwise re-scan + re-hash the corpus for each
+    # the only materialized relation is the NARROW fingerprint-group
+    # table (hash, representative id) — the incremental-dedup
+    # fingerprint-store shape, lazily localCheckpointed because three
+    # consumers read it (representative texts, member fan-back, the
+    # within-group fan-out).  Text columns are never checkpointed or
+    # pinned (the r11 cut kept the full _text column in executor
+    # memory — repaired per the r11 advice): everything carrying text
+    # re-derives map-only from the scan.
     canon = df.select(F.col(id_col).alias("_id"),
-                      F.col(text_col).alias("_text"),
-                      F.md5(F.col(text_col)).alias("_h")
-                      ).localCheckpoint(eager=False)
-    groups = canon.groupBy("_h").agg(F.min("_id").alias("_rep"))
-    reps = (canon.join(groups, "_h")
-            .filter(F.col("_id") == F.col("_rep"))
-            .select(F.col("_rep").alias("_rid"), "_text"))
+                      F.md5(F.col(text_col)).alias("_h"))
+    groups = (canon.groupBy("_h").agg(F.min("_id").alias("_rep"))
+              .localCheckpoint(eager=False))
+    reps = (df.select(F.col(id_col).alias("_rid"),
+                      F.col(text_col).alias("_text"))
+            .join(groups.select(F.col("_rep").alias("_rid")), "_rid"))
     rp = allpairs_prefix_jaccard(reps, "_rid", "_text",
                                  n=n, threshold=threshold)
     mem = canon.join(groups, "_h").select("_rep", "_id")
