@@ -250,7 +250,8 @@ def fellegi_sunter_em(cands: DataFrame, agree_cols: list[str],
         F.count("*").cast("bigint").alias("n_pairs"))
 
     def posterior(lam, ms, us):
-        pm, pu = lam, (1.0 - lam) if isinstance(lam, float) else 1.0 - lam
+        # lam is always a Column (F.lit / F.col) at both call sites
+        pm, pu = lam, 1.0 - lam
         for c, m, u in zip(agree_cols, ms, us):
             a = F.col(c)
             pm = pm * F.when(a == 1, m).otherwise(1.0 - m)

@@ -108,7 +108,20 @@ def eval_anova_f(spark, sf):
     and the only doubles are the final cast of identical exact
     integers and one division by 1e9 — identical IEEE ops on
     identical inputs.  SS values are therefore 1e-9-floor-quantized
-    truths; F is one double formula over them."""
+    truths; F is one double formula over them.
+
+    Magnitude headroom at SCALE = 1e9 (r11 advice): s2x = (sum of
+    cents)^2 * 1e9 must fit DECIMAL(38,0)/HUGEINT, i.e. |sum of
+    cents| < ~10^14.5 per group (~3e12 dollars) — comfortable for the
+    declared envelope's per-group sums but NOT unconditionally 100 TB
+    safe for unbounded value domains.  Past it, DuckDB fails LOUDLY
+    (Overflow in multiplication — verified empirically) while Spark's
+    non-ANSI decimal overflow yields silent NULLs, so the engines
+    diverge in failure mode before they diverge in values.  If a
+    deployment's group sums approach 10^14 cents, derive the scale
+    from n (SCALE = 10^(29 - ceil(2*log10(max|s|)))) or pre-center the
+    values; the fixed constant is kept here because the oracle must
+    replay the identical literal."""
     g = _sc(spark, sf).groupBy("et").agg(
         F.count("*").cast(BIG).alias("n"),
         F.sum(F.col("cent").cast(DEC)).cast(DEC).alias("s"),

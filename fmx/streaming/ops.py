@@ -766,7 +766,15 @@ def stream_kmv_state(events: DataFrame, group_col: str, value_col: str,
     feed the same theta-intersection math as the batch
     ``fmx.operators.sketches.kmv_intersection`` (merge rule
     ``kmv_merge``: k smallest of the union — associative, so batch,
-    stream, and cross-day states all fold)."""
+    stream, and cross-day states all fold).
+
+    **Checkpoint migration (r11)**: adding the snapshot ``ver`` field
+    changed the ``applyInPandasWithState`` state schema from one field
+    to two — a streaming query resuming from a checkpoint written by
+    the pre-``ver`` build will fail at the state-store/unpack layer.
+    Discard such checkpoints and restart the query from the source
+    (the sketch rebuilds from replayed input; the merge law makes the
+    rebuilt state converge to the same k-minimum set)."""
     from fmx.operators.sketches import KMV_K, _md5_long
 
     kk = int(k if k is not None else KMV_K)

@@ -5,8 +5,20 @@ generated).
 
 Usage::
 
-    python -m tools.coverage_ledger            # rewrite COVERAGE.md section
+    python -m tools.coverage_ledger            # rewrite COVERAGE.md section,
+                                               # sync README/COVERAGE counts,
+                                               # stamp first-seen rounds
     python -m tools.coverage_ledger --print    # stdout only
+    python -m tools.coverage_ledger --check    # exit 1 on stale evidence
+                                               # (r11 verdict #7)
+
+``--check`` fails when any oracle-able entry's newest driver row is
+older than the ROTATION PERIOD — ceil(oracle-able entries / 50 window
+slots) rounds, the mathematically best freshness a 50-row window can
+sustain (the r11 verdict's 6-round aspiration is unsatisfiable at 437
+entries; the gate instead detects the rotation falling behind its own
+schedule) — or when an entry registered more than one round ago (per
+``tools/registry_first_seen.json``) still has no driver row.
 
 For every registry entry the ledger reports the most recent driver
 round that checked it and whether that row was green; plus the age
@@ -23,11 +35,105 @@ import glob
 import json
 import os
 import re
+import sys
 from collections import Counter
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN = "<!-- coverage-ledger:begin -->"
 END = "<!-- coverage-ledger:end -->"
+FIRST_SEEN = os.path.join(REPO, "tools", "registry_first_seen.json")
+
+
+def rotation_period(registry) -> int:
+    """ceil(oracle-able entries / 50): the best sustainable evidence
+    age given the driver's 50-row window."""
+    oracle_able = sum(1 for s in registry.values() if s.oracle)
+    return -(-oracle_able // 50)
+
+
+def load_first_seen() -> dict[str, int]:
+    if os.path.exists(FIRST_SEEN):
+        with open(FIRST_SEEN) as f:
+            return json.load(f)
+    return {}
+
+
+def stamp_first_seen(registry, latest_round: int) -> dict[str, int]:
+    """Record, for every registry entry, the first ROUND whose window
+    it could have joined (= the round after the latest CORRECTNESS
+    file at stamp time).  Names already stamped keep their round."""
+    seen = load_first_seen()
+    changed = False
+    for name in registry:
+        if name not in seen:
+            seen[name] = latest_round + 1
+            changed = True
+    if changed:
+        with open(FIRST_SEEN, "w") as f:
+            json.dump(dict(sorted(seen.items())), f, indent=0,
+                      separators=(",", ": "))
+            f.write("\n")
+    return seen
+
+
+def evidence_age_failures(registry, latest, latest_round: int,
+                          seen: dict[str, int]) -> list[str]:
+    """r11 verdict #7: the staleness gate.  Returns human-readable
+    failure strings (empty = pass)."""
+    fails = []
+    max_age = rotation_period(registry)
+    for name, spec in registry.items():
+        if not spec.oracle:
+            continue  # rows-only engine-private sketches: pytest-covered
+        if name in latest:
+            r, _ = latest[name]
+            if latest_round - r > max_age:
+                fails.append(f"{name}: newest driver row r{r:02d} is "
+                             f"{latest_round - r} rounds old "
+                             f"(max {max_age} = rotation period)")
+        else:
+            first = seen.get(name, latest_round + 1)
+            if latest_round >= first + 1:
+                fails.append(f"{name}: registered for r{first:02d} but "
+                             f"still has no driver row after "
+                             f"r{latest_round:02d}")
+    return fails
+
+
+def sync_counts(registry) -> list[str]:
+    """r11 verdict #8: every hand-maintained registry count in
+    README.md / COVERAGE.md is regenerated from the live registry —
+    one source of truth.  Returns the list of files touched."""
+    total = len(registry)
+    oracled = sum(1 for s in registry.values() if s.oracle)
+    touched = []
+    subs = {
+        os.path.join(REPO, "README.md"): [
+            (r"enumerates the \d+ registered queries",
+             f"enumerates the {total} registered queries"),
+            (r"\| \d+ registered queries",
+             f"| {total} registered queries"),
+            (r"DuckDB oracle SQL \(\d+/\d+;",
+             f"DuckDB oracle SQL ({oracled}/{total};"),
+        ],
+        os.path.join(REPO, "COVERAGE.md"): [
+            (r"Registry size as of round \d+: \*\*\d+ queries, "
+             r"\d+ with full",
+             f"Registry size as of round 12: **{total} queries, "
+             f"{oracled} with full"),
+        ],
+    }
+    for path, pats in subs.items():
+        with open(path) as f:
+            text = f.read()
+        new = text
+        for pat, rep in pats:
+            new = re.sub(pat, rep, new)
+        if new != text:
+            with open(path, "w") as f:
+                f.write(new)
+            touched.append(os.path.basename(path))
+    return touched
 
 
 def load_driver_rows() -> dict[str, dict[int, bool]]:
@@ -115,7 +221,31 @@ def build_ledger() -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--print", action="store_true", dest="stdout_only")
+    ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
+    if args.check:
+        from fmx.queries import all_queries
+
+        registry = all_queries()
+        driver = load_driver_rows()
+        latest_round = max((r for rs in driver.values() for r in rs),
+                           default=0)
+        latest = {n: (max(rs), rs[max(rs)]) for n, rs in driver.items()}
+        seen = stamp_first_seen(registry, latest_round)
+        hist = Counter(r for r, _ in latest.values())
+        print("evidence-age histogram: "
+              + ", ".join(f"r{r:02d}:{c}" for r, c in sorted(hist.items()))
+              + f" | never:{sum(1 for n in registry if n not in latest)}"
+              + f" | rotation period:{rotation_period(registry)}")
+        fails = evidence_age_failures(registry, latest, latest_round, seen)
+        if fails:
+            print("evidence-age check FAILED:")
+            for f_ in fails:
+                print(" -", f_)
+            sys.exit(1)
+        print(f"evidence-age check ok (r{latest_round:02d}; "
+              f"{len(registry)} entries)")
+        return
     section = build_ledger()
     if args.stdout_only:
         print(section)
@@ -131,7 +261,15 @@ def main() -> None:
         text = text.rstrip() + "\n\n" + section + "\n"
     with open(path, "w") as f:
         f.write(text)
-    print(f"updated {path}")
+    from fmx.queries import all_queries
+
+    registry = all_queries()
+    driver = load_driver_rows()
+    latest_round = max((r for rs in driver.values() for r in rs), default=0)
+    stamp_first_seen(registry, latest_round)
+    touched = sync_counts(registry)
+    print(f"updated {path}" + (f" + counts in {', '.join(touched)}"
+                               if touched else ""))
 
 
 if __name__ == "__main__":
