@@ -6417,3 +6417,93 @@ def eval_hosmer_lemeshow(spark, sf):
                     F.round(e, 6).alias("expected"),
                     F.round((o - e) * (o - e) / (e * (1.0 - pbar)), 6)
                     .alias("hl_contrib"))
+
+
+@query(
+    "eval_cliffs_delta",
+    oracle="""
+    WITH sc AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
+                       event_type AS et
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('view', 'click')),
+    grain AS (SELECT cent,
+                     CAST(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nb
+              FROM sc GROUP BY 1),
+    cum AS (SELECT na, nb,
+                   coalesce(sum(nb) OVER (ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS blb,
+                   coalesce(sum(na) OVER (ORDER BY cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS bla
+            FROM grain),
+    m AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                 CAST(sum(nb) AS BIGINT) AS n_b,
+                 CAST(sum(CAST(na AS DECIMAL(38,0)) * blb)
+                      AS DECIMAL(38,0)) AS gt,
+                 CAST(sum(CAST(nb AS DECIMAL(38,0)) * bla)
+                      AS DECIMAL(38,0)) AS lt
+          FROM cum)
+    SELECT n_a, n_b,
+           round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * n_b), 6) AS cliffs_delta,
+           CASE WHEN abs((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) * n_b)) < 0.147
+                    THEN 'negligible'
+                WHEN abs((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) * n_b)) < 0.33
+                    THEN 'small'
+                WHEN abs((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) * n_b)) < 0.474
+                    THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM m
+    """)
+def eval_cliffs_delta(spark, sf):
+    """Cliff's delta ordinal effect size between the 'view' and
+    'click' value distributions: d = (#(a>b) - #(a<b)) / (na*nb) — the
+    robust, distribution-free companion to eval_cohens_d (which
+    assumes interval scale and is mean-dominated) and the effect-size
+    half of eval_mann_whitney_u's significance readout.  Magnitude
+    labels use the Romano et al. (2006) thresholds
+    (0.147/0.33/0.474).  Scale shape: the Mann-Whitney value-grain
+    trick — dominance pair counts assemble from per-cent group counts
+    and two cumulative sums over DISTINCT cents (#(a>b) = sum over
+    cents of na * cum_nb_below; #(a<b) symmetrically from
+    cum_na_below), so the O(n^2) pair space collapses to the bounded
+    price domain and every count rides DECIMAL(38,0) until the one
+    final double division."""
+    sc = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("event_type").isin("view", "click"))
+          .select(F.floor(F.col("value") * 100 + 0.5).cast(BIG)
+                  .alias("cent"), F.col("event_type").alias("et")))
+    grain = sc.groupBy("cent").agg(
+        F.sum(F.when(F.col("et") == "view", 1).otherwise(0)).cast(BIG)
+        .alias("na"),
+        F.sum(F.when(F.col("et") == "click", 1).otherwise(0)).cast(BIG)
+        .alias("nb"))
+    wprev = (Window.orderBy("cent")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = grain.select(
+        "na", "nb",
+        F.coalesce(F.sum("nb").over(wprev), F.lit(0)).alias("blb"),
+        F.coalesce(F.sum("na").over(wprev), F.lit(0)).alias("bla"))
+    m = cum.agg(
+        F.sum("na").cast(BIG).alias("n_a"),
+        F.sum("nb").cast(BIG).alias("n_b"),
+        F.sum(F.col("na").cast(DEC) * F.col("blb")).cast(DEC).alias("gt"),
+        F.sum(F.col("nb").cast(DEC) * F.col("bla")).cast(DEC).alias("lt"))
+    delta = ((F.col("gt").cast("double") - F.col("lt").cast("double"))
+             / (F.col("n_a").cast("double") * F.col("n_b")))
+    return m.select(
+        "n_a", "n_b",
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large").alias("magnitude"))

@@ -2017,3 +2017,262 @@ def stats_quade_test(spark, sf):
                             * (F.col("bsum") / nb)
                             / (F.col("a") - F.col("bsum") / nb), 6)
                     .alias("quade_f")))
+
+
+@query(
+    "eval_spiegelhalter_z",
+    oracle=f"""
+    WITH sc AS (SELECT least(greatest(CAST(floor(value * 100 + 0.5)
+                                           AS BIGINT), 0), 50000) AS pc,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(y * 50000 - pc AS DECIMAL(38,0))
+                          * (50000 - 2 * pc)) AS DECIMAL(38,0)) AS x,
+                 CAST(sum(CAST(50000 - 2 * pc AS DECIMAL(38,0))
+                          * (50000 - 2 * pc) * pc * (50000 - pc))
+                      AS DECIMAL(38,0)) AS v
+          FROM sc),
+    zz AS (SELECT n,
+                  round(CAST(x AS DOUBLE)
+                        / nullif(sqrt(CAST(v AS DOUBLE)), 0.0), 6) AS z
+           FROM m)
+    SELECT n, z, round(least(1.0, 2.0 * {{TAIL}}), 9) AS p_two_sided
+    FROM zz
+    """.replace("{TAIL}", _abs_tail_sql("z")))
+def eval_spiegelhalter_z(spark, sf):
+    """Spiegelhalter's calibration z-test over the same forecast
+    construction as eval_hosmer_lemeshow (probability = clipped
+    value-cents / 50000, outcome = purchase): Z = sum((y-p)(1-2p)) /
+    sqrt(sum((1-2p)^2 p(1-p))) — the UNBINNED companion to the HL
+    chi-square (HL localizes miscalibration to bins; this is the
+    single-number 'is the forecaster calibrated at all' test, and it
+    is immune to the bin-boundary sensitivity HL is criticized for).
+
+    Exactness: with p = pc/S (S = 50000), numerator and variance
+    scale to PURE INTEGER sums — X = sum((y*S - pc)(S - 2pc)) and
+    V = sum((S-2pc)^2 pc (S-pc)) — so Z = X / sqrt(V) with the S
+    powers cancelling; both sums ride DECIMAL(38,0) (per-row |term|
+    <= 2.5e19, 38 digits holds past 1e12 rows) and the only doubles
+    are the final division and the shared Abramowitz-Stegun tail.
+    One hash agg over the corpus, one 1-row formula."""
+    S = 50000
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.least(F.greatest(F.floor(F.col("value") * 100 + 0.5)
+                                     .cast(BIG), F.lit(0)),
+                          F.lit(S)).alias("pc"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    m = ev.agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum((F.col("y") * S - F.col("pc")).cast(DEC)
+              * (S - 2 * F.col("pc"))).cast(DEC).alias("x"),
+        F.sum((S - 2 * F.col("pc")).cast(DEC)
+              * (S - 2 * F.col("pc")) * F.col("pc")
+              * (S - F.col("pc"))).cast(DEC).alias("v"))
+    zz = m.select(
+        "n",
+        F.round(F.col("x").cast("double")
+                / F.nullif(F.sqrt(F.col("v").cast("double")),
+                           F.lit(0.0)), 6).alias("z"))
+    return zz.select(
+        "n", "z",
+        F.round(F.expr(_two_sided_p_sql("z")), 9).alias("p_two_sided"))
+
+
+@query(
+    "stats_cusum_chart",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY date_trunc('day', ts))
+                  AS BIGINT) AS rn
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    kr AS (SELECT et, CAST(sum(x) AS BIGINT) // count(*) AS k
+           FROM daily GROUP BY et),
+    c AS (
+      SELECT d.et, d.rn, d.day, d.x, kr.k,
+             greatest(CAST(0 AS BIGINT), d.x - kr.k) AS cu
+      FROM daily d JOIN kr USING (et) WHERE d.rn = 1
+      UNION ALL
+      SELECT d.et, d.rn, d.day, d.x, kr.k,
+             greatest(CAST(0 AS BIGINT), c.cu + d.x - kr.k)
+      FROM c JOIN daily d ON d.et = c.et AND d.rn = c.rn + 1
+             JOIN kr ON kr.et = d.et)
+    SELECT et AS event_type, strftime(day, '%Y-%m-%d') AS day, x,
+           k AS k_ref, cu AS cusum_hi
+    FROM c ORDER BY event_type, day
+    """)
+def stats_cusum_chart(spark, sf):
+    """One-sided upper CUSUM control chart on each event type's daily
+    value total: C_0 = 0, C_t = max(0, C_{t-1} + x_t - k) with the
+    reference k = floor(mean daily total) — the classical
+    change-detection chart that accumulates small persistent shifts a
+    Shewhart chart (stats_p_chart) misses; the full per-day path is
+    emitted so the alarm threshold stays the consumer's choice
+    (ts_cusum_changepoint is the complementary readout: single global
+    changepoint LOCALIZATION on the count series; this is the
+    per-type monitoring chart against a reference value).
+
+    Exactness: x and k are exact integer cents (k via BIGINT floor
+    division — totals stay < 2^53 far beyond the bench envelope, and
+    floor-div is bit-identical in both engines for positive inputs),
+    so the recursion is INTEGER arithmetic end-to-end — no float
+    state to drift.  The sequential fold is per-type over the bounded
+    day series: Spark replays it as an in-row array fold over the
+    sorted (day, x) structs (the ts_holt_linear pattern — state is a
+    running array, bounded by the calendar); the oracle replays it as
+    a row_number-keyed RECURSIVE CTE (single-state recursions would
+    also be list_reduce-safe, but the CTE matches the multi-CTE
+    convention).  One groupBy day, one groupBy type, one explode."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    g = (daily.groupBy("et")
+         .agg(F.sort_array(F.collect_list(F.struct("day", "x")))
+              .alias("sx"),
+              F.expr("CAST(sum(x) AS BIGINT) DIV count(*)")
+              .cast(BIG).alias("k")))
+    cus = F.expr(
+        "slice(aggregate(transform(sx, s -> s.x),"
+        " array(CAST(0 AS BIGINT)),"
+        " (acc, x) -> concat(acc, array(greatest(CAST(0 AS BIGINT),"
+        " element_at(acc, -1) + x - k)))), 2, size(sx))")
+    z = (g.select("et", "k",
+                  F.arrays_zip(F.col("sx"), cus.alias("cu")).alias("zz"))
+         .select("et", "k", F.explode("zz").alias("r")))
+    return (z.select(F.col("et").alias("event_type"),
+                     F.date_format(F.col("r.sx.day"), "yyyy-MM-dd")
+                     .alias("day"),
+                     F.col("r.sx.x").alias("x"),
+                     F.col("k").alias("k_ref"),
+                     F.col("r.cu").alias("cusum_hi")))
+
+
+@query(
+    "stats_anderson_darling",
+    oracle=f"""
+    WITH {_SC},
+    g AS (SELECT et, cent, CAST(count(*) AS BIGINT) AS c
+          FROM sc GROUP BY 1, 2),
+    st AS (SELECT et, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CAST(cent AS DECIMAL(38,0)) * c)
+                       AS DECIMAL(38,0)) AS s,
+                  CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent * c)
+                       AS DECIMAL(38,0)) AS q
+           FROM g GROUP BY et),
+    ms AS (SELECT et, n,
+                  round(CAST(s AS DOUBLE) / n, 6) AS m,
+                  round(sqrt((CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE) * s / n)
+                             / (n - 1.0)), 6) AS sd
+           FROM st),
+    cum AS (SELECT g.et, g.cent, g.c, ms.n, ms.m, ms.sd,
+                   coalesce(sum(g.c) OVER (PARTITION BY g.et
+                        ORDER BY g.cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cb
+            FROM g JOIN ms USING (et)),
+    ph AS (SELECT et, c, n, cb,
+                  least(greatest(CASE WHEN (cent - m) / sd >= 0.0
+                       THEN 1.0 - {{TAIL}}
+                       ELSE {{TAILNEG}} END, 1e-15),
+                       1.0 - 1e-15) AS phi
+           FROM cum),
+    w AS (SELECT et, n,
+                 CAST((cb + c) * (cb + c) - cb * cb AS BIGINT) AS w1,
+                 CAST((n - cb) * (n - cb)
+                      - (n - cb - c) * (n - cb - c) AS BIGINT) AS w2,
+                 CAST(round(ln(phi) * 1000000) AS BIGINT) AS l1,
+                 CAST(round(ln(1.0 - phi) * 1000000) AS BIGINT) AS l2
+          FROM ph),
+    acc AS (SELECT et, n,
+                   CAST(sum(CAST(w1 AS DECIMAL(38,0)) * l1
+                            + CAST(w2 AS DECIMAL(38,0)) * l2)
+                        AS DECIMAL(38,0)) AS t
+            FROM w GROUP BY et, n)
+    SELECT et AS event_type, n,
+           round(-CAST(n AS DOUBLE)
+                 - CAST(t AS DOUBLE) / (n * 1000000.0), 4) AS a2_stat
+    FROM acc ORDER BY event_type
+    """.replace("{TAIL}", _abs_tail_sql("((cent - m) / sd)"))
+       .replace("{TAILNEG}", _abs_tail_sql("((cent - m) / sd)")))
+def stats_anderson_darling(spark, sf):
+    """Anderson-Darling normality statistic per event type:
+    A^2 = -n - (1/n) * sum_i (2i-1)[ln F(z_(i)) + ln(1-F(z_(n+1-i)))]
+    with F the normal CDF at the standardized sorted values — the
+    tail-sensitive normality test (vs stats_jarque_bera's
+    moment-based check, which is blind to tail shape at matched
+    skew/kurtosis).
+
+    Scale + exactness shape: everything runs on the VALUE-GRAIN
+    relation (bounded by the price domain).  Tied blocks collapse in
+    closed form — for a cent with cumulative count cb before it and
+    multiplicity c, sum(2i-1) over its ranks is (cb+c)^2 - cb^2 and
+    the reverse-rank weight is (n-cb)^2 - (n-cb-c)^2 — so no per-row
+    ranking ever materializes (per-type cumulative window over
+    distinct cents only, the Mann-Whitney pattern).  mean/sd are
+    6dp-rounded doubles from exact integer moments (both engines then
+    standardize identical doubles); F comes from the shared
+    Abramowitz-Stegun fragment clamped to [1e-15, 1-1e-15] (ln(0)
+    guard); and each ln term is 6dp-rounded into an exact integer
+    (x1e6, BIGINT) BEFORE the weighted DECIMAL(38,0) sum — raw
+    w*ln(F) products reach ~1e12 where double ulp (1e-4) exceeds any
+    rounding quantum, the partition-order trap (the eval_anova_f
+    lesson), while the integer-scaled sum is order-independent.  A^2
+    is one final double formula."""
+    g = (_sc(spark, sf).groupBy("et", "cent")
+         .agg(F.count("*").cast(BIG).alias("c")))
+    st = g.groupBy("et").agg(
+        F.sum("c").cast(BIG).alias("n"),
+        F.sum(F.col("cent").cast(DEC) * F.col("c")).cast(DEC).alias("s"),
+        F.sum(F.col("cent").cast(DEC) * F.col("cent") * F.col("c"))
+        .cast(DEC).alias("q"))
+    ms = st.select(
+        "et", "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"),
+        F.round(F.sqrt((F.col("q").cast("double")
+                        - F.col("s").cast("double") * F.col("s")
+                        / F.col("n")) / (F.col("n") - 1.0)), 6)
+        .alias("sd"))
+    wprev = (Window.partitionBy("et").orderBy("cent")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (g.join(ms, "et")
+           .select("et", "cent", "c", "n", "m", "sd",
+                   F.coalesce(F.sum("c").over(wprev), F.lit(0))
+                   .alias("cb")))
+    tail = _abs_tail_sql("((cent - m) / sd)")
+    phi = F.least(
+        F.greatest(
+            F.expr(f"CASE WHEN (cent - m) / sd >= 0.0 "
+                   f"THEN 1.0 - {tail} ELSE {tail} END"),
+            F.lit(1e-15)),
+        F.lit(1.0 - 1e-15))
+    w = cum.select(
+        "et", "n",
+        ((F.col("cb") + F.col("c")) * (F.col("cb") + F.col("c"))
+         - F.col("cb") * F.col("cb")).cast(BIG).alias("w1"),
+        ((F.col("n") - F.col("cb")) * (F.col("n") - F.col("cb"))
+         - (F.col("n") - F.col("cb") - F.col("c"))
+         * (F.col("n") - F.col("cb") - F.col("c"))).cast(BIG)
+        .alias("w2"),
+        F.round(F.log(phi) * 1000000).cast(BIG).alias("l1"),
+        F.round(F.log(1.0 - phi) * 1000000).cast(BIG).alias("l2"))
+    acc = w.groupBy("et", "n").agg(
+        F.sum(F.col("w1").cast(DEC) * F.col("l1")
+              + F.col("w2").cast(DEC) * F.col("l2")).cast(DEC)
+        .alias("t"))
+    return (acc.select(F.col("et").alias("event_type"), "n",
+                       F.round(-F.col("n").cast("double")
+                               - F.col("t").cast("double")
+                               / (F.col("n") * 1000000.0), 4)
+                       .alias("a2_stat")))

@@ -1471,3 +1471,68 @@ def ts_holt_winters(spark, sf):
     return holt_winters_additive(dv, ["event_type"], "d", "v",
                                  period=7, alpha=0.5, beta=0.3,
                                  gamma=0.2)
+
+
+@query(
+    "ts_turning_points",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    lagged AS (SELECT et, x,
+                      lag(x) OVER (PARTITION BY et ORDER BY day) AS xp,
+                      lead(x) OVER (PARTITION BY et ORDER BY day) AS xn
+               FROM daily),
+    m AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+                               AND ((x > xp AND x > xn)
+                                    OR (x < xp AND x < xn))
+                               THEN 1 ELSE 0 END) AS BIGINT) AS t_pts
+          FROM lagged GROUP BY et)
+    SELECT et AS event_type, n_days, t_pts,
+           round(2.0 * (n_days - 2) / 3.0, 6) AS expected_t,
+           round((t_pts - 2.0 * (n_days - 2) / 3.0)
+                 / sqrt((16.0 * n_days - 29.0) / 90.0), 6) AS z_stat
+    FROM m ORDER BY event_type
+    """)
+def ts_turning_points(spark, sf):
+    """Turning-point test of serial randomness on each event type's
+    daily value total: count strict local extrema (x greater than both
+    neighbors or less than both), compare against the i.i.d.
+    expectation E[T] = 2(n-2)/3 with Var[T] = (16n-29)/90 — the
+    classical quick check that a series is noise rather than
+    trend/cycle (complements ts_mann_kendall, which detects monotone
+    trend but is blind to oscillation).  Ties with a neighbor are NOT
+    extrema (strict inequalities) so integer-cents comparisons are
+    deterministic in both engines.  Day-grain lag/lead windows are
+    per-type partitions over the bounded series; one agg to one row
+    per type; z is one double formula over exact integers."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    w = Window.partitionBy("et").orderBy("day")
+    lagged = daily.select(
+        "et", "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"))
+    tp = (F.when(F.col("xp").isNotNull() & F.col("xn").isNotNull()
+                 & (((F.col("x") > F.col("xp"))
+                     & (F.col("x") > F.col("xn")))
+                    | ((F.col("x") < F.col("xp"))
+                       & (F.col("x") < F.col("xn")))), 1)
+          .otherwise(0))
+    m = lagged.groupBy("et").agg(
+        F.count("*").cast(BIG).alias("n_days"),
+        F.sum(tp).cast(BIG).alias("t_pts"))
+    n, t = F.col("n_days"), F.col("t_pts")
+    return (m.select(F.col("et").alias("event_type"), "n_days", "t_pts",
+                     F.round(2.0 * (n - 2) / 3.0, 6).alias("expected_t"),
+                     F.round((t - 2.0 * (n - 2) / 3.0)
+                             / F.sqrt((16.0 * n - 29.0) / 90.0), 6)
+                     .alias("z_stat")))

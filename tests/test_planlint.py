@@ -260,6 +260,7 @@ _ALLOWED = {
         "sample_pps_systematic",     # cum-size over the category grain
         "event_nelson_aalen",        # cum-hazard over duration-grain rows
         "eval_mann_whitney_u",       # cum-counts over the cents grain
+        "eval_cliffs_delta",         # same cents-grain cum-counts
                                      # (bounded by the price domain)
         "eval_auc_delong",           # same bounded cents-grain cum
                                      # window (placement values)
