@@ -2276,3 +2276,154 @@ def stats_anderson_darling(spark, sf):
                                - F.col("t").cast("double")
                                / (F.col("n") * 1000000.0), 4)
                        .alias("a2_stat")))
+
+
+@query(
+    "stats_atkinson_index",
+    oracle=f"""
+    WITH {_SC},
+    g AS (SELECT et, cent, CAST(count(*) AS BIGINT) AS c
+          FROM sc WHERE cent > 0 GROUP BY 1, 2),
+    terms AS (SELECT et, c, cent,
+                     CAST(round(ln(cent) * 1000000000) AS BIGINT) AS li,
+                     CAST(round(1e12 / cent) AS BIGINT) AS ri
+              FROM g),
+    m AS (SELECT et, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CAST(cent AS DECIMAL(38,0)) * c)
+                      AS DECIMAL(38,0)) AS s,
+                 CAST(sum(CAST(li AS DECIMAL(38,0)) * c)
+                      AS DECIMAL(38,0)) AS sl,
+                 CAST(sum(CAST(ri AS DECIMAL(38,0)) * c)
+                      AS DECIMAL(38,0)) AS sr
+          FROM terms GROUP BY et)
+    SELECT et AS event_type, n,
+           round(1.0 - exp(CAST(sl AS DOUBLE) / (n * 1e9))
+                       * n / CAST(s AS DOUBLE), 6) AS atkinson_1,
+           round(1.0 - (CAST(n AS DOUBLE) * n * 1e12)
+                       / (CAST(sr AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+               AS atkinson_2
+    FROM m ORDER BY event_type
+    """)
+def stats_atkinson_index(spark, sf):
+    """Atkinson inequality indices per event type at the two standard
+    aversion levels: A(1) = 1 - geomean/mean and A(2) = 1 -
+    harmonicmean/mean — the welfare-theoretic family member (how much
+    total value could be given up for perfect equality at aversion
+    epsilon) completing the inequality set next to [[stats_theil_index]]
+    and stats_gini_exact; unlike Gini it is subgroup-decomposable.
+
+    Exactness: runs on the VALUE-GRAIN relation (cent > 0 — zero
+    values have no defined log/harmonic mean); ln(cent) and 1e12/cent
+    are per-DISTINCT-cent doubles of exact integers, 9dp/integer-
+    rounded into exact BIGINTs so every cross-group sum rides
+    DECIMAL(38,0) (order-independent, the eval_anova_f lesson); the
+    final A values are one double formula each (exp is the only
+    transcendental, absorbed by round 6)."""
+    g = (_sc(spark, sf).filter(F.col("cent") > 0)
+         .groupBy("et", "cent").agg(F.count("*").cast(BIG).alias("c")))
+    terms = g.select(
+        "et", "c", "cent",
+        F.round(F.log("cent") * 1000000000).cast(BIG).alias("li"),
+        F.round(F.lit(1e12) / F.col("cent")).cast(BIG).alias("ri"))
+    m = terms.groupBy("et").agg(
+        F.sum("c").cast(BIG).alias("n"),
+        F.sum(F.col("cent").cast(DEC) * F.col("c")).cast(DEC).alias("s"),
+        F.sum(F.col("li").cast(DEC) * F.col("c")).cast(DEC).alias("sl"),
+        F.sum(F.col("ri").cast(DEC) * F.col("c")).cast(DEC).alias("sr"))
+    n = F.col("n")
+    return m.select(
+        F.col("et").alias("event_type"), "n",
+        F.round(1.0 - F.exp(F.col("sl").cast("double") / (n * 1e9))
+                * n / F.col("s").cast("double"), 6).alias("atkinson_1"),
+        F.round(1.0 - (n.cast("double") * n * 1e12)
+                / (F.col("sr").cast("double")
+                   * F.col("s").cast("double")), 6).alias("atkinson_2"))
+
+
+@query(
+    "ts_dickey_fuller",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    pairs AS (SELECT et, x AS u,
+                     lead(x) OVER (PARTITION BY et ORDER BY day) - x
+                         AS y
+              FROM daily QUALIFY y IS NOT NULL),
+    m AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(u) AS DECIMAL(38,0)) AS su,
+                 CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                 CAST(sum(CAST(u AS DECIMAL(38,0)) * u)
+                      AS DECIMAL(38,0)) AS suu,
+                 CAST(sum(CAST(u AS DECIMAL(38,0)) * y)
+                      AS DECIMAL(38,0)) AS suy,
+                 CAST(sum(CAST(y AS DECIMAL(38,0)) * y)
+                      AS DECIMAL(38,0)) AS syy
+          FROM pairs GROUP BY et),
+    f AS (SELECT et, n,
+                 (n * CAST(suy AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                     AS rho,
+                 n * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                     AS dxx
+          FROM m)
+    SELECT f.et AS event_type, f.n AS n_pairs,
+           round(rho, 6) AS rho_hat,
+           round(rho / sqrt(((CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / f.n
+                              - rho * rho * dxx / f.n) / (f.n - 2.0))
+                            / (dxx / f.n)), 6) AS df_t_stat
+    FROM f JOIN m ON f.et = m.et ORDER BY event_type
+    """)
+def ts_dickey_fuller(spark, sf):
+    """Dickey-Fuller unit-root t-statistic (AR(1), with drift) on each
+    event type's daily value total: regress delta-x on the lagged
+    level, t = rho_hat / se(rho_hat) — strongly negative t rejects a
+    unit root (the series mean-reverts), the stationarity screen that
+    complements [[ts_mann_kendall]] (monotone trend) and
+    ts_turning_points (oscillation).  The critical values are the DF
+    distribution's, not normal, so the statistic is emitted without a
+    p-value.
+
+    Exactness: the day-grain pairs (u = x_{t-1}, y = delta-x) are
+    exact integer cents; all five regression sums ride DECIMAL(38,0)
+    (order-independent); rho and t are closed-form double formulas
+    over those exact integers written identically in both engines
+    (slope, RSS via syy - sy^2/n - rho^2 * Sxx, se from Sxx) — no
+    iterative fitting, one lead window over the calendar-bounded
+    series, one agg."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    w = Window.partitionBy("et").orderBy("day")
+    pairs = (daily.select("et", F.col("x").alias("u"),
+                          (F.lead("x").over(w) - F.col("x")).alias("y"))
+             .filter(F.col("y").isNotNull()))
+    m = pairs.groupBy("et").agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum("u").cast(DEC).alias("su"),
+        F.sum("y").cast(DEC).alias("sy"),
+        F.sum(F.col("u").cast(DEC) * F.col("u")).cast(DEC).alias("suu"),
+        F.sum(F.col("u").cast(DEC) * F.col("y")).cast(DEC).alias("suy"),
+        F.sum(F.col("y").cast(DEC) * F.col("y")).cast(DEC).alias("syy"))
+    n = F.col("n")
+    rho = ((n * F.col("suy").cast("double")
+            - F.col("su").cast("double") * F.col("sy").cast("double"))
+           / (n * F.col("suu").cast("double")
+              - F.col("su").cast("double") * F.col("su").cast("double")))
+    dxx = (n * F.col("suu").cast("double")
+           - F.col("su").cast("double") * F.col("su").cast("double"))
+    rss = (F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+           - rho * rho * dxx / n)
+    return m.select(
+        F.col("et").alias("event_type"), F.col("n").alias("n_pairs"),
+        F.round(rho, 6).alias("rho_hat"),
+        F.round(rho / F.sqrt((rss / (n - 2.0)) / (dxx / n)), 6)
+        .alias("df_t_stat"))
