@@ -104,8 +104,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     downstream shingle self-join skew-free at corpus scale (a shingle
     shared by 1M docs would otherwise produce 10¹² join rows).
     """
-    sh = (shingle_array(df, id_col, text_col, n=n)
-          .select(id_col, F.explode("_sh").alias("shingle")))
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    # NB: guard size(t) >= n — Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], not empty, so an unguarded transform would fabricate shingles
+    sh = (toks
+          .select(id_col,
+                  F.explode(F.expr(
+                      f"CASE WHEN size(t) >= {n} THEN"
+                      f" transform(sequence(1, size(t) - {n - 1}),"
+                      f"  i -> concat_ws(' ', slice(t, i, {n})))"
+                      f" ELSE CAST(array() AS array<string>) END"))
+                  .alias("shingle")))
     if distinct:
         sh = sh.distinct()
     if max_df is not None:
@@ -1026,7 +1035,11 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
             .join(groups.select(F.col("_rep").alias("_rid")), "_rid"))
     rp = allpairs_prefix_jaccard(reps, "_rid", "_text",
                                  n=n, threshold=threshold)
-    mem = canon.join(groups, "_h").select("_rep", "_id")
+    # mem is the other narrow multi-consumer relation (three readers:
+    # ma/mb fan-backs and the within-group fan-out) — checkpointing it
+    # caps the scan+md5 chain at one re-derivation total
+    mem = (canon.join(groups, "_h").select("_rep", "_id")
+           .localCheckpoint(eager=False))
     ma = mem.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ia"))
     mb = mem.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_ib"))
     cross = (rp.join(ma, "id_a").join(mb, "id_b")
