@@ -6507,3 +6507,73 @@ def eval_cliffs_delta(spark, sf):
         .when(F.abs(delta) < 0.33, "small")
         .when(F.abs(delta) < 0.474, "medium")
         .otherwise("large").alias("magnitude"))
+
+
+@query(
+    "eval_mcc",
+    oracle="""
+    WITH sc AS (SELECT least(greatest(CAST(floor(value * 100 + 0.5)
+                                           AS BIGINT), 0), 50000) AS pc,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL),
+    m AS (SELECT
+            CAST(sum(CASE WHEN pc >= 25000 AND y = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN pc >= 25000 AND y = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN pc < 25000 AND y = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN pc < 25000 AND y = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+          FROM sc)
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / nullif(sqrt((CAST(tp AS DOUBLE) + fp)
+                               * (CAST(tp AS DOUBLE) + fn)
+                               * (CAST(tn AS DOUBLE) + fp)
+                               * (CAST(tn AS DOUBLE) + fn)), 0.0), 6)
+               AS mcc,
+           round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0.0), 6) AS f1
+    FROM m
+    """)
+def eval_mcc(spark, sf):
+    """Matthews correlation coefficient (+ F1) for the thresholded
+    forecaster over the Hosmer-Lemeshow/Spiegelhalter construction
+    (probability = clipped cents/50000, positive = p >= 0.5, outcome =
+    purchase) — the single-number confusion-matrix summary that stays
+    honest under class imbalance where accuracy and even F1 mislead
+    (MCC needs all four cells to be good to be high; Chicco & Jurman
+    2020).  Completes the classifier-comparison family next to
+    eval_cohen_kappa (agreement vs chance) and eval_log_loss (proper
+    score).  The four cells are exact integer counts from ONE hash
+    agg; MCC and F1 are one double formula each (products as doubles —
+    counts to 1e15 stay exact in IEEE 754)."""
+    ev = (T(spark, sf, "events")
+          .filter(F.col("value").isNotNull())
+          .select(F.least(F.greatest(F.floor(F.col("value") * 100 + 0.5)
+                                     .cast(BIG), F.lit(0)),
+                          F.lit(50000)).alias("pc"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    pos = F.col("pc") >= 25000
+    m = ev.agg(
+        F.sum(F.when(pos & (F.col("y") == 1), 1).otherwise(0)).cast(BIG)
+        .alias("tp"),
+        F.sum(F.when(pos & (F.col("y") == 0), 1).otherwise(0)).cast(BIG)
+        .alias("fp"),
+        F.sum(F.when(~pos & (F.col("y") == 1), 1).otherwise(0)).cast(BIG)
+        .alias("fn"),
+        F.sum(F.when(~pos & (F.col("y") == 0), 1).otherwise(0)).cast(BIG)
+        .alias("tn"))
+    tp, fp, fn, tn = (F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn"))
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.round((tp.cast("double") * tn - fp.cast("double") * fn)
+                / F.nullif(F.sqrt((tp.cast("double") + fp)
+                                  * (tp.cast("double") + fn)
+                                  * (tn.cast("double") + fp)
+                                  * (tn.cast("double") + fn)),
+                           F.lit(0.0)), 6).alias("mcc"),
+        F.round(2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0.0)), 6)
+        .alias("f1"))

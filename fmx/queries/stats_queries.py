@@ -2427,3 +2427,80 @@ def ts_dickey_fuller(spark, sf):
         F.round(rho, 6).alias("rho_hat"),
         F.round(rho / F.sqrt((rss / (n - 2.0)) / (dxx / n)), 6)
         .alias("df_t_stat"))
+
+
+@query(
+    "stats_page_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    ets AS (SELECT et, CAST(row_number() OVER (ORDER BY et) AS BIGINT)
+                           AS j
+            FROM (SELECT DISTINCT et FROM daily)),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ets),
+    full_days AS (SELECT day FROM daily GROUP BY day
+                  HAVING count(*) = (SELECT k FROM kk)),
+    ranked AS (SELECT d.et, d.day,
+                      CAST(row_number() OVER (PARTITION BY d.day
+                                              ORDER BY d.x, d.et)
+                           AS BIGINT) AS r
+               FROM daily d JOIN full_days USING (day)),
+    m AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS b,
+                 CAST(sum(j * r) AS BIGINT) AS l
+          FROM ranked JOIN ets USING (et))
+    SELECT b AS b_days, k AS k_treatments, l AS l_stat,
+           round((l - b * k * (k + 1.0) * (k + 1.0) / 4.0)
+                 / sqrt(b * CAST(k AS DOUBLE) * k * (k + 1.0) * (k + 1.0)
+                        * (k - 1.0) / 144.0), 6) AS z_stat
+    FROM m CROSS JOIN kk
+    """)
+def stats_page_trend(spark, sf):
+    """Page's L trend test for ordered alternatives across
+    repeated-measures blocks: blocks = days, treatments = the event
+    types in ALPHABETICAL order (the deterministic stand-in for a
+    hypothesized ordering), L = sum over complete days of j * R_dj
+    with within-day ranks — the directional sharpening of
+    stats_friedman_test (Friedman asks 'do treatments differ at
+    all'; Page asks 'do they increase in THIS order', with more power
+    when an order is pre-specified; Page 1963).  Large positive z =
+    daily value totals rise along the alphabetical treatment order.
+
+    Determinism/exactness: only COMPLETE blocks (days where every
+    type appears) enter, ranks break ties by (total, type) — a total
+    order on exact integer cents, so L is an exact integer in both
+    engines; E[L] = bk(k+1)^2/4 and Var[L] = bk^2(k+1)^2(k-1)/144
+    give a one-double-formula z.  The treatment-index window runs
+    over the k distinct types only; day ranks are per-day
+    partitions."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    ets = (daily.select("et").distinct()
+           .select("et", F.row_number().over(Window.orderBy("et"))
+                   .cast(BIG).alias("j")))
+    kk = ets.agg(F.count("*").cast(BIG).alias("k"))
+    full_days = (daily.groupBy("day").agg(F.count("*").alias("_c"))
+                 .join(F.broadcast(kk), F.col("_c") == F.col("k"))
+                 .select("day"))
+    wd = Window.partitionBy("day").orderBy("x", "et")
+    ranked = (daily.join(full_days, "day")
+              .select("et", "day",
+                      F.row_number().over(wd).cast(BIG).alias("r")))
+    m = (ranked.join(F.broadcast(ets), "et")
+         .agg(F.countDistinct("day").cast(BIG).alias("b"),
+              F.sum(F.col("j") * F.col("r")).cast(BIG).alias("l")))
+    out = m.crossJoin(F.broadcast(kk))
+    b, k, l = F.col("b"), F.col("k"), F.col("l")
+    return out.select(
+        b.alias("b_days"), k.alias("k_treatments"), l.alias("l_stat"),
+        F.round((l - b * k * (k + 1.0) * (k + 1.0) / 4.0)
+                / F.sqrt(b * k.cast("double") * k * (k + 1.0)
+                         * (k + 1.0) * (k - 1.0) / 144.0), 6)
+        .alias("z_stat"))

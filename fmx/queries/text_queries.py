@@ -13,6 +13,7 @@ from fmx.sources import load_table as T
 
 _EN = "['" + "', '".join(X.STOPWORDS["en"]) + "']"
 BIG = "bigint"
+DEC = "decimal(38,0)"
 _SW = {lang: "['" + "', '".join(ws) + "']" for lang, ws in X.STOPWORDS.items()}
 
 
@@ -2265,3 +2266,53 @@ def text_js_divergence(spark, sf):
     support) and mixture solvers feed (sqrt JSD is a metric)."""
     return X.vocab_js_by_group(T(spark, sf, "documents"), "source",
                                "text", k=200, alpha=0.5)
+
+
+@query(
+    "text_yules_k",
+    oracle="""
+    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE token <> '' GROUP BY lang, token),
+    m AS (SELECT lang,
+                 CAST(sum(c) AS DECIMAL(38,0)) AS n,
+                 CAST(count(*) AS BIGINT) AS v,
+                 CAST(sum(CAST(c AS DECIMAL(38,0)) * c)
+                      AS DECIMAL(38,0)) AS s2
+          FROM tc GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_tokens, v AS vocab,
+           round(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+               AS yules_k
+    FROM m ORDER BY lang
+    """)
+def text_yules_k(spark, sf):
+    """Yule's characteristic K per language — the classical
+    sample-size-invariant lexical-richness constant:
+    K = 10^4 * (sum_m m^2 V_m - N) / N^2, which collapses to
+    10^4 * (sum_types c^2 - N) / N^2 — i.e. ONE (lang, token) count
+    agg then one per-lang agg, no frequency-of-frequency relation
+    needed.  Complements text_heaps_law (vocab GROWTH curve) and
+    text_mattr_diversity (windowed type/token) with the repeated-use
+    concentration readout; plagiarism/boilerplate-heavy corpora show
+    elevated K.  All sums are exact integers in DECIMAL(38,0) (c^2
+    overflows BIGINT at web-scale token counts); K is one double
+    formula.  Tokenization is the corpus-wide whitespace convention
+    (empty tokens dropped, as text_vocab_topk)."""
+    toks = (T(spark, sf, "documents")
+            .select("lang", F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != ""))
+    tc = toks.groupBy("lang", "token").agg(
+        F.count("*").cast(BIG).alias("c"))
+    m = tc.groupBy("lang").agg(
+        F.sum("c").cast(DEC).alias("n"),
+        F.count("*").cast(BIG).alias("v"),
+        F.sum(F.col("c").cast(DEC) * F.col("c")).cast(DEC).alias("s2"))
+    return m.select(
+        "lang", F.col("n").cast(BIG).alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.round(10000.0 * (F.col("s2").cast("double")
+                           - F.col("n").cast("double"))
+                / (F.col("n").cast("double") * F.col("n").cast("double")),
+                6).alias("yules_k"))

@@ -117,6 +117,7 @@ _ALLOWED = {
         "sample_epoch_shuffle",     # 2-row epoch-relation broadcast
         "profile_gini_binned",      # 1-row min/max + count broadcasts
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
+        "stats_page_trend",         # 1-row k-count broadcast
         "ts_theilsen_trend",        # day-grain pair join + 1-row medians
         "graph_clustering_coefficient",  # two 1-row relations crossed
         "graph_pagerank_3iter", "profile_chi2_lang_source",
@@ -261,6 +262,7 @@ _ALLOWED = {
         "event_nelson_aalen",        # cum-hazard over duration-grain rows
         "eval_mann_whitney_u",       # cum-counts over the cents grain
         "eval_cliffs_delta",         # same cents-grain cum-counts
+        "stats_page_trend",          # rank over the k event types only
                                      # (bounded by the price domain)
         "eval_auc_delong",           # same bounded cents-grain cum
                                      # window (placement values)
