@@ -805,3 +805,71 @@ def stream_kmv_state(events: DataFrame, group_col: str, value_col: str,
                 stateStructType=_KMV_STATE,
                 outputMode="Update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+CUSUM_STREAM_SCHEMA = StructType([
+    StructField("group", StringType()),
+    StructField("ver", LongType()),     # per-group batch version —
+    # consumers take the max-ver row per group (snapshot contract,
+    # same as stream_kmv_state)
+    StructField("n_seen", LongType()),
+    StructField("cusum_hi", LongType()),
+    StructField("max_cusum", LongType()),
+])
+_CUSUM_STATE = StructType([
+    StructField("c", LongType()),       # current one-sided upper CUSUM
+    StructField("mx", LongType()),      # running max of c
+    StructField("n", LongType()),       # events folded so far
+    StructField("ver", LongType()),     # snapshot counter
+])
+
+
+def stream_cusum_state(events: DataFrame, group_col: str = "event_type",
+                       k_ref: int = 2500) -> DataFrame:
+    """Streaming one-sided upper CUSUM per group over event value
+    cents: C <- max(0, C + cent - k_ref), folded in (ts, event_id)
+    order within each batch and carried across batches in state —
+    the streaming twin of the batch ``stats_cusum_chart`` (which
+    derives k from the data; a stream cannot see the global mean, so
+    the reference is CONFIGURATION — the hll-anchor convention).
+    State is four longs per group FOREVER; each batch the group
+    appears in emits one snapshot row (group, ver, n_seen, cusum_hi,
+    max_cusum), and consumers take the max-``ver`` row per group.
+
+    Determinism: cross-partition arrival order is not defined for a
+    shuffled stream, so the fold ORDER is pinned explicitly — each
+    batch's rows sort by (ts, event_id) before folding, and batches
+    themselves are ordered by the source (file order under
+    availableNow).  Integer arithmetic end-to-end: no float state to
+    drift, and replaying the same batches yields byte-identical
+    snapshots."""
+    src = (events.filter(F.col("value").isNotNull())
+           .select(F.col(group_col).cast("string").alias("group"),
+                   F.col("ts"), F.col("event_id"),
+                   F.floor(F.col("value") * 100 + 0.5).cast("long")
+                   .alias("cent")))
+
+    kr = int(k_ref)
+
+    def upd(key: Any, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        c, mx, n, ver = (state.get if state.exists else (0, 0, 0, 0))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for cent in pdf["cent"]:
+                c = max(0, c + int(cent) - kr)
+                mx = max(mx, c)
+                n += 1
+        ver = int(ver) + 1
+        state.update((int(c), int(mx), int(n), ver))
+        yield pd.DataFrame({"group": [key[0]], "ver": [ver],
+                            "n_seen": [n], "cusum_hi": [int(c)],
+                            "max_cusum": [int(mx)]})
+
+    return (src.groupBy("group")
+            .applyInPandasWithState(
+                upd,
+                outputStructType=CUSUM_STREAM_SCHEMA,
+                stateStructType=_CUSUM_STATE,
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

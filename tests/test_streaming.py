@@ -955,3 +955,34 @@ def test_stream_kmv_state_two_batch_eviction(spark, tmp_path):
     latest = {r.h for r in rows1 + rows2
               if r.ver == max(x.ver for x in rows1 + rows2)}
     assert latest == snap2
+
+
+def test_stream_cusum_state_fold_matches_batch(spark, sf_dir):
+    """The streaming CUSUM state (integer fold in pinned (ts,
+    event_id) order, carried across batches) must equal a batch
+    replay of the same fold — and its state is four longs per group
+    regardless of stream length."""
+    events = S.read_events_stream(spark, sf_dir)
+    q = _run_to_memory(S.stream_cusum_state(events), "cusum_state",
+                       "update")
+    streamed = {}
+    for r in spark.table("cusum_state").collect():
+        cur = streamed.get(r.group)
+        if cur is None or r.ver > cur[0]:
+            streamed[r.group] = (r.ver, r.n_seen, r.cusum_hi,
+                                 r.max_cusum)
+    rows = (load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(F.col("event_type").alias("g"), "ts", "event_id",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long")
+                    .alias("cent"))
+            .orderBy("g", "ts", "event_id").collect())
+    batch = {}
+    for r in rows:
+        c, mx, n = batch.get(r.g, (0, 0, 0))
+        c = max(0, c + r.cent - 2500)
+        batch[r.g] = (c, max(mx, c), n + 1)
+    assert {g: (n, c, mx) for g, (c, mx, n) in batch.items()} == \
+        {g: (n, c, mx) for g, (_, n, c, mx) in streamed.items()}
+    assert len(batch) == 5
+    q.stop()
