@@ -146,6 +146,18 @@ def test_pq_plans_broadcast_codebook_no_cartesian(spark, sf_dir):
     assert "Window" not in _plan(spark, sf_dir, "ann_pq_codes")
 
 
+def test_pq_encode_single_shuffle(spark, sf_dir):
+    """The r12 fused PQ encode: per-code conditional sums collapse the
+    former per-(id, sub, code) agg + argmin agg into ONE hash-agg at
+    (id, sub) grain — exactly one exchange between the corpus scan and
+    the codes relation, and no lineage cuts (the r11 eager-checkpoint
+    regression must not come back)."""
+    plan = _plan(spark, sf_dir, "ann_pq_codes")
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 1, shuffles     # broadcast exchanges excluded
+    assert "Checkpoint" not in plan and "ExistingRDD" not in plan
+
+
 def test_span_profile_no_span_self_join(spark, sf_dir):
     """The span-duplication profile is two hash-aggs + one equi-join —
     a span self-join (quadratic in duplicated docs) must never appear:
