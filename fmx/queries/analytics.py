@@ -6577,3 +6577,73 @@ def eval_mcc(spark, sf):
                            F.lit(0.0)), 6).alias("mcc"),
         F.round(2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0.0)), 6)
         .alias("f1"))
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {{EDGES}},
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY node),
+    st AS (SELECT dj.d AS j, dk.d AS k
+           FROM und u JOIN deg dj ON u.node = dj.node
+                      JOIN deg dk ON u.nbr = dk.node),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(j AS DECIMAL(38,0)) * k)
+                      AS DECIMAL(38,0)) AS sjk,
+                 CAST(sum(CAST(j AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS sj,
+                 CAST(sum(CAST(j AS DECIMAL(38,0)) * j)
+                      AS DECIMAL(38,0)) AS sjj
+          FROM st),
+    d2 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges, n_nodes,
+           round((CAST(sjk AS DOUBLE) / n
+                  - (CAST(sj AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+                 / nullif(CAST(sjj AS DOUBLE) / n
+                          - (CAST(sj AS DOUBLE) / n)
+                            * (CAST(sj AS DOUBLE) / n), 0.0), 6)
+               AS assortativity
+    FROM m CROSS JOIN d2
+    """.replace("{EDGES}", _EDGE_CTES.strip().lstrip()))
+def graph_degree_assortativity(spark, sf):
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over edges — positive
+    r = hubs link to hubs (social-network-like), negative r = hubs
+    link to leaves (technological/bipartite-projection-like; product
+    co-purchase graphs typically disassortative).  The summary that
+    tells a sampler whether degree-stratified negative sampling is
+    needed (assortative graphs bias uniform edge samples toward
+    hub-hub pairs).
+
+    Exactness/scale: Newman's edge sums come from the directed STUB
+    relation (each edge counted both ways): sum_stubs j*k, j, j^2
+    equal the formula's sum(jk), sum(j+k), sum(j^2+k^2) exactly, so r
+    reduces to one double formula over four exact DECIMAL(38,0)
+    integer sums.  One degree agg + two equi-joins back to stubs +
+    one global agg — no pair materialization beyond the existing
+    capped edge list ([[graph_edge_embeddedness]] conventions)."""
+    e = _copurchase_edges(spark, sf)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionAll(e.select(F.col("dst").alias("node"),
+                              F.col("src").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").cast(BIG).alias("d"))
+    st = (und.join(deg.select(F.col("node"), F.col("d").alias("j")),
+                   "node")
+          .join(deg.select(F.col("node").alias("nbr"),
+                           F.col("d").alias("k")), "nbr"))
+    m = st.agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum(F.col("j").cast(DEC) * F.col("k")).cast(DEC).alias("sjk"),
+        F.sum(F.col("j").cast(DEC)).cast(DEC).alias("sj"),
+        F.sum(F.col("j").cast(DEC) * F.col("j")).cast(DEC).alias("sjj"))
+    d2 = deg.agg(F.count("*").cast(BIG).alias("n_nodes"))
+    n = F.col("n")
+    mean = F.col("sj").cast("double") / n
+    return (m.crossJoin(F.broadcast(d2))
+            .select((n / 2).cast(BIG).alias("n_edges"), "n_nodes",
+                    F.round((F.col("sjk").cast("double") / n
+                             - mean * mean)
+                            / F.nullif(F.col("sjj").cast("double") / n
+                                       - mean * mean, F.lit(0.0)), 6)
+                    .alias("assortativity")))

@@ -118,6 +118,7 @@ _ALLOWED = {
         "profile_gini_binned",      # 1-row min/max + count broadcasts
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "stats_page_trend",         # 1-row k-count broadcast
+        "graph_degree_assortativity",  # 1-row node-count broadcast
         "ts_theilsen_trend",        # day-grain pair join + 1-row medians
         "graph_clustering_coefficient",  # two 1-row relations crossed
         "graph_pagerank_3iter", "profile_chi2_lang_source",
