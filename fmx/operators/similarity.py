@@ -30,6 +30,7 @@ __all__ = ["cosine_topk", "mips_topk", "jl_project",
            "hard_negatives", "ndcg_eval", "range_search", "pca_project",
            "centroid_distance_topk", "kmeans_assign",
            "kmeans_assign_margin", "truncation_fidelity",
+           "average_precision_eval",
            "sign_sketch_topk"]
 
 
@@ -966,6 +967,43 @@ def ndcg_eval(pred: DataFrame, truth: DataFrame,
                     / F.col("_idcg")).alias("_ndcg")))
     return per.agg(F.count("*").cast("bigint").alias("n_queries"),
                    F.round(F.avg("_ndcg"), 6).alias("ndcg_at_k"))
+
+
+def average_precision_eval(pred: DataFrame, truth: DataFrame,
+                            query_col: str = "query_id",
+                            id_col: str = "vec_id", k: int = 5,
+                            rank_col: str = "rank") -> DataFrame:
+    """MAP@k of a candidate ranking against an exact baseline:
+    AP_q = (1/min(k, |truth_q|)) * sum over predicted ranks i of
+    precision@i * rel_i — the order-sensitive retrieval score that,
+    unlike NDCG's graded form, rewards FRONT-LOADING all the relevant
+    items (the ranking-evaluation triad: recall@k = set overlap,
+    NDCG = graded positions, MAP = binary precision mass).  Relevance
+    is membership in the exact top-k.
+
+    Shape: one (query, id) equi-join of two k-row-per-query
+    relations, a per-query cumulative count over <= k rows (bounded
+    window), two tiny aggs.  Precision terms are exact small-integer
+    ratios computed identically in both engines."""
+    t = (truth.filter(F.col(rank_col) <= k)
+         .select(query_col, id_col, F.lit(1).alias("_rel")))
+    tc = t.groupBy(query_col).agg(F.count("*").alias("_nt"))
+    p = (pred.filter(F.col(rank_col) <= k)
+         .select(query_col, id_col, F.col(rank_col).alias("_pr")))
+    j = (p.join(t, [query_col, id_col], "left")
+         .select(query_col, "_pr",
+                 F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel")))
+    w = (Window.partitionBy(query_col).orderBy("_pr")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    scored = j.select(query_col, "_rel",
+                      (F.sum("_rel").over(w) / F.col("_pr")).alias("_prec"))
+    ap = (scored.groupBy(query_col)
+          .agg(F.sum(F.col("_prec") * F.col("_rel")).alias("_hits")))
+    per = (tc.join(ap, query_col, "left")
+           .select((F.coalesce(F.col("_hits"), F.lit(0.0))
+                    / F.least(F.lit(k), F.col("_nt"))).alias("_ap")))
+    return per.agg(F.count("*").cast("bigint").alias("n_queries"),
+                   F.round(F.avg("_ap"), 6).alias("map_at_k"))
 
 
 def range_search(corpus: DataFrame, queries: DataFrame, id_col: str,

@@ -2303,3 +2303,70 @@ def emb_silhouette_simplified(spark, sf):
     return (s.groupBy(F.col("cell").cast("bigint").alias("cell"))
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.round(F.avg("s"), 6).alias("mean_silhouette")))
+
+
+@query(
+    "ann_eval_map",
+    oracle=f"""
+    WITH {_EX}, {_PQ_SQL},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id AS vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id),
+    truthr AS (SELECT query_id, vec_id
+               FROM sims
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id)
+                       <= {K}),
+    tc AS (SELECT query_id, count(*) AS nt FROM truthr GROUP BY query_id),
+    dtab AS (SELECT s.vec_id AS query_id, s.sub, CAST(c.code AS BIGINT)
+                        AS code,
+                    round(sum((s.x - c.cx) * (s.x - c.cx)), 9) AS pd
+             FROM sx s JOIN cb c ON s.sub = c.sub AND s.spos = c.spos
+             WHERE s.vec_id < {N_QUERIES}
+             GROUP BY s.vec_id, s.sub, c.code),
+    adist AS (SELECT d.query_id, k.vec_id, round(sum(d.pd), 6) AS adist
+              FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+              WHERE k.vec_id <> d.query_id
+              GROUP BY d.query_id, k.vec_id),
+    pred AS (SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, vec_id) AS pr
+             FROM adist
+             QUALIFY pr <= {K}),
+    rels AS (SELECT p.query_id, p.pr,
+                    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                        AS rel
+             FROM pred p LEFT JOIN truthr t
+               ON p.query_id = t.query_id AND p.vec_id = t.vec_id),
+    prec AS (SELECT query_id, rel,
+                    sum(rel) OVER (PARTITION BY query_id ORDER BY pr
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) * 1.0 / pr AS prc
+             FROM rels),
+    ap AS (SELECT query_id, sum(prc * rel) AS hits
+           FROM prec GROUP BY query_id),
+    per AS (SELECT coalesce(hits, 0.0) / least({K}, nt) AS ap
+            FROM tc LEFT JOIN ap USING (query_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(ap), 6) AS map_at_k
+    FROM per
+    """)
+def ann_eval_map(spark, sf):
+    """MAP@5 of the PQ/ADC path against exact cosine — completes the
+    ranking-evaluation triad next to ann_eval_pq_vs_exact (recall/MRR)
+    and ann_eval_ndcg (graded positions): MAP's binary precision mass
+    rewards front-loading every relevant item, so an index that
+    returns the right five in reversed order scores lowest here
+    (fmx.operators.similarity.average_precision_eval)."""
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = S.cosine_topk(emb, q, "vec_id", "embedding", k=K)
+    pred = S.pq_topk(emb, q, "vec_id", "embedding", k=K, m=PQ_M,
+                     num_codes=PQ_CODES, dim=DIM)
+    return S.average_precision_eval(pred, truth, k=K)

@@ -128,6 +128,8 @@ _ALLOWED = {
         "ann_nprobe_recall_curve",  # bounded centroid + query-set crosses
         "emb_knn_classifier_eval",  # broadcast query-set cross
         "ann_mips_topk",            # broadcast query-set cross
+        "ann_eval_map",             # broadcast query-set crosses
+                                    # (cosine truth + PQ pred paths)
         "eval_kruskal_wallis",      # 1-row tie-term broadcast
         "graph_hits_3iter",         # 1-row sum-normalizer broadcasts
         "graph_rectangle_count",    # 1-row census-aggregate broadcasts
