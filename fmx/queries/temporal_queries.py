@@ -1536,3 +1536,75 @@ def ts_turning_points(spark, sf):
                      F.round((t - 2.0 * (n - 2) / 3.0)
                              / F.sqrt((16.0 * n - 29.0) / 90.0), 6)
                      .alias("z_stat")))
+
+
+@query(
+    "ts_cox_stuart",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY date_trunc('day', ts))
+                  AS BIGINT) AS rn
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    n AS (SELECT et, CAST(count(*) AS BIGINT) AS nd FROM daily
+          GROUP BY et),
+    pairs AS (SELECT a.et, b.x - a.x AS d
+              FROM daily a
+              JOIN n USING (et)
+              JOIN daily b ON a.et = b.et
+                          AND b.rn = a.rn + nd // 2
+              WHERE a.rn <= nd // 2),
+    m AS (SELECT et,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS s_pos,
+                 CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_eff
+          FROM pairs GROUP BY et)
+    SELECT et AS event_type, n_eff, s_pos,
+           round((s_pos - n_eff / 2.0) / sqrt(n_eff / 4.0), 6) AS z_stat
+    FROM m ORDER BY event_type
+    """)
+def ts_cox_stuart(spark, sf):
+    """Cox-Stuart trend sign test on each event type's daily value
+    total: pair day i with day i + floor(n/2) (first half vs second
+    half; the odd middle day drops), count positive differences, and
+    compare against the no-trend Binomial(n', 1/2) via the
+    large-sample normal z — the minimal-assumption trend screen
+    (only signs, no ranks), complementing ts_mann_kendall (all-pairs
+    ranks) at O(n) pair volume instead of O(n^2).  Zero differences
+    drop from both the count and n' (the standard treatment).
+    Integer cents make every sign exact; z is one double formula.
+    The half-offset join is rn-keyed at the day grain — bounded, no
+    window beyond the per-type row_number."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x"))
+             .select("et", "x",
+                     F.row_number().over(
+                         Window.partitionBy("et").orderBy("day"))
+                     .cast(BIG).alias("rn")))
+    n = daily.groupBy("et").agg(F.count("*").cast(BIG).alias("nd"))
+    half = F.expr("nd DIV 2")
+    a = daily.join(n, "et").withColumn("_h", half)
+    b = daily.select(F.col("et"), F.col("rn").alias("rn_b"),
+                     F.col("x").alias("x_b"))
+    pairs = (a.filter(F.col("rn") <= F.col("_h"))
+             .join(b, (a["et"] == b["et"])
+                   & (F.col("rn_b") == F.col("rn") + F.col("_h")))
+             .select(a["et"], (F.col("x_b") - a["x"]).alias("d")))
+    m = pairs.groupBy("et").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast(BIG)
+        .alias("s_pos"),
+        F.sum(F.when(F.col("d") != 0, 1).otherwise(0)).cast(BIG)
+        .alias("n_eff"))
+    return (m.select(F.col("et").alias("event_type"), "n_eff", "s_pos",
+                     F.round((F.col("s_pos") - F.col("n_eff") / 2.0)
+                             / F.sqrt(F.col("n_eff") / 4.0), 6)
+                     .alias("z_stat")))
