@@ -315,3 +315,20 @@ def test_round11_queries_partition_invariant(spark, sf_dir):
              "stats_gini_exact", "eval_auc_delong", "stats_quade_test",
              "eval_hosmer_lemeshow"]
     _assert_partition_invariant(spark, sf_dir, names)
+
+
+def test_round12_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the round-12 additions: the
+    Anderson-Darling integer-scaled ln sums, Page/Cox-Stuart rank and
+    sign assemblies, CUSUM fold, Cliff's-delta cumulative counts,
+    Dickey-Fuller regression moments, assortativity stub sums, Yule's
+    K frequency moments, MCC cells, MAP precision windows, Atkinson
+    log/harmonic moments, turning-point lag/lead comparisons — none
+    may depend on partition layout."""
+    names = ["stats_anderson_darling", "eval_spiegelhalter_z",
+             "eval_cliffs_delta", "ts_turning_points",
+             "stats_cusum_chart", "stats_atkinson_index",
+             "ts_dickey_fuller", "text_yules_k", "eval_mcc",
+             "stats_page_trend", "graph_degree_assortativity",
+             "ann_eval_map", "ts_cox_stuart"]
+    _assert_partition_invariant(spark, sf_dir, names)
