@@ -1053,100 +1053,3 @@ def sample_poisson_bootstrap(spark, sf):
                  F.round(F.min(m), 6).alias("boot_min"),
                  F.round(F.max(m), 6).alias("boot_max")))
 
-
-DSIR_B = 256            # hashed n-gram buckets (Xie et al. use 10k at
-                        # web scale; 256 keeps the sf0.001 buckets dense)
-
-
-@query(
-    "sample_dsir_weights",
-    oracle=f"""
-    WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS t
-                  FROM documents),
-    grams AS (SELECT doc_id, lang,
-                     unnest(CASE WHEN len(t) >= 2 THEN
-                                list_transform(generate_series(1, len(t) - 1),
-                                               i -> concat_ws(' ', t[i], t[i + 1]))
-                            ELSE CAST([] AS VARCHAR[]) END) AS g
-              FROM base),
-    hashed AS (SELECT doc_id, lang,
-                      CAST(concat('0x', substring(md5(concat('dsir:', g)),
-                                                  1, 15)) AS BIGINT)
-                          % {DSIR_B} AS b
-               FROM grams),
-    cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM hashed GROUP BY b),
-    ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM hashed
-           WHERE lang = 'en' GROUP BY b),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_r,
-                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_t
-            FROM hashed),
-    lr AS (SELECT cr.b,
-                  CAST(round(ln((CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE)
-                                 * (n_r + {DSIR_B}))
-                                / ((CAST(cr.c_r AS DOUBLE) + 1)
-                                   * (n_t + {DSIR_B}))) * 1e9 )
-                       AS BIGINT) AS li
-           FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
-    dw AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                  CAST(sum(CAST(li AS DECIMAL(38,0)))
-                       AS DECIMAL(38,0)) AS w
-           FROM hashed h JOIN lr USING (b)
-           GROUP BY h.doc_id)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_grams,
-           round(CAST(w AS DOUBLE) / 1e9, 6) AS dsir_logweight
-    FROM dw
-    """)
-def sample_dsir_weights(spark, sf):
-    """DSIR importance weights (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): per document, the
-    log importance ratio sum over HASHED-bigram buckets of a target
-    distribution vs the raw corpus — the modern data-selection score
-    that upweights documents whose n-gram profile matches the target
-    domain (here the deterministic stand-in target = lang='en' docs;
-    swap the filter for any target slice).  High-weight docs are the
-    resampling candidates; weights feed sample_temperature_mixture /
-    PPS draws downstream.
-
-    Exactness + scale: bigrams hash through the engine-portable
-    hash64 (md5-derived) into {DSIR_B} buckets, so the feature space
-    is FIXED-SIZE regardless of corpus (the hashing trick — no vocab
-    state); add-one-smoothed log-ratios are ONE double ln of a ratio
-    of exact integer products, 9dp-rounded into exact BIGINTs; each
-    doc's weight is then an exact DECIMAL(38,0) sum of its grams'
-    bucket integers (order-independent) divided once.  Plan: one
-    explode + two bucket aggs + a 1-row total + a {DSIR_B}-row
-    broadcast join back onto the gram stream + one per-doc agg."""
-    from fmx.operators.dedup import hash64, word_shingles
-
-    docs = T(spark, sf, "documents")
-    grams = (word_shingles(docs.select("doc_id", "lang", "text"),
-                           "doc_id", "text", n=2, distinct=False)
-             .join(docs.select("doc_id", "lang"), "doc_id")
-             .select("doc_id", "lang",
-                     (hash64(F.col("shingle"), salt="dsir") % DSIR_B)
-                     .alias("b")))
-    cr = grams.groupBy("b").agg(F.count("*").cast(BIG).alias("c_r"))
-    ct = (grams.filter(F.col("lang") == "en")
-          .groupBy("b").agg(F.count("*").cast(BIG).alias("c_t")))
-    tot = grams.agg(
-        F.count("*").cast(BIG).alias("n_r"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(BIG)
-        .alias("n_t"))
-    lr = (cr.join(ct, "b", "left")
-          .crossJoin(F.broadcast(tot))
-          .select("b",
-                  F.round(F.log(
-                      ((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                       .cast("double") * (F.col("n_r") + DSIR_B))
-                      / ((F.col("c_r").cast("double") + 1)
-                         * (F.col("n_t") + DSIR_B))) * 1e9)
-                  .cast(BIG).alias("li")))
-    dw = (grams.join(F.broadcast(lr), "b")
-          .groupBy("doc_id")
-          .agg(F.count("*").cast(BIG).alias("n_grams"),
-               F.sum(F.col("li").cast(DEC)).cast(DEC).alias("w")))
-    return dw.select(
-        F.col("doc_id").cast(BIG).alias("doc_id"), "n_grams",
-        F.round(F.col("w").cast("double") / 1e9, 6)
-        .alias("dsir_logweight"))

@@ -119,7 +119,6 @@ _ALLOWED = {
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "stats_page_trend",         # 1-row k-count broadcast
         "graph_degree_assortativity",  # 1-row node-count broadcast
-        "sample_dsir_weights",      # 1-row corpus-total broadcast
         "ts_theilsen_trend",        # day-grain pair join + 1-row medians
         "graph_clustering_coefficient",  # two 1-row relations crossed
         "graph_pagerank_3iter", "profile_chi2_lang_source",
