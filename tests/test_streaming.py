@@ -986,3 +986,68 @@ def test_stream_cusum_state_fold_matches_batch(spark, sf_dir):
         {g: (n, c, mx) for g, (_, n, c, mx) in streamed.items()}
     assert len(batch) == 5
     q.stop()
+
+
+def test_stream_cusum_state_two_batch_continuation(spark, tmp_path):
+    """Cross-batch CUSUM semantics: the state must CONTINUE the
+    integer fold across checkpoint-resumed availableNow runs — batch
+    2's snapshot equals one uninterrupted fold over batch-1-then-
+    batch-2 rows, max_cusum carries the batch-1 peak even after the
+    level drops back, and ver increments per batch (snapshot
+    contract)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    kr = 1000  # cents
+
+    def write_batch(vals, t0, path):
+        n = len(vals)
+        pq.write_table(pa.table({
+            "event_type": ["g"] * n,
+            "ts": pa.array([t0 + i for i in range(n)],
+                           pa.timestamp("us")),
+            "event_id": list(range(t0, t0 + n)),
+            "value": [v / 100.0 for v in vals]}), path)
+
+    def run_once():
+        out: list = []
+
+        def sink(df, _bid):
+            out.extend(df.collect())
+
+        src = (spark.readStream
+               .schema("event_type string, ts timestamp, "
+                       "event_id long, value double")
+               .option("maxFilesPerTrigger", "1000").parquet(in_dir))
+        q = (S.stream_cusum_state(src, "event_type", k_ref=kr)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return out
+
+    b1 = [1500, 1500, 1500]           # ramps to 1500 cumulative excess
+    b2 = [200, 200, 200, 200]         # drains back to 0
+    write_batch(b1, 0, f"{in_dir}/f1.parquet")
+    rows1 = run_once()
+    write_batch(b2, 1000, f"{in_dir}/f2.parquet")
+    rows2 = run_once()
+
+    def fold(vals, c=0, mx=0):
+        for v in vals:
+            c = max(0, c + v - kr)
+            mx = max(mx, c)
+        return c, mx
+
+    c1, m1 = fold(b1)
+    c2, m2 = fold(b2, c1, m1)
+    s1 = [r for r in rows1 if r.ver == 1][0]
+    s2 = [r for r in rows2 if r.ver == 2][0]
+    assert (s1.n_seen, s1.cusum_hi, s1.max_cusum) == (3, c1, m1)
+    assert (s2.n_seen, s2.cusum_hi, s2.max_cusum) == (7, c2, m2)
+    assert s2.cusum_hi == 0 and s2.max_cusum == 1500  # peak survives
