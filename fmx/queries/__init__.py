@@ -156,13 +156,13 @@ _PRIORITY = [
     "agg_count_distinct",
     "agg_incremental_merge",
     "agg_rollup",
-    # (Window full at 50.  r13 STOCK, in priority order: the 13 r12
+    # (Window full at 50.  r13 STOCK, in priority order: the 14 r12
     # additions (stats_anderson_darling, eval_spiegelhalter_z,
     # eval_cliffs_delta, ts_turning_points, stats_cusum_chart,
     # stats_atkinson_index, ts_dickey_fuller, text_yules_k, eval_mcc,
     # stats_page_trend, graph_degree_assortativity, ann_eval_map,
-    # ts_cox_stuart — all byte-exact-verified at 3 SFs on
-    # registration), then the r04 remainder (alphabetical):
+    # ts_cox_stuart, stats_ks_normal — all byte-exact-verified at 3
+    # SFs on registration), then the r04 remainder (alphabetical):
     # a1_tpch_q1 (headliner), ann_pq_rerank (headliner),
     # approx_quantiles_hist, bloom_prefilter_join, copurchase_topk,
     # corpus_source_report, date_trunc_month, dq_psi_drift,

@@ -2504,3 +2504,115 @@ def stats_page_trend(spark, sf):
                 / F.sqrt(b * k.cast("double") * k * (k + 1.0)
                          * (k + 1.0) * (k - 1.0) / 144.0), 6)
         .alias("z_stat"))
+
+
+@query(
+    "stats_ks_normal",
+    oracle=f"""
+    WITH {_SC},
+    g AS (SELECT et, cent, CAST(count(*) AS BIGINT) AS c
+          FROM sc GROUP BY 1, 2),
+    st AS (SELECT et, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CAST(cent AS DECIMAL(38,0)) * c)
+                       AS DECIMAL(38,0)) AS s,
+                  CAST(sum(CAST(cent AS DECIMAL(38,0)) * cent * c)
+                       AS DECIMAL(38,0)) AS q
+           FROM g GROUP BY et),
+    ms AS (SELECT et, n,
+                  round(CAST(s AS DOUBLE) / n, 6) AS m,
+                  round(sqrt((CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE) * s / n)
+                             / (n - 1.0)), 6) AS sd
+           FROM st),
+    cum AS (SELECT g.et, g.cent, g.c, ms.n, ms.m, ms.sd,
+                   coalesce(sum(g.c) OVER (PARTITION BY g.et
+                        ORDER BY g.cent
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cb
+            FROM g JOIN ms USING (et)),
+    dev AS (SELECT et, n,
+                   greatest(
+                     abs((cb + c) * 1.0 / n
+                         - (CASE WHEN (cent - m) / sd >= 0.0
+                            THEN 1.0 - {{TAIL}} ELSE {{TAIL}} END)),
+                     abs(cb * 1.0 / n
+                         - (CASE WHEN (cent - m) / sd >= 0.0
+                            THEN 1.0 - {{TAIL}} ELSE {{TAIL}} END)))
+                       AS dv
+            FROM cum),
+    d AS (SELECT et, n, round(max(dv), 6) AS d_stat
+          FROM dev GROUP BY et, n),
+    lam AS (SELECT et, n, d_stat,
+                   (sqrt(CAST(n AS DOUBLE)) + 0.12
+                    + 0.11 / sqrt(CAST(n AS DOUBLE))) * d_stat AS l
+            FROM d)
+    SELECT et AS event_type, n, d_stat,
+           round(least(1.0, greatest(0.0,
+               2.0 * (exp(-2.0 * l * l)
+                      - exp(-8.0 * l * l)
+                      + exp(-18.0 * l * l)
+                      - exp(-32.0 * l * l)
+                      + exp(-50.0 * l * l)))), 9) AS p_value
+    FROM lam ORDER BY event_type
+    """.replace("{TAIL}", _abs_tail_sql("((cent - m) / sd)")))
+def stats_ks_normal(spark, sf):
+    """One-sample Kolmogorov-Smirnov normality test per event type:
+    D = sup over jump points of |F_emp - Phi((x-m)/sd)| (both the
+    left and right limits of the empirical step, the standard
+    two-sided sup), p from the asymptotic Kolmogorov series with the
+    Stephens small-sample correction lambda = (sqrt(n) + 0.12 +
+    0.11/sqrt(n)) * D.  The SUP-norm complement to
+    [[stats_anderson_darling]]'s tail-weighted quadratic norm (KS is
+    most sensitive near the median, AD in the tails) and the
+    one-sample sibling of the two-sample eval_ks_split_drift.
+
+    Exactness/scale: the identical value-grain machinery as AD — per
+    distinct cent, the cumulative count window gives both empirical
+    limits in closed form (no per-row ranking); mean/sd are
+    6dp-rounded doubles of exact integer moments so both engines
+    standardize identical doubles; Phi is the shared
+    Abramowitz-Stegun fragment; D is a MAX (order-independent, unlike
+    a sum — no integer-scaling needed) rounded at 6dp BEFORE the
+    p-value series so both engines exponentiate the same double."""
+    g = (_sc(spark, sf).groupBy("et", "cent")
+         .agg(F.count("*").cast(BIG).alias("c")))
+    st = g.groupBy("et").agg(
+        F.sum("c").cast(BIG).alias("n"),
+        F.sum(F.col("cent").cast(DEC) * F.col("c")).cast(DEC).alias("s"),
+        F.sum(F.col("cent").cast(DEC) * F.col("cent") * F.col("c"))
+        .cast(DEC).alias("q"))
+    ms = st.select(
+        "et", "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"),
+        F.round(F.sqrt((F.col("q").cast("double")
+                        - F.col("s").cast("double") * F.col("s")
+                        / F.col("n")) / (F.col("n") - 1.0)), 6)
+        .alias("sd"))
+    wprev = (Window.partitionBy("et").orderBy("cent")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (g.join(ms, "et")
+           .select("et", "cent", "c", "n", "m", "sd",
+                   F.coalesce(F.sum("c").over(wprev), F.lit(0))
+                   .alias("cb")))
+    tail = _abs_tail_sql("((cent - m) / sd)")
+    phi = F.expr(f"CASE WHEN (cent - m) / sd >= 0.0 "
+                 f"THEN 1.0 - {tail} ELSE {tail} END")
+    dev = cum.select(
+        "et", "n",
+        F.greatest(
+            F.abs((F.col("cb") + F.col("c")) * 1.0 / F.col("n") - phi),
+            F.abs(F.col("cb") * 1.0 / F.col("n") - phi)).alias("dv"))
+    d = dev.groupBy("et", "n").agg(F.round(F.max("dv"), 6)
+                                   .alias("d_stat"))
+    lam = ((F.sqrt(F.col("n").cast("double")) + 0.12
+            + 0.11 / F.sqrt(F.col("n").cast("double")))
+           * F.col("d_stat"))
+    series = 2.0 * (F.exp(-2.0 * lam * lam)
+                    - F.exp(-8.0 * lam * lam)
+                    + F.exp(-18.0 * lam * lam)
+                    - F.exp(-32.0 * lam * lam)
+                    + F.exp(-50.0 * lam * lam))
+    return d.select(
+        F.col("et").alias("event_type"), "n", "d_stat",
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)), 9)
+        .alias("p_value"))

@@ -330,5 +330,5 @@ def test_round12_queries_partition_invariant(spark, sf_dir):
              "stats_cusum_chart", "stats_atkinson_index",
              "ts_dickey_fuller", "text_yules_k", "eval_mcc",
              "stats_page_trend", "graph_degree_assortativity",
-             "ann_eval_map", "ts_cox_stuart"]
+             "ann_eval_map", "ts_cox_stuart", "stats_ks_normal"]
     _assert_partition_invariant(spark, sf_dir, names)
