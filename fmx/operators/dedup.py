@@ -104,17 +104,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     downstream shingle self-join skew-free at corpus scale (a shingle
     shared by 1M docs would otherwise produce 10¹² join rows).
     """
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
-    # NB: guard size(t) >= n — Spark's sequence(1, 0) yields a DESCENDING
-    # [1, 0], not empty, so an unguarded transform would fabricate shingles
-    sh = (toks
-          .select(id_col,
-                  F.explode(F.expr(
-                      f"CASE WHEN size(t) >= {n} THEN"
-                      f" transform(sequence(1, size(t) - {n - 1}),"
-                      f"  i -> concat_ws(' ', slice(t, i, {n})))"
-                      f" ELSE CAST(array() AS array<string>) END"))
-                  .alias("shingle")))
+    # shingle construction is single-sourced in shingle_array (r12
+    # advice: an inline copy of the transform/sequence/slice expression
+    # here could silently drift from the in-row form)
+    sh = (shingle_array(df, id_col, text_col, n=n)
+          .select(id_col, F.explode("_sh").alias("shingle")))
     if distinct:
         sh = sh.distinct()
     if max_df is not None:

@@ -2120,10 +2120,12 @@ def stats_cusum_chart(spark, sf):
     changepoint LOCALIZATION on the count series; this is the
     per-type monitoring chart against a reference value).
 
-    Exactness: x and k are exact integer cents (k via BIGINT floor
-    division — totals stay < 2^53 far beyond the bench envelope, and
-    floor-div is bit-identical in both engines for positive inputs),
-    so the recursion is INTEGER arithmetic end-to-end — no float
+    Exactness: x and k are exact integer cents; k is a true FLOOR
+    division on both sides (Spark pmod-adjusted DIV = DuckDB //), so
+    the convention is sign-safe — negative mean daily totals floor
+    identically in both engines — and totals stay < 2^53 far beyond
+    the bench envelope.  The recursion is INTEGER arithmetic
+    end-to-end — no float
     state to drift.  The sequential fold is per-type over the bounded
     day series: Spark replays it as an in-row array fold over the
     sorted (day, x) structs (the ts_holt_linear pattern — state is a
@@ -2140,7 +2142,13 @@ def stats_cusum_chart(spark, sf):
     g = (daily.groupBy("et")
          .agg(F.sort_array(F.collect_list(F.struct("day", "x")))
               .alias("sx"),
-              F.expr("CAST(sum(x) AS BIGINT) DIV count(*)")
+              # FLOOR division (pmod makes the numerator exactly
+              # divisible, so truncating DIV equals floor for either
+              # sign) — Spark's bare DIV truncates toward zero while
+              # the DuckDB oracle's // floors, and the two diverge
+              # whenever a type's mean daily total is negative
+              F.expr("CAST((sum(x) - pmod(sum(x), count(*)))"
+                     " DIV count(*) AS BIGINT)")
               .cast(BIG).alias("k")))
     cus = F.expr(
         "slice(aggregate(transform(sx, s -> s.x),"
@@ -2189,15 +2197,13 @@ def stats_cusum_chart(spark, sf):
                        1.0 - 1e-15) AS phi
            FROM cum),
     w AS (SELECT et, n,
-                 CAST((cb + c) * (cb + c) - cb * cb AS BIGINT) AS w1,
-                 CAST((n - cb) * (n - cb)
-                      - (n - cb - c) * (n - cb - c) AS BIGINT) AS w2,
+                 CAST(c * (2 * cb + c) AS DECIMAL(38,0)) AS w1,
+                 CAST(c * (2 * (n - cb) - c) AS DECIMAL(38,0)) AS w2,
                  CAST(round(ln(phi) * 1000000) AS BIGINT) AS l1,
                  CAST(round(ln(1.0 - phi) * 1000000) AS BIGINT) AS l2
           FROM ph),
     acc AS (SELECT et, n,
-                   CAST(sum(CAST(w1 AS DECIMAL(38,0)) * l1
-                            + CAST(w2 AS DECIMAL(38,0)) * l2)
+                   CAST(sum(w1 * l1 + w2 * l2)
                         AS DECIMAL(38,0)) AS t
             FROM w GROUP BY et, n)
     SELECT et AS event_type, n,
@@ -2220,7 +2226,14 @@ def stats_anderson_darling(spark, sf):
     multiplicity c, sum(2i-1) over its ranks is (cb+c)^2 - cb^2 and
     the reverse-rank weight is (n-cb)^2 - (n-cb-c)^2 — so no per-row
     ranking ever materializes (per-type cumulative window over
-    distinct cents only, the Mann-Whitney pattern).  mean/sd are
+    distinct cents only, the Mann-Whitney pattern).  The squared
+    differences are computed FACTORED — w1 = c*(2*cb + c), w2 =
+    c*(2*(n-cb) - c) — with the product taken in DECIMAL(38,0) on
+    both engines: the unfactored (cb+c)^2 intermediate reaches n^2,
+    which wraps Spark's non-ANSI BIGINT at n ≳ 3e9 rows per type
+    while DuckDB's HUGEINT window sums stay exact (silent engine
+    divergence); the factored DECIMAL form is exact past 1e12 rows
+    on both sides (the eval_mann_whitney_u convention).  mean/sd are
     6dp-rounded doubles from exact integer moments (both engines then
     standardize identical doubles); F comes from the shared
     Abramowitz-Stegun fragment clamped to [1e-15, 1-1e-15] (ln(0)
@@ -2259,17 +2272,16 @@ def stats_anderson_darling(spark, sf):
         F.lit(1.0 - 1e-15))
     w = cum.select(
         "et", "n",
-        ((F.col("cb") + F.col("c")) * (F.col("cb") + F.col("c"))
-         - F.col("cb") * F.col("cb")).cast(BIG).alias("w1"),
-        ((F.col("n") - F.col("cb")) * (F.col("n") - F.col("cb"))
-         - (F.col("n") - F.col("cb") - F.col("c"))
-         * (F.col("n") - F.col("cb") - F.col("c"))).cast(BIG)
+        (F.col("c").cast(DEC)
+         * (F.col("cb") * 2 + F.col("c"))).cast(DEC).alias("w1"),
+        (F.col("c").cast(DEC)
+         * ((F.col("n") - F.col("cb")) * 2 - F.col("c"))).cast(DEC)
         .alias("w2"),
         F.round(F.log(phi) * 1000000).cast(BIG).alias("l1"),
         F.round(F.log(1.0 - phi) * 1000000).cast(BIG).alias("l2"))
     acc = w.groupBy("et", "n").agg(
-        F.sum(F.col("w1").cast(DEC) * F.col("l1")
-              + F.col("w2").cast(DEC) * F.col("l2")).cast(DEC)
+        F.sum(F.col("w1") * F.col("l1")
+              + F.col("w2") * F.col("l2")).cast(DEC)
         .alias("t"))
     return (acc.select(F.col("et").alias("event_type"), "n",
                        F.round(-F.col("n").cast("double")

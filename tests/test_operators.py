@@ -2936,6 +2936,37 @@ def test_shingle_bearing_matches_word_shingles_emission(spark):
         assert emitted == predicted, (n, emitted, predicted)
 
 
+def test_shingle_array_is_word_shingles_in_row_form(spark):
+    """shingle_array is the single tokenization source word_shingles
+    now explodes — the exploded array must equal word_shingles' rows
+    on every edge case, in both multiset (distinct=False) and set
+    (in-row array_distinct vs global distinct) form, and short texts
+    must yield an EMPTY array (the sequence(1,0)-descends guard)."""
+    from pyspark.sql import functions as F
+
+    from fmx.operators.dedup import shingle_array, word_shingles
+
+    texts = ["", " ", "a", "a b", "a b c", "a b a b a b",
+             "a  b  c", "a b c d e"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    for n in (2, 3):
+        for distinct in (False, True):
+            via_arr = sorted(
+                (r.id, r.shingle) for r in
+                shingle_array(df, "id", "text", n=n, distinct=distinct)
+                .select("id", F.explode("_sh").alias("shingle"))
+                .collect())
+            via_ws = sorted(
+                (r.id, r.shingle) for r in
+                word_shingles(df, "id", "text", n=n, distinct=distinct)
+                .collect())
+            assert via_arr == via_ws, (n, distinct)
+    short = {r.id: r._sh for r in
+             shingle_array(df, "id", "text", n=3).collect()}
+    assert short[2] == [] and short[3] == []  # "a", "a b"
+
+
 def test_fellegi_sunter_em_recovers_planted_mixture(spark):
     """EM on a synthetic pattern population with KNOWN parameters:
     plant lambda=0.2, m=0.95, u=0.3 on two fields, generate the exact
@@ -2974,35 +3005,63 @@ def test_fellegi_sunter_em_contract_errors(spark):
         fellegi_sunter_em(cands, ["a"], iters=0)
 
 
-def test_cusum_chart_flags_planted_level_shift(spark):
-    """A series flat at the reference with a persistent +delta shift in
-    its second half must show cusum_hi == 0 before the shift and a
+def _planted_events_dir(spark, tmp_path, rows):
+    """Write a minimal events.parquet table so the REGISTERED queries
+    (which read parquet, not in-memory relations) can run on planted
+    data — r12 advice: planted-signal tests must drive the shipped
+    query code, not a re-derivation of its math."""
+    (spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+     .coalesce(1)
+     .write.mode("overwrite").parquet(str(tmp_path / "events.parquet")))
+    return str(tmp_path)
+
+
+def test_cusum_chart_flags_planted_level_shift(spark, tmp_path):
+    """A series flat near the reference with a persistent +delta shift
+    in its second half must show cusum_hi == 0 before the shift and a
     LINEARLY GROWING cusum after it (the accumulation property that
-    distinguishes CUSUM from a per-point Shewhart rule)."""
-    # the registered query reads parquet tables; the accumulation law
-    # itself (shared verbatim by the Spark in-row fold, the recursive
-    # CTE oracle, and the streaming state op) is tested directly
-    daily = [1000 if d < 10 else 1250 for d in range(20)]
-    k = sum(daily) // len(daily)
-    c, path = 0, []
-    for x in daily:
-        c = max(0, c + x - k)
-        path.append(c)
-    assert all(v == 0 for v in path[:10])
-    assert path[10:] == sorted(path[10:]) and path[-1] > path[10]
+    distinguishes CUSUM from a per-point Shewhart rule) — asserted on
+    the REGISTERED stats_cusum_chart output."""
+    from datetime import datetime
+
+    from fmx.queries.stats_queries import stats_cusum_chart
+
+    # one event per day: 10.00 for days 0-9, 12.50 for days 10-19
+    # => daily cents 1000/1250, k = floor(mean) = 1125
+    rows = [(d, datetime(2024, 1, 1 + d, 12, 0, 0), 1, "a",
+             10.0 if d < 10 else 12.5, None) for d in range(20)]
+    out = stats_cusum_chart(spark, _planted_events_dir(
+        spark, tmp_path, rows)).orderBy("day").collect()
+    assert [r.k_ref for r in out] == [1125] * 20
+    path = [r.cusum_hi for r in out]
+    # pre-shift days sit at zero (x - k = -125 clamps); post-shift the
+    # chart accumulates +125/day linearly
+    assert path[:10] == [0] * 10
+    assert path[10:] == [125 * i for i in range(1, 11)]
 
 
-def test_page_trend_detects_planted_order(spark):
-    """Synthetic complete blocks where treatment totals rise in
-    alphabetical order every day must maximize L (= b * sum j^2) and
-    give a large positive z."""
-    from fmx.operators import __name__ as _  # noqa: F401
+def test_page_trend_detects_planted_order(spark, tmp_path):
+    """Complete blocks where treatment totals rise in alphabetical
+    order every day must maximize L (= b * sum j^2) and give a large
+    positive z — asserted on the REGISTERED stats_page_trend output."""
+    from datetime import datetime
+
+    from fmx.queries.stats_queries import stats_page_trend
+
     b, k = 12, 4
-    L = b * sum(j * j for j in range(1, k + 1))
-    e_l = b * k * (k + 1) ** 2 / 4.0
-    var_l = b * k * k * (k + 1) ** 2 * (k - 1) / 144.0
-    z = (L - e_l) / var_l ** 0.5
-    assert z > 3.0  # perfectly ordered blocks are decisively detected
+    rows = []
+    for d in range(b):
+        for j, et in enumerate(["a", "b", "c", "d"][:k], start=1):
+            # daily totals strictly increase along the alphabet
+            rows.append((d * 10 + j, datetime(2024, 2, 1 + d, 9, 0, 0),
+                         1, et, float(j), None))
+    row = stats_page_trend(spark, _planted_events_dir(
+        spark, tmp_path, rows)).first()
+    assert row.b_days == b and row.k_treatments == k
+    assert row.l_stat == b * sum(j * j for j in range(1, k + 1))
+    assert row.z_stat > 3.0  # perfectly ordered blocks decisively detected
 
 
 def test_average_precision_orders_matter(spark):
@@ -3025,31 +3084,30 @@ def test_average_precision_orders_matter(spark):
     assert abs(bd.map_at_k - round((1 / 2 + 2 / 3) / 2, 6)) < 1e-9
 
 
-def test_assortativity_sign_on_known_graphs(spark):
+def test_assortativity_sign_on_known_graphs(spark, tmp_path):
     """Star graph (hub-leaf only) must be maximally DISassortative
     (r = -1); a disjoint union of two same-size cliques is perfectly
-    assortative-degenerate (zero degree variance -> null r)."""
-    from pyspark.sql import functions as F
+    assortative-degenerate (zero degree variance -> null r) — asserted
+    on the REGISTERED graph_degree_assortativity query, driven through
+    a planted lineitem table (the co-purchase edge derivation: an
+    order's basket projects to a clique over its parts)."""
+    from fmx.queries.analytics import graph_degree_assortativity
 
-    def assort(edges):
-        e = spark.createDataFrame(edges, "src int, dst int")
-        und = (e.select(F.col("src").alias("node"),
-                        F.col("dst").alias("nbr"))
-               .unionAll(e.select(F.col("dst").alias("node"),
-                                  F.col("src").alias("nbr"))))
-        deg = und.groupBy("node").agg(F.count("*").alias("d"))
-        st = (und.join(deg.select("node", F.col("d").alias("j")), "node")
-              .join(deg.select(F.col("node").alias("nbr"),
-                               F.col("d").alias("k")), "nbr"))
-        m = st.agg(F.count("*").alias("n"), F.sum(F.col("j") * F.col("k")).alias("sjk"),
-                   F.sum("j").alias("sj"), F.sum(F.col("j") * F.col("j")).alias("sjj")).first()
-        num = m.sjk / m.n - (m.sj / m.n) ** 2
-        den = m.sjj / m.n - (m.sj / m.n) ** 2
-        return None if den == 0 else num / den
+    def assort(baskets, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        rows = [(ok, pk) for ok, parts in enumerate(baskets)
+                for pk in parts]
+        (spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+         .coalesce(1)
+         .write.mode("overwrite").parquet(str(d / "lineitem.parquet")))
+        return graph_degree_assortativity(spark, str(d)).first()
 
-    star = [(0, i) for i in range(1, 6)]
-    assert abs(assort(star) - (-1.0)) < 1e-9
-    cliques = ([(a, b) for a in range(3) for b in range(3) if a < b]
-               + [(a, b) for a in range(10, 13) for b in range(10, 13)
-                  if a < b])
-    assert assort(cliques) is None  # zero degree variance
+    # 5 two-item baskets sharing part 0 => star edges (0,1)..(0,5)
+    star = assort([[0, i] for i in range(1, 6)], "star")
+    assert star.n_edges == 5 and star.n_nodes == 6
+    assert abs(star.assortativity - (-1.0)) < 1e-9
+    # two 3-item baskets => two disjoint triangles, every degree 2
+    cliques = assort([[1, 2, 3], [10, 11, 12]], "cliques")
+    assert cliques.n_edges == 6 and cliques.n_nodes == 6
+    assert cliques.assortativity is None  # zero degree variance

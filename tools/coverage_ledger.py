@@ -100,10 +100,14 @@ def evidence_age_failures(registry, latest, latest_round: int,
     return fails
 
 
-def sync_counts(registry) -> list[str]:
+def sync_counts(registry, latest_round: int) -> list[str]:
     """r11 verdict #8: every hand-maintained registry count in
     README.md / COVERAGE.md is regenerated from the live registry —
-    one source of truth.  Returns the list of files touched."""
+    one source of truth.  Returns the list of files touched.
+
+    ``latest_round`` stamps the COVERAGE.md registry-size line (r12
+    advice: a hardcoded round literal here silently re-dated every
+    later round's line back to the round it was written in)."""
     total = len(registry)
     oracled = sum(1 for s in registry.values() if s.oracle)
     touched = []
@@ -119,8 +123,8 @@ def sync_counts(registry) -> list[str]:
         os.path.join(REPO, "COVERAGE.md"): [
             (r"Registry size as of round \d+: \*\*\d+ queries, "
              r"\d+ with full",
-             f"Registry size as of round 12: **{total} queries, "
-             f"{oracled} with full"),
+             f"Registry size as of round {latest_round}: "
+             f"**{total} queries, {oracled} with full"),
         ],
     }
     for path, pats in subs.items():
@@ -267,7 +271,7 @@ def main() -> None:
     driver = load_driver_rows()
     latest_round = max((r for rs in driver.values() for r in rs), default=0)
     stamp_first_seen(registry, latest_round)
-    touched = sync_counts(registry)
+    touched = sync_counts(registry, latest_round)
     print(f"updated {path}" + (f" + counts in {', '.join(touched)}"
                                if touched else ""))
 
