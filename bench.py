@@ -251,7 +251,57 @@ def main() -> None:
         out["floor_adjusted_ratio"] = {
             n: round(adj[n] / d, 2) if d > 0 else None
             for n, d in duck_timings.items()}
-    print(json.dumps(out))
+
+    # The external driver records only the LAST 2000 chars of stdout
+    # and json-parses it: r01-r12 all landed "parsed: null" because the
+    # full line outgrew that window (and the training section, printed
+    # early in the dict, silently fell off the visible tail — the r12
+    # "no training evidence" finding was THIS, not a missing bench).
+    # Fix: the full result goes to BENCH_FULL.json next to this script;
+    # stdout carries a compact line hard-capped under the window, built
+    # by adding sections in priority order until the budget is spent.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "dispatch_floor_sec": dispatch_floor,
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "training": {k: v["min"] for k, v in training.items()},
+        "full": "BENCH_FULL.json",
+    }
+    if duck_timings:
+        compact["duckdb_total"] = out["duckdb_total"]
+        compact["spark_vs_duckdb"] = out["spark_vs_duckdb"]
+    # optional sections, most-diagnostic first, trimmed to the HOT
+    # entries (a floor-adjusted 0.0 carries no information; the full
+    # per-query dicts live in BENCH_FULL.json): adjusted walls
+    # >= 0.05 s, then ratios past the verdict's own 2x/0.3 s bar
+    budget = 1985
+    adj_full = out.get("floor_adjusted_sec", {})
+    ratio_full = out.get("floor_adjusted_ratio", {})
+    optional = [
+        ("floor_adjusted_sec_hot",
+         {n: round(v, 2) for n, v in adj_full.items() if v >= 0.05}),
+        ("floor_adjusted_ratio_hot",
+         {n: round(ratio_full[n], 1) for n in ratio_full
+          if ratio_full[n] is not None and ratio_full[n] > 2
+          and adj_full.get(n, 0.0) >= 0.3}),
+        ("jobs_scheduled", jobs),
+    ]
+    for key, val in optional:
+        if not val:
+            continue
+        trial = dict(compact)
+        trial[key] = val
+        if len(json.dumps(trial)) <= budget:
+            compact = trial
+    print(json.dumps(compact))
     spark.stop()
 
 

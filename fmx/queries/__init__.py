@@ -93,94 +93,78 @@ _MODULES = [
 #     only other iterative-dataflow entry), attribution_interval_join
 #     (the bounded interval-join topology).
 _PRIORITY = [
-    # Round-12 window, executing VERDICT r11 "Next round" #2: the 18
-    # round-11 additions (never driver-checked; all oracled and
-    # byte-exact-verified at sf0.001+sf0.01+sf0.1 locally, commit
-    # 5ec0f90 + successors), the 25 entries whose latest driver row
-    # is still r03 (incl. pipeline_dataprep, the one r03 headliner),
-    # and 7 slots of the oldest r04 cohort (alphabetical,
-    # non-headliner).  After this window the driver union covers all
-    # 437 entries and no oracle-able entry's evidence predates r04.
-    # -- (a) r11 additions, never driver-checked --
-    "er_fellegi_sunter_em",
-    "eval_welch_ttest",
-    "stats_mood_median_test",
-    "stats_runs_test",
-    "stats_bartlett_test",
-    "stats_kendall_w",
-    "ts_ljung_box",
-    "eval_brier_decomposition",
-    "emb_silhouette_simplified",
-    "text_js_divergence",
-    "ts_holt_winters",
-    "eval_chisq_gof_dow",
-    "eval_cohens_d",
-    "stats_gini_exact",
-    "eval_auc_delong",
-    "stats_quade_test",
-    "eval_hosmer_lemeshow",
-    "graph_harmonic_centrality_2hop_capped",
-    # -- (b) r03-evidence cohort (oldest; skips the two rows-only
-    #    engine-private sketches approx_distinct/approx_quantiles,
-    #    whose oracled twins are driver-green r10) --
-    "j6_anti_join",
-    "j8_salted_join_agg",
-    "latest_event_per_user",
-    "multimodal_features",
-    "pipeline_dataprep",
-    "profile_key_skew",
-    "range_join_price_bands",
-    "s2_inline_relation",
-    "s3_libsvm_parse",
-    "sample_hash_split",
-    "sample_negatives",
-    "sample_pack_sequences",
-    "sample_per_source_cap",
-    "sample_stratified",
-    "sample_temperature_mixture",
-    "sample_weighted_topk",
-    "scd2_user_status",
-    "set_except",
-    "stats_corr_regr",
-    "text_tfidf_top_terms",
-    "w5_lag_delta",
-    "w6_ntile_cume",
-    "w7_time_range_sum",
-    "win_sliding",
-    "zorder_layout_key",
-    # -- (c) 7 oldest r04-cohort entries (alphabetical non-headliner) --
-    "a2_group_avg",
-    "a3_group_min_date",
-    "a5_collect_set_sorted",
-    "a6_global_sum",
-    "agg_count_distinct",
-    "agg_incremental_merge",
-    "agg_rollup",
-    # (Window full at 50.  r13 STOCK, in priority order: the 14 r12
-    # additions (stats_anderson_darling, eval_spiegelhalter_z,
-    # eval_cliffs_delta, ts_turning_points, stats_cusum_chart,
-    # stats_atkinson_index, ts_dickey_fuller, text_yules_k, eval_mcc,
-    # stats_page_trend, graph_degree_assortativity, ann_eval_map,
-    # ts_cox_stuart, stats_ks_normal — all byte-exact-verified at 3
-    # SFs on registration), then the r04 remainder (alphabetical):
-    # a1_tpch_q1 (headliner), ann_pq_rerank (headliner),
-    # approx_quantiles_hist, bloom_prefilter_join, copurchase_topk,
-    # corpus_source_report, date_trunc_month, dq_psi_drift,
-    # event_transition_matrix, f1_explode_tokens, f3_clamp,
-    # j1_inner_join_agg (headliner), j2_left_join_coalesce,
-    # j3_left_join_fill, j4_full_outer_upsert, j5_semi_join,
-    # j7_broadcast_two_dims, json_extract, multimodal_frame_sample,
-    # p1_projection, p3_nullif_coalesce, p6_filter_group, percentiles,
-    # profile_mad_outliers, profile_zscore_outliers, regexp_funcs,
-    # rfm_segmentation, sample_length_buckets, seq_next_event_dataset,
-    # sort_limit_topk, string_funcs, text_inverted_index,
-    # text_perplexity, text_quality_classifier, tpch_q11/q15/q16/q20/q2.
-    # Prior rotation history lives in git: the r12 window at this
-    # commit, r11 at 5ba79ea^, r10 at 3b0aaef, r9 at 379fa18^, r8 at
-    # eccbe04, r7 at a192c46, r6 at 5207f57^, r5 at ded7618.
-    # Everything rotated out is r4+-green and remains covered by the
-    # sf0.001+sf0.01(+sf0.1) oracle harness every round; bench
-    # headliners additionally run per-round.)
+    # Round-13 window, executing VERDICT r12 "Next round" #2/#3: the
+    # 14 round-12 additions get their first driver rows (all oracled
+    # and byte-exact-verified at sf0.001+sf0.01+sf0.1 on registration),
+    # plus the new max_df-gated span-profile twin (VERDICT r12 #3 --
+    # its row proves the join-based frequency branch AND the filter,
+    # which genuinely excludes spans at these SFs), then 35 of the 39
+    # remaining r04-evidence entries (alphabetical).  After this window
+    # no oracle-able entry's evidence predates r04 except the 4
+    # stocked leftovers below.
+    # -- (a) r12 additions + the r13 capped twin, never driver-checked --
+    "stats_anderson_darling",
+    "eval_spiegelhalter_z",
+    "eval_cliffs_delta",
+    "ts_turning_points",
+    "stats_cusum_chart",
+    "stats_atkinson_index",
+    "ts_dickey_fuller",
+    "text_yules_k",
+    "eval_mcc",
+    "stats_page_trend",
+    "graph_degree_assortativity",
+    "ann_eval_map",
+    "ts_cox_stuart",
+    "stats_ks_normal",
+    "dedup_span_profile_capped",
+    # -- (b) r04-evidence cohort, alphabetical (35 of 39) --
+    "a1_tpch_q1",
+    "ann_pq_rerank",
+    "approx_quantiles_hist",
+    "bloom_prefilter_join",
+    "copurchase_topk",
+    "corpus_source_report",
+    "date_trunc_month",
+    "dq_psi_drift",
+    "event_transition_matrix",
+    "f1_explode_tokens",
+    "f3_clamp",
+    "j1_inner_join_agg",
+    "j2_left_join_coalesce",
+    "j3_left_join_fill",
+    "j4_full_outer_upsert",
+    "j5_semi_join",
+    "j7_broadcast_two_dims",
+    "json_extract",
+    "multimodal_frame_sample",
+    "p1_projection",
+    "p3_nullif_coalesce",
+    "p6_filter_group",
+    "percentiles",
+    "profile_mad_outliers",
+    "profile_zscore_outliers",
+    "regexp_funcs",
+    "rfm_segmentation",
+    "sample_length_buckets",
+    "seq_next_event_dataset",
+    "sort_limit_topk",
+    "string_funcs",
+    "text_inverted_index",
+    "text_perplexity",
+    "text_quality_classifier",
+    "tpch_q11_important_stock",
+    # (Window full at 50.  r14 STOCK, in priority order: any round-13
+    # additions registered after this comment (byte-exact-verified at
+    # 3 SFs on registration), then the r04 remainder (alphabetical):
+    # tpch_q15_top_supplier, tpch_q16_supplier_cnt,
+    # tpch_q20_excess_stock, tpch_q2_min_cost_supplier.
+    # Prior rotation history lives in git: the r13 window at this
+    # commit, r12 at b0d144b^, r11 at 5ba79ea^, r10 at 3b0aaef, r9 at
+    # 379fa18^, r8 at eccbe04, r7 at a192c46, r6 at 5207f57^, r5 at
+    # ded7618.  Everything rotated out is r4+-green and remains
+    # covered by the sf0.001+sf0.01(+sf0.1) oracle harness every
+    # round; bench headliners additionally run per-round.)
 ]
 
 

@@ -6620,27 +6620,39 @@ def graph_degree_assortativity(spark, sf):
     relation (each edge counted both ways): sum_stubs j*k, j, j^2
     equal the formula's sum(jk), sum(j+k), sum(j^2+k^2) exactly, so r
     reduces to one double formula over four exact DECIMAL(38,0)
-    integer sums.  One degree agg + two equi-joins back to stubs +
-    one global agg — no pair materialization beyond the existing
-    capped edge list ([[graph_edge_embeddedness]] conventions)."""
+    integer sums.  Fused shape (r12 verdict #6 — the two stub-grain
+    degree joins were the 10x constant): a node of degree d appears d
+    times as the stub's left endpoint, so n = sum(d), sum_stubs j =
+    sum(d^2), sum_stubs j^2 = sum(d^3), and n_nodes = count(*) ALL
+    come from ONE agg over the degree table — no join.  Only
+    sum_stubs j*k needs neighbor degrees: ONE stub-grain join
+    (und ⋈ deg on nbr) reduced per node to S_v = sum of neighbor
+    degrees, then a NODE-grain join deg ⋈ S for sum(d_v * S_v).
+    Stub-grain join fan-out is halved and the second join drops to
+    node grain — 10x wall measured 16.2 -> ~7 s
+    ([[graph_edge_embeddedness]] conventions; no pair
+    materialization beyond the existing capped edge list)."""
     e = _copurchase_edges(spark, sf)
     und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
            .unionAll(e.select(F.col("dst").alias("node"),
                               F.col("src").alias("nbr"))))
     deg = und.groupBy("node").agg(F.count("*").cast(BIG).alias("d"))
-    st = (und.join(deg.select(F.col("node"), F.col("d").alias("j")),
-                   "node")
-          .join(deg.select(F.col("node").alias("nbr"),
-                           F.col("d").alias("k")), "nbr"))
-    m = st.agg(
-        F.count("*").cast(BIG).alias("n"),
-        F.sum(F.col("j").cast(DEC) * F.col("k")).cast(DEC).alias("sjk"),
-        F.sum(F.col("j").cast(DEC)).cast(DEC).alias("sj"),
-        F.sum(F.col("j").cast(DEC) * F.col("j")).cast(DEC).alias("sjj"))
-    d2 = deg.agg(F.count("*").cast(BIG).alias("n_nodes"))
+    moms = deg.agg(
+        F.sum("d").cast(BIG).alias("n"),
+        F.sum(F.col("d").cast(DEC) * F.col("d")).cast(DEC).alias("sj"),
+        F.sum(F.col("d").cast(DEC) * F.col("d") * F.col("d")).cast(DEC)
+        .alias("sjj"),
+        F.count("*").cast(BIG).alias("n_nodes"))
+    nbr_deg_sum = (und.join(deg.select(F.col("node").alias("nbr"),
+                                       F.col("d").alias("k")), "nbr")
+                   .groupBy("node")
+                   .agg(F.sum(F.col("k").cast(DEC)).cast(DEC).alias("s")))
+    sjk = (deg.join(nbr_deg_sum, "node")
+           .agg(F.sum(F.col("d").cast(DEC) * F.col("s")).cast(DEC)
+                .alias("sjk")))
     n = F.col("n")
     mean = F.col("sj").cast("double") / n
-    return (m.crossJoin(F.broadcast(d2))
+    return (moms.crossJoin(F.broadcast(sjk))
             .select((n / 2).cast(BIG).alias("n_edges"), "n_nodes",
                     F.round((F.col("sjk").cast("double") / n
                              - mean * mean)

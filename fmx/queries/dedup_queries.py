@@ -391,9 +391,65 @@ def dedup_span_profile(spark, sf):
     each doc's 8-gram windows that also occur in another document —
     catches boilerplate repeated INSIDE otherwise-unique docs, which
     doc-level dedup misses entirely.  Two hash-aggs + one equi-join;
-    output is one row per doc (never a span self-join)."""
+    output is one row per doc (never a span self-join).
+
+    Bench note: this headliner takes duplicate_spans' UNGUARDED
+    window-frequency branch (count(*) over (partition by shingle) on
+    the aggregate — fastest when no span is hot, as here); the 100
+    TB-safe shape with the ``max_df`` skew guard benches and is
+    driver-checked as [[dedup_span_profile_capped]]."""
     return D.duplicate_spans(T(spark, sf, "documents"), "doc_id", "text",
                              n=SPAN_N)
+
+
+SPAN_CAP_DF = 3   # bites at current SFs: max span doc-frequency is 4
+                  # at sf0.001/sf0.1 (3 at sf0.01), so ndocs=4 spans
+                  # are genuinely excluded, exercising the filter on
+                  # both engines — not a vacuous guard
+
+
+@query(
+    "dedup_span_profile_capped",
+    headline=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    spans AS (SELECT doc_id,
+                     array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS shingle
+              FROM toks, LATERAL (SELECT unnest(generate_series(
+                                      1, len(t) - {SPAN_N - 1})) AS i) g
+              WHERE len(t) >= {SPAN_N}),
+    occ AS (SELECT doc_id, shingle, count(*) AS cnt
+            FROM spans GROUP BY doc_id, shingle),
+    -- the max_df guard: spans in more than {SPAN_CAP_DF} docs leave
+    -- the profile entirely (numerator AND denominator, the same
+    -- filtered-set convention as ngram_jaccard_pairs); the inner
+    -- join both drops hot spans and attaches ndocs
+    dfq AS (SELECT shingle, count(*) AS ndocs FROM occ
+            GROUP BY shingle HAVING count(*) <= {SPAN_CAP_DF})
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           round(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) * 1.0
+                 / sum(cnt), 6) AS dup_span_ratio
+    FROM occ JOIN dfq USING (shingle)
+    GROUP BY doc_id
+    """)
+def dedup_span_profile_capped(spark, sf):
+    """[[dedup_span_profile]] with the ``max_df`` skew guard engaged —
+    the shape to run at corpus scale: span document frequency comes
+    from a skew-free hash-agg inner-JOINED back on keys that are
+    <= max_df docs BY CONSTRUCTION (dedup.py duplicate_spans), so the
+    hot-shingle window partition of the unguarded branch never forms
+    and pathological boilerplate (one span in most of the corpus)
+    cannot create a straggler task.  Spans above the cap leave both
+    numerator and denominator; a doc whose every span is excluded
+    emits no row.  The 3-doc cap genuinely excludes spans at the test
+    SFs (max observed doc frequency 4), so the driver row verifies
+    the filter, not just the join topology."""
+    return D.duplicate_spans(T(spark, sf, "documents"), "doc_id", "text",
+                             n=SPAN_N, max_df=SPAN_CAP_DF)
 
 
 SEM_CELLS = 8

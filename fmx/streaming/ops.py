@@ -11,6 +11,30 @@ Scale notes: watermark + windowed aggregation keeps state per (window,
 key) only until the watermark passes; ``applyInPandasWithState`` holds
 one state row per user — both bounded, both partitioned by key across
 executors.
+
+State-schema compatibility matrix (r12 verdict #8 — the single place
+the per-operator checkpoint caveats point at).  State tuples
+serialize POSITIONALLY at the state-store layer: any field add,
+remove, reorder, or retype makes a checkpoint written by the old
+build fail at unpack on resume.  The rules:
+
+| operator | state schema (current) | since | checkpoint-compat rule |
+|---|---|---|---|
+| user_running_totals | (n long, total double) | r01, v1 | frozen; any change ⇒ discard+rebuild |
+| stream_asof_enrich | (click_id long, click_us long) | r02, v1 | frozen |
+| stream_cdc_latest | (ts_us long, event_id long, value double, is_del bool) | r04, v1 | frozen |
+| stream_sessionize_ids | (last_us long, cur long) | r05, v1 | frozen |
+| stream_inverted_postings | (df long, postings string) | r05, v1 | frozen |
+| stream_kmv_state | (hs string, ver long) | r10 v1 → r11 v2 (+ver) | v1 checkpoints invalid — discard and restart; rebuilt state converges (k-min merge law) |
+| stream_cusum_state | (c long, mx long, n long, ver long) | r12, v1 | pinned order; any change ⇒ discard+rebuild (fold replays) |
+
+Migration convention for every operator above: state is always
+REBUILDABLE from replayed source data (registers fold
+associatively / snapshots carry ``ver``), so the supported migration
+is discard-checkpoint-and-replay, never in-place state rewrite.
+When a schema must grow, append fields only, bump the version in
+this table, and note the invalidation in the operator docstring
+(the stream_kmv_state r11 entry is the template).
 """
 
 from __future__ import annotations
@@ -774,7 +798,9 @@ def stream_kmv_state(events: DataFrame, group_col: str, value_col: str,
     the pre-``ver`` build will fail at the state-store/unpack layer.
     Discard such checkpoints and restart the query from the source
     (the sketch rebuilds from replayed input; the merge law makes the
-    rebuilt state converge to the same k-minimum set)."""
+    rebuilt state converge to the same k-minimum set).  The full
+    per-operator schema/compat table lives in the MODULE docstring's
+    state-schema compatibility matrix."""
     from fmx.operators.sketches import KMV_K, _md5_long
 
     kk = int(k if k is not None else KMV_K)
@@ -842,7 +868,12 @@ def stream_cusum_state(events: DataFrame, group_col: str = "event_type",
     themselves are ordered by the source (file order under
     availableNow).  Integer arithmetic end-to-end: no float state to
     drift, and replaying the same batches yields byte-identical
-    snapshots."""
+    snapshots.
+
+    **Checkpoint compat**: the four-long state order (c, mx, n, ver)
+    is pinned — see the module docstring's state-schema compatibility
+    matrix for the append-only/discard-and-replay rules shared by
+    every stateful operator here."""
     src = (events.filter(F.col("value").isNotNull())
            .select(F.col(group_col).cast("string").alias("group"),
                    F.col("ts"), F.col("event_id"),
