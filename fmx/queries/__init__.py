@@ -154,9 +154,12 @@ _PRIORITY = [
     "text_perplexity",
     "text_quality_classifier",
     "tpch_q11_important_stock",
-    # (Window full at 50.  r14 STOCK, in priority order: any round-13
-    # additions registered after this comment (byte-exact-verified at
-    # 3 SFs on registration), then the r04 remainder (alphabetical):
+    # (Window full at 50.  r14 STOCK, in priority order: the round-13
+    # additions (all byte-exact-verified at sf0.001+sf0.01+sf0.1 on
+    # registration): text_good_turing, text_burstiness,
+    # graph_avg_neighbor_degree, graph_rich_club,
+    # eval_isotonic_calibration, stats_conformal_coverage,
+    # eval_confident_joint; then the r04 remainder (alphabetical):
     # tpch_q15_top_supplier, tpch_q16_supplier_cnt,
     # tpch_q20_excess_stock, tpch_q2_min_cost_supplier.
     # Prior rotation history lives in git: the r13 window at this

@@ -6659,3 +6659,357 @@ def graph_degree_assortativity(spark, sf):
                             / F.nullif(F.col("sjj").cast("double") / n
                                        - mean * mean, F.lit(0.0)), 6)
                     .alias("assortativity")))
+
+
+@query(
+    "graph_avg_neighbor_degree",
+    oracle=f"""
+    WITH {{EDGES}},
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY node),
+    -- S_v = sum of neighbor degrees per node (one stub-grain join,
+    -- the fused-assortativity machinery)
+    s AS (SELECT u.node, CAST(sum(dk.d) AS DECIMAL(38,0)) AS sv
+          FROM und u JOIN deg dk ON u.nbr = dk.node
+          GROUP BY u.node),
+    -- all nodes in a degree class share denominator d * count, so
+    -- knn(d) is a ratio of exact integers — no per-node rational sum
+    m AS (SELECT deg.d,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(s.sv) AS DECIMAL(38,0)) AS ssv
+          FROM deg JOIN s USING (node) GROUP BY deg.d)
+    SELECT d AS degree, n_nodes,
+           round(CAST(ssv AS DOUBLE) / (CAST(d AS DOUBLE) * n_nodes), 6)
+               AS avg_neighbor_degree
+    FROM m ORDER BY degree
+    """.replace("{EDGES}", _EDGE_CTES.strip().lstrip()))
+def graph_avg_neighbor_degree(spark, sf):
+    """Average neighbor degree by degree class — knn(d), the degree-
+    correlation CURVE whose overall slope [[graph_degree_assortativity]]
+    summarizes as one scalar (Pastor-Satorras et al. 2001): rising
+    knn(d) = assortative mixing, falling = hubs surrounded by leaves.
+    The curve localizes WHERE mixing changes (e.g. assortative among
+    low-degree nodes, disassortative at the hub tail — invisible to
+    the scalar r).
+
+    Exactness/scale: per-node neighbor-degree sums S_v come from ONE
+    stub-grain join reduced to node grain (the fused assortativity
+    shape); every node in a degree class shares the denominator
+    d * count, so knn(d) = sum(S_v) / (d * n_d) is a ratio of exact
+    DECIMAL/BIGINT integers — no per-node rational ever sums in
+    doubles.  Output is degree-grain (bounded by max degree, data-
+    independent of corpus row count at fixed graph topology)."""
+    e = _copurchase_edges(spark, sf)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionAll(e.select(F.col("dst").alias("node"),
+                              F.col("src").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").cast(BIG).alias("d"))
+    s = (und.join(deg.select(F.col("node").alias("nbr"),
+                             F.col("d").alias("k")), "nbr")
+         .groupBy("node")
+         .agg(F.sum(F.col("k").cast(DEC)).cast(DEC).alias("sv")))
+    m = (deg.join(s, "node")
+         .groupBy("d")
+         .agg(F.count("*").cast(BIG).alias("n_nodes"),
+              F.sum("sv").cast(DEC).alias("ssv")))
+    return m.select(
+        F.col("d").alias("degree"), "n_nodes",
+        F.round(F.col("ssv").cast("double")
+                / (F.col("d").cast("double") * F.col("n_nodes")), 6)
+        .alias("avg_neighbor_degree"))
+
+
+_RICH_CLUB_KS = (2, 4, 8, 16, 32)
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH {{EDGES}},
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY node),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _RICH_CLUB_KS)}])
+               AS k),
+    -- per-edge min endpoint degree, pre-aggregated to its (small)
+    -- distinct-value grain before the threshold cross join
+    em AS (SELECT least(da.d, db.d) AS m
+           FROM e JOIN deg da ON e.src = da.node
+                  JOIN deg db ON e.dst = db.node),
+    emg AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM em GROUP BY m),
+    dg AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY d),
+    ek AS (SELECT ks.k, CAST(coalesce(sum(CASE WHEN emg.m > ks.k
+                                          THEN emg.c ELSE 0 END), 0)
+                             AS BIGINT) AS e_k
+           FROM ks LEFT JOIN emg ON true GROUP BY ks.k),
+    nk AS (SELECT ks.k, CAST(coalesce(sum(CASE WHEN dg.d > ks.k
+                                          THEN dg.c ELSE 0 END), 0)
+                             AS BIGINT) AS n_k
+           FROM ks LEFT JOIN dg ON true GROUP BY ks.k)
+    SELECT ek.k, nk.n_k AS n_nodes, ek.e_k AS n_edges,
+           round(CASE WHEN nk.n_k >= 2
+                 THEN 2.0 * ek.e_k / (CAST(nk.n_k AS DOUBLE)
+                                      * (nk.n_k - 1))
+                 ELSE NULL END, 6) AS phi
+    FROM ek JOIN nk USING (k) ORDER BY k
+    """.replace("{EDGES}", _EDGE_CTES.strip().lstrip()))
+def graph_rich_club(spark, sf):
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) at degree
+    thresholds k in {2,4,8,16,32}: the edge density among nodes of
+    degree > k (Zhou & Mondragon 2004) — do the hubs of the
+    co-purchase graph preferentially trade with each other?  A rising
+    phi(k) (rich club) means hub-hub structure that uniform edge
+    sampling over-represents; complements the scalar
+    [[graph_degree_assortativity]] and the [[graph_avg_neighbor_degree]]
+    curve with the density-among-the-top readout.
+
+    Scale shape: per-edge min endpoint degree is aggregated to its
+    DISTINCT-VALUE grain (bounded by max degree) BEFORE meeting the
+    5-row threshold relation, so the only cross join is
+    degree-grain x 5 — the edge-grain work is two equi-joins to the
+    degree table and one hash agg, same cost class as the rest of the
+    graph family.  Counts are exact integers; phi is one double
+    formula (NULL below 2 members)."""
+    e = _copurchase_edges(spark, sf)
+    und = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionAll(e.select(F.col("dst").alias("node"),
+                              F.col("src").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count("*").cast(BIG).alias("d"))
+    ks = spark.createDataFrame([(k,) for k in _RICH_CLUB_KS], "k bigint")
+    em = (e.join(deg.select(F.col("node").alias("src"),
+                            F.col("d").alias("da")), "src")
+          .join(deg.select(F.col("node").alias("dst"),
+                           F.col("d").alias("db")), "dst")
+          .select(F.least("da", "db").alias("m")))
+    emg = em.groupBy("m").agg(F.count("*").cast(BIG).alias("c"))
+    dg = deg.groupBy("d").agg(F.count("*").cast(BIG).alias("c"))
+    ek = (emg.crossJoin(F.broadcast(ks))
+          .groupBy("k")
+          .agg(F.coalesce(F.sum(F.when(F.col("m") > F.col("k"),
+                                       F.col("c")).otherwise(0)),
+                          F.lit(0)).cast(BIG).alias("e_k")))
+    nk = (dg.crossJoin(F.broadcast(ks))
+          .groupBy("k")
+          .agg(F.coalesce(F.sum(F.when(F.col("d") > F.col("k"),
+                                       F.col("c")).otherwise(0)),
+                          F.lit(0)).cast(BIG).alias("n_k")))
+    out = ek.join(nk, "k")
+    return out.select(
+        "k", F.col("n_k").alias("n_nodes"), F.col("e_k").alias("n_edges"),
+        F.round(F.when(F.col("n_k") >= 2,
+                       2.0 * F.col("e_k")
+                       / (F.col("n_k").cast("double")
+                          * (F.col("n_k") - 1)))
+                .otherwise(F.lit(None).cast("double")), 6)
+        .alias("phi"))
+
+
+@query(
+    "eval_isotonic_calibration",
+    oracle="""
+    WITH sc AS (SELECT least(greatest(CAST(floor(value * 100 + 0.5)
+                                           AS BIGINT), 0), 50000) AS pc,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL),
+    b AS (SELECT pc // 500 AS b, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy
+          FROM sc GROUP BY 1),
+    p AS (SELECT b, n, sy,
+                 CAST(sum(n) OVER w AS BIGINT) AS cn,
+                 CAST(sum(sy) OVER w AS BIGINT) AS cs,
+                 CAST(coalesce(sum(n) OVER wb, 0) AS BIGINT) AS cnb,
+                 CAST(coalesce(sum(sy) OVER wb, 0) AS BIGINT) AS csb
+          FROM b
+          WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW),
+                 wb AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)),
+    pr AS (SELECT j.b AS bj, k.b AS bk,
+                  round((k.cs - j.csb) * 1.0 / (k.cn - j.cnb), 6) AS a
+           FROM p j JOIN p k ON j.b <= k.b),
+    sm AS (SELECT bj, bk,
+                  min(a) OVER (PARTITION BY bj ORDER BY bk DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS m
+           FROM pr),
+    iso AS (SELECT bk AS b, max(m) AS yhat FROM sm GROUP BY bk)
+    SELECT b.b AS bin, b.n AS n,
+           round(b.sy * 1.0 / b.n, 6) AS rate_raw,
+           iso.yhat AS rate_iso
+    FROM b JOIN iso USING (b) ORDER BY bin
+    """)
+def eval_isotonic_calibration(spark, sf):
+    """Isotonic (monotone) calibration map for the thresholded
+    forecaster (probability = clipped cents/50000, outcome =
+    purchase; the eval_mcc construction), solved in CLOSED FORM:
+    the weighted isotonic fit at bin i is the minimax
+    yhat_i = max_{j<=i} min_{k>=i} wavg(y, bins j..k) — exactly the
+    pool-adjacent-violators solution, but expressed as prefix sums +
+    a bounded self-join + two windows instead of a sequential
+    stack-merge recursion (which DuckDB's list_reduce mis-evaluates
+    for multi-state accumulators and Spark would need an opaque fold
+    for).  Next to eval_calibration_bins (raw reliability curve) and
+    [[eval_ece]] this adds the actual MONOTONE recalibration table a
+    serving layer would apply (Zadrozny & Elkan 2002).
+
+    Grain/exactness: probabilities bin to percent grain (pc DIV 500,
+    <= 101 bins — data-independent), so the (j,k) self-join is at
+    most 101^2 rows regardless of corpus size; prefix sums are exact
+    BIGINTs, every block average is ONE double division rounded 6dp
+    BEFORE the min/max lattice (identical doubles -> identical
+    extremes in both engines; no double-rounding boundary), and
+    rate_iso needs no further rounding."""
+    sc_rel = (T(spark, sf, "events")
+              .filter(F.col("value").isNotNull())
+              .select(F.least(F.greatest(
+                  F.floor(F.col("value") * 100 + 0.5).cast(BIG),
+                  F.lit(0)), F.lit(50000)).alias("pc"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    b = (sc_rel.groupBy(F.expr("pc DIV 500").alias("b"))
+         .agg(F.count("*").cast(BIG).alias("n"),
+              F.sum("y").cast(BIG).alias("sy")))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    p = b.select(
+        "b", "n", "sy",
+        F.sum("n").over(w).cast(BIG).alias("cn"),
+        F.sum("sy").over(w).cast(BIG).alias("cs"),
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).cast(BIG).alias("cnb"),
+        F.coalesce(F.sum("sy").over(wb), F.lit(0)).cast(BIG)
+        .alias("csb"))
+    pj = p.select(F.col("b").alias("bj"), F.col("cnb").alias("cnb"),
+                  F.col("csb").alias("csb"))
+    pk = p.select(F.col("b").alias("bk"), F.col("cn").alias("cn"),
+                  F.col("cs").alias("cs"))
+    pr = (pj.join(F.broadcast(pk), F.col("bj") <= F.col("bk"))
+          .select("bj", "bk",
+                  F.round((F.col("cs") - F.col("csb")) * 1.0
+                          / (F.col("cn") - F.col("cnb")), 6).alias("a")))
+    wsm = (Window.partitionBy("bj").orderBy(F.col("bk").desc())
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sm = pr.select("bj", "bk", F.min("a").over(wsm).alias("m"))
+    iso = sm.groupBy(F.col("bk").alias("b")).agg(
+        F.max("m").alias("yhat"))
+    return (b.join(iso, "b")
+            .select(F.col("b").alias("bin"), "n",
+                    F.round(F.col("sy") * 1.0 / F.col("n"), 6)
+                    .alias("rate_raw"),
+                    F.col("yhat").alias("rate_iso")))
+
+
+@query(
+    "eval_confident_joint",
+    oracle="""
+    WITH sc AS (SELECT least(greatest(CAST(floor(value * 100 + 0.5)
+                                           AS BIGINT), 0), 50000) AS pc,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL),
+    th AS (SELECT
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+             CAST(sum(CASE WHEN y = 1 THEN pc ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n0,
+             CAST(sum(CASE WHEN y = 0 THEN 50000 - pc ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s0
+           FROM sc),
+    -- confident assignment: class c qualifies when p_c >= t_c, i.e.
+    -- pc*n1 >= S1 (class 1) / (50000-pc)*n0 >= S0 (class 0) — exact
+    -- integer cross-multiplication, no rational threshold; both ->
+    -- larger margin at the common n1*n0 scale, ties to class 1
+    a AS (SELECT y,
+                 CASE
+                   WHEN CAST(pc AS DECIMAL(38,0)) * n1 >= s1
+                        AND (CAST(50000 - pc AS DECIMAL(38,0)) * n0 < s0
+                             OR (CAST(pc AS DECIMAL(38,0)) * n1 - s1)
+                                 * n0
+                                >= (CAST(50000 - pc AS DECIMAL(38,0))
+                                    * n0 - s0) * n1)
+                     THEN 1
+                   WHEN CAST(50000 - pc AS DECIMAL(38,0)) * n0 >= s0
+                     THEN 0
+                   ELSE NULL
+                 END AS j
+          FROM sc CROSS JOIN th),
+    m AS (SELECT
+            CAST(sum(CASE WHEN y = 0 AND j = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c00,
+            CAST(sum(CASE WHEN y = 0 AND j = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c01,
+            CAST(sum(CASE WHEN y = 1 AND j = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c10,
+            CAST(sum(CASE WHEN y = 1 AND j = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c11,
+            CAST(sum(CASE WHEN j IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_excluded
+          FROM a)
+    SELECT c00, c01, c10, c11, n_excluded,
+           round(CAST(c01 + c10 AS DOUBLE)
+                 / nullif(c00 + c01 + c10 + c11, 0), 6)
+               AS est_label_error_rate
+    FROM m
+    """)
+def eval_confident_joint(spark, sf):
+    """Confident-joint label-noise estimate (Northcutt et al. 2021,
+    "cleanlab") for the thresholded forecaster construction
+    (probability of purchase = clipped cents/50000, noisy label =
+    purchase): class thresholds t_c are the mean self-confidence per
+    labeled class; an example counts into joint cell (noisy=i,
+    true-ish=j) when its probability for j clears t_j (larger margin
+    wins when both clear, at the exact common n1*n0 scale; ties to
+    class 1; neither -> excluded).  Off-diagonal mass C01+C10 over the
+    counted total estimates the LABEL ERROR RATE — the data-centric
+    readout that ranks corpora for relabeling before training, a
+    different failure axis than [[eval_mcc]] (classifier quality under
+    the labels as given).
+
+    Exactness: thresholds never materialize as rationals — every
+    comparison is integer cross-multiplication in DECIMAL(38,0)
+    (pc*n1 vs S1 etc.), so cell counts are exact at any scale; the
+    single crossJoin broadcasts a 1-row stat relation; the error rate
+    is one double division."""
+    sc_rel = (T(spark, sf, "events")
+              .filter(F.col("value").isNotNull())
+              .select(F.least(F.greatest(
+                  F.floor(F.col("value") * 100 + 0.5).cast(BIG),
+                  F.lit(0)), F.lit(50000)).alias("pc"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0).alias("y")))
+    th = sc_rel.agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast(BIG)
+        .alias("n1"),
+        F.sum(F.when(F.col("y") == 1, F.col("pc")).otherwise(0))
+        .cast(DEC).alias("s1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast(BIG)
+        .alias("n0"),
+        F.sum(F.when(F.col("y") == 0, 50000 - F.col("pc")).otherwise(0))
+        .cast(DEC).alias("s0"))
+    p1 = F.col("pc").cast(DEC) * F.col("n1")
+    p0 = (F.lit(50000) - F.col("pc")).cast(DEC) * F.col("n0")
+    j = (F.when((p1 >= F.col("s1"))
+                & ((p0 < F.col("s0"))
+                   | ((p1 - F.col("s1")) * F.col("n0")
+                      >= (p0 - F.col("s0")) * F.col("n1"))), 1)
+         .when(p0 >= F.col("s0"), 0)
+         .otherwise(F.lit(None).cast("int")))
+    a = sc_rel.crossJoin(F.broadcast(th)).select("y", j.alias("j"))
+    m = a.agg(
+        F.sum(F.when((F.col("y") == 0) & (F.col("j") == 0), 1)
+              .otherwise(0)).cast(BIG).alias("c00"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("j") == 1), 1)
+              .otherwise(0)).cast(BIG).alias("c01"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("j") == 0), 1)
+              .otherwise(0)).cast(BIG).alias("c10"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("j") == 1), 1)
+              .otherwise(0)).cast(BIG).alias("c11"),
+        F.sum(F.when(F.col("j").isNull(), 1).otherwise(0)).cast(BIG)
+        .alias("n_excluded"))
+    return m.select(
+        "c00", "c01", "c10", "c11", "n_excluded",
+        F.round((F.col("c01") + F.col("c10")).cast("double")
+                / F.nullif(F.col("c00") + F.col("c01") + F.col("c10")
+                           + F.col("c11"), F.lit(0)), 6)
+        .alias("est_label_error_rate"))

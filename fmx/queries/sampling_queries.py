@@ -1053,3 +1053,4 @@ def sample_poisson_bootstrap(spark, sf):
                  F.round(F.min(m), 6).alias("boot_min"),
                  F.round(F.max(m), 6).alias("boot_max")))
 
+

@@ -2628,3 +2628,109 @@ def stats_ks_normal(spark, sf):
         F.col("et").alias("event_type"), "n", "d_stat",
         F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)), 9)
         .alias("p_value"))
+
+
+_CONF_U = ("(CAST(concat('0x', substring(md5(concat('conf:42:', "
+           "CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+           " / 1152921504606846976.0)")
+
+
+@query(
+    "stats_conformal_coverage",
+    oracle=f"""
+    WITH {_SC},
+    sp AS (SELECT et, cent,
+                  CASE WHEN {_CONF_U} < 0.5 THEN 0 ELSE 1 END AS tst
+           FROM sc),
+    cs AS (SELECT et, CAST(count(*) AS BIGINT) AS nc,
+                  CAST(sum(CAST(cent AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS s
+           FROM sp WHERE tst = 0 GROUP BY et),
+    -- nonconformity at a COMMON per-type integer scale: nc*|cent -
+    -- calib mean| = |cent*nc - S|, exact DECIMAL (no rational mean)
+    scd AS (SELECT sp.et, sp.tst,
+                   abs(CAST(sp.cent AS DECIMAL(38,0)) * cs.nc - cs.s)
+                       AS d
+            FROM sp JOIN cs ON sp.et = cs.et),
+    cg AS (SELECT et, d, CAST(count(*) AS BIGINT) AS c
+           FROM scd WHERE tst = 0 GROUP BY et, d),
+    cum AS (SELECT et, d, CAST(sum(c) OVER (PARTITION BY et ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cc
+            FROM cg),
+    -- split-conformal rank: ceil(0.9 * (nc + 1)) as exact int DIV
+    qh AS (SELECT cum.et, min(cum.d) AS qhat
+           FROM cum JOIN cs ON cum.et = cs.et
+           WHERE cum.cc >= (9 * (cs.nc + 1) + 9) // 10
+           GROUP BY cum.et),
+    tg AS (SELECT scd.et,
+                  CAST(count(*) AS BIGINT) AS nt,
+                  CAST(sum(CASE WHEN scd.d <= qh.qhat THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cov
+           FROM scd JOIN qh ON scd.et = qh.et
+           WHERE scd.tst = 1 GROUP BY scd.et)
+    SELECT cs.et AS event_type, cs.nc AS n_calib, tg.nt AS n_test,
+           round(CAST(qh.qhat AS DOUBLE) / (cs.nc * 100.0), 6)
+               AS qhat_value,
+           round(CAST(tg.cov AS DOUBLE) / tg.nt, 6) AS coverage
+    FROM cs JOIN qh ON cs.et = qh.et JOIN tg ON cs.et = tg.et
+    ORDER BY event_type
+    """)
+def stats_conformal_coverage(spark, sf):
+    """Split-conformal prediction interval check per event type at
+    target coverage 90% (Vovk; Lei et al. 2018): a deterministic hash
+    split (the [[sample_hash_split]] md5 convention, tag conf:42)
+    divides each type into calibration/test halves; the nonconformity
+    score is the absolute deviation from the calibration mean; qhat is
+    the ceil(0.9*(n+1))-smallest calibration score; coverage is the
+    test-half fraction within qhat.  Output coverage ~0.9 by the
+    conformal guarantee REGARDLESS of the value distribution — the
+    distribution-free calibration readout a forecaster's interval
+    layer needs, complementing [[eval_isotonic_calibration]]
+    (probability recalibration) with interval calibration.
+
+    Exactness/scale: scores live at a COMMON per-type integer scale —
+    nc*|cent - mean| = |cent*nc - S| in exact DECIMAL(38,0), so no
+    rational mean ever rounds; the quantile rank is exact integer
+    ceil-division ((9(n+1)+9) DIV 10, positive DIV = // in both
+    engines); the rank lookup runs on the VALUE-GRAIN cumulative
+    window (distinct scores <= distinct cents, bounded by the price
+    domain).  qhat_value rescales to cents (/nc/100) only for
+    display, one rounded double."""
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("conf:42:"),
+                       F.col("event_id").cast("string"))), 1, 15),
+        16, 10).cast("double") / F.lit(1152921504606846976.0))
+    sp = _sc(spark, sf).select(
+        "et", "cent", F.when(u < 0.5, 0).otherwise(1).alias("tst"))
+    cs = (sp.filter(F.col("tst") == 0).groupBy("et")
+          .agg(F.count("*").cast(BIG).alias("nc"),
+               F.sum(F.col("cent").cast(DEC)).cast(DEC).alias("s")))
+    scd = (sp.join(F.broadcast(cs), "et")
+           .select("et", "tst",
+                   F.abs(F.col("cent").cast(DEC) * F.col("nc")
+                         - F.col("s")).alias("d")))
+    cg = (scd.filter(F.col("tst") == 0).groupBy("et", "d")
+          .agg(F.count("*").cast(BIG).alias("c")))
+    wcum = (Window.partitionBy("et").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = cg.select("et", "d", F.sum("c").over(wcum).cast(BIG).alias("cc"))
+    qh = (cum.join(F.broadcast(cs.select("et", "nc")), "et")
+          .filter(F.col("cc")
+                  >= F.expr("(9 * (nc + 1) + 9) DIV 10"))
+          .groupBy("et").agg(F.min("d").alias("qhat")))
+    tg = (scd.filter(F.col("tst") == 1)
+          .join(F.broadcast(qh), "et")
+          .groupBy("et")
+          .agg(F.count("*").cast(BIG).alias("nt"),
+               F.sum(F.when(F.col("d") <= F.col("qhat"), 1).otherwise(0))
+               .cast(BIG).alias("cov")))
+    return (cs.join(qh, "et").join(tg, "et")
+            .select(F.col("et").alias("event_type"),
+                    F.col("nc").alias("n_calib"),
+                    F.col("nt").alias("n_test"),
+                    F.round(F.col("qhat").cast("double")
+                            / (F.col("nc") * 100.0), 6)
+                    .alias("qhat_value"),
+                    F.round(F.col("cov").cast("double") / F.col("nt"), 6)
+                    .alias("coverage")))

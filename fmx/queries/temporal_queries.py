@@ -1608,3 +1608,4 @@ def ts_cox_stuart(spark, sf):
                      F.round((F.col("s_pos") - F.col("n_eff") / 2.0)
                              / F.sqrt(F.col("n_eff") / 4.0), 6)
                      .alias("z_stat")))
+

@@ -2316,3 +2316,135 @@ def text_yules_k(spark, sf):
                            - F.col("n").cast("double"))
                 / (F.col("n").cast("double") * F.col("n").cast("double")),
                 6).alias("yules_k"))
+
+
+@query(
+    "text_good_turing",
+    oracle="""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+                      AS token
+                  FROM documents),
+    tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE token <> '' GROUP BY source, token),
+    m AS (SELECT source,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n2
+          FROM tc GROUP BY source)
+    SELECT source, n AS n_tokens, v AS vocab, n1 AS hapaxes,
+           n2 AS dis_legomena,
+           round(CAST(n1 AS DOUBLE) / n, 6) AS unseen_mass,
+           round(CASE WHEN n1 > 0 THEN 2.0 * n2 / n1 ELSE 0.0 END, 6)
+               AS r1_star
+    FROM m ORDER BY source
+    """)
+def text_good_turing(spark, sf):
+    """Good-Turing vocabulary statistics per source: the
+    frequency-of-frequency estimates every coverage planner wants —
+    unseen probability mass p0 = n1/N (share of the NEXT token that
+    will be a never-seen type; Good 1953) and the smoothed count
+    r1* = 2*n2/n1 for hapaxes.  A source with high unseen mass is
+    under-sampled relative to its vocabulary (keep crawling); one
+    near zero is saturated — the decision [[text_heaps_law]]'s growth
+    exponent informs asymptotically, read here from the current
+    sample directly.  One (source, token) count agg + one per-source
+    agg over exact integer counts; tokenization is the corpus-wide
+    whitespace convention (empty tokens dropped).  Ratios are single
+    double divisions of exact integers, 6dp."""
+    toks = (T(spark, sf, "documents")
+            .select("source", F.explode(F.split("text", " "))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
+    tc = toks.groupBy("source", "token").agg(
+        F.count("*").cast(BIG).alias("c"))
+    m = tc.groupBy("source").agg(
+        F.sum("c").cast(BIG).alias("n"),
+        F.count("*").cast(BIG).alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(BIG)
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast(BIG)
+        .alias("n2"))
+    return m.select(
+        "source", F.col("n").alias("n_tokens"), F.col("v").alias("vocab"),
+        F.col("n1").alias("hapaxes"), F.col("n2").alias("dis_legomena"),
+        F.round(F.col("n1").cast("double") / F.col("n"), 6)
+        .alias("unseen_mass"),
+        F.round(F.when(F.col("n1") > 0,
+                       2.0 * F.col("n2") / F.col("n1"))
+                .otherwise(F.lit(0.0)), 6).alias("r1_star"))
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+    WITH toks AS (SELECT source, doc_id,
+                         unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    td AS (SELECT source, token, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE token <> '' GROUP BY source, token, doc_id),
+    tt AS (SELECT source, token,
+                  CAST(sum(c) AS BIGINT) AS cf,
+                  CAST(count(*) AS BIGINT) AS df
+           FROM td GROUP BY source, token),
+    -- per-token burstiness cf/df scaled to an exact integer via FLOOR
+    -- division (round() would hit .5 exactly whenever df | 2e6*cf but
+    -- not df | 1e6*cf — engines disagree on double halves)
+    sc AS (SELECT source, cf, df,
+                  CAST(cf * 1000000 AS BIGINT) // df AS bx
+           FROM tt),
+    m AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS v,
+                 CAST(sum(CAST(bx AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS sb,
+                 CAST(sum(CASE WHEN cf > df THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nb
+          FROM sc GROUP BY source)
+    SELECT source, v AS vocab,
+           round(CAST(sb AS DOUBLE) / (v * 1000000.0), 6)
+               AS mean_burstiness,
+           round(CAST(nb AS DOUBLE) / v, 6) AS bursty_share
+    FROM m ORDER BY source
+    """)
+def text_burstiness(spark, sf):
+    """Church-Gale burstiness per source: for each type, cf/df — mean
+    occurrences per CONTAINING document — averaged over the vocabulary,
+    plus the share of types that repeat within documents at all
+    (cf > df).  Content words are bursty (a doc that mentions a term
+    mentions it again); function words are not — so a source whose
+    burstiness is inflated relative to peers is template/boilerplate
+    heavy even when doc-level dedup is clean, the within-doc
+    complement of [[dedup_span_profile]]'s cross-doc span signal.
+
+    Exactness: cf/df is integer-scaled by 1e6 with exact FLOOR
+    division on both engines (Spark pmod-free positive DIV = DuckDB
+    // for positive ints; round() would land ON .5 whenever df
+    divides 2e6*cf but not 1e6*cf, where engines disagree), summed in
+    DECIMAL(38,0), one final double division.  Two hash aggs on
+    (source, token[, doc]) grain — shuffles key on token hashes,
+    uniform at corpus scale."""
+    toks = (T(spark, sf, "documents")
+            .select("source", "doc_id",
+                    F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != ""))
+    td = toks.groupBy("source", "token", "doc_id").agg(
+        F.count("*").cast(BIG).alias("c"))
+    tt = td.groupBy("source", "token").agg(
+        F.sum("c").cast(BIG).alias("cf"),
+        F.count("*").cast(BIG).alias("df"))
+    sc = tt.select(
+        "source", "cf", "df",
+        F.expr("CAST(cf * 1000000 AS BIGINT) DIV df").alias("bx"))
+    m = sc.groupBy("source").agg(
+        F.count("*").cast(BIG).alias("v"),
+        F.sum(F.col("bx").cast(DEC)).cast(DEC).alias("sb"),
+        F.sum(F.when(F.col("cf") > F.col("df"), 1).otherwise(0))
+        .cast(BIG).alias("nb"))
+    return m.select(
+        "source", F.col("v").alias("vocab"),
+        F.round(F.col("sb").cast("double") / (F.col("v") * 1000000.0), 6)
+        .alias("mean_burstiness"),
+        F.round(F.col("nb").cast("double") / F.col("v"), 6)
+        .alias("bursty_share"))

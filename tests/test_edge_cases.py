@@ -332,3 +332,17 @@ def test_round12_queries_partition_invariant(spark, sf_dir):
              "stats_page_trend", "graph_degree_assortativity",
              "ann_eval_map", "ts_cox_stuart", "stats_ks_normal"]
     _assert_partition_invariant(spark, sf_dir, names)
+
+
+def test_round13_queries_partition_invariant(spark, sf_dir):
+    """Parallelism invariance for the round-13 additions: the
+    max_df-gated span profile's df join, Good-Turing frequency-of-
+    frequency counts, burstiness floor-divided ratios, neighbor-degree
+    class sums, rich-club threshold folds, the isotonic minimax
+    lattice, conformal score windows, and confident-joint cross-
+    multiplied cells — none may depend on partition layout."""
+    names = ["dedup_span_profile_capped", "text_good_turing",
+             "text_burstiness", "graph_avg_neighbor_degree",
+             "graph_rich_club", "eval_isotonic_calibration",
+             "stats_conformal_coverage", "eval_confident_joint"]
+    _assert_partition_invariant(spark, sf_dir, names)

@@ -3111,3 +3111,62 @@ def test_assortativity_sign_on_known_graphs(spark, tmp_path):
     cliques = assort([[1, 2, 3], [10, 11, 12]], "cliques")
     assert cliques.n_edges == 6 and cliques.n_nodes == 6
     assert cliques.assortativity is None  # zero degree variance
+
+
+def test_isotonic_calibration_is_monotone_and_refines(spark, sf_dir):
+    """The REGISTERED isotonic map must be non-decreasing in the score
+    bin, agree with the raw rate wherever the raw rates are already
+    locally isotone, and pool (equalize) across any adjacent
+    violator pair."""
+    from fmx.queries.analytics import eval_isotonic_calibration
+
+    rows = (eval_isotonic_calibration(spark, sf_dir)
+            .orderBy("bin").collect())
+    iso = [r.rate_iso for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    # the isotonic fit preserves the population-weighted mean rate
+    # (projection property of least-squares isotonic regression)
+    tw = sum(r.n for r in rows)
+    raw_mean = sum(r.n * r.rate_raw for r in rows) / tw
+    iso_mean = sum(r.n * r.rate_iso for r in rows) / tw
+    assert abs(raw_mean - iso_mean) < 1e-4
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """Split-conformal's distribution-free guarantee: REGISTERED query
+    coverage must land near the 90% target on every event type (the
+    finite-sample band at these calibration sizes is a few points)."""
+    from fmx.queries.stats_queries import stats_conformal_coverage
+
+    rows = stats_conformal_coverage(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.80 <= r.coverage <= 1.0, (r.event_type, r.coverage)
+
+
+def test_confident_joint_flags_planted_label_noise(spark, tmp_path):
+    """Plant a clean separable population, then flip a known fraction
+    of labels: the REGISTERED confident joint must put (approximately)
+    the planted flips off-diagonal."""
+    from datetime import datetime
+
+    from fmx.queries.analytics import eval_confident_joint
+
+    rows = []
+    eid = 0
+    # 200 confident positives (value 400 -> p=0.8), 200 confident
+    # negatives (value 100 -> p=0.2); flip 10% of each label group
+    for i in range(200):
+        lab = "purchase" if i % 10 != 0 else "view"     # 20 flipped
+        rows.append((eid, datetime(2024, 3, 1, 12, 0, 0), 1, lab,
+                     400.0, None)); eid += 1
+    for i in range(200):
+        lab = "view" if i % 10 != 0 else "purchase"     # 20 flipped
+        rows.append((eid, datetime(2024, 3, 1, 13, 0, 0), 1, lab,
+                     100.0, None)); eid += 1
+    from tests.test_operators import _planted_events_dir
+    out = eval_confident_joint(spark, _planted_events_dir(
+        spark, tmp_path, rows)).first()
+    # off-diagonal = the 40 planted flips, exactly
+    assert out.c01 + out.c10 == 40, out
+    assert abs(out.est_label_error_rate - 0.1) < 0.02

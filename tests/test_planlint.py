@@ -119,6 +119,11 @@ _ALLOWED = {
         "ts_cusum_changepoint",     # 1-row global-rate broadcast
         "stats_page_trend",         # 1-row k-count broadcast
         "graph_degree_assortativity",  # 1-row node-count broadcast
+        "graph_rich_club",          # 5-row threshold-relation broadcast
+                                    # onto the degree-grain censuses
+        "eval_isotonic_calibration",  # <=101-row bin-prefix broadcast
+                                      # (the bj<=bk minimax lattice)
+        "eval_confident_joint",     # 1-row threshold-stats broadcast
         "ts_theilsen_trend",        # day-grain pair join + 1-row medians
         "graph_clustering_coefficient",  # two 1-row relations crossed
         "graph_pagerank_3iter", "profile_chi2_lang_source",
@@ -292,6 +297,8 @@ _ALLOWED = {
                                      # (bounded by the price domain)
         "emb_silhouette_simplified",  # same k=4 seed window as
                                       # emb_kmeans_assign (reuses it)
+        "eval_isotonic_calibration",  # prefix + minimax windows over
+                                      # <=101 percent-grain bin rows
     },
     "arrow-udf": {"multimodal_features", "multimodal_frame_sample",
                   "multimodal_patches", "multimodal_payload_stats",
