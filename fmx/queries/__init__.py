@@ -159,7 +159,8 @@ _PRIORITY = [
     # registration): text_good_turing, text_burstiness,
     # graph_avg_neighbor_degree, graph_rich_club,
     # eval_isotonic_calibration, stats_conformal_coverage,
-    # eval_confident_joint; then the r04 remainder (alphabetical):
+    # eval_confident_joint, ts_hurst_rs, ann_diversified_topk; then
+    # the r04 remainder (alphabetical):
     # tpch_q15_top_supplier, tpch_q16_supplier_cnt,
     # tpch_q20_excess_stock, tpch_q2_min_cost_supplier.
     # Prior rotation history lives in git: the r13 window at this

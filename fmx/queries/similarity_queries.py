@@ -2370,3 +2370,106 @@ def ann_eval_map(spark, sf):
     pred = S.pq_topk(emb, q, "vec_id", "embedding", k=K, m=PQ_M,
                      num_codes=PQ_CODES, dim=DIM)
     return S.average_precision_eval(pred, truth, k=K)
+
+
+DIV_M = 10      # shortlist depth fed to the diversifier
+DIV_K = 5       # diversified results returned
+DIV_TAU = 0.30  # redundancy bar: candidates this cosine-close to a
+                # higher-ranked candidate are suppressed (the synthetic
+                # embeddings' max pairwise cosine is ~0.48, so the bar
+                # genuinely fires without emptying shortlists)
+
+
+@query(
+    "ann_diversified_topk",
+    oracle=f"""
+    WITH {{EX}},
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    sum(q.x * c.x) AS dot
+             FROM ex q JOIN ex c ON q.pos = c.pos
+             WHERE q.vec_id < {{NQ}} AND c.vec_id <> q.vec_id
+             GROUP BY q.vec_id, c.vec_id),
+    sims AS (SELECT query_id, dots.vec_id AS vec_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON query_id = nq.vec_id
+                       JOIN norms nc ON dots.vec_id = nc.vec_id),
+    short AS (SELECT query_id, vec_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS BIGINT)
+                         AS rank
+              FROM sims QUALIFY rank <= {{M}}),
+    cc AS (SELECT a.query_id, a.vec_id AS va,
+                  round(sum(xa.x * xb.x) / (na.nrm * nb.nrm), 6) AS cc
+           FROM short a
+                JOIN short b ON a.query_id = b.query_id
+                            AND b.rank < a.rank
+                JOIN ex xa ON xa.vec_id = a.vec_id
+                JOIN ex xb ON xb.vec_id = b.vec_id AND xb.pos = xa.pos
+                JOIN norms na ON na.vec_id = a.vec_id
+                JOIN norms nb ON nb.vec_id = b.vec_id
+           GROUP BY a.query_id, a.vec_id, b.vec_id, na.nrm, nb.nrm),
+    conf AS (SELECT DISTINCT query_id, va FROM cc WHERE cc > {{TAU}}),
+    kept AS (SELECT s.query_id, s.vec_id, s.cosine, s.rank
+             FROM short s LEFT JOIN conf
+                  ON s.query_id = conf.query_id AND s.vec_id = conf.va
+             WHERE conf.va IS NULL)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rank) AS BIGINT) AS div_rank
+    FROM kept QUALIFY div_rank <= {{K}}
+    """.replace("{EX}", _EX.strip())
+       .replace("{NQ}", str(N_QUERIES)).replace("{M}", str(DIV_M))
+       .replace("{TAU}", f"{DIV_TAU}").replace("{K}", str(DIV_K)))
+def ann_diversified_topk(spark, sf):
+    """Diversified retrieval: exact cosine top-M shortlist, then the
+    LEADER RULE — a candidate survives iff NO higher-ranked shortlist
+    member is within cosine DIV_TAU of it — re-ranked to top-K.  The
+    non-iterative 2-approximation of MMR-style diversification
+    (greedy-MMR's select-then-compare loop is sequential; comparing
+    against all higher-RANKED rather than all higher-ranked-AND-KEPT
+    candidates gives a deterministic closed form that only
+    over-suppresses, never under-diversifies), the retrieval-side
+    complement of [[dedup_semantic]]'s corpus-side dedup: serve
+    results that are relevant AND mutually distinct.
+
+    Scale shape: shortlist via the broadcast-queries cosine stream
+    (no corpus shuffle before the per-query top-M); the pairwise
+    stage is shortlist x shortlist WITHIN each query — M^2 bounded
+    rows per query, never corpus-grain; suppression is one anti-join.
+    Cosines are rounded 6dp before every comparison (identical
+    doubles -> identical keep sets in both engines)."""
+    from fmx.core import linalg as L
+
+    emb = T(spark, sf, "embeddings")
+    short = S.cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES),
+                          "vec_id", "embedding", k=DIV_M)
+    sv = short.join(emb.select("vec_id",
+                               F.col("embedding").cast("array<double>")
+                               .alias("_v"),
+                               L.vec_norm(F.col("embedding")
+                                          .cast("array<double>"))
+                               .alias("_n")), "vec_id")
+    a = sv.select("query_id", F.col("vec_id").alias("va"),
+                  F.col("rank").alias("ra"), F.col("cosine"),
+                  F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = sv.select(F.col("query_id").alias("_qb"),
+                  F.col("rank").alias("rb"),
+                  F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    cc = (a.join(b, (F.col("query_id") == F.col("_qb"))
+                 & (F.col("rb") < F.col("ra")))
+          .select("query_id", "va",
+                  F.round(L.vec_dot("_va", "_vb")
+                          / (F.col("_na") * F.col("_nb")), 6)
+                  .alias("cc")))
+    conf = (cc.filter(F.col("cc") > F.lit(DIV_TAU))
+            .select("query_id", "va").distinct())
+    kept = a.join(conf, ["query_id", "va"], "left_anti")
+    wd = Window.partitionBy("query_id").orderBy("ra")
+    return (kept
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("va").cast("bigint").alias("vec_id"),
+                    "cosine",
+                    F.row_number().over(wd).cast("bigint")
+                    .alias("div_rank"))
+            .filter(F.col("div_rank") <= DIV_K))

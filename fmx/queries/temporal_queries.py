@@ -15,6 +15,7 @@ from fmx.queries import query
 from fmx.sources import load_table as T
 
 BIG = "bigint"
+DEC = "decimal(38,0)"
 
 ASOF_TOL = 7200          # 2h attribution window
 N_BANDS = 130            # price bands: [900+10i, 925+10i) — overlapping
@@ -1609,3 +1610,143 @@ def ts_cox_stuart(spark, sf):
                              / F.sqrt(F.col("n_eff") / 4.0), 6)
                      .alias("z_stat")))
 
+
+
+HURST_WINDOWS = (8, 16, 32)
+
+
+@query(
+    "ts_hurst_rs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS et, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    idx AS (SELECT et, x,
+                   CAST(row_number() OVER (PARTITION BY et ORDER BY day)
+                        AS BIGINT) AS rn
+            FROM daily),
+    ws AS (SELECT unnest([{", ".join(str(w) for w in HURST_WINDOWS)}])
+               AS w),
+    blk AS (SELECT i.et, ws.w, (i.rn - 1) // ws.w AS b, i.rn, i.x
+            FROM idx i CROSS JOIN ws),
+    bs AS (SELECT et, w, b, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                      AS s,
+                  CAST(sum(CAST(x AS DECIMAL(38,0)) * x)
+                       AS DECIMAL(38,0)) AS q
+           FROM blk GROUP BY et, w, b),
+    -- scaled cumulative deviation: D_j * w = w*cumsum_j - j*S, exact
+    cd AS (SELECT blk.et, blk.w, blk.b,
+                  CAST(blk.w AS DECIMAL(38,0))
+                      * CAST(sum(blk.x) OVER (PARTITION BY blk.et,
+                            blk.w, blk.b ORDER BY blk.rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DECIMAL(38,0))
+                  - CAST(row_number() OVER (PARTITION BY blk.et, blk.w,
+                            blk.b ORDER BY blk.rn) AS DECIMAL(38,0))
+                      * bs.s AS dw
+           FROM blk JOIN bs ON blk.et = bs.et AND blk.w = bs.w
+                            AND blk.b = bs.b
+           WHERE bs.n = blk.w),
+    rr AS (SELECT et, w, b,
+                  CAST(max(dw) - min(dw) AS DECIMAL(38,0)) AS rw
+           FROM cd GROUP BY et, w, b),
+    rsb AS (SELECT rr.et, rr.w,
+                   round(CAST(rr.rw AS DOUBLE)
+                         / sqrt(CAST(rr.w * bs.q - bs.s * bs.s
+                                     AS DOUBLE)), 6) AS rs
+            FROM rr JOIN bs ON rr.et = bs.et AND rr.w = bs.w
+                            AND rr.b = bs.b
+            WHERE rr.w * bs.q - bs.s * bs.s > 0),
+    mrs AS (SELECT et, w, round(ln(avg(rs)), 6) AS v,
+                   round(ln(CAST(w AS DOUBLE)), 9) AS u,
+                   CAST(count(*) AS BIGINT) AS n_blocks
+            FROM rsb GROUP BY et, w),
+    fit AS (SELECT et, CAST(count(*) AS BIGINT) AS k,
+                   sum(u) AS su, sum(v) AS sv, sum(u * v) AS suv,
+                   sum(u * u) AS suu,
+                   CAST(sum(n_blocks) AS BIGINT) AS n_blocks
+            FROM mrs GROUP BY et)
+    SELECT et AS event_type, n_blocks,
+           round((k * suv - su * sv) / (k * suu - su * su), 4)
+               AS hurst
+    FROM fit WHERE k >= 2 ORDER BY event_type
+    """)
+def ts_hurst_rs(spark, sf):
+    """Hurst exponent per event type via classical rescaled-range
+    (R/S) analysis of the daily value totals (Hurst 1951; Mandelbrot
+    & Wallis): split the day series into full blocks of w in
+    {8,16,32}, per block R/S = range of cumulative mean deviations /
+    population sd, then H = slope of ln(mean R/S) vs ln(w).  H ~ 0.5
+    = memoryless; H > 0.5 = long-range persistence (trends compound
+    — forecastable, and naive day-sampling under-covers regimes);
+    H < 0.5 = mean-reverting.  The long-memory readout complementing
+    [[ts_autocorrelation]] (fixed small lags) and ts_dickey_fuller
+    (unit root).
+
+    Exactness/scale: everything under each sqrt/division is an EXACT
+    integer — the block cumulative deviation is scaled by w
+    (D_j*w = w*cumsum - j*S, DECIMAL), the block variance term is
+    w*Q - S^2, and R/S = Rw/sqrt(wQ - S^2) is ONE double formula
+    rounded 6dp per block; per-(type,w) means average <= n_days/w
+    rounded doubles; the 3-point OLS runs on 6dp/9dp-rounded (v,u).
+    Constant blocks (zero variance) are skipped, as is any type with
+    fewer than two window sizes populated.  All grains are
+    calendar-bounded (day, block) — data-size-independent at fixed
+    time span; the only corpus-scale stage is the daily rollup."""
+    daily = (T(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.col("event_type").alias("et"),
+                      F.date_trunc("day", "ts").alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast(BIG))
+                  .cast(BIG).alias("x")))
+    widx = Window.partitionBy("et").orderBy("day")
+    idx = daily.select("et", "x",
+                       F.row_number().over(widx).cast(BIG).alias("rn"))
+    ws = spark.createDataFrame([(w,) for w in HURST_WINDOWS], "w bigint")
+    blk = idx.crossJoin(F.broadcast(ws)).select(
+        "et", "w", F.expr("(rn - 1) DIV w").alias("b"), "rn", "x")
+    bs = blk.groupBy("et", "w", "b").agg(
+        F.count("*").cast(BIG).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast(DEC).alias("s"),
+        F.sum(F.col("x").cast(DEC) * F.col("x")).cast(DEC).alias("q"))
+    wcum = (Window.partitionBy("et", "w", "b").orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wrn = Window.partitionBy("et", "w", "b").orderBy("rn")
+    cd = (blk.join(bs, ["et", "w", "b"])
+          .filter(F.col("n") == F.col("w"))
+          .select("et", "w", "b",
+                  (F.col("w").cast(DEC)
+                   * F.sum("x").over(wcum).cast(DEC)
+                   - F.row_number().over(wrn).cast(DEC) * F.col("s"))
+                  .alias("dw")))
+    rr = cd.groupBy("et", "w", "b").agg(
+        (F.max("dw") - F.min("dw")).cast(DEC).alias("rw"))
+    rsb = (rr.join(bs, ["et", "w", "b"])
+           .filter(F.col("w") * F.col("q") - F.col("s") * F.col("s") > 0)
+           .select("et", "w",
+                   F.round(F.col("rw").cast("double")
+                           / F.sqrt((F.col("w") * F.col("q")
+                                     - F.col("s") * F.col("s"))
+                                    .cast("double")), 6).alias("rs")))
+    mrs = rsb.groupBy("et", "w").agg(
+        F.round(F.log(F.avg("rs")), 6).alias("v"),
+        F.count("*").cast(BIG).alias("n_blocks"))
+    mrs = mrs.withColumn(
+        "u", F.round(F.log(F.col("w").cast("double")), 9))
+    fit = mrs.groupBy("et").agg(
+        F.count("*").cast(BIG).alias("k"),
+        F.sum("u").alias("su"), F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum("n_blocks").cast(BIG).alias("n_blocks"))
+    k = F.col("k")
+    return (fit.filter(k >= 2)
+            .select(F.col("et").alias("event_type"), "n_blocks",
+                    F.round((k * F.col("suv") - F.col("su")
+                             * F.col("sv"))
+                            / (k * F.col("suu") - F.col("su")
+                               * F.col("su")), 4).alias("hurst")))

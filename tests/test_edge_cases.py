@@ -339,10 +339,12 @@ def test_round13_queries_partition_invariant(spark, sf_dir):
     max_df-gated span profile's df join, Good-Turing frequency-of-
     frequency counts, burstiness floor-divided ratios, neighbor-degree
     class sums, rich-club threshold folds, the isotonic minimax
-    lattice, conformal score windows, and confident-joint cross-
-    multiplied cells — none may depend on partition layout."""
+    lattice, conformal score windows, confident-joint cross-
+    multiplied cells, Hurst block folds, and the diversified-topk
+    suppression joins — none may depend on partition layout."""
     names = ["dedup_span_profile_capped", "text_good_turing",
              "text_burstiness", "graph_avg_neighbor_degree",
              "graph_rich_club", "eval_isotonic_calibration",
-             "stats_conformal_coverage", "eval_confident_joint"]
+             "stats_conformal_coverage", "eval_confident_joint",
+             "ts_hurst_rs", "ann_diversified_topk"]
     _assert_partition_invariant(spark, sf_dir, names)

@@ -3170,3 +3170,72 @@ def test_confident_joint_flags_planted_label_noise(spark, tmp_path):
     # off-diagonal = the 40 planted flips, exactly
     assert out.c01 + out.c10 == 40, out
     assert abs(out.est_label_error_rate - 0.1) < 0.02
+
+
+def test_hurst_separates_planted_persistence(spark, tmp_path):
+    """REGISTERED ts_hurst_rs on planted daily series: a strongly
+    trending (persistent) series must score H well above a
+    sign-alternating (antipersistent) one, with the random-walk
+    benchmark between them."""
+    from datetime import datetime, timedelta
+
+    from fmx.queries.temporal_queries import ts_hurst_rs
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    for d in range(96):
+        # 'trend': monotone rising daily totals (persistent, H -> 1)
+        rows.append((eid, base + timedelta(days=d), 1, "trend",
+                     10.0 + d, None)); eid += 1
+        # 'flip': alternating high/low (antipersistent, H -> 0)
+        rows.append((eid, base + timedelta(days=d), 1, "flip",
+                     10.0 if d % 2 == 0 else 200.0, None)); eid += 1
+    out = {r.event_type: r.hurst for r in
+           ts_hurst_rs(spark, _planted_events_dir(
+               spark, tmp_path, rows)).collect()}
+    assert out["trend"] > 0.85, out
+    assert out["flip"] < 0.3, out
+    assert out["trend"] - out["flip"] > 0.5
+
+
+def test_diversified_topk_suppresses_near_duplicate(spark, tmp_path):
+    """REGISTERED ann_diversified_topk on planted embeddings: two
+    near-identical high-scoring candidates must not BOTH appear —
+    the lower-ranked twin is suppressed and a distinct vector takes
+    its slot; plain cosine top-k would keep both."""
+    import math
+
+    from fmx.queries.similarity_queries import (DIV_K,
+                                                ann_diversified_topk)
+
+    dim = 8
+
+    def unit(*basis):
+        v = [0.0] * dim
+        for i, w in basis:
+            v[i] = w
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # vec 0-4 are queries (vec_id < N_QUERIES); craft corpus vectors
+    # 10.. so that for query 0 = e0: cand 10 (0.8e0+0.6e1, cos 0.8 to
+    # the query), cand 11 a near-copy of 10 (cos(11,10) ~ 1.0 ->
+    # suppressed), cand 12 equally relevant but on the OPPOSITE e1
+    # side (cos(12,10) = 0.64-0.36 = 0.28 < tau -> kept)
+    rows = [(q, unit((q, 1.0))) for q in range(5)]
+    rows.append((10, unit((0, 0.8), (1, 0.6))))           # top hit
+    rows.append((11, unit((0, 0.8), (1, 0.61))))          # near-copy
+    rows.append((12, unit((0, 0.8), (1, -0.6))))          # distinct
+    for i, k in enumerate(range(13, 13 + 12)):
+        rows.append((k, unit((3 + (i % 5), 1.0), (0, 0.05 * (i + 1)))))
+    (spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+     .coalesce(1)
+     .write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet")))
+    out = ann_diversified_topk(spark, str(tmp_path))
+    got = [(r.vec_id, r.div_rank) for r in
+           out.filter(F.col("query_id") == 0).orderBy("div_rank").collect()]
+    ids = [v for v, _ in got]
+    assert len(ids) <= DIV_K
+    assert 10 in ids, got          # the leader survives
+    assert 11 not in ids, got      # its near-copy is suppressed
+    assert 12 in ids, got          # the distinct vector is kept

@@ -124,6 +124,11 @@ _ALLOWED = {
         "eval_isotonic_calibration",  # <=101-row bin-prefix broadcast
                                       # (the bj<=bk minimax lattice)
         "eval_confident_joint",     # 1-row threshold-stats broadcast
+        "ts_hurst_rs",              # 3-row window-size-relation
+                                    # broadcast onto the day grain
+        "ann_diversified_topk",     # broadcast query-set cross (the
+                                    # cosine shortlist) + the bounded
+                                    # M^2 within-query pair join
         "ts_theilsen_trend",        # day-grain pair join + 1-row medians
         "graph_clustering_coefficient",  # two 1-row relations crossed
         "graph_pagerank_3iter", "profile_chi2_lang_source",
