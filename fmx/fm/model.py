@@ -176,10 +176,21 @@ class FMModel(Model, FMParamsBase, MLWritable, MLReadable):
         """Predict from long format ``(sample_id, featureId, featureValue)``.
 
         Relational plan (reference Model.scala:90-133, re-shaped):
-        inner-join params → per-row terms → two hash-aggs on
-        (sample, f) and (sample) → scalar combine → clamp.
-        """
+        inner-join params → per-row terms → ONE hash-agg on (sample)
+        → scalar combine → clamp.
+
+        The pairwise term Σ_f (Σ_i v_if·x_i)² needs the k per-factor
+        sums s_f; k is a model constant, so they ride the SAME
+        per-sample aggregation as the linear terms — k indexed sums
+        ``sum(vfxi[f])`` — instead of a posexplode (k-way row fan-out)
+        plus a second (sample, f) shuffle plus a join back.  One
+        exchange total where the r12 shape had three plus a join
+        (optimization guide §2.4: two operations keyed the same way
+        share one exchange; §2.3: aggregate before you shuffle — the
+        k sums leave the map side as one k-wide partial row, the
+        exploded shape shipped k partial rows)."""
         strength, factors = self._param_tables()
+        k = self.dim_factorization
         rows = (
             exploded.alias("ex")
             .join(strength.alias("ds"), "featureId", "inner")
@@ -194,21 +205,17 @@ class FMModel(Model, FMParamsBase, MLWritable, MLReadable):
         per_sample = rows.groupBy(sample_id).agg(
             F.sum("wixi").alias("wixiSum"),
             F.sum("vi2xi2").alias("vi2xi2Sum"),
+            *[F.sum(F.col("vfxi")[f]).alias(f"_s{f}") for f in range(k)],
         )
-        # Σ_f (Σ_i v_if·x_i)² without materializing the summed vector
-        per_sample_f = (
-            rows.select(sample_id, F.posexplode("vfxi").alias("f", "vfx"))
-            .groupBy(sample_id, "f").agg(F.sum("vfx").alias("s"))
-            .groupBy(sample_id).agg(F.sum(F.col("s") * F.col("s")).alias("vfxiSumSq"))
-        )
-        pred = (
-            per_sample.join(per_sample_f, sample_id)
-            .select(
-                F.col(sample_id),
-                (F.lit(self.global_bias) + F.col("wixiSum")
-                 + 0.5 * (F.col("vfxiSumSq") - F.col("vi2xi2Sum"))
-                 ).alias(self.getPredictionCol()),
-            )
+        vfxi_sum_sq = None
+        for f in range(k):
+            term = F.col(f"_s{f}") * F.col(f"_s{f}")
+            vfxi_sum_sq = term if vfxi_sum_sq is None else vfxi_sum_sq + term
+        pred = per_sample.select(
+            F.col(sample_id),
+            (F.lit(self.global_bias) + F.col("wixiSum")
+             + 0.5 * (vfxi_sum_sq - F.col("vi2xi2Sum"))
+             ).alias(self.getPredictionCol()),
         )
         return self._clamp(pred)
 

@@ -16,6 +16,16 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Schema cache: metastore-style catalog of parquet schemas keyed on the
+# resolved file path.  Without it every load_table call runs parquet
+# schema inference — a driver-side footer-read JOB that costs one
+# scheduling floor (~30-80 ms) per table per query, the single largest
+# fixed overhead on sub-second headliners (guide §6: production tables
+# carry catalog schemas; re-inferring per query is pure waste).  Only
+# SCHEMAS are cached (StructType metadata, a few hundred bytes) — never
+# data, plans, or results; every query still scans the parquet fresh.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver test table (parquet) from ``sf_dir``, with
@@ -29,6 +39,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # CAST(ts AS DOUBLE) and watermarks are illegal; read as session-tz
     # TIMESTAMP (UTC session zone ⇒ same wall times as the DuckDB oracle)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # older generator runs stored events.ts as parquet
         # TIMESTAMP(NANOS), which Spark 4 rejects unless read as long;
@@ -36,14 +47,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # emits us-resolution). Set defensively — the driver's session
         # may lack the conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division: `/` would promote to double, and ns values
             # ~1.7e18 exceed 2^53, shaving 1us off ~1.6% of timestamps
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _tz_normalize(df)
-    return _tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return _tz_normalize(_read_parquet(spark, path))
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """parquet scan with the inferred schema cached per resolved path
+    (first read infers and remembers; later reads skip the footer job).
+    The cache key includes the conf that changes inference output
+    (nanosAsLong) so the same file read under a different session conf
+    can never see a stale schema."""
+    import os as _os
+
+    key = (_os.path.realpath(path)
+           + "|" + str(spark.conf.get(
+               "spark.sql.legacy.parquet.nanosAsLong", "false")))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _tz_normalize(df: DataFrame) -> DataFrame:
