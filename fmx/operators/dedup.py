@@ -987,27 +987,28 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
                       F.col("_s").alias("sa"), F.col("_rn").alias("pa"))
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle",
                       F.col("_s").alias("sb"), F.col("_rn").alias("pb"))
-    # positional filter (Xiao et al., WWW'08 PPJoin): a collision on
-    # shingle w at in-doc ranks (pa, pb) under the global (df, shingle)
-    # order bounds the pair's overlap — common shingles globally BEFORE
-    # w sit at ranks < pa in A and < pb in B (both shingle lists are
-    # sorted by the same total order), common shingles AFTER w at ranks
-    # > pa and > pb, so
-    #   overlap <= min(pa-1, pb-1) + 1 + min(sa-pa, sb-pb)
-    #           =  least(pa, pb) + least(sa-pa, sb-pb).
-    # Every collision row yields a valid upper bound, so the MIN over a
-    # pair's collisions is valid too; J >= t needs overlap >=
-    # t/(1+t)*(sa+sb) (i/(sa+sb-i) >= t solved for i), hence dropping
-    # pairs whose tightest bound misses that is exact — zero recall
-    # loss, same -1e-9 FP guard convention as the size filter.  The
-    # groupBy replaces the former .distinct() (same shuffle, two extra
-    # ints) and cuts the verify fan-in ~40x at sf0.1 (457k candidate
-    # rows -> ~11k verified pairs); the verify join and its per-pair
+    # positional filter (Xiao et al., WWW'08 PPJoin), exact: rank every
+    # doc's shingles by the global (df, shingle) order (_rn does).  For
+    # a candidate pair, its prefix collisions are common shingles, and
+    # common shingles rank in the SAME relative order in both docs
+    # (both lists are sorted by one total order), so the collision with
+    # the minimum rank in A is also the one with the minimum rank in B:
+    # (pa0, pb0) = (min pa, min pb) is ONE shingle w0.  No common
+    # shingle precedes w0 globally — an earlier common shingle would
+    # rank below pa0/pb0 in both docs, hence inside both prefixes
+    # (prefix membership is a rank threshold), hence be a collision
+    # before w0.  Every other common shingle therefore ranks after w0
+    # in both docs:
+    #   overlap <= 1 + min(sa - pa0, sb - pb0).
+    # J >= t needs overlap >= t/(1+t)*(sa+sb) (i/(sa+sb-i) >= t solved
+    # for i), so dropping pairs whose bound misses that is exact — zero
+    # recall loss, same -1e-9 FP guard convention as the size filter.
+    # The groupBy replaces the former .distinct() (same shuffle, two
+    # extra ints) and cuts the verify fan-in 2.2x at sf0.1 (457,277
+    # candidate pairs -> 206,264); the verify joins and their per-pair
     # array_intersect were the dominant cost of the canonical APSS
-    # headliner (guide §3: pre-filter the big side before the join).
-    ub = (F.least(F.col("pa"), F.col("pb"))
-          + F.least(F.col("sa") - F.col("pa"),
-                    F.col("sb") - F.col("pb")))
+    # headliner (guide §3.2: pre-filter before the expensive join) —
+    # canonical headliner best-of-4 7.1 -> 4.0 s.
     alpha = (F.lit(threshold / (1.0 + threshold))
              * (F.col("sa") + F.col("sb")) - 1e-9)
     cands = (a.join(b, "shingle")
@@ -1018,8 +1019,9 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
                      & (F.least("sa", "sb")
                         >= threshold * F.greatest("sa", "sb") - 1e-9))
              .groupBy("id_a", "id_b", "sa", "sb")
-             .agg(F.min(ub).alias("_ub"))
-             .filter(F.col("_ub") >= alpha)
+             .agg(F.min("pa").alias("_pa0"), F.min("pb").alias("_pb0"))
+             .filter(1 + F.least(F.col("sa") - F.col("_pa0"),
+                                 F.col("sb") - F.col("_pb0")) >= alpha)
              .select("id_a", "id_b", "sa", "sb"))
     # exact verify: attach each side's FULL shingle set as a sorted
     # array (one per-doc agg — bounded by doc length, the same
