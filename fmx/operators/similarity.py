@@ -1102,26 +1102,32 @@ def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
     tie-break, so the oracle replays every round exactly.  Seeding
     from ordered ids (not hashes) keeps init portable; at 100TB the
     take-k init is a TakeOrdered, never a full sort."""
-    d = _kmeans_final_distances(df, id_col, vec_col, k, iters)
-    return _rank_cells(d, id_col).filter(F.col("_rn") == 1).drop("_rn")
+    d = _kmeans_final_cells(df, id_col, vec_col, k, iters)
+    best = F.array_min(F.filter(F.col("_arr"),
+                                lambda s: s["dist"].isNotNull()))
+    return d.select(F.col(id_col), best["cell"].alias("cell"),
+                    best["dist"].alias("dist"))
 
 
-def _rank_cells(d: DataFrame, id_col: str) -> DataFrame:
-    """Rank the (id, cell, dist) relation per id on (dist, cell) — the
-    ONE assignment tie-break rule, shared by kmeans_assign (keep rank
-    1), the per-round argmin inside _kmeans_final_distances, and
-    kmeans_assign_margin (ranks 1-2).  Change the rule here and every
-    readout moves together."""
-    w = Window.partitionBy(id_col).orderBy("dist", "cell")
-    return d.withColumn("_rn", F.row_number().over(w))
+def _kmeans_final_cells(df: DataFrame, id_col: str, vec_col: str,
+                        k: int, iters: int) -> DataFrame:
+    """(id, _arr) of the FINAL mini-Lloyd round, where ``_arr`` is the
+    k-element array<struct<dist, cell>> of rounded squared distances —
+    the single source behind kmeans_assign (in-row array_min) and
+    kmeans_assign_margin (in-row array_sort top-2), so the replayed
+    rounds cannot drift between the two readouts.  The struct field
+    order (dist, cell) IS the one assignment tie-break rule (dist asc,
+    cell asc); cells whose centroid vanished (no members after a
+    reassignment round) carry NULL dist and are filtered before any
+    readout, matching the old inner-join semantics.
 
-
-def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
-                            k: int, iters: int) -> DataFrame:
-    """The (id, cell, dist) relation of the FINAL mini-Lloyd round —
-    the single source behind kmeans_assign (argmin) and
-    kmeans_assign_margin (top-2 gap), so the replayed rounds cannot
-    drift between the two readouts."""
+    r13 plan shape (guide §2.4): the k centroids pivot WIDE on pos
+    (one tiny k x dim -> dim-row agg), the per-vector distance pass is
+    ONE broadcast join + ONE per-id hash-agg with k sums, and both the
+    per-round argmin and the final readouts are in-row expressions —
+    where the long-format shape needed a (id, cell) agg plus a per-id
+    ranking window per round (2 exchanges + a k-way row fan per round,
+    11 AQE jobs -> 5 at sf0.1)."""
     ex = (df.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "x"))
           .withColumn("x", F.col("x").cast("double")))
     seeds = (df.select(id_col).orderBy(id_col).limit(int(k))
@@ -1132,16 +1138,24 @@ def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
              .select("cell", "pos", F.col("x").alias("c")))
 
     def _dists(cents_df: DataFrame) -> DataFrame:
-        return (ex.join(F.broadcast(cents_df), "pos")
-                .groupBy(id_col, "cell")
-                .agg(F.round(F.sum((F.col("x") - F.col("c"))
-                                   * (F.col("x") - F.col("c"))), 6)
-                     .alias("dist")))
+        # pivot the k x dim centroid relation wide on pos (tiny agg),
+        # broadcast it, and fold the k squared-distance sums into ONE
+        # per-id aggregation; round(..., 6) per cell as before
+        cw = cents_df.groupBy("pos").agg(
+            *[F.max(F.when(F.col("cell") == c, F.col("c"))).alias(f"_c{c}")
+              for c in range(int(k))])
+        agg = (ex.join(F.broadcast(cw), "pos")
+               .groupBy(id_col)
+               .agg(*[F.round(F.sum((F.col("x") - F.col(f"_c{c}"))
+                                    * (F.col("x") - F.col(f"_c{c}"))), 6)
+                      .alias(f"_d{c}") for c in range(int(k))]))
+        arr = F.array(*[F.struct(F.col(f"_d{c}").alias("dist"),
+                                 F.lit(c).alias("cell"))
+                        for c in range(int(k))])
+        return agg.select(F.col(id_col), arr.alias("_arr"))
 
     d = _dists(cents)
     for _ in range(int(iters)):
-        assign = (_rank_cells(d, id_col)
-                  .filter(F.col("_rn") == 1).drop("_rn"))
         # stays lazy: the recomputed k x dim centroid relation is
         # broadcast on its single consumer (_dists), and the per-round
         # chains canonicalize to reused exchanges — r11's eager
@@ -1149,7 +1163,10 @@ def _kmeans_final_distances(df: DataFrame, id_col: str, vec_col: str,
         # benched SLOWER than the uncut r10 plan at every measured SF
         # (as did a driver-pull variant); with the query-registry
         # iters <= 2 the lineage stays shallow
-        cents = (ex.join(assign.select(id_col, "cell"), id_col)
+        best = F.array_min(F.filter(F.col("_arr"),
+                                    lambda s: s["dist"].isNotNull()))
+        assign = d.select(F.col(id_col), best["cell"].alias("cell"))
+        cents = (ex.join(assign, id_col)
                  .groupBy("cell", "pos")
                  .agg(F.round(F.avg("x"), 6).alias("c")))
         d = _dists(cents)
@@ -1164,13 +1181,18 @@ def kmeans_assign_margin(df: DataFrame, id_col: str, vec_col: str,
     whose cell flips under tiny perturbations (route those to exact
     rerank; trust the bucket for the rest).  Returns (id, cell, d1,
     d2) from the same final-round distance relation as
-    ``kmeans_assign``; the only window is the k-row per-id rank."""
-    d = _kmeans_final_distances(df, id_col, vec_col, k, iters)
-    rk = _rank_cells(d, id_col).filter(F.col("_rn") <= 2)
-    return rk.groupBy(id_col).agg(
-        F.max(F.when(F.col("_rn") == 1, F.col("cell"))).alias("cell"),
-        F.max(F.when(F.col("_rn") == 1, F.col("dist"))).alias("d1"),
-        F.max(F.when(F.col("_rn") == 2, F.col("dist"))).alias("d2"))
+    ``kmeans_assign``; the top-2 is an in-row array_sort over the k
+    (dist, cell) structs — no window, no extra shuffle."""
+    d = _kmeans_final_cells(df, id_col, vec_col, k, iters)
+    ranked = F.array_sort(F.filter(F.col("_arr"),
+                                   lambda s: s["dist"].isNotNull()))
+    return d.select(
+        F.col(id_col),
+        ranked[0]["cell"].alias("cell"),
+        ranked[0]["dist"].alias("d1"),
+        # F.get: NULL (not an ANSI error) when only one live cell
+        # remains, matching the old rank-2 max(when) semantics
+        F.get(ranked, 1)["dist"].alias("d2"))
 
 
 def truncation_fidelity(corpus: DataFrame, queries: DataFrame,
