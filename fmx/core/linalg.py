@@ -152,6 +152,24 @@ def hash_uniform(*cols: ColumnOrName, seed: int = 0, salt: int = 0) -> Column:
     return (h.cast("double") / F.lit(_TWO63) + F.lit(1.0)) / F.lit(2.0)
 
 
+def _hash_normal_sql(refs: str, seed: int, salt: int,
+                     sd: float, mean: float) -> str:
+    """The Irwin–Hall expression as ONE SQL string.  Bit-identical to
+    the Column-API fold (same literal types: bare ints parse as INT
+    exactly like py4j-converted F.lit ints; the D suffix keeps every
+    numeric DOUBLE like F.lit(float); left-assoc + matches the fold;
+    the fold's leading 0.0 + u1 is a no-op since uniforms are never
+    -0.0) — built this way because each Column operation is a py4j
+    round-trip: constructing the k=8 init vector cost 6.3 s of a
+    12.9 s warm SGD fit (guide §1.2 step 2: per-task work includes
+    driver-side plan construction when it is 50% of the wall)."""
+    terms = " + ".join(
+        f"((cast(xxhash64({refs}, {int(seed)}, {int(salt) * 16 + j + 1})"
+        f" as double) / {_TWO63!r}D + 1.0D) / 2.0D)"
+        for j in range(12))
+    return f"(({terms}) - 6.0D) * ({float(sd)!r}D) + ({float(mean)!r}D)"
+
+
 def hash_normal(*cols: ColumnOrName, seed: int = 0, salt: int = 0,
                 sd: float = 1.0, mean: float = 0.0) -> Column:
     """~N(mean, sd²) via Irwin–Hall (sum of 12 hash-uniforms − 6).
@@ -159,6 +177,10 @@ def hash_normal(*cols: ColumnOrName, seed: int = 0, salt: int = 0,
     Deterministic replacement for the reference's unseeded
     ``Random.nextGaussian`` init (FactorizationMachinesSGD.scala:235,240;
     FactorizationMachinesModel.scala:145,170)."""
+    if all(isinstance(c, str) for c in cols):
+        refs = ", ".join(f"`{c}`" for c in cols)
+        return F.expr(_hash_normal_sql(refs, seed, salt, sd, mean))
+    # Column-operand fallback: identical arithmetic via the API fold
     acc = F.lit(0.0)
     for j in range(12):
         acc = acc + hash_uniform(*cols, seed=seed, salt=salt * 16 + j + 1)
@@ -167,7 +189,15 @@ def hash_normal(*cols: ColumnOrName, seed: int = 0, salt: int = 0,
 
 def hash_normal_vec(k: int, *cols: ColumnOrName, seed: int = 0,
                     sd: float = 1.0) -> Column:
-    """length-k array of independent ~N(0, sd²) entries keyed on cols (U8)."""
+    """length-k array of independent ~N(0, sd²) entries keyed on cols
+    (U8).  One SQL-text expression — one py4j round-trip instead of
+    ~100 per entry (see _hash_normal_sql)."""
+    if all(isinstance(c, str) for c in cols):
+        refs = ", ".join(f"`{c}`" for c in cols)
+        entries = ", ".join(
+            _hash_normal_sql(refs, seed, 100 + f, sd, 0.0)
+            for f in range(k))
+        return F.expr(f"array({entries})")
     return F.array(*[hash_normal(*cols, seed=seed, salt=100 + f, sd=sd)
                      for f in range(k)])
 

@@ -88,6 +88,57 @@ def forward(rows: DataFrame, sf: DataFrame, w0: float,
     return out.select(*cols)
 
 
+def forward_wide(rows: DataFrame, w0: float, k: int,
+                 label_col: str | None = None,
+                 sample_id: str = "sampleId") -> DataFrame:
+    """Sample-grain forward pass in ONE hash-agg: (sample, label?,
+    pred, err?, s) where ``s`` is the k-element factor-sum array —
+    replaces ``factor_sums`` + ``forward`` (two shuffled aggs + a
+    join) for consumers that can take s in-row (the SGD step).  k is
+    a model constant, so the per-factor sums ride the same groupBy as
+    the linear terms (guide §2.4; the same fusion as
+    FMModel.predict_exploded)."""
+    aggs = [F.sum(F.col("w") * F.col("x")).alias("wixiSum"),
+            F.sum(L.vi2xi2("v", F.col("x"))).alias("vi2xi2Sum"),
+            *[F.sum(F.col("v")[f] * F.col("x")).alias(f"_s{f}")
+              for f in range(int(k))]]
+    if label_col:
+        aggs.insert(0, F.first(label_col).alias(label_col))
+    per = rows.groupBy(sample_id).agg(*aggs)
+    sumsq = None
+    for f in range(int(k)):
+        term = F.col(f"_s{f}") * F.col(f"_s{f}")
+        sumsq = term if sumsq is None else sumsq + term
+    out = per.withColumn(
+        "pred", F.lit(w0) + F.col("wixiSum")
+        + 0.5 * (sumsq - F.col("vi2xi2Sum"))).withColumn(
+        "s", F.array(*[F.col(f"_s{f}") for f in range(int(k))]))
+    cols = [sample_id, "pred", "s"]
+    if label_col:
+        cols.insert(1, label_col)
+        out = out.withColumn("err", F.col("pred") - F.col(label_col))
+        cols.append("err")
+    return out.select(*cols)
+
+
+def per_row_gradients_wide(rows: DataFrame, fwd: DataFrame,
+                           label_col: str,
+                           sample_id: str = "sampleId") -> DataFrame:
+    """``per_row_gradients`` against the fused ``forward_wide`` output:
+    ONE sample-keyed join attaches both err and the factor sums (read
+    in-row as s[f]), where the long-format path joined the (sample, f)
+    sf relation and the err relation separately."""
+    rows_f = rows.select(sample_id, "featureId", "x",
+                         F.posexplode("v").alias("f", "vf"))
+    return (rows_f
+            .join(fwd.select(sample_id, "err", "s"), sample_id)
+            .select(sample_id, "featureId", "f", "x",
+                    (F.col("x") * F.col("err")).alias("gw"),
+                    ((F.col("x") * F.col("s")[F.col("f")]
+                      - F.col("vf") * F.col("x") * F.col("x"))
+                     * F.col("err")).alias("gv")))
+
+
 def per_row_gradients(rows: DataFrame, sf: DataFrame, pred: DataFrame,
                       label_col: str,
                       sample_id: str = "sampleId") -> DataFrame:

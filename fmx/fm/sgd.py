@@ -257,9 +257,14 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         # Model.scala:154-171)
         rows = DF.join_params(ex, params, how="left", k=k,
                               sd=sd, seed=seed + it, sample_id=sid).cache()
-        sf_rel = DF.factor_sums(rows, sample_id=sid)
+        # fused forward (guide §2.4): pred, err and the k factor sums
+        # come from ONE per-sample hash-agg (forward_wide) instead of
+        # the factor_sums agg + forward's two aggs + join, and the
+        # gradient pass joins that one relation on sample_id instead
+        # of the (sample, f) sf relation plus err separately — two
+        # fewer shuffles per training iteration
         pred = self._error_and_loss(
-            DF.forward(rows, sf_rel, w0, label_col=label, sample_id=sid),
+            DF.forward_wide(rows, w0, k, label_col=label, sample_id=sid),
             label).cache()
         stats = pred.agg(
             F.sum("loss_term").alias("loss"),
@@ -276,8 +281,8 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
             # driver-side; piggybacks on the loss action)
             w0 = w0 - lr * float(stats.mean_err)
 
-        grads = DF.per_row_gradients(rows, sf_rel, pred, label,
-                                     sample_id=sid)
+        grads = DF.per_row_gradients_wide(rows, pred, sample_id=sid,
+                                          label_col=label)
         grad = DF.aggregate_gradients_merged(grads, n, lr, k)
 
         # upsert: params ∪ gradients in ONE outer join (the tables are
