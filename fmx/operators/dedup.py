@@ -942,47 +942,69 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
     the hot shingles that force ``max_df`` guards elsewhere never enter
     the index.
 
-    Shapes: one df agg on the shingle grain, one per-doc window
-    (partitioned by doc — never global) to take the p rarest shingles,
-    one candidate equi-join on prefix shingle + distinct, and a verify
-    join that fans candidate pairs back over their full shingle sets
-    (bounded: |candidates| * doc size).  At 100 TB every stage is an
-    ordinary shuffle on shingle or doc id.
+    Shapes (r13 fused form): map-only in-row shingle dedup, one df agg
+    on the shingle grain, ONE doc-grain aggregation building the
+    rarest-first ranked shingle array (position = rank; the array
+    doubles as the verify set), one candidate equi-join on prefix
+    shingle + the PPJoin positional group-filter, and two id-grain
+    verify joins counting intersections in-row.  At 100 TB every
+    stage is an ordinary shuffle on shingle or doc id.
     """
-    # Materialize the shingle relation ONCE (lazy localCheckpoint —
-    # Vernica et al.'s "materialize the tokenized corpus between jobs"
-    # step): four consumers read it (document frequency, the per-doc
-    # ranking, candidate generation, and the verify arrays), and
-    # without the cut Catalyst re-derives the explode+distinct subplan
-    # for each — measured as 12 parquet scans / 18 explodes in the
-    # sf0.1 bench plan.  100 TB contract (r12): the checkpoint pins
-    # the exploded corpus in executor MEMORY_AND_DISK and truncates
-    # lineage (non-recomputable on executor loss) — at cluster scale
-    # pass ``materialize=False``: every consumer then re-derives the
-    # tokenize pass map-only from the scan and the plan degrades to
-    # ordinary recomputable shuffles, trading ~2 extra scan-stage CPU
-    # passes for zero pinned storage.  (An r12 restructure that cut
-    # only bounded relations re-measured SLOWER at sf0.1 — the
-    # re-derived single-row-group tokenize single-threads; SCALE.md
-    # r12 records the variants.)
-    sh = word_shingles(df, id_col, text_col, n=n, max_df=None)
-    if materialize:
-        sh = sh.localCheckpoint(eager=False)
+    # r13 doc-grain fusion (guide §2.3/§2.4 — the round's measured
+    # restructure; earlier failed attempts are in SCALE.md "APSS
+    # restructure attempts"): the old pipeline materialized the
+    # exploded (id, shingle) relation (a global distinct EXCHANGE),
+    # ranked it with two windows partitioned by doc (another exchange
+    # + per-partition sort, planned TWICE — once per candidate join
+    # side), and built the verify arrays with a separate collect_set
+    # aggregation (a third corpus-grain exchange).  Three observations
+    # collapse all of that into ONE doc-grain aggregation:
+    #
+    # - (id, shingle) duplicates only exist WITHIN a document, so the
+    #   global distinct is equivalent to a map-only in-row
+    #   array_distinct over the shingle expression — zero exchanges;
+    # - the rarest-first rank is a total order by (df, shingle), so
+    #   array_sort over collected (df, shingle) structs replaces the
+    #   row_number window, and the array POSITION is the rank;
+    # - the ranked array IS the verify array (array_intersect is
+    #   hash-based — element order irrelevant), so prefix index and
+    #   verify sets are two map-side projections of one relation.
+    #
+    # Net: tokenize -> one df aggregation -> one doc-grain aggregation;
+    # the checkpointed relation is (id, s, ranked shingle array),
+    # read by candidate generation (both sides) and both verify joins.
+    # 100 TB contract unchanged from r12: ``materialize=False`` trades
+    # the pinned executor-memory relation for map-only re-derivation
+    # of the tokenize+agg chain per consumer.
+    toks = df.select(F.col(id_col),
+                     F.split(F.col(text_col), " ").alias("t"))
+    sh = toks.select(
+        id_col,
+        F.explode(F.array_distinct(_shingle_expr(n))).alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    shf = sh.join(dfreq, "shingle")
-    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
-    ranked = shf.select(id_col, "shingle",
-                        F.row_number().over(w).alias("_rn"),
-                        F.count("*").over(
-                            Window.partitionBy(id_col)).alias("_s"))
+    docg = (sh.join(dfreq, "shingle")
+            .groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_df").alias("d"),
+                             F.col("shingle").alias("sh")))),
+                lambda x: x["sh"]).alias("_lst"))
+            .select(id_col, F.size("_lst").alias("_s"), "_lst"))
+    if materialize:
+        docg = docg.localCheckpoint(eager=False)
     # p = s - floor(t*s) + 1 rarest shingles form the prefix index.
     # floor (not the canonical ceil) keeps every FP rounding error on
     # the SAFE side: p >= s - ceil(t*s) + 1 always, so a float blip can
     # only lengthen the prefix (more candidates), never break exactness
     # the way an over-ceiled 0.4*25 = 10.000000000000002 would.
-    prefix = ranked.filter(
-        F.col("_rn") <= F.col("_s") - F.floor(F.lit(threshold)
-                                              * F.col("_s")) + 1)
+    p = (F.col("_s") - F.floor(F.lit(threshold) * F.col("_s")) + 1
+         ).cast("int")
+    prefix = (docg
+              .select(id_col, F.col("_s"),
+                      F.posexplode(F.slice("_lst", F.lit(1), p))
+                      .alias("_p0", "shingle"))
+              .select(id_col, "_s", "shingle",
+                      (F.col("_p0") + 1).alias("_rn")))
     a = prefix.select(F.col(id_col).alias("id_a"), "shingle",
                       F.col("_s").alias("sa"), F.col("_rn").alias("pa"))
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle",
@@ -1023,18 +1045,17 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
              .filter(1 + F.least(F.col("sa") - F.col("_pa0"),
                                  F.col("sb") - F.col("_pb0")) >= alpha)
              .select("id_a", "id_b", "sa", "sb"))
-    # exact verify: attach each side's FULL shingle set as a sorted
-    # array (one per-doc agg — bounded by doc length, the same
-    # contract as every collect_list-per-doc here) and count the
-    # intersection map-side with array_intersect.  This replaced the
-    # r10 fan-out verify (explode candidates over id_a's shingles,
-    # join on (shingle, id_b)): that shape materialized
-    # |cands| x doc-size intermediate rows through two shuffles,
-    # measured as the bench headliner's dominant cost at sf0.1; the
-    # array verify is two id-equi-joins plus a codegen intersect —
-    # same exact counts, no pair fan-out.
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("shingle")).alias("_set"))
+    # exact verify: attach each side's FULL shingle array (the ranked
+    # array from the doc-grain relation — array_intersect hashes its
+    # inputs, so rarest-first order counts identically to the old
+    # lexically sorted set) and count the intersection map-side.
+    # This replaced the r10 fan-out verify (explode candidates over
+    # id_a's shingles, join on (shingle, id_b)): that shape
+    # materialized |cands| x doc-size intermediate rows through two
+    # shuffles, measured as the bench headliner's dominant cost at
+    # sf0.1; the array verify is two id-equi-joins plus a codegen
+    # intersect — same exact counts, no pair fan-out.
+    sets = docg.select(id_col, F.col("_lst").alias("_set"))
     inter = (cands
              .join(sets.select(F.col(id_col).alias("id_a"),
                                F.col("_set").alias("_seta")), "id_a")

@@ -480,18 +480,38 @@ def _copurchase_edges(spark, sf, cap: int = 32):
     old 4-exchange pipeline (distinct, cap window, self-join,
     distinct) fuses to basket-agg + pair-distinct.  The in-row
     expansion is bounded by the cap (<= C(32,2) = 496 structs/order);
-    row-identical to the join form (A/B'd: 1,196,000 edges, 0 diff,
-    2.35 -> 1.56 s warm at sf0.1)."""
+    row-identical to the join form (A/B'd: 1,196,000 edges, 0 diff).
+
+    Two r13 per-task refinements (guide §1.2 step 2, measured
+    together 1.29 -> 0.81 s warm at sf0.1, still 1,196,000 edges /
+    0 diff):
+
+    - the pair expansion is TWO codegen Generates
+      (posexplode + explode(slice)) instead of nested lambda
+      ``transform``s — higher-order-function lambdas evaluate
+      interpreted per element outside whole-stage codegen, and this
+      stage was the plan's hottest (~500 ms/task);
+    - when the lineitem scan yields fewer partitions than the session
+      parallelism (the sub-row-group local file; never a cluster-scale
+      table), it is repartitioned BY THE GROUP KEY first — the groupBy
+      reuses that exchange (zero extra shuffles, guide §2.4), so the
+      collect_set runs at full parallelism instead of on the scan's
+      partition count, at the cost of skipping a partial aggregation
+      whose input (600k narrow rows) was barely larger than its
+      output."""
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    sc = spark.sparkContext
+    if li.rdd.getNumPartitions() < sc.defaultParallelism:
+        li = li.repartition("l_orderkey")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.slice(F.sort_array(F.collect_set("l_partkey")),
                             1, cap).alias("_parts")))
-    pairs = F.expr("""
-        flatten(transform(_parts,
-            (x, i) -> transform(slice(_parts, i + 2, size(_parts)),
-                                y -> struct(x AS src, y AS dst))))""")
-    return (baskets.select(F.explode(pairs).alias("p"))
-            .select("p.src", "p.dst").distinct())
+    ex = (baskets
+          .select(F.posexplode("_parts").alias("_i", "src"), "_parts")
+          .select("src",
+                  F.explode(F.slice(F.col("_parts"), F.col("_i") + 2,
+                                    F.size("_parts"))).alias("dst")))
+    return ex.distinct()
 
 
 # The SQL twin of _copurchase_edges (same 32-item basket cap and tie
