@@ -222,6 +222,10 @@ _ALLOWED = {
         "sample_negative_downsample",  # filter on the md5 keep-coin
         "er_fuzzy_match",   # rank/dist filters on computed edit distance
         "er_fuzzy_match_multipass",  # same computed-dist filters, unioned passes
+        "fm_predict",  # size(cast(embedding))>0 explode guard — a
+                       # computed-array predicate no engine can push
+                       # (appeared with the r13 fused forward agg,
+                       # which filters before the Generate)
         "emb_jl_projection",   # generator null-guard on the vector array
         "text_bigram_lm_ppl",  # generator null-guard on the token arrays
         "text_pmi_bigrams",  # min_count filter on aggregated pair counts
