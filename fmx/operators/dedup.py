@@ -202,8 +202,13 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                .agg(F.count("*").alias("ndocs"))
                .filter(F.col("ndocs") <= max_df))
         # inner join both drops hot shingles and attaches ndocs; every
-        # surviving key joins to <= max_df rows, so no straggler task
-        occ = occ.join(dfc, "shingle")
+        # surviving key joins to <= max_df rows, so no straggler task.
+        # shuffled-hash build on the narrow (shingle, ndocs) side
+        # skips sort-merge's per-partition sort of the span relation
+        # (guide §3.1; same contract as the APSS dfreq join: the build
+        # slice is a hash-partitioned vocab fragment, and its keys are
+        # <= max_df docs by construction)
+        occ = occ.join(dfc.hint("shuffle_hash"), "shingle")
     else:
         occ = occ.withColumn(
             "ndocs", F.count("*").over(Window.partitionBy("shingle")))
@@ -982,7 +987,17 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
         id_col,
         F.explode(F.array_distinct(_shingle_expr(n))).alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    docg = (sh.join(dfreq, "shingle")
+    # shuffled-hash join, build side = the (shingle, df) relation
+    # (guide §3.1): both sides shuffle on shingle either way, but
+    # sort-merge pays a per-partition sort of the full (id, shingle)
+    # relation where the hash build touches only the narrow vocab
+    # slice — measured 2.9 -> 2.0 s on the sf0.1 headliner (docg
+    # subplan alone 1.58 -> 0.98).  Scale contract: the build side is
+    # one hash-partitioned slice of the (shingle, count) vocabulary —
+    # rows are 16 bytes + string and hash-spread evenly, so the
+    # per-task build table stays bounded wherever the vocab slice
+    # fits; AQE leaves genuinely oversized partitions on sort-merge.
+    docg = (sh.join(dfreq.hint("shuffle_hash"), "shingle")
             .groupBy(id_col)
             .agg(F.transform(
                 F.array_sort(F.collect_list(
