@@ -124,20 +124,41 @@ def sample_pack_sequences(spark, sf):
 def pipeline_dataprep(spark, sf):
     """End-to-end training-data prep, composing three operator families
     in one plan: quality gate (token/char thresholds, pure column
-    expressions on the scan) -> exact dedup (md5 groupBy keeping min id,
-    left-semi back) -> deterministic hash split -> per-(split, lang)
-    corpus stats.  The whole pipeline is one DAG: scan -> hash-agg ->
-    semi-join -> hash-agg, nothing iterative, nothing collected."""
-    from fmx.operators import dedup as D
+    expressions on the scan) -> exact dedup -> deterministic hash split
+    -> per-(split, lang) corpus stats.
 
+    The dedup keep-min-id rule and the join-back are FUSED into one
+    min-struct aggregation (r13 optimization, guide §2.4): grouping on
+    md5(text) and taking min(struct(doc_id, lang, n_tokens)) picks
+    exactly the row the former ``exact_dedup`` + left-semi join kept
+    (struct order is decided by doc_id — the first field, unique per
+    row), while carrying that survivor's payload columns through the
+    same exchange.  That removes the second full corpus scan, the
+    broadcast-exchange build job, and the join from the plan: scan ->
+    agg(md5) -> hash-agg(split, lang), nothing else (jobs 4 -> 3).
+
+    Honest trade, verified in the captured plan: min over a struct
+    carrying a string is not hash-aggregable, so the md5 group runs as
+    SortAggregate (sort by md5 on both sides of the exchange) where
+    the unfused dedup used HashAggregate.  The sorted rows are the
+    NARROW projection (hash + doc_id + lang + n_tokens, ~60 B — text
+    is dropped before the exchange), while the removed work was a
+    second full scan of the text column plus its re-tokenization and
+    md5 recompute plus a join; at 100 TB the scan dwarfs a narrow
+    sort, and locally the A/B measures the shapes within noise of
+    each other.  Row-identical to the unfused shape (exactcheck
+    sf0.001+sf0.01, byte-exact; the oracle SQL is unchanged)."""
     docs = T(spark, sf, "documents")
     q = (docs
          .withColumn("n_tokens",
                      F.size(F.split(F.col("text"), " ")).cast("bigint"))
          .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20)))
-    keep = (D.exact_dedup(q, "doc_id", "text")
-            .select(F.col("keep_id").alias("doc_id")))
-    kept = q.join(keep, "doc_id", "left_semi")
+    kept = (q.groupBy(F.md5(F.col("text")).alias("_h"))
+            .agg(F.min(F.struct("doc_id", "lang", "n_tokens"))
+                 .alias("_keep"))
+            .select(F.col("_keep.doc_id").alias("doc_id"),
+                    F.col("_keep.lang").alias("lang"),
+                    F.col("_keep.n_tokens").alias("n_tokens")))
     s = SMP.hash_split(kept, "doc_id",
                        {"train": 0.9, "val": 0.05, "test": 0.05}, seed=SEED)
     return (s.groupBy("split", "lang")
