@@ -293,3 +293,43 @@ def test_interval_merge_known_islands(spark):
                    ("a", 1): (20.0, 25.0, 1, 5.0),
                    ("a", 2): (30.0, 30.0, 1, 0.0),
                    ("b", 0): (0.0, 1.0, 1, 1.0)}
+
+
+def test_min_struct_dedup_fusion_equals_semi_join(spark):
+    """pipeline_dataprep's r13 fusion: groupBy(md5(text)) +
+    min(struct(doc_id, lang, n_tokens)) must keep EXACTLY the rows the
+    unfused exact_dedup (keep min doc_id per hash) + left-semi join
+    kept — including when the min-id row does NOT carry the
+    lexicographically smallest lang/n_tokens payload (the case that
+    would expose a wrong struct-field order)."""
+    from fmx.operators import dedup as D
+
+    rows = [
+        # duplicate text group: min doc_id (10) carries the LARGER
+        # lang string and token count — struct order must not matter
+        (10, "same text here", "zz", 3),
+        (11, "same text here", "aa", 1),
+        (12, "same text here", "mm", 2),
+        # singleton
+        (20, "unique text", "en", 2),
+        # another dup group, min id last in input order
+        (31, "dup two", "fr", 2),
+        (30, "dup two", "de", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_tokens long")
+
+    fused = (df.groupBy(F.md5(F.col("text")).alias("_h"))
+             .agg(F.min(F.struct("doc_id", "lang", "n_tokens"))
+                  .alias("_keep"))
+             .select(F.col("_keep.doc_id").alias("doc_id"),
+                     F.col("_keep.lang").alias("lang"),
+                     F.col("_keep.n_tokens").alias("n_tokens")))
+    keep = (D.exact_dedup(df, "doc_id", "text")
+            .select(F.col("keep_id").alias("doc_id")))
+    unfused = df.join(keep, "doc_id", "left_semi") \
+                .select("doc_id", "lang", "n_tokens")
+
+    got = sorted(map(tuple, fused.collect()))
+    want = sorted(map(tuple, unfused.collect()))
+    assert got == want == [(10, "zz", 3), (20, "en", 2), (30, "de", 9)]
