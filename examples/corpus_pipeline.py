@@ -9,8 +9,11 @@ the LLM-data workflow the extension operators exist for:
   fixed-budget sequences -> deterministic train/val split ->
   partitioned parquet out
 
-Every stage is a pure DataFrame -> DataFrame function; the whole
-pipeline is one lazy plan until the final write.
+Every stage is a pure DataFrame -> DataFrame function; each funnel
+boundary is lazily localCheckpointed so the per-stage diagnostic
+counts and the final write each execute only their own stage, not
+the whole prefix again (the funnel was quadratic in pipeline depth
+without the cuts).
 
 Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -60,6 +63,13 @@ def main() -> None:
                                         F.col("doc_id")])
     mixed = temperature_mixture(capped, "domain", "doc_id",
                                 alpha=0.7, largest_frac=0.9)
+    # each funnel stage is lazily localCheckpointed: the stage's count
+    # materializes it ONCE, and every later stage (and the final write)
+    # reads the cached parent instead of re-executing the whole prefix
+    # — the funnel was quadratic in pipeline depth without this (~930
+    # scheduling-floor stages at sf0.001; guide §1.1 recompute waste).
+    # Values are unchanged: a checkpoint is a plan cut, not a transform.
+    mixed = mixed.localCheckpoint(eager=False)
     n0b = mixed.count()
     docs = mixed.drop("url", "url_norm", "domain_rank")
 
@@ -84,12 +94,13 @@ def main() -> None:
         (F.col("quality") >= 0.3)
         & F.col("char_entropy").between(1.5, 6.5)
         & F.col("passed")).drop("passed")
+    kept = kept.localCheckpoint(eager=False)
     n1 = kept.count()
 
     # 2. exact dedup (md5 groupBy, keep min doc_id)
     canon = D.exact_dedup(kept, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id"))
-    kept = kept.join(canon, "doc_id", "left_semi")
+    kept = kept.join(canon, "doc_id", "left_semi").localCheckpoint(eager=False)
     n2 = kept.count()
 
     # 3. near-dup dedup: LSH candidates -> exact-Jaccard verify ->
@@ -97,7 +108,7 @@ def main() -> None:
     pairs = D.minhash_lsh_pairs(kept, "doc_id", "text",
                                 verify_threshold=0.5)
     deduped = D.dedup_keep_canonical(kept, pairs.select("id_a", "id_b"),
-                                     "doc_id")
+                                     "doc_id").localCheckpoint(eager=False)
     n3 = deduped.count()
 
     # 3b. drop boilerplate/degenerate docs (Gopher repetition filters)
@@ -105,7 +116,8 @@ def main() -> None:
     deduped = (deduped.join(rep, "doc_id")
                .filter((F.col("top_word_frac") < 0.5)
                        & (F.col("dup_word_frac") < 0.9))
-               .drop("top_word_frac", "dup_word_frac", "top_bigram_frac"))
+               .drop("top_word_frac", "dup_word_frac", "top_bigram_frac")
+               .localCheckpoint(eager=False))
     n4 = deduped.count()
 
     # 3c. span-level hygiene: drop docs that are mostly cross-doc
@@ -115,7 +127,8 @@ def main() -> None:
                             "doc_id", "left")
                .filter(F.coalesce(F.col("dup_span_ratio"), F.lit(0.0))
                        < 0.8)
-               .drop("dup_span_ratio"))
+               .drop("dup_span_ratio")
+               .localCheckpoint(eager=False))
     n4b = deduped.count()
 
     # 3d. model-based quality gate: hashed linear classifier score
@@ -123,7 +136,8 @@ def main() -> None:
     #     trained table, which would drop in as a broadcast join)
     scored = X.hashed_linear_score(deduped, "doc_id", "text")
     deduped = (deduped.join(scored.select("doc_id", "keep"), "doc_id")
-               .filter(F.col("keep")).drop("keep"))
+               .filter(F.col("keep")).drop("keep")
+               .localCheckpoint(eager=False))
     n5b = deduped.count()
 
     # 3e. benchmark decontamination: drop any doc that shares an LSH
@@ -136,7 +150,8 @@ def main() -> None:
     contaminated = D.minhash_cross_pairs(
         deduped, bench, "doc_id", "text").select(
         F.col("batch_id").alias("doc_id")).distinct()
-    deduped = deduped.join(contaminated, "doc_id", "left_anti")
+    deduped = (deduped.join(contaminated, "doc_id", "left_anti")
+               .localCheckpoint(eager=False))
     n5c = deduped.count()
 
     # 4. token accounting for the surviving corpus
