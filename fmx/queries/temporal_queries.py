@@ -624,7 +624,15 @@ def _ewma_oracle() -> str:
     num, den = [], []
     for i in range(EWMA_SPAN):
         x = "v" if i == 0 else f"lag(v, {i}) OVER w"
-        w = repr(q ** i)
+        # CAST AS DOUBLE is load-bearing: DuckDB parses a bare decimal
+        # literal as DECIMAL, so without it the DENOMINATOR chain
+        # (both CASE branches literal) sums in exact DECIMAL and casts
+        # to double ONCE at the division — 1 ULP off the
+        # left-associated IEEE double chain Spark runs (caught by the
+        # r13 full byte-exact sweep: 868 sf0.001 / 3385 sf0.01 rows).
+        # With the cast, every + runs on doubles and both engines
+        # replay the identical fold.
+        w = f"CAST({q ** i!r} AS DOUBLE)"
         num.append(f"CASE WHEN {x} IS NOT NULL THEN {w} * {x} ELSE 0.0 END")
         den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
     return f"""

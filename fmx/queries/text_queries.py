@@ -2163,7 +2163,12 @@ def text_burrows_delta(spark, sf):
                      AS beta
             FROM pts)
     SELECT CAST(dec AS INT) AS decile, n_cum AS n_tokens, v_cum AS vocab,
-           round(beta, 6) AS heaps_beta
+           -- "+ 0.0" collapses IEEE signed zero (the feat_cyclical
+           -- convention, fmx/queries/__init__.py exactness notes): on
+           -- a saturated vocabulary beta is a tiny negative that
+           -- DuckDB's round keeps as -0.0 while Spark's BigDecimal
+           -- HALF_UP has no negative zero; -0.0 + 0.0 = +0.0.
+           round(beta, 6) + 0.0 AS heaps_beta
     FROM pts, fit
     """)
 def text_heaps_law(spark, sf):
@@ -2219,7 +2224,10 @@ def text_heaps_law(spark, sf):
             .select(F.col("dec").cast("int").alias("decile"),
                     F.col("n_cum").alias("n_tokens"),
                     F.col("v_cum").alias("vocab"),
-                    F.round("beta", 6).alias("heaps_beta")))
+                    # + 0.0 mirrors the oracle's signed-zero collapse
+                    # (no-op for Spark's HALF_UP round, which never
+                    # emits -0.0 — symmetry per the exactness notes)
+                    (F.round("beta", 6) + 0.0).alias("heaps_beta")))
 
 
 @query(
