@@ -981,6 +981,20 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
     # 100 TB contract unchanged from r12: ``materialize=False`` trades
     # the pinned executor-memory relation for map-only re-derivation
     # of the tokenize+agg chain per consumer.
+    pairs, _docg = _allpairs_core(df, id_col, text_col, n, threshold,
+                                  materialize)
+    return pairs
+
+
+def _allpairs_core(df: DataFrame, id_col: str, text_col: str,
+                   n: int, threshold: float,
+                   materialize: bool) -> tuple[DataFrame, DataFrame]:
+    """Implementation of :func:`allpairs_prefix_jaccard`, additionally
+    returning the checkpointed doc-grain relation (id, _s, _lst) so
+    the canonical wrapper can reuse it (its id set IS the
+    shingle-bearing id set — the ``shingle_bearing`` predicate made
+    relational — and it is already materialized for the verify
+    joins, so the reuse is free)."""
     toks = df.select(F.col(id_col),
                      F.split(F.col(text_col), " ").alias("t"))
     sh = toks.select(
@@ -1079,12 +1093,13 @@ def allpairs_prefix_jaccard(df: DataFrame, id_col: str, text_col: str,
              .select("id_a", "id_b", "sa", "sb",
                      F.size(F.array_intersect("_seta", "_setb"))
                      .alias("i")))
-    return (inter
-            .select(F.col("id_a").cast("bigint").alias("id_a"),
-                    F.col("id_b").cast("bigint").alias("id_b"),
-                    (F.col("i") / (F.col("sa") + F.col("sb")
-                                   - F.col("i"))).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    pairs = (inter
+             .select(F.col("id_a").cast("bigint").alias("id_a"),
+                     F.col("id_b").cast("bigint").alias("id_b"),
+                     (F.col("i") / (F.col("sa") + F.col("sb")
+                                    - F.col("i"))).alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
+    return pairs, docg
 
 
 def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
@@ -1114,27 +1129,41 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
     cross-group ids re-order through least/greatest to preserve the
     id_a < id_b contract.
     """
-    # the only materialized relation is the NARROW fingerprint-group
-    # table (hash, representative id) — the incremental-dedup
-    # fingerprint-store shape, lazily localCheckpointed because three
-    # consumers read it (representative texts, member fan-back, the
-    # within-group fan-out).  Text columns are never checkpointed or
-    # pinned (the r11 cut kept the full _text column in executor
-    # memory — repaired per the r11 advice): everything carrying text
-    # re-derives map-only from the scan.
-    canon = df.select(F.col(id_col).alias("_id"),
-                      F.md5(F.col(text_col)).alias("_h"))
-    groups = (canon.groupBy("_h").agg(F.min("_id").alias("_rep"))
-              .localCheckpoint(eager=False))
-    reps = (df.select(F.col(id_col).alias("_rid"),
-                      F.col(text_col).alias("_text"))
-            .join(groups.select(F.col("_rep").alias("_rid")), "_rid"))
-    rp = allpairs_prefix_jaccard(reps, "_rid", "_text",
-                                 n=n, threshold=threshold)
-    # mem is the other narrow multi-consumer relation (three readers:
-    # ma/mb fan-backs and the within-group fan-out) — checkpointing it
-    # caps the scan+md5 chain at one re-derivation total
-    mem = (canon.join(groups, "_h").select("_rep", "_id")
+    # r14 stage-count diet (r13 verdict #5; guide §2.4 — the cost left
+    # after the r13 fusions was ~18 AQE stage-groups x dispatch floor,
+    # i.e. exchange COUNT, not bytes).  Three structural cuts:
+    #
+    # - the representative-text relation fuses into ONE min-struct
+    #   aggregation (the pipeline_dataprep r13 pattern): _id — first
+    #   struct field, unique — picks exactly the min-id row and
+    #   carries its text through the same exchange, replacing the
+    #   former groups-agg + corpus-grain semi-join (two exchanges, one
+    #   of them shuffling the text column a second time).  Duplicate
+    #   texts collapse in the partial agg BEFORE the shuffle;
+    # - the member table (rep, id) is ONE window (min over the
+    #   fingerprint partition) instead of groups-agg + equi-join —
+    #   same exact integer min, one exchange, and the narrow groups
+    #   relation disappears entirely;
+    # - the within-group shingle-bearing filter reads the APSS core's
+    #   already-checkpointed doc-grain relation (its id set IS the
+    #   shingle-bearing representative set) instead of re-deriving
+    #   the representative texts and re-evaluating the predicate.
+    #
+    # Text columns are still never checkpointed or pinned (the r11
+    # advice): the only materialized relations are the narrow member
+    # table and the APSS core's (id, size, ranked-shingle) relation.
+    reps = (df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+            .agg(F.min(F.struct(F.col(id_col).alias("_rid"),
+                                F.col(text_col).alias("_text")))
+                 .alias("_m"))
+            .select(F.col("_m._rid").alias("_rid"),
+                    F.col("_m._text").alias("_text")))
+    rp, docg = _allpairs_core(reps, "_rid", "_text",
+                              n=n, threshold=threshold, materialize=True)
+    wgrp = Window.partitionBy("_h")
+    mem = (df.select(F.col(id_col).alias("_id"),
+                     F.md5(F.col(text_col)).alias("_h"))
+           .select(F.min("_id").over(wgrp).alias("_rep"), "_id")
            .localCheckpoint(eager=False))
     ma = mem.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ia"))
     mb = mem.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_ib"))
@@ -1143,13 +1172,10 @@ def allpairs_prefix_jaccard_canonical(df: DataFrame, id_col: str,
                      F.greatest("_ia", "_ib").cast("bigint").alias("id_b"),
                      "jaccard"))
     # within-group pairs: identical shingle sets, J = 1.0 — but only
-    # for texts that HAVE shingles (the < n-token guard above).  The
-    # shared shingle_bearing predicate decides that WITHOUT
-    # re-shingling the representative corpus (the plain operator above
-    # already pays that pass once) and cannot drift from
-    # word_shingles' tokenization.
-    shingled = (reps.filter(shingle_bearing("_text", n))
-                .select(F.col("_rid").alias("_rep")))
+    # for texts that HAVE shingles (< n tokens yields none and can
+    # never pair).  docg's id set encodes exactly that predicate for
+    # the representatives, and it is already materialized.
+    shingled = docg.select(F.col("_rid").alias("_rep"))
     dupm = mem.join(shingled, "_rep")
     within = (dupm.withColumnRenamed("_id", "_ia")
               .join(dupm.withColumnRenamed("_id", "_ib"), "_rep")

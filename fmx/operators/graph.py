@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "triangle_count", "k_hop", "label_propagation",
            "degree_distribution", "kcore_peel", "min_label_rounds",
-           "adamic_adar", "bfs_distances"]
+           "min_label_shortcut", "adamic_adar", "bfs_distances"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -223,6 +223,76 @@ def min_label_rounds(edges: DataFrame, rounds: int = 3,
                 .select("node", "label"))
         labels = (msgs.unionByName(labels)
                   .groupBy("node").agg(F.min("label").alias("label")))
+    return labels
+
+
+def min_label_shortcut(edges: DataFrame, nbr_rounds: int = 2,
+                       jump_rounds: int = 2, src: str = "src",
+                       dst: str = "dst") -> DataFrame:
+    """Connected components via hash-min rounds plus pointer-jumping
+    shortcuts (r13 verdict #1; guide §2.4 — fewer edge-grain shuffles):
+    ``nbr_rounds`` synchronous closed-neighborhood min rounds (each one
+    edge-grain join + min-agg, exactly ``min_label_rounds``'s step)
+    followed by ``jump_rounds`` shortcut rounds label <- label(label)
+    (each a NODE-grain self-join — two longs per node, no edge fan-out).
+    A shortcut round doubles the distance a minimum has propagated, so
+    rounds to convergence drop from O(diameter) to O(log diameter)
+    while only ``nbr_rounds`` rounds ever touch the edge relation.
+
+    Two structural savings over the round-for-round form:
+
+    - **Round 1 is a bare aggregation.**  Initial labels are the node
+      ids themselves, so the first round's "join labels onto the
+      neighbor side" is the identity: min over the closed neighborhood
+      = ``min(least(node, nbr))`` grouped by one endpoint.  The
+      symmetric edge relation makes grouping by ``nbr`` equivalent to
+      grouping by ``node``, and grouping by ``nbr`` REUSES the
+      checkpointed edge partitioning — round 1 costs zero exchanges
+      beyond the edge materialization itself.
+    - **Every label value is a live node id** (a closed-neighborhood
+      min over existing ids), so the shortcut is a plain inner
+      self-join; no left-join/coalesce fallback is needed.
+
+    Equivalence contract: this computes CONVERGED components whenever
+    the schedule covers the graph's label-propagation depth — on every
+    tested co-purchase graph (sf0.001/0.01/0.1) the default (2, 2)
+    schedule is converged and byte-equal to ``min_label_rounds(3)``,
+    which is itself converged there (pinned by the oracle harness and
+    tests/test_operators.py); on a deeper graph BOTH are partial in
+    different ways, so callers that need the literal bounded-round
+    spec use ``min_label_rounds`` and callers that need convergence at
+    unknown diameter use ``fmx.operators.dedup.connected_components``
+    (Observation-stop loop).  Labels never merge distinct components
+    under either schedule."""
+    und = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .unionByName(
+               edges.select(F.col(dst).alias("node"),
+                            F.col(src).alias("nbr"))))
+    # static across rounds; pre-partition on the join key so the one
+    # remaining edge-grain join reuses the checkpointed partitioning
+    # (same discipline as min_label_rounds)
+    und = und.repartition("nbr").localCheckpoint(eager=False)
+    labels = (und.groupBy("nbr")
+              .agg(F.min(F.least(F.col("node"), F.col("nbr")))
+                   .alias("label"))
+              .select(F.col("nbr").alias("node"), "label"))
+    for _ in range(int(nbr_rounds) - 1):
+        labels = labels.localCheckpoint(eager=False)
+        msgs = (und.join(labels.withColumnRenamed("node", "nbr")
+                         .hint("shuffle_hash"), "nbr")
+                .select("node", "label"))
+        labels = (msgs.unionByName(labels)
+                  .groupBy("node").agg(F.min("label").alias("label")))
+    for _ in range(int(jump_rounds)):
+        # label <- label(label): node-grain self-join; the build side
+        # is the node-keyed slice (already partitioned on node by the
+        # preceding agg), the probe side shuffles two longs per node
+        labels = labels.localCheckpoint(eager=False)
+        tgt = labels.select(F.col("node").alias("_lnode"),
+                            F.col("label").alias("_jlabel"))
+        labels = (labels.join(tgt.hint("shuffle_hash"),
+                              F.col("label") == F.col("_lnode"))
+                  .select("node", F.col("_jlabel").alias("label")))
     return labels
 
 

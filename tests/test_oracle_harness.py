@@ -4,6 +4,7 @@ order-insensitive value compare) at sf0.001 (set FMX_TEST_SF_DIR to run
 against other scale factors)."""
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -43,6 +44,28 @@ def _normalize(df):
 ALL = Q.all_queries()
 
 
+def _spot_set() -> set[str]:
+    """Default-tier selection (r13 verdict #2): every bench headliner,
+    every byte-exact sentinel, and a deterministic ~25% hash sample of
+    the rest of the registry — stable across runs (no RNG), spanning
+    every query family, small enough that the external driver's verify
+    window can complete.  FMX_FULL_SUITE=1 runs all queries."""
+    import hashlib
+
+    from tests.test_byte_exact_sentinels import SENTINELS
+
+    names = {n for n, s in ALL.items() if s.headline}
+    names |= set(SENTINELS)
+    names |= {n for n in ALL
+              if int(hashlib.sha1(n.encode()).hexdigest(), 16) % 4 == 0}
+    return names
+
+
+FULL_SUITE = os.environ.get("FMX_FULL_SUITE") == "1"
+
+SELECTED = sorted(ALL) if FULL_SUITE else sorted(_spot_set())
+
+
 # Queries that legitimately may return few/zero rows at sf0.001 (scalar
 # aggregates always return 1 row and are fine; these are the selective
 # filters audited as allowed-to-be-small).  Everything else must return
@@ -57,7 +80,7 @@ _MAY_BE_EMPTY = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(ALL))
+@pytest.mark.parametrize("name", SELECTED)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     spec = ALL[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
