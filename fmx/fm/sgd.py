@@ -223,7 +223,8 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
 
     def _sgd_step(self, params, w0: float, batch: DataFrame,
                   it: int, explode: bool = True, eager: bool = False,
-                  carry: list | None = None, batch_n: int | None = None):
+                  carry: list | None = None, batch_n: int | None = None,
+                  n_from_stats: bool = False):
         """One mini-batch SGD update (the reference foldLeft body,
         SGD.scala:114-212).  ``params`` is the merged
         (featureId, strength, vec) table; returns (params', w0', loss)
@@ -243,12 +244,18 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         label = self.getLabelCol()
         lr = float(self.getOrDefault(self.stepSize)) / math.sqrt(it)
         shrink = lr * float(self.getOrDefault(self.regParam))
-        # batch size for gradient averaging: precomputed by _run_sgd in
-        # one upfront action for all batches; standalone/online callers
-        # fall back to counting here
-        n = batch.count() if batch_n is None else batch_n
-        if n == 0:
-            return params, w0, None
+        # batch size for gradient averaging.  In the vector path the
+        # sample count EQUALS the per-sample forward relation's row
+        # count, so ``n_from_stats=True`` rides it on the loss action
+        # (r14: one fewer driver action per fit — the upfront
+        # all-batches count job disappears).  fit_long keeps the
+        # precomputed counts (its n is the LONG row count, a different
+        # number); standalone/online callers fall back to counting here.
+        n: int | None = None
+        if not n_from_stats:
+            n = batch.count() if batch_n is None else batch_n
+            if n == 0:
+                return params, w0, None
 
         ex = (L.explode_vector(batch, "__features__", id_cols=[sid, label])
               if explode else batch)
@@ -266,15 +273,25 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
         pred = self._error_and_loss(
             DF.forward_wide(rows, w0, k, label_col=label, sample_id=sid),
             label).cache()
-        stats = pred.agg(
-            F.sum("loss_term").alias("loss"),
-            F.avg("err").alias("mean_err")).first()
+        aggs = [F.sum("loss_term").alias("loss"),
+                F.avg("err").alias("mean_err")]
+        if n_from_stats:
+            aggs.append(F.count(F.lit(1)).alias("n"))
+        stats = pred.agg(*aggs).first()
         # that action materialized the previous step's lazy checkpoints;
         # its rows/pred caches can now be released
         if carry:
             for df in carry:
                 df.unpersist()
             carry.clear()
+        if n_from_stats:
+            n = int(stats.n)
+            if n == 0:
+                # empty mini-batch: params/w0 unchanged (the same
+                # no-op contract as the pre-action early exit)
+                rows.unpersist()
+                pred.unpersist()
+                return params, w0, None
         loss = float(stats.loss)
         if self.getOrDefault(self.fitIntercept):
             # dŷ/dw0 = 1 -> w0 step is the mean error (scalar,
@@ -328,26 +345,38 @@ class FMRegressorSGD(Estimator, FMParamsBase, HasMaxIter, HasRegParam,
             L.explode_vector(data, "__features__", id_cols=[sid, label])
             if explode else data)
         params = self._initial_params(exploded_all, k, sd, seed)
-        params = params.localCheckpoint(eager=True)
+        # lazy (r14): the init table's checkpoint materializes inside
+        # step 1's loss action instead of costing a separate upfront
+        # job per fit — same rows, the RDD is computed exactly once
+        # either way
+        params = params.localCheckpoint(eager=False)
 
-        # all mini-batch sizes in ONE driver action (the per-step count
-        # was half the reference's 2-actions-per-iteration contract;
-        # the cached source makes the union scan cheap) -> training is
-        # now ~1 action per iteration
-        from functools import reduce
+        if explode:
+            # vector path (r14): each batch's sample count EQUALS its
+            # per-sample forward relation's row count, so n rides each
+            # step's loss action — no upfront count job at all
+            counts = None
+        else:
+            # long path: n is the LONG (sample, feature) row count —
+            # all mini-batch sizes in ONE driver action (the per-step
+            # count was half the reference's 2-actions-per-iteration
+            # contract; the cached source makes the union scan cheap)
+            from functools import reduce
 
-        tagged = [b.select(F.lit(i).alias("_b")) for i, b in enumerate(batches)]
-        counts = {int(r["_b"]): int(r["n"]) for r in
-                  reduce(DataFrame.unionAll, tagged)
-                  .groupBy("_b").agg(F.count(F.lit(1)).alias("n"))
-                  .collect()}
+            tagged = [b.select(F.lit(i).alias("_b"))
+                      for i, b in enumerate(batches)]
+            counts = {int(r["_b"]): int(r["n"]) for r in
+                      reduce(DataFrame.unionAll, tagged)
+                      .groupBy("_b").agg(F.count(F.lit(1)).alias("n"))
+                      .collect()}
 
         self.training_loss_ = []
         carry: list = []
         for it, batch in enumerate(batches, start=1):
             params, w0, loss = self._sgd_step(
-                params, w0, batch, it, explode=explode,
-                carry=carry, batch_n=counts.get(it - 1, 0))
+                params, w0, batch, it, explode=explode, carry=carry,
+                batch_n=None if counts is None else counts.get(it - 1, 0),
+                n_from_stats=counts is None)
             if loss is not None:
                 self.training_loss_.append(loss)
         if carry:

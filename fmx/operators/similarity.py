@@ -475,13 +475,27 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     (query_id, id, adist, rank), adist = approximate squared L2.
 
     Queries stay exact; the corpus is represented only by its PQ codes.
-    Each query precomputes an m x num_codes distance table (broadcast —
-    queries x m x K rows), and a candidate's distance is the SUM of m
-    table lookups: codes ⋈ dtable on (sub, code), then one
-    (query, id) hash-agg.  At 10^9 vectors the scan side carries 4
-    small ints per row instead of 64 doubles — memory-bandwidth-bound
-    ANN becomes cache-resident.  Exactness is traded per-subspace;
-    rerank the top-k' with ``cosine_topk`` when recall matters."""
+    At 10^9 vectors the scan side carries 4 small ints per row instead
+    of 64 doubles — memory-bandwidth-bound ANN becomes cache-resident.
+    Exactness is traded per-subspace; rerank the top-k' with
+    ``cosine_topk`` when recall matters.
+
+    r14 plan shape (the ivfpq_topk treatment, guide §2.3/§2.4): the
+    codebook pivots WIDE on (sub, spos) — one broadcast row per vector
+    position carrying every code's component — so corpus encode is ONE
+    hash-agg at id grain (m x num_codes conditional sums, in-row
+    argmin per subspace -> the full m-entry code vector) instead of
+    the former per-(id, sub) agg; the per-query distance tables pivot
+    to one broadcast row per query carrying an m x num_codes matrix;
+    and ADC is an in-row sum of m matrix lookups over the broadcast
+    query-set cross — the former (sub, code) equi-join fan-out
+    (m x |Q| rows per corpus id through a shuffle + (query, id)
+    hash-agg) disappears.  The query side stays the broadcast-bounded
+    relation it always was (queries x m x K doubles); batch very large
+    query sets exactly as ``cosine_topk`` documents.  Arithmetic
+    replays the former fold orders (ascending-spos sums per
+    (sub, code), round-9 pd, round-6 adist) — the oracle SQL is
+    unchanged and byte-exact at every tested SF."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
@@ -489,15 +503,49 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     dsub = dim // m
     if codebook is None:
         codebook = pq_codebook(corpus, id_col, vec_col, m, num_codes, dim)
-    codes = pq_encode(corpus, id_col, vec_col, m, num_codes, dim, codebook)
-    qex = _subspace_explode(queries, id_col, vec_col, m, dsub, query_id)
-    dtab = (qex.join(F.broadcast(codebook), ["sub", "spos"])
-            .groupBy(query_id, "sub", "code")
-            .agg(F.round(F.sum((F.col("x") - F.col("cx")) ** 2), 9).alias("pd")))
-    adist = (codes.join(F.broadcast(dtab), ["sub", "code"])
+    # pos-pivoted codebook: one row per (sub, spos) with every code's
+    # component (dim rows x num_codes doubles — broadcast-bounded by
+    # construction, any codebook source incl. the Lloyd-trained one)
+    cbw = (codebook.groupBy("sub", "spos")
+           .agg(*[F.max(F.when(F.col("code") == c, F.col("cx")))
+                  .alias(f"_cb{c}") for c in range(num_codes)]))
+
+    def dist_sums(vdf: DataFrame, out_id: str, prefix: str) -> DataFrame:
+        """ONE hash-agg at vector grain: m x num_codes conditional sums
+        of squared distance.  All rows of a group originate from one
+        source row in ascending (sub, spos) order, so the partial agg
+        completes map-side and each sum replays the ascending-spos
+        accumulation of the former per-(id/query, sub, code) aggs."""
+        ex = _subspace_explode(vdf, id_col, vec_col, m, dsub, out_id)
+        terms = ex.join(F.broadcast(cbw), ["sub", "spos"])
+        return (terms.groupBy(out_id)
+                .agg(*[F.sum(F.when(F.col("sub") == s,
+                                    (F.col("x") - F.col(f"_cb{c}"))
+                                    * (F.col("x") - F.col(f"_cb{c}"))))
+                       .alias(f"{prefix}{s}_{c}")
+                       for s in range(m) for c in range(num_codes)]))
+
+    enc = dist_sums(corpus, id_col, "_d")
+    code_cols = []
+    for s in range(m):
+        cand = ", ".join(f"struct(round(_d{s}_{c}, 9) AS d2,"
+                         f" CAST({c} AS BIGINT) AS code)"
+                         for c in range(num_codes))
+        code_cols.append(F.expr(
+            f"array_min(filter(array({cand}), x -> x.d2 IS NOT NULL)).code"))
+    codes = enc.select(F.col(id_col), F.array(*code_cols).alias("_codes"))
+
+    dagg = dist_sums(queries, query_id, "_p")
+    pdm = F.array(*[F.array(*[F.round(F.col(f"_p{s}_{c}"), 9)
+                              for c in range(num_codes)])
+                    for s in range(m)])
+    dtab = dagg.select(F.col(query_id), pdm.alias("_pdm"))
+
+    adist_expr = " + ".join(f"_pdm[{s}][_codes[{s}]]" for s in range(m))
+    adist = (codes.crossJoin(F.broadcast(dtab))
              .filter(F.col(id_col) != F.col(query_id))
-             .groupBy(query_id, id_col)
-             .agg(F.round(F.sum("pd"), 6).alias("adist")))
+             .select(query_id, F.col(id_col),
+                     F.expr(f"round({adist_expr}, 6)").alias("adist")))
     w = Window.partitionBy(query_id).orderBy(F.col("adist"), F.col(id_col))
     return (adist.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

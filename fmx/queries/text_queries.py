@@ -2181,8 +2181,12 @@ def text_burrows_delta(spark, sf):
            -- convention, fmx/queries/__init__.py exactness notes): on
            -- a saturated vocabulary beta is a tiny negative that
            -- DuckDB's round keeps as -0.0 while Spark's BigDecimal
-           -- HALF_UP has no negative zero; -0.0 + 0.0 = +0.0.
-           round(beta, 6) + 0.0 AS heaps_beta
+           -- HALF_UP has no negative zero; -0.0 + 0.0 = +0.0.  The
+           -- literal is CAST to DOUBLE (the ts_ewma fix's convention,
+           -- r13 advice): a bare 0.0 parses as DECIMAL in DuckDB and
+           -- only works here because the DOUBLE left operand forces
+           -- the promotion — the cast makes that explicit.
+           round(beta, 6) + CAST(0.0 AS DOUBLE) AS heaps_beta
     FROM pts, fit
     """)
 def text_heaps_law(spark, sf):

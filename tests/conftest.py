@@ -18,6 +18,29 @@ SF_SMOKE = os.environ.get("FMX_TEST_SF_DIR", "/root/testdata/sf0.001")
 FULL_SUITE = os.environ.get("FMX_FULL_SUITE") == "1"
 
 
+def registry_selection():
+    """Query names the DEFAULT tier sweeps: every bench headliner,
+    every byte-exact sentinel, and a deterministic sha1(name) %% 4
+    sample of the rest (~30%, spans every family, stable across
+    runs).  Under FMX_FULL_SUITE=1 this is the whole registry.  One
+    definition so the oracle harness, the registry-wide plan sweeps,
+    and the vanilla-session replay select identically."""
+    import hashlib
+
+    import fmx.queries as Q
+
+    ALL = Q.all_queries()
+    if FULL_SUITE:
+        return sorted(ALL)
+    from tests.test_byte_exact_sentinels import SENTINELS
+
+    names = {n for n, s in ALL.items() if s.headline}
+    names |= set(SENTINELS)
+    names |= {n for n in ALL
+              if int(hashlib.sha1(n.encode()).hexdigest(), 16) % 4 == 0}
+    return sorted(names)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from fmx.session import get_spark

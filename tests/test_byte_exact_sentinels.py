@@ -48,6 +48,17 @@ def duck(sf_dir):
     return con
 
 
+def _canon_rows(df, cols):
+    """repr rows via PYTHON scalars: cast to object (numpy scalars ->
+    float/int, so a numpy>=2 repr change like np.int32(5) cannot red a
+    sentinel for non-engine reasons) and normalize missing values to
+    None on both connectors (r13 advice).  -0.0 and 1-ULP drift — the
+    divergences these sentinels exist for — survive the cast."""
+    c = df[cols].astype(object)
+    c = c.where(c.notna(), None)
+    return sorted(map(repr, c.itertuples(index=False, name=None)))
+
+
 @pytest.mark.parametrize("name", SENTINELS)
 def test_byte_exact_vs_oracle(spark, sf_dir, duck, name):
     spec = Q.all_queries()[name]
@@ -56,8 +67,8 @@ def test_byte_exact_vs_oracle(spark, sf_dir, duck, name):
     ddf = duck.sql(spec.oracle).df()
     cols = sorted(sdf.columns)
     assert cols == sorted(ddf.columns)
-    s = sorted(map(repr, sdf[cols].itertuples(index=False, name=None)))
-    d = sorted(map(repr, ddf[cols].itertuples(index=False, name=None)))
+    s = _canon_rows(sdf, cols)
+    d = _canon_rows(ddf, cols)
     assert len(s) == len(d), f"{name}: {len(s)} vs {len(d)} rows"
     assert len(s) > 0, f"{name}: vacuous 0-row pass"
     mism = [(a, b) for a, b in zip(s, d) if a != b]

@@ -42,8 +42,11 @@ def test_vanilla_session_replay():
     subprocess (the in-process pytest session already carries fmx confs,
     and ``getOrCreate`` would reuse it) and does two things:
 
-    1. analyzes EVERY registry query (``df.schema`` forces resolution —
-       the r5 failure mode was an analysis-time DATATYPE_MISMATCH);
+    1. analyzes the registry selection (every query under
+       FMX_FULL_SUITE=1; the headliner + sentinel + hash-sample
+       selection plus the event-time family in the default tier —
+       ``df.schema`` forces resolution; the r5 failure mode was an
+       analysis-time DATATYPE_MISMATCH);
     2. value-compares the event-time queries against their DuckDB
        oracles at sf0.001 (the class of query the env drift broke).
     """
@@ -66,8 +69,12 @@ import __spark_entry__ as e
 
 SF = "/root/testdata/sf0.001"
 qs, osql = e.queries(), e.oracle_sql()
+import json, os
+sel = set(json.loads(os.environ["FMX_REPLAY_SELECTION"]))
 bad = []
 for name, fn in qs.items():
+    if name not in sel:
+        continue
     try:
         fn(spark, SF).schema  # forces analysis
     except Exception as ex:
@@ -102,9 +109,24 @@ for name in EVENT_TIME:
         sys.exit(1)
 print("VANILLA REPLAY OK")
 '''
+    # default tier analyzes the registry selection (headliners +
+    # sentinels + hash sample + the event-time family below);
+    # FMX_FULL_SUITE=1 analyzes every registry query as before
+    import json
+    import os
+
+    from tests.conftest import registry_selection
+
+    sel = set(registry_selection()) | {
+        "event_sessionization", "ts_interval_coverage",
+        "abandoned_sessions", "funnel_within_session",
+        "win_tumbling_hour", "win_session_30m",
+        "asof_purchase_last_click", "ts_resample_ohlc",
+        "cdc_apply_changes"}
+    env = dict(os.environ, FMX_REPLAY_SELECTION=json.dumps(sorted(sel)))
     proc = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
-        timeout=1200)
+        timeout=1200, env=env)
     assert proc.returncode == 0 and "VANILLA REPLAY OK" in proc.stdout, (
         f"vanilla replay failed:\nstdout:\n{proc.stdout[-4000:]}\n"
         f"stderr:\n{proc.stderr[-2000:]}")

@@ -12,6 +12,17 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = os.environ.get("FMX_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# r13 verdict #2 (driver verify window): the examples are demo
+# compositions, each a multi-minute subprocess with its own
+# SparkSession (~6 min of the default suite together).  The default
+# tier keeps ONE representative end-to-end composition
+# (corpus_pipeline — the flagship LLM-data funnel, also the slowest
+# single stage sequence); the rest run under FMX_FULL_SUITE=1, which
+# the builder runs before every round close.
+full_suite_only = pytest.mark.skipif(
+    os.environ.get("FMX_FULL_SUITE") != "1",
+    reason="example smoke: FMX_FULL_SUITE=1 tier")
+
 
 def _run(script: str, *args: str) -> str:
     # 1200 s, not 600: the corpus example walls ~4 min ALONE on a quiet
@@ -38,6 +49,7 @@ def test_corpus_pipeline_runs_end_to_end(tmp_path):
     assert all(a >= b for a, b in zip(stages, stages[1:])), stages
 
 
+@full_suite_only
 def test_incremental_ingest_runs_end_to_end():
     stdout = _run("incremental_ingest.py")
     assert stdout.count("day ") == 3
@@ -47,37 +59,44 @@ def test_incremental_ingest_runs_end_to_end():
     assert "near-dup-clean" in stdout
 
 
+@full_suite_only
 def test_vector_search_example_runs(tmp_path):
     stdout = _run("vector_search.py")
     assert "recall" in stdout.lower()
 
 
+@full_suite_only
 def test_streaming_pipeline_example_runs(tmp_path):
     stdout = _run("streaming_pipeline.py", str(tmp_path / "out"))
     assert stdout.strip()  # completed without error and reported
 
 
+@full_suite_only
 def test_hybrid_search_example_runs(tmp_path):
     stdout = _run("hybrid_search.py")
     assert "fused recall" in stdout
 
 
+@full_suite_only
 def test_experimentation_example_runs(tmp_path):
     stdout = _run("experimentation.py")
     assert "bootstrap" in stdout and "guardrail" in stdout
 
 
+@full_suite_only
 def test_data_selection_example_runs(tmp_path):
     stdout = _run("data_selection.py")
     assert "Pareto frontier" in stdout and "matched en/de pairs" in stdout
 
 
+@full_suite_only
 def test_tabular_features_example_runs(tmp_path):
     stdout = _run("tabular_features.py")
     assert "leakage-free" in stdout and "val MAE" in stdout
     assert "5-fold MAE" in stdout and "quartile sizes" in stdout
 
 
+@full_suite_only
 def test_monitoring_example_runs(tmp_path):
     stdout = _run("monitoring.py")
     assert "monitoring pass complete" in stdout
@@ -85,6 +104,7 @@ def test_monitoring_example_runs(tmp_path):
     assert "freshness:" in stdout
 
 
+@full_suite_only
 def test_engagement_report_example_runs():
     stdout = _run("engagement_report.py")
     # every section reports
@@ -97,6 +117,7 @@ def test_engagement_report_example_runs():
     assert all(a >= b for a, b in zip(surv, surv[1:])), surv
 
 
+@full_suite_only
 def test_entity_resolution_example_runs():
     stdout = _run("entity_resolution.py")
     assert "EM pattern posteriors" in stdout

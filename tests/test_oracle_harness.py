@@ -4,7 +4,6 @@ order-insensitive value compare) at sf0.001 (set FMX_TEST_SF_DIR to run
 against other scale factors)."""
 
 import math
-import os
 
 import duckdb
 import pytest
@@ -43,27 +42,13 @@ def _normalize(df):
 
 ALL = Q.all_queries()
 
+# Default-tier selection (r13 verdict #2): headliners + byte-exact
+# sentinels + a deterministic hash sample — stable, spans every query
+# family, small enough that the external driver's verify window can
+# complete.  FMX_FULL_SUITE=1 runs all queries.
+from tests.conftest import registry_selection  # noqa: E402
 
-def _spot_set() -> set[str]:
-    """Default-tier selection (r13 verdict #2): every bench headliner,
-    every byte-exact sentinel, and a deterministic ~25% hash sample of
-    the rest of the registry — stable across runs (no RNG), spanning
-    every query family, small enough that the external driver's verify
-    window can complete.  FMX_FULL_SUITE=1 runs all queries."""
-    import hashlib
-
-    from tests.test_byte_exact_sentinels import SENTINELS
-
-    names = {n for n, s in ALL.items() if s.headline}
-    names |= set(SENTINELS)
-    names |= {n for n in ALL
-              if int(hashlib.sha1(n.encode()).hexdigest(), 16) % 4 == 0}
-    return names
-
-
-FULL_SUITE = os.environ.get("FMX_FULL_SUITE") == "1"
-
-SELECTED = sorted(ALL) if FULL_SUITE else sorted(_spot_set())
+SELECTED = registry_selection()
 
 
 # Queries that legitimately may return few/zero rows at sf0.001 (scalar

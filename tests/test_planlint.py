@@ -57,6 +57,62 @@ def test_scan_pushdown_and_width(spark, sf_dir):
     assert "wide-scan" not in _codes(wide, wide_scan_cols=16)
 
 
+def _node_count(df, pattern):
+    """Count DISTINCT physical-plan nodes matching ``pattern`` in the
+    formatted explain (node ids dedupe the tree/detail double
+    listing)."""
+    import re
+
+    text = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    return len(set(re.findall(r"\((\d+)\) " + pattern, text)))
+
+
+def test_fused_shapes_pinned(spark, sf_dir):
+    """r13 verdict #8: the structural fusions that earned the r13/r14
+    optimization wins must not silently un-fuse under a future
+    refactor.  Each pin is an upper bound on a node count in the
+    static physical plan (queries built over lazy localCheckpoints
+    display the checkpointed subtree as one RDD scan — the pins below
+    are calibrated to that truncated view, which is stable).
+
+    - pipeline_dataprep (r13): the min-struct dedup fusion scans the
+      corpus text ONCE — a second parquet scan means the join-back
+      came back.
+    - fm_predict (r13): the fused per-sample agg — one exchange, no
+      sample-grain join-back scans.
+    - emb_kmeans_assign (r13): argmin is in-row — at most the single
+      residual Window, never the per-id ranking window stack.
+    - ann_ivfpq_topk (r14): in-row assignment/ADC — exactly one
+      ranking Window (the final top-k) and no per-vector agg windows;
+      the scan count stays at the pivoted-broadcast level.
+    - graph_connected_components (r14): hash-min + pointer-jumping —
+      one edge-grain join round, so the exchange count stays flat.
+    - dedup_allpairs_canonical (r14): min-struct reps + window member
+      table — the fan-back must not regrow the sort-merge stack
+      (Sort nodes stay at the single within-group self-join)."""
+    ALL = Q.all_queries()
+
+    def q(name):
+        return ALL[name].fn(spark, sf_dir)
+
+    df = q("pipeline_dataprep")
+    assert _node_count(df, "Scan parquet") <= 1
+    df = q("fm_predict")
+    assert _node_count(df, "Scan parquet") <= 2
+    assert _node_count(df, "Window") == 0
+    df = q("emb_kmeans_assign")
+    assert _node_count(df, "Window") <= 1
+    df = q("ann_ivfpq_topk")
+    assert _node_count(df, "Window ") <= 1
+    assert _node_count(df, "Scan parquet") <= 12
+    df = q("graph_connected_components")
+    assert _node_count(df, "Exchange") <= 3
+    df = q("dedup_allpairs_canonical")
+    assert _node_count(df, "Sort ") <= 3
+    assert _node_count(df, "Exchange") <= 3
+
+
 def test_flagship_queries_lint_clean(spark, sf_dir):
     """The headline set must stay free of every scale-killer the
     linter knows (the programmatic form of the per-round plan audit).
@@ -69,6 +125,9 @@ def test_flagship_queries_lint_clean(spark, sf_dir):
         "dedup_semantic": {"cartesian", "unpushed-scan"},
         # same bounded centroid cross: the map-side cell assignment
         "ann_ivfpq_topk": {"cartesian"},
+        # r14: the PQ distance tables ride the broadcast query-set
+        # cross (one m x K matrix per query — the cosine_topk contract)
+        "ann_pq_topk": {"cartesian"},
     }
     for name in ["a1_tpch_q1", "dedup_minhash_lsh_pairs",
                  "ann_pq_topk", "ann_ivfpq_topk", "dedup_semantic",
@@ -92,6 +151,9 @@ _ALLOWED = {
         "ann_hamming_topk",         # broadcast query-sketch cross
         "ann_hybrid_rrf", "ann_ivf_cell_histogram", "ann_ivf_topk",
         "ann_ivf_topk_fixed", "ann_ivfpq_rerank", "ann_ivfpq_topk",
+        "ann_pq_topk", "ann_pq_rerank",  # r14: ADC distance tables ride
+                                         # the broadcast query-set cross
+                                         # (one m x K matrix per query)
         "copurchase_pmi", "dedup_semantic",
         "dq_psi_drift", "dq_referential_integrity", "emb_centroid_shift",
         "emb_top_eigvec",           # 1-row norm broadcast per round
@@ -320,12 +382,17 @@ _ALLOWED = {
 
 
 def test_registry_wide_lint_allowances(spark, sf_dir):
-    """Lint EVERY registry query; findings outside the audited
-    allowances fail (the plan-shape net over the whole surface, not
-    just the individually-locked queries)."""
+    """Lint the registry selection (default tier: headliners +
+    sentinels + the deterministic sample; FMX_FULL_SUITE=1: every
+    query); findings outside the audited allowances fail (the
+    plan-shape net over the whole surface, not just the
+    individually-locked queries)."""
+    from tests.conftest import registry_selection
+
+    ALL = Q.all_queries()
     violations = []
-    for name, spec in sorted(Q.all_queries().items()):
-        found = {f.code for f in lint_plan(spec.fn(spark, sf_dir))}
+    for name in registry_selection():
+        found = {f.code for f in lint_plan(ALL[name].fn(spark, sf_dir))}
         for code in found:
             if name not in _ALLOWED.get(code, set()):
                 violations.append((name, code))
@@ -352,12 +419,15 @@ def test_no_driver_actions_during_query_construction(spark, sf_dir):
                 f"DataFrame.{name}() called during query construction")
         return _raise
 
+    from tests.conftest import registry_selection
+
+    ALL = Q.all_queries()
     try:
         for name in actions:
             setattr(DataFrame, name, _forbid(name))
-        for qname, fn in Q.queries().items():
+        for qname in registry_selection():
             try:
-                fn(spark, sf_dir)
+                ALL[qname].fn(spark, sf_dir)
             except AssertionError as ex:
                 raise AssertionError(f"{qname}: {ex}") from None
     finally:

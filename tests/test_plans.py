@@ -55,10 +55,14 @@ def test_ranked_topk_uses_window_group_limit(spark, sf_dir):
 
 
 def test_no_python_udfs_in_declared_queries(spark, sf_dir):
-    """Every registry query except the deliberate mapInPandas featurizer
-    must stay fully JVM-side."""
+    """Every selected registry query except the deliberate mapInPandas
+    featurizer must stay fully JVM-side (default tier sweeps the
+    headliner + sentinel + hash-sample selection; FMX_FULL_SUITE=1
+    sweeps all)."""
+    from tests.conftest import registry_selection
+
     allowed_python = {"multimodal_features"}
-    for name in sorted(ALL):
+    for name in registry_selection():
         if name in allowed_python:
             continue
         plan = _plan(spark, sf_dir, name)
