@@ -505,10 +505,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         codebook = pq_codebook(corpus, id_col, vec_col, m, num_codes, dim)
     # pos-pivoted codebook: one row per (sub, spos) with every code's
     # component (dim rows x num_codes doubles — broadcast-bounded by
-    # construction, any codebook source incl. the Lloyd-trained one)
+    # construction, any codebook source incl. the Lloyd-trained one).
+    # All wide expression lists here are SQL text — ONE py4j round-trip
+    # each instead of ~8 Column-API calls: construction time is inside
+    # the measured query wall (the r13 pq_encode lesson; re-measured
+    # r14 after a Column-API draft cost 3+ s/plan to BUILD)
     cbw = (codebook.groupBy("sub", "spos")
-           .agg(*[F.max(F.when(F.col("code") == c, F.col("cx")))
-                  .alias(f"_cb{c}") for c in range(num_codes)]))
+           .agg(*[F.expr(f"max(CASE WHEN code = {c} THEN cx END)"
+                         f" AS _cb{c}") for c in range(num_codes)]))
 
     def dist_sums(vdf: DataFrame, out_id: str, prefix: str) -> DataFrame:
         """ONE hash-agg at vector grain: m x num_codes conditional sums
@@ -519,10 +523,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         ex = _subspace_explode(vdf, id_col, vec_col, m, dsub, out_id)
         terms = ex.join(F.broadcast(cbw), ["sub", "spos"])
         return (terms.groupBy(out_id)
-                .agg(*[F.sum(F.when(F.col("sub") == s,
-                                    (F.col("x") - F.col(f"_cb{c}"))
-                                    * (F.col("x") - F.col(f"_cb{c}"))))
-                       .alias(f"{prefix}{s}_{c}")
+                .agg(*[F.expr(f"sum(CASE WHEN sub = {s} THEN"
+                              f" (x - _cb{c}) * (x - _cb{c}) END)"
+                              f" AS {prefix}{s}_{c}")
                        for s in range(m) for c in range(num_codes)]))
 
     enc = dist_sums(corpus, id_col, "_d")
@@ -531,15 +534,17 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         cand = ", ".join(f"struct(round(_d{s}_{c}, 9) AS d2,"
                          f" CAST({c} AS BIGINT) AS code)"
                          for c in range(num_codes))
-        code_cols.append(F.expr(
-            f"array_min(filter(array({cand}), x -> x.d2 IS NOT NULL)).code"))
-    codes = enc.select(F.col(id_col), F.array(*code_cols).alias("_codes"))
+        code_cols.append(
+            f"array_min(filter(array({cand}), x -> x.d2 IS NOT NULL)).code")
+    codes = enc.select(F.col(id_col),
+                       F.expr(f"array({', '.join(code_cols)}) AS _codes"))
 
     dagg = dist_sums(queries, query_id, "_p")
-    pdm = F.array(*[F.array(*[F.round(F.col(f"_p{s}_{c}"), 9)
-                              for c in range(num_codes)])
-                    for s in range(m)])
-    dtab = dagg.select(F.col(query_id), pdm.alias("_pdm"))
+    pdm = "array(" + ", ".join(
+        "array(" + ", ".join(f"round(_p{s}_{c}, 9)"
+                             for c in range(num_codes)) + ")"
+        for s in range(m)) + ")"
+    dtab = dagg.select(F.col(query_id), F.expr(f"{pdm} AS _pdm"))
 
     adist_expr = " + ".join(f"_pdm[{s}][_codes[{s}]]" for s in range(m))
     adist = (codes.crossJoin(F.broadcast(dtab))
@@ -773,10 +778,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # corpus vectors w.r.t. their own cells), pivoted WIDE on pos:
     # one row per vector position carrying every code's component —
     # 64 rows at the registry constants, broadcast to both consumers
+    # (SQL-text aggregates: one py4j round-trip each — the r13
+    # construction-cost lesson, construction is inside the query wall)
     cbw = (residual_pos(asg.filter(F.col(id_col) < num_codes), id_col)
            .groupBy("pos")
-           .agg(*[F.max(F.when(F.col(id_col) == c, F.col("rx")))
-                  .alias(f"_cb{c}") for c in range(num_codes)]))
+           .agg(*[F.expr(f"max(CASE WHEN {id_col} = {c} THEN rx END)"
+                         f" AS _cb{c}") for c in range(num_codes)]))
 
     def dist_sums(pdf: DataFrame, out_id: str, prefix: str) -> DataFrame:
         """ONE hash-agg at (out_id, _cell) grain: m x num_codes
@@ -799,10 +806,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     for s in range(m):
         cand = ", ".join(f"struct(round(_d{s}_{c}, 9) AS d2, {c} AS code)"
                          for c in range(num_codes))
-        code_cols.append(F.expr(
-            f"array_min(filter(array({cand}), x -> x.d2 IS NOT NULL)).code"))
+        code_cols.append(
+            f"array_min(filter(array({cand}), x -> x.d2 IS NOT NULL)).code")
     codes = enc.select(F.col(id_col), "_cell",
-                       F.array(*code_cols).alias("_codes"))
+                       F.expr(f"array({', '.join(code_cols)}) AS _codes"))
 
     # query probing: in-row top-nprobe (reverse(array_sort) over the
     # (sim, -cell) structs = sim desc, cell asc — the former window's
@@ -814,10 +821,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
           .select(query_id, "_vv",
                   (-F.col("_ps.nc")).cast("int").alias("_cell")))
     dagg = dist_sums(residual_pos(qa, query_id), query_id, "_p")
-    pdm = F.array(*[F.array(*[F.round(F.col(f"_p{s}_{c}"), 9)
-                              for c in range(num_codes)])
-                    for s in range(m)])
-    dtab = dagg.select(query_id, "_cell", pdm.alias("_pdm"))
+    pdm = "array(" + ", ".join(
+        "array(" + ", ".join(f"round(_p{s}_{c}, 9)"
+                             for c in range(num_codes)) + ")"
+        for s in range(m)) + ")"
+    dtab = dagg.select(query_id, "_cell", F.expr(f"{pdm} AS _pdm"))
 
     # ADC: candidates meet through a (cell) broadcast join; adist is
     # an in-row sum of m distance-table lookups (ascending sub — the
