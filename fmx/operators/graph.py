@@ -263,7 +263,18 @@ def min_label_shortcut(edges: DataFrame, nbr_rounds: int = 2,
     spec use ``min_label_rounds`` and callers that need convergence at
     unknown diameter use ``fmx.operators.dedup.connected_components``
     (Observation-stop loop).  Labels never merge distinct components
-    under either schedule."""
+    under either schedule.
+
+    Static-plan note: the label relation carries no lineage cut, so
+    the printed plan duplicates its subtree once per self-join side —
+    2^jump_rounds copies.  At the shipped (2, 2) schedule that is a
+    dozen cheap references to the ONE checkpointed edge RDD, and
+    runtime exchange reuse collapses them (measured: fewer scheduled
+    jobs and equal-or-better wall than per-round checkpoints, whose
+    construction cost 0.2-1.4 s of driver planning EACH).  A caller
+    running a much deeper jump schedule should re-introduce a
+    label checkpoint every few rounds — the exponential plan growth,
+    not the data, is what would bite first."""
     und = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
            .unionByName(
                edges.select(F.col(dst).alias("node"),
@@ -276,8 +287,17 @@ def min_label_shortcut(edges: DataFrame, nbr_rounds: int = 2,
               .agg(F.min(F.least(F.col("node"), F.col("nbr")))
                    .alias("label"))
               .select(F.col("nbr").alias("node"), "label"))
+    # No per-round label checkpoints (r14, measured): each
+    # localCheckpoint call costs a 0.2-1.4 s driver-side planning pass
+    # at construction, while the double references inside one action
+    # (labels feeds both sides of every self-join and both branches of
+    # the union) canonicalize to the SAME exchange, which Spark's
+    # ReuseExchange materializes once.  Lineage depth is bounded by
+    # the schedule length — O(log diameter) rounds by design — so the
+    # only relation that still warrants a lineage cut is the
+    # multi-referenced EDGE subtree above.  Interleaved A/B at sf0.1:
+    # equal-or-better wall, one fewer scheduled job, identical values.
     for _ in range(int(nbr_rounds) - 1):
-        labels = labels.localCheckpoint(eager=False)
         msgs = (und.join(labels.withColumnRenamed("node", "nbr")
                          .hint("shuffle_hash"), "nbr")
                 .select("node", "label"))
@@ -287,7 +307,6 @@ def min_label_shortcut(edges: DataFrame, nbr_rounds: int = 2,
         # label <- label(label): node-grain self-join; the build side
         # is the node-keyed slice (already partitioned on node by the
         # preceding agg), the probe side shuffles two longs per node
-        labels = labels.localCheckpoint(eager=False)
         tgt = labels.select(F.col("node").alias("_lnode"),
                             F.col("label").alias("_jlabel"))
         labels = (labels.join(tgt.hint("shuffle_hash"),

@@ -107,7 +107,14 @@ def test_fused_shapes_pinned(spark, sf_dir):
     assert _node_count(df, "Window ") <= 1
     assert _node_count(df, "Scan parquet") <= 12
     df = q("graph_connected_components")
-    assert _node_count(df, "Exchange") <= 3
+    # no per-round label checkpoints (r14): the static plan shows the
+    # duplicated label subtrees (runtime ReuseExchange collapses
+    # them); the pinned properties are the JOIN shape — no sort-merge
+    # (the SHJ hints must hold) and the single multi-referenced edge
+    # checkpoint
+    assert _node_count(df, "Sort ") == 0
+    assert _node_count(df, "SortMergeJoin") == 0
+    assert _node_count(df, "Exchange") <= 21
     df = q("dedup_allpairs_canonical")
     assert _node_count(df, "Sort ") <= 3
     assert _node_count(df, "Exchange") <= 3
