@@ -138,16 +138,26 @@ def test_partial_aggregation_present(spark, sf_dir):
 
 
 def test_pq_plans_broadcast_codebook_no_cartesian(spark, sf_dir):
-    """PQ encode/search must stay equi-joins against the broadcast
-    codebook / distance table — the corpus side never cross-joins and
-    the per-(id, sub) argmin is a min-over-struct hash-agg (map-side
-    combinable), not a ranking window: encode needs NO sort at all."""
-    for name in ["ann_pq_codes", "ann_pq_topk"]:
-        plan = _plan(spark, sf_dir, name)
-        assert "BroadcastHashJoin" in plan, name
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
-    assert "Window" not in _plan(spark, sf_dir, "ann_pq_codes")
+    """PQ encode must stay an equi-join against the broadcast
+    codebook — the corpus side never cross-joins it, and the argmin
+    is in-row (no ranking window, no sort).  The SEARCH side (r14
+    pivot): the corpus still meets the codebook through a broadcast
+    equi-join, and the only nested-loop is the documented broadcast
+    QUERY-SET cross (one m x K distance matrix per query — the
+    cosine_topk contract), never corpus x corpus."""
+    plan = _plan(spark, sf_dir, "ann_pq_codes")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    topk = _plan(spark, sf_dir, "ann_pq_topk")
+    assert "BroadcastHashJoin" in topk
+    assert "CartesianProduct" not in topk
+    # exactly ONE nested-loop node: the broadcast query-set cross
+    import re
+
+    nlj = len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", topk)))
+    assert nlj <= 1, nlj
 
 
 def test_pq_encode_single_shuffle(spark, sf_dir):
